@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table catalog over a scale-factor directory
+  * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md §2).
+  *
+  * Reference grounding: the reference's only source is a line-oriented
+  * text scan (`/root/reference/test.go:16-25`); the engine's primary
+  * sources are columnar parquet scans so Catalyst can push filters and
+  * prune columns — at 100 TB the scan is the dominant cost and pushdown
+  * is the single biggest lever.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Columnar scan of one table. Filters/projections applied downstream
+    * reach the parquet reader (verified via `.explain` PushedFilters). */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Line-oriented text scan — the reference's native record model
+    * (one record = one line, `/root/reference/test.go:22-25`). */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Register every table as a temp view for `spark.sql` use. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
