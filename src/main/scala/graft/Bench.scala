@@ -2,14 +2,27 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric":...}. Each query is forced end-to-end with
-  * a noop-format write (materializes every output column; `count()` would
-  * let Catalyst prune the computed columns away and under-measure). A
-  * one-time warmup query runs first so JVM/classloading/codegen and the
-  * parquet footer cache are not billed to the first timed query.
+/** Benchmark main: runs the headline SparkEntry queries on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line {"metric":...}. Each query is
+  * forced end-to-end with a noop-format write (materializes every output
+  * column; `count()` would let Catalyst prune the computed columns away and
+  * under-measure). A one-time warmup runs the first headline query against
+  * the benched sfDir so JVM/classloading/codegen and the parquet footer
+  * cache are not billed to the first timed query. A failed query reports
+  * value -1 and is listed in the "failed" array (stderr alone would be
+  * discarded by the documented 2>/dev/null invocation).
   */
 object Bench {
+
+  /** Representative subset across scan/agg/join/window/dedup/similarity/
+    * clustering/text/streaming — the per-round scoreboard. Full coverage
+    * correctness runs through Verify, not here. */
+  val headline: Seq[String] = Seq(
+    "q_wordcount", "q_scan_project", "q_filter", "q_group_sum", "q_distinct",
+    "q_join_inner", "q_join_broadcast", "q_window_rank", "q_sort_limit",
+    "q_dedup_exact", "q_dedup_minhash", "q_simsearch", "q_kmeans",
+    "q_text_stats", "q_stream_tumbling")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session()
@@ -17,21 +30,34 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // Warmup: touch the scan + shuffle + agg + string-function code paths.
-    try force(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    val picked = headline.filter(SparkEntry.queries.contains)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir))
+    // Warmup against the benched sfDir (not a hardcoded path): touches the
+    // scan + shuffle + agg + string-function code paths untimed.
+    picked.headOption.foreach { name =>
+      try force(SparkEntry.queries(name)(spark, sfDir))
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+    }
+
+    var failed = List.empty[String]
+    val results = picked.map { name =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { force(SparkEntry.queries(name)(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed ::= name
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

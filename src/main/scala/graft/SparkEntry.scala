@@ -26,7 +26,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_wordcount" ->
       """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |FROM (SELECT unnest(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+')) AS word
         |      FROM documents)
         |WHERE length(word) > 0
         |GROUP BY word

@@ -22,7 +22,12 @@ object TextOps {
     * tokens for real documents. May contain empty strings at the text
     * boundaries; consumers filter post-explode (codegen-friendly relational
     * filter) or drop empties in their own array logic. */
-  def tokens(text: Column): Column = split(lower(text), "\\s+")
+  def tokens(text: Column): Column = split(lower(text), WsRun)
+
+  /** Whitespace-run pattern spelled as an explicit character class so the
+    * Java regex engine and the oracle's RE2 agree: Java's `\s` includes
+    * vertical tab (U+000B); RE2's is exactly `[\t\n\f\r ]`. */
+  val WsRun = "[ \\t\\n\\r\\f\\x0B]+"
 
   /** B3 q_wordcount: token → count, ordered for determinism.
     * The empty-token filter runs AFTER explode as a relational predicate so

@@ -26,7 +26,13 @@ object Tables {
   def textLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
-  /** Register every table as a temp view for `spark.sql` use. */
+  /** Register every table as a temp view for `spark.sql` use. Tables whose
+    * parquet file is absent in this sf dir are skipped (mirrors the
+    * driver-side check.py existence guard) so one missing optional table
+    * doesn't abort registration partway. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      if (new java.io.File(s"$dir/$n.parquet").exists())
+        apply(spark, dir, n).createOrReplaceTempView(n)
+    }
 }

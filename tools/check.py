@@ -42,14 +42,28 @@ def main():
             n_fail += 1; continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows spark={len(g)} duck={len(e)}"); n_fail += 1; continue
-        # exact compare, mimicking a hash of values
+        # exact compare, mimicking a hash of values; numeric dtypes get an
+        # np.isclose tolerance path (ADVICE r1) but near-misses are warned
+        # loudly since the driver's own gate hashes exact values.
+        import numpy as np
         mismatch = None
         for c in g.columns:
             gv, ev = g[c], e[c]
-            try:
-                same = (gv.astype(str).values == ev.astype(str).values)
-            except Exception:
-                same = gv.values == ev.values
+            if (np.issubdtype(gv.dtype, np.floating)
+                    and np.issubdtype(ev.dtype, np.floating)):
+                same = np.isclose(gv.values, ev.values,
+                                  rtol=1e-9, atol=1e-12, equal_nan=True)
+                exact = (gv.astype(str).values == ev.astype(str).values)
+                if same.all() and not exact.all():
+                    i = int((~exact).argmax())
+                    print(f"WARN {name}: col {c} row {i} only float-close "
+                          f"(spark={gv.iloc[i]!r} duck={ev.iloc[i]!r}) — "
+                          f"driver's exact hash may still FAIL; round() it")
+            else:
+                try:
+                    same = (gv.astype(str).values == ev.astype(str).values)
+                except Exception:
+                    same = gv.values == ev.values
             if not same.all():
                 i = int((~same).argmax())
                 mismatch = (c, i, gv.iloc[i], ev.iloc[i])
