@@ -22,6 +22,9 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // events.parquet stores ts as TIMESTAMP(NANOS) which the vectorized
+      // reader rejects; read as epoch-nanos long, converted in Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Standard local session for mains and tests. */

@@ -18,7 +18,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_wordcount" -> ((s, dir) => TextOps.wordCount(s, dir))
+    "q_wordcount"       -> ((s, d) => TextOps.wordCount(s, d)),
+    "q_scan_project"    -> ((s, d) => Relational.scanProject(s, d)),
+    "q_filter"          -> ((s, d) => Relational.filterQuery(s, d)),
+    "q_group_sum"       -> ((s, d) => Relational.groupSum(s, d)),
+    "q_distinct"        -> ((s, d) => Relational.distinctCount(s, d)),
+    "q_rollup"          -> ((s, d) => Relational.rollupSales(s, d)),
+    "q_sort_limit"      -> ((s, d) => Relational.sortLimit(s, d)),
+    "q_setops"          -> ((s, d) => Relational.setOps(s, d)),
+    "q_scalar_string"   -> ((s, d) => Scalars.stringOps(s, d)),
+    "q_scalar_datemath" -> ((s, d) => Scalars.dateMath(s, d)),
+    "q_scalar_array"    -> ((s, d) => Scalars.arrayOps(s, d)),
+    "q_scalar_json"     -> ((s, d) => Scalars.jsonOps(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,6 +41,80 @@ object SparkEntry {
         |      FROM documents)
         |WHERE length(word) > 0
         |GROUP BY word
-        |ORDER BY word""".stripMargin
+        |ORDER BY word""".stripMargin,
+    "q_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'""".stripMargin,
+    "q_group_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_distinct" ->
+      """SELECT o_orderstatus,
+        |       count(DISTINCT o_custkey) AS uniq_custs,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "q_setops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        |     b AS (SELECT c_custkey AS custkey FROM customer
+        |           WHERE c_mktsegment = 'BUILDING')
+        |SELECT 'union' AS op, count(*) AS cnt
+        |  FROM (SELECT custkey FROM a UNION SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect' AS op, count(*) AS cnt
+        |  FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS cnt
+        |  FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)""".stripMargin,
+    "q_scalar_string" ->
+      """SELECT doc_id,
+        |       substring(lower(text), 1, 20) AS head,
+        |       length(text) AS len,
+        |       concat_ws('|', lang, source) AS tag,
+        |       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |       reverse(source) AS rsource
+        |FROM documents""".stripMargin,
+    "q_scalar_datemath" ->
+      """SELECT o_orderkey,
+        |       year(o_orderdate) AS yr,
+        |       month(o_orderdate) AS mo,
+        |       day(o_orderdate) AS dom,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |       date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |       round(o_totalprice, 2) AS price_r,
+        |       CAST(floor(abs(o_totalprice - 1000.0)) AS BIGINT) AS absdiff,
+        |       o_orderkey % 7 AS k7,
+        |       round(sqrt(o_totalprice), 3) AS price_sqrt
+        |FROM orders""".stripMargin,
+    "q_scalar_array" ->
+      """SELECT vec_id,
+        |       len(embedding) AS dim,
+        |       round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+        |       round(list_reduce(
+        |         list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
+        |         (acc, x) -> acc + x), 4) AS vsum,
+        |       round(sqrt(list_reduce(
+        |         list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |         (acc, x) -> acc + x)), 4) AS norm
+        |FROM embeddings""".stripMargin,
+    "q_scalar_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin
   )
 }

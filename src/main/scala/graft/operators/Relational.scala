@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational core (SURVEY §2 B1–B2, B4–B6, B13–B14).
+  *
+  * Reference grounding: the reference's programming model is arbitrary
+  * Map/Reduce over keyed data (`/root/reference/mp/worker.go:14-17`);
+  * every operator here is the declarative Spark form of a classic
+  * MapReduce composition (scan = map over splits `test.go:16-25`,
+  * group-aggregate = in-mapper combine + reduce merge `test.go:15,51`,
+  * set-union = the reducer's n-way merge `test.go:52-65`).
+  *
+  * Scale notes (100 TB design point):
+  *  - Projections/filters are plain Catalyst exprs so they reach the
+  *    parquet scan (PushedFilters / ReadSchema pruning) — at 100 TB the
+  *    scan is the dominant cost and pushdown is the biggest lever.
+  *  - Aggregations rely on the planner's partial/final HashAggregate
+  *    split (map-side combine) — shuffled bytes are per-group, not
+  *    per-row.
+  *  - Top-k goes through TakeOrderedAndProject (per-partition heap +
+  *    driver merge of k·P rows), never a global sort.
+  *  - Float aggregates are rounded so results are stable across
+  *    summation orders (AQE may change partition counts run-to-run).
+  */
+object Relational {
+
+  /** B1 q_scan_project: columnar scan + narrow projection. */
+  def scanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  /** B2 q_filter: conjunctive predicate, both legs parquet-pushable. */
+  def filterQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .where(col("l_quantity") > 30 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+
+  /** B4 q_group_sum: TPC-H Q1-shaped hash aggregation (partial+final). */
+  def groupSum(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+
+  /** B5 q_distinct: exact distinct count per group. At 100 TB the scale
+    * path is `approx_count_distinct` (HLL sketch, no per-key shuffle);
+    * kept exact here because the oracle is exact. */
+  def distinctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("uniq_custs"),
+        count(lit(1)).as("cnt"))
+
+  /** B6 q_rollup: hierarchical subtotals; rolled-up levels surfaced as
+    * 'ALL' instead of NULL (str-compare-safe for the oracle). */
+  def rollupSales(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("cnt"))
+
+  /** B13 q_sort_limit: global top-10 with full tie-break; plans as
+    * TakeOrderedAndProject, not a total sort. */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(desc("price"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(10)
+
+  /** B14 q_setops: UNION / INTERSECT / EXCEPT cardinalities between
+    * "custkeys that ordered" and "custkeys in segment BUILDING". */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val b = Tables(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    def tag(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("cnt")).select(lit(name).as("op"), col("cnt"))
+    tag("union", a.union(b).distinct())
+      .unionAll(tag("intersect", a.intersect(b)))
+      .unionAll(tag("except", a.except(b)))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.sources.Tables
+
+/** Scalar-function surface (SURVEY §2 B15–B17).
+  *
+  * Reference grounding: the reference's entire scalar repertoire is
+  * string formatting/splitting/casting inside the word-count UDFs
+  * (`/root/reference/test.go:34,61-62,73-75`); here that generalizes to
+  * the builtin string/date/math/array/JSON expression families — all
+  * codegen'd Catalyst expressions, zero UDFs, so every query below stays
+  * inside WholeStageCodegen and the projected columns prune at the scan.
+  *
+  * Oracle parity notes: regex patterns avoid Java-vs-RE2 dialect gaps
+  * (explicit character classes only), dates are emitted as formatted
+  * strings (pandas renders Spark DATE and DuckDB DATE differently), and
+  * float outputs are rounded.
+  */
+object Scalars {
+
+  /** B15 q_scalar_string: lower/substring/length/concat_ws/regexp_extract
+    * over documents. */
+  def stringOps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        substring(lower(col("text")), 1, 20).as("head"),
+        length(col("text")).cast(LongType).as("len"),
+        concat_ws("|", col("lang"), col("source")).as("tag"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        reverse(col("source")).as("rsource"))
+
+  /** B16 q_scalar_datemath: date/math expression family over orders. */
+  def dateMath(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        datediff(col("o_orderdate"), to_date(lit("2024-01-01")))
+          .cast(LongType).as("days_since"),
+        round(col("o_totalprice"), 2).as("price_r"),
+        floor(abs(col("o_totalprice") - 1000.0)).cast(LongType).as("absdiff"),
+        (col("o_orderkey") % 7).as("k7"),
+        round(sqrt(col("o_totalprice")), 3).as("price_sqrt"))
+
+  /** B17a q_scalar_array: array functions over embeddings. Element math is
+    * widened to double before any arithmetic so Spark and the oracle round
+    * the same IEEE value; `aggregate` folds left-to-right, matching the
+    * oracle's sequential list reduction order. */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame = {
+    val emb = col("embedding").cast("array<double>")
+    Tables(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        round(element_at(emb, 1), 4).as("first_val"),
+        round(aggregate(emb, lit(0.0), (acc, x) => acc + x), 4).as("vsum"),
+        round(sqrt(aggregate(emb, lit(0.0), (acc, x) => acc + x * x)), 4)
+          .as("norm"))
+  }
+
+  /** B17b q_scalar_json: JSON path extraction over events.props. */
+  def jsonOps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+}

@@ -17,9 +17,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Columnar scan of one table. Filters/projections applied downstream
-    * reach the parquet reader (verified via `.explain` PushedFilters). */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    * reach the parquet reader (verified via `.explain` PushedFilters).
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark's
+    * reader only admits as epoch-nanos Long (`nanosAsLong`, set in Engine);
+    * converted here to a micros Timestamp with exact integer division
+    * (`DIV`, not `/` — double division loses precision above 2^53 ns). */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else df
+  }
 
   /** Line-oriented text scan — the reference's native record model
     * (one record = one line, `/root/reference/test.go:22-25`). */
