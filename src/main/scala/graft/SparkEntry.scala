@@ -29,7 +29,14 @@ object SparkEntry {
     "q_scalar_string"   -> ((s, d) => Scalars.stringOps(s, d)),
     "q_scalar_datemath" -> ((s, d) => Scalars.dateMath(s, d)),
     "q_scalar_array"    -> ((s, d) => Scalars.arrayOps(s, d)),
-    "q_scalar_json"     -> ((s, d) => Scalars.jsonOps(s, d))
+    "q_scalar_json"     -> ((s, d) => Scalars.jsonOps(s, d)),
+    "q_join_inner"      -> ((s, d) => Joins.innerJoin(s, d)),
+    "q_join_broadcast"  -> ((s, d) => Joins.broadcastJoin(s, d)),
+    "q_join_semi_anti"  -> ((s, d) => Joins.semiAntiJoin(s, d)),
+    "q_join_theta"      -> ((s, d) => Joins.thetaJoin(s, d)),
+    "q_join_asof"       -> ((s, d) => Joins.asofJoin(s, d)),
+    "q_window_rank"     -> ((s, d) => Windows.rankTopN(s, d)),
+    "q_window_running"  -> ((s, d) => Windows.runningTotal(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -115,6 +122,47 @@ object SparkEntry {
     "q_scalar_json" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 2) AS price
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q_join_semi_anti" ->
+      """SELECT 'semi' AS op, count(*) AS cnt FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'anti' AS op, count(*) AS cnt FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q_join_theta" ->
+      """SELECT l_returnflag, count(*) AS cnt
+        |FROM orders JOIN lineitem
+        |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        |GROUP BY l_returnflag""".stripMargin,
+    "q_join_asof" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM events e
+        |ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey
+        | AND date_trunc('microseconds', e.ts) >= o.o_orderdate""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_rev,
+        |       round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey), 2) AS prev_price
+        |FROM orders""".stripMargin
   )
 }

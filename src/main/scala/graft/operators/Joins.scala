@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.sources.Tables
+
+/** Join surface (SURVEY §2 B7–B10 + as-of).
+  *
+  * Reference grounding: the reduce-side join is the canonical MapReduce
+  * composition over the reference's arbitrary Map/Reduce contract
+  * (`/root/reference/mp/worker.go:14-17`) — mapper tags rows by source
+  * table keyed on the join key, reducer merges per key. Spark-first that
+  * is a declarative `join` and the planner picks the physical strategy.
+  *
+  * Scale notes (100 TB design point):
+  *  - fact ⋈ fact (orders ⋈ lineitem, orders ⋈ customer) → shuffle on the
+  *    key (sort-merge or shuffled-hash, AQE decides); both sides prune
+  *    columns before the exchange so shuffled bytes are the projection,
+  *    not the table.
+  *  - fact ⋈ dim (nation/region, O(10..100) rows) → `broadcast()` hint:
+  *    zero shuffle of the fact side, dim replicated to executors.
+  *  - semi/anti joins ship only the key column of the probe side and
+  *    stop at first match — never materialize the pair.
+  *  - the as-of join deliberately avoids join+filter+argmax (an
+  *    exploding inequality join); it is the union+window formulation:
+  *    one shuffle on the partition key, one per-partition sort, zero row
+  *    amplification — the shape that survives 100× scale-up.
+  */
+object Joins {
+
+  /** B7 q_join_inner: fact ⋈ fact equi-join on custkey (shuffle join). */
+  def innerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val customer = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    orders.join(customer, col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        round(col("o_totalprice"), 2).as("price"))
+  }
+
+  /** B8 q_join_broadcast: fact ⋈ dim ⋈ dim with explicit broadcast of the
+    * small sides — no shuffle of customer. */
+  def broadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("bal"))
+  }
+
+  /** B9 q_join_semi_anti: existence joins — customers with ≥1 order
+    * (left_semi) vs none (left_anti), reported as tagged counts. */
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer").select(col("c_custkey"))
+    val orderKeys = Tables(spark, dir, "orders").select(col("o_custkey"))
+    def cnt(tag: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("cnt")).select(lit(tag).as("op"), col("cnt"))
+    val semi = customer.join(orderKeys,
+      col("c_custkey") === col("o_custkey"), "left_semi")
+    val anti = customer.join(orderKeys,
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    cnt("semi", semi).unionAll(cnt("anti", anti))
+  }
+
+  /** B10 q_join_theta: equi key + theta residual (`l_shipdate >
+    * o_orderdate`) — planner keeps the equi part as the join key and
+    * applies the inequality as a post-join residual, so this stays a
+    * hash/merge join, not a nested-loop. */
+  def thetaJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lineitem = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+    orders.join(lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** As-of join (q_join_asof): for each event, the most recent order of
+    * the same customer at-or-before the event time.
+    *
+    * Union+window formulation: tag both sides, sort within customer by
+    * (time, side-priority), carry the last seen order key forward. One
+    * shuffle + one sort, no row amplification — unlike the naive
+    * `join(ts >= date) → groupBy argmax` which explodes quadratically
+    * on active customers at 100 TB. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders").select(
+      col("o_custkey").as("uid"), col("o_orderdate").as("t"),
+      col("o_orderkey").as("ok"), lit(null: java.lang.Long).as("event_id"))
+    val events = Tables(spark, dir, "events").select(
+      col("user_id").as("uid"), col("ts").as("t"),
+      lit(null: java.lang.Long).cast(LongType).as("ok"), col("event_id"))
+    // Orders sort before events at identical t (isEvent 0 < 1) → "<=".
+    val tagged = orders.withColumn("is_event", lit(0))
+      .unionByName(events.withColumn("is_event", lit(1)))
+    val w = Window.partitionBy("uid")
+      .orderBy(col("t"), col("is_event"), col("ok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_order", last(col("ok"), ignoreNulls = true).over(w))
+      .where(col("is_event") === 1)
+      .select(col("event_id"), col("uid").as("user_id"),
+        col("last_order").as("o_orderkey"))
+  }
+}

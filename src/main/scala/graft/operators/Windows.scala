@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.sources.Tables
+
+/** Window-function surface (SURVEY §2 B11–B12).
+  *
+  * Reference grounding: pure capability closure — the reference's
+  * Map/Reduce model expresses "per-key ordered scan" as a reducer that
+  * sorts its partition in memory (`/root/reference/mp/worker.go:17`);
+  * Spark's `Window` is the declarative form with managed spilling.
+  *
+  * Scale notes: both queries shuffle once on the partition key and sort
+  * within partitions (ExternalSorter spills, no OOM at wide customers).
+  * Rank-filter (rn ≤ 3) is applied immediately after the window so only
+  * top rows survive to the output projection.
+  */
+object Windows {
+
+  /** B11 q_window_rank: top-3 orders per customer by price, fully
+    * tie-broken by orderkey so ranks are deterministic. */
+  def rankTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rn"))
+  }
+
+  /** B12 q_window_running: running revenue per customer in order-date
+    * order (unbounded-preceding frame) + `lag` of the previous price. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val frame = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("run_rev", round(sum("o_totalprice").over(frame), 2))
+      .withColumn("prev_price", round(lag("o_totalprice", 1).over(ord), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("run_rev"),
+        col("prev_price"))
+  }
+}
