@@ -36,7 +36,20 @@ object SparkEntry {
     "q_join_theta"      -> ((s, d) => Joins.thetaJoin(s, d)),
     "q_join_asof"       -> ((s, d) => Joins.asofJoin(s, d)),
     "q_window_rank"     -> ((s, d) => Windows.rankTopN(s, d)),
-    "q_window_running"  -> ((s, d) => Windows.runningTotal(s, d))
+    "q_window_running"  -> ((s, d) => Windows.runningTotal(s, d)),
+    "q_text_stats"      -> ((s, d) => TextOps.textStats(s, d)),
+    "q_lang_id"         -> ((s, d) => TextOps.langId(s, d)),
+    "q_quality_score"   -> ((s, d) => TextOps.qualityScore(s, d)),
+    "q_token_count"     -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "q_fingerprint"     -> ((s, d) => TextOps.fingerprint(s, d)),
+    "q_dedup_exact"     -> ((s, d) => Dedup.exactGroups(s, d)),
+    "q_dedup_ngram"     -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q_dedup_simhash"   -> ((s, d) => Dedup.simhash(s, d)),
+    "q_dedup_embed"     -> ((s, d) => Dedup.embedNearDup(s, d)),
+    "q_simsearch"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q_simsearch_lsh"   -> ((s, d) => Similarity.lshTopK(s, d)),
+    "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -163,6 +176,178 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_rev,
         |       round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
         |         ORDER BY o_orderdate, o_orderkey), 2) AS prev_price
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "q_text_stats" ->
+      s"""WITH tk AS (
+         |  SELECT lang, doc_id,
+         |         unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS tok
+         |  FROM documents
+         |), a AS (
+         |  SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+         |         count(DISTINCT tok) AS n_types
+         |  FROM tk GROUP BY lang
+         |), c AS (
+         |  SELECT lang, round(avg(n_chars), 2) AS avg_chars FROM documents GROUP BY lang
+         |)
+         |SELECT a.lang, n_docs, n_tokens, n_types, avg_chars,
+         |       CAST(n_types AS DOUBLE) / n_tokens AS ttr
+         |FROM a JOIN c USING (lang)""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS toks
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ein'))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des','un'))) AS BIGINT) AS s_fr,
+         |    CAST(len(list_filter(toks, x -> x IN ('el','los','las','una','es','y'))) AS BIGINT) AS s_es
+         |  FROM t
+         |)
+         |SELECT doc_id, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+         |       WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       ELSE 'und' END AS pred_lang
+         |FROM s""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS toks
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t
+         |), r AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+         |         (a, x) -> a + x) AS DOUBLE) / n_tok AS avg_tok_len,
+         |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE)
+         |      / n_tok AS stop_ratio,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS alpha_ratio
+         |  FROM w
+         |)
+         |SELECT doc_id, n_tok, avg_tok_len, stop_ratio, alpha_ratio,
+         |       least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
+         |         + stop_ratio * 0.3 + alpha_ratio * 0.4 AS score
+         |FROM r""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]')) AS BIGINT) AS wp_tokens
+         |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      """WITH b AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |), c AS (
+        |  SELECT doc_id, t,
+        |    list_transform(range(1, length(t) + 1),
+        |      i -> CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT)) AS codes
+        |  FROM b
+        |)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS full_fp,
+        |  CASE WHEN length(t) >= 8 THEN
+        |    list_aggregate(list_transform(range(1, length(t) - 6),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(codes, i, i + 7)),
+        |             (a, x) -> (a * 31 + x) % 1000000007)), 'min')
+        |  ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+        |         (a, x) -> (a * 31 + x) % 1000000007) END AS win_fp
+        |FROM c""".stripMargin,
+    "q_dedup_exact" ->
+      s"""SELECT md5(regexp_replace(trim(lower(text)), '$Ws', ' ', 'g')) AS h,
+         |       min(doc_id) AS keep_id, count(*) AS copies
+         |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_ngram" -> jaccardOracle(0.5),
+    "q_dedup_minhash" -> jaccardOracle(0.8),
+    "q_dedup_simhash" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, tok, count(*) AS cnt FROM (
+         |    SELECT doc_id,
+         |           unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS tok
+         |    FROM documents)
+         |  GROUP BY doc_id, tok
+         |), th AS (
+         |  SELECT doc_id, cnt,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 16),
+         |        i -> CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+         |      (a, x) -> a * 16 + x) AS h
+         |  FROM tc
+         |), bits AS (
+         |  SELECT doc_id, j, sum(cnt * (((h >> j) & 1) * 2 - 1)) AS s
+         |  FROM th, unnest(range(0, 60)) AS u(j)
+         |  GROUP BY doc_id, j
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, e,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+        |         (a, p) -> a + p)) AS nrm
+        |  FROM v
+        |)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])),
+        |      (acc, p) -> acc + p) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |) WHERE cos >= 0.4""".stripMargin,
+    "q_simsearch" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, e,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+        |         (a, p) -> a + p)) AS nrm
+        |  FROM v
+        |), s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])),
+        |      (acc, p) -> acc + p) / (q.nrm * c.nrm) AS sim
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+        |), r AS (
+        |  SELECT qid, vec_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+        |  FROM s
+        |)
+        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin
   )
+
+  /** DuckDB whitespace-run class (single-backslash: DuckDB string
+    * literals do not unescape). */
+  private val Ws = "[ \\t\\n\\r\\f\\x0B]+"
+
+  /** Exhaustive 3-token-shingle Jaccard pairs at/above tau — oracle for
+    * both the inverted-index (q_dedup_ngram) and the MinHash-LSH
+    * (q_dedup_minhash) engines; see Dedup for the recall argument. */
+  private def jaccardOracle(tau: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       |  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+       |  WHERE len(ts) >= 3
+       |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |iv AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ic
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT * FROM (
+       |  SELECT da, db, CAST(ic AS DOUBLE) / (x.n + y.n - ic) AS jac
+       |  FROM iv JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+       |) WHERE jac >= $tau""".stripMargin
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.sources.Tables
+
+/** K-Means clustering over `embeddings` (SURVEY §2 B21) — the proper
+  * completion of the reference's unfinished sketch
+  * (`/root/reference/kmeans.go:5-25`, "each Map runs K-Means locally,
+  * reducers merge coordinate ranges", unimplemented per `README.md:12`).
+  *
+  * Spark-first Lloyd's algorithm:
+  *  - assignment: centroids are a tiny driver-side array broadcast as a
+  *    literal into one per-row expression (array_min over (dist², cid)
+  *    structs) — no join, no shuffle, whole corpus scanned once per
+  *    iteration;
+  *  - update: posexplode to (cid, dim, value) then partial/final avg —
+  *    one narrow shuffle of k·64 running sums per partition, NOT the
+  *    vectors themselves (map-side combine does the heavy lifting);
+  *  - the k·64-double centroid state lives on the driver between
+  *    iterations — constant-size regardless of corpus scale.
+  *
+  * Determinism: init = the k lowest vec_ids; ties in assignment break to
+  * the lower cid (struct ordering); centroid components are rounded to
+  * 9 decimals each iteration so double-summation order cannot leak into
+  * the result across runs/partitionings.
+  */
+object Clustering {
+
+  val K = 10
+  val Iters = 8
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  private def centroidLit(cs: Array[Array[Double]]) =
+    array(cs.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), array(c.map(lit(_)): _*).as("c"))
+    }: _*)
+
+  /** One assignment pass: adds `cid` (nearest centroid by L2²) and
+    * `d2` (its squared distance). */
+  private def assign(v: DataFrame, cs: Array[Array[Double]]): DataFrame =
+    v.withColumn("cents", centroidLit(cs))
+      .withColumn("best", expr(
+        """array_min(transform(cents,
+          |  c -> struct(aggregate(zip_with(e, c.c, (x, y) -> (x - y) * (x - y)),
+          |                cast(0.0 as double), (a, p) -> a + p) AS d2,
+          |              c.cid AS cid)))""".stripMargin))
+      .select(col("vec_id"), col("e"),
+        col("best.cid").as("cid"), col("best.d2").as("d2"))
+
+  /** Lloyd's K-Means, fixed iteration count, deterministic init (lowest
+    * vec_ids). Returns the final assignment (vec_id, cid, d2). */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir).cache()
+    var cs: Array[Array[Double]] = v.orderBy("vec_id").limit(K)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to Iters) {
+      val upd = assign(v, cs)
+        .select(col("cid"), posexplode(col("e")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid").agg(map_from_arrays(
+          collect_list("pos"), collect_list("m")).as("dims"))
+        .collect()
+      val next = cs.clone()
+      upd.foreach { r =>
+        val cid = r.getInt(0)
+        val m = r.getMap[Int, Double](1)
+        next(cid) = Array.tabulate(64)(d =>
+          BigDecimal(m(d)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      cs = next
+    }
+    assign(v, cs).select(col("vec_id"), col("cid"), col("d2"))
+  }
+
+  /** B21 q_kmeans: cluster cardinalities + within-cluster inertia after
+    * `Iters` Lloyd iterations (rows-only driver check; properties — loss
+    * monotonicity, determinism, label purity — covered in ScalaTest). */
+  def kmeansSummary(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssign(spark, dir)
+      .groupBy(col("cid").cast(LongType).as("cid"))
+      .agg(count(lit(1)).as("n"), round(sum("d2"), 4).as("inertia"))
+      .orderBy("cid")
+}

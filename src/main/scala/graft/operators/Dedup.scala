@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.sources.Tables
+
+/** Deduplication suite over `documents` / `embeddings` (SURVEY §2
+  * B18–B19 + north-star: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine near-dup).
+  *
+  * Reference grounding: dedup-by-key is the reference's `map[string]int`
+  * accumulation pattern (`/root/reference/test.go:15`) lifted to
+  * document granularity.
+  *
+  * Scale notes (100 TB design point):
+  *  - exact dedup = hash-groupBy on a 128-bit digest of normalized text:
+  *    one shuffle of (digest, doc_id), never the text itself.
+  *  - n-gram Jaccard uses an inverted-index self-join (shingle →
+  *    doc-list): pairs are generated only for docs sharing a shingle —
+  *    no all-pairs blowup; the shingle explode is linear in corpus size.
+  *  - MinHash+LSH is the sub-quadratic path: fixed-width signatures
+  *    (128 perms) per doc, banded (32×4) so only same-band-bucket docs
+  *    meet in the candidate join; candidates are exact-verified. At
+  *    J≥0.8 the miss probability per qualifying pair is
+  *    (1 − 0.8⁴)³² ≈ 5·10⁻⁸ — the driver-visible output equals the
+  *    exhaustive SQL oracle with overwhelming probability.
+  *  - SimHash packs a document into one 60-bit word; near-dup pairs at
+  *    hamming ≤ d collide in ≥1 of d+1 bands (pigeonhole) → banded
+  *    self-join with recall exactly 1, no all-pairs.
+  *  - embedding near-dup pre-computes norms once per vector, then only
+  *    the dot product is evaluated per candidate pair.
+  */
+object Dedup {
+
+  /** Normalized text: lowercase, trim, collapse whitespace runs.
+    * (`WsRunSqlLit`: Spark SQL literals unescape backslashes.) */
+  private val NormSql =
+    s"regexp_replace(trim(lower(text)), '${TextOps.WsRunSqlLit}', ' ')"
+
+  /** B18 q_dedup_exact: group by md5(normalized text) — digest, kept
+    * (minimum) doc_id, and copy count per distinct content. */
+  def exactGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(expr(NormSql)).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+
+  /** The actual dedup operator: one surviving row per distinct normalized
+    * text (min doc_id wins). Used by tests; `exactGroups` is its
+    * driver-checkable projection. */
+  def dedupExact(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(expr(NormSql))).orderBy(col("doc_id"))
+    docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct (doc_id, 3-token-shingle) pairs — the inverted index both
+    * Jaccard variants build on. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("ts", expr(TextOps.TokensSql))
+      .where(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ts) - 2),
+          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1),
+          |              ' ', element_at(ts, i + 2)))""".stripMargin))
+        .as("shingle"))
+      .distinct()
+
+  /** Exact-Jaccard pairs at/above `tau` from an inverted-index self-join
+    * (shared-shingle pairs only — no all-pairs). */
+  private def jaccardPairs(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("da") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("db") === col("doc_id")).drop("doc_id")
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= tau)
+      .select(col("da"), col("db"), col("jac"))
+  }
+
+  /** B19a q_dedup_ngram: exhaustive n-gram-Jaccard near-dup pairs
+    * (J ≥ 0.5) via the inverted index. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir, 0.5)
+
+  // MinHash parameters: 128 permutations h_i(x) = (a_i·x + b_i) mod P
+  // banded as 32 bands × 4 rows. Seeded deterministically.
+  private val MinhashP = 2000000011L
+  private val NumPerm = 128
+  private val Bands = 32
+  private val (permA, permB) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(NumPerm)(1L + rnd.nextLong(MinhashP - 1)),
+      Array.fill(NumPerm)(rnd.nextLong(MinhashP)))
+  }
+
+  /** B19 q_dedup_minhash: MinHash signatures → LSH banding → candidate
+    * pairs → exact-Jaccard verification at J ≥ 0.8. Output is identical
+    * to the exhaustive oracle whp (see class doc); the LSH path is what
+    * survives 100 TB, the verification keeps it exact. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+      // hash reduced mod P (so a·x+b stays in signed-64 range)
+      .withColumn("sx", pmod(xxhash64(col("shingle")), lit(MinhashP)))
+    // signature: per doc, per-permutation min over shingles — expressed
+    // as 128 independent codegen'd min() aggregates over fixed-width
+    // longs (pure HashAggregate with map-side combine: the shuffle
+    // carries one 128-long row per (partition, doc), never the
+    // shingles). An object-buffer Aggregator here trips the
+    // ObjectHashAggregate sort-based fallback past 128 groups and
+    // serializes its buffer per row; plain min() columns stay in
+    // whole-stage codegen. (MinHashAggregator remains the typed-API
+    // form of the same fold — see functions/.)
+    val minCols = (0 until NumPerm).map(i =>
+      min(pmod(col("sx") * permA(i) + permB(i), lit(MinhashP))).as(s"m$i"))
+    val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    // banding: murmur3 of each band's 4 min-columns (codegen'd), then
+    // unpivot to (doc, band, bh); same (band, bh) → candidate bucket
+    val bandCols = (0 until Bands).map(b =>
+      hash((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as(s"b$b"))
+    val bands = sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), posexplode(array((0 until Bands).map(b => col(s"b$b")): _*)))
+      .toDF("doc_id", "band", "bh")
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    // exact verification of candidates only
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("da"), col("shingle")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("da") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("db") === col("doc_id")).drop("doc_id")
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= 0.8)
+      .select(col("da"), col("db"), col("jac"))
+  }
+
+  /** Per-token 60-bit hash: the first 15 hex digits of md5 — computable
+    * identically in DuckDB (hex fold), unlike xxhash64. */
+  private val TokHashSql = "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+
+  /** B19b q_dedup_simhash: 60-bit SimHash per document. Classic
+    * construction: per bit position j, sum token-frequency-weighted ±1
+    * according to bit j of the token hash; simhash bit j = sign of the
+    * sum. Emitted per-doc (pair matching at hamming ≤ d is a banded
+    * self-join with guaranteed recall — see `simhashPairs`). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tokCnt = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr(TextOps.TokensSql)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("th", expr(TokHashSql))
+    tokCnt
+      .select(col("doc_id"), col("cnt"), col("th"),
+        explode(expr("sequence(0, 59)")).as("j"))
+      .withColumn("contrib",
+        col("cnt") * (expr("shiftright(th, j) & 1") * 2 - 1))
+      .groupBy("doc_id", "j")
+      .agg(sum("contrib").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), j)"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at hamming distance ≤ d via (d+1)-band LSH:
+    * any pair within d differing bits shares ≥1 intact band (pigeonhole),
+    * so banding has recall exactly 1 — never an all-pairs join. */
+  def simhashPairs(spark: SparkSession, dir: String, d: Int = 3): DataFrame = {
+    val nb = d + 1
+    val width = 60 / nb
+    val sh = simhash(spark, dir)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          s"transform(sequence(0, ${nb - 1}), b -> shiftright(simhash, b * $width) & ${(1L << width) - 1})")))
+      .toDF("doc_id", "simhash", "band", "bh")
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast(LongType).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= d)
+  }
+
+  /** Embedding vectors with the norm pre-computed once per vector (not
+    * per pair). Fold order matches the oracle's list_reduce exactly. */
+  private def vecsWithNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(e, cast(0.0 as double), (a, x) -> a + x * x)")))
+      .select(col("vec_id"), col("e"), col("nrm"))
+
+  /** North-star q_dedup_embed: embedding-cosine near-duplicate pairs
+    * (cos ≥ 0.4). Self-join restricted by vec_id ordering; norms
+    * pre-computed; at 100 TB swap the pair generator for the
+    * hyperplane-LSH bucketing of `Similarity.lshTopK` — verification
+    * stays identical. */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecsWithNorm(spark, dir)
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        (expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)")
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .where(col("cos") >= 0.4)
+  }
+}

@@ -2,9 +2,12 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.sources.Tables
 
-/** Text-analysis operators over the `documents` table.
+/** Text-analysis operators over the `documents` table (SURVEY §2 B3, B15,
+  * B22 + north-star text ops: language-ID, quality scoring, token
+  * counting, fingerprinting).
   *
   * `wordCount` is the reference's flagship (and only proven) workload —
   * distributed word count (`/root/reference/test.go:13-71`): mapper
@@ -13,8 +16,20 @@ import graft.sources.Tables
   * Spark-first this is one declarative chain: the planner splits the
   * aggregation into partial (map-side combine) and final automatically,
   * and the shuffle replaces the reference's tmp-file exchange.
+  *
+  * Oracle-parity principles used throughout this file:
+  *  - regexes use explicit character classes (Java `\s` ⊃ RE2 `\s`);
+  *  - integer→double divisions and left-fold accumulations are written
+  *    in the SAME evaluation order as the DuckDB oracle SQL, so doubles
+  *    are bit-identical and need no rounding;
+  *  - counts are cast to Long (DuckDB aggregates return BIGINT).
   */
 object TextOps {
+
+  /** Whitespace-run pattern spelled as an explicit character class so the
+    * Java regex engine and the oracle's RE2 agree: Java's `\s` includes
+    * vertical tab (U+000B); RE2's is exactly `[\t\n\f\r ]`. */
+  val WsRun = "[ \\t\\n\\r\\f\\x0B]+"
 
   /** Tokenization shared by wordcount / text stats / dedup: lowercase,
     * split on whitespace runs. Mirrors the reference's record model where
@@ -24,10 +39,17 @@ object TextOps {
     * filter) or drop empties in their own array logic. */
   def tokens(text: Column): Column = split(lower(text), WsRun)
 
-  /** Whitespace-run pattern spelled as an explicit character class so the
-    * Java regex engine and the oracle's RE2 agree: Java's `\s` includes
-    * vertical tab (U+000B); RE2's is exactly `[\t\n\f\r ]`. */
-  val WsRun = "[ \\t\\n\\r\\f\\x0B]+"
+  /** `WsRun` re-escaped for embedding in a Spark SQL string literal:
+    * Spark's SQL lexer interprets backslash escapes inside '…' (dropping
+    * the backslash for unknown ones like `\f`/`\x`), so the regex
+    * backslashes must be doubled or the class would match the LETTERS
+    * f, x, 0, B. DuckDB '…' literals do NOT unescape, so oracle SQL uses
+    * the plain `WsRun`. */
+  val WsRunSqlLit: String = WsRun.replace("\\", "\\\\")
+
+  /** Non-empty token array (array-lambda filter; used where the token
+    * array itself is the unit of work, e.g. shingling and stats). */
+  val TokensSql = s"filter(split(lower(text), '$WsRunSqlLit'), x -> x != '')"
 
   /** B3 q_wordcount: token → count, ordered for determinism.
     * The empty-token filter runs AFTER explode as a relational predicate so
@@ -40,4 +62,116 @@ object TextOps {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")
+
+  /** B22 q_text_stats: per-language corpus statistics — doc count, token
+    * count, vocabulary size, mean doc length, type/token ratio. Two
+    * aggregates (token-grain + doc-grain) joined on lang; the join is a
+    * tiny post-aggregation broadcast at any scale. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val tok = docs
+      .select(col("lang"), col("doc_id"),
+        explode(expr(TokensSql)).as("tok"))
+      .groupBy("lang")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_types"))
+    val chars = docs.groupBy("lang")
+      .agg(round(avg("n_chars"), 2).as("avg_chars"))
+    tok.join(chars, "lang")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_types"),
+        col("avg_chars"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"))
+  }
+
+  /** Stopword profiles for the language-ID heuristic. Tiny, broadcast as
+    * literals into the expression — no join, no UDF. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "los", "las", "una", "es", "y"))
+
+  private def profileCountSql(words: Seq[String]): String =
+    s"size(filter($TokensSql, x -> x IN (${words.map("'" + _ + "'").mkString(",")})))"
+
+  /** North-star q_lang_id: stopword-profile language identification.
+    * Scores each language by profile-stopword hits; argmax with a fixed
+    * preference order (en,de,fr,es) on ties, 'und' (undetermined) when no
+    * profile matches at all. A character-n-gram model slots into the same
+    * shape; stopword profiles are the deterministic, oracle-expressible
+    * core. Pure per-row expression → embarrassingly parallel at 100 TB. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = LangProfiles.map { case (l, ws) =>
+      expr(profileCountSql(ws)).cast(LongType).as(s"s_$l")
+    }
+    val best = LangProfiles.map(_._1).foldRight(lit("und")) {
+      case (l, els) =>
+        val sl = col(s"s_$l")
+        val isMax = LangProfiles.map(_._1).filter(_ != l)
+          .map(o => sl >= col(s"s_$o")).reduce(_ && _)
+        when(sl > 0 && isMax, lit(l)).otherwise(els)
+    }
+    Tables(spark, dir, "documents")
+      .select(col("doc_id") +: scores: _*)
+      .withColumn("pred_lang", best)
+  }
+
+  /** North-star q_quality_score: per-document quality heuristics — token
+    * count, mean token length, stopword ratio, alphabetic-character ratio,
+    * and a bounded composite score. All codegen'd per-row expressions. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = LangProfiles.head._2 // en profile
+    Tables(spark, dir, "documents")
+      .withColumn("toks", expr(TokensSql))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        (expr("aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x))")
+          .cast("double") / col("n_tok")).as("avg_tok_len"),
+        (expr(s"size(filter(toks, x -> x IN (${stop.map("'" + _ + "'").mkString(",")})))")
+          .cast("double") / col("n_tok")).as("stop_ratio"),
+        (length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          .cast("double") / length(col("text"))).as("alpha_ratio"))
+      .withColumn("score",
+        least(col("n_tok").cast("double") / 50.0, lit(1.0)) * 0.3
+          + col("stop_ratio") * 0.3 + col("alpha_ratio") * 0.4)
+  }
+
+  /** BPE-ish pre-tokenization pattern: letter runs | digit runs | a single
+    * non-alphanumeric non-space symbol (explicit classes for RE2 parity). */
+  val WordpiecePat = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]"
+
+  /** North-star q_token_count: whitespace tokens + BPE-ish pre-token count
+    * per document (the unit-economics column of a training-data pipeline). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr(s"size($TokensSql)").cast(LongType).as("ws_tokens"),
+        regexp_count(lower(col("text")), lit(WordpiecePat)).cast(LongType)
+          .as("wp_tokens"))
+
+  /** North-star q_fingerprint: polynomial rolling-hash document
+    * fingerprints — a whole-document hash plus the minimum 8-char-window
+    * hash (winnowing-style, robust to local edits). Pure per-row array
+    * expressions; the fold order matches the oracle exactly. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("t", lower(col("text")))
+      .withColumn("codes",
+        expr("transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1)))"))
+      .select(
+        col("doc_id"),
+        expr("aggregate(codes, cast(0 as bigint), (a, c) -> (a * 31 + c) % 1000000007)")
+          .as("full_fp"),
+        expr("""CASE WHEN length(t) >= 8 THEN
+                  array_min(transform(sequence(1, length(t) - 7),
+                    i -> aggregate(slice(codes, i, 8), cast(0 as bigint),
+                           (a, c) -> (a * 31 + c) % 1000000007)))
+                ELSE aggregate(codes, cast(0 as bigint),
+                       (a, c) -> (a * 31 + c) % 1000000007) END""")
+          .as("win_fp"))
 }
