@@ -49,7 +49,15 @@ object SparkEntry {
     "q_dedup_embed"     -> ((s, d) => Dedup.embedNearDup(s, d)),
     "q_simsearch"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_simsearch_lsh"   -> ((s, d) => Similarity.lshTopK(s, d)),
-    "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d))
+    "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
+    "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
+    "q_udaf_typed"      -> ((s, d) => MapReduceOps.typedAgg(s, d)),
+    "q_udtf_explode"    -> ((s, d) => MapReduceOps.bigramCounts(s, d)),
+    "q_multimodal"      -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "q_stream_tumbling" -> ((s, d) => graft.streaming.Streams.tumbling(s, d)),
+    "q_stream_sliding"  -> ((s, d) => graft.streaming.Streams.sliding(s, d)),
+    "q_stream_session"  -> ((s, d) => graft.streaming.Streams.session(s, d)),
+    "q_stream_dedup"    -> ((s, d) => graft.streaming.Streams.dedup(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -322,7 +330,77 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
         |  FROM s
         |)
-        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin
+        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin,
+    "q_udf_fnv" ->
+      s"""WITH w AS (
+         |  SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS word
+         |  FROM documents
+         |), f AS (
+         |  SELECT word,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+         |      list_transform(range(1, length(word) + 1),
+         |        i -> CAST(ascii(substr(word, CAST(i AS INTEGER), 1)) AS BIGINT))),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+         |  FROM w
+         |)
+         |SELECT word, h, h % 8 AS bucket FROM f""".stripMargin,
+    "q_udaf_typed" ->
+      """SELECT l_returnflag,
+        |       round(sum(l_quantity * (1 - l_discount)), 2) AS net_qty,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_udtf_explode" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+         |  FROM documents
+         |), bg AS (
+         |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+         |  FROM toks, unnest(range(1, len(ts))) AS u(i)
+         |  WHERE len(ts) >= 2
+         |)
+         |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |    (a, b) -> (a + b) % 4294967296) AS checksum,
+        |  md5(text) AS digest
+        |FROM documents""".stripMargin,
+    "q_stream_tumbling" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS sval
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_stream_sliding" ->
+      """SELECT strftime(date_trunc('minute', ts) - INTERVAL (i) MINUTE,
+        |                '%Y-%m-%d %H:%M:%S') AS wstart,
+        |       event_type, count(*) AS cnt
+        |FROM events, unnest(range(0, 2)) AS u(i)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events
+        |), o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |       strftime(max(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        |       count(*) AS cnt
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_stream_dedup" ->
+      "SELECT event_id FROM events"
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

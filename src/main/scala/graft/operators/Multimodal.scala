@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (north star): media as opaque `binary`
+  * columns with typed metadata, processed by per-partition JVM batch
+  * functions — the Scala analogue of a Pandas-UDF/`mapInPandas` stage.
+  *
+  * The decode step is a STUB by design (no image/audio codecs in this
+  * container): `extractFeatures` performs real byte-level computation
+  * (length, FNV-independent checksum, md5 digest, byte histogram) where
+  * a decoder (JPEG → pixels, PCM → frames) would plug in. Everything
+  * around it — the binary schema, the typed Dataset, the mapPartitions
+  * batch shape, partition-parallel execution — is the real 100 TB
+  * plumbing: payloads never hit the driver, one decoder init per
+  * partition (the expensive-init amortization that motivates
+  * mapPartitions over per-row UDFs).
+  */
+object Multimodal {
+
+  /** An opaque media payload + typed metadata. */
+  case class MediaItem(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Stub "decoded" features: real byte statistics standing in for
+    * decoded-content features. */
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+                           checksum: Long, digest: String, hist: Array[Double])
+
+  /** Synthesize the media table from `documents` (deterministic: payload
+    * = UTF-8 bytes of the text; type cycles by doc_id). A real deployment
+    * reads `binary` columns straight from parquet — same schema. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaItem]
+  }
+
+  /** Per-partition batch "decode" + feature extraction. The partition
+    * iterator is the batch boundary (= `mapInPandas` batch): expensive
+    * decoder state would be initialized once per partition here. */
+  def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { iter =>
+      // decoder init would go here (once per partition)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      iter.map { m =>
+        var sum = 0L
+        val hist = new Array[Double](8)
+        var i = 0
+        while (i < m.payload.length) {
+          val b = m.payload(i) & 0xFF
+          sum = (sum + b) % 4294967296L
+          hist(b >> 5) += 1.0
+          i += 1
+        }
+        md.reset()
+        val digest = md.digest(m.payload).map("%02x".format(_)).mkString
+        val n = math.max(m.payload.length, 1)
+        MediaFeatures(m.doc_id, m.media_type, m.payload.length.toLong, sum,
+          digest, hist.map(_ / n))
+      }
+    }
+  }
+
+  /** North-star q_multimodal: driver-checkable projection (the histogram
+    * array is covered by ScalaTest; byte length / checksum / digest have
+    * an exact DuckDB mirror). */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(spark, dir))
+      .toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("checksum"), col("digest"))
+}
