@@ -54,11 +54,11 @@ object Clustering {
 
   /** Lloyd's K-Means, fixed iteration count, deterministic init (lowest
     * vec_ids). Returns the final assignment (vec_id, cid, d2). */
-  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+  def kmeansAssign(spark: SparkSession, dir: String, iters: Int = Iters): DataFrame = {
     val v = vecs(spark, dir).cache()
     var cs: Array[Array[Double]] = v.orderBy("vec_id").limit(K)
       .collect().map(_.getSeq[Double](1).toArray)
-    for (_ <- 1 to Iters) {
+    for (_ <- 1 to iters) {
       val upd = assign(v, cs)
         .select(col("cid"), posexplode(col("e")))
         .groupBy("cid", "pos").agg(avg("col").as("m"))

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.MinHashAggregator
+
+class DedupSpec extends SparkSuiteBase {
+
+  test("dedupExact keeps min doc_id per normalized text and is idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "unique text"),
+      (7L, " HELLO\tworld ")).toDF("doc_id", "text")
+    val d1 = Dedup.dedupExact(docs)
+    assert(d1.select("doc_id").collect().map(_.getLong(0)).sorted === Seq(1L, 3L))
+    assert(Dedup.dedupExact(d1).count() === d1.count())
+  }
+
+  test("MinHash-LSH pairs equal exhaustive Jaccard pairs at 0.8 (sf0.001)") {
+    val lsh = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .where(col("jac") >= 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("MinHashAggregator: partial+final merge ≡ single-pass fold") {
+    val p = 2000000011L
+    val pa = Array.tabulate(16)(i => 3L + 7L * i)
+    val pb = Array.tabulate(16)(i => 11L + 13L * i)
+    val agg = new MinHashAggregator(16, p, pa, pb)
+    val xs = (1L to 100L).map(x => (x * 998244353L) % p)
+    // single pass
+    val single = xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    // split into 4 partials, merge
+    val merged = xs.grouped(25)
+      .map(chunk => chunk.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)))
+      .reduce((a, b) => agg.merge(a, b))
+    assert(single.toSeq === merged.toSeq)
+  }
+
+  test("simhash: identical docs share hash; pairs are hamming-bounded") {
+    val pairs = Dedup.simhashPairs(spark, sf, d = 3).collect()
+    pairs.foreach(r => assert(r.getLong(2) <= 3))
+    // near-dup corpus pairs (jaccard >= 0.9) should be simhash-close too
+    val near = Dedup.ngramJaccard(spark, sf).where(col("jac") >= 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (near.nonEmpty) {
+      val ph = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(near.intersect(ph).nonEmpty,
+        s"no 0.95-Jaccard pair is simhash-close: $near vs $ph")
+    }
+  }
+
+  test("embedding near-dup: cosine symmetric range and self-free") {
+    val rows = Dedup.embedNearDup(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0 + 1e-12)
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.Joins
+
+class JoinsSpec extends SparkSuiteBase {
+
+  test("broadcast join plans a BroadcastHashJoin (no shuffle of customer)") {
+    val plan = Joins.broadcastJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("theta join keeps the equi key as the join key (no nested loop)") {
+    val plan = Joins.thetaJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
+  test("as-of join picks the latest order at-or-before each event") {
+    val got = Joins.asofJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long]))
+      .toMap
+    // hand-computed expectation over raw tables (o_orderdate is
+    // TIMESTAMP_NTZ → LocalDateTime; events.ts is LTZ → Timestamp)
+    def millis(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime =>
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+    val orders = graft.sources.Tables(spark, sf, "orders")
+      .select("o_custkey", "o_orderdate", "o_orderkey").collect()
+      .map(r => (r.getLong(0), millis(r.get(1)), r.getLong(2)))
+    val events = graft.sources.Tables(spark, sf, "events")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), millis(r.get(2))))
+    events.take(200).foreach { case (eid, uid, ts) =>
+      val want = orders.filter(o => o._1 == uid && o._2 <= ts)
+        .sortBy(o => (o._2, o._3)).lastOption.map(_._3)
+      assert(got(eid) === want, s"event $eid user $uid at $ts")
+    }
+  }
+
+  test("semi + anti partition the customer table") {
+    val m = Joins.semiAntiJoin(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = graft.sources.Tables(spark, sf, "customer").count()
+    assert(m("semi") + m("anti") === n)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.MapReduceOps
+import graft.functions.NetQtyAggregator
+
+class MapReduceOpsSpec extends SparkSuiteBase {
+
+  test("fnv buckets are in [0, 8) and words are distinct") {
+    val rows = MapReduceOps.fnvBuckets(spark, sf).collect()
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) < 8)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 0xFFFFFFFFL)
+    }
+  }
+
+  test("typed aggregator equals builtin expression aggregation") {
+    import org.apache.spark.sql.functions._
+    val typed = MapReduceOps.typedAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val builtin = graft.sources.Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(sum(col("l_quantity") * (lit(1) - col("l_discount"))), 2).as("x"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    typed.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) < 0.011, s"flag $k: $v vs ${builtin(k)}")
+    }
+  }
+
+  test("bigram explode emits size-1 docs nothing, n-1 bigrams otherwise") {
+    import spark.implicits._
+    val total = MapReduceOps.bigramCounts(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    val wantTotal = graft.sources.Tables(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.expr(
+        s"greatest(size(${graft.operators.TextOps.TokensSql}) - 1, 0)").as("n"))
+      .collect().map(_.getInt(0).toLong).sum
+    assert(total === wantTotal)
+  }
+}

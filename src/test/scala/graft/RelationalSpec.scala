@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Relational
+
+/** Relational core (B1–B6, B13–B14): results + plan shape. */
+class RelationalSpec extends SparkSuiteBase {
+
+  test("filter pushes predicates to the parquet scan") {
+    val plan = Relational.filterQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"expected parquet pushdown in plan:\n$plan")
+  }
+
+  test("scan_project prunes to 3 columns at the reader") {
+    val plan = Relational.scanProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_extendedprice"), "unprojected column read")
+  }
+
+  test("group_sum matches a hand aggregation") {
+    val got = Relational.groupSum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    val raw = graft.sources.Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === raw)
+  }
+
+  test("rollup has grand total row equal to table size") {
+    val n = graft.sources.Tables(spark, sf, "lineitem").count()
+    val all = Relational.rollupSales(spark, sf).collect()
+      .find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    assert(all.getLong(3) === n)
+  }
+
+  test("sort_limit is planned as TakeOrderedAndProject, not global sort") {
+    val plan = Relational.sortLimit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("setops: |union| = |intersect| + |except| + |b-only|, sanity") {
+    val m = Relational.setOps(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet === Set("union", "intersect", "except"))
+    assert(m("union") >= m("intersect") + m("except"))
+  }
+}

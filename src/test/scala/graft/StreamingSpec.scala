@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams.Ev
+
+/** Streaming semantics a batch oracle cannot check: true late-data
+  * dropping and within-watermark dedup, via crafted MemoryStream
+  * sequences (SURVEY §5.4). */
+class StreamingSpec extends SparkSuiteBase {
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("tumbling window with watermark drops a too-late row") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val name = "late_test_sink"
+    val q = source.toDS()
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "HH:mm").as("w"),
+        col("event_type"), col("cnt"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      // batch 1: two events at 10:00, one at 10:01
+      source.addData(Seq(
+        Ev(1, ts(0, 10), 1, "x", 1.0), Ev(2, ts(0, 40), 1, "x", 1.0),
+        Ev(3, ts(1, 10), 1, "x", 1.0)))
+      q.processAllAvailable()
+      // batch 2: advance watermark far past 10:00 (wm = 10:20 - 2min)
+      source.addData(Seq(Ev(4, ts(20, 0), 1, "x", 1.0)))
+      q.processAllAvailable()
+      // batch 3: a LATE event for 10:00 — must be dropped, and a live one
+      source.addData(Seq(Ev(5, ts(0, 50), 1, "x", 99.0),
+        Ev(6, ts(21, 0), 1, "x", 1.0)))
+      q.processAllAvailable()
+      // batch 4: flush remaining windows
+      source.addData(Seq(Ev(7, ts(59, 0), 1, "x", 1.0)))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got("10:00") === 2L, "late row was not dropped")
+      assert(got("10:01") === 1L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses within-horizon dupes") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val name = "dedup_test_sink"
+    val q = source.toDS()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      source.addData(Seq(Ev(1, ts(0), 1, "x", 1.0), Ev(2, ts(1), 1, "x", 1.0)))
+      q.processAllAvailable()
+      // same ids re-sent within the watermark → suppressed
+      source.addData(Seq(Ev(1, ts(2), 1, "x", 1.0), Ev(2, ts(3), 1, "x", 1.0),
+        Ev(3, ts(4), 1, "x", 1.0)))
+      q.processAllAvailable()
+      val ids = spark.table(name).collect().map(_.getLong(0)).sorted
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
