@@ -27,10 +27,20 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Standard local session for mains and tests. */
+  /** Standard local session for mains and tests. Scratch space (shuffle
+    * spills, temp streaming checkpoints) goes to tmpfs when available:
+    * micro-batch state-store commits fsync per partition per batch, and
+    * on this box's virtio disk that is the dominant — and wildly
+    * variable — cost of every streaming query. On a real cluster the
+    * equivalent is fast local SSD / RocksDB state store. */
   def session(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
-    val spark = configure(
-      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    val shm = new java.io.File("/dev/shm/graft-tmp")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
+    if (shm.isDirectory || shm.mkdirs()) {
+      System.setProperty("java.io.tmpdir", shm.getAbsolutePath)
+      builder.config("spark.local.dir", shm.getAbsolutePath)
+    }
+    val spark = configure(builder, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -59,18 +59,17 @@ object Clustering {
     var cs: Array[Array[Double]] = v.orderBy("vec_id").limit(K)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to iters) {
+      // one shuffle per iteration: partial sums of (cid, dim) on the map
+      // side, k·64 rows collected straight to the driver (no second
+      // aggregation round-trip)
       val upd = assign(v, cs)
         .select(col("cid"), posexplode(col("e")))
         .groupBy("cid", "pos").agg(avg("col").as("m"))
-        .groupBy("cid").agg(map_from_arrays(
-          collect_list("pos"), collect_list("m")).as("dims"))
         .collect()
-      val next = cs.clone()
+      val next = cs.clone().map(_.clone())
       upd.foreach { r =>
-        val cid = r.getInt(0)
-        val m = r.getMap[Int, Double](1)
-        next(cid) = Array.tabulate(64)(d =>
-          BigDecimal(m(d)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        next(r.getInt(0))(r.getInt(1)) = BigDecimal(r.getDouble(2))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
       cs = next
     }

@@ -55,16 +55,20 @@ object Dedup {
       .where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct (doc_id, 3-token-shingle) pairs — the inverted index both
-    * Jaccard variants build on. */
+  /** Distinct (doc_id, shingle-hash) pairs — the inverted index both
+    * Jaccard variants build on. The 3-token shingle is hashed to 64 bits
+    * IN the projection, so only (long, long) rows ever shuffle — never
+    * shingle text (at 100 TB the distinct+join traffic is the cost; a
+    * 64-bit hash keeps set sizes/intersections exact up to a ~2⁻⁶⁴
+    * birthday term). */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .withColumn("ts", expr(TextOps.TokensSql))
       .where(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(ts) - 2),
-          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1),
-          |              ' ', element_at(ts, i + 2)))""".stripMargin))
+          |  i -> xxhash64(concat(element_at(ts, i), ' ', element_at(ts, i + 1),
+          |                       ' ', element_at(ts, i + 2))))""".stripMargin))
         .as("shingle"))
       .distinct()
 
@@ -109,8 +113,8 @@ object Dedup {
     * survives 100 TB, the verification keeps it exact. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
-      // hash reduced mod P (so a·x+b stays in signed-64 range)
-      .withColumn("sx", pmod(xxhash64(col("shingle")), lit(MinhashP)))
+      // shingle hash reduced mod P (so a·x+b stays in signed-64 range)
+      .withColumn("sx", pmod(col("shingle"), lit(MinhashP)))
     // signature: per doc, per-permutation min over shingles — expressed
     // as 128 independent codegen'd min() aggregates over fixed-width
     // longs (pure HashAggregate with map-side combine: the shuffle

@@ -61,9 +61,19 @@ object Streams {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[Ev]
     val sinkName = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = build(source.toDS())
-      .writeStream.format("memory").queryName(sinkName).outputMode("append")
-      .start()
+    // State partition count is frozen at query start from
+    // spark.sql.shuffle.partitions. Micro-batches here are small, and
+    // every batch (including empty watermark-advance batches) pays
+    // per-partition task + state-commit overhead across 3 stateful
+    // stages — 8 partitions cuts that ~4× at local scale. A production
+    // job sizes this to state volume, not to the batch.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try build(source.toDS())
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       chunks.foreach { c => source.addData(c); q.processAllAvailable() }
     } finally q.stop()
