@@ -35,6 +35,8 @@ object SparkEntry {
     "q_join_semi_anti"  -> ((s, d) => Joins.semiAntiJoin(s, d)),
     "q_join_theta"      -> ((s, d) => Joins.thetaJoin(s, d)),
     "q_join_asof"       -> ((s, d) => Joins.asofJoin(s, d)),
+    "q_join_range"      -> ((s, d) => Joins.rangeJoin(s, d)),
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "q_window_rank"     -> ((s, d) => Windows.rankTopN(s, d)),
     "q_window_running"  -> ((s, d) => Windows.runningTotal(s, d)),
     "q_text_stats"      -> ((s, d) => TextOps.textStats(s, d)),
@@ -170,6 +172,14 @@ object SparkEntry {
         |ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey
         | AND date_trunc('microseconds', e.ts) >= o.o_orderdate""".stripMargin,
+    "q_join_range" ->
+      """WITH bands(band, lo, hi) AS (
+        |  VALUES ('low', 0.0, 25.0), ('mid', 25.0, 50.0),
+        |         ('high', 50.0, 75.0), ('top', 75.0, 1e9)
+        |)
+        |SELECT band, count(*) AS cnt, round(sum(value), 2) AS sum_v
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,

@@ -85,6 +85,24 @@ object Joins {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Range/band join (q_join_range): events bucketed into value bands by
+    * an interval dimension. The band table is tiny → broadcast
+    * nested-loop with a BETWEEN predicate: each probe row tests B bands,
+    * O(B) per row with no shuffle — the right shape when the interval
+    * side is small. (If both sides were large: bin to equi-keys first.) */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 25.0), ("mid", 25.0, 50.0),
+      ("high", 50.0, 75.0), ("top", 75.0, 1e9))
+      .toDF("band", "lo", "hi")
+    Tables(spark, dir, "events")
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
+  }
+
   /** As-of join (q_join_asof): for each event, the most recent order of
     * the same customer at-or-before the event time.
     *

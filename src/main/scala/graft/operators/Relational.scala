@@ -59,6 +59,17 @@ object Relational {
         countDistinct(col("o_custkey")).as("uniq_custs"),
         count(lit(1)).as("cnt"))
 
+  /** Scale path for B5 (q_approx_distinct): HyperLogLog++ sketch — one
+    * pass, no per-key shuffle, constant memory per group; the 100 TB
+    * form of COUNT(DISTINCT). No oracle (DuckDB's approx algorithm
+    * differs); ScalaTest bounds it against the exact count. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_custs"),
+        count(lit(1)).as("cnt"))
+
   /** B6 q_rollup: hierarchical subtotals; rolled-up levels surfaced as
     * 'ALL' instead of NULL (str-compare-safe for the oracle). */
   def rollupSales(spark: SparkSession, dir: String): DataFrame =

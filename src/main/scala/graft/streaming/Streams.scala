@@ -139,6 +139,31 @@ object Streams {
       .where(col("user_id") =!= -1L)
   }
 
+  /** Custom keyed state beyond the built-ins (B25's
+    * `flatMapGroupsWithState` path): a per-user running event counter
+    * with an event-time timeout — the shape for arbitrary user state
+    * machines (sessionization with custom logic, CDC upserts, feature
+    * accumulation). Emits one (user_id, running count, batch count) row
+    * per user per micro-batch. Used by StreamingSpec; not a driver query
+    * (incremental emissions have no batch-SQL equivalent). */
+  def userCounter(spark: SparkSession, events: Dataset[Ev]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          val batch = rows.size
+          val total = state.getOption.getOrElse(0L) + batch
+          state.update(total)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60 * 60 * 1000L)
+          Iterator((uid, total, batch))
+      }
+      .toDF("user_id", "total_events", "batch_events")
+  }
+
   /** B25 q_stream_dedup: stateful dedup on event_id within the
     * watermark. The feed appends a final chunk that re-sends the tail of
     * the stream (duplicates within the watermark horizon) — all are

@@ -41,6 +41,17 @@ class RelationalSpec extends SparkSuiteBase {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("approx_count_distinct within 5% of exact (HLL scale path)") {
+    val approx = Relational.approxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Relational.distinctCount(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) <= math.max(1, ex * 0.05),
+        s"$k: approx ${approx(k)} vs exact $ex")
+    }
+  }
+
   test("setops: |union| = |intersect| + |except| + |b-only|, sanity") {
     val m = Relational.setOps(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Source/sink surface (SURVEY §2 A1/A7): the reference reads text lines
+  * (`/root/reference/test.go:16-25`) and writes text files
+  * (`test.go:46-49,66-70`); the engine generalizes to text/CSV/JSON
+  * round-trips and partitioned parquet with partition pruning. */
+class SourcesSinksSpec extends SparkSuiteBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("text source: line-oriented record model (A1)") {
+    val dir = tmp("graft_text")
+    import spark.implicits._
+    Seq("a", "b", "a").toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val back = graft.sources.Tables.textLines(spark, dir)
+    assert(back.count() === 3)
+    assert(back.groupBy("value").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("csv + json round-trips preserve rows and schema") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val n = docs.count()
+    val csvDir = tmp("graft_csv")
+    docs.write.mode("overwrite").option("header", "true").csv(csvDir)
+    val csvBack = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(csvDir)
+    assert(csvBack.count() === n)
+    assert(csvBack.columns.toSet === docs.columns.toSet)
+    val jsonDir = tmp("graft_json")
+    docs.write.mode("overwrite").json(jsonDir)
+    assert(spark.read.json(jsonDir).count() === n)
+  }
+
+  test("partitioned parquet write prunes partitions at read (scale path)") {
+    val dir = tmp("graft_part")
+    graft.sources.Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val back = spark.read.parquet(dir).where(col("l_returnflag") === "R")
+    val plan = back.queryExecution.executedPlan.toString
+    // partition filter, not a data filter: pruning happens at file listing
+    assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"),
+      s"plan:\n$plan")
+    val want = graft.sources.Tables(spark, sf, "lineitem")
+      .where(col("l_returnflag") === "R").count()
+    assert(back.count() === want)
+  }
+}

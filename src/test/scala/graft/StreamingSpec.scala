@@ -49,6 +49,29 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: running per-user counter across batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val name = "fmgws_test_sink"
+    val q = graft.streaming.Streams.userCounter(spark, source.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      source.addData(Seq(Ev(1, ts(0), 7, "x", 1.0), Ev(2, ts(1), 7, "x", 1.0),
+        Ev(3, ts(1), 8, "x", 1.0)))
+      q.processAllAvailable()
+      source.addData(Seq(Ev(4, ts(2), 7, "x", 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      // user 7: batch1 total 2, batch2 total 3 (state carried across)
+      assert(rows.contains((7L, 2L, 2)))
+      assert(rows.contains((7L, 3L, 1)))
+      assert(rows.contains((8L, 1L, 1)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses within-horizon dupes") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
