@@ -13,6 +13,13 @@ import graft.sources.Tables
   * accumulation pattern (`/root/reference/test.go:15`) lifted to
   * document granularity.
   *
+  * Algorithms (published): MinHash resemblance sketches — Broder, "On the
+  * resemblance and containment of documents" (SEQUENCES 1997); LSH
+  * banding — Indyk & Motwani (STOC 1998) / ch.3 of Leskovec-Rajaraman-
+  * Ullman, "Mining of Massive Datasets"; SimHash — Charikar, "Similarity
+  * estimation techniques from rounding algorithms" (STOC 2002), applied
+  * to near-dup web corpora in Manku-Jain-Sarma (WWW 2007).
+  *
   * Scale notes (100 TB design point):
   *  - exact dedup = hash-groupBy on a 128-bit digest of normalized text:
   *    one shuffle of (digest, doc_id), never the text itself.

@@ -59,10 +59,11 @@ object Relational {
         countDistinct(col("o_custkey")).as("uniq_custs"),
         count(lit(1)).as("cnt"))
 
-  /** Scale path for B5 (q_approx_distinct): HyperLogLog++ sketch — one
-    * pass, no per-key shuffle, constant memory per group; the 100 TB
-    * form of COUNT(DISTINCT). No oracle (DuckDB's approx algorithm
-    * differs); ScalaTest bounds it against the exact count. */
+  /** Scale path for B5 (q_approx_distinct): HyperLogLog++ sketch
+    * (Flajolet et al., "HyperLogLog", AofA 2007; Heule-Nunkesser-Hall,
+    * EDBT 2013) — one pass, no per-key shuffle, constant memory per
+    * group; the 100 TB form of COUNT(DISTINCT). No oracle (DuckDB's
+    * approx algorithm differs); ScalaTest bounds it vs the exact count. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
       .groupBy("o_orderstatus")

@@ -11,7 +11,9 @@ import graft.sources.Tables
   * Reference grounding: the distance math is the K-Means sketch's
   * "coordinate range" partitioning idea (`/root/reference/kmeans.go:14-25`)
   * done properly: brute-force cosine as the exactness baseline, a
-  * random-hyperplane LSH bucketing as the scale path.
+  * random-hyperplane LSH bucketing (Charikar, STOC 2002) as the scale
+  * path — the IVF analogue being `Clustering`'s centroids as coarse
+  * quantizer.
   *
   * Scale notes (100 TB design point):
   *  - brute-force: the query set is tiny and broadcast; the corpus is

@@ -156,8 +156,10 @@ object TextOps {
 
   /** North-star q_fingerprint: polynomial rolling-hash document
     * fingerprints — a whole-document hash plus the minimum 8-char-window
-    * hash (winnowing-style, robust to local edits). Pure per-row array
-    * expressions; the fold order matches the oracle exactly. */
+    * hash (the min-hash-of-k-grams selection at the core of winnowing:
+    * Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD 2003 — robust to local edits).
+    * Pure per-row array expressions; fold order matches the oracle. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .withColumn("t", lower(col("text")))
