@@ -42,7 +42,7 @@ object Clustering {
 
   /** One assignment pass: adds `cid` (nearest centroid by L2²) and
     * `d2` (its squared distance). */
-  private def assign(v: DataFrame, cs: Array[Array[Double]]): DataFrame =
+  private[operators] def assign(v: DataFrame, cs: Array[Array[Double]]): DataFrame =
     v.withColumn("cents", centroidLit(cs))
       .withColumn("best", expr(
         """array_min(transform(cents,
@@ -52,9 +52,10 @@ object Clustering {
       .select(col("vec_id"), col("e"),
         col("best.cid").as("cid"), col("best.d2").as("d2"))
 
-  /** Lloyd's K-Means, fixed iteration count, deterministic init (lowest
-    * vec_ids). Returns the final assignment (vec_id, cid, d2). */
-  def kmeansAssign(spark: SparkSession, dir: String, iters: Int = Iters): DataFrame = {
+  /** Lloyd's K-Means driver loop: returns the fitted centroids (k·64
+    * doubles of driver state — constant in corpus size). Also the coarse
+    * quantizer for `Similarity.ivfTopK`. */
+  def fit(spark: SparkSession, dir: String, iters: Int = Iters): Array[Array[Double]] = {
     val v = vecs(spark, dir).cache()
     var cs: Array[Array[Double]] = v.orderBy("vec_id").limit(K)
       .collect().map(_.getSeq[Double](1).toArray)
@@ -73,8 +74,14 @@ object Clustering {
       }
       cs = next
     }
-    assign(v, cs).select(col("vec_id"), col("cid"), col("d2"))
+    cs
   }
+
+  /** Lloyd's K-Means, fixed iteration count, deterministic init (lowest
+    * vec_ids). Returns the final assignment (vec_id, cid, d2). */
+  def kmeansAssign(spark: SparkSession, dir: String, iters: Int = Iters): DataFrame =
+    assign(vecs(spark, dir), fit(spark, dir, iters))
+      .select(col("vec_id"), col("cid"), col("d2"))
 
   /** B21 q_kmeans: cluster cardinalities + within-cluster inertia after
     * `Iters` Lloyd iterations (rows-only driver check; properties — loss

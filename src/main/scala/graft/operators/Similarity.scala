@@ -74,6 +74,42 @@ object Similarity {
        |          shiftleft(1, i), 0)),
        |  0, (a, b) -> a + b)""".stripMargin
 
+  /** IVF (inverted-file) approximate top-k: `Clustering.fit`'s K-Means
+    * centroids act as the coarse quantizer; each corpus vector lives in
+    * its nearest centroid's inverted list, and a query scans only the
+    * `nProbe` nearest lists — the candidate set is ~nProbe/K of the
+    * corpus. The standard ANN scale shape (quantizer state is k·64
+    * doubles; lists are just a `cid` column, so "probing a list" is a
+    * broadcast-joined filter, partition-parallel). Recall is
+    * property-tested vs `bruteForceTopK`. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 10, nProbe: Int = 3): DataFrame = {
+    val cs = Clustering.fit(spark, dir)
+    val centsLit = array(cs.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), array(c.map(lit(_)): _*).as("c"))
+    }: _*)
+    // distances to all centroids, sorted: [0] = own list, [0..nProbe) = probes
+    def withDists(df: DataFrame): DataFrame = df
+      .withColumn("cents", centsLit)
+      .withColumn("ds", expr(
+        """array_sort(transform(cents,
+          |  c -> struct(aggregate(zip_with(e, c.c, (x, y) -> (x - y) * (x - y)),
+          |                cast(0.0 as double), (a, p) -> a + p) AS d2,
+          |              c.cid AS cid)))""".stripMargin))
+      .drop("cents")
+    val v = withDists(vecs(spark, dir))
+      .withColumn("cid", col("ds")(0).getField("cid")).drop("ds")
+    val q = withDists(vecs(spark, dir).where(col("vec_id") < 10))
+      .withColumn("probe", explode(expr(s"transform(slice(ds, 1, $nProbe), s -> s.cid)")))
+      .drop("ds")
+    val scored = broadcast(q).as("q").join(v.as("c"),
+        col("q.probe") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"),
+        expr(CosSql).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= k)
+  }
+
   /** North-star q_simsearch_lsh: approximate top-k via hyperplane LSH
     * with single-bit multi-probe. Not oracle-checked (approximate);
     * recall vs `bruteForceTopK` is property-tested. */

@@ -20,6 +20,17 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(byQ.size === 10)
   }
 
+  test("IVF top-k: probes nProbe lists, decent recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+    ivf.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    val recall = ivf.map(r => (r.getLong(0), r.getLong(1)))
+      .count(brute.contains).toDouble / brute.size
+    info(f"IVF recall vs brute force: $recall%.2f")
+    assert(recall > 0.2, f"IVF recall $recall%.2f unexpectedly low")
+  }
+
   test("LSH top-k candidates are a subset ranked identically to brute force") {
     val brute = Similarity.bruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
