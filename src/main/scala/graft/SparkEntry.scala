@@ -60,7 +60,8 @@ object SparkEntry {
     "q_stream_tumbling" -> ((s, d) => graft.streaming.Streams.tumbling(s, d)),
     "q_stream_sliding"  -> ((s, d) => graft.streaming.Streams.sliding(s, d)),
     "q_stream_session"  -> ((s, d) => graft.streaming.Streams.session(s, d)),
-    "q_stream_dedup"    -> ((s, d) => graft.streaming.Streams.dedup(s, d))
+    "q_stream_dedup"    -> ((s, d) => graft.streaming.Streams.dedup(s, d)),
+    "q_stream_join"     -> ((s, d) => graft.streaming.Streams.streamJoin(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -411,7 +412,17 @@ object SparkEntry {
         |       count(*) AS cnt
         |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_stream_dedup" ->
-      "SELECT event_id FROM events"
+      "SELECT event_id FROM events",
+    "q_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       p.user_id AS user_id
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND date_trunc('microseconds', c.ts)
+        |       >= date_trunc('microseconds', p.ts) - INTERVAL 10 MINUTE
+        | AND date_trunc('microseconds', c.ts)
+        |       <= date_trunc('microseconds', p.ts)""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

@@ -229,4 +229,32 @@ object Dedup {
           / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .where(col("cos") >= 0.4)
   }
+
+  /** The 100 TB form of `embedNearDup`: candidate pairs only within an
+    * IVF cluster (`Clustering.fit` coarse quantizer) — the pair join is
+    * equi on `cid`, O(Σ listᵢ²) instead of O(n²); recall is bounded by
+    * cluster purity and property-tested vs the exact operator. */
+  def embedNearDupBlocked(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    val cs = Clustering.fit(spark, dir)
+    val centsLit = array(cs.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), array(c.map(lit(_)): _*).as("c"))
+    }: _*)
+    val v = Tables(spark, dir, "embeddings")
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(e, cast(0.0 as double), (a, x) -> a + x * x)")))
+      .withColumn("cents", centsLit)
+      .withColumn("cid", expr(
+        """array_min(transform(cents,
+          |  c -> struct(aggregate(zip_with(e, c.c, (x, y) -> (x - y) * (x - y)),
+          |                cast(0.0 as double), (a, p) -> a + p) AS d2,
+          |              c.cid AS cid))).cid""".stripMargin))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid"))
+    v.as("a").join(v.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        (expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)")
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .where(col("cos") >= tau)
+  }
 }

@@ -139,6 +139,31 @@ object Streams {
       .where(col("user_id") =!= -1L)
   }
 
+  /** Stream-stream interval join (q_stream_join): each purchase joined
+    * to the same user's clicks in the preceding 10 minutes. Both sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so join state is evicted as the watermark advances — the canonical
+    * bounded-state stream-stream join. Inner append-mode emissions equal
+    * the batch interval join, which is what the oracle checks. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val evs = loadSorted(spark, dir)
+    run(spark, chunked(evs), ds => {
+      val clicks = ds.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 minutes")
+      val purchases = ds.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_uid"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 minutes")
+      purchases.join(clicks,
+        col("p_uid") === col("c_uid") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("purchase_id"), col("click_id"), col("p_uid").as("user_id"))
+    })
+  }
+
   /** Custom keyed state beyond the built-ins (B25's
     * `flatMapGroupsWithState` path): a per-user running event counter
     * with an event-time timeout — the shape for arbitrary user state

@@ -53,6 +53,16 @@ class DedupSpec extends SparkSuiteBase {
     }
   }
 
+  test("blocked embed near-dup is a subset of exact with reported recall") {
+    val exact = graft.operators.Dedup.embedNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = graft.operators.Dedup.embedNearDupBlocked(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact))
+    if (exact.nonEmpty)
+      info(f"blocked recall: ${blocked.size.toDouble / exact.size}%.2f (${blocked.size}/${exact.size})")
+  }
+
   test("embedding near-dup: cosine symmetric range and self-free") {
     val rows = Dedup.embedNearDup(spark, sf).collect()
     rows.foreach { r =>
