@@ -24,6 +24,8 @@ object SparkEntry {
     "q_group_sum"       -> ((s, d) => Relational.groupSum(s, d)),
     "q_distinct"        -> ((s, d) => Relational.distinctCount(s, d)),
     "q_rollup"          -> ((s, d) => Relational.rollupSales(s, d)),
+    "q_cube"            -> ((s, d) => Relational.cubeSales(s, d)),
+    "q_pivot"           -> ((s, d) => Relational.pivotStatus(s, d)),
     "q_sort_limit"      -> ((s, d) => Relational.sortLimit(s, d)),
     "q_setops"          -> ((s, d) => Relational.setOps(s, d)),
     "q_scalar_string"   -> ((s, d) => Scalars.stringOps(s, d)),
@@ -97,6 +99,18 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS prio,
+        |       round(sum(o_totalprice), 2) AS sum_price,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |       count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
         |FROM lineitem

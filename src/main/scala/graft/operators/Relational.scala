@@ -82,6 +82,29 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("sum_qty"), col("cnt"))
 
+  /** B6b q_cube: full cross-dimensional subtotals (rollup's superset —
+    * all 2^d grouping sets in one pass via spark_grouping_id). */
+  def cubeSales(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("sum_price"), col("cnt"))
+
+  /** q_pivot: long→wide reshape — order counts per priority pivoted on
+    * status. Pivot values are enumerated explicitly (no dry-run scan to
+    * discover them — at 100 TB the discovery pass is the cost). */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"),
+        col("O").as("n_o"), col("P").as("n_p"))
+
   /** B13 q_sort_limit: global top-10 with full tie-break; plans as
     * TakeOrderedAndProject, not a total sort. */
   def sortLimit(spark: SparkSession, dir: String): DataFrame =
