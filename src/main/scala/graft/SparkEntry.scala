@@ -63,7 +63,8 @@ object SparkEntry {
     "q_stream_sliding"  -> ((s, d) => graft.streaming.Streams.sliding(s, d)),
     "q_stream_session"  -> ((s, d) => graft.streaming.Streams.session(s, d)),
     "q_stream_dedup"    -> ((s, d) => graft.streaming.Streams.dedup(s, d)),
-    "q_stream_join"     -> ((s, d) => graft.streaming.Streams.streamJoin(s, d))
+    "q_stream_join"     -> ((s, d) => graft.streaming.Streams.streamJoin(s, d)),
+    "q_pipeline_curate" -> ((s, d) => Pipeline.curate(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -436,12 +437,59 @@ object SparkEntry {
         | AND date_trunc('microseconds', c.ts)
         |       >= date_trunc('microseconds', p.ts) - INTERVAL 10 MINUTE
         | AND date_trunc('microseconds', c.ts)
-        |       <= date_trunc('microseconds', p.ts)""".stripMargin
+        |       <= date_trunc('microseconds', p.ts)""".stripMargin,
+    "q_pipeline_curate" -> curateOracle
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string
     * literals do not unescape). */
   private val Ws = "[ \\t\\n\\r\\f\\x0B]+"
+
+  /** Oracle for the composed curation pipeline: the jaccard-pair,
+    * quality-score and token-count oracles stitched into one statement
+    * (same formulas, same fold orders as their standalone queries). */
+  private def curateOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       |  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+       |  WHERE len(ts) >= 3
+       |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |iv AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ic
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |), dups AS (
+       |  SELECT DISTINCT db AS doc_id
+       |  FROM iv JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+       |  WHERE CAST(ic AS DOUBLE) / (x.n + y.n - ic) >= 0.8
+       |), q AS (
+       |  SELECT d.doc_id,
+       |    least(CAST(CAST(len(t.ts) AS BIGINT) AS DOUBLE) / 50.0, 1.0) * 0.3
+       |      + CAST(len(list_filter(t.ts, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE)
+       |          / CAST(len(t.ts) AS BIGINT) * 0.3
+       |      + CAST(length(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) AS DOUBLE)
+       |          / length(d.text) * 0.4 AS score,
+       |    CAST(len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]')) AS BIGINT) AS wp_tokens
+       |  FROM documents d JOIN toks t USING (doc_id)
+       |), staged AS (
+       |  SELECT d.lang,
+       |    CASE WHEN dup.doc_id IS NOT NULL THEN 'dup'
+       |         WHEN q.score < ${Pipeline.QualityThreshold} THEN 'lowq'
+       |         ELSE 'kept' END AS state,
+       |    q.wp_tokens
+       |  FROM documents d
+       |  LEFT JOIN dups dup ON d.doc_id = dup.doc_id
+       |  JOIN q ON d.doc_id = q.doc_id
+       |)
+       |SELECT lang,
+       |  CAST(sum(CASE WHEN state = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN state = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN state = 'lowq' THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq,
+       |  CAST(sum(CASE WHEN state = 'kept' THEN wp_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM staged GROUP BY lang""".stripMargin
 
   /** Exhaustive 3-token-shingle Jaccard pairs at/above tau — oracle for
     * both the inverted-index (q_dedup_ngram) and the MinHash-LSH

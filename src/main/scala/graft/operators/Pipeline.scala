@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** End-to-end training-data curation (the north-star composition):
+  *
+  *   documents → near-dup removal (MinHash-LSH pairs @ J ≥ 0.8, keep the
+  *   lower doc_id of each pair) → quality gate (composite score ≥ 0.5)
+  *   → per-language accounting of kept/dropped docs and kept token mass.
+  *
+  * Every stage is one of the engine's individually-oracle-checked
+  * operators (`Dedup.minhashLsh`, `TextOps.qualityScore`,
+  * `TextOps.tokenCounts`), so the composition has an exact DuckDB mirror
+  * too — the whole pipeline is hash-checked end-to-end, which is the
+  * property a 100 TB curation run actually needs (a silent semantic
+  * drift in any stage shows up as a gate failure here).
+  *
+  * Scale notes: the three stages share one `documents` scan each but no
+  * driver round-trips; the dup-id set and the quality gate are joins
+  * (anti + inner) on doc_id — at 100 TB the dup set is small relative to
+  * the corpus and broadcasts.
+  */
+object Pipeline {
+
+  val QualityThreshold = 0.5
+
+  /** q_pipeline_curate: per-language curation ledger. */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "lang")
+    // drop the HIGHER id of every near-dup pair (keep the first-seen doc)
+    val dupIds = Dedup.minhashLsh(spark, dir)
+      .select(col("db").as("doc_id")).distinct()
+    val quality = TextOps.qualityScore(spark, dir).select("doc_id", "score")
+    val tokens = TextOps.tokenCounts(spark, dir).select("doc_id", "wp_tokens")
+
+    val staged = docs
+      .join(dupIds.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+      .join(quality, "doc_id")
+      .join(tokens, "doc_id")
+      .withColumn("state",
+        when(col("is_dup") === 1L, "dup")
+          .when(col("score") < QualityThreshold, "lowq")
+          .otherwise("kept"))
+    staged.groupBy("lang")
+      .agg(
+        sum(when(col("state") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("state") === "dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("state") === "lowq", 1L).otherwise(0L)).as("n_lowq"),
+        sum(when(col("state") === "kept", col("wp_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+  }
+}
