@@ -183,12 +183,21 @@ object SparkEntry {
         |FROM orders JOIN lineitem
         |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
         |GROUP BY l_returnflag""".stripMargin,
+    // NOT DuckDB's ASOF JOIN: its choice among orders tying on the
+    // as-of date is unspecified (passes today only because the fixture
+    // is orderkey-sorted); this explicit argmax pins the same tie-break
+    // the Spark window uses (max date, then max orderkey).
     "q_join_asof" ->
-      """SELECT e.event_id, e.user_id, o.o_orderkey
-        |FROM events e
-        |ASOF LEFT JOIN orders o
-        |  ON e.user_id = o.o_custkey
-        | AND date_trunc('microseconds', e.ts) >= o.o_orderdate""".stripMargin,
+      """WITH cand AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey
+        |   AND o.o_orderdate <= date_trunc('microseconds', e.ts)
+        |)
+        |SELECT event_id, user_id, o_orderkey FROM cand WHERE rn = 1""".stripMargin,
     "q_join_range" ->
       """WITH bands(band, lo, hi) AS (
         |  VALUES ('low', 0.0, 25.0), ('mid', 25.0, 50.0),
@@ -363,14 +372,14 @@ object SparkEntry {
          |  SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS word
          |  FROM documents
          |), f AS (
+         |  SELECT word, ${utf8BytesSql("word")} AS bs FROM w
+         |), g AS (
          |  SELECT word,
-         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
-         |      list_transform(range(1, length(word) + 1),
-         |        i -> CAST(ascii(substr(word, CAST(i AS INTEGER), 1)) AS BIGINT))),
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT), bs),
          |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
-         |  FROM w
+         |  FROM f
          |)
-         |SELECT word, h, h % 8 AS bucket FROM f""".stripMargin,
+         |SELECT word, h, h % 8 AS bucket FROM g""".stripMargin,
     "q_udaf_typed" ->
       """SELECT l_returnflag,
         |       round(sum(l_quantity * (1 - l_discount)), 2) AS net_qty,
@@ -387,15 +396,13 @@ object SparkEntry {
          |)
          |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram""".stripMargin,
     "q_multimodal" ->
-      """SELECT doc_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(1, length(text) + 1),
-        |      i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
-        |    (a, b) -> (a + b) % 4294967296) AS checksum,
-        |  md5(text) AS digest
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), ${utf8BytesSql("text")}),
+         |    (a, b) -> (a + b) % 4294967296) AS checksum,
+         |  md5(text) AS digest
+         |FROM documents""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sval
@@ -444,6 +451,15 @@ object SparkEntry {
   /** DuckDB whitespace-run class (single-backslash: DuckDB string
     * literals do not unescape). */
   private val Ws = "[ \\t\\n\\r\\f\\x0B]+"
+
+  /** DuckDB expression: UTF-8 BYTE values of a string column as a
+    * BIGINT list (via hex of the encoded blob — `ascii()` would give
+    * CODEPOINTS, silently diverging from the Spark side's byte loops on
+    * any non-ASCII text). */
+  private def utf8BytesSql(col: String): String =
+    s"""list_transform(range(1, octet_length(encode($col)) + 1),
+       |      i -> CAST(strpos('0123456789abcdef', substr(lower(hex(encode($col))), CAST(2*i-1 AS INTEGER), 1)) - 1 AS BIGINT) * 16
+       |         + CAST(strpos('0123456789abcdef', substr(lower(hex(encode($col))), CAST(2*i AS INTEGER), 1)) - 1 AS BIGINT))""".stripMargin
 
   /** Oracle for the composed curation pipeline: the jaccard-pair,
     * quality-score and token-count oracles stitched into one statement

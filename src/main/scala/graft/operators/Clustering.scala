@@ -35,7 +35,9 @@ object Clustering {
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
-  private def centroidLit(cs: Array[Array[Double]]) =
+  /** Centroids as a literal array<struct(cid, c)> column (shared by the
+    * assignment pass, IVF search and blocked embed-dedup). */
+  private[operators] def centroidLit(cs: Array[Array[Double]]) =
     array(cs.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cid"), array(c.map(lit(_)): _*).as("c"))
     }: _*)
@@ -55,7 +57,16 @@ object Clustering {
   /** Lloyd's K-Means driver loop: returns the fitted centroids (k·64
     * doubles of driver state — constant in corpus size). Also the coarse
     * quantizer for `Similarity.ivfTopK`. */
-  def fit(spark: SparkSession, dir: String, iters: Int = Iters): Array[Array[Double]] = {
+  private val fitCache =
+    new scala.collection.concurrent.TrieMap[(String, Int), Array[Array[Double]]]()
+
+  def fit(spark: SparkSession, dir: String, iters: Int = Iters): Array[Array[Double]] =
+    // deterministic per (dir, iters) → safe to memoize; without this a
+    // Verify run re-fits for q_kmeans, q_simsearch_ivf and the blocked
+    // embed-dedup (3× the most expensive driver loop)
+    fitCache.getOrElseUpdate((dir, iters), fitUncached(spark, dir, iters))
+
+  private def fitUncached(spark: SparkSession, dir: String, iters: Int): Array[Array[Double]] = {
     val v = vecs(spark, dir).cache()
     var cs: Array[Array[Double]] = v.orderBy("vec_id").limit(K)
       .collect().map(_.getSeq[Double](1).toArray)
@@ -74,6 +85,7 @@ object Clustering {
       }
       cs = next
     }
+    v.unpersist()
     cs
   }
 

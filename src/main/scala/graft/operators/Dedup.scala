@@ -79,16 +79,11 @@ object Dedup {
         .as("shingle"))
       .distinct()
 
-  /** Exact-Jaccard pairs at/above `tau` from an inverted-index self-join
-    * (shared-shingle pairs only — no all-pairs). */
-  private def jaccardPairs(spark: SparkSession, dir: String, tau: Double): DataFrame = {
-    val sh = shingles(spark, dir)
+  /** Shared exact-Jaccard scoring: given the (doc_id, shingle) index and
+    * candidate intersection counts keyed (da, db, inter), attach set
+    * sizes and keep pairs with J ≥ tau. */
+  private def scorePairs(sh: DataFrame, inter: DataFrame, tau: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id"), col("n").as("na")), col("da") === col("doc_id")).drop("doc_id")
       .join(sizes.select(col("doc_id"), col("n").as("nb")), col("db") === col("doc_id")).drop("doc_id")
@@ -96,6 +91,18 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jac") >= tau)
       .select(col("da"), col("db"), col("jac"))
+  }
+
+  /** Exact-Jaccard pairs at/above `tau` from an inverted-index self-join
+    * (shared-shingle pairs only — no all-pairs). */
+  private def jaccardPairs(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+    val sh = shingles(spark, dir)
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    scorePairs(sh, inter, tau)
   }
 
   /** B19a q_dedup_ngram: exhaustive n-gram-Jaccard near-dup pairs
@@ -147,18 +154,11 @@ object Dedup {
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
     // exact verification of candidates only
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sh.select(col("doc_id").as("da"), col("shingle")), "da")
       .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id"), col("n").as("na")), col("da") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("db") === col("doc_id")).drop("doc_id")
-      .withColumn("jac",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jac") >= 0.8)
-      .select(col("da"), col("db"), col("jac"))
+    scorePairs(sh, inter, 0.8)
   }
 
   /** Per-token 60-bit hash: the first 15 hex digits of md5 — computable
@@ -207,22 +207,13 @@ object Dedup {
       .where(col("hamming") <= d)
   }
 
-  /** Embedding vectors with the norm pre-computed once per vector (not
-    * per pair). Fold order matches the oracle's list_reduce exactly. */
-  private def vecsWithNorm(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
-      .withColumn("e", col("embedding").cast("array<double>"))
-      .withColumn("nrm",
-        sqrt(expr("aggregate(e, cast(0.0 as double), (a, x) -> a + x * x)")))
-      .select(col("vec_id"), col("e"), col("nrm"))
-
   /** North-star q_dedup_embed: embedding-cosine near-duplicate pairs
     * (cos ≥ 0.4). Self-join restricted by vec_id ordering; norms
     * pre-computed; at 100 TB swap the pair generator for the
     * hyperplane-LSH bucketing of `Similarity.lshTopK` — verification
     * stays identical. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val v = vecsWithNorm(spark, dir)
+    val v = Similarity.vecs(spark, dir)
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         (expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)")
@@ -235,14 +226,8 @@ object Dedup {
     * equi on `cid`, O(Σ listᵢ²) instead of O(n²); recall is bounded by
     * cluster purity and property-tested vs the exact operator. */
   def embedNearDupBlocked(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
-    val cs = Clustering.fit(spark, dir)
-    val centsLit = array(cs.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cid"), array(c.map(lit(_)): _*).as("c"))
-    }: _*)
-    val v = Tables(spark, dir, "embeddings")
-      .withColumn("e", col("embedding").cast("array<double>"))
-      .withColumn("nrm",
-        sqrt(expr("aggregate(e, cast(0.0 as double), (a, x) -> a + x * x)")))
+    val centsLit = Clustering.centroidLit(Clustering.fit(spark, dir))
+    val v = Similarity.vecs(spark, dir)
       .withColumn("cents", centsLit)
       .withColumn("cid", expr(
         """array_min(transform(cents,

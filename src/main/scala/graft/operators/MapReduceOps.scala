@@ -53,7 +53,7 @@ object MapReduceOps {
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val ts = text.toLowerCase
-          .split("[ \\t\\n\\r\\f\\x0B]+").filter(_.nonEmpty)
+          .split(TextOps.WsRun).filter(_.nonEmpty)
         ts.sliding(2).filter(_.length == 2).map(a => (id, a(0) + " " + a(1)))
       }
       .toDF("doc_id", "bigram")

@@ -20,16 +20,18 @@ import graft.sources.Tables
   *    scanned once, partition-parallel; top-k per query is a window over
   *    k·P candidate rows, never a global sort of all scores. Norms are
   *    computed once per vector, not per (query, vector) pair.
-  *  - LSH: 16 signed random hyperplanes → 16-bit bucket per vector; a
-  *    query probes its own bucket plus all 16 single-bit-flip buckets
-  *    (multi-probe). The corpus side is bucketed by one narrow int — the
-  *    candidate join touches ~17/65536 of the corpus per query instead
-  *    of all of it. Exactness traded for a bounded candidate set;
-  *    recall is property-tested against the brute-force baseline.
+  *  - LSH: `NumPlanes` (8) signed random hyperplanes → an 8-bit bucket
+  *    per vector; a query probes its own bucket plus every single-bit
+  *    flip (multi-probe), touching ~9/256 of the corpus per query
+  *    instead of all of it. Exactness traded for a bounded candidate
+  *    set; recall is property-tested against the brute-force baseline.
   */
 object Similarity {
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  /** Embedding vectors with the L2 norm pre-computed once per vector
+    * (fold order matches the DuckDB oracle's list_reduce exactly).
+    * Shared with Dedup's embedding near-dup operators. */
+  private[operators] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .withColumn("e", col("embedding").cast("array<double>"))
       .withColumn("nrm",
@@ -65,8 +67,8 @@ object Similarity {
     Array.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  /** 16-bit signed-hyperplane bucket id from columns `pl` (planes) and
-    * `e` (vector): bit i = sign of ⟨plane_i, e⟩. */
+  /** NumPlanes-bit signed-hyperplane bucket id from columns `pl`
+    * (planes) and `e` (vector): bit i = sign of ⟨plane_i, e⟩. */
   private val BucketSql: String =
     s"""aggregate(transform(sequence(0, ${NumPlanes - 1}),
        |  i -> IF(aggregate(zip_with(pl[i], e, (x, y) -> x * y),
@@ -83,10 +85,7 @@ object Similarity {
     * broadcast-joined filter, partition-parallel). Recall is
     * property-tested vs `bruteForceTopK`. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10, nProbe: Int = 3): DataFrame = {
-    val cs = Clustering.fit(spark, dir)
-    val centsLit = array(cs.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cid"), array(c.map(lit(_)): _*).as("c"))
-    }: _*)
+    val centsLit = Clustering.centroidLit(Clustering.fit(spark, dir))
     // distances to all centroids, sorted: [0] = own list, [0..nProbe) = probes
     def withDists(df: DataFrame): DataFrame = df
       .withColumn("cents", centsLit)

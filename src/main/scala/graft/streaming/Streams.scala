@@ -90,10 +90,11 @@ object Streams {
     val n = math.max(1, math.ceil(evs.length.toDouble / NumChunks).toInt)
     // Far enough ahead that watermark (= sentinel − max delay, 10 min)
     // passes every real window's END, including the last session's
-    // last-event + 5 min gap.
+    // last-event + 5 min gap. An empty table still feeds the sentinel so
+    // every query yields an empty result WITH its schema (not a crash).
+    val lastMs = if (evs.isEmpty) 0L else evs.last.ts.getTime
     val sentinel = Ev(-1L,
-      new java.sql.Timestamp(evs.last.ts.getTime + 30 * 60 * 1000L),
-      -1L, Sentinel, 0.0)
+      new java.sql.Timestamp(lastMs + 30 * 60 * 1000L), -1L, Sentinel, 0.0)
     evs.grouped(n).map(_.toSeq).toSeq :+ Seq(sentinel)
   }
 
