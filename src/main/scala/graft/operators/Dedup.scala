@@ -94,7 +94,13 @@ object Dedup {
   }
 
   /** Exact-Jaccard pairs at/above `tau` from an inverted-index self-join
-    * (shared-shingle pairs only — no all-pairs). */
+    * (shared-shingle pairs only — no all-pairs). The shingle subtree is
+    * deliberately NOT .cache()d despite its 3 consumers: measured, the
+    * InMemoryRelation's inflated size stats flip AQE's broadcast
+    * decisions and cost ~4× overall (28 s vs 7 s at sf0.1); the
+    * recompute is cheap codegen'd scan+explode. At real 100 TB scale,
+    * persist the shingle index to a TABLE (storage, not executor
+    * memory) instead. */
   private def jaccardPairs(spark: SparkSession, dir: String, tau: Double): DataFrame = {
     val sh = shingles(spark, dir)
     val inter = sh.as("a").join(sh.as("b"),
@@ -126,6 +132,8 @@ object Dedup {
     * to the exhaustive oracle whp (see class doc); the LSH path is what
     * survives 100 TB, the verification keeps it exact. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // NOT cached — see jaccardPairs: the cache's size stats break AQE's
+    // broadcast planning and measure ~4× slower than recomputing.
     val sh = shingles(spark, dir)
       // shingle hash reduced mod P (so a·x+b stays in signed-64 range)
       .withColumn("sx", pmod(col("shingle"), lit(MinhashP)))
