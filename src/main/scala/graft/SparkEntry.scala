@@ -40,6 +40,7 @@ object SparkEntry {
     "q_join_range"      -> ((s, d) => Joins.rangeJoin(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "q_window_rank"     -> ((s, d) => Windows.rankTopN(s, d)),
+    "q_window_dist"     -> ((s, d) => Windows.distWindows(s, d)),
     "q_window_running"  -> ((s, d) => Windows.runningTotal(s, d)),
     "q_text_stats"      -> ((s, d) => TextOps.textStats(s, d)),
     "q_lang_id"         -> ((s, d) => TextOps.langId(s, d)),
@@ -213,6 +214,13 @@ object SparkEntry {
         |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders)
         |WHERE rn <= 3""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey

@@ -33,6 +33,23 @@ object Windows {
         round(col("o_totalprice"), 2).as("price"), col("rn"))
   }
 
+  /** B11b q_window_dist: distribution window family — quartile bucket,
+    * percent_rank and cume_dist of each order's price within its
+    * customer. Rank ties broken by orderkey for ntile determinism;
+    * percent_rank/cume_dist are rational (k-1)/(n-1), k/n divisions of
+    * identical ints in both engines → bit-identical doubles. */
+  def distWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast(LongType))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("quartile"),
+        col("pct_rank"), col("cume"))
+  }
+
   /** B12 q_window_running: running revenue per customer in order-date
     * order (unbounded-preceding frame) + `lag` of the previous price. */
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
