@@ -27,6 +27,7 @@ object SparkEntry {
     "q_cube"            -> ((s, d) => Relational.cubeSales(s, d)),
     "q_pivot"           -> ((s, d) => Relational.pivotStatus(s, d)),
     "q_sort_limit"      -> ((s, d) => Relational.sortLimit(s, d)),
+    "q_quantiles"       -> ((s, d) => Relational.quantiles(s, d)),
     "q_setops"          -> ((s, d) => Relational.setOps(s, d)),
     "q_scalar_string"   -> ((s, d) => Scalars.stringOps(s, d)),
     "q_scalar_datemath" -> ((s, d) => Scalars.dateMath(s, d)),
@@ -101,6 +102,12 @@ object SparkEntry {
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS prio,

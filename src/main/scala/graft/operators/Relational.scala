@@ -105,6 +105,18 @@ object Relational {
       .select(col("o_orderpriority"), col("F").as("n_f"),
         col("O").as("n_o"), col("P").as("n_p"))
 
+  /** q_quantiles: exact interpolated percentiles per group. At 100 TB
+    * the scale path is `percentile_approx` (KLL/GK-style sketch, one
+    * pass, bounded memory — spec-bounded against this exact form);
+    * exact `percentile` is kept for the oracle gate. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("cnt"))
+
   /** B13 q_sort_limit: global top-10 with full tie-break; plans as
     * TakeOrderedAndProject, not a total sort. */
   def sortLimit(spark: SparkSession, dir: String): DataFrame =

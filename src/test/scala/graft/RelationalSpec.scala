@@ -52,6 +52,19 @@ class RelationalSpec extends SparkSuiteBase {
     }
   }
 
+  test("percentile_approx tracks exact percentile within 2%") {
+    import org.apache.spark.sql.functions._
+    val exact = Relational.quantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = graft.sources.Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) / e < 0.02, s"$k: ${approx(k)} vs $e")
+    }
+  }
+
   test("setops: |union| = |intersect| + |except| + |b-only|, sanity") {
     val m = Relational.setOps(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
