@@ -64,10 +64,11 @@ object Clustering {
     // deterministic per (dir, iters) → safe to memoize; without this a
     // Verify run re-fits for q_kmeans, q_simsearch_ivf and the blocked
     // embed-dedup (3× the most expensive driver loop)
-    fitCache.getOrElseUpdate((dir, iters), fitUncached(spark, dir, iters))
+    fitCache.getOrElseUpdate((dir, iters), fit(vecs(spark, dir), iters))
 
-  private def fitUncached(spark: SparkSession, dir: String, iters: Int): Array[Array[Double]] = {
-    val v = vecs(spark, dir).cache()
+  /** df form: expects (vec_id: Long, e: Array[Double]); not memoized. */
+  def fit(vectors: DataFrame, iters: Int): Array[Array[Double]] = {
+    val v = vectors.cache()
     var cs: Array[Array[Double]] = v.orderBy("vec_id").limit(K)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to iters) {
@@ -93,6 +94,11 @@ object Clustering {
     * vec_ids). Returns the final assignment (vec_id, cid, d2). */
   def kmeansAssign(spark: SparkSession, dir: String, iters: Int = Iters): DataFrame =
     assign(vecs(spark, dir), fit(spark, dir, iters))
+      .select(col("vec_id"), col("cid"), col("d2"))
+
+  /** df form: expects (vec_id: Long, e: Array[Double]). */
+  def kmeansAssign(vectors: DataFrame, iters: Int): DataFrame =
+    assign(vectors, fit(vectors, iters))
       .select(col("vec_id"), col("cid"), col("d2"))
 
   /** B21 q_kmeans: cluster cardinalities + within-cluster inertia after

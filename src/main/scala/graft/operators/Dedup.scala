@@ -48,7 +48,10 @@ object Dedup {
   /** B18 q_dedup_exact: group by md5(normalized text) — digest, kept
     * (minimum) doc_id, and copy count per distinct content. */
   def exactGroups(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    exactGroups(Tables(spark, dir, "documents"))
+
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(expr(NormSql)).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
 
@@ -69,7 +72,10 @@ object Dedup {
     * 64-bit hash keeps set sizes/intersections exact up to a ~2⁻⁶⁴
     * birthday term). */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    shingles(Tables(spark, dir, "documents"))
+
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ts", expr(TextOps.TokensSql))
       .where(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -101,8 +107,8 @@ object Dedup {
     * recompute is cheap codegen'd scan+explode. At real 100 TB scale,
     * persist the shingle index to a TABLE (storage, not executor
     * memory) instead. */
-  private def jaccardPairs(spark: SparkSession, dir: String, tau: Double): DataFrame = {
-    val sh = shingles(spark, dir)
+  private def jaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val sh = shingles(docs)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -114,7 +120,9 @@ object Dedup {
   /** B19a q_dedup_ngram: exhaustive n-gram-Jaccard near-dup pairs
     * (J ≥ 0.5) via the inverted index. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(spark, dir, 0.5)
+    ngramJaccard(Tables(spark, dir, "documents"))
+
+  def ngramJaccard(docs: DataFrame): DataFrame = jaccardPairs(docs, 0.5)
 
   // MinHash parameters: 128 permutations h_i(x) = (a_i·x + b_i) mod P
   // banded as 32 bands × 4 rows. Seeded deterministically.
@@ -131,10 +139,13 @@ object Dedup {
     * pairs → exact-Jaccard verification at J ≥ 0.8. Output is identical
     * to the exhaustive oracle whp (see class doc); the LSH path is what
     * survives 100 TB, the verification keeps it exact. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(Tables(spark, dir, "documents"))
+
+  def minhashLsh(docs: DataFrame): DataFrame = {
     // NOT cached — see jaccardPairs: the cache's size stats break AQE's
     // broadcast planning and measure ~4× slower than recomputing.
-    val sh = shingles(spark, dir)
+    val sh = shingles(docs)
       // shingle hash reduced mod P (so a·x+b stays in signed-64 range)
       .withColumn("sx", pmod(col("shingle"), lit(MinhashP)))
     // signature: per doc, per-permutation min over shingles — expressed
@@ -178,8 +189,11 @@ object Dedup {
     * according to bit j of the token hash; simhash bit j = sign of the
     * sum. Emitted per-doc (pair matching at hamming ≤ d is a banded
     * self-join with guaranteed recall — see `simhashPairs`). */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tokCnt = Tables(spark, dir, "documents")
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhash(Tables(spark, dir, "documents"))
+
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokCnt = docs
       .select(col("doc_id"), explode(expr(TextOps.TokensSql)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("th", expr(TokHashSql))
@@ -198,10 +212,13 @@ object Dedup {
   /** SimHash near-dup pairs at hamming distance ≤ d via (d+1)-band LSH:
     * any pair within d differing bits shares ≥1 intact band (pigeonhole),
     * so banding has recall exactly 1 — never an all-pairs join. */
-  def simhashPairs(spark: SparkSession, dir: String, d: Int = 3): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String, d: Int = 3): DataFrame =
+    simhashPairs(Tables(spark, dir, "documents"), d)
+
+  def simhashPairs(docs: DataFrame, d: Int): DataFrame = {
     val nb = d + 1
     val width = 60 / nb
-    val sh = simhash(spark, dir)
+    val sh = simhash(docs)
     val bands = sh.select(col("doc_id"), col("simhash"),
         posexplode(expr(
           s"transform(sequence(0, ${nb - 1}), b -> shiftright(simhash, b * $width) & ${(1L << width) - 1})")))

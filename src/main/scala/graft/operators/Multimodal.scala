@@ -31,9 +31,13 @@ object Multimodal {
   /** Synthesize the media table from `documents` (deterministic: payload
     * = UTF-8 bytes of the text; type cycles by doc_id). A real deployment
     * reads `binary` columns straight from parquet — same schema. */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
-    import spark.implicits._
-    Tables(spark, dir, "documents")
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] =
+    mediaTable(Tables(spark, dir, "documents"))
+
+  /** df form: expects (doc_id: Long, text: String). */
+  def mediaTable(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs
       .select(
         col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),

@@ -27,13 +27,17 @@ object Pipeline {
   val QualityThreshold = 0.5
 
   /** q_pipeline_curate: per-language curation ledger. */
-  def curate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents").select("doc_id", "lang")
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    curate(Tables(spark, dir, "documents"))
+
+  /** df form: expects (doc_id: Long, text: String, lang: String). */
+  def curate(documents: DataFrame): DataFrame = {
+    val docs = documents.select("doc_id", "lang")
     // drop the HIGHER id of every near-dup pair (keep the first-seen doc)
-    val dupIds = Dedup.minhashLsh(spark, dir)
+    val dupIds = Dedup.minhashLsh(documents)
       .select(col("db").as("doc_id")).distinct()
-    val quality = TextOps.qualityScore(spark, dir).select("doc_id", "score")
-    val tokens = TextOps.tokenCounts(spark, dir).select("doc_id", "wp_tokens")
+    val quality = TextOps.qualityScore(documents).select("doc_id", "score")
+    val tokens = TextOps.tokenCounts(documents).select("doc_id", "wp_tokens")
 
     val staged = docs
       .join(dupIds.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")

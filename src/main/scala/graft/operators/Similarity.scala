@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -32,7 +32,11 @@ object Similarity {
     * (fold order matches the DuckDB oracle's list_reduce exactly).
     * Shared with Dedup's embedding near-dup operators. */
   private[operators] def vecs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
+    vecs(Tables(spark, dir, "embeddings"))
+
+  /** df form: expects (vec_id: Long, embedding: Array[Float|Double]). */
+  private[operators] def vecs(emb: DataFrame): DataFrame =
+    emb
       .withColumn("e", col("embedding").cast("array<double>"))
       .withColumn("nrm",
         sqrt(expr("aggregate(e, cast(0.0 as double), (a, x) -> a + x * x)")))
@@ -45,9 +49,13 @@ object Similarity {
 
   /** B20 q_simsearch: exact cosine top-k (k=10) for the query vectors
     * vec_id < 10 over the whole corpus (self excluded). */
-  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val v = vecs(spark, dir)
-    val q = v.where(col("vec_id") < 10)
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bruteForceTopK(Tables(spark, dir, "embeddings"), col("vec_id") < 10, k)
+
+  /** df form: `isQuery` selects the query vectors out of `emb`. */
+  def bruteForceTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val v = vecs(emb)
+    val q = v.where(isQuery)
     val scored = broadcast(q).as("q").join(v.as("c"),
         col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"),

@@ -56,7 +56,10 @@ object TextOps {
     * the whole pipeline stays inside whole-stage codegen (an array-lambda
     * `filter()` would force interpreted per-row eval of the subtree). */
   def wordCount(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    wordCount(Tables(spark, dir, "documents"))
+
+  def wordCount(docs: DataFrame): DataFrame =
+    docs
       .select(explode(tokens(col("text"))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word")
@@ -67,8 +70,10 @@ object TextOps {
     * count, vocabulary size, mean doc length, type/token ratio. Two
     * aggregates (token-grain + doc-grain) joined on lang; the join is a
     * tiny post-aggregation broadcast at any scale. */
-  def textStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    textStats(Tables(spark, dir, "documents"))
+
+  def textStats(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("lang"), col("doc_id"),
         explode(expr(TokensSql)).as("tok"))
@@ -102,7 +107,10 @@ object TextOps {
     * profile matches at all. A character-n-gram model slots into the same
     * shape; stopword profiles are the deterministic, oracle-expressible
     * core. Pure per-row expression → embarrassingly parallel at 100 TB. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables(spark, dir, "documents"))
+
+  def langId(docs: DataFrame): DataFrame = {
     val scores = LangProfiles.map { case (l, ws) =>
       expr(profileCountSql(ws)).cast(LongType).as(s"s_$l")
     }
@@ -113,7 +121,7 @@ object TextOps {
           .map(o => sl >= col(s"s_$o")).reduce(_ && _)
         when(sl > 0 && isMax, lit(l)).otherwise(els)
     }
-    Tables(spark, dir, "documents")
+    docs
       .select(col("doc_id") +: scores: _*)
       .withColumn("pred_lang", best)
   }
@@ -121,9 +129,12 @@ object TextOps {
   /** North-star q_quality_score: per-document quality heuristics — token
     * count, mean token length, stopword ratio, alphabetic-character ratio,
     * and a bounded composite score. All codegen'd per-row expressions. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(Tables(spark, dir, "documents"))
+
+  def qualityScore(docs: DataFrame): DataFrame = {
     val stop = LangProfiles.head._2 // en profile
-    Tables(spark, dir, "documents")
+    docs
       .withColumn("toks", expr(TokensSql))
       .withColumn("n_tok", size(col("toks")).cast(LongType))
       .select(
@@ -147,7 +158,10 @@ object TextOps {
   /** North-star q_token_count: whitespace tokens + BPE-ish pre-token count
     * per document (the unit-economics column of a training-data pipeline). */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    tokenCounts(Tables(spark, dir, "documents"))
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         expr(s"size($TokensSql)").cast(LongType).as("ws_tokens"),
@@ -161,7 +175,10 @@ object TextOps {
     * Document Fingerprinting", SIGMOD 2003 — robust to local edits).
     * Pure per-row array expressions; fold order matches the oracle. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    fingerprint(Tables(spark, dir, "documents"))
+
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
       .withColumn("t", lower(col("text")))
       .withColumn("codes",
         expr("transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1)))"))

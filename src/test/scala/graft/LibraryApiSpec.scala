@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Clustering, Dedup, Pipeline, Similarity, TextOps}
+
+/** The library surface: every north-star operator callable on a
+  * user-supplied DataFrame (the (spark, dir) forms are thin catalog
+  * wrappers over these). */
+class LibraryApiSpec extends SparkSuiteBase {
+
+  private def userDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs away quickly", "en"),
+      (3L, "completely different text about sorting tables and joining rows", "en"),
+      (4L, "der hund läuft", "de"))
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("minhash near-dup detection on an arbitrary docs DataFrame") {
+    val pairs = Dedup.minhashLsh(userDocs).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("quality + token + curation on an arbitrary docs DataFrame") {
+    val q = TextOps.qualityScore(userDocs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(q.keySet === Set(1L, 2L, 3L, 4L))
+    val ledger = Pipeline.curate(userDocs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 2 dropped as the near-dup of doc 1
+    assert(ledger("en")._2 === 1L)
+  }
+
+  test("similarity + kmeans on an arbitrary vectors DataFrame") {
+    import spark.implicits._
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 64 + d))) // deterministic
+    }.toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, col("vec_id") < 2, k = 3)
+    assert(top.collect().length === 6)
+    val assigned = Clustering.kmeansAssign(
+      vecs.select(col("vec_id"), col("embedding").as("e")), iters = 2)
+    assert(assigned.count() === 20)
+  }
+}
