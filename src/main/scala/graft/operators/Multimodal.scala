@@ -73,6 +73,48 @@ object Multimodal {
     }
   }
 
+  /** A "resized" media item: fixed target dimensions + transformed
+    * payload. */
+  case class ResizedMedia(doc_id: Long, media_type: String,
+                          width: Int, height: Int, payload: Array[Byte])
+
+  /** One sampled frame of a media payload. */
+  case class MediaFrame(doc_id: Long, frame_idx: Long, payload: Array[Byte])
+
+  /** Resize STUB: a real implementation decodes (JPEG→pixels), scales,
+    * re-encodes; the codec being absent here, the payload is
+    * deterministically downsampled byte-wise to w·h bytes. The Spark
+    * plumbing — typed in/out schema, per-partition batches, payload
+    * never at the driver — is the real thing. */
+  def resizeStub(items: Dataset[MediaItem], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { iter =>
+      // decoder/scaler init once per partition here
+      iter.map { m =>
+        val n = w * h
+        val out = Array.tabulate(n) { i =>
+          if (m.payload.isEmpty) 0.toByte
+          else m.payload((i.toLong * m.payload.length / n).toInt)
+        }
+        ResizedMedia(m.doc_id, m.media_type, w, h, out)
+      }
+    }
+  }
+
+  /** Frame-sampling STUB (one row → many): treats the payload as
+    * fixed-size pseudo-frames (`frameBytes` each) and emits every
+    * `everyNth` frame — the exact flatMap shape of real video frame
+    * extraction, with the ffmpeg call stubbed to a slice. */
+  def frameSampleStub(items: Dataset[MediaItem], frameBytes: Int = 256,
+                      everyNth: Int = 2): Dataset[MediaFrame] = {
+    import items.sparkSession.implicits._
+    items.flatMap { m =>
+      m.payload.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % everyNth == 0)
+        .map { case (bytes, idx) => MediaFrame(m.doc_id, idx.toLong, bytes) }
+    }
+  }
+
   /** North-star q_multimodal: driver-checkable projection (the histogram
     * array is covered by ScalaTest; byte length / checksum / digest have
     * an exact DuckDB mirror). */

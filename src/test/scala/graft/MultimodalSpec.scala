@@ -16,6 +16,29 @@ class MultimodalSpec extends SparkSuiteBase {
     assert(f.hist(97 >> 5) === 1.0) // all three bytes in bin 3
   }
 
+  test("resize stub: fixed output shape, deterministic downsampling") {
+    import spark.implicits._
+    val ds = Seq(Multimodal.MediaItem(1L, "image",
+      Array.tabulate(100)(_.toByte))).toDS()
+    val out = Multimodal.resizeStub(ds, 4, 4).collect()(0)
+    assert(out.width === 4 && out.height === 4)
+    assert(out.payload.length === 16)
+    assert(out.payload(0) === 0.toByte && out.payload(15) === 93.toByte)
+    // idempotent determinism
+    val again = Multimodal.resizeStub(ds, 4, 4).collect()(0)
+    assert(out.payload.toSeq === again.payload.toSeq)
+  }
+
+  test("frame sampling: one row explodes to every-Nth fixed-size frames") {
+    import spark.implicits._
+    val ds = Seq(Multimodal.MediaItem(7L, "video",
+      Array.tabulate(1024)(_.toByte))).toDS()
+    val frames = Multimodal.frameSampleStub(ds, frameBytes = 256, everyNth = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0L, 2L)) // frames 0,2 of 0..3
+    assert(frames.forall(_.payload.length === 256))
+  }
+
   test("media table types cycle deterministically and payload is binary") {
     val rows = Multimodal.mediaTable(spark, sf).collect()
     assert(rows.nonEmpty)
