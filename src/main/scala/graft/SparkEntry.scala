@@ -432,9 +432,11 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events
         |), o AS (
+        |  -- strict > : Spark merges an event at EXACTLY prev + gap
+        |  -- (session end is inclusive; pinned by StreamingSpec)
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+        |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
         |         THEN 1 ELSE 0 END AS brk
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |), s AS (

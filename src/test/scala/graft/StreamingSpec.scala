@@ -49,6 +49,33 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("session window: gap-boundary event MERGES (session end inclusive)") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val name = "session_edge_sink"
+    val q = source.toDS()
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("session_window.start"), "HH:mm").as("s"),
+        date_format(col("session_window.end"), "HH:mm").as("e"), col("cnt"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      // gaps: exactly 5 min (merges — end inclusive), 5min1s (splits)
+      source.addData(Seq(Ev(1, ts(0), 1, "x", 1.0), Ev(2, ts(5), 1, "x", 1.0),
+        Ev(3, ts(10, 1), 1, "x", 1.0)))
+      q.processAllAvailable()
+      source.addData(Seq(Ev(4, ts(59), 1, "x", 1.0))) // flush watermark
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got.contains(("10:00", "10:10", 2L)), s"got $got")
+      assert(got.contains(("10:10", "10:15", 1L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: running per-user counter across batches") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
