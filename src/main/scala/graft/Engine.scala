@@ -28,20 +28,66 @@ object Engine {
       .config("spark.ui.enabled", "false")
 
   /** Standard local session for mains and tests. Scratch space (shuffle
-    * spills, temp streaming checkpoints) goes to tmpfs when available:
+    * spills, streaming checkpoints) goes to tmpfs when available:
     * micro-batch state-store commits fsync per partition per batch, and
     * on this box's virtio disk that is the dominant — and wildly
     * variable — cost of every streaming query. On a real cluster the
-    * equivalent is fast local SSD / RocksDB state store. */
+    * equivalent is fast local SSD / RocksDB state store.
+    *
+    * Guard rails (a RAM-backed spill dir must not eat the heap's lunch):
+    *  - opt-out via SPARK_GRAFT_TMPFS=0;
+    *  - only used when /dev/shm has ≥ 16 GiB usable — a larger-than-
+    *    memory run falls back to disk spill rather than exhausting RAM;
+    *  - scoped per-process (graft-tmp-<pid>) and removed by a shutdown
+    *    hook; stale dirs of dead processes are swept at startup. The
+    *    JVM-global `java.io.tmpdir` is NOT mutated — streaming
+    *    checkpoints get an explicit `spark.sql.streaming
+    *    .checkpointLocation` instead. */
   def session(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
-    val shm = new java.io.File("/dev/shm/graft-tmp")
     val builder = SparkSession.builder().master(s"local[$cpus]")
-    if (shm.isDirectory || shm.mkdirs()) {
-      System.setProperty("java.io.tmpdir", shm.getAbsolutePath)
-      builder.config("spark.local.dir", shm.getAbsolutePath)
+    scratchDir().foreach { dir =>
+      builder.config("spark.local.dir", dir.getAbsolutePath)
+      builder.config("spark.sql.streaming.checkpointLocation",
+        new java.io.File(dir, "ckpt").getAbsolutePath)
     }
     val spark = configure(builder, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
+  }
+
+  private val MinTmpfsBytes = 16L * 1024 * 1024 * 1024
+
+  private def rmRf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+    f.delete()
+  }
+
+  @volatile private var scratch: Option[java.io.File] = None
+
+  /** Per-process tmpfs scratch dir, or None when disabled/too small. */
+  private def scratchDir(): Option[java.io.File] = synchronized {
+    if (scratch.isDefined) scratch
+    else {
+      val shm = new java.io.File("/dev/shm")
+      val enabled = sys.env.getOrElse("SPARK_GRAFT_TMPFS", "1") != "0"
+      if (!enabled || !shm.isDirectory || shm.getUsableSpace < MinTmpfsBytes) None
+      else {
+        // sweep scratch left by dead JVMs (driver runs many rounds)
+        Option(shm.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("graft-tmp")).foreach { old =>
+            val pid = old.getName.stripPrefix("graft-tmp-")
+            val alive = pid.toLongOption
+              .exists(p => ProcessHandle.of(p).isPresent)
+            if (!alive) rmRf(old)
+          }
+        val dir = new java.io.File(shm,
+          s"graft-tmp-${ProcessHandle.current().pid()}")
+        if (dir.isDirectory || dir.mkdirs()) {
+          Runtime.getRuntime.addShutdownHook(new Thread(() => rmRf(dir)))
+          scratch = Some(dir)
+        }
+        scratch
+      }
+    }
   }
 }

@@ -26,7 +26,17 @@ object GraftExtensions {
   private val fnv32aDescriptor =
     (new FunctionIdentifier("fnv32a"),
       new ExpressionInfo(classOf[Fnv32a].getName, "fnv32a"),
-      (children: Seq[Expression]) => Fnv32a(children.head))
+      (children: Seq[Expression]) =>
+        // analysis-time arity error, not a raw NoSuchElementException on
+        // `SELECT fnv32a()` (extra args were silently dropped before)
+        if (children.length == 1) Fnv32a(children.head)
+        else throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`fnv32a`",
+            "expectedNum" -> "1",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest")))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -278,14 +278,19 @@ object SparkEntry {
          |), w AS (
          |  SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t
          |), r AS (
+         |  -- zero-token / empty-text guards mirror the Spark operator's
+         |  -- explicit 0.0 (unguarded /0 differs between the engines)
          |  SELECT doc_id, n_tok,
-         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |           list_transform(toks, x -> CAST(length(x) AS BIGINT))),
-         |         (a, x) -> a + x) AS DOUBLE) / n_tok AS avg_tok_len,
-         |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE)
-         |      / n_tok AS stop_ratio,
-         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-         |      / length(text) AS alpha_ratio
+         |    CASE WHEN n_tok <= 0 THEN 0.0 ELSE
+         |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+         |           (a, x) -> a + x) AS DOUBLE) / n_tok END AS avg_tok_len,
+         |    CASE WHEN n_tok <= 0 THEN 0.0 ELSE
+         |      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE)
+         |        / n_tok END AS stop_ratio,
+         |    CASE WHEN length(text) <= 0 THEN 0.0 ELSE
+         |      CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |        / length(text) END AS alpha_ratio
          |  FROM w
          |)
          |SELECT doc_id, n_tok, avg_tok_len, stop_ratio, alpha_ratio,
@@ -501,10 +506,12 @@ object SparkEntry {
        |), q AS (
        |  SELECT d.doc_id,
        |    least(CAST(CAST(len(t.ts) AS BIGINT) AS DOUBLE) / 50.0, 1.0) * 0.3
-       |      + CAST(len(list_filter(t.ts, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE)
-       |          / CAST(len(t.ts) AS BIGINT) * 0.3
-       |      + CAST(length(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) AS DOUBLE)
-       |          / length(d.text) * 0.4 AS score,
+       |      + CASE WHEN len(t.ts) <= 0 THEN 0.0 ELSE
+       |          CAST(len(list_filter(t.ts, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE)
+       |            / CAST(len(t.ts) AS BIGINT) END * 0.3
+       |      + CASE WHEN length(d.text) <= 0 THEN 0.0 ELSE
+       |          CAST(length(regexp_replace(lower(d.text), '[^a-z]', '', 'g')) AS DOUBLE)
+       |            / length(d.text) END * 0.4 AS score,
        |    CAST(len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]')) AS BIGINT) AS wp_tokens
        |  FROM documents d JOIN toks t USING (doc_id)
        |), staged AS (

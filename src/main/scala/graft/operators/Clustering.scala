@@ -58,13 +58,31 @@ object Clustering {
     * doubles of driver state — constant in corpus size). Also the coarse
     * quantizer for `Similarity.ivfTopK`. */
   private val fitCache =
-    new scala.collection.concurrent.TrieMap[(String, Int), Array[Array[Double]]]()
+    new scala.collection.concurrent.TrieMap[(String, Int, String), Array[Array[Double]]]()
+
+  /** Cheap content fingerprint of the embeddings table (file names +
+    * sizes + mtimes): keys the memo so in-place data regeneration within
+    * one JVM (long-lived sessions, shared test sessions) cannot serve
+    * stale centroids. */
+  private def fingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(dir, "embeddings.parquet")
+    if (!root.exists()) "absent"
+    else walk(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(",")
+  }
+
+  /** Drop all memoized fits (tests / data-swap hook). */
+  def clearFitCache(): Unit = fitCache.clear()
 
   def fit(spark: SparkSession, dir: String, iters: Int = Iters): Array[Array[Double]] =
-    // deterministic per (dir, iters) → safe to memoize; without this a
-    // Verify run re-fits for q_kmeans, q_simsearch_ivf and the blocked
-    // embed-dedup (3× the most expensive driver loop)
-    fitCache.getOrElseUpdate((dir, iters), fit(vecs(spark, dir), iters))
+    // deterministic per (dir, iters, data fingerprint) → safe to memoize;
+    // without this a Verify run re-fits for q_kmeans, q_simsearch_ivf and
+    // the blocked embed-dedup (3× the most expensive driver loop)
+    fitCache.getOrElseUpdate((dir, iters, fingerprint(dir)),
+      fit(vecs(spark, dir), iters))
 
   /** df form: expects (vec_id: Long, e: Array[Double]); not memoized. */
   def fit(vectors: DataFrame, iters: Int): Array[Array[Double]] = {

@@ -128,7 +128,11 @@ object TextOps {
 
   /** North-star q_quality_score: per-document quality heuristics — token
     * count, mean token length, stopword ratio, alphabetic-character ratio,
-    * and a bounded composite score. All codegen'd per-row expressions. */
+    * and a bounded composite score. All codegen'd per-row expressions.
+    * Degenerate docs (empty/whitespace-only → zero tokens, empty text)
+    * score their ratio terms 0.0 explicitly — unguarded division would
+    * yield NULL/NaN, silently pass a `score < threshold` gate, and
+    * diverge from the oracle's division-by-zero behavior. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityScore(Tables(spark, dir, "documents"))
 
@@ -140,12 +144,15 @@ object TextOps {
       .select(
         col("doc_id"),
         col("n_tok"),
-        (expr("aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x))")
-          .cast("double") / col("n_tok")).as("avg_tok_len"),
-        (expr(s"size(filter(toks, x -> x IN (${stop.map("'" + _ + "'").mkString(",")})))")
-          .cast("double") / col("n_tok")).as("stop_ratio"),
-        (length(regexp_replace(lower(col("text")), "[^a-z]", ""))
-          .cast("double") / length(col("text"))).as("alpha_ratio"))
+        when(col("n_tok") <= 0L, lit(0.0)).otherwise(
+          expr("aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x))")
+            .cast("double") / col("n_tok")).as("avg_tok_len"),
+        when(col("n_tok") <= 0L, lit(0.0)).otherwise(
+          expr(s"size(filter(toks, x -> x IN (${stop.map("'" + _ + "'").mkString(",")})))")
+            .cast("double") / col("n_tok")).as("stop_ratio"),
+        when(length(col("text")) <= 0, lit(0.0)).otherwise(
+          length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+            .cast("double") / length(col("text"))).as("alpha_ratio"))
       .withColumn("score",
         least(col("n_tok").cast("double") / 50.0, lit(1.0)) * 0.3
           + col("stop_ratio") * 0.3 + col("alpha_ratio") * 0.4)

@@ -1,8 +1,10 @@
 package graft.streaming
 
+import java.io.File
+import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.sources.Tables
 
 /** Structured Streaming surface (SURVEY §2 B23–B25): tumbling, sliding
@@ -14,69 +16,140 @@ import graft.sources.Tables
   * (`/root/reference/mp/master.go:316,358`) giving at-least-once
   * delivery — exactly what `dropDuplicatesWithinWatermark` repairs.
   *
-  * Harness: each query runs a REAL streaming query — `MemoryStream`
-  * source fed in deterministic event-time order in `NumChunks`
-  * micro-batches (plus a far-future sentinel that advances the watermark
-  * so append mode flushes every real window), memory sink, then the sink
-  * table is returned as a batch DataFrame. Because input arrives in
-  * event-time order, nothing real is ever late, so the streaming result
-  * equals the batch aggregation — which is what the DuckDB oracle
-  * checks. Late/out-of-order behavior (actual drops) is covered by
-  * ScalaTest with crafted sequences, where a batch oracle cannot reach.
+  * Harness: each query runs a REAL streaming query over a FILE source —
+  * the events table is staged once per sf-dir as a handful of
+  * time-ordered parquet files (plus a far-future sentinel file that
+  * advances the watermark so append mode flushes every real window), and
+  * the query reads them with `maxFilesPerTrigger=1`, one micro-batch per
+  * file. That is the production shape (readStream over an arriving file
+  * feed): the scan is distributed and task binaries stay small — the
+  * previous MemoryStream feed embedded the whole collected table
+  * (~3.5 MiB at sf0.1) in every task it shipped. Because files are
+  * staged in event-time order, nothing real is ever late, so the
+  * streaming result equals the batch aggregation — which is what the
+  * DuckDB oracle checks. Late/out-of-order behavior (actual drops) is
+  * covered by ScalaTest with crafted MemoryStream sequences, where a
+  * batch oracle cannot reach.
   *
   * Scale notes: state per key is bounded by the watermark horizon;
-  * micro-batch shuffles use the session's partitioning; nothing here
-  * collects payloads to the driver except this local test harness's
-  * source feed (a production job swaps MemoryStream for Kafka/files —
-  * the query definitions are unchanged).
+  * micro-batch shuffles use 8 partitions (state-store commit cost is
+  * task-count-bound at this batch size; a production job sizes this to
+  * state volume). Nothing collects event payloads to the driver.
   */
 object Streams {
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
 
-  /** Feed batches per query: 2 real chunks + the sentinel ⇒ 3+ micro
-    * batches — enough to exercise cross-batch state and watermark
-    * advancement while keeping the per-micro-batch fixed cost (~1.5 s
-    * state-commit + job overhead at local[32]) off the bench's critical
-    * path; late/out-of-order semantics are ScalaTest territory. */
+  /** Real chunks per feed: 2 + the sentinel ⇒ 3+ micro-batches — enough
+    * to exercise cross-batch state and watermark advancement while
+    * keeping the per-micro-batch fixed cost off the bench's critical
+    * path. */
   val NumChunks = 2
   private val Sentinel = "__sentinel"
 
-  /** Load events as typed rows sorted by event time. */
-  private def loadSorted(spark: SparkSession, dir: String): Array[Ev] = {
-    import spark.implicits._
+  private val EvSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
-      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+
+  /** Cheap staleness key for the staging memo (file names+sizes+mtimes of
+    * the source table). */
+  private def fingerprint(dir: String): String = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val root = new File(dir, "events.parquet")
+    if (!root.exists()) "absent"
+    else walk(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(",")
   }
 
-  /** Run `build` as a streaming query over the chunked feed; returns the
-    * materialized sink rows (sentinel rows filtered by the caller's
+  private val stagingCache =
+    new scala.collection.concurrent.TrieMap[(String, Boolean, String), File]()
+
+  /** Stage the events table as a time-ordered file feed:
+    * `NumChunks` parquet files split on the event-time midpoint, then
+    * (optionally) a duplicates file re-sending the newest 100 events
+    * (within the watermark horizon — exercises at-least-once repair),
+    * then the sentinel file. File mtimes are set strictly increasing —
+    * FileStreamSource processes files in mtime order, so arrival order
+    * is event-time order and nothing real is late. Memoized per
+    * (dir, dupes, data fingerprint); cleaned up by a shutdown hook. */
+  private def staged(spark: SparkSession, dir: String, withDupes: Boolean): File =
+    stagingCache.getOrElseUpdate((dir, withDupes, fingerprint(dir)), {
+      val ev = events(spark, dir)
+      val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).head()
+      val (loMs, hiMs) =
+        if (mm.isNullAt(0)) (0L, 0L)
+        else (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      val midMs = loMs + (hiMs - loMs) / 2
+      val root = Files.createTempDirectory("graft-stream-").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(root)
+      }))
+      val base = System.currentTimeMillis()
+      var seq = 0
+      def writeOne(df: DataFrame): Unit = {
+        val stage = new File(root, s"stage-$seq")
+        df.repartition(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+        stage.listFiles().filter(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .foreach { part =>
+            val dest = new File(root, f"ev-$seq%03d.parquet")
+            Files.move(part.toPath, dest.toPath)
+            // strictly increasing, far enough apart for coarse mtime fs
+            dest.setLastModified(base + seq * 10000L)
+          }
+        stage.listFiles().foreach(_.delete()); stage.delete()
+        seq += 1
+      }
+      writeOne(ev.where(col("ts") <= lit(new java.sql.Timestamp(midMs))))
+      writeOne(ev.where(col("ts") > lit(new java.sql.Timestamp(midMs))))
+      if (withDupes)
+        writeOne(ev.orderBy(desc("ts"), desc("event_id")).limit(100))
+      // Sentinel far enough ahead that watermark (= sentinel − max delay,
+      // 10 min) passes every real window's END, including the last
+      // session's last-event + 5 min gap. An empty table still feeds the
+      // sentinel so every query yields an empty result WITH its schema.
+      import spark.implicits._
+      writeOne(Seq(Ev(-1L, new java.sql.Timestamp(hiMs + 30 * 60 * 1000L),
+        -1L, Sentinel, 0.0)).toDS().toDF())
+      root
+    })
+
+  /** Run `build` as a streaming query over the staged file feed; returns
+    * the materialized sink rows (sentinel rows filtered by the caller's
     * projection where relevant). */
-  private def run(spark: SparkSession, chunks: Seq[Seq[Ev]],
-                  build: Dataset[Ev] => DataFrame): DataFrame = {
-    import spark.implicits._
-    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val source = MemoryStream[Ev]
+  private def run(spark: SparkSession, dir: String, withDupes: Boolean,
+                  build: DataFrame => DataFrame): DataFrame = {
+    val feed = staged(spark, dir, withDupes)
     val sinkName = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // State partition count is frozen at query start from
     // spark.sql.shuffle.partitions. Micro-batches here are small, and
-    // every batch (including empty watermark-advance batches) pays
-    // per-partition task + state-commit overhead across 3 stateful
+    // every batch (including the final watermark-flush batch) pays
+    // per-partition task + state-commit overhead across the stateful
     // stages — 8 partitions cuts that ~4× at local scale. A production
     // job sizes this to state volume, not to the batch.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
-      try build(source.toDS())
+      try build(
+        spark.readStream.schema(EvSchema).option("maxFilesPerTrigger", "1")
+          .parquet(feed.getAbsolutePath))
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
         .start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try {
-      chunks.foreach { c => source.addData(c); q.processAllAvailable() }
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     val out = spark.table(sinkName)
     val rows = out.collect()
     val df = spark.createDataFrame(
@@ -86,23 +159,10 @@ object Streams {
     df
   }
 
-  private def chunked(evs: Array[Ev]): Seq[Seq[Ev]] = {
-    val n = math.max(1, math.ceil(evs.length.toDouble / NumChunks).toInt)
-    // Far enough ahead that watermark (= sentinel − max delay, 10 min)
-    // passes every real window's END, including the last session's
-    // last-event + 5 min gap. An empty table still feeds the sentinel so
-    // every query yields an empty result WITH its schema (not a crash).
-    val lastMs = if (evs.isEmpty) 0L else evs.last.ts.getTime
-    val sentinel = Ev(-1L,
-      new java.sql.Timestamp(lastMs + 30 * 60 * 1000L), -1L, Sentinel, 0.0)
-    evs.grouped(n).map(_.toSeq).toSeq :+ Seq(sentinel)
-  }
-
   /** B23 q_stream_tumbling: per-minute tumbling count + value sum per
     * event type, 2-minute watermark, append mode. */
-  def tumbling(spark: SparkSession, dir: String): DataFrame = {
-    val evs = loadSorted(spark, dir)
-    run(spark, chunked(evs), ds =>
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, withDupes = false, ds =>
       ds.withWatermark("ts", "2 minutes")
         .groupBy(window(col("ts"), "1 minute"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sval"))
@@ -110,12 +170,10 @@ object Streams {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
           col("event_type"), col("cnt"), col("sval")))
       .where(col("event_type") =!= Sentinel)
-  }
 
   /** B24a q_stream_sliding: 2-minute windows sliding by 1 minute. */
-  def sliding(spark: SparkSession, dir: String): DataFrame = {
-    val evs = loadSorted(spark, dir)
-    run(spark, chunked(evs), ds =>
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, withDupes = false, ds =>
       ds.withWatermark("ts", "2 minutes")
         .groupBy(window(col("ts"), "2 minutes", "1 minute"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
@@ -123,13 +181,11 @@ object Streams {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
           col("event_type"), col("cnt")))
       .where(col("event_type") =!= Sentinel)
-  }
 
   /** B24b q_stream_session: 5-minute-gap session windows per user
     * (session end = last event + gap, end-exclusive merge). */
-  def session(spark: SparkSession, dir: String): DataFrame = {
-    val evs = loadSorted(spark, dir)
-    run(spark, chunked(evs), ds =>
+  def session(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, withDupes = false, ds =>
       ds.withWatermark("ts", "10 minutes")
         .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
         .agg(count(lit(1)).as("cnt"))
@@ -138,7 +194,6 @@ object Streams {
           date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
           col("cnt")))
       .where(col("user_id") =!= -1L)
-  }
 
   /** Stream-stream interval join (q_stream_join): each purchase joined
     * to the same user's clicks in the preceding 10 minutes. Both sides
@@ -146,9 +201,8 @@ object Streams {
     * so join state is evicted as the watermark advances — the canonical
     * bounded-state stream-stream join. Inner append-mode emissions equal
     * the batch interval join, which is what the oracle checks. */
-  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val evs = loadSorted(spark, dir)
-    run(spark, chunked(evs), ds => {
+  def streamJoin(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, withDupes = false, ds => {
       val clicks = ds.where(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
           col("ts").as("c_ts"))
@@ -163,7 +217,6 @@ object Streams {
           col("c_ts") <= col("p_ts"))
         .select(col("purchase_id"), col("click_id"), col("p_uid").as("user_id"))
     })
-  }
 
   /** Custom keyed state beyond the built-ins (B25's
     * `flatMapGroupsWithState` path): a per-user running event counter
@@ -191,22 +244,15 @@ object Streams {
   }
 
   /** B25 q_stream_dedup: stateful dedup on event_id within the
-    * watermark. The feed appends a final chunk that re-sends the tail of
-    * the stream (duplicates within the watermark horizon) — all are
-    * suppressed, so the output equals the original distinct stream. */
-  def dedup(spark: SparkSession, dir: String): DataFrame = {
-    val evs = loadSorted(spark, dir)
-    val base = chunked(evs)
-    // re-send the last 100 real events (still within the 10-min
-    // watermark at sentinel time? no — within watermark at re-send time:
-    // insert dupes BEFORE the sentinel chunk)
-    val dupes = evs.takeRight(100).toSeq
-    val chunks = base.init :+ dupes :+ base.last
-    run(spark, chunks, ds =>
+    * watermark. The feed appends a file that re-sends the newest 100
+    * events (duplicates within the watermark horizon) before the
+    * sentinel — all are suppressed, so the output equals the original
+    * distinct stream. */
+  def dedup(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, withDupes = true, ds =>
       ds.withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("event_type")))
       .where(col("event_type") =!= Sentinel)
       .select(col("event_id"))
-  }
 }
