@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.Fnv32a
+import graft.functions.{Bigrams, Fnv32a}
 
 /** Spark extension entry point: makes graft's custom expressions
   * available to plain SQL users —
@@ -17,29 +17,33 @@ import graft.functions.Fnv32a
   * in the declarative API — so only functions are injected.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.fnv32aDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val fnv32aDescriptor =
-    (new FunctionIdentifier("fnv32a"),
-      new ExpressionInfo(classOf[Fnv32a].getName, "fnv32a"),
+  /** Analysis-time arity error, not a raw NoSuchElementException on
+    * `SELECT fnv32a()` (extra args were silently dropped before). */
+  private def unary(name: String, build: Expression => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(build(org.apache.spark.sql.catalyst.expressions.Literal(null)).getClass.getName, name),
       (children: Seq[Expression]) =>
-        // analysis-time arity error, not a raw NoSuchElementException on
-        // `SELECT fnv32a()` (extra args were silently dropped before)
-        if (children.length == 1) Fnv32a(children.head)
+        if (children.length == 1) build(children.head)
         else throw new org.apache.spark.sql.AnalysisException(
           errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
           messageParameters = Map(
-            "functionName" -> "`fnv32a`",
+            "functionName" -> s"`$name`",
             "expectedNum" -> "1",
             "actualNum" -> children.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest")))
 
+  private val descriptors = Seq(
+    unary("fnv32a", Fnv32a(_)),
+    unary("bigrams", Bigrams(_)))
+
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      fnv32aDescriptor._1, fnv32aDescriptor._2, fnv32aDescriptor._3)
+    descriptors.foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
 }

@@ -60,13 +60,15 @@ object SparkEntry {
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
     "q_udaf_typed"      -> ((s, d) => MapReduceOps.typedAgg(s, d)),
     "q_udtf_explode"    -> ((s, d) => MapReduceOps.bigramCounts(s, d)),
+    "q_udtf_native"     -> ((s, d) => MapReduceOps.bigramCountsNative(s, d)),
     "q_multimodal"      -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_stream_tumbling" -> ((s, d) => graft.streaming.Streams.tumbling(s, d)),
     "q_stream_sliding"  -> ((s, d) => graft.streaming.Streams.sliding(s, d)),
     "q_stream_session"  -> ((s, d) => graft.streaming.Streams.session(s, d)),
     "q_stream_dedup"    -> ((s, d) => graft.streaming.Streams.dedup(s, d)),
     "q_stream_join"     -> ((s, d) => graft.streaming.Streams.streamJoin(s, d)),
-    "q_pipeline_curate" -> ((s, d) => Pipeline.curate(s, d))
+    "q_pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
+    "q_skew_agg"        -> ((s, d) => Skew.skewedAgg(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -405,16 +407,8 @@ object SparkEntry {
         |       round(sum(l_quantity * (1 - l_discount)), 2) AS net_qty,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "q_udtf_explode" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
-         |  FROM documents
-         |), bg AS (
-         |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
-         |  FROM toks, unnest(range(1, len(ts))) AS u(i)
-         |  WHERE len(ts) >= 2
-         |)
-         |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram""".stripMargin,
+    "q_udtf_explode" -> bigramOracle,
+    "q_udtf_native" -> bigramOracle,
     "q_multimodal" ->
       s"""SELECT doc_id,
          |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -467,7 +461,10 @@ object SparkEntry {
         |       >= date_trunc('microseconds', p.ts) - INTERVAL 10 MINUTE
         | AND date_trunc('microseconds', c.ts)
         |       <= date_trunc('microseconds', p.ts)""".stripMargin,
-    "q_pipeline_curate" -> curateOracle
+    "q_pipeline_curate" -> curateOracle,
+    "q_skew_agg" ->
+      """SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string
@@ -530,6 +527,19 @@ object SparkEntry {
        |  CAST(sum(CASE WHEN state = 'lowq' THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq,
        |  CAST(sum(CASE WHEN state = 'kept' THEN wp_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
        |FROM staged GROUP BY lang""".stripMargin
+
+  /** Shared by the typed-flatMap and native-Generator bigram queries
+    * (same semantics, two execution tiers). */
+  private def bigramOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+       |  FROM documents
+       |), bg AS (
+       |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+       |  FROM toks, unnest(range(1, len(ts))) AS u(i)
+       |  WHERE len(ts) >= 2
+       |)
+       |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram""".stripMargin
 
   /** Exhaustive 3-token-shingle Jaccard pairs at/above tau — oracle for
     * both the inverted-index (q_dedup_ngram) and the MinHash-LSH

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
-import graft.functions.{Fnv32a, NetQtyAggregator}
+import graft.functions.{Bigrams, Fnv32a, NetQtyAggregator}
 import graft.sources.Tables
 
 /** The user-pluggable Map/Reduce surface (SURVEY §2 U1–U3) — the
@@ -60,4 +60,13 @@ object MapReduceOps {
       .groupBy("bigram")
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** U3 stretch (q_udtf_native): the same expansion as a native Catalyst
+    * [[Generator]] — planner-placed `GenerateExec` in the scan stage, no
+    * typed encoder round-trip. Same oracle as `bigramCounts`. */
+  def bigramCountsNative(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(Bigrams.bigrams(col("text")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** Skew mitigation for shuffle joins (100 TB design point).
   *
@@ -45,4 +46,13 @@ object Skew {
       .agg(sum(valueCol).as("__s"), count(lit(1)).as("__c"))
       .groupBy(col(key))
       .agg(sum("__s").as(s"sum_$valueCol"), sum("__c").as("cnt"))
+
+  /** q_skew_agg: per-supplier quantity totals via the salted two-phase
+    * aggregation — oracle-checked against the plain GROUP BY (they are
+    * semantically identical; `l_quantity` is integer-valued so the
+    * salted re-associated double sum is exact). */
+  def skewedAgg(spark: SparkSession, dir: String): DataFrame =
+    saltedSumCount(Tables(spark, dir, "lineitem"), "l_suppkey", "l_quantity", 8)
+      .select(col("l_suppkey"), round(col("sum_l_quantity"), 2).as("sum_qty"),
+        col("cnt"))
 }

@@ -1,10 +1,33 @@
 package graft
 
+import org.apache.spark.sql.AnalysisException
+
 class GraftExtensionsSpec extends SparkSuiteBase {
 
   test("fnv32a is callable from SQL after registration") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT fnv32a('foobar') AS h").collect()(0).getLong(0)
     assert(got === 0xbf9cf968L)
+  }
+
+  test("wrong arity is an analysis error, not a builder crash") {
+    GraftExtensions.register(spark)
+    val e0 = intercept[AnalysisException](spark.sql("SELECT fnv32a()"))
+    assert(e0.getMessage.contains("fnv32a"))
+    val e2 = intercept[AnalysisException](spark.sql("SELECT fnv32a('a', 'b')"))
+    assert(e2.getMessage.contains("fnv32a"))
+  }
+
+  test("bigrams generator works from SQL via LATERAL VIEW") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, "a b c"), (2L, "solo"), (3L, "x  y")).toDF("doc_id", "text")
+      .createOrReplaceTempView("bg_docs")
+    val got = spark.sql(
+      """SELECT doc_id, bigram FROM bg_docs
+        |LATERAL VIEW bigrams(text) g AS bigram
+        |ORDER BY doc_id, bigram""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a b"), (1L, "b c"), (3L, "x y")))
   }
 }

@@ -37,4 +37,17 @@ class MapReduceOpsSpec extends SparkSuiteBase {
       .collect().map(_.getInt(0).toLong).sum
     assert(total === wantTotal)
   }
+
+  test("native Generator bigrams equal the typed-flatMap bigrams") {
+    val viaFlatMap = MapReduceOps.bigramCounts(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaGen = MapReduceOps.bigramCountsNative(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaGen === viaFlatMap)
+    // planner placed it as a Generate node (no typed SerializeFromObject)
+    val plan = MapReduceOps.bigramCountsNative(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"plan:\n$plan")
+    assert(!plan.contains("SerializeFromObject"), s"plan:\n$plan")
+  }
 }

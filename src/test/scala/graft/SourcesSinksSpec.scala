@@ -37,6 +37,21 @@ class SourcesSinksSpec extends SparkSuiteBase {
     assert(spark.read.json(jsonDir).count() === n)
   }
 
+  test("orc round-trip preserves rows, schema and pushes filters") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val dir = tmp("graft_orc")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === docs.count())
+    assert(back.schema === docs.schema)
+    // columnar source: predicate reaches the ORC scan like parquet
+    val plan = back.where(col("doc_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      s"plan:\n$plan")
+  }
+
   test("partitioned parquet write prunes partitions at read (scale path)") {
     val dir = tmp("graft_part")
     graft.sources.Tables(spark, sf, "lineitem")
