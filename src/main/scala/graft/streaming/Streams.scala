@@ -243,6 +243,39 @@ object Streams {
       .toDF("user_id", "total_events", "batch_events")
   }
 
+  /** Per-user running spend tracker on Spark 4's `transformWithState`
+    * arbitrary-state API (the successor to `flatMapGroupsWithState`:
+    * named state variables, TTL, timers, RocksDB-backed). Emits one
+    * (user_id, running value total, batch event count) row per user per
+    * micro-batch. Requires the RocksDB state store provider (set by the
+    * caller/spec); spec-checked — incremental emissions have no
+    * batch-SQL equivalent. */
+  class SpendTracker extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Ev, (Long, Double, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var total: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Double]("total",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[(Long, Double, Long)] = {
+      var n = 0L
+      var s = 0.0
+      rows.foreach { e => n += 1; s += e.value }
+      val t = (if (total.exists()) total.get() else 0.0) + s
+      total.update(t)
+      Iterator((key, t, n))
+    }
+  }
+
+  def spendTotals(spark: SparkSession, events: Dataset[Ev]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new SpendTracker, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "total_value", "batch_events")
+  }
+
   /** B25 q_stream_dedup: stateful dedup on event_id within the
     * watermark. The feed appends a file that re-sends the newest 100
     * events (duplicates within the watermark horizon) before the

@@ -99,6 +99,40 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("transformWithState: RocksDB-backed running spend across batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val source = MemoryStream[Ev]
+    val name = "tws_test_sink"
+    val q = graft.streaming.Streams.spendTotals(spark, source.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .start()
+    try {
+      source.addData(Seq(Ev(1, ts(0), 7, "x", 2.5), Ev(2, ts(1), 7, "x", 1.5),
+        Ev(3, ts(1), 8, "x", 4.0)))
+      q.processAllAvailable()
+      source.addData(Seq(Ev(4, ts(2), 7, "x", 6.0)))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      // user 7: batch1 total 4.0 over 2 events; batch2 total 10.0 — the
+      // named ValueState carried across batches
+      assert(rows.contains((7L, 4.0, 2L)), s"got ${rows.toSeq}")
+      assert(rows.contains((7L, 10.0, 1L)), s"got ${rows.toSeq}")
+      assert(rows.contains((8L, 4.0, 1L)), s"got ${rows.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark suppresses within-horizon dupes") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
