@@ -68,7 +68,10 @@ object SparkEntry {
     "q_stream_dedup"    -> ((s, d) => graft.streaming.Streams.dedup(s, d)),
     "q_stream_join"     -> ((s, d) => graft.streaming.Streams.streamJoin(s, d)),
     "q_pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
-    "q_skew_agg"        -> ((s, d) => Skew.skewedAgg(s, d))
+    "q_skew_agg"        -> ((s, d) => Skew.skewedAgg(s, d)),
+    "q_grouping_sets"   -> ((s, d) => Relational.groupingSetsSales(s, d)),
+    "q_window_range"    -> ((s, d) => Windows.rangeFrame(s, d)),
+    "q_sample_hash"     -> ((s, d) => Pipeline.hashSample(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -464,7 +467,32 @@ object SparkEntry {
     "q_pipeline_curate" -> curateOracle,
     "q_skew_agg" ->
       """SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
-        |FROM lineitem GROUP BY l_suppkey""".stripMargin
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |         ORDER BY CAST(o_orderdate AS DATE)
+        |         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+        |         AS rev30d
+        |FROM orders""".stripMargin,
+    "q_sample_hash" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, ${utf8BytesSql("CAST(doc_id AS VARCHAR)")} AS bs
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, lang,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT), bs),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+         |  FROM f
+         |)
+         |SELECT doc_id, lang, h FROM g WHERE h % 20 = 0""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

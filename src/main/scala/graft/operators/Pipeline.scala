@@ -26,6 +26,24 @@ object Pipeline {
 
   val QualityThreshold = 0.5
 
+  /** q_sample_hash: deterministic hash-based sampling — keep the docs
+    * whose FNV-1a(doc_id) lands in 1 of `mod` buckets. The
+    * training-pipeline sampling primitive: reproducible across engines
+    * and runs (unlike seeded RNG sampling, whose sequence is
+    * engine-private), stable under repartitioning, and composable
+    * (a 1/20 sample of a 1/5 sample is a 1/100 sample on independent
+    * bucket coordinates). Pure per-row codegen'd predicate → pushes
+    * nothing to the driver at any scale. */
+  def hashSample(spark: SparkSession, dir: String, mod: Int = 20): DataFrame =
+    hashSample(Tables(spark, dir, "documents"), mod)
+
+  /** df form: expects (doc_id: Long, lang: String). */
+  def hashSample(documents: DataFrame, mod: Int): DataFrame =
+    documents
+      .withColumn("h", graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string")))
+      .where(col("h") % mod === 0L)
+      .select(col("doc_id"), col("lang"), col("h"))
+
   /** q_pipeline_curate: per-language curation ledger. */
   def curate(spark: SparkSession, dir: String): DataFrame =
     curate(Tables(spark, dir, "documents"))

@@ -93,6 +93,22 @@ object Relational {
         coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
         col("sum_price"), col("cnt"))
 
+  /** B6c q_grouping_sets: NON-hierarchical grouping sets — per-flag and
+    * per-status marginals in one pass (inexpressible as rollup/cube;
+    * Spark 4's `Dataset.groupingSets` API). One scan feeds both
+    * aggregations via the expand operator, the declarative form of the
+    * classic MR "tag each record with its grouping" trick. */
+  def groupingSetsSales(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("cnt"))
+
   /** q_pivot: long→wide reshape — order counts per priority pivoted on
     * status. Pivot values are enumerated explicitly (no dry-run scan to
     * discover them — at 100 TB the discovery pass is the cost). */

@@ -50,6 +50,23 @@ object Windows {
         col("pct_rank"), col("cume"))
   }
 
+  /** B12b q_window_range: RANGE-frame window — trailing-30-day revenue
+    * per customer. The frame is value-based (all orders whose date falls
+    * in [current − 30 d, current]), so date ties are peers and the sum
+    * is deterministic without a tie-break; Spark's numeric
+    * `rangeBetween(-30, 0)` over epoch-days ≡ the oracle's
+    * `RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW`. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("od"))
+      .rangeBetween(-30, 0)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("od", datediff(col("o_orderdate"), lit("1970-01-01")))
+      .withColumn("rev30d", round(sum("o_totalprice").over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("rev30d"))
+  }
+
   /** B12 q_window_running: running revenue per customer in order-date
     * order (unbounded-preceding frame) + `lag` of the previous price. */
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
