@@ -30,10 +30,11 @@ object Pipeline {
     * whose FNV-1a(doc_id) lands in 1 of `mod` buckets. The
     * training-pipeline sampling primitive: reproducible across engines
     * and runs (unlike seeded RNG sampling, whose sequence is
-    * engine-private), stable under repartitioning, and composable
-    * (a 1/20 sample of a 1/5 sample is a 1/100 sample on independent
-    * bucket coordinates). Pure per-row codegen'd predicate → pushes
-    * nothing to the driver at any scale. */
+    * engine-private), stable under repartitioning, idempotent, and
+    * refinable (the `mod = 20` sample nests inside the `mod = 10` one,
+    * so a pipeline can grow its sample without resampling seen docs).
+    * Pure per-row codegen'd predicate → pushes nothing to the driver at
+    * any scale. */
   def hashSample(spark: SparkSession, dir: String, mod: Int = 20): DataFrame =
     hashSample(Tables(spark, dir, "documents"), mod)
 

@@ -33,6 +33,25 @@ class LibraryApiSpec extends SparkSuiteBase {
     assert(ledger("en")._2 === 1L)
   }
 
+  test("hash sampling is deterministic, composable and partition-stable") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, s"text $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val s1 = Pipeline.hashSample(docs, 10).collect().map(_.getLong(0)).sorted
+    val s2 = Pipeline.hashSample(docs.repartition(7), 10).collect()
+      .map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2), "sample changed under repartitioning")
+    assert(s1.nonEmpty && s1.length < 1000)
+    // idempotence: re-sampling the sample at the same modulus is a no-op
+    val again = Pipeline.hashSample(
+      docs.where(col("doc_id").isin(s1: _*)), 10).collect()
+      .map(_.getLong(0)).sorted
+    assert(again.sameElements(s1))
+    // refinement: a larger modulus on the same hash nests inside
+    val finer = Pipeline.hashSample(docs, 20).collect().map(_.getLong(0))
+    assert(finer.toSet.subsetOf(s1.toSet))
+  }
+
   test("similarity + kmeans on an arbitrary vectors DataFrame") {
     import spark.implicits._
     val vecs = (0L until 20L).map { i =>
