@@ -36,6 +36,7 @@ object SparkEntry {
     "q_join_inner"      -> ((s, d) => Joins.innerJoin(s, d)),
     "q_join_broadcast"  -> ((s, d) => Joins.broadcastJoin(s, d)),
     "q_join_semi_anti"  -> ((s, d) => Joins.semiAntiJoin(s, d)),
+    "q_join_outer"      -> ((s, d) => Joins.outerJoin(s, d)),
     "q_join_theta"      -> ((s, d) => Joins.thetaJoin(s, d)),
     "q_join_asof"       -> ((s, d) => Joins.asofJoin(s, d)),
     "q_join_range"      -> ((s, d) => Joins.rangeJoin(s, d)),
@@ -71,6 +72,7 @@ object SparkEntry {
     "q_skew_agg"        -> ((s, d) => Skew.skewedAgg(s, d)),
     "q_grouping_sets"   -> ((s, d) => Relational.groupingSetsSales(s, d)),
     "q_window_range"    -> ((s, d) => Windows.rangeFrame(s, d)),
+    "q_window_value"    -> ((s, d) => Windows.valueWindows(s, d)),
     "q_sample_hash"     -> ((s, d) => Pipeline.hashSample(s, d))
   )
 
@@ -475,6 +477,30 @@ object SparkEntry {
         |       count(*) AS cnt
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "q_join_outer" ->
+      """WITH c AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |), o AS (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  WHERE o_orderstatus = 'F' GROUP BY o_custkey
+        |)
+        |SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+        |            WHEN o_custkey IS NULL THEN 'customer_only'
+        |            ELSE 'order_only' END AS op,
+        |       count(*) AS cnt,
+        |       CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS sum_orders
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q_window_value" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_orderkey) OVER wf AS first_ok,
+        |       last_value(o_orderkey) OVER wf AS last_ok,
+        |       nth_value(o_orderkey, 2) OVER wf AS second_ok,
+        |       lead(o_orderkey, 1) OVER w AS next_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey,
         |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey

@@ -69,6 +69,29 @@ object Joins {
     cnt("semi", semi).unionAll(cnt("anti", anti))
   }
 
+  /** B9b q_join_outer: full-outer join classified into match classes —
+    * the null-extension semantics left/right/full add over inner. The
+    * orders side is pre-aggregated to one row per customer BEFORE the
+    * join (at 100 TB: join cardinality = |customers|, not |orders|). */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    // both sides restricted so all three match classes are non-empty
+    // (every customer has orders in the fixture, so the unrestricted
+    // full-outer degenerates to 'both')
+    val c = Tables(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables(spark, dir, "orders")
+      .where(col("o_orderstatus") === "F")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("order_only").as("op"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .groupBy("op")
+      .agg(count(lit(1)).as("cnt"), sum("n_orders").as("sum_orders"))
+  }
+
   /** B10 q_join_theta: equi key + theta residual (`l_shipdate >
     * o_orderdate`) — planner keeps the equi part as the join key and
     * applies the inequality as a post-join residual, so this stays a

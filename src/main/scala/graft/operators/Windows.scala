@@ -50,6 +50,25 @@ object Windows {
         col("pct_rank"), col("cume"))
   }
 
+  /** B12c q_window_value: value-picking window family — first/last/nth
+    * order per customer over the full partition frame plus `lead`.
+    * Fully tie-broken ordering (date, then key) so every picked value is
+    * deterministic; last_value/nth_value need the explicit unbounded
+    * frame (the default frame stops at CURRENT ROW). */
+  def valueWindows(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("first_ok", first("o_orderkey").over(full))
+      .withColumn("last_ok", last("o_orderkey").over(full))
+      .withColumn("second_ok", nth_value(col("o_orderkey"), 2).over(full))
+      .withColumn("next_ok", lead("o_orderkey", 1).over(ord))
+      .select(col("o_custkey"), col("o_orderkey"), col("first_ok"),
+        col("last_ok"), col("second_ok"), col("next_ok"))
+  }
+
   /** B12b q_window_range: RANGE-frame window — trailing-30-day revenue
     * per customer. The frame is value-based (all orders whose date falls
     * in [current − 30 d, current]), so date ties are peers and the sum
