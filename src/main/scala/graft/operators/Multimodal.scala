@@ -115,6 +115,47 @@ object Multimodal {
     }
   }
 
+  /** A media payload embedded into R^dim. */
+  case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
+
+  /** Embedding-extraction STUB: a real deployment runs an ONNX/JNI
+    * vision or audio encoder initialized once per partition; here the
+    * "encoder" rolls payload bytes into a position-mixed histogram and
+    * L2-normalizes — deterministic, locality-preserving for byte-similar
+    * payloads, and shaped exactly like the real stage (typed in/out,
+    * per-partition batches, `Array[Float]` column out, payloads never at
+    * the driver). Output plugs straight into `Similarity`'s ANN
+    * operators. */
+  def embedStub(items: Dataset[MediaItem], dim: Int = 64): Dataset[MediaEmbedding] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { iter =>
+      // encoder/model init once per partition here
+      iter.map { m =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < m.payload.length) {
+          val b = m.payload(i) & 0xFF
+          v((b * 31 + (i % 7)) % dim) += 1.0f
+          i += 1
+        }
+        var s = 0.0
+        v.foreach(x => s += x.toDouble * x)
+        val n = math.sqrt(s).toFloat
+        MediaEmbedding(m.doc_id, if (n == 0f) v else v.map(_ / n))
+      }
+    }
+  }
+
+  /** Multimodal → similarity composition: embed the media table, then
+    * exact cosine top-k over the stub embeddings — the end-to-end shape
+    * of "find media like these" at corpus scale (swap `bruteForceTopK`
+    * for `ivfTopK` when the corpus outgrows brute force). */
+  def mediaNeighbors(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Similarity.bruteForceTopK(
+      embedStub(mediaTable(spark, dir)).toDF()
+        .select(col("doc_id").as("vec_id"), col("embedding")),
+      col("vec_id") < 10, k)
+
   /** North-star q_multimodal: driver-checkable projection (the histogram
     * array is covered by ScalaTest; byte length / checksum / digest have
     * an exact DuckDB mirror). */

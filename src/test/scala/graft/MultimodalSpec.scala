@@ -39,6 +39,37 @@ class MultimodalSpec extends SparkSuiteBase {
     assert(frames.forall(_.payload.length === 256))
   }
 
+  test("embed stub: unit-norm, deterministic, identical payloads coincide") {
+    import spark.implicits._
+    val ds = Seq(
+      Multimodal.MediaItem(1L, "image", "the quick brown fox".getBytes("UTF-8")),
+      Multimodal.MediaItem(2L, "image", "the quick brown fox".getBytes("UTF-8")),
+      Multimodal.MediaItem(3L, "audio", "completely different bytes here".getBytes("UTF-8")))
+      .toDS()
+    val e = Multimodal.embedStub(ds).collect().map(m => m.doc_id -> m.embedding).toMap
+    e.values.foreach { v =>
+      assert(math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-6)
+    }
+    assert(e(1L).sameElements(e(2L)), "identical payloads must embed identically")
+    assert(!e(1L).sameElements(e(3L)))
+    // determinism across runs
+    val e2 = Multimodal.embedStub(ds).collect().map(m => m.doc_id -> m.embedding).toMap
+    assert(e(3L).sameElements(e2(3L)))
+  }
+
+  test("multimodal -> similarity composition returns k neighbors per query") {
+    val out = Multimodal.mediaNeighbors(spark, sf, k = 3)
+    val perQuery = out.collect().groupBy(_.getLong(0))
+    assert(perQuery.nonEmpty)
+    perQuery.foreach { case (_, rows) => assert(rows.length === 3) }
+    // the identical-payload twin (if any) ranks with sim ~ 1; at minimum
+    // similarities are within valid cosine range
+    out.collect().foreach { r =>
+      val s = r.getDouble(2)
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+    }
+  }
+
   test("media table types cycle deterministically and payload is binary") {
     val rows = Multimodal.mediaTable(spark, sf).collect()
     assert(rows.nonEmpty)
