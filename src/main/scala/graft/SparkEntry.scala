@@ -73,7 +73,8 @@ object SparkEntry {
     "q_grouping_sets"   -> ((s, d) => Relational.groupingSetsSales(s, d)),
     "q_window_range"    -> ((s, d) => Windows.rangeFrame(s, d)),
     "q_window_value"    -> ((s, d) => Windows.valueWindows(s, d)),
-    "q_sample_hash"     -> ((s, d) => Pipeline.hashSample(s, d))
+    "q_sample_hash"     -> ((s, d) => Pipeline.hashSample(s, d)),
+    "q_sql_revenue"     -> ((s, d) => Relational.sqlRevenue(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -518,7 +519,18 @@ object SparkEntry {
          |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
          |  FROM f
          |)
-         |SELECT doc_id, lang, h FROM g WHERE h % 20 = 0""".stripMargin
+         |SELECT doc_id, lang, h FROM g WHERE h % 20 = 0""".stripMargin,
+    "q_sql_revenue" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS cnt
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

@@ -109,6 +109,27 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("sum_qty"), col("cnt"))
 
+  /** q_sql_revenue: the SQL front door end-to-end — a TPC-H-Q5-shaped
+    * 5-table analytic join written as plain `spark.sql` over the
+    * registered catalog views (the exact text a SQL user would run).
+    * Catalyst handles join ordering, broadcasts the three dimension
+    * tables, pushes the region filter below the joins, and splits the
+    * aggregate — nothing is hand-planned. */
+  def sqlRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS cnt
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin)
+  }
+
   /** q_pivot: long→wide reshape — order counts per priority pivoted on
     * status. Pivot values are enumerated explicitly (no dry-run scan to
     * discover them — at 100 TB the discovery pass is the cost). */
