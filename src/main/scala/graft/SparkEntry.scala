@@ -53,6 +53,7 @@ object SparkEntry {
     "q_dedup_ngram"     -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"   -> ((s, d) => Dedup.simhash(s, d)),
+    "q_dedup_cc"        -> ((s, d) => Dedup.dupComponents(s, d)),
     "q_dedup_embed"     -> ((s, d) => Dedup.embedNearDup(s, d)),
     "q_simsearch"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_simsearch_lsh"   -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -335,6 +336,34 @@ object SparkEntry {
          |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_ngram" -> jaccardOracle(0.5),
     "q_dedup_minhash" -> jaccardOracle(0.8),
+    // components of the J >= 0.8 pair graph: min reachable id per node
+    // via a recursive transitive closure (tiny graph — pairs only)
+    "q_dedup_cc" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+         |  FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+         |  WHERE len(ts) >= 3
+         |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |iv AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ic
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |), pairs AS (
+         |  SELECT da, db
+         |  FROM iv JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+         |  WHERE CAST(ic AS DOUBLE) / (x.n + y.n - ic) >= 0.8
+         |), edges AS (
+         |  SELECT da AS u, db AS v FROM pairs
+         |  UNION ALL SELECT db, da FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT u AS node, u AS r FROM edges
+         |  UNION
+         |  SELECT e.u AS node, t.r FROM edges e JOIN reach t ON e.v = t.node
+         |)
+         |SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH tc AS (
          |  SELECT doc_id, tok, count(*) AS cnt FROM (

@@ -246,6 +246,51 @@ object Dedup {
       .where(col("cos") >= 0.4)
   }
 
+  /** q_dedup_cc: connected components over the near-dup pair graph —
+    * transitive dup clustering. A pair list alone under-deduplicates: if
+    * A≈B and B≈C but A̸≈C, keeping "the lower id of each pair" keeps A
+    * and C. Components close the relation; the canonical doc per
+    * component is its minimum id.
+    *
+    * Algorithm: iterative min-label propagation (the classic MapReduce
+    * connected-components loop — Kang et al.'s HCC in PEGASUS, ICDM
+    * 2009 — which is the reference's programming model done declaratively):
+    * each node adopts the min label among itself and its neighbors until
+    * fixpoint. Iterations ≤ graph diameter; each is one join + one
+    * partial/final min-agg, lineage cut per round with localCheckpoint.
+    * Driver state is one Boolean (converged?). The dup GRAPH (pairs) is
+    * orders of magnitude smaller than the corpus at any scale. */
+  def dupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("da").as("u"), col("db").as("v"))
+      .unionAll(pairs.select(col("db").as("u"), col("da").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = edges.join(labels, col("v") === col("node"))
+        .select(col("u"), col("comp"))
+        .unionAll(labels.select(col("node").as("u"), col("comp")))
+        .groupBy(col("u").as("n2"))
+        .agg(min("comp").as("c2"))
+        .select(col("n2").as("node"), col("c2").as("comp"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"),
+          col("n.node") === col("o.node") && col("n.comp") =!= col("o.comp"),
+          "left_semi")
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    labels.select(col("node").as("doc_id"), col("comp"))
+  }
+
+  /** Catalog form over the MinHash-LSH pairs (J ≥ 0.8). */
+  def dupComponents(spark: SparkSession, dir: String): DataFrame =
+    dupComponents(minhashLsh(Tables(spark, dir, "documents")))
+
   /** The 100 TB form of `embedNearDup`: candidate pairs only within an
     * IVF cluster (`Clustering.fit` coarse quantizer) — the pair join is
     * equi on `cid`, O(Σ listᵢ²) instead of O(n²); recall is bounded by

@@ -40,6 +40,20 @@ class DedupSpec extends SparkSuiteBase {
     assert(single.toSeq === merged.toSeq)
   }
 
+  test("dup components close the pair relation transitively") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 (diameter 5 → needs multiple propagation
+    // rounds) + separate pair (10,11) + a triangle edge (20,21),(21,22)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("da", "db")
+    val comps = Dedup.dupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).map(comps).toSet === Set(1L))
+    assert(comps(10L) === 10L && comps(11L) === 10L)
+    assert(Seq(20L, 21L, 22L).map(comps).toSet === Set(20L))
+  }
+
   test("simhash: identical docs share hash; pairs are hamming-bounded") {
     val pairs = Dedup.simhashPairs(spark, sf, d = 3).collect()
     pairs.foreach(r => assert(r.getLong(2) <= 3))
