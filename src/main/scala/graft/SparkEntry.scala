@@ -579,7 +579,7 @@ object SparkEntry {
     * quality-score and token-count oracles stitched into one statement
     * (same formulas, same fold orders as their standalone queries). */
   private def curateOracle: String =
-    s"""WITH toks AS (
+    s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
        |  FROM documents
        |), sh AS (
@@ -591,10 +591,20 @@ object SparkEntry {
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ic
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
-       |), dups AS (
-       |  SELECT DISTINCT db AS doc_id
+       |), prs AS (
+       |  SELECT da, db
        |  FROM iv JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
        |  WHERE CAST(ic AS DOUBLE) / (x.n + y.n - ic) >= 0.8
+       |), edges AS (
+       |  SELECT da AS u, db AS v FROM prs UNION ALL SELECT db, da FROM prs
+       |), reach AS (
+       |  SELECT DISTINCT u AS node, u AS r FROM edges
+       |  UNION
+       |  SELECT e.u AS node, t.r FROM edges e JOIN reach t ON e.v = t.node
+       |), dups AS (
+       |  -- transitive: non-canonical members of each dup component
+       |  SELECT node AS doc_id FROM reach GROUP BY node
+       |  HAVING min(r) != node
        |), q AS (
        |  SELECT d.doc_id,
        |    least(CAST(CAST(len(t.ts) AS BIGINT) AS DOUBLE) / 50.0, 1.0) * 0.3

@@ -52,9 +52,13 @@ object Pipeline {
   /** df form: expects (doc_id: Long, text: String, lang: String). */
   def curate(documents: DataFrame): DataFrame = {
     val docs = documents.select("doc_id", "lang")
-    // drop the HIGHER id of every near-dup pair (keep the first-seen doc)
-    val dupIds = Dedup.minhashLsh(documents)
-      .select(col("db").as("doc_id")).distinct()
+    // transitive dedup: drop every non-canonical member of each near-dup
+    // COMPONENT (keep the min id). Pairwise keep-the-lower would
+    // under-deduplicate chains (A≈B≈C with A̸≈C keeps both A and C
+    // unless B's bridge closes them into one component).
+    val dupIds = Dedup.dupComponents(Dedup.minhashLsh(documents))
+      .where(col("doc_id") =!= col("comp"))
+      .select(col("doc_id")).distinct()
     val quality = TextOps.qualityScore(documents).select("doc_id", "score")
     val tokens = TextOps.tokenCounts(documents).select("doc_id", "wp_tokens")
 
