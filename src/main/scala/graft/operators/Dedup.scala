@@ -291,6 +291,17 @@ object Dedup {
   def dupComponents(spark: SparkSession, dir: String): DataFrame =
     dupComponents(minhashLsh(Tables(spark, dir, "documents")))
 
+  /** Materialized transitive near-dedup of a corpus: drop every
+    * non-canonical member of every near-dup component (MinHash-LSH
+    * pairs closed by `dupComponents`), keep everything else untouched.
+    * The drop set is tiny relative to the corpus → broadcast anti-join. */
+  def dedupNear(docs: DataFrame): DataFrame = {
+    val drop = dupComponents(minhashLsh(docs))
+      .where(col("doc_id") =!= col("comp"))
+      .select("doc_id")
+    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+  }
+
   /** The 100 TB form of `embedNearDup`: candidate pairs only within an
     * IVF cluster (`Clustering.fit` coarse quantizer) — the pair join is
     * equi on `cid`, O(Σ listᵢ²) instead of O(n²); recall is bounded by

@@ -23,6 +23,11 @@ class LibraryApiSpec extends SparkSuiteBase {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("dedupNear drops the non-canonical near-dup, keeps the rest") {
+    val kept = Dedup.dedupNear(userDocs).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L)) // 2 is the near-dup of 1
+  }
+
   test("quality + token + curation on an arbitrary docs DataFrame") {
     val q = TextOps.qualityScore(userDocs).collect()
       .map(r => r.getLong(0) -> r.getDouble(5)).toMap
