@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-path layout control (SURVEY §2 A7 generalized to the 100 TB
+  * design point). The reference's sink is one text file per reducer
+  * (`/root/reference/test.go:46-49,66-70`); at scale the sink's FILE
+  * LAYOUT is a first-class performance concern:
+  *
+  *  - partition directories bound what later queries must list/scan
+  *    (partition pruning is a file-listing operation);
+  *  - sorting within files gives parquet min/max row-group statistics
+  *    their selectivity (skip row groups, not just files);
+  *  - file size caps keep single files splittable and listings cheap —
+  *    and the dual problem, too MANY small files, is the classic
+  *    long-running-pipeline pathology that compaction repairs.
+  */
+object Sinks {
+
+  /** Partitioned, statistics-friendly parquet write: directory layout by
+    * `partitionCols`, rows sorted by `sortCols` WITHIN each output file
+    * (parquet row-group min/max stats become selective), at most
+    * `maxRecordsPerFile` rows per file. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String], sortCols: Seq[String],
+                       maxRecordsPerFile: Long = 1000000L): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files (computed from the CURRENT on-disk
+    * size, so it adapts to compression ratios). Returns the new file
+    * count. Stages into a sibling directory then swaps — never holds
+    * the data in memory and never reads a directory it is overwriting.
+    * At 100 TB this runs per-partition-directory, bounded by the
+    * partitions touched since the last compaction. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val totalBytes = walkBytes(new java.io.File(path))
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + ".compact-tmp"
+    spark.read.parquet(path)
+      .repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(path))
+    nFiles
+  }
+
+  private def walkBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).map(walkBytes).sum
+    else if (f.getName.endsWith(".parquet")) f.length
+    else 0L
+}

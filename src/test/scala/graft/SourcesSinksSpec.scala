@@ -52,6 +52,32 @@ class SourcesSinksSpec extends SparkSuiteBase {
       s"plan:\n$plan")
   }
 
+  test("sinks: partitioned+sorted layout and small-file compaction") {
+    import graft.sources.Sinks
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val dir = tmp("graft_sink")
+    Sinks.writePartitioned(docs, dir, Seq("lang"), Seq("doc_id"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count())
+    // directory layout per partition value
+    val langDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).toSet
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+      .map(l => s"lang=$l").toSet
+    assert(langDirs === langs)
+
+    // fragment a copy into many small files, then compact to few
+    val frag = tmp("graft_frag")
+    docs.repartition(32).write.mode("overwrite").parquet(frag)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(frag) === 32)
+    val n = Sinks.compact(spark, frag)
+    assert(parts(frag) === n && n < 32)
+    assert(spark.read.parquet(frag).count() === docs.count())
+  }
+
   test("partitioned parquet write prunes partitions at read (scale path)") {
     val dir = tmp("graft_part")
     graft.sources.Tables(spark, sf, "lineitem")
