@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Codegen'd vector kernels for the similarity/dedup/clustering hot
+  * loops. The declarative forms (`aggregate(zip_with(...))`) are
+  * evaluated INTERPRETED per row — on an n² pair join that lambda
+  * interpreter is the entire profile. These expressions splice a tight
+  * primitive loop into whole-stage codegen instead.
+  *
+  * Float parity: both kernels accumulate LEFT-TO-RIGHT from 0.0 —
+  * exactly the fold order of the `aggregate(zip_with(..))` forms they
+  * replace and of the DuckDB oracle's `list_reduce(list_prepend(0.0,
+  * ...))` — so results are bit-identical and oracle hash checks are
+  * unaffected. */
+abstract class VectorFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"${prettyName} requires two array<double> arguments, got ($l, $r)")
+    }
+
+  /** Java source for one accumulation term given element vars `x`/`y`. */
+  protected def termJava(x: String, y: String): String
+  protected def termEval(x: Double, y: Double): Double
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val u = a.asInstanceOf[ArrayData]
+    val v = b.asInstanceOf[ArrayData]
+    val n = math.min(u.numElements(), v.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += termEval(u.getDouble(i), v.getDouble(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $s += ${termJava(x, y)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+}
+
+/** Left-fold dot product Σ aᵢ·bᵢ of two array<double>. */
+case class DotF64(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "dot_f64"
+  override protected def termJava(x: String, y: String): String = s"$x * $y"
+  override protected def termEval(x: Double, y: Double): Double = x * y
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF64 =
+    copy(left = l, right = r)
+}
+
+/** Left-fold squared L2 distance Σ (aᵢ−bᵢ)² of two array<double>. */
+case class SqDistF64(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "sqdist_f64"
+  override protected def termJava(x: String, y: String): String =
+    s"($x - $y) * ($x - $y)"
+  override protected def termEval(x: Double, y: Double): Double = (x - y) * (x - y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistF64 =
+    copy(left = l, right = r)
+}
+
+object VectorExprs {
+  /** Column form: dot product. */
+  def dot(a: Column, b: Column): Column =
+    ColumnShim.column(DotF64(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column form: squared L2 distance. */
+  def sqDist(a: Column, b: Column): Column =
+    ColumnShim.column(SqDistF64(ColumnShim.expression(a), ColumnShim.expression(b)))
+}

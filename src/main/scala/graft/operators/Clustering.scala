@@ -35,22 +35,21 @@ object Clustering {
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
-  /** Centroids as a literal array<struct(cid, c)> column (shared by the
-    * assignment pass, IVF search and blocked embed-dedup). */
-  private[operators] def centroidLit(cs: Array[Array[Double]]) =
-    array(cs.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cid"), array(c.map(lit(_)): _*).as("c"))
-    }: _*)
+  /** Per-centroid (d2, cid) struct columns over the vector column `e` —
+    * the distance kernel is the codegen'd [[graft.functions.SqDistF64]]
+    * (same left-fold order as the `aggregate(zip_with(..))` form it
+    * replaced, so distances are bit-identical); shared by the
+    * assignment pass, IVF search and blocked embed-dedup. */
+  private[operators] def distStructs(cs: Array[Array[Double]]): Seq[org.apache.spark.sql.Column] =
+    cs.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.VectorExprs.sqDist(col("e"), lit(c)).as("d2"),
+        lit(i).as("cid"))
+    }.toSeq
 
   /** One assignment pass: adds `cid` (nearest centroid by L2²) and
     * `d2` (its squared distance). */
   private[operators] def assign(v: DataFrame, cs: Array[Array[Double]]): DataFrame =
-    v.withColumn("cents", centroidLit(cs))
-      .withColumn("best", expr(
-        """array_min(transform(cents,
-          |  c -> struct(aggregate(zip_with(e, c.c, (x, y) -> (x - y) * (x - y)),
-          |                cast(0.0 as double), (a, p) -> a + p) AS d2,
-          |              c.cid AS cid)))""".stripMargin))
+    v.withColumn("best", array_min(array(distStructs(cs): _*)))
       .select(col("vec_id"), col("e"),
         col("best.cid").as("cid"), col("best.d2").as("d2"))
 

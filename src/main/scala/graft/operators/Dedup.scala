@@ -241,7 +241,7 @@ object Dedup {
     val v = Similarity.vecs(spark, dir)
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        (expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)")
+        (graft.functions.VectorExprs.dot(col("a.e"), col("b.e"))
           / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .where(col("cos") >= 0.4)
   }
@@ -307,19 +307,14 @@ object Dedup {
     * equi on `cid`, O(Σ listᵢ²) instead of O(n²); recall is bounded by
     * cluster purity and property-tested vs the exact operator. */
   def embedNearDupBlocked(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
-    val centsLit = Clustering.centroidLit(Clustering.fit(spark, dir))
+    val ds = Clustering.distStructs(Clustering.fit(spark, dir))
     val v = Similarity.vecs(spark, dir)
-      .withColumn("cents", centsLit)
-      .withColumn("cid", expr(
-        """array_min(transform(cents,
-          |  c -> struct(aggregate(zip_with(e, c.c, (x, y) -> (x - y) * (x - y)),
-          |                cast(0.0 as double), (a, p) -> a + p) AS d2,
-          |              c.cid AS cid))).cid""".stripMargin))
+      .withColumn("cid", array_min(array(ds: _*)).getField("cid"))
       .select(col("vec_id"), col("e"), col("nrm"), col("cid"))
     v.as("a").join(v.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        (expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)")
+        (graft.functions.VectorExprs.dot(col("a.e"), col("b.e"))
           / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .where(col("cos") >= tau)
   }

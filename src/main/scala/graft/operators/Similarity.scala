@@ -34,18 +34,24 @@ object Similarity {
   private[operators] def vecs(spark: SparkSession, dir: String): DataFrame =
     vecs(Tables(spark, dir, "embeddings"))
 
-  /** df form: expects (vec_id: Long, embedding: Array[Float|Double]). */
+  /** df form: expects (vec_id: Long, embedding: Array[Float|Double]).
+    * The norm kernel is the codegen'd [[graft.functions.DotF64]] —
+    * Σx·x left-fold, bit-identical to the `aggregate` form it replaced
+    * and to the oracle's list_reduce. */
   private[operators] def vecs(emb: DataFrame): DataFrame =
     emb
       .withColumn("e", col("embedding").cast("array<double>"))
       .withColumn("nrm",
-        sqrt(expr("aggregate(e, cast(0.0 as double), (a, x) -> a + x * x)")))
+        sqrt(graft.functions.VectorExprs.dot(col("e"), col("e"))))
       .select(col("vec_id"), col("e"), col("nrm"))
 
-  /** Cosine between the aliased sides, fold order identical to the
-    * oracle's list_reduce. */
-  private val CosSql =
-    "aggregate(zip_with(q.e, c.e, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p) / (q.nrm * c.nrm)"
+  /** Cosine between the aliased sides — codegen'd dot product, fold
+    * order identical to the oracle's list_reduce (bit-parity). On the
+    * n·k pair joins this kernel IS the profile; the interpreted
+    * `aggregate(zip_with(..))` lambda was ~10× slower. */
+  private def cosCol: Column =
+    graft.functions.VectorExprs.dot(col("q.e"), col("c.e")) /
+      (col("q.nrm") * col("c.nrm"))
 
   /** B20 q_simsearch: exact cosine top-k (k=10) for the query vectors
     * vec_id < 10 over the whole corpus (self excluded). */
@@ -59,7 +65,7 @@ object Similarity {
     val scored = broadcast(q).as("q").join(v.as("c"),
         col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"),
-        expr(CosSql).as("sim"))
+        cosCol.as("sim"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast(LongType))
       .where(col("rn") <= k)
@@ -75,14 +81,14 @@ object Similarity {
     Array.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  /** NumPlanes-bit signed-hyperplane bucket id from columns `pl`
-    * (planes) and `e` (vector): bit i = sign of ⟨plane_i, e⟩. */
-  private val BucketSql: String =
-    s"""aggregate(transform(sequence(0, ${NumPlanes - 1}),
-       |  i -> IF(aggregate(zip_with(pl[i], e, (x, y) -> x * y),
-       |            cast(0.0 as double), (a, p) -> a + p) > 0,
-       |          shiftleft(1, i), 0)),
-       |  0, (a, b) -> a + b)""".stripMargin
+  /** NumPlanes-bit signed-hyperplane bucket id over vector column `e`:
+    * bit i = sign of ⟨plane_i, e⟩ (codegen'd dot kernel, same fold
+    * order as the former lambda form → identical buckets). */
+  private def bucketCol: Column =
+    (0 until NumPlanes).map { i =>
+      when(graft.functions.VectorExprs.dot(lit(planes(i)), col("e")) > 0,
+        lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** IVF (inverted-file) approximate top-k: `Clustering.fit`'s K-Means
     * centroids act as the coarse quantizer; each corpus vector lives in
@@ -93,16 +99,10 @@ object Similarity {
     * broadcast-joined filter, partition-parallel). Recall is
     * property-tested vs `bruteForceTopK`. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10, nProbe: Int = 3): DataFrame = {
-    val centsLit = Clustering.centroidLit(Clustering.fit(spark, dir))
+    val ds = Clustering.distStructs(Clustering.fit(spark, dir))
     // distances to all centroids, sorted: [0] = own list, [0..nProbe) = probes
-    def withDists(df: DataFrame): DataFrame = df
-      .withColumn("cents", centsLit)
-      .withColumn("ds", expr(
-        """array_sort(transform(cents,
-          |  c -> struct(aggregate(zip_with(e, c.c, (x, y) -> (x - y) * (x - y)),
-          |                cast(0.0 as double), (a, p) -> a + p) AS d2,
-          |              c.cid AS cid)))""".stripMargin))
-      .drop("cents")
+    def withDists(df: DataFrame): DataFrame =
+      df.withColumn("ds", array_sort(array(ds: _*)))
     val v = withDists(vecs(spark, dir))
       .withColumn("cid", col("ds")(0).getField("cid")).drop("ds")
     val q = withDists(vecs(spark, dir).where(col("vec_id") < 10))
@@ -111,7 +111,7 @@ object Similarity {
     val scored = broadcast(q).as("q").join(v.as("c"),
         col("q.probe") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"),
-        expr(CosSql).as("sim"))
+        cosCol.as("sim"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast(LongType))
       .where(col("rn") <= k)
@@ -121,10 +121,7 @@ object Similarity {
     * with single-bit multi-probe. Not oracle-checked (approximate);
     * recall vs `bruteForceTopK` is property-tested. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val planesLit = array(planes.map(p => array(p.map(lit(_)): _*)): _*)
-    val v = vecs(spark, dir).withColumn("pl", planesLit)
-      .withColumn("bucket", expr(BucketSql))
-      .drop("pl")
+    val v = vecs(spark, dir).withColumn("bucket", bucketCol)
     val q = v.where(col("vec_id") < 10)
       // probe set: own bucket + every single-bit flip
       .withColumn("probe", explode(expr(
@@ -135,7 +132,7 @@ object Similarity {
         col("q.probe") === col("c.bucket") &&
           col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"),
-        expr(CosSql).as("sim"))
+        cosCol.as("sim"))
       .distinct()
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast(LongType))
