@@ -4,6 +4,27 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends SparkSuiteBase {
 
+  test("codegen vector kernels are BIT-identical to the lambda fold forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian()), Array.fill(64)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        graft.functions.VectorExprs.dot(col("a"), col("b")).as("dot_k"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)").as("dot_l"),
+        graft.functions.VectorExprs.sqDist(col("a"), col("b")).as("d2_k"),
+        expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, p) -> acc + p)").as("d2_l"))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"dot bits differ at id ${r.getLong(0)}")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(4)), s"sqdist bits differ at id ${r.getLong(0)}")
+    }
+  }
+
   test("brute-force top-k ranks by cosine with deterministic tie-break") {
     val rows = Similarity.bruteForceTopK(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
