@@ -276,6 +276,49 @@ object Streams {
       .toDF("user_id", "total_value", "batch_events")
   }
 
+  /** The timer path of `transformWithState`: a custom sessionizer that
+    * emits ONLY when a per-user event-time timer expires (no events for
+    * `gapMs` past the watermark), then clears its state — the arbitrary-
+    * logic analogue of `session_window` where the close action can be
+    * any user code (flush to a store, emit a summary, trigger a job). */
+  class SessionCloser(gapMs: Long) extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Ev, (Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[(Long, Long)] = {
+      var n = if (count.exists()) count.get() else 0L
+      var maxTs = Long.MinValue
+      rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
+      count.update(n)
+      // (re)arm: close the session once the watermark passes last+gap
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(maxTs + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      val n = if (count.exists()) count.get() else 0L
+      count.clear()
+      Iterator((key, n))
+    }
+  }
+
+  def sessionClose(spark: SparkSession, events: Dataset[Ev],
+                   gapMs: Long = 5 * 60 * 1000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloser(gapMs), TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF("user_id", "n_events")
+  }
+
   /** B25 q_stream_dedup: stateful dedup on event_id within the
     * watermark. The feed appends a file that re-sends the newest 100
     * events (duplicates within the watermark horizon) before the

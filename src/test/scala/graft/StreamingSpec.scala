@@ -133,6 +133,40 @@ class StreamingSpec extends SparkSuiteBase {
     }
   }
 
+  test("transformWithState timers: session closes only after the gap expires") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val source = MemoryStream[Ev]
+    val name = "timer_test_sink"
+    val q = graft.streaming.Streams.sessionClose(spark, source.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      // user 7: three events within the 5-min gap
+      source.addData(Seq(Ev(1, ts(0), 7, "x", 1.0), Ev(2, ts(2), 7, "x", 1.0),
+        Ev(3, ts(4), 7, "x", 1.0)))
+      q.processAllAvailable()
+      assert(spark.table(name).isEmpty, "session must not close early")
+      // advance the watermark far past last + gap → timer fires
+      source.addData(Seq(Ev(4, ts(30), 8, "x", 1.0)))
+      q.processAllAvailable()
+      source.addData(Seq(Ev(5, ts(59), 8, "x", 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.contains((7L, 3L)), s"got $rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark suppresses within-horizon dupes") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
