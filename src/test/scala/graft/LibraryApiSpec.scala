@@ -49,7 +49,7 @@ class LibraryApiSpec extends SparkSuiteBase {
     assert(s1.nonEmpty && s1.length < 1000)
     // idempotence: re-sampling the sample at the same modulus is a no-op
     val again = Pipeline.hashSample(
-      docs.where(col("doc_id").isin(s1: _*)), 10).collect()
+      docs.where(col("doc_id").isin(s1.toIndexedSeq: _*)), 10).collect()
       .map(_.getLong(0)).sorted
     assert(again.sameElements(s1))
     // refinement: a larger modulus on the same hash nests inside
@@ -60,7 +60,7 @@ class LibraryApiSpec extends SparkSuiteBase {
   test("similarity + kmeans on an arbitrary vectors DataFrame") {
     import spark.implicits._
     val vecs = (0L until 20L).map { i =>
-      (i, Array.tabulate(64)(d => math.sin(i * 64 + d))) // deterministic
+      (i, Array.tabulate(64)(d => math.sin((i * 64 + d).toDouble))) // deterministic
     }.toDF("vec_id", "embedding")
     val top = Similarity.bruteForceTopK(vecs, col("vec_id") < 2, k = 3)
     assert(top.collect().length === 6)
