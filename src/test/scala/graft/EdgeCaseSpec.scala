@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Pipeline, TextOps}
+
+/** Degenerate-input behavior: empty corpora and empty/whitespace-only
+  * documents must flow through the operators with stable schemas and
+  * the explicitly-defined guard values (no NULL/NaN leaking through
+  * quality gates — the r2 ADVICE divide-by-zero finding, pinned). */
+class EdgeCaseSpec extends SparkSuiteBase {
+
+  private def docsOf(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  private val empty = docsOf(Nil)
+
+  test("empty corpus: text/dedup/sample operators return empty, schema intact") {
+    assert(TextOps.wordCount(empty).collect().isEmpty)
+    assert(TextOps.qualityScore(empty).collect().isEmpty)
+    assert(TextOps.qualityScore(empty).columns.toSeq ===
+      Seq("doc_id", "n_tok", "avg_tok_len", "stop_ratio", "alpha_ratio", "score"))
+    assert(Dedup.minhashLsh(empty).collect().isEmpty)
+    assert(Dedup.dedupNear(empty).collect().isEmpty)
+    assert(Pipeline.hashSample(empty, 10).collect().isEmpty)
+    assert(Pipeline.curate(empty).collect().isEmpty)
+  }
+
+  test("empty and whitespace-only docs score 0.0 and gate as low-quality") {
+    val docs = docsOf(Seq(
+      (1L, "", "en"),
+      (2L, "   \t  \n ", "en"),
+      (3L, "the quick brown fox jumps over the lazy dog and is of sound mind " * 3, "en")))
+    val q = TextOps.qualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      val r = q(id)
+      assert(r.getLong(1) === 0L, s"doc $id n_tok")
+      assert(r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0 &&
+        r.getDouble(4) === 0.0, s"doc $id ratios must be 0.0, not null/NaN")
+      assert(r.getDouble(5) === 0.0, s"doc $id score")
+    }
+    assert(q(3L).getDouble(5) > 0.5)
+    // the curation gate classifies the degenerate docs as lowq, not kept
+    val ledger = Pipeline.curate(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(ledger("en")._2 === 2L, "empty docs must count as lowq")
+    assert(ledger("en")._1 === 1L)
+  }
+
+  test("single-doc corpus: pair-based dedup yields no pairs, keeps the doc") {
+    val one = docsOf(Seq((7L, "only one document here", "en")))
+    assert(Dedup.minhashLsh(one).collect().isEmpty)
+    assert(Dedup.dedupNear(one).collect().map(_.getLong(0)).toSeq === Seq(7L))
+  }
+}
