@@ -167,6 +167,35 @@ class StreamingSpec extends SparkSuiteBase {
     }
   }
 
+  test("file sink: checkpointed parquet write with AvailableNow equals batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    // production write path: stream the events table into a parquet sink
+    // with its own checkpoint, one shot via AvailableNow
+    val evs = graft.sources.Tables(spark, sf, "events")
+      .select("event_id", "event_type", "value")
+    val srcDir = Files.createTempDirectory("graft_fsrc").toFile.getAbsolutePath
+    val outDir = Files.createTempDirectory("graft_fsink").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_fck").toFile.getAbsolutePath
+    evs.write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream.schema(evs.schema).parquet(srcDir)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val back = spark.read.parquet(outDir)
+    assert(back.count() === evs.count())
+    assert(back.schema === evs.schema)
+    // restart with the same checkpoint: nothing new → no duplicates
+    val q2 = spark.readStream.schema(evs.schema).parquet(srcDir)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(outDir).count() === evs.count(),
+      "checkpoint must make the restart a no-op (exactly-once)")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses within-horizon dupes") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
