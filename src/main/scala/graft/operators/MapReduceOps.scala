@@ -61,6 +61,31 @@ object MapReduceOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** The reference's whole programming contract as ONE generic entry
+    * point (`/root/reference/README.md:10` "users plug in Map and
+    * Reduce"; `mp/worker.go:14-17`): `mapFn` is `MapperInterface` (one
+    * record → many KV pairs), `reduceFn` is `ReduceInterface` (pairwise
+    * associative+commutative merge per key), `r` is the reference's R
+    * (reduce-partition count). Spark supplies everything the
+    * master/worker machinery did: the shuffle replaces the tmp-file
+    * exchange, `reduceGroups` runs partial merges map-side before the
+    * shuffle (the in-mapper combine of `test.go:15`), scheduling and
+    * retry are the DAG scheduler's. A reference user ports an app by
+    * handing over the same two functions. */
+  def mapReduce[K, V](records: org.apache.spark.sql.Dataset[String], r: Int,
+                      mapFn: String => IterableOnce[(K, V)],
+                      reduceFn: (V, V) => V)(
+      implicit ke: org.apache.spark.sql.Encoder[(K, V)],
+      ge: org.apache.spark.sql.Encoder[K]): org.apache.spark.sql.Dataset[(K, V)] = {
+    val mapped = records.flatMap(mapFn)(ke)
+    val shuffled =
+      if (r > 0) mapped.repartition(r, col("_1")) else mapped
+    shuffled
+      .groupByKey(_._1)(ge)
+      .reduceGroups((a: (K, V), b: (K, V)) => (a._1, reduceFn(a._2, b._2)))
+      .map(_._2)(ke)
+  }
+
   /** U3 stretch (q_udtf_native): the same expansion as a native Catalyst
     * [[Generator]] — planner-placed `GenerateExec` in the scan stage, no
     * typed encoder round-trip. Same oracle as `bigramCounts`. */

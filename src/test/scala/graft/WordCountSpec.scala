@@ -21,6 +21,19 @@ class WordCountSpec extends SparkSuiteBase {
     assert(got === Map("a" -> 8L, "b" -> 2L, "c" -> 2L, "d" -> 2L, "e" -> 2L))
   }
 
+  test("generic mapReduce entry point replays the reference golden") {
+    import spark.implicits._
+    import graft.operators.MapReduceOps
+    val lines = (Seq("a", "b", "c", "d", "e") ++ Seq("a", "b", "c", "d", "e")
+      ++ Seq.fill(6)("a")).toDS()
+    // the reference's TestMap/TestReduce shapes, verbatim semantics:
+    // map: line -> (token, 1) per whitespace token; reduce: sum
+    val got = MapReduceOps.mapReduce[String, Long](lines, r = 2,
+      line => line.toLowerCase.split("\\s+").filter(_.nonEmpty).map(_ -> 1L),
+      _ + _).collect().toMap
+    assert(got === Map("a" -> 8L, "b" -> 2L, "c" -> 2L, "d" -> 2L, "e" -> 2L))
+  }
+
   test("tokenizer drops empties and splits on all whitespace incl VT") {
     import spark.implicits._
     val df = Seq("  Hello\u000Bworld\t x ").toDF("text")
