@@ -33,6 +33,8 @@ object SparkEntry {
     "q_scalar_datemath" -> ((s, d) => Scalars.dateMath(s, d)),
     "q_scalar_array"    -> ((s, d) => Scalars.arrayOps(s, d)),
     "q_scalar_json"     -> ((s, d) => Scalars.jsonOps(s, d)),
+    "q_scalar_null"     -> ((s, d) => Scalars.nullOps(s, d)),
+    "q_agg_strings"     -> ((s, d) => Scalars.stringAgg(s, d)),
     "q_join_inner"      -> ((s, d) => Joins.innerJoin(s, d)),
     "q_join_broadcast"  -> ((s, d) => Joins.broadcastJoin(s, d)),
     "q_join_semi_anti"  -> ((s, d) => Joins.semiAntiJoin(s, d)),
@@ -180,6 +182,25 @@ object SparkEntry {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+    "q_scalar_null" ->
+      """WITH d AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |         CASE WHEN o_orderstatus = 'P' THEN NULL
+        |              ELSE o_orderpriority END AS prio_n
+        |  FROM orders
+        |)
+        |SELECT o_orderkey,
+        |       coalesce(prio_n, 'none') AS prio_or_none,
+        |       nullif(o_orderstatus, 'P') AS status_or_null,
+        |       (prio_n IS NOT DISTINCT FROM o_orderpriority) AS same_prio,
+        |       (prio_n IS NULL) AS prio_missing
+        |FROM d""".stripMargin,
+    "q_agg_strings" ->
+      """SELECT r_name,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_distinct
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 2) AS price
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,

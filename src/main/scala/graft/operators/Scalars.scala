@@ -21,6 +21,35 @@ import graft.sources.Tables
   */
 object Scalars {
 
+  /** q_scalar_null: null-handling semantics — coalesce, nullif,
+    * null-safe equality, and null detection over a derived nullable
+    * column (priority nulled for one status). Pure per-row expressions;
+    * pins that three-valued logic matches the oracle. */
+  def nullOps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .withColumn("prio_n",
+        when(col("o_orderstatus") === "P", lit(null: String))
+          .otherwise(col("o_orderpriority")))
+      .select(
+        col("o_orderkey"),
+        coalesce(col("prio_n"), lit("none")).as("prio_or_none"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+        (col("prio_n") <=> col("o_orderpriority")).as("same_prio"),
+        col("prio_n").isNull.as("prio_missing"))
+
+  /** q_agg_strings: ordered string aggregation per group —
+    * `collect_list` sorted then joined, the deterministic form of
+    * listagg/string_agg (set + list collection with an explicit total
+    * order, so the concatenation is reproducible across partitionings). */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "nation")
+      .join(Tables(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        size(array_sort(collect_set(col("n_nationkey")))).cast("long").as("n_distinct"))
+
   /** B15 q_scalar_string: lower/substring/length/concat_ws/regexp_extract
     * over documents. */
   def stringOps(spark: SparkSession, dir: String): DataFrame =
