@@ -66,6 +66,7 @@ object SparkEntry {
     "q_udtf_explode"    -> ((s, d) => MapReduceOps.bigramCounts(s, d)),
     "q_udtf_native"     -> ((s, d) => MapReduceOps.bigramCountsNative(s, d)),
     "q_multimodal"      -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "q_multimodal_frames" -> ((s, d) => Multimodal.frameLedger(s, d)),
     "q_stream_tumbling" -> ((s, d) => graft.streaming.Streams.tumbling(s, d)),
     "q_stream_sliding"  -> ((s, d) => graft.streaming.Streams.sliding(s, d)),
     "q_stream_session"  -> ((s, d) => graft.streaming.Streams.session(s, d)),
@@ -473,6 +474,17 @@ object SparkEntry {
          |    (a, b) -> (a + b) % 4294967296) AS checksum,
          |  md5(text) AS digest
          |FROM documents""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+        |), f AS (
+        |  SELECT doc_id, L, CAST(i AS BIGINT) AS i
+        |  FROM b, unnest(range(0, CAST(ceil(L / 256.0) AS BIGINT))) AS u(i)
+        |  WHERE i % 2 = 0
+        |)
+        |SELECT doc_id, count(*) AS n_frames,
+        |       CAST(sum(least(256, L - i * 256)) AS BIGINT) AS frame_bytes
+        |FROM f GROUP BY doc_id""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sval

@@ -156,6 +156,18 @@ object Multimodal {
         .select(col("doc_id").as("vec_id"), col("embedding")),
       col("vec_id") < 10, k)
 
+  /** q_multimodal_frames: per-document frame-sampling ledger — frame
+    * count and sampled-byte mass from `frameSampleStub` (every 2nd
+    * 256-byte pseudo-frame). The sampling arithmetic is deterministic,
+    * so unlike the codec stub itself this composition IS oracle-checkable
+    * (the DuckDB mirror recomputes it from byte lengths). */
+  def frameLedger(spark: SparkSession, dir: String): DataFrame =
+    frameSampleStub(mediaTable(spark, dir))
+      .toDF()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("payload")).cast("long")).as("frame_bytes"))
+
   /** North-star q_multimodal: driver-checkable projection (the histogram
     * array is covered by ScalaTest; byte length / checksum / digest have
     * an exact DuckDB mirror). */
