@@ -284,6 +284,12 @@ object Dedup {
       labels = next
       it += 1
     }
+    // fail loudly rather than return silently-wrong labels: iterations
+    // needed ≈ component diameter, so a hit here means pathologically
+    // chained dups — raise maxIter, don't trust partial propagation
+    if (!converged) throw new IllegalStateException(
+      s"dupComponents did not converge in $maxIter iterations; " +
+        "raise maxIter (propagation rounds ~ dup-component diameter)")
     labels.select(col("node").as("doc_id"), col("comp"))
   }
 
