@@ -37,7 +37,10 @@ case class Bigrams(child: Expression)
     val v = child.eval(input)
     if (v == null) Iterator.empty
     else {
-      val toks = v.asInstanceOf[UTF8String].toString.toLowerCase
+      // Locale.ROOT: the default-locale overload is a correctness trap
+      // (tr_TR lowercases I → ı, silently changing tokens)
+      val toks = v.asInstanceOf[UTF8String].toString
+        .toLowerCase(java.util.Locale.ROOT)
         .split(graft.operators.TextOps.WsRun).filter(_.nonEmpty)
       if (toks.length < 2) Iterator.empty
       else (0 until toks.length - 1).iterator.map(i =>

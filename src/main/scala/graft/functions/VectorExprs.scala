@@ -18,7 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * exactly the fold order of the `aggregate(zip_with(..))` forms they
   * replace and of the DuckDB oracle's `list_reduce(list_prepend(0.0,
   * ...))` — so results are bit-identical and oracle hash checks are
-  * unaffected. */
+  * unaffected.
+  *
+  * Element nulls are NOT supported: these are primitive kernels
+  * (NULL input arrays → NULL result via the null-safe wrapper, but a
+  * NULL *element* is undefined, as for any primitive vector math).
+  * Callers materialize dense vectors (the engine's embedding columns
+  * are non-null floats). */
 abstract class VectorFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
 

@@ -52,7 +52,7 @@ object MapReduceOps {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val ts = text.toLowerCase
+        val ts = text.toLowerCase(java.util.Locale.ROOT)
           .split(TextOps.WsRun).filter(_.nonEmpty)
         ts.sliding(2).filter(_.length == 2).map(a => (id, a(0) + " " + a(1)))
       }
