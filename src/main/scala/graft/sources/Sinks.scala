@@ -41,6 +41,16 @@ object Sinks {
     * partitions touched since the last compaction. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
+    // leaf directories only: compacting a partitioned ROOT would read
+    // the partition columns as data and rewrite without the directory
+    // layout — silently destroying partition pruning
+    val partDirs = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    require(partDirs.isEmpty,
+      s"compact() operates on leaf directories; $path contains partition " +
+        s"directories (${partDirs.take(3).map(_.getName).mkString(", ")}…) — " +
+        "compact each partition directory instead")
     val totalBytes = walkBytes(new java.io.File(path))
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = path.stripSuffix("/") + ".compact-tmp"

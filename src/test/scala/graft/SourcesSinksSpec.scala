@@ -76,6 +76,16 @@ class SourcesSinksSpec extends SparkSuiteBase {
     val n = Sinks.compact(spark, frag)
     assert(parts(frag) === n && n < 32)
     assert(spark.read.parquet(frag).count() === docs.count())
+
+    // a partitioned ROOT is refused (flattening would kill pruning);
+    // its leaf directories compact fine
+    val e = intercept[IllegalArgumentException](Sinks.compact(spark, dir))
+    assert(e.getMessage.contains("partition"))
+    val leaf = new java.io.File(dir).listFiles()
+      .find(_.getName.startsWith("lang=")).get.getAbsolutePath
+    val before = spark.read.parquet(leaf).count()
+    Sinks.compact(spark, leaf)
+    assert(spark.read.parquet(leaf).count() === before)
   }
 
   test("partitioned parquet write prunes partitions at read (scale path)") {
