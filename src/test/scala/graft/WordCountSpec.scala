@@ -34,6 +34,16 @@ class WordCountSpec extends SparkSuiteBase {
     assert(got === Map("a" -> 8L, "b" -> 2L, "c" -> 2L, "d" -> 2L, "e" -> 2L))
   }
 
+  test("mapReduce is partition-invariant: same result for any R") {
+    import spark.implicits._
+    import graft.operators.MapReduceOps
+    val lines = (1 to 200).map(i => s"k${i % 7} v").toDS()
+    def run(r: Int) = MapReduceOps.mapReduce[String, Long](lines, r,
+      l => l.split(" ").map(_ -> 1L), _ + _).collect().toMap
+    val base = run(1)
+    assert(run(4) === base && run(13) === base)
+  }
+
   test("tokenizer drops empties and splits on all whitespace incl VT") {
     import spark.implicits._
     val df = Seq("  Hello\u000Bworld\t x ").toDF("text")
