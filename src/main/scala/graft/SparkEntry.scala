@@ -78,7 +78,8 @@ object SparkEntry {
     "q_window_range"    -> ((s, d) => Windows.rangeFrame(s, d)),
     "q_window_value"    -> ((s, d) => Windows.valueWindows(s, d)),
     "q_sample_hash"     -> ((s, d) => Pipeline.hashSample(s, d)),
-    "q_sql_revenue"     -> ((s, d) => Relational.sqlRevenue(s, d))
+    "q_sql_revenue"     -> ((s, d) => Relational.sqlRevenue(s, d)),
+    "q_subquery"        -> ((s, d) => Relational.correlatedSubquery(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -592,7 +593,12 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
-        |GROUP BY n_name""".stripMargin
+        |GROUP BY n_name""".stripMargin,
+    "q_subquery" ->
+      """SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+        |FROM lineitem l
+        |WHERE l_quantity > (SELECT avg(l2.l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_orderkey = l.l_orderkey)""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

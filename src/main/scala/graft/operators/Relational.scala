@@ -130,6 +130,22 @@ object Relational {
         |GROUP BY n_name""".stripMargin)
   }
 
+  /** q_subquery: correlated scalar subquery — lineitems above their own
+    * order's average quantity. Catalyst DECORRELATES this into an
+    * aggregate + join (no per-row re-execution — the classic optimizer
+    * rewrite the reference's model would hand-build as two MR passes).
+    * `l_quantity` is integer-valued, so avg = exact-sum/count is the
+    * same double in both engines and the threshold comparison is
+    * knife-edge-free. */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+        |FROM lineitem l
+        |WHERE l_quantity > (SELECT avg(l2.l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_orderkey = l.l_orderkey)""".stripMargin)
+  }
+
   /** q_pivot: long→wide reshape — order counts per priority pivoted on
     * status. Pivot values are enumerated explicitly (no dry-run scan to
     * discover them — at 100 TB the discovery pass is the cost). */
