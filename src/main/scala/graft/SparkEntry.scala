@@ -79,7 +79,8 @@ object SparkEntry {
     "q_window_value"    -> ((s, d) => Windows.valueWindows(s, d)),
     "q_sample_hash"     -> ((s, d) => Pipeline.hashSample(s, d)),
     "q_sql_revenue"     -> ((s, d) => Relational.sqlRevenue(s, d)),
-    "q_subquery"        -> ((s, d) => Relational.correlatedSubquery(s, d))
+    "q_subquery"        -> ((s, d) => Relational.correlatedSubquery(s, d)),
+    "q_recursive"       -> ((s, d) => Relational.recursiveSpine(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -598,7 +599,20 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
         |FROM lineitem l
         |WHERE l_quantity > (SELECT avg(l2.l_quantity) FROM lineitem l2
-        |                    WHERE l2.l_orderkey = l.l_orderkey)""".stripMargin
+        |                    WHERE l2.l_orderkey = l.l_orderkey)""".stripMargin,
+    "q_recursive" ->
+      """WITH RECURSIVE cal(d) AS (
+        |  SELECT (SELECT min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) FROM orders)
+        |  UNION ALL
+        |  SELECT d + 1 FROM cal
+        |  WHERE d < (SELECT min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) FROM orders) + 59
+        |), daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d, count(*) AS n
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT CAST(cal.d - (SELECT min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) FROM orders) AS BIGINT) AS day_idx,
+        |       CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders
+        |FROM cal LEFT JOIN daily ON cal.d = daily.d""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

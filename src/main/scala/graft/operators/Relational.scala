@@ -146,6 +146,29 @@ object Relational {
         |                    WHERE l2.l_orderkey = l.l_orderkey)""".stripMargin)
   }
 
+  /** q_recursive: recursive CTE (Spark 4's `WITH RECURSIVE`) building a
+    * 60-day date spine from the first order date, left-joined to daily
+    * order counts — the canonical gap-filling shape (time series with
+    * explicit zero days). Recursion depth is 60, under Spark's default
+    * `cteRecursionLevelLimit` of 100; at production spans, generate the
+    * spine with `sequence()`/`explode` instead (constant depth). */
+  def recursiveSpine(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE cal(d) AS (
+        |  SELECT (SELECT min(datediff(o_orderdate, DATE '1970-01-01')) FROM orders)
+        |  UNION ALL
+        |  SELECT d + 1 FROM cal
+        |  WHERE d < (SELECT min(datediff(o_orderdate, DATE '1970-01-01')) FROM orders) + 59
+        |), daily AS (
+        |  SELECT datediff(o_orderdate, DATE '1970-01-01') AS d, count(*) AS n
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT CAST(cal.d - (SELECT min(datediff(o_orderdate, DATE '1970-01-01')) FROM orders) AS BIGINT) AS day_idx,
+        |       CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders
+        |FROM cal LEFT JOIN daily ON cal.d = daily.d""".stripMargin)
+  }
+
   /** q_pivot: long→wide reshape — order counts per priority pivoted on
     * status. Pivot values are enumerated explicitly (no dry-run scan to
     * discover them — at 100 TB the discovery pass is the cost). */
