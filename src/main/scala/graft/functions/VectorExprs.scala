@@ -24,9 +24,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (NULL input arrays → NULL result via the null-safe wrapper, but a
   * NULL *element* is undefined, as for any primitive vector math).
   * Callers materialize dense vectors (the engine's embedding columns
-  * are non-null floats). */
+  * are non-null floats). Mismatched LENGTHS return NULL — the same
+  * ragged-vector behavior as the zip_with forms (which pad with NULL
+  * and propagate), so a malformed embedding yields NULL, never a
+  * silently-truncated prefix product. */
 abstract class VectorFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -43,14 +48,17 @@ abstract class VectorFold extends BinaryExpression {
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val u = a.asInstanceOf[ArrayData]
     val v = b.asInstanceOf[ArrayData]
-    val n = math.min(u.numElements(), v.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      s += termEval(u.getDouble(i), v.getDouble(i))
-      i += 1
+    val n = u.numElements()
+    if (n != v.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += termEval(u.getDouble(i), v.getDouble(i))
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,14 +69,18 @@ abstract class VectorFold extends BinaryExpression {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $a.getDouble($i);
-         |  double $y = $b.getDouble($i);
-         |  $s += ${termJava(x, y)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $a.getDouble($i);
+         |    double $y = $b.getDouble($i);
+         |    $s += ${termJava(x, y)};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 }

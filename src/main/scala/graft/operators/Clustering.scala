@@ -59,20 +59,6 @@ object Clustering {
   private val fitCache =
     new scala.collection.concurrent.TrieMap[(String, Int, String), Array[Array[Double]]]()
 
-  /** Cheap content fingerprint of the embeddings table (file names +
-    * sizes + mtimes): keys the memo so in-place data regeneration within
-    * one JVM (long-lived sessions, shared test sessions) cannot serve
-    * stale centroids. */
-  private def fingerprint(dir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(f)
-    val root = new java.io.File(dir, "embeddings.parquet")
-    if (!root.exists()) "absent"
-    else walk(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString(",")
-  }
-
   /** Drop all memoized fits (tests / data-swap hook). */
   def clearFitCache(): Unit = fitCache.clear()
 
@@ -80,7 +66,8 @@ object Clustering {
     // deterministic per (dir, iters, data fingerprint) → safe to memoize;
     // without this a Verify run re-fits for q_kmeans, q_simsearch_ivf and
     // the blocked embed-dedup (3× the most expensive driver loop)
-    fitCache.getOrElseUpdate((dir, iters, fingerprint(dir)),
+    // memo goes stale when the table is regenerated in place (Fs fingerprint)
+    fitCache.getOrElseUpdate((dir, iters, graft.Fs.tableFingerprint(dir, "embeddings")),
       fit(vecs(spark, dir), iters))
 
   /** df form: expects (vec_id: Long, e: Array[Double]); not memoized. */

@@ -65,25 +65,32 @@ object MapReduceOps {
     * point (`/root/reference/README.md:10` "users plug in Map and
     * Reduce"; `mp/worker.go:14-17`): `mapFn` is `MapperInterface` (one
     * record → many KV pairs), `reduceFn` is `ReduceInterface` (pairwise
-    * associative+commutative merge per key), `r` is the reference's R
-    * (reduce-partition count). Spark supplies everything the
-    * master/worker machinery did: the shuffle replaces the tmp-file
-    * exchange, `reduceGroups` runs partial merges map-side before the
-    * shuffle (the in-mapper combine of `test.go:15`), scheduling and
-    * retry are the DAG scheduler's. A reference user ports an app by
-    * handing over the same two functions. */
+    * associative+commutative merge per key), `r` is the reference's R —
+    * and really is the reduce-task count: ONE shuffle hash-partitions
+    * by key into exactly `r` partitions (`r ≤ 0` → session default) and
+    * each reduce task merges its keys in a local hash map, exactly the
+    * reference's reducer shape (`test.go:51,58-65`). The map side
+    * pre-merges per partition first (the in-mapper combine of
+    * `test.go:15`), so the shuffle carries one pair per (partition,
+    * key). Per-task state is one (K, V) per distinct key in the task —
+    * the reference's unbounded-reducer-map semantics; for
+    * spill-managed aggregation use `groupByKey`/`Aggregator` instead. */
   def mapReduce[K, V](records: org.apache.spark.sql.Dataset[String], r: Int,
                       mapFn: String => IterableOnce[(K, V)],
                       reduceFn: (V, V) => V)(
-      implicit ke: org.apache.spark.sql.Encoder[(K, V)],
-      ge: org.apache.spark.sql.Encoder[K]): org.apache.spark.sql.Dataset[(K, V)] = {
-    val mapped = records.flatMap(mapFn)(ke)
+      implicit ke: org.apache.spark.sql.Encoder[(K, V)]): org.apache.spark.sql.Dataset[(K, V)] = {
+    def mergePartition(it: Iterator[(K, V)]): Iterator[(K, V)] = {
+      val m = scala.collection.mutable.HashMap.empty[K, V]
+      it.foreach { case (k, v) =>
+        m.update(k, m.get(k) match { case Some(a) => reduceFn(a, v); case None => v })
+      }
+      m.iterator
+    }
+    val combined = records.mapPartitions(it => mergePartition(it.flatMap(mapFn)))(ke)
     val shuffled =
-      if (r > 0) mapped.repartition(r, col("_1")) else mapped
-    shuffled
-      .groupByKey(_._1)(ge)
-      .reduceGroups((a: (K, V), b: (K, V)) => (a._1, reduceFn(a._2, b._2)))
-      .map(_._2)(ke)
+      if (r > 0) combined.repartition(r, col("_1"))
+      else combined.repartition(col("_1"))
+    shuffled.mapPartitions(mergePartition)(ke)
   }
 
   /** U3 stretch (q_udtf_native): the same expansion as a native Catalyst

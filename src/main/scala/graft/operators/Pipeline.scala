@@ -36,14 +36,17 @@ object Pipeline {
     * Pure per-row codegen'd predicate → pushes nothing to the driver at
     * any scale. */
   def hashSample(spark: SparkSession, dir: String, mod: Int = 20): DataFrame =
+    // driver-query projection; the df form below keeps EVERY column so
+    // the sampled docs are directly usable downstream
     hashSample(Tables(spark, dir, "documents"), mod)
+      .select(col("doc_id"), col("lang"), col("h"))
 
-  /** df form: expects (doc_id: Long, lang: String). */
+  /** df form: expects a `doc_id: Long` column; all input columns are
+    * preserved (plus the bucket hash `h`). */
   def hashSample(documents: DataFrame, mod: Int): DataFrame =
     documents
       .withColumn("h", graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string")))
       .where(col("h") % mod === 0L)
-      .select(col("doc_id"), col("lang"), col("h"))
 
   /** q_pipeline_curate: per-language curation ledger. */
   def curate(spark: SparkSession, dir: String): DataFrame =

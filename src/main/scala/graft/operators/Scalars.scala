@@ -48,7 +48,7 @@ object Scalars {
       .groupBy("r_name")
       .agg(
         array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
-        size(array_sort(collect_set(col("n_nationkey")))).cast("long").as("n_distinct"))
+        size(collect_set(col("n_nationkey"))).cast("long").as("n_distinct"))
 
   /** B15 q_scalar_string: lower/substring/length/concat_ws/regexp_extract
     * over documents. */

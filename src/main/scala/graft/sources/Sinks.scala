@@ -53,16 +53,20 @@ object Sinks {
         "compact each partition directory instead")
     val totalBytes = walkBytes(new java.io.File(path))
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = path.stripSuffix("/") + ".compact-tmp"
+    val base = path.stripSuffix("/")
+    val tmp = base + ".compact-tmp"
+    val trash = base + ".compact-old"
     spark.read.parquet(path)
       .repartition(nFiles).write.mode("overwrite").parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(path))
+    // swap via two renames, never delete-before-move: a crash leaves the
+    // data intact at either `path` or `.compact-old` (+ the new copy at
+    // `.compact-tmp`), not a half-deleted directory
+    graft.Fs.rmRf(new java.io.File(trash)) // stale leftover from a crash
+    java.nio.file.Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(trash))
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
       java.nio.file.Paths.get(path))
+    graft.Fs.rmRf(new java.io.File(trash))
     nFiles
   }
 

@@ -58,18 +58,6 @@ object Streams {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
 
-  /** Cheap staleness key for the staging memo (file names+sizes+mtimes of
-    * the source table). */
-  private def fingerprint(dir: String): String = {
-    def walk(f: File): Seq[File] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(f)
-    val root = new File(dir, "events.parquet")
-    if (!root.exists()) "absent"
-    else walk(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString(",")
-  }
-
   private val stagingCache =
     new scala.collection.concurrent.TrieMap[(String, Boolean, String), File]()
 
@@ -82,7 +70,7 @@ object Streams {
     * is event-time order and nothing real is late. Memoized per
     * (dir, dupes, data fingerprint); cleaned up by a shutdown hook. */
   private def staged(spark: SparkSession, dir: String, withDupes: Boolean): File =
-    stagingCache.getOrElseUpdate((dir, withDupes, fingerprint(dir)), {
+    stagingCache.getOrElseUpdate((dir, withDupes, graft.Fs.tableFingerprint(dir, "events")), {
       val ev = events(spark, dir)
       val mm = ev.agg(min("ts").as("lo"), max("ts").as("hi")).head()
       val (loMs, hiMs) =
@@ -90,13 +78,7 @@ object Streams {
         else (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
       val midMs = loMs + (hiMs - loMs) / 2
       val root = Files.createTempDirectory("graft-stream-").toFile
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete()
-        }
-        rm(root)
-      }))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => graft.Fs.rmRf(root)))
       val base = System.currentTimeMillis()
       var seq = 0
       def writeOne(df: DataFrame): Unit = {
@@ -285,15 +267,23 @@ object Streams {
       Long, Ev, (Long, Long)] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
     @transient private var count: ValueState[Long] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    @transient private var lastTs: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       count = getHandle.getValueState[Long]("count",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      lastTs = getHandle.getValueState[Long]("lastTs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
     override def handleInputRows(key: Long, rows: Iterator[Ev],
                                  tv: TimerValues): Iterator[(Long, Long)] = {
       var n = if (count.exists()) count.get() else 0L
-      var maxTs = Long.MinValue
+      // session end = max event time SEEN, not max of this batch: a
+      // late-but-within-watermark batch must never pull the timer
+      // earlier (that would close and split the session prematurely)
+      var maxTs = if (lastTs.exists()) lastTs.get() else Long.MinValue
       rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
       count.update(n)
+      lastTs.update(maxTs)
       // (re)arm: close the session once the watermark passes last+gap
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       getHandle.registerTimer(maxTs + gapMs)
@@ -303,6 +293,7 @@ object Streams {
                                     info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
       val n = if (count.exists()) count.get() else 0L
       count.clear()
+      lastTs.clear()
       Iterator((key, n))
     }
   }

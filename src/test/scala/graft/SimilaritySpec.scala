@@ -23,6 +23,13 @@ class SimilaritySpec extends SparkSuiteBase {
       assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ===
         java.lang.Double.doubleToLongBits(r.getDouble(4)), s"sqdist bits differ at id ${r.getLong(0)}")
     }
+    // ragged vectors are NULL (as the zip_with forms), never a silent
+    // truncated-prefix product
+    val ragged = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorExprs.dot(col("a"), col("b")).as("d"))
+      .collect()(0)
+    assert(ragged.isNullAt(0), "length mismatch must be NULL")
   }
 
   test("brute-force top-k ranks by cosine with deterministic tie-break") {

@@ -38,10 +38,14 @@ class WordCountSpec extends SparkSuiteBase {
     import spark.implicits._
     import graft.operators.MapReduceOps
     val lines = (1 to 200).map(i => s"k${i % 7} v").toDS()
-    def run(r: Int) = MapReduceOps.mapReduce[String, Long](lines, r,
-      l => l.split(" ").map(_ -> 1L), _ + _).collect().toMap
+    def mr(r: Int) = MapReduceOps.mapReduce[String, Long](lines, r,
+      l => l.split(" ").map(_ -> 1L), _ + _)
+    def run(r: Int) = mr(r).collect().toMap
     val base = run(1)
     assert(run(4) === base && run(13) === base)
+    // r really is the reduce-task count (one shuffle, exactly r tasks)
+    assert(mr(4).rdd.getNumPartitions === 4)
+    assert(mr(13).rdd.getNumPartitions === 13)
   }
 
   test("tokenizer drops empties and splits on all whitespace incl VT") {
