@@ -167,6 +167,47 @@ class StreamingSpec extends SparkSuiteBase {
     }
   }
 
+  test("transformWithState timers: a late within-watermark batch never splits the session") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val source = MemoryStream[Ev]
+    val name = "timer_late_sink"
+    val q = graft.streaming.Streams.sessionClose(spark, source.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      // batch 1: user 7 at 10:00 and 10:04 → session end candidate 10:09
+      source.addData(Seq(Ev(1, ts(0), 7, "x", 1.0), Ev(2, ts(4), 7, "x", 1.0)))
+      q.processAllAvailable()
+      // batch 2: LATE but within-watermark event at 10:03:30 — must not
+      // pull the timer earlier than 10:09
+      source.addData(Seq(Ev(3, ts(3, 30), 7, "x", 1.0)))
+      q.processAllAvailable()
+      // batch 3: another user advances the watermark to 10:08:45
+      source.addData(Seq(Ev(4, ts(9, 45), 8, "x", 1.0)))
+      q.processAllAvailable()
+      // batch 4: user 7 again at 10:08:50 — still within gap of 10:04
+      source.addData(Seq(Ev(5, ts(8, 50), 7, "x", 1.0)))
+      q.processAllAvailable()
+      // flush everything
+      source.addData(Seq(Ev(6, ts(59), 9, "x", 1.0)))
+      q.processAllAvailable()
+      val u7 = spark.table(name).collect()
+        .filter(_.getLong(0) == 7L).map(_.getLong(1)).toSeq
+      assert(u7 === Seq(4L),
+        s"user 7 must close as ONE 4-event session, got $u7")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("file sink: checkpointed parquet write with AvailableNow equals batch") {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.Files
