@@ -74,7 +74,10 @@ object MapReduceOps {
     * `test.go:15`), so the shuffle carries one pair per (partition,
     * key). Per-task state is one (K, V) per distinct key in the task —
     * the reference's unbounded-reducer-map semantics; for
-    * spill-managed aggregation use `groupByKey`/`Aggregator` instead. */
+    * spill-managed aggregation use `groupByKey`/`Aggregator` instead.
+    * K needs value-based equals/hashCode consistent with its encoded
+    * form (primitives, String, case classes thereof — NOT JVM arrays,
+    * whose equality is by reference). */
   def mapReduce[K, V](records: org.apache.spark.sql.Dataset[String], r: Int,
                       mapFn: String => IterableOnce[(K, V)],
                       reduceFn: (V, V) => V)(
