@@ -78,6 +78,8 @@ object SparkEntry {
     "q_window_range"    -> ((s, d) => Windows.rangeFrame(s, d)),
     "q_window_value"    -> ((s, d) => Windows.valueWindows(s, d)),
     "q_sample_hash"     -> ((s, d) => Pipeline.hashSample(s, d)),
+    "q_sample_stratified" -> ((s, d) => Pipeline.stratifiedHashSample(s, d)),
+    "q_pack_tokens"     -> ((s, d) => Pipeline.packTokens(s, d)),
     "q_sql_revenue"     -> ((s, d) => Relational.sqlRevenue(s, d)),
     "q_subquery"        -> ((s, d) => Relational.correlatedSubquery(s, d)),
     "q_recursive"       -> ((s, d) => Relational.recursiveSpine(s, d))
@@ -584,6 +586,33 @@ object SparkEntry {
          |  FROM f
          |)
          |SELECT doc_id, lang, h FROM g WHERE h % 20 = 0""".stripMargin,
+    "q_sample_stratified" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, ${utf8BytesSql("CAST(doc_id AS VARCHAR)")} AS bs
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, lang,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT), bs),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h,
+         |    CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 5
+         |              WHEN 'fr' THEN 2 WHEN 'es' THEN 2 END AS m
+         |  FROM f
+         |)
+         |SELECT doc_id, lang, h FROM g WHERE m IS NOT NULL AND h % m = 0""".stripMargin,
+    "q_pack_tokens" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]')) AS BIGINT) AS wp
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang, wp,
+         |    sum(wp) OVER (PARTITION BY lang ORDER BY doc_id
+         |                  ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t
+         |)
+         |SELECT doc_id, lang,
+         |       CAST(floor((cum - wp) / 2000.0) AS BIGINT) AS shard
+         |FROM c""".stripMargin,
     "q_sql_revenue" ->
       """SELECT n_name,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

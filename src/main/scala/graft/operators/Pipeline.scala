@@ -48,6 +48,66 @@ object Pipeline {
       .withColumn("h", graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string")))
       .where(col("h") % mod === 0L)
 
+  /** q_sample_stratified: per-stratum hash sampling — each language
+    * keeps 1/mod of its docs by the same FNV bucket rule (different
+    * rates per stratum, still deterministic/reproducible/refinable).
+    * The per-row modulus is a tiny CASE expression; languages outside
+    * the plan are dropped. */
+  val StratifiedRates: Seq[(String, Int)] =
+    Seq("en" -> 10, "de" -> 5, "fr" -> 2, "es" -> 2)
+
+  def stratifiedHashSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedHashSample(Tables(spark, dir, "documents"), StratifiedRates)
+      .select(col("doc_id"), col("lang"), col("h"))
+
+  /** df form: expects (doc_id: Long, lang: String); keeps all columns. */
+  def stratifiedHashSample(documents: DataFrame,
+                           rates: Seq[(String, Int)]): DataFrame = {
+    val mod = rates.foldRight(lit(null: String).cast("long")) {
+      case ((lang, m), els) => when(col("lang") === lang, lit(m.toLong)).otherwise(els)
+    }
+    documents
+      .withColumn("h", graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string")))
+      .withColumn("__mod", mod)
+      .where(col("__mod").isNotNull && col("h") % col("__mod") === 0L)
+      .drop("__mod")
+  }
+
+  /** Deterministic train/validation split on disjoint hash buckets:
+    * docs whose bucket is 0 (1/valMod of the corpus) go to validation,
+    * everything else to train — reproducible across runs/engines,
+    * stable under repartitioning, leak-free by construction (the two
+    * sides partition the corpus). */
+  def trainValSplit(documents: DataFrame, valMod: Int = 10): (DataFrame, DataFrame) = {
+    val withH = documents
+      .withColumn("h", graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string")))
+    (withH.where(col("h") % valMod =!= 0L).drop("h"),
+      withH.where(col("h") % valMod === 0L).drop("h"))
+  }
+
+  /** q_pack_tokens: greedy token-budget shard packing per language —
+    * each doc lands in the shard its running token offset falls into
+    * (running sum over a deterministic doc order). The sharding op of
+    * a training-data pipeline ("split this corpus into ~budget-token
+    * files"), parallel per language; at extreme per-stratum cardinality
+    * the prefix sum becomes a two-pass range-partitioned scan, same
+    * semantics. */
+  def packTokens(spark: SparkSession, dir: String, budget: Long = 2000L): DataFrame =
+    packTokens(Tables(spark, dir, "documents"), budget)
+
+  /** df form: expects (doc_id: Long, text: String, lang: String). */
+  def packTokens(documents: DataFrame, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    TextOps.tokenCounts(documents)
+      .join(documents.select("doc_id", "lang"), "doc_id")
+      .withColumn("cum", sum("wp_tokens").over(w))
+      .select(col("doc_id"), col("lang"),
+        floor((col("cum") - col("wp_tokens")) / budget).as("shard"))
+  }
+
   /** q_pipeline_curate: per-language curation ledger. */
   def curate(spark: SparkSession, dir: String): DataFrame =
     curate(Tables(spark, dir, "documents"))

@@ -57,6 +57,23 @@ class LibraryApiSpec extends SparkSuiteBase {
     assert(finer.toSet.subsetOf(s1.toSet))
   }
 
+  test("train/val split partitions the corpus: disjoint, exhaustive, stable") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"doc $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val (train, valid) = Pipeline.trainValSplit(docs, valMod = 10)
+    val t = train.collect().map(_.getLong(0)).toSet
+    val v = valid.collect().map(_.getLong(0)).toSet
+    assert((t & v).isEmpty, "split must be disjoint")
+    assert(t.size + v.size === 500, "split must be exhaustive")
+    assert(v.nonEmpty && t.size > v.size)
+    // stability: same membership on a reshuffled input
+    val (_, v2) = Pipeline.trainValSplit(docs.repartition(7), valMod = 10)
+    assert(v2.collect().map(_.getLong(0)).toSet === v)
+    // schema preserved (no helper columns leak)
+    assert(train.columns.toSeq === docs.columns.toSeq)
+  }
+
   test("similarity + kmeans on an arbitrary vectors DataFrame") {
     import spark.implicits._
     val vecs = (0L until 20L).map { i =>
