@@ -51,6 +51,7 @@ object Bench {
 
     val Runs = 2
     var failed = List.empty[String]
+    var degraded = List.empty[String]
     val results = picked.map { name =>
       var best = Double.MaxValue
       var aborted = false
@@ -67,15 +68,17 @@ object Bench {
         r += 1
       }
       // a transient failure on a LATER run keeps the valid earlier
-      // measurement; only a query with zero successful runs is "failed"
+      // measurement but is flagged in "degraded" (basis = min-of-fewer
+      // runs); only a query with zero successful runs is "failed"
       if (best == Double.MaxValue) { failed ::= name; name -> -1.0 }
-      else name -> best
+      else { if (aborted) degraded ::= name; name -> best }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"agg":"min","sf":"$sfDir"}""")
+    def arr(xs: List[String]) =
+      xs.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -60,7 +60,10 @@ object Pipeline {
     stratifiedHashSample(Tables(spark, dir, "documents"), StratifiedRates)
       .select(col("doc_id"), col("lang"), col("h"))
 
-  /** df form: expects (doc_id: Long, lang: String); keeps all columns. */
+  /** df form: expects (doc_id: Long, lang: String); keeps all columns
+    * and adds/overwrites the bucket hash `h` (like `hashSample`). The
+    * per-row modulus is evaluated inline — no scratch column to clobber
+    * caller data. */
   def stratifiedHashSample(documents: DataFrame,
                            rates: Seq[(String, Int)]): DataFrame = {
     val mod = rates.foldRight(lit(null: String).cast("long")) {
@@ -68,9 +71,7 @@ object Pipeline {
     }
     documents
       .withColumn("h", graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string")))
-      .withColumn("__mod", mod)
-      .where(col("__mod").isNotNull && col("h") % col("__mod") === 0L)
-      .drop("__mod")
+      .where(mod.isNotNull && col("h") % mod === 0L)
   }
 
   /** Deterministic train/validation split on disjoint hash buckets:
@@ -79,10 +80,11 @@ object Pipeline {
     * stable under repartitioning, leak-free by construction (the two
     * sides partition the corpus). */
   def trainValSplit(documents: DataFrame, valMod: Int = 10): (DataFrame, DataFrame) = {
-    val withH = documents
-      .withColumn("h", graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string")))
-    (withH.where(col("h") % valMod =!= 0L).drop("h"),
-      withH.where(col("h") % valMod === 0L).drop("h"))
+    // inline predicate — no scratch column, so an existing `h` (e.g.
+    // from hashSample) passes through untouched
+    val bucket =
+      graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string")) % valMod
+    (documents.where(bucket =!= 0L), documents.where(bucket === 0L))
   }
 
   /** q_pack_tokens: greedy token-budget shard packing per language —
@@ -95,14 +97,18 @@ object Pipeline {
   def packTokens(spark: SparkSession, dir: String, budget: Long = 2000L): DataFrame =
     packTokens(Tables(spark, dir, "documents"), budget)
 
-  /** df form: expects (doc_id: Long, text: String, lang: String). */
+  /** df form: expects (doc_id: Long, text: String, lang: String). One
+    * scan: the token count is computed inline (same expression as
+    * `TextOps.tokenCounts`) so `lang` never needs a re-join. */
   def packTokens(documents: DataFrame, budget: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    TextOps.tokenCounts(documents)
-      .join(documents.select("doc_id", "lang"), "doc_id")
+    documents
+      .select(col("doc_id"), col("lang"),
+        regexp_count(lower(col("text")), lit(TextOps.WordpiecePat))
+          .cast("long").as("wp_tokens"))
       .withColumn("cum", sum("wp_tokens").over(w))
       .select(col("doc_id"), col("lang"),
         floor((col("cum") - col("wp_tokens")) / budget).as("shard"))

@@ -99,13 +99,26 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  /** transformWithState requires the RocksDB state store. The conf is
+    * set INSIDE the try so a failure anywhere (even query start) cannot
+    * leak the provider into the shared session's later tests. */
+  private def withRocksDB[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      body
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState: RocksDB-backed running spend across batches") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    // transformWithState requires the RocksDB provider
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    withRocksDB {
     val source = MemoryStream[Ev]
     val name = "tws_test_sink"
     val q = graft.streaming.Streams.spendTotals(spark, source.toDS())
@@ -124,21 +137,14 @@ class StreamingSpec extends SparkSuiteBase {
       assert(rows.contains((7L, 4.0, 2L)), s"got ${rows.toSeq}")
       assert(rows.contains((7L, 10.0, 1L)), s"got ${rows.toSeq}")
       assert(rows.contains((8L, 4.0, 1L)), s"got ${rows.toSeq}")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    } finally q.stop()
     }
   }
 
   test("transformWithState timers: session closes only after the gap expires") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    withRocksDB {
     val source = MemoryStream[Ev]
     val name = "timer_test_sink"
     val q = graft.streaming.Streams.sessionClose(spark, source.toDS())
@@ -158,21 +164,14 @@ class StreamingSpec extends SparkSuiteBase {
       val rows = spark.table(name).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(rows.contains((7L, 3L)), s"got $rows")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    } finally q.stop()
     }
   }
 
   test("transformWithState timers: a late within-watermark batch never splits the session") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    withRocksDB {
     val source = MemoryStream[Ev]
     val name = "timer_late_sink"
     val q = graft.streaming.Streams.sessionClose(spark, source.toDS())
@@ -199,12 +198,7 @@ class StreamingSpec extends SparkSuiteBase {
         .filter(_.getLong(0) == 7L).map(_.getLong(1)).toSeq
       assert(u7 === Seq(4L),
         s"user 7 must close as ONE 4-event session, got $u7")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    } finally q.stop()
     }
   }
 
