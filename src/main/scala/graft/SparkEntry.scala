@@ -56,7 +56,7 @@ object SparkEntry {
     "q_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"   -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_cc"        -> ((s, d) => Dedup.dupComponents(s, d)),
-    "q_dedup_embed"     -> ((s, d) => Dedup.embedNearDup(s, d)),
+    "q_dedup_embed"     -> ((s, d) => Dedup.embedNearDupGrid(s, d)),
     "q_simsearch"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_simsearch_lsh"   -> ((s, d) => Similarity.lshTopK(s, d)),
     "q_simsearch_ivf"   -> ((s, d) => Similarity.ivfTopK(s, d)),

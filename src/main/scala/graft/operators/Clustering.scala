@@ -57,23 +57,28 @@ object Clustering {
     * doubles of driver state — constant in corpus size). Also the coarse
     * quantizer for `Similarity.ivfTopK`. */
   private val fitCache =
-    new scala.collection.concurrent.TrieMap[(String, Int, String), Array[Array[Double]]]()
+    new scala.collection.concurrent.TrieMap[(String, Int, Int, String), Array[Array[Double]]]()
 
-  /** Drop all memoized fits (tests / data-swap hook). */
+  /** Drop all memoized fits (bench steady-state timing / data-swap hook). */
   def clearFitCache(): Unit = fitCache.clear()
 
-  def fit(spark: SparkSession, dir: String, iters: Int = Iters): Array[Array[Double]] =
-    // deterministic per (dir, iters, data fingerprint) → safe to memoize;
-    // without this a Verify run re-fits for q_kmeans, q_simsearch_ivf and
-    // the blocked embed-dedup (3× the most expensive driver loop)
-    // memo goes stale when the table is regenerated in place (Fs fingerprint)
-    fitCache.getOrElseUpdate((dir, iters, graft.Fs.tableFingerprint(dir, "embeddings")),
-      fit(vecs(spark, dir), iters))
+  def fit(spark: SparkSession, dir: String, iters: Int = Iters,
+          k: Int = K): Array[Array[Double]] =
+    // deterministic per (dir, iters, k, data fingerprint) → safe to
+    // memoize; without this a Verify run re-fits for q_kmeans,
+    // q_simsearch_ivf and the blocked embed-dedup (3× the most expensive
+    // driver loop). The memo goes stale when the table is regenerated in
+    // place (Fs fingerprint).
+    fitCache.getOrElseUpdate((dir, iters, k, graft.Fs.tableFingerprint(dir, "embeddings")),
+      fit(vecs(spark, dir), iters, k))
 
   /** df form: expects (vec_id: Long, e: Array[Double]); not memoized. */
-  def fit(vectors: DataFrame, iters: Int): Array[Array[Double]] = {
+  def fit(vectors: DataFrame, iters: Int): Array[Array[Double]] =
+    fit(vectors, iters, K)
+
+  def fit(vectors: DataFrame, iters: Int, k: Int): Array[Array[Double]] = {
     val v = vectors.cache()
-    var cs: Array[Array[Double]] = v.orderBy("vec_id").limit(K)
+    var cs: Array[Array[Double]] = v.orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to iters) {
       // one shuffle per iteration: partial sums of (cid, dim) on the map

@@ -87,20 +87,76 @@ object Pipeline {
     (documents.where(bucket =!= 0L), documents.where(bucket === 0L))
   }
 
-  /** q_pack_tokens: greedy token-budget shard packing per language —
-    * each doc lands in the shard its running token offset falls into
-    * (running sum over a deterministic doc order). The sharding op of
-    * a training-data pipeline ("split this corpus into ~budget-token
-    * files"), parallel per language; at extreme per-stratum cardinality
-    * the prefix sum becomes a two-pass range-partitioned scan, same
-    * semantics. */
+  /** q_pack_tokens (declared form): greedy token-budget shard packing
+    * per language — each doc lands in the shard its running token offset
+    * falls into (running sum over the deterministic doc_id order). The
+    * sharding op of a training-data pipeline ("split this corpus into
+    * ~budget-token files").
+    *
+    * The prefix sum is the classic TWO-PASS range-partitioned scan, so
+    * no language ever funnels into a single task (the single-window form
+    * `packTokensWindow` makes the dominant language one sorted
+    * partition — a wall at 100 TB; kept as the spec baseline):
+    *  1. rows are bucketed into `buckets` contiguous doc_id ranges
+    *     (arithmetic on (min,max), deterministic — no sampling); a
+    *     partial aggregation computes per-(lang, bucket) token totals,
+    *     and the tiny #langs·buckets ledger comes to the driver where
+    *     the exclusive per-bucket offsets are computed;
+    *  2. one windowed pass per (lang, bucket) — max partition size is a
+    *     bucket, tuned by one knob — adds the broadcast offset to the
+    *     local running sum.
+    * Bucket ranges are contiguous in doc_id, so local order ∘ offsets
+    * ≡ the global per-language prefix sum exactly (integer sums — no
+    * reassociation error). */
   def packTokens(spark: SparkSession, dir: String, budget: Long = 2000L): DataFrame =
     packTokens(Tables(spark, dir, "documents"), budget)
 
-  /** df form: expects (doc_id: Long, text: String, lang: String). One
-    * scan: the token count is computed inline (same expression as
-    * `TextOps.tokenCounts`) so `lang` never needs a re-join. */
-  def packTokens(documents: DataFrame, budget: Long): DataFrame = {
+  /** df form: expects (doc_id: Long, text: String, lang: String). */
+  def packTokens(documents: DataFrame, budget: Long): DataFrame =
+    packTokens(documents, budget, 32)
+
+  def packTokens(documents: DataFrame, budget: Long, buckets: Int): DataFrame = {
+    val counted = documents.select(col("doc_id"), col("lang"),
+      regexp_count(lower(col("text")), lit(TextOps.WordpiecePat))
+        .cast("long").as("wp_tokens"))
+    val mm = counted.agg(min("doc_id"), max("doc_id")).head()
+    if (mm.isNullAt(0)) return packTokensWindow(documents, budget)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, (hi - lo) / buckets + 1)
+    // integer `div`, not `/` (Column `/` is double division — lossy past
+    // 2^53 and the wrong join-key type)
+    val withBkt = counted.withColumn("bkt", expr(s"(doc_id - ${lo}L) div ${span}L"))
+    // pass 1: per-(lang, bucket) totals — partial/final agg, then a
+    // #langs·buckets ledger to the driver (constant-ish at any corpus
+    // scale; buckets is the parallelism knob, not data-dependent)
+    val totals = withBkt.groupBy("lang", "bkt")
+      .agg(sum("wp_tokens").as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val offsets = totals.keys.toSeq.sorted.map { case (lang, bkt) =>
+      val off = totals.collect {
+        case ((l, b), t) if l == lang && b < bkt => t
+      }.sum
+      (lang, bkt, off)
+    }
+    val offDf = documents.sparkSession
+      .createDataFrame(offsets).toDF("lang", "bkt", "off")
+    // pass 2: windowed local prefix sum within each (lang, bucket) range
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "bkt").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    withBkt
+      .join(broadcast(offDf), Seq("lang", "bkt"))
+      .withColumn("cum", sum("wp_tokens").over(w) + col("off"))
+      .select(col("doc_id"), col("lang"),
+        floor((col("cum") - col("wp_tokens")) / budget).as("shard"))
+  }
+
+  /** Single-window reference form of `packTokens` (one partition per
+    * language — fine below ~10⁷ docs/language, the spec baseline the
+    * two-pass form must equal exactly). */
+  def packTokensWindow(documents: DataFrame, budget: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

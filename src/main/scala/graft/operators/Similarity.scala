@@ -20,11 +20,15 @@ import graft.sources.Tables
   *    scanned once, partition-parallel; top-k per query is a window over
   *    k·P candidate rows, never a global sort of all scores. Norms are
   *    computed once per vector, not per (query, vector) pair.
-  *  - LSH: `NumPlanes` (8) signed random hyperplanes → an 8-bit bucket
-  *    per vector; a query probes its own bucket plus every single-bit
-  *    flip (multi-probe), touching ~9/256 of the corpus per query
-  *    instead of all of it. Exactness traded for a bounded candidate
-  *    set; recall is property-tested against the brute-force baseline.
+  *  - LSH: `lshPlanes(n)` signed random hyperplanes → a log₂(n/16)-bit
+  *    bucket per vector (expected occupancy ≈ 16 at any corpus size); a
+  *    query probes its own bucket plus every single-bit flip
+  *    (multi-probe). Exactness traded for a bounded candidate set;
+  *    recall is property-tested against the brute-force baseline.
+  *  - both structures SIZE THEMSELVES from the corpus row count
+  *    (`ivfK` ≈ √n lists with nProbe ≈ 0.15·K, `lshPlanes` ≈
+  *    log₂(n/16)) — the sizing rules are code, not comments, and the
+  *    recall property is tested at two corpus sizes.
   */
 object Similarity {
 
@@ -71,21 +75,53 @@ object Similarity {
       .where(col("rn") <= k)
   }
 
-  // Deterministic random hyperplanes (seed 7) in R^64. 8 planes → 256
-  // buckets: sized so buckets hold O(10) vectors at the tested corpus
-  // sizes; at larger corpora raise planes ∝ log2(n) to keep bucket
-  // occupancy constant.
-  private val NumPlanes = 8
+  // ---- quantizer sizing (IMPLEMENTED, not prose): both ANN structures
+  // derive their parameters from the corpus size n, so the same code is
+  // correctly sized at sf0.001 and at 100 TB. The row count is one
+  // parquet-metadata count, memoized per (dir, data fingerprint).
+
+  private val sizeCache =
+    new scala.collection.concurrent.TrieMap[(String, String), Long]()
+
+  /** Corpus cardinality of `embeddings` under `dir` (memoized). */
+  def corpusSize(spark: SparkSession, dir: String): Long =
+    sizeCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")),
+      Tables(spark, dir, "embeddings").count())
+
+  /** IVF list count ≈ √n (the standard inverted-file sizing: per-query
+    * work nProbe·n/K + K centroid distances is minimized at K ∝ √n),
+    * clamped to keep the quantizer fit sane at tiny/huge corpora. */
+  def ivfK(n: Long): Int =
+    math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+
+  /** Probe count scales WITH K so the probed corpus fraction
+    * (≈ nProbe/K ≈ 15%) — and therefore recall — stays roughly constant
+    * as the corpus grows; property-tested at two corpus sizes. */
+  def ivfNProbe(k: Int): Int = math.max(3, math.round(0.15 * k).toInt)
+
+  /** Hyperplane count ≈ log₂(n / targetBucket): each plane halves
+    * expected bucket occupancy, so this holds occupancy near
+    * `TargetBucket` vectors at any n (clamped to the 24 precomputed
+    * planes; beyond that, extend the plane table). */
+  val TargetBucket = 16
+  val MaxPlanes = 24
+  def lshPlanes(n: Long): Int =
+    math.max(4, math.min(MaxPlanes,
+      math.ceil(math.log(math.max(1.0, n.toDouble / TargetBucket)) / math.log(2.0)).toInt))
+
+  // Deterministic random hyperplanes (seed 7) in R^64 — a fixed pool of
+  // MaxPlanes; lshPlanes(n) selects the prefix (first 8 are bit-identical
+  // to the previous fixed-8 scheme).
   private val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
-    Array.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
+    Array.fill(MaxPlanes)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  /** NumPlanes-bit signed-hyperplane bucket id over vector column `e`:
+  /** nPlanes-bit signed-hyperplane bucket id over vector column `e`:
     * bit i = sign of ⟨plane_i, e⟩ (codegen'd dot kernel, same fold
     * order as the former lambda form → identical buckets). */
-  private def bucketCol: Column =
-    (0 until NumPlanes).map { i =>
+  private def bucketCol(nPlanes: Int): Column =
+    (0 until nPlanes).map { i =>
       when(graft.functions.VectorExprs.dot(lit(planes(i)), col("e")) > 0,
         lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -98,15 +134,17 @@ object Similarity {
     * doubles; lists are just a `cid` column, so "probing a list" is a
     * broadcast-joined filter, partition-parallel). Recall is
     * property-tested vs `bruteForceTopK`. */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 10, nProbe: Int = 3): DataFrame = {
-    val ds = Clustering.distStructs(Clustering.fit(spark, dir))
-    // distances to all centroids, sorted: [0] = own list, [0..nProbe) = probes
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 10, nProbe: Int = 0): DataFrame = {
+    val lists = ivfK(corpusSize(spark, dir))          // K ≈ √n lists
+    val probes = if (nProbe > 0) nProbe else ivfNProbe(lists)
+    val ds = Clustering.distStructs(Clustering.fit(spark, dir, k = lists))
+    // distances to all centroids, sorted: [0] = own list, [0..probes) = probes
     def withDists(df: DataFrame): DataFrame =
       df.withColumn("ds", array_sort(array(ds: _*)))
     val v = withDists(vecs(spark, dir))
       .withColumn("cid", col("ds")(0).getField("cid")).drop("ds")
     val q = withDists(vecs(spark, dir).where(col("vec_id") < 10))
-      .withColumn("probe", explode(expr(s"transform(slice(ds, 1, $nProbe), s -> s.cid)")))
+      .withColumn("probe", explode(expr(s"transform(slice(ds, 1, $probes), s -> s.cid)")))
       .drop("ds")
     val scored = broadcast(q).as("q").join(v.as("c"),
         col("q.probe") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
@@ -121,12 +159,13 @@ object Similarity {
     * with single-bit multi-probe. Not oracle-checked (approximate);
     * recall vs `bruteForceTopK` is property-tested. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val v = vecs(spark, dir).withColumn("bucket", bucketCol)
+    val nPlanes = lshPlanes(corpusSize(spark, dir))   // ≈ log₂(n/TargetBucket)
+    val v = vecs(spark, dir).withColumn("bucket", bucketCol(nPlanes))
     val q = v.where(col("vec_id") < 10)
       // probe set: own bucket + every single-bit flip
       .withColumn("probe", explode(expr(
         s"""array_union(array(bucket),
-           |  transform(sequence(0, ${NumPlanes - 1}),
+           |  transform(sequence(0, ${nPlanes - 1}),
            |    i -> cast(bucket ^ shiftleft(1, i) as int)))""".stripMargin)))
     val scored = broadcast(q).as("q").join(v.as("c"),
         col("q.probe") === col("c.bucket") &&

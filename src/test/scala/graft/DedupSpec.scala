@@ -54,6 +54,36 @@ class DedupSpec extends SparkSuiteBase {
     assert(Seq(20L, 21L, 22L).map(comps).toSet === Set(20L))
   }
 
+  test("dup components run ONE Spark job per propagation iteration") {
+    import spark.implicits._
+    // chain 1..6: min-label needs 5 propagation rounds + 1 no-change
+    // round to detect convergence; setup adds 2 jobs (edges + init
+    // labels checkpoint). The changed-label count must ride the same
+    // job via Observation — the old probe doubled every iteration.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("da", "db")
+    // AQE legitimately splits one action into jobs-per-stage, so the
+    // honest unit is ACTIONS = distinct SQL execution ids, which the old
+    // probe doubled
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val id = js.properties.getProperty("spark.sql.execution.id")
+        if (id != null) execs.add(id)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val comps = Dedup.dupComponents(pairs).collect()
+      Thread.sleep(1000) // listener bus is async; let job-start events drain
+      val observed = execs.size()
+      assert(comps.map(_.getLong(1)).toSet === Set(1L))
+      // 2 setup checkpoints + 6 iterations + 1 final collect
+      assert(observed <= 9,
+        s"$observed actions for 6 iterations — convergence probe is a second action again?")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("simhash: identical docs share hash; pairs are hamming-bounded") {
     val pairs = Dedup.simhashPairs(spark, sf, d = 3).collect()
     pairs.foreach(r => assert(r.getLong(2) <= 3))
@@ -75,6 +105,30 @@ class DedupSpec extends SparkSuiteBase {
     assert(blocked.subsetOf(exact))
     if (exact.nonEmpty)
       info(f"blocked recall: ${blocked.size.toDouble / exact.size}%.2f (${blocked.size}/${exact.size})")
+  }
+
+  test("grid embed near-dup ≡ exhaustive pairs bit-for-bit, for any block count") {
+    val exact = Dedup.embedNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(exact.nonEmpty)
+    // even, odd, and degenerate-single block counts — every unordered
+    // pair must appear exactly once with a bit-identical cosine
+    for (blocks <- Seq(1, 3, 8)) {
+      val grid = Dedup.embedNearDupGrid(spark, sf, blocks).collect()
+      assert(grid.length === exact.size, s"blocks=$blocks duplicated/lost pairs")
+      val set = grid.map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      assert(set === exact, s"blocks=$blocks pair set differs")
+    }
+  }
+
+  test("grid embed near-dup plans as an equi-join, not a nested-loop cartesian") {
+    val plan = Dedup.embedNearDupGrid(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"grid form still plans a cartesian:\n$plan")
   }
 
   test("embedding near-dup: cosine symmetric range and self-free") {

@@ -4,6 +4,27 @@ import graft.operators.Pipeline
 
 class PipelineSpec extends SparkSuiteBase {
 
+  test("two-pass packTokens ≡ single-window form, for any bucket count") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val want = Pipeline.packTokensWindow(docs, 2000L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+    // degenerate single bucket, uneven odd split, more buckets than rows
+    for (buckets <- Seq(1, 7, 100000)) {
+      val got = Pipeline.packTokens(docs, 2000L, buckets).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === want, s"buckets=$buckets diverges from the window form")
+    }
+  }
+
+  test("packTokens never sorts a whole language in one partition") {
+    // the window must be keyed by (lang, bkt), not lang alone
+    val plan = Pipeline.packTokens(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("bkt"),
+      s"expected range-bucketed window partitioning in plan:\n$plan")
+  }
+
   test("curation states partition the corpus; kept docs carry tokens") {
     val rows = Pipeline.curate(spark, sf).collect()
     val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum

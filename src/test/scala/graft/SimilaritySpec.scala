@@ -56,7 +56,34 @@ class SimilaritySpec extends SparkSuiteBase {
     val recall = ivf.map(r => (r.getLong(0), r.getLong(1)))
       .count(brute.contains).toDouble / brute.size
     info(f"IVF recall vs brute force: $recall%.2f")
-    assert(recall > 0.2, f"IVF recall $recall%.2f unexpectedly low")
+    assert(recall > 0.5, f"IVF recall $recall%.2f unexpectedly low")
+  }
+
+  test("quantizer sizing derives from corpus cardinality (code, not prose)") {
+    assert(Similarity.ivfK(100) === 10)
+    assert(Similarity.ivfK(1000000) === 1000)
+    assert(Similarity.ivfK(1) === 4)                 // clamp floor
+    assert(Similarity.ivfK(100000000000L) === 4096)  // clamp ceiling
+    assert(Similarity.lshPlanes(500) === 5)          // ceil(log2(500/16))
+    assert(Similarity.lshPlanes(16) === 4)           // clamp floor
+    assert(Similarity.lshPlanes(1L << 40) === 24)    // clamp to plane pool
+    // probed corpus fraction stays ~constant as K grows
+    for (k <- Seq(10, 100, 1000))
+      assert(math.abs(Similarity.ivfNProbe(k).toDouble / k - 0.15) < 0.16)
+  }
+
+  test("IVF recall holds at a SECOND corpus size with derived parameters") {
+    val big = "/root/testdata/sf0.1"
+    val kSmall = Similarity.ivfK(Similarity.corpusSize(spark, sf))
+    val kBig = Similarity.ivfK(Similarity.corpusSize(spark, big))
+    assert(kBig > kSmall, "derived K must grow with the corpus")
+    val brute = Similarity.bruteForceTopK(spark, big).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, big).collect()
+    val recall = ivf.map(r => (r.getLong(0), r.getLong(1)))
+      .count(brute.contains).toDouble / brute.size
+    info(f"IVF recall at n=${Similarity.corpusSize(spark, big)} (K=$kBig): $recall%.2f")
+    assert(recall > 0.5, f"IVF recall $recall%.2f at the larger corpus")
   }
 
   test("LSH top-k candidates are a subset ranked identically to brute force") {
