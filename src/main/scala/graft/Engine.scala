@@ -55,6 +55,20 @@ object Engine {
     spark
   }
 
+  /** Unique scratch subdirectory (tmpfs when available, else the system
+    * temp dir), removed by a shutdown hook — harness working space for
+    * streaming sinks/checkpoints and staged inputs. */
+  def workDir(prefix: String): java.io.File = {
+    val dir = scratchDir() match {
+      case Some(root) =>
+        java.nio.file.Files.createTempDirectory(root.toPath, prefix).toFile
+      case None =>
+        java.nio.file.Files.createTempDirectory(prefix).toFile
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => Fs.rmRf(dir)))
+    dir
+  }
+
   private val MinTmpfsBytes = 16L * 1024 * 1024 * 1024
 
   @volatile private var scratch: Option[java.io.File] = None

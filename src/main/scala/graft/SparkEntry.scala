@@ -28,6 +28,7 @@ object SparkEntry {
     "q_pivot"           -> ((s, d) => Relational.pivotStatus(s, d)),
     "q_sort_limit"      -> ((s, d) => Relational.sortLimit(s, d)),
     "q_quantiles"       -> ((s, d) => Relational.quantiles(s, d)),
+    "q_quantiles_approx" -> ((s, d) => Relational.quantilesApprox(s, d)),
     "q_setops"          -> ((s, d) => Relational.setOps(s, d)),
     "q_scalar_string"   -> ((s, d) => Scalars.stringOps(s, d)),
     "q_scalar_datemath" -> ((s, d) => Scalars.dateMath(s, d)),
@@ -42,6 +43,7 @@ object SparkEntry {
     "q_join_theta"      -> ((s, d) => Joins.thetaJoin(s, d)),
     "q_join_asof"       -> ((s, d) => Joins.asofJoin(s, d)),
     "q_join_range"      -> ((s, d) => Joins.rangeJoin(s, d)),
+    "q_join_bucketed"   -> ((s, d) => Joins.bucketedJoin(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "q_window_rank"     -> ((s, d) => Windows.rankTopN(s, d)),
     "q_window_dist"     -> ((s, d) => Windows.distWindows(s, d)),
@@ -209,6 +211,11 @@ object SparkEntry {
     "q_join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 2) AS price
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
         |FROM customer

@@ -126,6 +126,62 @@ object Joins {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
   }
 
+  /** B7c q_join_bucketed: the ZERO-SHUFFLE repeated-join path — both
+    * sides written bucketed AND sorted on the join key, so the join
+    * plans with no Exchange and no Sort on either side. At 100 TB this
+    * converts the dominant per-query shuffle of every join on that key
+    * into a one-time layout cost at write time (the lakehouse pattern
+    * for a fact table joined daily on the same key).
+    *
+    * The bucketed copies are staged once per (dir, data fingerprint)
+    * into the session catalog with explicit scratch-dir locations
+    * (nothing lands in the process cwd); the join itself — the measured
+    * part — is `spark.table ⋈ spark.table`. The aggregation after the
+    * join shuffles its 5 result groups, which is the correct place for
+    * the plan's only exchange. (A per-task Sort of each bucket's rows
+    * remains: Spark 3+ drops bucket sortBy propagation unless the
+    * legacy bucketedTableScan.outputOrdering conf is set, SPARK-28632 —
+    * the shuffle, not the local sort, is the 100 TB cost.) */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (ot, ct) = stagedBuckets(spark, dir)
+    // merge hint: this query DEMONSTRATES the bucketed sort-merge path —
+    // without it AQE would broadcast the small side at test scale and the
+    // bucketing layout would sit unused
+    spark.table(ot).join(spark.table(ct).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val bucketCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, String)]()
+
+  /** Stage bucketed+sorted copies of orders/customer on o_custkey /
+    * c_custkey (8 buckets) as catalog tables; memoized per (dir, data
+    * fingerprint). */
+  private[graft] def stagedBuckets(spark: SparkSession, dir: String): (String, String) =
+    bucketCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "orders")), {
+      val tag = Integer.toHexString((dir + graft.Fs.tableFingerprint(dir, "orders")).hashCode)
+      val root = graft.Engine.workDir("graft-bkt-")
+      def stage(table: String, cols: Seq[String], key: String): String = {
+        val name = s"graft_${table}_b$tag"
+        if (!spark.catalog.tableExists(name)) {
+          // repartition on the bucket key first (same Murmur3 mapping as
+          // the bucket spec) → exactly ONE file per bucket; Spark only
+          // propagates the sortBy ordering (eliding the join's Sort) for
+          // single-file buckets
+          Tables(spark, dir, table).select(cols.map(col): _*)
+            .repartition(8, col(key))
+            .write.bucketBy(8, key).sortBy(key)
+            .option("path", new java.io.File(root, name).getAbsolutePath)
+            .mode("overwrite").saveAsTable(name)
+        }
+        name
+      }
+      (stage("orders", Seq("o_orderkey", "o_custkey", "o_totalprice"), "o_custkey"),
+        stage("customer", Seq("c_custkey", "c_mktsegment"), "c_custkey"))
+    })
+
   /** As-of join (q_join_asof): for each event, the most recent order of
     * the same customer at-or-before the event time.
     *

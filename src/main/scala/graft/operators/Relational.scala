@@ -193,6 +193,19 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
         count(lit(1)).as("cnt"))
 
+  /** B13b q_quantiles_approx: the 100 TB quantile path — t-digest-style
+    * `percentile_approx` (bounded sketch state, partial/final mergeable)
+    * next to the exact `percentile` of q_quantiles (which buffers each
+    * group's values). Rows-only at the driver gate (sketch output is
+    * engine-specific); the error bound vs exact is spec-checked. */
+  def quantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
+        round(expr("percentile_approx(l_extendedprice, 0.95, 10000)"), 4).as("p95"),
+        count(lit(1)).as("cnt"))
+
   /** B13 q_sort_limit: global top-10 with full tie-break; plans as
     * TakeOrderedAndProject, not a total sort. */
   def sortLimit(spark: SparkSession, dir: String): DataFrame =

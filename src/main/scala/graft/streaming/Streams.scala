@@ -34,7 +34,9 @@ import graft.sources.Tables
   * Scale notes: state per key is bounded by the watermark horizon;
   * micro-batch shuffles use 8 partitions (state-store commit cost is
   * task-count-bound at this batch size; a production job sizes this to
-  * state volume). Nothing collects event payloads to the driver.
+  * state volume). Results flow through a checkpointed parquet FILE sink
+  * and are read back as a lazy batch scan over its commit log — nothing,
+  * input or output, ever materializes on the driver.
   */
 object Streams {
 
@@ -109,13 +111,19 @@ object Streams {
       root
     })
 
-  /** Run `build` as a streaming query over the staged file feed; returns
-    * the materialized sink rows (sentinel rows filtered by the caller's
-    * projection where relevant). */
+  /** Run `build` as a streaming query over the staged file feed, through
+    * a CHECKPOINTED PARQUET FILE SINK (the production shape: exactly-once
+    * via the sink's _spark_metadata commit log), and hand back a lazy
+    * batch scan of the sink — no result row ever materializes on the
+    * driver. The batch read honors the commit log (MetadataLogFileIndex),
+    * so an interrupted epoch is never visible; the explicit schema covers
+    * the empty-result case (no data files to infer from). */
   private def run(spark: SparkSession, dir: String, withDupes: Boolean,
                   build: DataFrame => DataFrame): DataFrame = {
     val feed = staged(spark, dir, withDupes)
-    val sinkName = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = graft.Engine.workDir("graft-sink-")
+    val data = new File(root, "data")
+    val ckpt = new File(root, "ckpt")
     // State partition count is frozen at query start from
     // spark.sql.shuffle.partitions. Micro-batches here are small, and
     // every batch (including the final watermark-flush batch) pays
@@ -124,21 +132,19 @@ object Streams {
     // job sizes this to state volume, not to the batch.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try build(
-        spark.readStream.schema(EvSchema).option("maxFilesPerTrigger", "1")
-          .parquet(feed.getAbsolutePath))
-        .writeStream.format("memory").queryName(sinkName).outputMode("append")
-        .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val (q, schema) =
+      try {
+        val result = build(
+          spark.readStream.schema(EvSchema).option("maxFilesPerTrigger", "1")
+            .parquet(feed.getAbsolutePath))
+        (result.writeStream.format("parquet")
+          .option("path", data.getAbsolutePath)
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .outputMode("append")
+          .start(), result.schema)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try q.processAllAvailable() finally q.stop()
-    val out = spark.table(sinkName)
-    val rows = out.collect()
-    val df = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
-      out.schema)
-    spark.catalog.dropTempView(sinkName)
-    df
+    spark.read.schema(schema).parquet(data.getAbsolutePath)
   }
 
   /** B23 q_stream_tumbling: per-minute tumbling count + value sum per
