@@ -76,6 +76,8 @@ object SparkEntry {
     "q_stream_join"     -> ((s, d) => graft.streaming.Streams.streamJoin(s, d)),
     "q_pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
     "q_skew_agg"        -> ((s, d) => Skew.skewedAgg(s, d)),
+    "q_skew_join"       -> ((s, d) => Skew.skewedJoin(s, d)),
+    "q_partition_prune" -> ((s, d) => graft.sources.Sinks.partitionPruned(s, d)),
     "q_grouping_sets"   -> ((s, d) => Relational.groupingSetsSales(s, d)),
     "q_window_range"    -> ((s, d) => Windows.rangeFrame(s, d)),
     "q_window_value"    -> ((s, d) => Windows.valueWindows(s, d)),
@@ -544,6 +546,15 @@ object SparkEntry {
     "q_skew_agg" ->
       """SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "q_skew_join" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+    "q_partition_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       strftime(o_orderdate, '%Y-%m') AS o_month
+        |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |       coalesce(l_linestatus, 'ALL') AS status,

@@ -55,4 +55,19 @@ object Skew {
     saltedSumCount(Tables(spark, dir, "lineitem"), "l_suppkey", "l_quantity", 8)
       .select(col("l_suppkey"), round(col("sum_l_quantity"), 2).as("sum_qty"),
         col("cnt"))
+
+  /** q_skew_join: per-nation quantity rollup with the fact⋈dim join
+    * routed through `saltedJoin` — oracle-checked against the plain
+    * join (the salt is a physical-distribution detail; every fact row
+    * still meets exactly its one dim row, so the result set is
+    * identical and the integer-valued double sum is order-exact). */
+  def skewedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("s_suppkey"), col("l_quantity"))
+    val dim = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("s_nationkey"))
+    saltedJoin(fact, dim, "s_suppkey", 8)
+      .groupBy("s_nationkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+  }
 }

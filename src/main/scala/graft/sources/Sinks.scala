@@ -32,6 +32,39 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  private val partCache =
+    new scala.collection.concurrent.TrieMap[(String, String), String]()
+
+  /** Stage a month-partitioned copy of `orders` (directory layout
+    * `o_month=yyyy-MM/`, rows sorted by o_orderkey within files) via
+    * `writePartitioned`; memoized per (dir, data fingerprint). */
+  private[graft] def stagedMonthlyOrders(spark: SparkSession, dir: String): String =
+    partCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "orders")), {
+      val root = new java.io.File(graft.Engine.workDir("graft-part-"), "orders_monthly")
+      writePartitioned(
+        graft.sources.Tables(spark, dir, "orders")
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM")),
+        root.getAbsolutePath, Seq("o_month"), Seq("o_orderkey"))
+      root.getAbsolutePath
+    })
+
+  /** q_partition_prune: one month of orders read back from the
+    * partitioned layout. The month predicate is a PARTITION filter — at
+    * planning time it prunes the file listing to the one `o_month=…`
+    * directory, so the scan never opens the other ~79 months' files
+    * (`.explain` shows it under PartitionFilters, not PushedFilters).
+    * At 100 TB this is the difference between listing one directory and
+    * scanning the fleet: pruning cost scales with partitions SELECTED,
+    * not partitions EXISTING. Oracle: the same month filtered from the
+    * original un-partitioned table (the staged copy holds bit-identical
+    * doubles — parquet round-trips are exact). */
+  def partitionPruned(spark: SparkSession, dir: String,
+                      month: String = "1995-03"): DataFrame =
+    spark.read.parquet(stagedMonthlyOrders(spark, dir))
+      .where(col("o_month") === month)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_month"))
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files (computed from the CURRENT on-disk
     * size, so it adapts to compression ratios). Returns the new file

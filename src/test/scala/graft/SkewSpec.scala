@@ -23,6 +23,20 @@ class SkewSpec extends SparkSuiteBase {
     assert(plain("hot")._1 === 9000L)
   }
 
+  test("q_skew_join equals the plain fact-dim join rollup") {
+    val plain = graft.sources.Tables(spark, sf, "lineitem")
+      .select(col("l_suppkey").as("s_suppkey"), col("l_quantity"))
+      .join(graft.sources.Tables(spark, sf, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast("long").as("s_nationkey")),
+        Seq("s_suppkey"), "inner")
+      .groupBy("s_nationkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Skew.skewedJoin(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted === plain)
+  }
+
   test("salted aggregation equals direct aggregation") {
     import spark.implicits._
     val df = spark.range(5000)

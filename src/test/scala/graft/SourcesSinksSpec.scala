@@ -88,6 +88,25 @@ class SourcesSinksSpec extends SparkSuiteBase {
     assert(spark.read.parquet(leaf).count() === before)
   }
 
+  test("q_partition_prune: declared query equals direct filter, prunes at listing") {
+    import graft.sources.Sinks
+    val got = Sinks.partitionPruned(spark, sf, month = "1995-03")
+    // partition filter in the plan — pruning is a file-listing operation,
+    // and the month predicate must NOT appear as a pushed data filter
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_month"),
+      s"plan:\n$plan")
+    val want = graft.sources.Tables(spark, sf, "orders")
+      .where(date_format(col("o_orderdate"), "yyyy-MM") === "1995-03")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gotSet = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotSet === want)
+    assert(got.select("o_month").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("1995-03"))
+  }
+
   test("partitioned parquet write prunes partitions at read (scale path)") {
     val dir = tmp("graft_part")
     graft.sources.Tables(spark, sf, "lineitem")
