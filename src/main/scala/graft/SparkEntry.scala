@@ -86,7 +86,14 @@ object SparkEntry {
     "q_pack_tokens"     -> ((s, d) => Pipeline.packTokens(s, d)),
     "q_sql_revenue"     -> ((s, d) => Relational.sqlRevenue(s, d)),
     "q_subquery"        -> ((s, d) => Relational.correlatedSubquery(s, d)),
-    "q_recursive"       -> ((s, d) => Relational.recursiveSpine(s, d))
+    "q_recursive"       -> ((s, d) => Relational.recursiveSpine(s, d)),
+    "q_source_text"     -> ((s, d) => graft.sources.FileFormats.textWordCount(s, d)),
+    "q_source_csv"      -> ((s, d) => graft.sources.FileFormats.csvGroupSum(s, d)),
+    "q_source_json"     -> ((s, d) => graft.sources.FileFormats.jsonGroupSum(s, d)),
+    "q_repetition"      -> ((s, d) => TextOps.repetition(s, d)),
+    "q_tfidf"           -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    "q_decontaminate"   -> ((s, d) => Pipeline.decontaminate(s, d)),
+    "q_cdc_compact"     -> ((s, d) => Relational.cdcCompact(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -659,7 +666,91 @@ object SparkEntry {
         |)
         |SELECT CAST(cal.d - (SELECT min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) FROM orders) AS BIGINT) AS day_idx,
         |       CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders
-        |FROM cal LEFT JOIN daily ON cal.d = daily.d""".stripMargin
+        |FROM cal LEFT JOIN daily ON cal.d = daily.d""".stripMargin,
+    // file-format round trips: the oracle reads the ORIGINAL parquet
+    // table — a value drift introduced by the staged text/CSV/JSON
+    // write→read cycle would break the hash match
+    "q_source_text" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest(string_split_regex(lower(text), '$Ws')) AS word
+         |      FROM documents)
+         |WHERE length(word) > 0
+         |GROUP BY word
+         |ORDER BY word""".stripMargin,
+    "q_source_csv" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_source_json" ->
+      """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS sum_price,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_repetition" ->
+      s"""WITH cnt AS (
+         |  SELECT doc_id, tok, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '$Ws'),
+         |                                      x -> x != '')) AS tok
+         |    FROM documents)
+         |  GROUP BY doc_id, tok
+         |), per AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |         count(*) AS n_types, CAST(max(c) AS BIGINT) AS max_c
+         |  FROM cnt GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(n_tok, 0) AS n_tok,
+         |  coalesce(n_types, 0) AS n_types,
+         |  CASE WHEN n_tok IS NULL OR n_tok <= 0 THEN 0.0
+         |       ELSE CAST(n_tok - n_types AS DOUBLE) / n_tok END AS dup_ratio,
+         |  CASE WHEN n_tok IS NULL OR n_tok <= 0 THEN 0.0
+         |       ELSE CAST(max_c AS DOUBLE) / n_tok END AS top_tok_ratio
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '$Ws'),
+         |                                      x -> x != '')) AS term
+         |    FROM documents)
+         |  GROUP BY doc_id, term
+         |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT doc_id, term, tf, df,
+         |    CAST(tf AS DOUBLE) * CAST((SELECT count(*) FROM documents) AS DOUBLE)
+         |      / CAST(df AS DOUBLE) AS score
+         |  FROM tf JOIN dfreq USING (term)
+         |)
+         |SELECT doc_id, term, tf, df, score,
+         |       rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY score DESC, term) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= 3""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'),
+         |                             x -> x != '') AS ts
+         |  FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, list_aggregate(ts[i:i+3], 'string_agg', ' ') AS s
+         |  FROM toks, unnest(range(1, len(ts) - 2)) AS u(i)
+         |  WHERE len(ts) >= 4
+         |), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |contam AS (
+         |  SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+         |  WHERE sh.doc_id % 97 != 0
+         |)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id % 97 != 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin,
+    "q_cdc_compact" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value,
+        |    count(*) OVER (PARTITION BY user_id) AS n_versions,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, n_versions, event_type AS last_type, value AS last_value
+        |FROM r WHERE rn = 1""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

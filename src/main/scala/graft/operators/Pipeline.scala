@@ -170,6 +170,44 @@ object Pipeline {
         floor((col("cum") - col("wp_tokens")) / budget).as("shard"))
   }
 
+  /** q_decontaminate: benchmark decontamination — remove from the
+    * training corpus every document that shares ANY `n`-token shingle
+    * with a held-out benchmark set (here: docs whose id ≡ 0 mod
+    * `benchMod` stand in for the eval set). The standard contamination
+    * guard before LLM training (n-gram overlap against eval sets, as in
+    * GPT-3's 13-gram dedup — Brown et al. 2020, App. C); n is a knob,
+    * 4 here because the synthetic corpus' tiny vocabulary makes long
+    * shingles vanishingly rare.
+    *
+    * Shape at scale: the benchmark shingle set is ALWAYS small (eval
+    * sets are thousands of docs, not billions) → broadcast to every
+    * executor; the corpus side is one scan + explode, probed map-side
+    * with NO shuffle of corpus shingles; only the matched doc_ids
+    * (small) shuffle for the distinct + anti-join. Shingles stay as
+    * strings for exact cross-engine parity — they never leave the
+    * map side, so there is nothing to win by hashing them. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables(spark, dir, "documents"), 97, 4)
+
+  /** df form: expects (doc_id: Long, text: String, lang: String);
+    * returns the CLEAN training docs (benchmark docs excluded). */
+  def decontaminate(documents: DataFrame, benchMod: Int, n: Int): DataFrame = {
+    val sh = documents
+      .withColumn("ts", expr(TextOps.TokensSql))
+      .where(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(ts) - ${n - 1}),
+           |  i -> array_join(slice(ts, i, $n), ' '))""".stripMargin)).as("s"))
+      .distinct()
+    val benchShingles = sh.where(col("doc_id") % benchMod === 0L).select("s").distinct()
+    val contaminated = sh.where(col("doc_id") % benchMod =!= 0L)
+      .join(broadcast(benchShingles), "s")
+      .select("doc_id").distinct()
+    documents.where(col("doc_id") % benchMod =!= 0L)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang")
+  }
+
   /** q_pipeline_curate: per-language curation ledger. */
   def curate(spark: SparkSession, dir: String): DataFrame =
     curate(Tables(spark, dir, "documents"))

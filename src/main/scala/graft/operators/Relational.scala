@@ -217,6 +217,34 @@ object Relational {
 
   /** B14 q_setops: UNION / INTERSECT / EXCEPT cardinalities between
     * "custkeys that ordered" and "custkeys in segment BUILDING". */
+  /** q_cdc_compact: changelog compaction — materialize the LATEST
+    * record per key from an event log (Kafka log-compaction / CDC
+    * upsert-view semantics; the batch form of `Streams`' stateful
+    * last-value). One `max_by` aggregation keyed on the lexicographic
+    * (ts, event_id) struct: unlike the window `row_number`-then-filter
+    * form, `max_by` splits into partial/final — each input partition
+    * reduces to ONE candidate row per key map-side before the shuffle,
+    * so a key with a billion versions shuffles a handful of rows, not a
+    * billion (the window form would sort them all in one task). Ties
+    * are impossible: event_id is unique, so the struct order is total.
+    * Oracle: DuckDB `row_number` over the same total order — both pick
+    * the identical row, only the plans differ. */
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame =
+    cdcCompact(Tables(spark, dir, "events"))
+
+  /** df form: expects (user_id: Long, ts: Timestamp, event_id: Long,
+    * event_type: String, value: Double). */
+  def cdcCompact(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_versions"),
+        max_by(struct(col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("n_versions"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val a = Tables(spark, dir, "orders")
       .select(col("o_custkey").as("custkey")).distinct()

@@ -175,6 +175,81 @@ object TextOps {
         regexp_count(lower(col("text")), lit(WordpiecePat)).cast(LongType)
           .as("wp_tokens"))
 
+  /** North-star q_repetition: repetition-based quality signals per
+    * document (the Gopher/MassiveText family of filters — Rae et al.,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", 2021, §A1.1 — where excessive repetition marks
+    * boilerplate/spam): token count, distinct-token count, the fraction
+    * of tokens that are repeats (`1 − types/tokens`), and the most
+    * frequent token's share. Two-level aggregation — (doc_id, tok)
+    * counts, then per-doc rollup — both splits partial/final, so no
+    * skew hazard (the key space is the same as wordcount's). A left
+    * join back to the corpus keeps zero-token documents (explode drops
+    * them) with all ratios 0.0, mirroring `qualityScore`'s degenerate
+    * guards. Divisions are int→double in the same order as the oracle:
+    * bit-identical, no rounding. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables(spark, dir, "documents"))
+
+  def repetition(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"),
+        max("c").as("max_c"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        when(col("n_tok").isNull || col("n_tok") <= 0L, lit(0.0))
+          .otherwise((col("n_tok") - col("n_types")).cast("double") / col("n_tok"))
+          .as("dup_ratio"),
+        when(col("n_tok").isNull || col("n_tok") <= 0L, lit(0.0))
+          .otherwise(col("max_c").cast("double") / col("n_tok"))
+          .as("top_tok_ratio"))
+  }
+
+  /** North-star q_tfidf: top-k salient terms per document by TF-IDF.
+    * Term frequencies and document frequencies are the wordcount-shaped
+    * aggregations; the tf↔df join shuffles on the term (vocabulary-sized
+    * — at 100 TB AQE broadcasts the df side when the vocabulary is
+    * small, hash-joins otherwise; either way no all-pairs anything).
+    *
+    * The score uses LINEAR idf — `tf · N / df` — rather than the
+    * textbook `tf · ln(N/df)`: multiplication and division are
+    * correctly-rounded IEEE-754 ops (bit-identical across engines, so
+    * the oracle needs no rounding) while `ln` is libm-dependent in its
+    * last ulp. Linear idf weights rarity more steeply than log idf (a
+    * legitimate member of the idf family, not a ranking-equivalent
+    * substitute) — swapping in `log` changes only this one Column. The
+    * window ranks by the score itself — bit-identical in both engines —
+    * with (term asc) breaking exact-score ties → total order →
+    * deterministic row_number. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables(spark, dir, "documents"), 3)
+
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val nDocs = docs.count() // one scalar count at plan time (driver-held)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+  }
+
   /** North-star q_fingerprint: polynomial rolling-hash document
     * fingerprints — a whole-document hash plus the minimum 8-char-window
     * hash (the min-hash-of-k-grams selection at the core of winnowing:

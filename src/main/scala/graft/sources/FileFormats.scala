@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Non-parquet source formats: line-oriented text, CSV, JSON.
+  *
+  * The reference engine's ONLY input format is line-oriented text files
+  * (`/root/reference/test.go:16-25` — one record per line, fed to the
+  * mapper); CSV/JSON are the interchange formats every real pipeline
+  * ingests before it ever has parquet. Each declared query here stages a
+  * copy of a parquet table in the foreign format (memoized per data
+  * fingerprint, like the bucketed/partitioned catalogs), reads it back
+  * through the format's own reader, and runs an aggregation whose oracle
+  * is the ORIGINAL parquet table — so the round trip (write → read →
+  * compute) is what's being verified, not just the reader.
+  *
+  * Scale notes: all three readers are splittable as staged here
+  * (uncompressed text/CSV/JSON split by HDFS block; a gzip'd file would
+  * NOT split — one task per file, the classic ingest bottleneck) and all
+  * are schema-explicit on read: `inferSchema`/schema inference reads the
+  * data TWICE (a full extra pass at 100 TB) and can mis-type columns on
+  * dirty data, so the engine always passes an explicit `StructType`.
+  * Column pruning still applies (the parsers skip unrequested fields);
+  * predicate pushdown does not (row formats have no statistics) — which
+  * is exactly why `Pipeline`-style jobs land parquet first and why these
+  * sources exist at the EDGE of the engine, not the middle.
+  */
+object FileFormats {
+
+  private[graft] val stageCache =
+    new scala.collection.concurrent.TrieMap[(String, String, String), String]()
+
+  private def staged(dir: String, table: String, fmt: String)
+                    (write: java.io.File => Unit): String =
+    stageCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, table), fmt), {
+      val root = new java.io.File(graft.Engine.workDir(s"graft-$fmt-"), s"${table}_$fmt")
+      write(root)
+      root.getAbsolutePath
+    })
+
+  /** q_source_text: the reference's flagship workload on the reference's
+    * native format — word count over LINE-ORIENTED TEXT FILES
+    * (`/root/reference/test.go:13-71`), not parquet. The documents table
+    * is staged as plain `.txt` (one document per line — document texts
+    * are single-line by construction, asserted at stage time) and read
+    * back with `spark.read.text`, so the tokenizer consumes exactly what
+    * a file-based corpus drop would contain. Oracle: the same word count
+    * over the parquet `documents` table — the round trip must preserve
+    * the token multiset exactly. */
+  def textWordCount(spark: SparkSession, dir: String): DataFrame = {
+    val path = staged(dir, "documents", "txt") { root =>
+      val docs = Tables(spark, dir, "documents")
+      // a text with an embedded newline would silently become two records
+      val broken = docs.where(col("text").contains("\n") || col("text").contains("\r")).count()
+      require(broken == 0L, s"$broken document(s) contain newlines; text staging would split them")
+      docs.select("text").write.mode("overwrite").text(root.getAbsolutePath)
+    }
+    graft.operators.TextOps.wordCount(
+      Tables.textLines(spark, path).select(col("value").as("text")))
+  }
+
+  /** q_source_csv: lineitem's quantity rollup through a CSV round trip.
+    * Doubles survive exactly: Spark's CSV writer emits the shortest
+    * decimal form that parses back to the same IEEE-754 bits (Java
+    * `Double.toString` contract), and the reader parses with standard
+    * semantics — so sums over the read-back frame are bit-identical to
+    * sums over parquet. Schema is explicit (see object doc). */
+  def csvGroupSum(spark: SparkSession, dir: String): DataFrame = {
+    val path = staged(dir, "lineitem", "csv") { root =>
+      Tables(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+        .write.mode("overwrite").option("header", "true").csv(root.getAbsolutePath)
+    }
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", LongType),
+      StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType)))
+    spark.read.schema(schema).option("header", "true").csv(path)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+  }
+
+  /** q_source_json: orders' status rollup through a JSON-lines round
+    * trip (one object per line — the splittable layout; a single
+    * top-level array would parse in one task). Explicit schema on read;
+    * doubles round-trip exactly as in CSV. */
+  def jsonGroupSum(spark: SparkSession, dir: String): DataFrame = {
+    val path = staged(dir, "orders", "json") { root =>
+      Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").json(root.getAbsolutePath)
+    }
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType), StructField("o_orderstatus", StringType)))
+    spark.read.schema(schema).json(path)
+      .groupBy("o_orderstatus")
+      .agg(round(sum("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("cnt"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{FileFormats, Tables}
+import graft.operators.TextOps
+
+/** Foreign-format round trips: the staged text/CSV/JSON copy must
+  * reproduce the parquet-derived result EXACTLY (bit-identical doubles —
+  * the writers emit round-trippable decimal forms) and the staged files
+  * must stay splittable (no compression extension). */
+class FileFormatsSpec extends SparkSuiteBase {
+
+  test("text round trip: word count over staged .txt equals parquet word count") {
+    val fromText = FileFormats.textWordCount(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromParquet = TextOps.wordCount(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromText === fromParquet)
+  }
+
+  test("csv round trip: group-sum over staged CSV equals parquet group-sum") {
+    val fromCsv = FileFormats.csvGroupSum(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    val fromParquet = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(fromCsv === fromParquet)
+  }
+
+  test("json round trip: status rollup over staged JSON equals parquet rollup") {
+    val fromJson = FileFormats.jsonGroupSum(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val fromParquet = Tables(spark, sf, "orders")
+      .groupBy("o_orderstatus")
+      .agg(round(sum("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(fromJson === fromParquet)
+  }
+
+  test("staged files are uncompressed (splittable) and memoized per fingerprint") {
+    // force all three stagings, then inspect the staged directories
+    FileFormats.textWordCount(spark, sf).collect()
+    FileFormats.csvGroupSum(spark, sf).collect()
+    FileFormats.jsonGroupSum(spark, sf).collect()
+    val dirs = FileFormats.stageCache.values.toSeq
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = new java.io.File(d).listFiles().filter(_.getName.startsWith("part-"))
+      assert(files.nonEmpty, s"no part files in $d")
+      files.foreach(f => assert(!f.getName.endsWith(".gz") && !f.getName.endsWith(".zst"),
+        s"compressed (unsplittable) staged file: ${f.getName}"))
+    }
+    // memoization: a second call must not re-stage (same resolved path)
+    val before = dirs.toSet
+    FileFormats.textWordCount(spark, sf).collect()
+    assert(FileFormats.stageCache.values.toSet === before)
+  }
+}

@@ -25,6 +25,26 @@ class PipelineSpec extends SparkSuiteBase {
       s"expected range-bucketed window partitioning in plan:\n$plan")
   }
 
+  test("decontaminate: shared 4-gram removes a train doc; benchmark docs excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta tail0"),      // benchmark (0 % 97 == 0)
+      (1L, "x alpha beta gamma delta y"),        // shares the 4-gram → dropped
+      (2L, "alpha beta gamma X delta"),          // no shared 4-gram → kept
+      (3L, "zig zag")                            // too short for a 4-gram → kept
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val kept = graft.operators.Pipeline.decontaminate(docs, 97, 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+  }
+
+  test("decontaminate: benchmark shingle side is broadcast (no corpus-shingle shuffle)") {
+    val plan = graft.operators.Pipeline.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
   test("curation states partition the corpus; kept docs carry tokens") {
     val rows = Pipeline.curate(spark, sf).collect()
     val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum

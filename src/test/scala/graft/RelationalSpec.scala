@@ -5,6 +5,34 @@ import graft.operators.Relational
 /** Relational core (B1–B6, B13–B14): results + plan shape. */
 class RelationalSpec extends SparkSuiteBase {
 
+  test("cdc compact: latest (ts, event_id) version wins; ts tie broken by event_id") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      // user 1: out-of-order arrival; latest ts is event 11
+      (10L, ts(100), 1L, "create", 1.0),
+      (12L, ts(50), 1L, "stale", 9.0),
+      (11L, ts(200), 1L, "update", 2.5),
+      // user 2: two versions at the SAME ts → higher event_id wins
+      (20L, ts(300), 2L, "a", 1.0),
+      (21L, ts(300), 2L, "b", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Relational.cdcCompact(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((3L, "update", 2.5)))
+    assert(got(2L) === ((2L, "b", 7.0)))
+  }
+
+  test("cdc compact aggregates with a partial (map-side) phase, not a window sort") {
+    val plan = Relational.cdcCompact(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by") || plan.contains("partial_maxby")
+      || plan.toLowerCase.contains("partial_max_by"),
+      s"expected partial max_by aggregation in plan:\n$plan")
+    assert(!plan.contains("Window"), s"window sort leaked into plan:\n$plan")
+  }
+
   test("filter pushes predicates to the parquet scan") {
     val plan = Relational.filterQuery(spark, sf)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Crafted-corpus checks for the round-4 text-analysis additions
+  * (repetition signals, TF-IDF top terms). */
+class TextAnalysisSpec extends SparkSuiteBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+  }
+
+  test("repetition: known ratios, zero-token doc kept with 0.0 ratios") {
+    val d = docs(
+      1L -> "a a a b",        // 4 tokens, 2 types, dup 0.5, top 0.75
+      2L -> "x y z w",        // all distinct: dup 0.0, top 0.25
+      3L -> "   ",            // whitespace-only: zero tokens
+      4L -> "q q q q")        // one type: dup 0.75, top 1.0
+    val got = TextOps.repetition(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) === ((4L, 2L, 0.5, 0.75)))
+    assert(got(2L) === ((4L, 4L, 0.0, 0.25)))
+    assert(got(3L) === ((0L, 0L, 0.0, 0.0)))
+    assert(got(4L) === ((4L, 1L, 0.75, 1.0)))
+    assert(got.size === 4) // the degenerate doc is NOT dropped
+  }
+
+  test("tfidf: rare terms outrank common terms; ranks deterministic") {
+    // 'rare' appears in 1 of 4 docs, 'common' in all 4: for doc 1 with
+    // equal tf, score(rare) = 1*4/1 = 4 > score(common) = 1*4/4 = 1
+    val d = docs(
+      1L -> "rare common",
+      2L -> "common filler2",
+      3L -> "common filler3",
+      4L -> "common filler4")
+    val got = TextOps.tfidfTopTerms(d, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val doc1 = got.filter(_._1 == 1L).sortBy(_._6)
+    assert(doc1.map(_._2).toSeq === Seq("rare", "common"))
+    assert(doc1.head._5 === 4.0)
+    assert(doc1.last._5 === 1.0)
+    // every doc emits at most k rows, ranks are 1..k without gaps
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._6).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+  }
+
+  test("tfidf: higher tf wins at equal df; term breaks exact score ties") {
+    val d = docs(
+      1L -> "b b a",   // within doc 1: tf(b)=2 > tf(a)=1, both df=2
+      2L -> "a b")     // doc 2: tf equal, df equal → term order a < b
+    val got = TextOps.tfidfTopTerms(d, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(5)))
+    assert(got.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq === Seq("b", "a"))
+    assert(got.filter(_._1 == 2L).sortBy(_._3).map(_._2).toSeq === Seq("a", "b"))
+  }
+}
