@@ -93,7 +93,10 @@ object SparkEntry {
     "q_repetition"      -> ((s, d) => TextOps.repetition(s, d)),
     "q_tfidf"           -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "q_decontaminate"   -> ((s, d) => Pipeline.decontaminate(s, d)),
-    "q_cdc_compact"     -> ((s, d) => Relational.cdcCompact(s, d))
+    "q_cdc_compact"     -> ((s, d) => Relational.cdcCompact(s, d)),
+    "q_sessionize"      -> ((s, d) => Windows.sessionize(s, d)),
+    "q_redact"          -> ((s, d) => Scalars.redact(s, d)),
+    "q_stream_upsert"   -> ((s, d) => graft.streaming.Streams.upsert(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -750,7 +753,43 @@ object SparkEntry {
         |      ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |SELECT user_id, n_versions, event_type AS last_type, value AS last_value
-        |FROM r WHERE rn = 1""".stripMargin
+        |FROM r WHERE rn = 1""".stripMargin,
+    // the incremental foreachBatch materialization must converge to the
+    // same table as the one-shot batch compaction
+    "q_stream_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value,
+        |    count(*) OVER (PARTITION BY user_id) AS n_versions,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, n_versions, event_type AS last_type, value AS last_value
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, value
+        |  FROM events
+        |), o AS (
+        |  -- strict > : an event at EXACTLY prev + gap extends the session
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, sid, epoch_us(min(ts)) AS start_us,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_v
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_redact" ->
+      """SELECT c_custkey,
+        |       regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS masked_name,
+        |       CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_masked
+        |FROM customer""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

@@ -96,6 +96,21 @@ object Scalars {
   }
 
   /** B17b q_scalar_json: JSON path extraction over events.props. */
+  /** q_redact: identifier masking — the anonymization/scrub transform
+    * of a curation pipeline (PII redaction is this exact shape with
+    * email/phone/ip patterns in place of digit runs; the synthetic
+    * corpus only carries numeric identifiers, so digit runs are the
+    * pattern the fixture actually exercises). Pure per-row codegen'd
+    * regex — embarrassingly parallel, no shuffle at any scale. The
+    * pattern uses explicit character classes so the Java regex engine
+    * and the oracle's RE2 agree ('\\d' differs on Unicode digits). */
+  def redact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]+", "<ID>").as("masked_name"),
+        regexp_count(col("c_name"), lit("[0-9]+")).cast(LongType).as("n_masked"))
+
   def jsonOps(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .select(

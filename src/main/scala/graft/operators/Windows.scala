@@ -88,6 +88,39 @@ object Windows {
 
   /** B12 q_window_running: running revenue per customer in order-date
     * order (unbounded-preceding frame) + `lag` of the previous price. */
+  /** q_sessionize: BATCH sessionization — the gap-and-islands
+    * composition (lag → break flag → running-sum session index →
+    * per-session rollup), the offline twin of `Streams.session`'s
+    * `session_window`. A new session starts when the gap to the previous
+    * event STRICTLY exceeds `gapMicros` (an event at exactly prev + gap
+    * extends the session — matching Spark's streaming session-window
+    * merge rule, pinned by StreamingSpec). Events order by (ts,
+    * event_id): a total order, so the session index is deterministic in
+    * both engines. Both windows partition by user_id — per-user event
+    * counts are bounded (human-scale activity), so no skew hazard; a
+    * pathological key would use the two-pass bucketed prefix-sum shape
+    * proven by `Pipeline.packTokens`. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables(spark, dir, "events"), 5L * 60 * 1000000)
+
+  /** df form: expects (user_id, ts: Timestamp, event_id, value). */
+  def sessionize(events: DataFrame, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            > gapMicros, 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(run))
+      .groupBy("user_id", "sid")
+      // session start as epoch micros (integer cross-engine parity —
+      // no timezone/format dependence in the comparison)
+      .agg(unix_micros(min(col("ts"))).as("start_us"),
+        count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_v"))
+      .select("user_id", "sid", "start_us", "n_events", "sum_v")
+  }
+
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("o_orderkey"))

@@ -147,6 +147,76 @@ object Streams {
     spark.read.schema(schema).parquet(data.getAbsolutePath)
   }
 
+  /** q_stream_upsert: INCREMENTAL CDC materialization — the
+    * `foreachBatch` merge loop that keeps a queryable "latest record
+    * per key" table continuously up to date (the streaming twin of
+    * `Relational.cdcCompact`; in production this is MERGE INTO a
+    * transactional table). Each micro-batch is compacted to one
+    * candidate row per key (`max_by` on the (ts, event_id) order — an
+    * associative merge, so state ∪ batch re-compacted equals compacting
+    * the whole history), then merged with the previous snapshot into a
+    * NEW versioned snapshot directory named by the batch id:
+    * write-once-then-republish, the snapshot-isolation pattern of the
+    * table formats. `foreachBatch` is at-least-once — naming the
+    * snapshot by batch id makes replay IDEMPOTENT (a replayed batch
+    * rebuilds the same version from the same predecessor instead of
+    * double-counting). Snapshot size is #distinct keys, not #events:
+    * the merge cost per batch is bounded by live key cardinality. */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    val feed = staged(spark, dir, withDupes = false)
+    val root = graft.Engine.workDir("graft-upsert-")
+    def snapDir(batchId: Long): File = new File(root, f"state-b$batchId%06d")
+    def latestSnapBefore(batchId: Long): Option[File] =
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("state-b") &&
+          f.getName.stripPrefix("state-b").toLong < batchId &&
+          new File(f, "_SUCCESS").exists())
+        .sortBy(_.getName).lastOption
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("n_versions", LongType),
+      StructField("last_type", StringType), StructField("last_value", DoubleType),
+      StructField("ts", TimestampType), StructField("event_id", LongType)))
+    def compact(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(sum("n_versions").as("n_versions"),
+          max_by(struct(col("last_type"), col("last_value"), col("ts"),
+            col("event_id")), struct(col("ts"), col("event_id"))).as("l"))
+        .select(col("user_id"), col("n_versions"), col("l.last_type"),
+          col("l.last_value"), col("l.ts"), col("l.event_id"))
+
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try {
+        spark.readStream.schema(EvSchema).option("maxFilesPerTrigger", "1")
+          .parquet(feed.getAbsolutePath)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            val asState = batch.select(col("user_id"), lit(1L).as("n_versions"),
+              col("event_type").as("last_type"), col("value").as("last_value"),
+              col("ts"), col("event_id"))
+            val merged = latestSnapBefore(batchId) match {
+              case Some(prev) =>
+                compact(asState.unionByName(
+                  batch.sparkSession.read.schema(stateSchema)
+                    .parquet(prev.getAbsolutePath)))
+              case None => compact(asState)
+            }
+            merged.write.mode("overwrite").parquet(snapDir(batchId).getAbsolutePath)
+            ()
+          }
+          .option("checkpointLocation",
+            new File(root, "ckpt").getAbsolutePath)
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally q.stop()
+    val last = latestSnapBefore(Long.MaxValue)
+      .getOrElse(sys.error("stream produced no snapshot"))
+    spark.read.schema(stateSchema).parquet(last.getAbsolutePath)
+      .where(col("user_id") =!= -1L) // the watermark sentinel's key
+      .select("user_id", "n_versions", "last_type", "last_value")
+  }
+
   /** B23 q_stream_tumbling: per-minute tumbling count + value sum per
     * event type, 2-minute watermark, append mode. */
   def tumbling(spark: SparkSession, dir: String): DataFrame =

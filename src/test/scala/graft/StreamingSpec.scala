@@ -231,6 +231,17 @@ class StreamingSpec extends SparkSuiteBase {
       "checkpoint must make the restart a no-op (exactly-once)")
   }
 
+  test("foreachBatch upsert converges to the one-shot batch compaction") {
+    val streamed = graft.streaming.Streams.upsert(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3))))
+      .toMap
+    val batch = graft.operators.Relational.cdcCompact(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3))))
+      .toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark suppresses within-horizon dupes") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

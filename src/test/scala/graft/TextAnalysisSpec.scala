@@ -49,6 +49,19 @@ class TextAnalysisSpec extends SparkSuiteBase {
     }
   }
 
+  test("redact masks every digit run and counts them") {
+    val got = graft.operators.Scalars.redact(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val masked = r.getString(1)
+      assert(!masked.exists(_.isDigit), s"unmasked digits in: $masked")
+      assert(r.getLong(2) === "<ID>".r.findAllIn(masked).length,
+        s"mask count mismatch for: $masked")
+    }
+    // the fixture's customer names actually exercise the pattern
+    assert(got.exists(_.getLong(2) > 0))
+  }
+
   test("tfidf: higher tf wins at equal df; term breaks exact score ties") {
     val d = docs(
       1L -> "b b a",   // within doc 1: tf(b)=2 > tf(a)=1, both df=2
