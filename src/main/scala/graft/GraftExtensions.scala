@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Bigrams, Fnv32a}
+import graft.functions.{Bigrams, DotF64, Fnv32a, SqDistF64}
 
 /** Spark extension entry point: makes graft's custom expressions
   * available to plain SQL users —
@@ -37,9 +37,26 @@ object GraftExtensions {
             "actualNum" -> children.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest")))
 
+  private def binary(name: String, build: (Expression, Expression) => Expression) = {
+    val nul = org.apache.spark.sql.catalyst.expressions.Literal(null)
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(build(nul, nul).getClass.getName, name),
+      (children: Seq[Expression]) =>
+        if (children.length == 2) build(children(0), children(1))
+        else throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> "2",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest")))
+  }
+
   private val descriptors = Seq(
     unary("fnv32a", Fnv32a(_)),
-    unary("bigrams", Bigrams(_)))
+    unary("bigrams", Bigrams(_)),
+    binary("dot_f64", DotF64(_, _)),
+    binary("sqdist_f64", SqDistF64(_, _)))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

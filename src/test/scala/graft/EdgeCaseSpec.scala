@@ -27,6 +27,29 @@ class EdgeCaseSpec extends SparkSuiteBase {
     assert(Pipeline.curate(empty).collect().isEmpty)
   }
 
+  test("empty corpus: round-4 text/pipeline operators return empty, schema intact") {
+    assert(TextOps.repetition(empty).collect().isEmpty)
+    assert(TextOps.repetition(empty).columns.toSeq ===
+      Seq("doc_id", "n_tok", "n_types", "dup_ratio", "top_tok_ratio"))
+    assert(TextOps.tfidfTopTerms(empty, 3).collect().isEmpty)
+    assert(Pipeline.decontaminate(empty, 97, 4).collect().isEmpty)
+  }
+
+  test("empty events: sessionize and cdc compact return empty, schema intact") {
+    import spark.implicits._
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(graft.operators.Windows.sessionize(noEvents, 1000L).collect().isEmpty)
+    assert(graft.operators.Windows.sessionize(noEvents, 1000L).columns.toSeq ===
+      Seq("user_id", "sid", "start_us", "n_events", "sum_v"))
+    assert(graft.operators.Relational.cdcCompact(noEvents).collect().isEmpty)
+  }
+
+  test("decontaminate: corpus whose docs are ALL benchmark docs yields empty train") {
+    val onlyBench = docsOf(Seq((0L, "a b c d e f", "en")))
+    assert(Pipeline.decontaminate(onlyBench, 97, 4).collect().isEmpty)
+  }
+
   test("empty and whitespace-only docs score 0.0 and gate as low-quality") {
     val docs = docsOf(Seq(
       (1L, "", "en"),

@@ -18,6 +18,18 @@ class GraftExtensionsSpec extends SparkSuiteBase {
     assert(e2.getMessage.contains("fnv32a"))
   }
 
+  test("vector kernels are callable from SQL; binary arity enforced") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_f64(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+        |       sqdist_f64(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS s""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) === 32.0)
+    assert(r.getDouble(1) === 25.0)
+    val e = intercept[AnalysisException](spark.sql("SELECT dot_f64(array(1.0D))"))
+    assert(e.getMessage.contains("dot_f64"))
+  }
+
   test("bigrams generator works from SQL via LATERAL VIEW") {
     GraftExtensions.register(spark)
     import spark.implicits._

@@ -10,6 +10,38 @@ class JoinsSpec extends SparkSuiteBase {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("runtime bloom filter prunes the probe side of a shuffle join") {
+    // The 100 TB shuffle-reduction path: when a selective dim filter
+    // feeds a SHUFFLE join, Catalyst's InjectRuntimeFilter builds a
+    // bloom filter from the dim keys and applies it to the fact scan
+    // BEFORE the shuffle — rows that cannot join never leave the map
+    // side. Size thresholds are production-tuned; they are lowered here
+    // only to exercise the rule at test scale.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = graft.sources.Tables(spark, sf, "lineitem")
+        .select("l_suppkey", "l_quantity")
+      val dim = graft.sources.Tables(spark, sf, "supplier")
+        .where(col("s_acctbal") > 9000.0) // selective
+        .select("s_suppkey")
+      val joined = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter") || opt.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$opt")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("theta join keeps the equi key as the join key (no nested loop)") {
     val plan = Joins.thetaJoin(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin")
