@@ -96,7 +96,8 @@ object SparkEntry {
     "q_cdc_compact"     -> ((s, d) => Relational.cdcCompact(s, d)),
     "q_sessionize"      -> ((s, d) => Windows.sessionize(s, d)),
     "q_redact"          -> ((s, d) => Scalars.redact(s, d)),
-    "q_stream_upsert"   -> ((s, d) => graft.streaming.Streams.upsert(s, d))
+    "q_stream_upsert"   -> ((s, d) => graft.streaming.Streams.upsert(s, d)),
+    "q_zorder"          -> ((s, d) => graft.sources.Sinks.zorderRead(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -789,7 +790,11 @@ object SparkEntry {
       """SELECT c_custkey,
         |       regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS masked_name,
         |       CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_masked
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+    // read over the Z-ordered staged layout; values must round-trip
+    "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_quantity
+        |FROM lineitem WHERE l_suppkey < 10 AND l_partkey < 200""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

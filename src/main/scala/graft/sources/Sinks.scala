@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Write-path layout control (SURVEY §2 A7 generalized to the 100 TB
@@ -64,6 +64,74 @@ object Sinks {
       .where(col("o_month") === month)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_month"))
+
+  /** Z-order (Morton) interleave of two non-negative integer columns as
+    * a pure codegen Column: bit b of `x` lands at bit 2b, bit b of `y`
+    * at 2b+1, so sorting by the result clusters rows that are close in
+    * BOTH dimensions. `bits` bounds the per-column key domain (2²¹ here;
+    * a wider domain raises the knob — 31+31 still fits a long). */
+  def zValue(x: Column, y: Column, bits: Int = 21): Column =
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
+        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Multi-dimensional clustering for row-group/file skipping: rewrite
+    * `df` range-partitioned AND sorted by the Z-value of (`colA`,
+    * `colB`), one file per partition. A single-column sort makes
+    * parquet min/max statistics selective for THAT column only — every
+    * file spans the full range of the second column, so a predicate on
+    * it skips nothing. Z-ordering bounds BOTH columns' span per file
+    * (each file covers a square-ish tile of the key plane), which is
+    * what lets a 100 TB scan skip row groups for either predicate —
+    * the OPTIMIZE ZORDER pattern of the lakehouse table formats.
+    *
+    * Both columns are first normalized to a COMMON `bits`-wide domain
+    * (min-max scaled, monotone integer arithmetic): raw interleaving of
+    * unequal-width domains degenerates to a single-column sort — the
+    * wider column owns every high bit. Min-max assumes value uniformity
+    * (true for the synthetic keys); under heavy value skew, production
+    * systems rank-normalize with SAMPLED range-bucket ids instead, the
+    * same idea with quantile edges. The one `agg(min,max)` job is a
+    * write-side scan; `repartitionByRange` samples the z-distribution,
+    * so tiles stay row-balanced either way. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int, bits: Int = 12): Unit = {
+    val mm = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    require(!mm.isNullAt(0), "cannot z-order an empty frame")
+    // integer `div` (Column `/` is double division — lossy for wide keys)
+    def scaled(c: String, lo: Long, hi: Long): Column =
+      expr(s"((cast($c as bigint) - ${lo}L) * ${1L << bits}L) div ${hi - lo + 1}L")
+    df.withColumn("_z", zValue(
+        scaled(colA, mm.getLong(0), mm.getLong(1)),
+        scaled(colB, mm.getLong(2), mm.getLong(3)), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** q_zorder: two-dimensional selective read over a Z-ordered staged
+    * copy of lineitem (clustered on (l_suppkey, l_partkey)); either
+    * predicate alone — or both, as here — maps to a handful of z-tiles,
+    * so row-group stats skip the rest of the table. Oracle: the same
+    * filter over the original layout. */
+  def zorderRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(stagedZOrderedLineitem(spark, dir))
+      .where(col("l_suppkey") < 10L && col("l_partkey") < 200L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_partkey"), col("l_quantity"))
+
+  private[graft] def stagedZOrderedLineitem(spark: SparkSession, dir: String): String =
+    partCache.getOrElseUpdate((dir + "#zorder", graft.Fs.tableFingerprint(dir, "lineitem")), {
+      val root = new java.io.File(graft.Engine.workDir("graft-zorder-"), "lineitem_z")
+      writeZOrdered(
+        graft.sources.Tables(spark, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey", "l_quantity"),
+        root.getAbsolutePath, "l_suppkey", "l_partkey", numFiles = 16)
+      root.getAbsolutePath
+    })
 
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files (computed from the CURRENT on-disk

@@ -88,6 +88,55 @@ class SourcesSinksSpec extends SparkSuiteBase {
     assert(spark.read.parquet(leaf).count() === before)
   }
 
+  test("q_zorder: declared query equals the same filter over the original layout") {
+    val got = graft.sources.Sinks.zorderRead(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val want = graft.sources.Tables(spark, sf, "lineitem")
+      .where(col("l_suppkey") < 10L && col("l_partkey") < 200L)
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey", "l_quantity")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("z-order bounds BOTH columns' per-file span; a linear sort only one") {
+    import graft.sources.Sinks
+    // per-file min/max span of `c`, averaged over files, as a fraction
+    // of the global span — the quantity parquet row-group skipping
+    // feeds on (smaller span ⇒ more predicates can skip the file)
+    def avgSpanFrac(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+        r.getDouble(1) - r.getDouble(0)
+      }
+      val g = spark.read.parquet(dir)
+        .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+      val global = math.max(1.0, g.getDouble(1) - g.getDouble(0))
+      spans.sum / spans.length / global
+    }
+    val base = graft.sources.Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey", "l_quantity")
+    val zDir = Sinks.stagedZOrderedLineitem(spark, sf)
+    val linDir = tmp("graft_linear_sort")
+    base.repartitionByRange(16, col("l_suppkey"))
+      .sortWithinPartitions("l_suppkey")
+      .write.mode("overwrite").parquet(linDir)
+    // linear layout: secondary column spans ~the whole domain per file
+    assert(avgSpanFrac(linDir, "l_partkey") > 0.8,
+      "expected near-global partkey span under a suppkey-only sort")
+    // z-order layout: BOTH dimensions bounded well below the global span
+    val zSupp = avgSpanFrac(zDir, "l_suppkey")
+    val zPart = avgSpanFrac(zDir, "l_partkey")
+    assert(zSupp < 0.6, s"suppkey span fraction $zSupp not bounded")
+    assert(zPart < 0.6, s"partkey span fraction $zPart not bounded")
+  }
+
   test("q_partition_prune: declared query equals direct filter, prunes at listing") {
     import graft.sources.Sinks
     val got = Sinks.partitionPruned(spark, sf, month = "1995-03")
