@@ -22,41 +22,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  /** Analysis-time arity error, not a raw NoSuchElementException on
-    * `SELECT fnv32a()` (extra args were silently dropped before). */
-  private def unary(name: String, build: Expression => Expression) =
+  /** Function descriptor with an analysis-time arity error, not a raw
+    * NoSuchElementException on `SELECT fnv32a()` (extra args were
+    * silently dropped before). */
+  private def fn(name: String, arity: Int, build: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
-      new ExpressionInfo(build(org.apache.spark.sql.catalyst.expressions.Literal(null)).getClass.getName, name),
+      new ExpressionInfo(
+        build(Seq.fill(arity)(org.apache.spark.sql.catalyst.expressions.Literal(null))).getClass.getName,
+        name),
       (children: Seq[Expression]) =>
-        if (children.length == 1) build(children.head)
+        if (children.length == arity) build(children)
         else throw new org.apache.spark.sql.AnalysisException(
           errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
           messageParameters = Map(
             "functionName" -> s"`$name`",
-            "expectedNum" -> "1",
+            "expectedNum" -> arity.toString,
             "actualNum" -> children.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest")))
-
-  private def binary(name: String, build: (Expression, Expression) => Expression) = {
-    val nul = org.apache.spark.sql.catalyst.expressions.Literal(null)
-    (new FunctionIdentifier(name),
-      new ExpressionInfo(build(nul, nul).getClass.getName, name),
-      (children: Seq[Expression]) =>
-        if (children.length == 2) build(children(0), children(1))
-        else throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-          messageParameters = Map(
-            "functionName" -> s"`$name`",
-            "expectedNum" -> "2",
-            "actualNum" -> children.length.toString,
-            "docroot" -> "https://spark.apache.org/docs/latest")))
-  }
 
   private val descriptors = Seq(
-    unary("fnv32a", Fnv32a(_)),
-    unary("bigrams", Bigrams(_)),
-    binary("dot_f64", DotF64(_, _)),
-    binary("sqdist_f64", SqDistF64(_, _)))
+    fn("fnv32a", 1, c => Fnv32a(c.head)),
+    fn("bigrams", 1, c => Bigrams(c.head)),
+    fn("dot_f64", 2, c => DotF64(c(0), c(1))),
+    fn("sqdist_f64", 2, c => SqDistF64(c(0), c(1))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

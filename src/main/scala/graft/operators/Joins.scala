@@ -158,10 +158,13 @@ object Joins {
 
   /** Stage bucketed+sorted copies of orders/customer on o_custkey /
     * c_custkey (8 buckets) as catalog tables; memoized per (dir, data
-    * fingerprint). */
-  private[graft] def stagedBuckets(spark: SparkSession, dir: String): (String, String) =
-    bucketCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "orders")), {
-      val tag = Integer.toHexString((dir + graft.Fs.tableFingerprint(dir, "orders")).hashCode)
+    * fingerprint of BOTH staged tables — fingerprinting only one would
+    * serve a stale copy of the other after an in-place regen). */
+  private[graft] def stagedBuckets(spark: SparkSession, dir: String): (String, String) = {
+    val fp = graft.Fs.tableFingerprint(dir, "orders") + "|" +
+      graft.Fs.tableFingerprint(dir, "customer")
+    bucketCache.getOrElseUpdate((dir, fp), {
+      val tag = Integer.toHexString((dir + fp).hashCode)
       val root = graft.Engine.workDir("graft-bkt-")
       def stage(table: String, cols: Seq[String], key: String): String = {
         val name = s"graft_${table}_b$tag"
@@ -181,6 +184,7 @@ object Joins {
       (stage("orders", Seq("o_orderkey", "o_custkey", "o_totalprice"), "o_custkey"),
         stage("customer", Seq("c_custkey", "c_mktsegment"), "c_custkey"))
     })
+  }
 
   /** As-of join (q_join_asof): for each event, the most recent order of
     * the same customer at-or-before the event time.

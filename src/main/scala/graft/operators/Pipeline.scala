@@ -129,16 +129,20 @@ object Pipeline {
     // pass 1: per-(lang, bucket) totals — partial/final agg, then a
     // #langs·buckets ledger to the driver (constant-ish at any corpus
     // scale; buckets is the parallelism knob, not data-dependent)
+    // ledger rows may carry lang = null (window partitioning is
+    // null-safe, so the window baseline keeps such docs — this form
+    // must too): group per language with nulls-first ordering, one
+    // running sum per group (O(E log E), not a per-entry rescan)
     val totals = withBkt.groupBy("lang", "bkt")
       .agg(sum("wp_tokens").as("t"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val offsets = totals.keys.toSeq.sorted.map { case (lang, bkt) =>
-      val off = totals.collect {
-        case ((l, b), t) if l == lang && b < bkt => t
-      }.sum
-      (lang, bkt, off)
-    }
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._1).valuesIterator.flatMap { group =>
+      var acc = 0L
+      group.sortBy(_._2).map { case (lang, bkt, t) =>
+        val row = (lang.orNull, bkt, acc); acc += t; row
+      }
+    }.toSeq
     val offDf = documents.sparkSession
       .createDataFrame(offsets).toDF("lang", "bkt", "off")
     // pass 2: windowed local prefix sum within each (lang, bucket) range
@@ -147,7 +151,10 @@ object Pipeline {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     withBkt
-      .join(broadcast(offDf), Seq("lang", "bkt"))
+      // null-safe on lang (a plain equi-join would drop null-lang docs)
+      .join(broadcast(offDf.withColumnRenamed("lang", "o_lang")
+          .withColumnRenamed("bkt", "o_bkt")),
+        col("lang") <=> col("o_lang") && col("bkt") === col("o_bkt"))
       .withColumn("cum", sum("wp_tokens").over(w) + col("off"))
       .select(col("doc_id"), col("lang"),
         floor((col("cum") - col("wp_tokens")) / budget).as("shard"))

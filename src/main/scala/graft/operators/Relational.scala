@@ -215,8 +215,6 @@ object Relational {
       .orderBy(desc("price"), asc("l_orderkey"), asc("l_linenumber"))
       .limit(10)
 
-  /** B14 q_setops: UNION / INTERSECT / EXCEPT cardinalities between
-    * "custkeys that ordered" and "custkeys in segment BUILDING". */
   /** q_cdc_compact: changelog compaction — materialize the LATEST
     * record per key from an event log (Kafka log-compaction / CDC
     * upsert-view semantics; the batch form of `Streams`' stateful
@@ -245,6 +243,8 @@ object Relational {
         col("last.event_type").as("last_type"),
         col("last.value").as("last_value"))
 
+  /** B14 q_setops: UNION / INTERSECT / EXCEPT cardinalities between
+    * "custkeys that ordered" and "custkeys in segment BUILDING". */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val a = Tables(spark, dir, "orders")
       .select(col("o_custkey").as("custkey")).distinct()

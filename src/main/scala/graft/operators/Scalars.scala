@@ -95,7 +95,6 @@ object Scalars {
           .as("norm"))
   }
 
-  /** B17b q_scalar_json: JSON path extraction over events.props. */
   /** q_redact: identifier masking — the anonymization/scrub transform
     * of a curation pipeline (PII redaction is this exact shape with
     * email/phone/ip patterns in place of digit runs; the synthetic
@@ -111,6 +110,7 @@ object Scalars {
         regexp_replace(col("c_name"), "[0-9]+", "<ID>").as("masked_name"),
         regexp_count(col("c_name"), lit("[0-9]+")).cast(LongType).as("n_masked"))
 
+  /** B17b q_scalar_json: JSON path extraction over events.props. */
   def jsonOps(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .select(

@@ -86,8 +86,6 @@ object Windows {
       .select(col("o_custkey"), col("o_orderkey"), col("rev30d"))
   }
 
-  /** B12 q_window_running: running revenue per customer in order-date
-    * order (unbounded-preceding frame) + `lag` of the previous price. */
   /** q_sessionize: BATCH sessionization — the gap-and-islands
     * composition (lag → break flag → running-sum session index →
     * per-session rollup), the offline twin of `Streams.session`'s
@@ -121,6 +119,8 @@ object Windows {
       .select("user_id", "sid", "start_us", "n_events", "sum_v")
   }
 
+  /** B12 q_window_running: running revenue per customer in order-date
+    * order (unbounded-preceding frame) + `lag` of the previous price. */
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("o_orderkey"))

@@ -32,14 +32,15 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Memoized staged layouts, keyed (kind, sf-dir, data fingerprint). */
   private val partCache =
-    new scala.collection.concurrent.TrieMap[(String, String), String]()
+    new scala.collection.concurrent.TrieMap[(String, String, String), String]()
 
   /** Stage a month-partitioned copy of `orders` (directory layout
     * `o_month=yyyy-MM/`, rows sorted by o_orderkey within files) via
     * `writePartitioned`; memoized per (dir, data fingerprint). */
   private[graft] def stagedMonthlyOrders(spark: SparkSession, dir: String): String =
-    partCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "orders")), {
+    partCache.getOrElseUpdate(("monthly", dir, graft.Fs.tableFingerprint(dir, "orders")), {
       val root = new java.io.File(graft.Engine.workDir("graft-part-"), "orders_monthly")
       writePartitioned(
         graft.sources.Tables(spark, dir, "orders")
@@ -124,7 +125,7 @@ object Sinks {
         col("l_partkey"), col("l_quantity"))
 
   private[graft] def stagedZOrderedLineitem(spark: SparkSession, dir: String): String =
-    partCache.getOrElseUpdate((dir + "#zorder", graft.Fs.tableFingerprint(dir, "lineitem")), {
+    partCache.getOrElseUpdate(("zorder", dir, graft.Fs.tableFingerprint(dir, "lineitem")), {
       val root = new java.io.File(graft.Engine.workDir("graft-zorder-"), "lineitem_z")
       writeZOrdered(
         graft.sources.Tables(spark, dir, "lineitem")

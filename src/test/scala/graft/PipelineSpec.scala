@@ -17,6 +17,21 @@ class PipelineSpec extends SparkSuiteBase {
     }
   }
 
+  test("packTokens keeps null-lang docs, matching the window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, "d e", null), (3L, "f g h i", null),
+      (4L, "j", "en"), (5L, "k l m", "de"))
+      .toDF("doc_id", "text", "lang")
+    val want = Pipeline.packTokensWindow(docs, 3L).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    val got = Pipeline.packTokens(docs, 3L, 2).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.size === 5, "null-lang docs must not be dropped")
+  }
+
   test("packTokens never sorts a whole language in one partition") {
     // the window must be keyed by (lang, bkt), not lang alone
     val plan = Pipeline.packTokens(spark, sf)
