@@ -97,7 +97,8 @@ object SparkEntry {
     "q_sessionize"      -> ((s, d) => Windows.sessionize(s, d)),
     "q_redact"          -> ((s, d) => Scalars.redact(s, d)),
     "q_stream_upsert"   -> ((s, d) => graft.streaming.Streams.upsert(s, d)),
-    "q_zorder"          -> ((s, d) => graft.sources.Sinks.zorderRead(s, d))
+    "q_zorder"          -> ((s, d) => graft.sources.Sinks.zorderRead(s, d)),
+    "q_join_fuzzy"      -> ((s, d) => Joins.fuzzyJoin(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -794,7 +795,18 @@ object SparkEntry {
     // read over the Z-ordered staged layout; values must round-trip
     "q_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_quantity
-        |FROM lineitem WHERE l_suppkey < 10 AND l_partkey < 200""".stripMargin
+        |FROM lineitem WHERE l_suppkey < 10 AND l_partkey < 200""".stripMargin,
+    // oracle is the exhaustive n² comparison the deletion index avoids;
+    // the cap keeps it bounded at every sf
+    "q_join_fuzzy" ->
+      """WITH capped AS (
+        |  SELECT c_custkey AS id, lower(c_name) AS name
+        |  FROM customer WHERE c_custkey < 500
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM capped a JOIN capped b
+        |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

@@ -153,6 +153,52 @@ object Joins {
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
   }
 
+  /** q_join_fuzzy: approximate string self-join (entity resolution /
+    * record linkage) — all pairs of customer names within Levenshtein
+    * distance 1, WITHOUT the n² comparison. Candidate generation is the
+    * deletion neighborhood (FastSS — Bocek et al., "Fast Similarity
+    * Search in Large Dictionaries", 2007; SymSpell popularized it): two
+    * strings at edit distance ≤ 1 always share a member of each other's
+    * {self} ∪ {one-char deletions} set (a substitution pair shares the
+    * deletion AT the differing position; an insert/delete pair shares
+    * the shorter string itself), so an equi-join on the variant finds
+    * every true pair, and an exact `levenshtein` check discards the
+    * false candidates. Shape at scale: (len+1) variants per name
+    * shuffle-join on the variant key — linear in corpus size like
+    * MinHash-LSH, with exact verification map-side after the join; the
+    * naive cross join it replaces is the same wall q_dedup_embed's
+    * grid decomposition avoids. Capped to c_custkey < 500 on both
+    * sides so the ORACLE's exhaustive n² check stays bounded at every
+    * sf (the engine-side index has no such need). */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    fuzzyJoin(Tables(spark, dir, "customer")
+      .where(col("c_custkey") < 500L)
+      .select(col("c_custkey").as("id"), lower(col("c_name")).as("name")), 1)
+
+  /** df form: expects (id: Long, name: String); `maxDist` ∈ {0, 1}
+    * (the deletion-neighborhood depth here is 1). */
+  def fuzzyJoin(names: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 1, "deletion neighborhood staged for distance <= 1")
+    val variants = names.select(col("id"), col("name"),
+        explode(expr(
+          """array_union(array(name),
+            |  transform(sequence(1, length(name)),
+            |    i -> concat(substring(name, 1, i - 1),
+            |                substring(name, i + 1, length(name)))))""".stripMargin))
+          .as("v"))
+      .select(col("id"), col("name"), col("v"))
+    val cand = variants.as("a")
+      .join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("na"), col("b.name").as("nb"))
+      .distinct()
+    cand
+      .where(levenshtein(col("na"), col("nb")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+  }
+
   private val bucketCache =
     new scala.collection.concurrent.TrieMap[(String, String), (String, String)]()
 

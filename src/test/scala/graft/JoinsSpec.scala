@@ -42,6 +42,36 @@ class JoinsSpec extends SparkSuiteBase {
     }
   }
 
+  test("fuzzy join: deletion index finds exactly the distance<=1 pairs") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "smith"), (2L, "smyth"),   // substitution (dist 1)
+      (3L, "smiths"),                 // insertion vs smith (dist 1)
+      (4L, "jones"),                  // unrelated
+      (5L, "smith"))                  // exact dup of 1 (dist 0)
+      .toDF("id", "name")
+    val got = Joins.fuzzyJoin(names, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute-force truth
+    val all = names.collect().map(r => r.getLong(0) -> r.getString(1))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, na) <- all; (ib, nb) <- all
+      if ia < ib && lev(na, nb) <= 1
+    } yield (ia, ib) -> lev(na, nb).toLong).toMap
+    assert(got === want)
+    assert(got((1L, 2L)) === 1L && got((1L, 3L)) === 1L && got((1L, 5L)) === 0L)
+    assert(!got.contains((2L, 3L))) // smyth↔smiths is distance 2
+  }
+
   test("theta join keeps the equi key as the join key (no nested loop)") {
     val plan = Joins.thetaJoin(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin")
