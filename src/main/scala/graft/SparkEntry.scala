@@ -98,7 +98,8 @@ object SparkEntry {
     "q_redact"          -> ((s, d) => Scalars.redact(s, d)),
     "q_stream_upsert"   -> ((s, d) => graft.streaming.Streams.upsert(s, d)),
     "q_zorder"          -> ((s, d) => graft.sources.Sinks.zorderRead(s, d)),
-    "q_join_fuzzy"      -> ((s, d) => Joins.fuzzyJoin(s, d))
+    "q_join_fuzzy"      -> ((s, d) => Joins.fuzzyJoin(s, d)),
+    "q_histogram"       -> ((s, d) => Relational.histogram(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -806,7 +807,12 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b,
         |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM capped a JOIN capped b
-        |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1""".stripMargin
+        |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1""".stripMargin,
+    // same explicit bucket arithmetic as the Spark side (bit-identical)
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice * 20.0 / 600000.0) AS BIGINT) AS bucket,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

@@ -243,6 +243,21 @@ object Relational {
         col("last.event_type").as("last_type"),
         col("last.value").as("last_value"))
 
+  /** q_histogram: fixed-width value histogram of order totals — the
+    * data-profiling primitive (distribution sketch before choosing
+    * partition counts, salt factors, or clamp thresholds at 100 TB).
+    * One partial/final count aggregation over a per-row codegen'd
+    * bucket expression. The bucket arithmetic is spelled with explicit
+    * ops (`floor(x · n / span)`) rather than `width_bucket` so the
+    * oracle can run the BIT-IDENTICAL expression (DuckDB has no
+    * width_bucket; re-deriving its boundary semantics by hand invites
+    * off-by-one-ulp edge disagreements). */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(expr("cast(floor(o_totalprice * 20.0D / 600000.0D) as bigint)")
+        .as("bucket"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+
   /** B14 q_setops: UNION / INTERSECT / EXCEPT cardinalities between
     * "custkeys that ordered" and "custkeys in segment BUILDING". */
   def setOps(spark: SparkSession, dir: String): DataFrame = {

@@ -5,6 +5,15 @@ import graft.operators.Relational
 /** Relational core (B1–B6, B13–B14): results + plan shape. */
 class RelationalSpec extends SparkSuiteBase {
 
+  test("histogram: buckets partition the table; totals reconcile") {
+    val rows = Relational.histogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val total = graft.sources.Tables(spark, sf, "orders").count()
+    assert(rows.map(_._2).sum === total, "every order lands in exactly one bucket")
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.forall { case (b, _, _) => b >= 0L && b < 20L })
+  }
+
   test("cdc compact: latest (ts, event_id) version wins; ts tie broken by event_id") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
