@@ -99,7 +99,11 @@ object SparkEntry {
     "q_stream_upsert"   -> ((s, d) => graft.streaming.Streams.upsert(s, d)),
     "q_zorder"          -> ((s, d) => graft.sources.Sinks.zorderRead(s, d)),
     "q_join_fuzzy"      -> ((s, d) => Joins.fuzzyJoin(s, d)),
-    "q_histogram"       -> ((s, d) => Relational.histogram(s, d))
+    "q_histogram"       -> ((s, d) => Relational.histogram(s, d)),
+    "q_profile"         -> ((s, d) => Relational.profile(s, d)),
+    "q_stats_moments"   -> ((s, d) => Relational.momentStats(s, d)),
+    "q_dpp"             -> ((s, d) => graft.sources.Sinks.dppJoin(s, d)),
+    "q_schema_evolution" -> ((s, d) => graft.sources.FileFormats.schemaEvolution(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -808,6 +812,66 @@ object SparkEntry {
         |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM capped a JOIN capped b
         |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1""".stripMargin,
+    // the dim-side quarter filter resolves to the same three months the
+    // DPP subquery prunes to at runtime; same integer quarter arithmetic
+    "q_dpp" ->
+      """WITH dim AS (
+        |  SELECT m_month,
+        |         substring(m_month, 1, 4) || '-Q' ||
+        |           CAST((CAST(substring(m_month, 6, 2) AS INTEGER) - 1) // 3 + 1
+        |                AS VARCHAR) AS m_quarter
+        |  FROM (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m_month FROM orders)
+        |)
+        |SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN dim ON strftime(o_orderdate, '%Y-%m') = m_month
+        |WHERE m_quarter = '1995-Q1'
+        |GROUP BY 1""".stripMargin,
+    // old-generation rows (even keys, staged without the column) must
+    // read back as NULL priority; new rows keep their values
+    "q_schema_evolution" ->
+      """SELECT o_orderstatus,
+        |       CASE WHEN o_orderkey % 2 = 0 THEN 'pre-schema'
+        |            ELSE o_orderpriority END AS prio,
+        |       count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    // raw data values only (no arithmetic) → exact parity; numeric
+    // min/max as DOUBLE, strings as VARCHAR, one row per profiled column
+    "q_profile" -> Seq(
+        "o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
+        "o_totalprice" -> true, "o_orderpriority" -> false)
+      .map { case (c, num) =>
+        val (mnN, mxN) = if (num) (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+                         else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        val (mnS, mxS) = if (num) ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+                         else (s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  $mnN AS min_num, $mxN AS max_num,
+           |  $mnS AS min_str, $mxS AS max_str FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+    // exact integer power sums → fixed-order IEEE double formulas:
+    // bit-identical across engines, no rounding anywhere
+    "q_stats_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    sum(CAST(l_linenumber AS BIGINT)) AS sy,
+        |    sum(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS syy,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+        |  CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS var_x,
+        |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)) AS std_x,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS cov_xy,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS corr_xy
+        |FROM s""".stripMargin,
     // same explicit bucket arithmetic as the Spark side (bit-identical)
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice * 20.0 / 600000.0) AS BIGINT) AS bucket,

@@ -5,10 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional extra args: run only the named queries (local iteration;
+    // the driver always calls with exactly two args → full matrix)
+    val only = args.drop(2).toSet
     val spark = Engine.session()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce folds the whole upstream
       // computation into a single task; repartition keeps it distributed
       // and only funnels the (small) result through one writer.

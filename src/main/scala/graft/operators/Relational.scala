@@ -258,6 +258,84 @@ object Relational {
         .as("bucket"))
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
 
+  /** q_profile: per-column data profiling — row count, null count,
+    * exact distinct count, min/max — for a declared column set, in ONE
+    * scan. The schema-audit primitive a pipeline runs before trusting a
+    * new 100 TB drop (null explosions and cardinality collapses are the
+    * classic upstream-breakage signals). All stats for all columns are
+    * computed in a single aggregation (multiple exact DISTINCTs plan via
+    * the Expand operator — rows × (#distinct-columns + 1), the standard
+    * one-pass trade; at extreme widths the scale path swaps in
+    * `approx_count_distinct`, same shape, no Expand), then the one
+    * result row unpivots via `stack` into a row per column. Numeric
+    * min/max surface as double, strings as string — raw data values,
+    * no arithmetic, so cross-engine parity is exact. */
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables(spark, dir, "orders"), Seq(
+      "o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
+      "o_totalprice" -> true, "o_orderpriority" -> false))
+
+  /** df form: `cols` = (column name, isNumeric). */
+  def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, num) =>
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        (if (num) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"mn_num_$c"),
+        (if (num) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"mx_num_$c"),
+        (if (num) lit(null).cast("string") else min(col(c)).cast("string"))
+          .as(s"mn_str_$c"),
+        (if (num) lit(null).cast("string") else max(col(c)).cast("string"))
+          .as(s"mx_str_$c"))
+    }
+    val stackArgs = cols.map { case (c, _) =>
+      s"'$c', n_rows, n_rows - nn_$c, nd_$c, mn_num_$c, mx_num_$c, mn_str_$c, mx_str_$c"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)")
+  }
+
+  /** q_stats_moments: grouped two-variable moment statistics — mean,
+    * population variance/stddev, covariance, Pearson correlation — from
+    * exact integer POWER SUMS (n, Σx, Σx², Σy, Σy², Σxy). The
+    * shuffle-safe distributed form: integer sums are exact under any
+    * partial/final split and any reassociation (no Welford/streaming
+    * update needed — that machinery exists to fight float cancellation,
+    * which integer moments simply don't have), and the final double
+    * formulas are fixed-order correctly-rounded IEEE ops, so results are
+    * BIT-identical across engines, partition counts, and AQE replans —
+    * no rounding in the oracle. Both profiled columns (`l_quantity`,
+    * `l_linenumber`) are integer-valued. Long sums bound the domain:
+    * n·Σx² here peaks ≪ 2⁶³; at genuinely 100 TB row counts the same
+    * shape runs on DECIMAL(38,0) sums — one cast, same plan. A spec
+    * cross-checks Pearson r against Spark's built-in `corr`. */
+  def momentStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      col("l_linenumber").cast("long").as("y"))
+    val nD = col("n").cast("double")
+    val covNum = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varNumX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varNumY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum("y").as("sy"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (col("sx").cast("double") / nD).as("mean_x"),
+        (varNumX / nD / nD).as("var_x"),
+        sqrt(varNumX / nD / nD).as("std_x"),
+        (covNum / nD / nD).as("cov_xy"),
+        (covNum / sqrt(varNumX) / sqrt(varNumY)).as("corr_xy"))
+  }
+
   /** B14 q_setops: UNION / INTERSECT / EXCEPT cardinalities between
     * "custkeys that ordered" and "custkeys in segment BUILDING". */
   def setOps(spark: SparkSession, dir: String): DataFrame = {

@@ -14,6 +14,49 @@ class RelationalSpec extends SparkSuiteBase {
     assert(rows.forall { case (b, _, _) => b >= 0L && b < 20L })
   }
 
+  test("profile: null/distinct accounting on a crafted frame") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (None, Some("a")), (Some(2L), Some("b")))
+      .toDF("k", "s")
+    val rows = Relational.profile(df, Seq("k" -> true, "s" -> false)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = rows("k")
+    assert((k.getLong(1), k.getLong(2), k.getLong(3)) === ((4L, 1L, 2L)))
+    assert((k.getDouble(4), k.getDouble(5)) === ((1.0, 2.0)))
+    assert(k.isNullAt(6) && k.isNullAt(7))
+    val s = rows("s")
+    assert((s.getLong(1), s.getLong(2), s.getLong(3)) === ((4L, 1L, 2L)))
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    assert((s.getString(6), s.getString(7)) === (("a", "b")))
+  }
+
+  test("profile runs as ONE scan of the input") {
+    val plan = Relational.profile(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.sliding("orders.parquet".length).count(_ == "orders.parquet") <= 1,
+      s"profile should scan the table once:\n$plan")
+  }
+
+  test("moment stats match Spark's built-in corr/var_pop/covar_pop") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.momentStats(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val ref = graft.sources.Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(var_pop("l_quantity"), covar_pop("l_quantity", "l_linenumber"),
+        corr("l_quantity", "l_linenumber"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    for ((flag, (v, c, r)) <- got) {
+      val (rv, rc, rr) = ref(flag)
+      assert(math.abs(v - rv) < 1e-9, s"$flag var_pop: $v vs $rv")
+      assert(math.abs(c - rc) < 1e-9, s"$flag covar_pop: $c vs $rc")
+      assert(math.abs(r - rr) < 1e-9, s"$flag corr: $r vs $rr")
+    }
+  }
+
   test("cdc compact: latest (ts, event_id) version wins; ts tie broken by event_id") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
