@@ -99,4 +99,38 @@ object FileFormats {
       .groupBy("o_orderstatus")
       .agg(round(sum("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("cnt"))
   }
+
+  /** q_schema_evolution: ADDITIVE schema evolution across parquet
+    * batches — the long-lived-pipeline reality that table layouts grow
+    * columns over time and history is never rewritten. Orders are staged
+    * as two generations under one root: v1 (even orderkeys) without
+    * `o_orderpriority`, v2 (odd orderkeys) with it. Reading the root
+    * with `mergeSchema` unions the schemas; v1 rows surface the new
+    * column as NULL, normalized here via coalesce to a sentinel. The
+    * aggregation's oracle is the ORIGINAL table with the same
+    * even/odd-conditional priority — so the evolution semantics (old
+    * rows really read as NULL, new rows keep their values) are
+    * hash-verified, not just "it didn't crash". Scale notes: additive
+    * evolution is free at read time (a missing column materializes as
+    * NULL per row group, no data rewrite), but `mergeSchema` reconciles
+    * FOOTERS of all files — a metadata pass a 100 TB lake amortizes by
+    * recording the merged schema once in a catalog/metastore and pinning
+    * `spark.read.schema(...)`; the per-file NULL-fill mechanism this
+    * query verifies is the same either way. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = staged(dir, "orders", "evolve") { root =>
+      val o = Tables(spark, dir, "orders")
+      o.where(col("o_orderkey") % 2 === 0L)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(new java.io.File(root, "v1").getAbsolutePath)
+      o.where(col("o_orderkey") % 2 =!= 0L)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(new java.io.File(root, "v2").getAbsolutePath)
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/v1", s"$path/v2")
+      .groupBy(col("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("pre-schema")).as("prio"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+  }
 }

@@ -66,6 +66,35 @@ object Sinks {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_month"))
 
+  /** q_dpp: DYNAMIC partition pruning — the runtime twin of
+    * q_partition_prune. There the pruning predicate is a literal in the
+    * query text; here it exists only as a FILTER ON A DIMENSION table
+    * (calendar months of 1995-Q1), so no static pruner can see which
+    * fact partitions matter. Catalyst's DPP rule turns the dim side of
+    * the broadcast join into a `dynamicpruningexpression` PARTITION
+    * filter on the month-partitioned fact scan: the broadcast that the
+    * join needs anyway is reused to enumerate the surviving months, and
+    * the fact side lists/opens only those directories at execution time
+    * (plan-spec-asserted). This is THE mechanism that makes star-schema
+    * queries over a 100 TB date-partitioned fact table scan three
+    * months instead of eighty. The quarter column is derived with
+    * integer arithmetic shared verbatim with the oracle. */
+  def dppJoin(spark: SparkSession, dir: String,
+              quarter: String = "1995-Q1"): DataFrame = {
+    val fact = spark.read.parquet(stagedMonthlyOrders(spark, dir))
+    val dim = graft.sources.Tables(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m_month"))
+      .distinct()
+      .withColumn("m_quarter", expr(
+        "concat(substring(m_month, 1, 4), '-Q', " +
+          "(cast(substring(m_month, 6, 2) as int) - 1) div 3 + 1)"))
+    fact
+      .join(dim.where(col("m_quarter") === quarter),
+        col("o_month") === col("m_month"))
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+  }
+
   /** Z-order (Morton) interleave of two non-negative integer columns as
     * a pure codegen Column: bit b of `x` lands at bit 2b, bit b of `y`
     * at 2b+1, so sorting by the result clusters rows that are close in

@@ -88,6 +88,32 @@ class SourcesSinksSpec extends SparkSuiteBase {
     assert(spark.read.parquet(leaf).count() === before)
   }
 
+  test("q_dpp: fact scan carries a dynamicpruning PARTITION filter") {
+    val df = graft.sources.Sinks.dppJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery on the fact scan:\n$plan")
+    // and the pruning is on the PARTITION column, not a data filter
+    assert(plan.contains("o_month"), s"pruning should key on o_month:\n$plan")
+    // result ≡ statically filtering the same three months
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = graft.sources.Tables(spark, sf, "orders")
+      .withColumn("m", date_format(col("o_orderdate"), "yyyy-MM"))
+      .where(col("m").isin("1995-01", "1995-02", "1995-03"))
+      .groupBy("m").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("schema evolution: pre-evolution rows read the added column as NULL") {
+    val rows = graft.sources.FileFormats.schemaEvolution(spark, sf).collect()
+    val pre = rows.filter(_.getString(1) == "pre-schema")
+    val post = rows.filter(_.getString(1) != "pre-schema")
+    assert(pre.nonEmpty && post.nonEmpty, "both schema generations must surface")
+    val nOrders = graft.sources.Tables(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(2)).sum === nOrders, "no row lost in the evolution read")
+  }
+
   test("q_zorder: declared query equals the same filter over the original layout") {
     val got = graft.sources.Sinks.zorderRead(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
