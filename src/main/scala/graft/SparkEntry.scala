@@ -103,7 +103,10 @@ object SparkEntry {
     "q_profile"         -> ((s, d) => Relational.profile(s, d)),
     "q_stats_moments"   -> ((s, d) => Relational.momentStats(s, d)),
     "q_dpp"             -> ((s, d) => graft.sources.Sinks.dppJoin(s, d)),
-    "q_schema_evolution" -> ((s, d) => graft.sources.FileFormats.schemaEvolution(s, d))
+    "q_schema_evolution" -> ((s, d) => graft.sources.FileFormats.schemaEvolution(s, d)),
+    "q_row_ids"         -> ((s, d) => Pipeline.globalRowIds(s, d)),
+    "q_funnel"          -> ((s, d) => Events.funnel(s, d)),
+    "q_cohort"          -> ((s, d) => Events.cohort(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -812,6 +815,49 @@ object SparkEntry {
         |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM capped a JOIN capped b
         |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1""".stripMargin,
+    // global ordinal assignment; the two-pass decomposition must equal
+    // the oracle's single global window exactly
+    "q_row_ids" ->
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rid
+        |FROM documents""".stripMargin,
+    // ordered min-timestamp chaining; µs truncation on both engines
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
+        |  FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id
+        |)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3""".stripMargin,
+    // user-relative day-offset weeks (integer day arithmetic — exact)
+    "q_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+        |)
+        |SELECT CAST(cohort_day // 7 AS BIGINT) AS cohort_wk,
+        |       CAST((day - cohort_day) // 7 AS BIGINT) AS age_wk,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |       count(*) AS n_events
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     // the dim-side quarter filter resolves to the same three months the
     // DPP subquery prunes to at runtime; same integer quarter arithmetic
     "q_dpp" ->

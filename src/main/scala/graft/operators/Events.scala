@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-log analytics over the `events` table: conversion funnels and
+  * cohort retention — the product-analytics counterpart of `Windows.
+  * sessionize` (SURVEY §2 capability closure; the reference's model
+  * covers these as chained Map/Reduce passes keyed on the user,
+  * `/root/reference/mp/worker.go:14-17`).
+  *
+  * Both operators are chains of aggregations and joins KEYED ON
+  * user_id — every shuffle is user-keyed, per-user state is O(1)
+  * (first/min timestamps), and no step sorts anything globally, so the
+  * shape survives a 100 TB event log with billions of users. Timestamps
+  * are truncated to microseconds on both engines (the events fixture is
+  * nanosecond-precision parquet; Spark reads microseconds) so threshold
+  * comparisons agree exactly.
+  */
+object Events {
+
+  /** Ordered conversion funnel view → click → purchase: a user counts
+    * for step k only with an event of step k's type AT OR AFTER their
+    * earliest qualifying step-(k−1) event (the standard ordered-funnel
+    * semantics: min-timestamp chaining, one row per user per step).
+    * Each stage is `groupBy(user).min(ts)` then an equi-join back to
+    * the (already user-keyed) event scan — partial/final agg, no
+    * windows, no self-join explosion. Output: one row per step with
+    * the surviving-user count (monotone non-increasing by design). */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables(spark, dir, "events"), Seq("view", "click", "purchase"))
+
+  /** df form: expects (user_id: Long, event_type: String,
+    * ts: Timestamp). */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      date_trunc("microsecond", col("ts")).as("ts"))
+    val stageUsers = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val candidates = e.where(col("event_type") === step)
+        val gated = prev match {
+          case None => candidates
+          case Some(p) =>
+            candidates.join(p.select(col("user_id"), col("t_prev")), "user_id")
+              .where(col("ts") >= col("t_prev"))
+        }
+        Some(gated.groupBy("user_id").agg(min(col("ts")).as("t_prev")))
+    }.flatten
+    steps.zip(stageUsers).zipWithIndex.map { case ((step, users), i) =>
+      users.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step_idx"), lit(step).as("step"), col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Cohort retention matrix: users grouped by their FIRST-event week,
+    * tracked by activity in each subsequent week — the
+    * churn/stickiness table behind every retention curve. Weeks are
+    * user-relative day-offset weeks (`(day − cohort_day) div 7`), not
+    * calendar weeks: integer day arithmetic is engine-exact and the
+    * "week 0 = your own first week" convention is the one retention
+    * curves actually want. Two user-keyed shuffles (first-touch agg,
+    * join back) + one cohort-keyed agg; `n_users` is exact distinct —
+    * at extreme cohort widths the scale path is the same query with
+    * `approx_count_distinct`. */
+  def cohort(spark: SparkSession, dir: String): DataFrame =
+    cohort(Tables(spark, dir, "events"))
+
+  /** df form: expects (user_id: Long, ts: Timestamp). */
+  def cohort(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+    val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(first, "user_id")
+      .groupBy(
+        expr("cohort_day div 7").as("cohort_wk"),
+        expr("(day - cohort_day) div 7").as("age_wk"))
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+}

@@ -177,6 +177,45 @@ object Pipeline {
         floor((col("cum") - col("wp_tokens")) / budget).as("shard"))
   }
 
+  /** q_row_ids: GLOBAL contiguous 1-based row numbering in key order —
+    * the "assign every training example a stable ordinal" primitive
+    * (shard manifests, resumable iteration, example-id joins). The
+    * naive form — `row_number() OVER (ORDER BY key)` with no partition —
+    * funnels the entire table through ONE sorted task; this is the same
+    * two-pass range-partitioned decomposition as `packTokens`:
+    * per-key-range bucket counts → tiny driver ledger of exclusive
+    * offsets → broadcast back → per-bucket local row_number + offset.
+    * Bucket ranges are contiguous in the (unique) key, so local rank ∘
+    * offset ≡ the global rank exactly. Spec-checked ≡ the single-window
+    * form; oracle is DuckDB's global row_number. */
+  def globalRowIds(spark: SparkSession, dir: String): DataFrame =
+    globalRowIds(Tables(spark, dir, "documents").select("doc_id"), "doc_id", 32)
+
+  /** df form: `key` must be unique (ties would make ranks ambiguous —
+    * doc ids here; compose a struct key upstream otherwise). */
+  def globalRowIds(df: DataFrame, key: String, buckets: Int): DataFrame = {
+    val mm = df.agg(min(col(key)), max(col(key))).head()
+    if (mm.isNullAt(0))
+      return df.withColumn("rid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(key)).cast("long"))
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, (hi - lo) / buckets + 1)
+    val withBkt = df.withColumn("bkt", expr(s"($key - ${lo}L) div ${span}L"))
+    // pass 1: per-bucket cardinalities (partial/final count), ≤ `buckets`
+    // rows to the driver; exclusive prefix offsets computed there
+    val counts = withBkt.groupBy("bkt").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, n) => val r = (b, acc); acc += n; r }.toSeq
+    val offDf = df.sparkSession.createDataFrame(offsets).toDF("bkt", "off")
+    // pass 2: local dense rank within each contiguous bucket + offset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy(key)
+    withBkt.join(broadcast(offDf), "bkt")
+      .withColumn("rid", row_number().over(w).cast("long") + col("off"))
+      .drop("bkt", "off")
+  }
+
   /** q_decontaminate: benchmark decontamination — remove from the
     * training corpus every document that shares ANY `n`-token shingle
     * with a held-out benchmark set (here: docs whose id ≡ 0 mod

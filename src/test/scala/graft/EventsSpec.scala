@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Events
+
+/** Event-log analytics: ordered-funnel gating and cohort week
+  * arithmetic on crafted sequences. */
+class EventsSpec extends SparkSuiteBase {
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  test("funnel: steps gate on order — earlier-step events after the gate don't count") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1 converts fully in order
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      // user 2: click BEFORE the first view → click step not reached
+      (2L, "click", ts(5)), (2L, "view", ts(10)), (2L, "purchase", ts(15)),
+      // user 3: view only
+      (3L, "view", ts(10)),
+      // user 4: purchase at the SAME instant as the click → counts (>=)
+      (4L, "view", ts(1)), (4L, "click", ts(2)), (4L, "purchase", ts(2)),
+      // user 5: never views → appears in no step
+      (5L, "purchase", ts(50)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Events.funnel(events, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got === Map("view" -> 4L, "click" -> 2L, "purchase" -> 2L))
+  }
+
+  test("funnel counts are monotone non-increasing on real data") {
+    val rows = Events.funnel(spark, sf).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(rows.length === 3)
+    assert(rows.sliding(2).forall(p => p(0) >= p(1)), rows.mkString(","))
+  }
+
+  test("cohort: week offsets are user-relative; week 0 holds the first event") {
+    import spark.implicits._
+    def day(d: Int) = ts(d * 86400L)
+    val events = Seq(
+      // user 1 first seen day 0; active again day 8 (age week 1)
+      (1L, day(0)), (1L, day(8)),
+      // user 2 first seen day 20 (cohort week 2); active day 20 only
+      (2L, day(20)))
+      .toDF("user_id", "ts")
+    val got = Events.cohort(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      (0L, 0L) -> ((1L, 1L)),   // user 1 week 0
+      (0L, 1L) -> ((1L, 1L)),   // user 1 back in their week 1
+      (2L, 0L) -> ((1L, 1L)))) // user 2's own week 0
+  }
+}

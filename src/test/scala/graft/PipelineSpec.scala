@@ -40,6 +40,24 @@ class PipelineSpec extends SparkSuiteBase {
       s"expected range-bucketed window partitioning in plan:\n$plan")
   }
 
+  test("globalRowIds ≡ single global window, for any bucket count; no SinglePartition sort") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, sf, "documents").select("doc_id")
+    val want = docs
+      .withColumn("rid", row_number().over(Window.orderBy("doc_id")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (buckets <- Seq(1, 7, 100000)) {
+      val got = Pipeline.globalRowIds(docs, "doc_id", buckets).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"buckets=$buckets")
+    }
+    val plan = Pipeline.globalRowIds(docs, "doc_id", 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"two-pass form must not funnel into one partition:\n$plan")
+  }
+
   test("decontaminate: shared 4-gram removes a train doc; benchmark docs excluded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
