@@ -106,7 +106,9 @@ object SparkEntry {
     "q_schema_evolution" -> ((s, d) => graft.sources.FileFormats.schemaEvolution(s, d)),
     "q_row_ids"         -> ((s, d) => Pipeline.globalRowIds(s, d)),
     "q_funnel"          -> ((s, d) => Events.funnel(s, d)),
-    "q_cohort"          -> ((s, d) => Events.cohort(s, d))
+    "q_cohort"          -> ((s, d) => Events.cohort(s, d)),
+    "q_lm_score"        -> ((s, d) => TextOps.lmScore(s, d)),
+    "q_outliers"        -> ((s, d) => Relational.outliers(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -815,6 +817,46 @@ object SparkEntry {
         |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM capped a JOIN capped b
         |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1""".stripMargin,
+    // exact BIGINT numerator; two fixed-order divisions → bit parity
+    "q_lm_score" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(lower(text), '$Ws'),
+         |                            x -> x != '')) AS tok
+         |  FROM documents
+         |), ctf AS (SELECT tok, count(*) AS ctf FROM tok GROUP BY tok),
+         |tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS nt FROM ctf),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_tok, CAST(sum(ctf) AS BIGINT) AS num
+         |  FROM tok JOIN ctf USING (tok) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(n_tok, 0) AS n_tok,
+         |       coalesce(num, 0) AS lm_num,
+         |       CASE WHEN n_tok IS NULL OR n_tok <= 0 THEN 0.0
+         |            ELSE CAST(num AS DOUBLE) / CAST(n_tok AS DOUBLE)
+         |                   / CAST((SELECT nt FROM tot) AS DOUBLE) END AS lm_score
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+    // μ/σ from the same exact integer sums as q_stats_moments → the
+    // 1.5σ threshold is the identical double in both engines
+    "q_outliers" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag
+        |), st AS (
+        |  SELECT l_returnflag,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |         / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)) AS sigma
+        |  FROM s
+        |)
+        |SELECT l.l_returnflag, count(*) AS n_outliers,
+        |       round(min(l_quantity), 2) AS min_q,
+        |       round(max(l_quantity), 2) AS max_q
+        |FROM lineitem l JOIN st USING (l_returnflag)
+        |WHERE abs(l_quantity - mu) > 1.5 * sigma
+        |GROUP BY l.l_returnflag""".stripMargin,
     // global ordinal assignment; the two-pass decomposition must equal
     // the oracle's single global window exactly
     "q_row_ids" ->

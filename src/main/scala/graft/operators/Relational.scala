@@ -336,6 +336,38 @@ object Relational {
         (covNum / sqrt(varNumX) / sqrt(varNumY)).as("corr_xy"))
   }
 
+  /** q_outliers: statistical outlier detection — lineitems whose
+    * quantity deviates from their group mean by more than `k·σ`
+    * (1.5σ here: the fixture quantities are uniform, so a 2σ gate on a
+    * distribution with no 2σ tail would select nothing)
+    * (z-score gating, the standard anomaly screen before training-data
+    * ingestion). Composes `momentStats`'s exact-integer derivation:
+    * μ and σ come from BIGINT power sums, so the per-row threshold
+    * comparison is against a bit-identical double in both engines —
+    * no knife-edge rows. Two passes over the group key: the tiny
+    * per-group stats frame broadcasts back onto the scan (never a
+    * window sort); at 100 TB this is a scan + broadcast-join + scan,
+    * the cheapest possible shape for "filter by a group statistic". */
+  def outliers(spark: SparkSession, dir: String, k: Double = 1.5): DataFrame = {
+    val nD = col("n").cast("double")
+    val varNumX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val stats = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("l_returnflag"),
+        (col("sx").cast("double") / nD).as("mu"),
+        sqrt(varNumX / nD / nD).as("sigma"))
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(stats), "l_returnflag")
+      .where(abs(col("l_quantity") - col("mu")) > lit(k) * col("sigma"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_outliers"),
+        round(min("l_quantity"), 2).as("min_q"),
+        round(max("l_quantity"), 2).as("max_q"))
+  }
+
   /** B14 q_setops: UNION / INTERSECT / EXCEPT cardinalities between
     * "custkeys that ordered" and "custkeys in segment BUILDING". */
   def setOps(spark: SparkSession, dir: String): DataFrame = {

@@ -250,6 +250,46 @@ object TextOps {
       .select("doc_id", "term", "tf", "df", "score", "rnk")
   }
 
+  /** North-star q_lm_score: unigram corpus-likelihood quality score —
+    * each document scored by the mean corpus frequency of its tokens
+    * (`Σ ctf(tok) / n_tok / N`): prose built from common words scores
+    * high, gibberish/rare-token junk scores low. The deterministic,
+    * oracle-expressible core of LM-based quality filtering (CCNet —
+    * Wenzek et al., LREC 2020 — ranks by KenLM perplexity; a real LM
+    * slots into the same shape by swapping the ctf join for a model
+    * lookup). Kept LINEAR (no log/exp — libm-dependent last ulps):
+    * the numerator is an exact BIGINT sum, so the two fixed-order
+    * divisions are bit-identical across engines with no rounding.
+    * Shape at scale: token explode → vocabulary-keyed ctf join (AQE
+    * broadcasts small vocabularies) → per-doc sum; all aggregations
+    * split partial/final; zero-token docs rejoin with score 0.0. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScore(Tables(spark, dir, "documents"))
+
+  def lmScore(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val ctf = tok.groupBy("tok").agg(count(lit(1)).as("ctf"))
+    // one scalar to the driver (like tfidf's N); 0 for an empty corpus
+    val nTotal = ctf.agg(sum("ctf")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val per = tok.join(ctf, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("ctf").as("num"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("num"), lit(0L)).as("lm_num"),
+        when(col("n_tok").isNull || col("n_tok") <= 0L, lit(0.0))
+          .otherwise(col("num").cast("double") / col("n_tok").cast("double")
+            / lit(nTotal.toDouble))
+          .as("lm_score"))
+  }
+
   /** North-star q_fingerprint: polynomial rolling-hash document
     * fingerprints — a whole-document hash plus the minimum 8-char-window
     * hash (the min-hash-of-k-grams selection at the core of winnowing:

@@ -57,6 +57,26 @@ class RelationalSpec extends SparkSuiteBase {
     }
   }
 
+  test("outliers: gate matches a hand recomputation; stats side is broadcast") {
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val want = li.groupBy(_._1).map { case (flag, rows) =>
+      val xs = rows.map(_._2)
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      val sigma = math.sqrt(xs.map(x => x * x).sum / n - mu * mu)
+      flag -> xs.count(x => math.abs(x - mu) > 1.5 * sigma).toLong
+    }.filter(_._2 > 0L)
+    val df = Relational.outliers(spark, sf)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.values.sum > 0L, "uniform 1..50 must have 1.5σ tails")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"group stats should broadcast back onto the scan:\n$plan")
+  }
+
   test("cdc compact: latest (ts, event_id) version wins; ts tie broken by event_id") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)

@@ -49,6 +49,24 @@ class TextAnalysisSpec extends SparkSuiteBase {
     }
   }
 
+  test("lm score: common-word prose outranks rare-token junk; empty doc scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),   // words shared with doc 2
+      (2L, "the dog sat on the rug"),
+      (3L, "zxqv flurb gnarp"),         // singletons only
+      (4L, ""))                          // zero tokens
+      .toDF("doc_id", "text")
+    val got = TextOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(4L) === ((0L, 0L, 0.0)))
+    // junk doc: every token has corpus frequency 1 → num = n_tok
+    assert(got(3L)._1 === 3L && got(3L)._2 === 3L)
+    assert(got(1L)._3 > got(3L)._3, s"prose ${got(1L)} must outscore junk ${got(3L)}")
+    // numerator is the exact sum of corpus tfs: doc 1 = the(4)+cat(1)+sat(2)+on(2)+the(4)+mat(1)
+    assert(got(1L)._2 === 14L)
+  }
+
   test("redact masks every digit run and counts them") {
     val got = graft.operators.Scalars.redact(spark, sf).collect()
     assert(got.nonEmpty)
