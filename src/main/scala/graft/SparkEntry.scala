@@ -108,7 +108,8 @@ object SparkEntry {
     "q_funnel"          -> ((s, d) => Events.funnel(s, d)),
     "q_cohort"          -> ((s, d) => Events.cohort(s, d)),
     "q_lm_score"        -> ((s, d) => TextOps.lmScore(s, d)),
-    "q_outliers"        -> ((s, d) => Relational.outliers(s, d))
+    "q_outliers"        -> ((s, d) => Relational.outliers(s, d)),
+    "q_pagerank"        -> ((s, d) => Graphs.pageRank(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -817,6 +818,10 @@ object SparkEntry {
         |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM capped a JOIN capped b
         |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1""".stripMargin,
+    // integer-arithmetic PageRank: the oracle unrolls the 5 damped
+    // iterations as chained CTEs; floor divisions and integer sums are
+    // reassociation-proof, so ranks are bit-exact across engines
+    "q_pagerank" -> pageRankOracle(5),
     // exact BIGINT numerator; two fixed-order divisions → bit parity
     "q_lm_score" ->
       s"""WITH tok AS (
@@ -1037,6 +1042,29 @@ object SparkEntry {
        |  CAST(sum(CASE WHEN state = 'lowq' THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq,
        |  CAST(sum(CASE WHEN state = 'kept' THEN wp_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
        |FROM staged GROUP BY lang""".stripMargin
+
+  /** Oracle for q_pagerank: the fixed-iteration loop unrolled as
+    * chained CTEs (same node encoding, same integer floor-div/damping
+    * arithmetic as `Graphs.pageRank` — see there for the bit-parity
+    * argument). */
+  private def pageRankOracle(iters: Int): String = {
+    val head =
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT l_suppkey * 2 + 1, l_partkey * 2 FROM lineitem
+        |), deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST(150000000000 + (85 * sum(r // d)) // 100 AS BIGINT) AS r
+         |  FROM e JOIN deg USING (src) JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |  GROUP BY e.dst
+         |)""".stripMargin
+    }
+    head + ",\n" + its.mkString(",\n") + s"\nSELECT node, r FROM r$iters"
+  }
 
   /** Shared by the typed-flatMap and native-Generator bigram queries
     * (same semantics, two execution tiers). */
