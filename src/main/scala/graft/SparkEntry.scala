@@ -109,7 +109,9 @@ object SparkEntry {
     "q_cohort"          -> ((s, d) => Events.cohort(s, d)),
     "q_lm_score"        -> ((s, d) => TextOps.lmScore(s, d)),
     "q_outliers"        -> ((s, d) => Relational.outliers(s, d)),
-    "q_pagerank"        -> ((s, d) => Graphs.pageRank(s, d))
+    "q_pagerank"        -> ((s, d) => Graphs.pageRank(s, d)),
+    "q_stream_enrich"   -> ((s, d) => graft.streaming.Streams.enrich(s, d)),
+    "q_scd2"            -> ((s, d) => Relational.scd2(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -818,6 +820,25 @@ object SparkEntry {
         |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM capped a JOIN capped b
         |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1""".stripMargin,
+    // stream-static enrichment: streamed result ≡ the batch join+agg
+    "q_stream_enrich" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |       c_mktsegment, count(*) AS cnt, round(sum(value), 2) AS sval
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+    // SCD2 intervals: next version's ts closes the previous one;
+    // epoch-microsecond bounds for integer parity
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         date_trunc('microseconds', ts) AS ts
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, event_type,
+        |       epoch_us(ts) AS valid_from_us,
+        |       epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id)) AS valid_to_us
+        |FROM e""".stripMargin,
     // integer-arithmetic PageRank: the oracle unrolls the 5 damped
     // iterations as chained CTEs; floor divisions and integer sums are
     // reassociation-proof, so ranks are bit-exact across engines

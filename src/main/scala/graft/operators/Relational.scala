@@ -243,6 +243,33 @@ object Relational {
         col("last.event_type").as("last_type"),
         col("last.value").as("last_value"))
 
+  /** q_scd2: slowly-changing-dimension (type 2) history build — the
+    * companion of `cdcCompact`: instead of keeping only the LATEST
+    * record per key, every version becomes a validity interval
+    * [valid_from, valid_to), closed by the next version's timestamp
+    * (NULL = current) — the dimension-history table that lets a fact
+    * row join "the customer AS OF the order date" (via `Joins.asofJoin`
+    * semantics). One user-keyed window (`lead` over the total
+    * (ts, event_id) order): per-key history sorts inside its own hash
+    * partition, nothing global. Interval bounds surface as epoch
+    * MICROSECONDS (integer cross-engine parity, like `sessionize`). */
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2(Tables(spark, dir, "events"))
+
+  /** df form: expects (user_id: Long, event_id: Long, ts: Timestamp,
+    * event_type: String). */
+  def scd2(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("microsecond", col("ts")).as("ts"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", unix_micros(lead(col("ts"), 1).over(w)))
+      .select("user_id", "event_id", "event_type",
+        "valid_from_us", "valid_to_us")
+  }
+
   /** q_histogram: fixed-width value histogram of order totals — the
     * data-profiling primitive (distribution sketch before choosing
     * partition counts, salt factors, or clamp thresholds at 100 TB).

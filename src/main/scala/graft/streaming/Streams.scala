@@ -276,6 +276,30 @@ object Streams {
         .select(col("purchase_id"), col("click_id"), col("p_uid").as("user_id"))
     })
 
+  /** q_stream_enrich: STREAM-STATIC enrichment join — the arriving
+    * event stream joined per-micro-batch against a static dimension
+    * table (customer → market segment), then window-aggregated by the
+    * ENRICHED key. The standard "decorate the firehose with reference
+    * data" shape: the static side is broadcast (re-resolved each
+    * micro-batch, no state store involvement — stream-static joins are
+    * stateless), so at 100 TB/day of events the only streaming state is
+    * the window aggregation's, and the dim can be swapped under the
+    * running query by republishing its path. The watermark is taken
+    * BEFORE the join: the sentinel advances event time even though an
+    * inner join drops its row. */
+  def enrich(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    run(spark, dir, withDupes = false, ds =>
+      ds.withWatermark("ts", "2 minutes")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 minute"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sval"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("c_mktsegment"), col("cnt"), col("sval")))
+  }
+
   /** Custom keyed state beyond the built-ins (B25's
     * `flatMapGroupsWithState` path): a per-user running event counter
     * with an event-time timeout — the shape for arbitrary user state

@@ -105,6 +105,24 @@ class RelationalSpec extends SparkSuiteBase {
     assert(!plan.contains("Window"), s"window sort leaked into plan:\n$plan")
   }
 
+  test("scd2: intervals chain per key; exactly one open (current) version") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      (10L, ts(100), 1L, "v1"), (11L, ts(200), 1L, "v2"), (12L, ts(300), 1L, "v3"),
+      (20L, ts(50), 2L, "only"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val rows = Relational.scd2(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    // user 1: each version's valid_to is the next version's valid_from
+    val u1 = rows.filter(_._1 == 1L).sortBy(_._4)
+    assert(u1.map(_._3).toSeq === Seq("v1", "v2", "v3"))
+    assert(u1(0)._5 === Some(u1(1)._4) && u1(1)._5 === Some(u1(2)._4))
+    assert(u1(2)._5 === None, "latest version stays open")
+    assert(rows.count(_._5.isEmpty) === 2, "one open version per key")
+  }
+
   test("filter pushes predicates to the parquet scan") {
     val plan = Relational.filterQuery(spark, sf)
       .queryExecution.executedPlan.toString

@@ -231,6 +231,23 @@ class StreamingSpec extends SparkSuiteBase {
       "checkpoint must make the restart a no-op (exactly-once)")
   }
 
+  test("stream-static enrich equals the batch join+agg; no join state") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.Streams.enrich(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val batch = graft.sources.Tables(spark, sf, "events")
+      .join(graft.sources.Tables(spark, sf, "customer"),
+        col("user_id") === col("c_custkey"))
+      .groupBy(date_format(date_trunc("minute", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("wstart"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sval"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(streamed === batch)
+  }
+
   test("foreachBatch upsert converges to the one-shot batch compaction") {
     val streamed = graft.streaming.Streams.upsert(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3))))
