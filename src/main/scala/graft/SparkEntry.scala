@@ -111,7 +111,8 @@ object SparkEntry {
     "q_outliers"        -> ((s, d) => Relational.outliers(s, d)),
     "q_pagerank"        -> ((s, d) => Graphs.pageRank(s, d)),
     "q_stream_enrich"   -> ((s, d) => graft.streaming.Streams.enrich(s, d)),
-    "q_scd2"            -> ((s, d) => Relational.scd2(s, d))
+    "q_scd2"            -> ((s, d) => Relational.scd2(s, d)),
+    "q_topk_sketch"     -> ((s, d) => TextOps.approxTopTokens(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -820,6 +821,16 @@ object SparkEntry {
         |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM capped a JOIN capped b
         |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1""".stripMargin,
+    // Misra-Gries in its exact regime (capacity ≥ vocabulary): sketch
+    // counts equal true counts, so top-k hash-matches plain wordcount
+    "q_topk_sketch" ->
+      s"""SELECT word AS tok, cnt AS est FROM (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split_regex(lower(text), '$Ws')) AS word
+         |        FROM documents)
+         |  WHERE length(word) > 0
+         |  GROUP BY word
+         |) ORDER BY est DESC, tok LIMIT 10""".stripMargin,
     // stream-static enrichment: streamed result ≡ the batch join+agg
     "q_stream_enrich" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS wstart,

@@ -250,6 +250,32 @@ object TextOps {
       .select("doc_id", "term", "tf", "df", "score", "rnk")
   }
 
+  /** q_topk_sketch: heavy-hitter tokens via the Misra–Gries sketch
+    * (`functions.TopKSketch`) — the bounded-memory scale path for the
+    * wordcount family when the KEY SPACE explodes (URLs, n-grams,
+    * user-agents): ≤ `capacity` counters per partition, only sketches
+    * shuffle, estimates undercount by at most N/(capacity+1) and
+    * nothing above that line is ever lost. The fixture vocabulary (31
+    * words) fits the 64-counter budget, so the DECLARED run is in the
+    * sketch's exact regime — deterministic, hence DuckDB-oracle-hashed
+    * against plain wordcount top-k; the lossy regime (capacity <
+    * vocabulary, merge-order-dependent survivors but guaranteed heavy
+    * hitters) is property-spec'd on crafted streams. */
+  def approxTopTokens(spark: SparkSession, dir: String): DataFrame =
+    approxTopTokens(Tables(spark, dir, "documents"), 64, 10)
+
+  def approxTopTokens(docs: DataFrame, capacity: Int, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .as[String]
+    toks.select(new graft.functions.TopKSketch(capacity).toColumn)
+      .flatMap((m: Map[String, Long]) => m.toSeq)
+      .toDF("tok", "est")
+      .orderBy(desc("est"), asc("tok"))
+      .limit(k)
+  }
+
   /** North-star q_lm_score: unigram corpus-likelihood quality score —
     * each document scored by the mean corpus frequency of its tokens
     * (`Σ ctf(tok) / n_tok / N`): prose built from common words scores

@@ -49,6 +49,37 @@ class TextAnalysisSpec extends SparkSuiteBase {
     }
   }
 
+  test("topk sketch, lossy regime: heavy hitters survive with bounded undercount") {
+    import spark.implicits._
+    // counts: a=50 b=30 c=20 + 10 singletons → N=110; capacity 4 →
+    // guarantee line N/(cap+1) = 22: a and b MUST survive
+    val words = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++
+      (1 to 10).map(i => s"junk$i")
+    val docs = new scala.util.Random(42).shuffle(words).grouped(12).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(5)
+    val got = graft.operators.TextOps.approxTopTokens(docs, 4, 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 110L
+    val bound = n / 5L
+    assert(got.contains("a") && got.contains("b"),
+      s"items above N/(cap+1) must survive: $got")
+    for ((tok, est) <- got; truth = Map("a" -> 50L, "b" -> 30L, "c" -> 20L).getOrElse(tok, 1L)) {
+      assert(est <= truth, s"$tok overcounted: $est > $truth")
+      assert(est >= truth - bound, s"$tok undercut past the bound: $est < $truth - $bound")
+    }
+  }
+
+  test("topk sketch, exact regime: capacity ≥ vocabulary reproduces exact counts") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val got = graft.operators.TextOps.approxTopTokens(docs, 64, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val want = TextOps.wordCount(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (t, c) => (-c, t) }.take(10)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("lm score: common-word prose outranks rare-token junk; empty doc scores 0") {
     import spark.implicits._
     val docs = Seq(
