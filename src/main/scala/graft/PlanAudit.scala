@@ -9,8 +9,8 @@ object PlanAudit {
     // streaming / iterative-fit queries: no single static plan (and
     // building them EXECUTES the stream / the Lloyd driver loop)
     val skip = Set("q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-      "q_stream_dedup", "q_stream_join", "q_stream_upsert", "q_kmeans",
-      "q_simsearch_ivf")
+      "q_stream_dedup", "q_stream_join", "q_stream_upsert", "q_stream_enrich",
+      "q_kmeans", "q_simsearch_ivf", "q_pagerank")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
