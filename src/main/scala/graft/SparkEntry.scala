@@ -112,7 +112,9 @@ object SparkEntry {
     "q_pagerank"        -> ((s, d) => Graphs.pageRank(s, d)),
     "q_stream_enrich"   -> ((s, d) => graft.streaming.Streams.enrich(s, d)),
     "q_scd2"            -> ((s, d) => Relational.scd2(s, d)),
-    "q_topk_sketch"     -> ((s, d) => TextOps.approxTopTokens(s, d))
+    "q_topk_sketch"     -> ((s, d) => TextOps.approxTopTokens(s, d)),
+    "q_fill_forward"    -> ((s, d) => Windows.fillForward(s, d)),
+    "q_entity_resolve"  -> ((s, d) => Joins.entityResolve(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -821,6 +823,35 @@ object SparkEntry {
         |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM capped a JOIN capped b
         |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1""".stripMargin,
+    // carried values are raw data (no arithmetic) → exact parity
+    "q_fill_forward" ->
+      """SELECT user_id, event_id,
+        |       epoch_us(date_trunc('microseconds', ts)) AS ts_us,
+        |       last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |                  IGNORE NULLS)
+        |         OVER (PARTITION BY user_id
+        |               ORDER BY date_trunc('microseconds', ts), event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS last_purchase
+        |FROM events""".stripMargin,
+    // fuzzy-pair graph closed transitively; singletons map to themselves
+    "q_entity_resolve" ->
+      """WITH RECURSIVE capped AS (
+        |  SELECT c_custkey AS id, lower(c_name) AS name
+        |  FROM customer WHERE c_custkey < 500
+        |), prs AS (
+        |  SELECT a.id AS da, b.id AS db
+        |  FROM capped a JOIN capped b
+        |    ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+        |), edges AS (
+        |  SELECT da AS u, db AS v FROM prs UNION ALL SELECT db, da FROM prs
+        |), reach AS (
+        |  SELECT DISTINCT u AS node, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u AS node, t.r FROM edges e JOIN reach t ON e.v = t.node
+        |), comp AS (SELECT node, min(r) AS c FROM reach GROUP BY node)
+        |SELECT id, coalesce(c, id) AS canon
+        |FROM capped LEFT JOIN comp ON id = node""".stripMargin,
     // Misra-Gries in its exact regime (capacity ≥ vocabulary): sketch
     // counts equal true counts, so top-k hash-matches plain wordcount
     "q_topk_sketch" ->

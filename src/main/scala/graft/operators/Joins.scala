@@ -199,6 +199,34 @@ object Joins {
         levenshtein(col("na"), col("nb")).cast("long").as("dist"))
   }
 
+  /** q_entity_resolve: end-to-end entity resolution — the fuzzy-pair
+    * index composed with connected components (exactly how `Pipeline.
+    * curate` composes MinHash pairs with components for documents, here
+    * for ENTITIES): deletion-neighborhood candidate pairs at edit
+    * distance ≤ 1 → transitive closure → every record mapped to its
+    * cluster's canonical (minimum) id, singletons to themselves. The
+    * master-data "golden record" assignment. Scale shape: the pair
+    * graph is tiny relative to the record count (only near-duplicates
+    * edge), so the CC loop runs on a graph orders of magnitude smaller
+    * than the corpus; the final assignment is one broadcast left join.
+    * Oracle: exhaustive pairwise Levenshtein + recursive closure. */
+  def entityResolve(spark: SparkSession, dir: String): DataFrame = {
+    val capped = Tables(spark, dir, "customer")
+      .where(col("c_custkey") < 500L)
+      .select(col("c_custkey").as("id"), lower(col("c_name")).as("name"))
+    entityResolve(capped)
+  }
+
+  /** df form: expects (id: Long, name: String). */
+  def entityResolve(names: DataFrame): DataFrame = {
+    val pairs = fuzzyJoin(names, 1)
+      .select(col("id_a").as("da"), col("id_b").as("db"))
+    // dupComponents labels its node column doc_id (document-dedup home)
+    val comp = Dedup.dupComponents(pairs)
+    names.join(broadcast(comp), col("id") === col("doc_id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("canon"))
+  }
+
   private val bucketCache =
     new scala.collection.concurrent.TrieMap[(String, String), (String, String)]()
 

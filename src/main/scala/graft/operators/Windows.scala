@@ -119,6 +119,35 @@ object Windows {
       .select("user_id", "sid", "start_us", "n_events", "sum_v")
   }
 
+  /** q_fill_forward: last-observation-carried-forward per entity — the
+    * as-of feature-propagation primitive of a training pipeline (every
+    * event decorated with the user's most recent purchase amount, NULL
+    * until their first purchase). `last_value(..., ignoreNulls)` over
+    * the per-user unbounded-preceding frame: user-keyed shuffle, per-
+    * user sort, O(1) state per row — the same scale shape as every
+    * window here (a global time-spine ffill would be a SinglePartition
+    * sort; per-entity is the form that parallelizes). Carried values
+    * are raw column data (no arithmetic) → exact parity. */
+  def fillForward(spark: SparkSession, dir: String): DataFrame =
+    fillForward(Tables(spark, dir, "events"))
+
+  /** df form: expects (user_id, event_id, ts: Timestamp, event_type,
+    * value). */
+  def fillForward(events: DataFrame): DataFrame = {
+    // ordering by the epoch-micros projection ≡ ordering by ts (micros
+    // is what Spark holds); keeps the window after the narrow projection
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(date_trunc("microsecond", col("ts"))).as("ts_us"),
+        col("event_type"), col("value"))
+      .withColumn("last_purchase",
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w))
+      .select("user_id", "event_id", "ts_us", "last_purchase")
+  }
+
   /** B12 q_window_running: running revenue per customer in order-date
     * order (unbounded-preceding frame) + `lag` of the previous price. */
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {

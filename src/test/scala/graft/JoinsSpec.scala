@@ -42,6 +42,20 @@ class JoinsSpec extends SparkSuiteBase {
     }
   }
 
+  test("entity resolution: chained variants share one canonical id; singletons self-map") {
+    import spark.implicits._
+    val names = Seq(
+      (3L, "smith"), (7L, "smyth"),   // dist 1 of each other
+      (9L, "smiths"),                 // dist 1 of smith, dist 2 of smyth → chained
+      (5L, "jones"))                  // singleton
+      .toDF("id", "name")
+    val got = Joins.entityResolve(names).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) === 3L && got(7L) === 3L && got(9L) === 3L,
+      s"transitive chain must collapse to min id: $got")
+    assert(got(5L) === 5L, "singleton maps to itself")
+  }
+
   test("fuzzy join: deletion index finds exactly the distance<=1 pairs") {
     import spark.implicits._
     val names = Seq(

@@ -29,6 +29,26 @@ class WindowsSpec extends SparkSuiteBase {
     assert(got.size === 3)
   }
 
+  test("fill forward: purchase values carry; NULL before the first purchase") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      (1L, ts(10), 1L, "view", 0.0),
+      (2L, ts(20), 1L, "purchase", 9.5),
+      (3L, ts(30), 1L, "click", 0.0),     // carries 9.5
+      (4L, ts(40), 1L, "purchase", 3.25),
+      (5L, ts(50), 1L, "view", 0.0),      // carries 3.25
+      (6L, ts(15), 2L, "click", 0.0))     // user 2 never purchases
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Windows.fillForward(events).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got(1L) === None)
+    assert(got(2L) === Some(9.5) && got(3L) === Some(9.5))
+    assert(got(4L) === Some(3.25) && got(5L) === Some(3.25))
+    assert(got(6L) === None)
+  }
+
   test("rank: at most 3 per customer, rank 1 is that customer's max price") {
     val rows = Windows.rankTopN(spark, sf).collect()
     val byC = rows.groupBy(_.getLong(0))
