@@ -114,7 +114,12 @@ object SparkEntry {
     "q_scd2"            -> ((s, d) => Relational.scd2(s, d)),
     "q_topk_sketch"     -> ((s, d) => TextOps.approxTopTokens(s, d)),
     "q_fill_forward"    -> ((s, d) => Windows.fillForward(s, d)),
-    "q_entity_resolve"  -> ((s, d) => Joins.entityResolve(s, d))
+    "q_entity_resolve"  -> ((s, d) => Joins.entityResolve(s, d)),
+    "q_unpivot"         -> ((s, d) => Relational.unpivotMeasures(s, d)),
+    "q_kanon"           -> ((s, d) => Relational.kanonymize(s, d)),
+    "q_split"           -> ((s, d) => Pipeline.splitTag(s, d)),
+    "q_compact"         -> ((s, d) => graft.sources.Sinks.compactRead(s, d)),
+    "q_sequence"        -> ((s, d) => Events.transitions(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1032,7 +1037,61 @@ object SparkEntry {
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice * 20.0 / 600000.0) AS BIGINT) AS bucket,
         |       count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+    // the oracle's UNION ALL scans lineitem four times — the Spark side's
+    // single-Expand unpivot is the point; values are raw (exact parity)
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
+    "q_kanon" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS grp_n
+        |  FROM customer GROUP BY c_mktsegment, c_nationkey
+        |)
+        |SELECT c_custkey,
+        |       CASE WHEN grp_n >= 10 THEN c_mktsegment ELSE '*' END AS seg_anon,
+        |       CASE WHEN grp_n >= 10 THEN CAST(c_nationkey AS VARCHAR)
+        |            ELSE '*' END AS nation_anon,
+        |       (grp_n >= 10) AS published
+        |FROM customer JOIN g USING (c_mktsegment, c_nationkey)""".stripMargin,
+    // same FNV bucket arithmetic as q_sample_hash; disjoint-bucket split
+    "q_split" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, ${utf8BytesSql("CAST(doc_id AS VARCHAR)")} AS bs
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, lang,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT), bs),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+         |  FROM f
+         |)
+         |SELECT doc_id, lang,
+         |       CASE WHEN h % 10 = 0 THEN 'val' ELSE 'train' END AS split
+         |FROM g""".stripMargin,
+    // oracle reads the ORIGINAL table: the shatter→compact→read cycle
+    // must be byte-faithful per row (md5 over the utf-8 text)
+    "q_compact" ->
+      "SELECT doc_id, lang, n_chars, md5(text) AS digest FROM documents",
+    "q_sequence" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         date_trunc('microseconds', ts) AS ts
+        |  FROM events
+        |), t AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM e
+        |)
+        |SELECT prev_type, event_type AS next_type, count(*) AS cnt,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

@@ -79,4 +79,35 @@ object Events {
         countDistinct("user_id").as("n_users"),
         count(lit(1)).as("n_events"))
   }
+
+  /** q_sequence: first-order event-type transition counts (the Markov
+    * / clickstream-mining primitive): each user's event stream in
+    * (ts, event_id) order yields adjacent (prev → next) type pairs,
+    * counted globally with the distinct users exhibiting each
+    * transition. Where q_funnel asks "how many users completed the
+    * ordered path", this asks "what paths exist" — the exploratory
+    * twin.
+    *
+    * One user-keyed shuffle for the lag window (per-user partitions —
+    * event logs shard naturally by user, never a global sort), then a
+    * wordcount-shaped agg over ≤ |types|² keys. The (ts, event_id)
+    * tie-break makes same-instant events deterministic. */
+  def transitions(spark: SparkSession, dir: String): DataFrame =
+    transitions(Tables(spark, dir, "events"))
+
+  /** df form: expects (user_id: Long, event_id: Long,
+    * event_type: String, ts: Timestamp). */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        date_trunc("microsecond", col("ts")).as("ts"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct("user_id").as("n_users"))
+  }
 }

@@ -87,6 +87,27 @@ object Pipeline {
     (documents.where(bucket =!= 0L), documents.where(bucket === 0L))
   }
 
+  /** q_split: the declared single-scan form of the train/validation
+    * split — every doc tagged 'train' or 'val' by the same disjoint
+    * hash-bucket rule `trainValSplit` filters on (bucket 0 of valMod →
+    * val). One scan emitting both sides beats materializing the two
+    * filtered DataFrames separately (2 scans) when the split feeds a
+    * single downstream writer; the two forms are spec-checked to
+    * partition the corpus identically. Deterministic, engine-portable,
+    * stable under repartitioning — re-running the pipeline never
+    * migrates a doc across the split (the leak-safety property seeded
+    * RNG splits do not have). */
+  def splitTag(spark: SparkSession, dir: String, valMod: Int = 10): DataFrame =
+    splitTag(Tables(spark, dir, "documents"), valMod)
+      .select(col("doc_id"), col("lang"), col("split"))
+
+  /** df form: expects a `doc_id: Long` column; keeps all columns and
+    * adds `split`. */
+  def splitTag(documents: DataFrame, valMod: Int): DataFrame =
+    documents.withColumn("split",
+      when(graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string"))
+        % valMod === 0L, "val").otherwise("train"))
+
   /** q_pack_tokens (declared form): greedy token-budget shard packing
     * per language — each doc lands in the shard its running token offset
     * falls into (running sum over the deterministic doc_id order). The

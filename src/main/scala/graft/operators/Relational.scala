@@ -409,4 +409,47 @@ object Relational {
       .unionAll(tag("intersect", a.intersect(b)))
       .unionAll(tag("except", a.except(b)))
   }
+
+  /** q_unpivot: wide→long reshaping (melt) — four lineitem measure
+    * columns rotated into (measure, val) rows keyed by the line id.
+    * The inverse of q_pivot, and the normalization step feeding
+    * "one metric per row" sinks (metric stores, long-format exports).
+    * `Dataset.unpivot` plans a single Expand over ONE scan — the naive
+    * UNION ALL of four projections (what the oracle runs) scans the
+    * table four times, a 4× read at 100 TB. Values are raw column data
+    * (no arithmetic) → exact cross-engine parity. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "val")
+
+  /** q_kanon: k-anonymity suppression — each customer's quasi-identifier
+    * pair (market segment, nation) is published only when at least `k`
+    * customers share it; rarer combinations are suppressed to '*' so no
+    * published row isolates fewer than k people (Sweeney 2002's
+    * suppression model — the release-gate transform of a privacy-aware
+    * curation pipeline, beside q_redact's masking).
+    *
+    * Shape at scale: group sizes come from a partial/final count over
+    * the quasi-identifier columns — a FEW rows per distinct QI combo —
+    * broadcast back onto the scan. Never a window over the QI partition
+    * (the biggest segment would funnel into one task; the group-count
+    * table stays tiny no matter how many billions of rows feed it). */
+  def kanonymize(spark: SparkSession, dir: String, k: Long = 10L): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val groups = cust.groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("grp_n"))
+    cust.join(broadcast(groups), Seq("c_mktsegment", "c_nationkey"))
+      .select(
+        col("c_custkey"),
+        when(col("grp_n") >= k, col("c_mktsegment")).otherwise("*").as("seg_anon"),
+        when(col("grp_n") >= k, col("c_nationkey").cast("string"))
+          .otherwise("*").as("nation_anon"),
+        (col("grp_n") >= k).as("published"))
+  }
 }

@@ -201,6 +201,31 @@ object Sinks {
     nFiles
   }
 
+  /** q_compact: the small-file pathology and its repair, end-to-end —
+    * documents staged SHATTERED (64 files for a few hundred rows, the
+    * layout a long-running incremental pipeline accretes), compacted by
+    * `compact()` into ~target-sized files, then read back with a
+    * per-row digest. The oracle reads the ORIGINAL table, so the
+    * hash-match proves the rewrite is byte-faithful — the property that
+    * lets a 100 TB pipeline compact continuously without re-validating
+    * data. The spec asserts the file count actually collapsed; this
+    * declared query asserts the data didn't change. */
+  def compactRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(stagedCompactedDocuments(spark, dir))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(encode(col("text"), "UTF-8")).as("digest"))
+
+  private[graft] def stagedCompactedDocuments(spark: SparkSession, dir: String): String =
+    partCache.getOrElseUpdate(("compact", dir, graft.Fs.tableFingerprint(dir, "documents")), {
+      val root = new java.io.File(graft.Engine.workDir("graft-compact-"), "documents_c")
+      val path = root.getAbsolutePath
+      graft.sources.Tables(spark, dir, "documents")
+        .repartition(64) // deliberately shattered: the "before" layout
+        .write.mode("overwrite").parquet(path)
+      compact(spark, path)
+      path
+    })
+
   private def walkBytes(f: java.io.File): Long =
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).map(walkBytes).sum

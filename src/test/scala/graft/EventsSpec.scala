@@ -50,4 +50,23 @@ class EventsSpec extends SparkSuiteBase {
       (0L, 1L) -> ((1L, 1L)),   // user 1 back in their week 1
       (2L, 0L) -> ((1L, 1L)))) // user 2's own week 0
   }
+
+  test("transitions: per-user adjacency with (ts, event_id) tie-break; no cross-user pairs") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: view → click → view  (two transitions)
+      (1L, 10L, "view", ts(0L)), (1L, 11L, "click", ts(60L)),
+      (1L, 12L, "view", ts(120L)),
+      // user 2: two same-instant events — event_id orders them
+      (2L, 20L, "view", ts(0L)), (2L, 21L, "purchase", ts(0L)),
+      // user 3: single event — no transition
+      (3L, 30L, "click", ts(0L)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Events.transitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      ("view", "click") -> ((1L, 1L)),
+      ("click", "view") -> ((1L, 1L)),
+      ("view", "purchase") -> ((1L, 1L)))) // user 2's tie resolved by id
+  }
 }

@@ -32,6 +32,19 @@ class PipelineSpec extends SparkSuiteBase {
     assert(got.size === 5, "null-lang docs must not be dropped")
   }
 
+  test("splitTag partitions the corpus exactly like trainValSplit") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val (train, va) = Pipeline.trainValSplit(docs)
+    val trainIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val valIds = va.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trainIds.nonEmpty && valIds.nonEmpty, "both sides populated")
+    assert((trainIds & valIds).isEmpty, "split sides must be disjoint")
+    val tagged = Pipeline.splitTag(docs, 10).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tagged.keySet === trainIds ++ valIds, "tag form covers the corpus")
+    assert(trainIds.forall(tagged(_) == "train") && valIds.forall(tagged(_) == "val"))
+  }
+
   test("packTokens never sorts a whole language in one partition") {
     // the window must be keyed by (lang, bkt), not lang alone
     val plan = Pipeline.packTokens(spark, sf)

@@ -208,4 +208,40 @@ class RelationalSpec extends SparkSuiteBase {
     assert(m.keySet === Set("union", "intersect", "except"))
     assert(m("union") >= m("intersect") + m("except"))
   }
+
+  test("unpivot melts 4 measures in ONE scan (Expand, not 4× UNION ALL)") {
+    val df = Relational.unpivotMeasures(spark, sf)
+    val n = graft.sources.Tables(spark, sf, "lineitem").count()
+    assert(df.count() === 4 * n)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"plan:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size === 1,
+      s"unpivot must read the table once:\n$plan")
+    // spot value fidelity: sum over the quantity slice = direct sum
+    import org.apache.spark.sql.functions._
+    val melted = df.where(col("measure") === "l_quantity")
+      .agg(round(sum("val"), 2)).head().getDouble(0)
+    val direct = graft.sources.Tables(spark, sf, "lineitem")
+      .agg(round(sum("l_quantity"), 2)).head().getDouble(0)
+    assert(melted === direct)
+  }
+
+  test("k-anonymity: every published QI combo covers >= k people; rare combos suppressed") {
+    import org.apache.spark.sql.functions._
+    val k = 3L
+    val got = Relational.kanonymize(spark, sf, k)
+    // no published (seg, nation) group smaller than k
+    val published = got.where(col("published"))
+      .groupBy("seg_anon", "nation_anon").count().collect()
+    assert(published.nonEmpty)
+    assert(published.forall(_.getLong(2) >= k),
+      published.filter(_.getLong(2) < k).mkString(","))
+    // suppressed rows carry only '*' in both QI columns
+    val sup = got.where(!col("published"))
+      .select("seg_anon", "nation_anon").distinct().collect()
+    assert(sup.forall(r => r.getString(0) == "*" && r.getString(1) == "*"))
+    // row-count preserved: anonymization drops nobody
+    assert(got.count() ===
+      graft.sources.Tables(spark, sf, "customer").count())
+  }
 }

@@ -196,4 +196,20 @@ class SourcesSinksSpec extends SparkSuiteBase {
       .where(col("l_returnflag") === "R").count()
     assert(back.count() === want)
   }
+
+  test("compactRead: shattered layout collapses to few files, data byte-faithful") {
+    val staged = graft.sources.Sinks.stagedCompactedDocuments(spark, sf)
+    val files = Option(new java.io.File(staged).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(files >= 1 && files <= 4,
+      s"64 staged files should compact to ~1, got $files")
+    val got = graft.sources.Sinks.compactRead(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val want = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(encode(col("text"), "UTF-8")).as("digest"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(got === want)
+  }
 }
