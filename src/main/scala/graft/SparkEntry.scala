@@ -119,7 +119,10 @@ object SparkEntry {
     "q_kanon"           -> ((s, d) => Relational.kanonymize(s, d)),
     "q_split"           -> ((s, d) => Pipeline.splitTag(s, d)),
     "q_compact"         -> ((s, d) => graft.sources.Sinks.compactRead(s, d)),
-    "q_sequence"        -> ((s, d) => Events.transitions(s, d))
+    "q_sequence"        -> ((s, d) => Events.transitions(s, d)),
+    "q_join_bloom"      -> ((s, d) => Joins.bloomJoin(s, d)),
+    "q_feature_hash"    -> ((s, d) => TextOps.featureHash(s, d)),
+    "q_sample_group"    -> ((s, d) => Pipeline.groupSample(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1077,6 +1080,48 @@ object SparkEntry {
     // must be byte-faithful per row (md5 over the utf-8 text)
     "q_compact" ->
       "SELECT doc_id, lang, n_chars, md5(text) AS digest FROM documents",
+    // the bloom filter is a plan-level optimization; results must equal
+    // the plain filtered join exactly
+    "q_join_bloom" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 5000.0
+        |GROUP BY 1""".stripMargin,
+    // per-token FNV-1a (same byte-loop as q_udf_fnv), folded mod 64
+    "q_feature_hash" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(lower(text), '$Ws'),
+         |                            x -> x != '')) AS tok
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, ${utf8BytesSql("tok")} AS bs FROM w
+         |), g AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT), bs),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) % 64 AS bucket
+         |  FROM f
+         |)
+         |SELECT doc_id, bucket, count(*) AS cnt
+         |FROM g GROUP BY doc_id, bucket""".stripMargin,
+    // the two-phase top-k must equal the oracle's single global window
+    "q_sample_group" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, ${utf8BytesSql("CAST(doc_id AS VARCHAR)")} AS bs
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, lang,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT), bs),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+         |  FROM f
+         |), r AS (
+         |  SELECT doc_id, lang, h,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |                                 ORDER BY h, doc_id) AS BIGINT) AS rk
+         |  FROM g
+         |)
+         |SELECT doc_id, lang, h, rk FROM r WHERE rk <= 5""".stripMargin,
     "q_sequence" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

@@ -199,6 +199,50 @@ object Joins {
         levenshtein(col("na"), col("nb")).cast("long").as("dist"))
   }
 
+  /** q_join_bloom: runtime BLOOM-FILTER semi-join reduction — the
+    * 100 TB shuffle-reduction path for a SELECTIVE dim filter feeding a
+    * shuffle join. Catalyst's `InjectRuntimeFilter` builds a bloom
+    * filter from the filtered dim keys as a subquery and applies it to
+    * the fact side BEFORE the fact rows shuffle: rows that cannot
+    * possibly join are dropped map-side at the scan, so shuffle volume
+    * tracks the dim filter's selectivity instead of the fact table's
+    * size. Complements q_dpp (which prunes whole PARTITIONS via the
+    * same join; the bloom filter prunes ROWS when the fact is not
+    * partitioned by the join key).
+    *
+    * The rule's size thresholds are production-tuned for real clusters;
+    * they are temporarily scoped here (and restored) so the injection
+    * happens at test scale too — the optimized plan is forced inside
+    * the scope, so the bloom filter is baked into the cached logical
+    * plan (plan-spec-asserted) while later physical planning runs under
+    * the session's normal settings. */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables(spark, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity"))
+      val dim = Tables(spark, dir, "supplier")
+        .where(col("s_acctbal") > 5000.0) // selective at test scale (1/10 suppliers)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val out = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+      out.queryExecution.optimizedPlan // freeze the injection in-scope
+      out
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** q_entity_resolve: end-to-end entity resolution — the fuzzy-pair
     * index composed with connected components (exactly how `Pipeline.
     * curate` composes MinHash pairs with components for documents, here

@@ -108,6 +108,58 @@ object Pipeline {
       when(graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string"))
         % valMod === 0L, "val").otherwise("train"))
 
+  /** q_sample_group: fixed-size deterministic sample per stratum — the
+    * k docs per language with the SMALLEST FNV hash (rate-based
+    * sampling, q_sample_stratified, cannot promise "exactly k
+    * examples per class"; this is the eval-set / few-shot-pool
+    * primitive that does). Hash-order selection keeps every
+    * determinism property of the other samplers: reproducible across
+    * engines and runs, stable under repartitioning, and CONSISTENT
+    * as the corpus grows (a doc leaves the sample only when a
+    * smaller-hash doc arrives — bounded turnover, unlike re-seeded
+    * reservoir sampling which reshuffles wholesale).
+    *
+    * Two-phase top-k, the same shape as `Similarity.bruteForceTopK`:
+    * a local window per (lang, input partition) keeps k candidates
+    * per partition, then the global window ranks only ≤ k·P
+    * candidate rows — the dominant language never funnels its full
+    * row set into one sorted task. Correctness of the decomposition
+    * is exact: any global top-k row is a top-k row of its own
+    * partition. Spec-checked ≡ the single-window form. */
+  def groupSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    groupSample(Tables(spark, dir, "documents"), k)
+
+  /** df form: expects (doc_id: Long, lang: String). */
+  def groupSample(documents: DataFrame, k: Int): DataFrame = {
+    val hashed = documents
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string")).as("h"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "pid").orderBy(col("h"), col("doc_id"))
+    val cand = hashed
+      .withColumn("lr", row_number().over(wLocal))
+      .where(col("lr") <= k)
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    cand
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("h"), col("rk"))
+  }
+
+  /** Single-window reference form of `groupSample` (one partition per
+    * language; the spec baseline). */
+  def groupSampleWindow(documents: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
   /** q_pack_tokens (declared form): greedy token-budget shard packing
     * per language — each doc lands in the shard its running token offset
     * falls into (running sum over the deterministic doc_id order). The

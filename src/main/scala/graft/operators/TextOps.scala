@@ -322,6 +322,28 @@ object TextOps {
     * Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
     * Document Fingerprinting", SIGMOD 2003 — robust to local edits).
     * Pure per-row array expressions; fold order matches the oracle. */
+  /** q_feature_hash: the hashing trick (Weinberger et al., ICML 2009) —
+    * sparse bag-of-words features in a FIXED dimensionality: every token
+    * hashes to one of `buckets` feature indices (FNV-1a, the engine's
+    * codegen'd hash Expression), counted per (doc, bucket). The
+    * vectorizer of a streaming/ML featurization pipeline: no vocabulary
+    * to build, broadcast, or version — the feature space is closed
+    * before the data arrives, identical across train/serve and across
+    * engines. Collisions are by design (buckets=64 on a ~30-word
+    * vocabulary exercises them in the fixture). Shape: explode →
+    * per-row hash → wordcount-shaped partial/final agg on ≤
+    * docs×buckets keys. */
+  def featureHash(spark: SparkSession, dir: String, buckets: Int = 64): DataFrame =
+    featureHash(Tables(spark, dir, "documents"), buckets)
+
+  def featureHash(docs: DataFrame, buckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("doc_id"),
+        (graft.functions.Fnv32a.fnv32a(col("tok")) % buckets).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(Tables(spark, dir, "documents"))
 

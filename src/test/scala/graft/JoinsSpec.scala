@@ -42,6 +42,28 @@ class JoinsSpec extends SparkSuiteBase {
     }
   }
 
+  test("declared bloom join: filter injected into the frozen plan, confs restored, results exact") {
+    import org.apache.spark.sql.functions._
+    val before = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val df = Joins.bloomJoin(spark, sf)
+    assert(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold") === before,
+      "bloomJoin must restore session confs")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bloom_filter") || opt.contains("might_contain"),
+      s"no runtime bloom filter in declared plan:\n$opt")
+    val want = graft.sources.Tables(spark, sf, "lineitem")
+      .join(graft.sources.Tables(spark, sf, "supplier")
+        .where(col("s_acctbal") > 5000.0),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").cast("long"))
+      .agg(round(sum("l_quantity"), 2), count(lit(1)))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty, "selective dim filter must still match some suppliers")
+  }
+
   test("entity resolution: chained variants share one canonical id; singletons self-map") {
     import spark.implicits._
     val names = Seq(

@@ -45,6 +45,23 @@ class PipelineSpec extends SparkSuiteBase {
     assert(trainIds.forall(tagged(_) == "train") && valIds.forall(tagged(_) == "val"))
   }
 
+  test("two-phase groupSample ≡ single-window form; exactly min(k, |group|) per stratum") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    for (k <- Seq(1, 5, 100000)) {
+      val want = Pipeline.groupSampleWindow(docs, k)
+        .select("doc_id", "lang", "h", "rk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val got = Pipeline.groupSample(docs, k).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === want, s"k=$k diverges from the window form")
+    }
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got5 = Pipeline.groupSample(docs, 5).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got5 === sizes.map { case (l, n) => l -> math.min(5L, n) })
+  }
+
   test("packTokens never sorts a whole language in one partition") {
     // the window must be keyed by (lang, bkt), not lang alone
     val plan = Pipeline.packTokens(spark, sf)

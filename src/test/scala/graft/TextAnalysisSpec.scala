@@ -111,6 +111,22 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got.exists(_.getLong(2) > 0))
   }
 
+  test("feature hash: buckets bounded, mass conserved, collisions additive") {
+    import org.apache.spark.sql.functions._
+    val fh = TextOps.featureHash(spark, sf, 64)
+    val rows = fh.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, b, _) => b >= 0L && b < 64L })
+    // mass conservation: per-doc feature counts sum to the doc's tokens
+    val tokTotal = TextOps.wordCount(spark, sf)
+      .agg(sum("cnt")).head().getLong(0)
+    assert(rows.map(_._3).sum === tokTotal)
+    // dimensionality actually bounded below the vocabulary when buckets
+    // are few: 2 buckets over a multi-word vocab must collide
+    val tiny = TextOps.featureHash(docs(1L -> "a b c d e f g h"), 2)
+    assert(tiny.select("bucket").distinct().count() <= 2)
+    assert(tiny.agg(sum("cnt")).head().getLong(0) === 8L)
+  }
+
   test("tfidf: higher tf wins at equal df; term breaks exact score ties") {
     val d = docs(
       1L -> "b b a",   // within doc 1: tf(b)=2 > tf(a)=1, both df=2
