@@ -121,6 +121,7 @@ object SparkEntry {
     "q_compact"         -> ((s, d) => graft.sources.Sinks.compactRead(s, d)),
     "q_sequence"        -> ((s, d) => Events.transitions(s, d)),
     "q_join_bloom"      -> ((s, d) => Joins.bloomJoin(s, d)),
+    "q_stream_outer"    -> ((s, d) => graft.streaming.Streams.streamJoinOuter(s, d)),
     "q_feature_hash"    -> ((s, d) => TextOps.featureHash(s, d)),
     "q_sample_group"    -> ((s, d) => Pipeline.groupSample(s, d))
   )
@@ -578,6 +579,19 @@ object SparkEntry {
         |       >= date_trunc('microseconds', p.ts) - INTERVAL 10 MINUTE
         | AND date_trunc('microseconds', c.ts)
         |       <= date_trunc('microseconds', p.ts)""".stripMargin,
+    // left-outer stream-stream: streamed matched pairs + watermark-flushed
+    // null-extensions must together equal the batch LEFT JOIN exactly
+    "q_stream_outer" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       p.user_id AS user_id
+        |FROM events p LEFT JOIN events c
+        |  ON c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND date_trunc('microseconds', c.ts)
+        |       >= date_trunc('microseconds', p.ts) - INTERVAL 10 MINUTE
+        | AND date_trunc('microseconds', c.ts)
+        |       <= date_trunc('microseconds', p.ts)
+        |WHERE p.event_type = 'purchase'""".stripMargin,
     "q_pipeline_curate" -> curateOracle,
     "q_skew_agg" ->
       """SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt

@@ -276,6 +276,55 @@ object Streams {
         .select(col("purchase_id"), col("click_id"), col("p_uid").as("user_id"))
     })
 
+  /** q_stream_outer: LEFT OUTER stream-stream join — the completion of
+    * the streaming join family (inner interval: q_stream_join; stream-
+    * static: q_stream_enrich). Same user/interval condition as the
+    * inner join, but a purchase with NO qualifying click must still
+    * emit, null-extended — and in a stream that answer is only safe
+    * once the watermark has passed the purchase's whole match window
+    * (a qualifying click can arrive until then). Matched pairs emit on
+    * match; null-extensions emit exactly once, at watermark expiry of
+    * the join state — the mechanism that makes "purchases without a
+    * preceding click" (attribution gaps, orphan detection) computable
+    * on an unbounded stream with bounded state.
+    *
+    * The watermark is taken BEFORE the event-type filters (unlike the
+    * inner join, where it only governs state eviction): the sentinel
+    * row must advance BOTH sides' event time or the final unmatched
+    * purchases would sit in state forever awaiting a click that cannot
+    * come. Oracle: the batch LEFT JOIN — streamed emissions must equal
+    * it exactly, which pins both no-duplicate-emission and
+    * no-lost-null-extension. */
+  def streamJoinOuter(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, withDupes = false, ds => {
+      val wm = ds.withWatermark("ts", "2 minutes")
+      // The sentinel must SURVIVE both side filters: Catalyst pushes a
+      // deterministic filter BELOW the EventTimeWatermark node (it does
+      // not reference ts), so a filter dropping the sentinel would keep
+      // it from the watermark tracker — both sides' watermark would
+      // freeze at (real max − delay) and the final purchases'
+      // null-extensions would never flush. (The inner join can afford
+      // to lose it: matches emit immediately, the watermark only
+      // bounds state there.)
+      val clicks = wm.where(col("event_type").isin("click", Sentinel))
+        .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+          col("ts").as("c_ts"))
+      val purchases = wm.where(col("event_type").isin("purchase", Sentinel))
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_uid"),
+          col("ts").as("p_ts"))
+      purchases.join(clicks,
+        col("p_uid") === col("c_uid") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+        // the sentinel pair (same user −1, same instant) joins to
+        // itself; remove it with a predicate over BOTH sides' columns —
+        // a one-sided `purchase_id != -1` would itself be pushed below
+        // the watermark node and re-freeze it
+        .where(coalesce(col("click_id"), col("purchase_id")) =!= -1L)
+        .select(col("purchase_id"), col("click_id"), col("p_uid").as("user_id"))
+    })
+
   /** q_stream_enrich: STREAM-STATIC enrichment join — the arriving
     * event stream joined per-micro-batch against a static dimension
     * table (customer → market segment), then window-aggregated by the

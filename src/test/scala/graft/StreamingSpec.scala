@@ -259,6 +259,30 @@ class StreamingSpec extends SparkSuiteBase {
     assert(streamed.nonEmpty)
   }
 
+  test("left-outer stream-stream join: null-extensions flushed, total equals batch left join") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.Streams.streamJoinOuter(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toSet
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+    val want = p.join(c,
+        col("p_uid") === col("c_uid") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"), "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("p_uid")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.exists(_._2.isEmpty),
+      "fixture must exercise the watermark-flushed null-extension path")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses within-horizon dupes") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
