@@ -123,7 +123,10 @@ object SparkEntry {
     "q_join_bloom"      -> ((s, d) => Joins.bloomJoin(s, d)),
     "q_stream_outer"    -> ((s, d) => graft.streaming.Streams.streamJoinOuter(s, d)),
     "q_feature_hash"    -> ((s, d) => TextOps.featureHash(s, d)),
-    "q_sample_group"    -> ((s, d) => Pipeline.groupSample(s, d))
+    "q_sample_group"    -> ((s, d) => Pipeline.groupSample(s, d)),
+    "q_source_orc"      -> ((s, d) => graft.sources.FileFormats.orcGroupSum(s, d)),
+    "q_quarantine"      -> ((s, d) => graft.sources.FileFormats.quarantine(s, d)),
+    "q_partition_overwrite" -> ((s, d) => graft.sources.Sinks.partitionOverwriteRead(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -727,6 +730,34 @@ object SparkEntry {
     "q_source_json" ->
       """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS sum_price,
         |       count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_source_orc" ->
+      """SELECT p_brand, round(sum(p_retailprice), 2) AS sum_price,
+        |       count(*) AS cnt
+        |FROM part GROUP BY p_brand""".stripMargin,
+    // same corruption rule (event_id % 97) applied to the original
+    // table: quarantined lines must be EXACTLY the broken ones, parsed
+    // rows intact
+    "q_quarantine" ->
+      """WITH cls AS (
+        |  SELECT CASE WHEN event_id % 97 = 0 THEN 'quarantined'
+        |              ELSE 'parsed' END AS state,
+        |         CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS user_id,
+        |         CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value
+        |  FROM events
+        |)
+        |SELECT state, count(*) AS cnt,
+        |       coalesce(round(sum(value), 2), 0.0) AS sum_v,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM cls GROUP BY state""".stripMargin,
+    // the republished month must carry the corrected values, every
+    // other month the originals — proves the overwrite replaced exactly
+    // one partition's data
+    "q_partition_overwrite" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS cnt,
+        |       round(sum(CASE WHEN strftime(o_orderdate, '%Y-%m') = '1995-03'
+        |                      THEN o_totalprice + 1000.0
+        |                      ELSE o_totalprice END), 2) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
     "q_repetition" ->
       s"""WITH cnt AS (

@@ -100,6 +100,66 @@ object FileFormats {
       .agg(round(sum("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("cnt"))
   }
 
+  /** q_source_orc: the part table's brand rollup through an ORC round
+    * trip — the OTHER columnar format (the Hive-lineage counterpart of
+    * parquet). Unlike the row formats above, ORC keeps column pruning
+    * AND predicate pushdown (stripe/row-group min-max statistics), so
+    * it is a first-class lake format, not just an ingest edge; the
+    * engine reads it with the same declarative scan and Catalyst
+    * treatment as parquet. Doubles round-trip bit-exactly (columnar
+    * binary encoding, no decimal re-parse at all). */
+  def orcGroupSum(spark: SparkSession, dir: String): DataFrame = {
+    val path = staged(dir, "part", "orc") { root =>
+      Tables(spark, dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .write.mode("overwrite").orc(root.getAbsolutePath)
+    }
+    spark.read.orc(path)
+      .groupBy("p_brand")
+      .agg(round(sum("p_retailprice"), 2).as("sum_price"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** q_quarantine: corrupt-record QUARANTINE — the data-quality gate of
+    * every real ingest: a feed where some lines are malformed must
+    * neither crash the job (FAILFAST) nor silently drop rows
+    * (DROPMALFORMED), but route bad records to a side channel for
+    * inspection/replay. Events are staged as JSON-lines with every
+    * (event_id % 97 == 0) line deliberately truncated mid-object; the
+    * PERMISSIVE reader parses good lines against the explicit schema
+    * and lands each bad line's RAW TEXT in `_corrupt_record`. The
+    * declared result audits both sides — parsed-row aggregate + corrupt
+    * count — and its oracle derives the same split from the ORIGINAL
+    * parquet table by the corruption rule, so "quarantined exactly the
+    * broken lines, parsed everything else intact" is hash-verified.
+    * Per-row parse, embarrassingly parallel; the quarantine column adds
+    * no shuffle. */
+  def quarantine(spark: SparkSession, dir: String): DataFrame = {
+    val path = staged(dir, "events", "quarantine") { root =>
+      Tables(spark, dir, "events")
+        .select(when(col("event_id") % 97 === 0L,
+            concat(lit("{\"event_id\":"), col("event_id"), lit(",OOPS")))
+          .otherwise(to_json(struct(col("event_id"), col("user_id"), col("value"))))
+          .as("value"))
+        .write.mode("overwrite").text(root.getAbsolutePath)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("_corrupt_record", StringType)))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    parsed
+      .select(when(col("_corrupt_record").isNull, "parsed")
+          .otherwise("quarantined").as("state"),
+        col("user_id"), col("value"))
+      .groupBy("state")
+      .agg(count(lit(1)).as("cnt"),
+        coalesce(round(sum("value"), 2), lit(0.0)).as("sum_v"),
+        countDistinct("user_id").as("n_users"))
+  }
+
   /** q_schema_evolution: ADDITIVE schema evolution across parquet
     * batches — the long-lived-pipeline reality that table layouts grow
     * columns over time and history is never rewritten. Orders are staged

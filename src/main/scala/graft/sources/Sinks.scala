@@ -201,6 +201,57 @@ object Sinks {
     nFiles
   }
 
+  /** Dynamic partition overwrite: republish EXACTLY the partitions
+    * present in `updates`, leaving every other partition's files
+    * physically untouched (mode "static" would wipe the whole table
+    * root first — the classic footgun this helper scopes away). The
+    * conf is set for the single write and restored. */
+  def overwritePartitionsDynamic(updates: DataFrame, path: String,
+                                 partitionCol: String): Unit = {
+    val spark = updates.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try updates.write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** q_partition_overwrite: the incremental-republish write path — a
+    * late-data correction rewrites ONE month of a partitioned table
+    * in place (dynamic partition overwrite), all other months'
+    * files untouched (spec-asserted on file identity). The staged
+    * republish applies a deterministic correction (+1000.0 to
+    * 1995-03 prices), so the oracle — the original table with the
+    * same CASE applied — verifies the overwrite actually replaced
+    * the partition's data rather than duplicating or missing it.
+    * This is the backfill primitive of a 100 TB date-partitioned
+    * lake: cost scales with the partitions REPUBLISHED, and
+    * downstream readers see partition-level atomicity (a directory
+    * swaps at commit). */
+  def partitionOverwriteRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(stagedRepublishedOrders(spark, dir))
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+
+  private[graft] def stagedRepublishedOrders(spark: SparkSession, dir: String): String =
+    partCache.getOrElseUpdate(("republish", dir, graft.Fs.tableFingerprint(dir, "orders")), {
+      val root = new java.io.File(graft.Engine.workDir("graft-republish-"), "orders_rp")
+      val path = root.getAbsolutePath
+      val withMonth = graft.sources.Tables(spark, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      writePartitioned(withMonth, path, Seq("o_month"), Seq("o_orderkey"))
+      overwritePartitionsDynamic(
+        withMonth.where(col("o_month") === "1995-03")
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+        path, "o_month")
+      path
+    })
+
   /** q_compact: the small-file pathology and its repair, end-to-end —
     * documents staged SHATTERED (64 files for a few hundred rows, the
     * layout a long-running incremental pipeline accretes), compacted by

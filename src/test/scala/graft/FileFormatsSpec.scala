@@ -44,6 +44,36 @@ class FileFormatsSpec extends SparkSuiteBase {
     assert(fromJson === fromParquet)
   }
 
+  test("orc round trip: brand rollup equals parquet; ORC scan keeps pushdown") {
+    import org.apache.spark.sql.functions._
+    val got = FileFormats.orcGroupSum(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val want = graft.sources.Tables(spark, sf, "part")
+      .groupBy("p_brand")
+      .agg(round(sum("p_retailprice"), 2), count(lit(1))).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got === want && got.nonEmpty)
+    // columnar: a filtered read over the staged ORC pushes the predicate
+    val orcDir = FileFormats.stageCache.collectFirst {
+      case ((_, _, "orc"), d) => d
+    }.get
+    val plan = spark.read.orc(orcDir).where(col("p_partkey") === 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("p_partkey"),
+      s"ORC should accept predicate pushdown:\n$plan")
+  }
+
+  test("quarantine: corrupt lines routed to _corrupt_record, good rows parsed intact") {
+    val rows = FileFormats.quarantine(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val events = graft.sources.Tables(spark, sf, "events")
+    val nCorrupt = events.where(org.apache.spark.sql.functions.col("event_id") % 97 === 0L).count()
+    assert(rows("quarantined")._1 === nCorrupt)
+    assert(rows("quarantined")._3 === 0L, "corrupt rows must not leak parsed fields")
+    assert(rows("parsed")._1 === events.count() - nCorrupt)
+    assert(nCorrupt > 0L, "fixture must exercise the corrupt path")
+  }
+
   test("staged files are uncompressed (splittable) and memoized per fingerprint") {
     // force all three stagings, then inspect the staged directories
     FileFormats.textWordCount(spark, sf).collect()

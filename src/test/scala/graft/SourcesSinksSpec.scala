@@ -197,6 +197,37 @@ class SourcesSinksSpec extends SparkSuiteBase {
     assert(back.count() === want)
   }
 
+  test("dynamic partition overwrite touches ONLY the republished partition's files") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("graft_republish")
+    val withMonth = graft.sources.Tables(spark, sf, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    graft.sources.Sinks.writePartitioned(withMonth, dir, Seq("o_month"), Seq("o_orderkey"))
+    def fileSet(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("o_month="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = fileSet()
+    val target = before.keys.head
+    val month = target.stripPrefix("o_month=")
+    graft.sources.Sinks.overwritePartitionsDynamic(
+      withMonth.where(col("o_month") === month)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+      dir, "o_month")
+    val after = fileSet()
+    assert(after.keySet === before.keySet, "no partition directory added/lost")
+    assert(after(target) !== before(target), "republished partition must have new files")
+    (before.keySet - target).foreach { p =>
+      assert(after(p) === before(p), s"untouched partition $p was rewritten")
+    }
+    // values: republished month corrected, one other month unchanged
+    val back = spark.read.parquet(dir)
+    val wantTarget = withMonth.where(col("o_month") === month)
+      .agg(round(sum(col("o_totalprice") + 1000.0), 2)).head().getDouble(0)
+    val gotTarget = back.where(col("o_month") === month)
+      .agg(round(sum("o_totalprice"), 2)).head().getDouble(0)
+    assert(gotTarget === wantTarget)
+  }
+
   test("compactRead: shattered layout collapses to few files, data byte-faithful") {
     val staged = graft.sources.Sinks.stagedCompactedDocuments(spark, sf)
     val files = Option(new java.io.File(staged).listFiles())
