@@ -126,7 +126,13 @@ object SparkEntry {
     "q_sample_group"    -> ((s, d) => Pipeline.groupSample(s, d)),
     "q_source_orc"      -> ((s, d) => graft.sources.FileFormats.orcGroupSum(s, d)),
     "q_quarantine"      -> ((s, d) => graft.sources.FileFormats.quarantine(s, d)),
-    "q_partition_overwrite" -> ((s, d) => graft.sources.Sinks.partitionOverwriteRead(s, d))
+    "q_partition_overwrite" -> ((s, d) => graft.sources.Sinks.partitionOverwriteRead(s, d)),
+    "q_triangle"        -> ((s, d) => Graphs.triangles(s, d)),
+    "q_pmi"             -> ((s, d) => TextOps.collocations(s, d)),
+    "q_ngram_df"        -> ((s, d) => TextOps.ngramDocFreq(s, d)),
+    "q_sample_weighted" -> ((s, d) => Pipeline.weightedSample(s, d)),
+    "q_join_interval"   -> ((s, d) => Joins.intervalJoin(s, d)),
+    "q_bpe"             -> ((s, d) => TextOps.bpeLearn(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1181,7 +1187,89 @@ object SparkEntry {
         |SELECT prev_type, event_type AS next_type, count(*) AS cnt,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM t WHERE prev_type IS NOT NULL
-        |GROUP BY prev_type, next_type""".stripMargin
+        |GROUP BY prev_type, next_type""".stripMargin,
+    // triangle count is orientation-independent, so the oracle may use
+    // the simple id-ordered triple join (fine at oracle scale) while the
+    // Spark side uses degree-ordered wedges — identical totals
+    "q_triangle" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+        |), deg AS (
+        |  SELECT n, count(*) AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY n
+        |), w AS (
+        |  SELECT count(*) AS n_nodes,
+        |         CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg
+        |), t AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |)
+        |SELECT w.n_nodes, (SELECT count(*) FROM e) AS n_edges, w.n_wedges,
+        |       t.n_triangles, 3.0 * t.n_triangles / w.n_wedges AS clustering
+        |FROM w, t""".stripMargin,
+    "q_pmi" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+         |  FROM documents
+         |), uni AS (
+         |  SELECT unnest(ts) AS tok FROM toks
+         |), ucnt AS (
+         |  SELECT tok, count(*) AS c FROM uni GROUP BY tok
+         |), bi AS (
+         |  SELECT ts[i] || ' ' || ts[i+1] AS bigram
+         |  FROM toks, unnest(range(1, len(ts))) AS u(i)
+         |  WHERE len(ts) >= 2
+         |), bcnt AS (
+         |  SELECT bigram, count(*) AS c_xy FROM bi GROUP BY bigram
+         |)
+         |SELECT f.bigram, f.c_xy, x.c AS c_x, y.c AS c_y,
+         |       CAST(f.c_xy AS DOUBLE) * (SELECT count(*) FROM uni)
+         |         / (SELECT count(*) FROM bi) * (SELECT count(*) FROM uni)
+         |         / x.c / y.c AS lift
+         |FROM bcnt f
+         |JOIN ucnt x ON x.tok = string_split(f.bigram, ' ')[1]
+         |JOIN ucnt y ON y.tok = string_split(f.bigram, ' ')[2]
+         |WHERE f.c_xy >= 5""".stripMargin,
+    "q_ngram_df" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+         |  FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ngram
+         |  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+         |  WHERE len(ts) >= 3
+         |)
+         |SELECT ngram, count(*) AS df FROM sh
+         |GROUP BY ngram HAVING count(*) >= 3""".stripMargin,
+    "q_sample_weighted" ->
+      s"""WITH f AS (
+         |  SELECT o_orderkey AS id, o_totalprice AS w,
+         |         ${utf8BytesSql("CAST(o_orderkey AS VARCHAR)")} AS bs
+         |  FROM orders
+         |), g AS (
+         |  SELECT id, w,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT), bs),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+         |  FROM f
+         |)
+         |SELECT id, round(w, 2) AS weight FROM g
+         |ORDER BY ln((h + 0.5) / 4294967296) / w DESC, id
+         |LIMIT 100""".stripMargin,
+    "q_join_interval" ->
+      """SELECT CAST(p.ts AS DATE) AS day, count(*) AS n_pairs,
+        |       CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases,
+        |       CAST(count(DISTINCT c.event_id) AS BIGINT) AS n_clicks
+        |FROM events p JOIN events c
+        |  ON abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 60000000
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |GROUP BY CAST(p.ts AS DATE)""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

@@ -72,4 +72,76 @@ object Graphs {
     }
     ranks
   }
+
+  /** q_triangle: triangle count + global clustering coefficient over the
+    * part co-purchase graph (parts appearing in the same order). Uses
+    * DEGREE-ORDERED edge orientation (Cohen, "Graph Twiddling in a
+    * MapReduce World", CiSE 2009; Suri & Vassilvitskii, "Counting
+    * Triangles and the Curse of the Last Reducer", WWW 2011): each
+    * undirected edge is directed from its lower-(degree, id) endpoint to
+    * the higher, wedges are enumerated only at the LOW-rank apex, and a
+    * semi-join against the oriented edge list closes them. Every node's
+    * oriented out-degree is O(√m), so the wedge count is Σ C(outdeg, 2)
+    * ≤ O(m^1.5) REGARDLESS of skew — the naive id-ordered wedge join
+    * explodes quadratically at the highest-degree hub ("the curse of the
+    * last reducer"), degree ordering is exactly the fix. All joins are
+    * equi-joins (shuffle hash/sort-merge), the closing check is a
+    * left_semi (ships keys only, stops at first match, never
+    * materializes the pair row). Counts are exact integers; the one
+    * double (clustering coefficient 3T/W) is a fixed-order int→double
+    * division, bit-identical to the oracle with no rounding. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    // co-purchase edges, id-normalized u < v (order sizes are bounded —
+    // ≤ 7 lines in TPC-H — so the per-order pair expansion is O(1);
+    // for heavy containers, cap or sample the per-group expansion)
+    val e = lp.select(col("ok"), col("p").as("u"))
+      .join(lp.select(col("ok"), col("p").as("v")), "ok")
+      .where(col("u") < col("v"))
+      .select("u", "v")
+      .distinct()
+    triangles(e)
+  }
+
+  /** df form: expects a deduplicated undirected edge list (u: Long,
+    * v: Long) normalized to u < v, no self-loops. */
+  def triangles(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint() // reused 4× below
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient low-(d, id) → high-(d, id); u < v already, so ties go u→v
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv")), col("u"))
+          .otherwise(col("v")).as("x"),
+        when(col("du") < col("dv") || (col("du") === col("dv")), col("v"))
+          .otherwise(col("u")).as("y"),
+        when(col("du") < col("dv") || (col("du") === col("dv")), col("dv"))
+          .otherwise(col("du")).as("dy"))
+      .localCheckpoint()
+    // wedges at the apex x, unordered pair {y1, y2} taken in rank order
+    val wedges = oriented.select(col("x"), col("y").as("y1"), col("dy").as("d1"))
+      .join(oriented.select(col("x"), col("y").as("y2"), col("dy").as("d2")), "x")
+      .where(col("d1") < col("d2") || (col("d1") === col("d2") && col("y1") < col("y2")))
+      .select("y1", "y2")
+    // rank(y1) < rank(y2) ⇒ a closing edge, if present, is oriented y1→y2
+    val tri = wedges
+      .join(oriented.select(col("x").as("y1"), col("y").as("y2")),
+        Seq("y1", "y2"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(edgeStats).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        (lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double"))
+          .as("clustering"))
+  }
 }

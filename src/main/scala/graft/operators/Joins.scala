@@ -126,6 +126,47 @@ object Joins {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
   }
 
+  /** q_join_interval: large×large interval join WITHOUT an equi key —
+    * purchases paired with clicks at most 60 s apart, any user. The
+    * declarative form (`|t_p − t_c| ≤ w`) would plan as a broadcast
+    * nested-loop — O(n·m) pair tests, the non-broadcastable scale
+    * killer (q_join_range's BNLJ is fine only because its build side
+    * is 4 rows). This is the BINNED form, the standard MapReduce
+    * interval-join decomposition (DeWitt et al.'s band-join bucketing;
+    * the same trick Spark's own range-join hints apply): time is cut
+    * into bins of the window width, the probe side replicates to its
+    * bin ±1 (constant ×3 fan-out — every candidate within ±w lies in
+    * those bins), the build side lands in exactly ONE bin, and the
+    * join becomes a shuffle-hash EQUI-join on bin with the exact
+    * predicate as a residual filter. Each qualifying pair matches in
+    * exactly one bin (the build row's), so no post-join dedup is
+    * needed. Cost: O((n·3 + m) shuffle + true-pair tests) — survives
+    * 100× where the nested loop is quadratic. Timestamps compare in
+    * exact integer MICROseconds (no float epoch, no truncation
+    * divergence vs the oracle). */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame =
+    intervalJoin(Tables(spark, dir, "events"), 60000000L)
+
+  /** df form: expects events(event_id, ts, event_type); `wUs` is the
+    * pairing half-window in microseconds (also the bin width). */
+  def intervalJoin(events: DataFrame, wUs: Long): DataFrame = {
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        unix_micros(col("ts")).as("p_us"))
+      .withColumn("b", expr(s"p_us div $wUs"))
+      .select(col("p_id"), col("p_ts"), col("p_us"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bin"))
+    val c = events.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), unix_micros(col("ts")).as("c_us"))
+      .withColumn("bin", expr(s"c_us div $wUs"))
+    p.join(c, "bin")
+      .where(abs(col("p_us") - col("c_us")) <= wUs)
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("p_id").as("n_purchases"),
+        countDistinct("c_id").as("n_clicks"))
+  }
+
   /** B7c q_join_bucketed: the ZERO-SHUFFLE repeated-join path — both
     * sides written bucketed AND sorted on the join key, so the join
     * plans with no Exchange and no Sort on either side. At 100 TB this

@@ -160,6 +160,43 @@ object Pipeline {
       .where(col("rk") <= k)
   }
 
+  /** q_sample_weighted: weighted sampling without replacement — k
+    * orders drawn with probability proportional to o_totalprice, via
+    * the one-pass exponential-key method (Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006): each row
+    * gets key `ln(u)/w` for a uniform u ∈ (0,1), and the k LARGEST
+    * keys are exactly a weighted sample without replacement. The
+    * uniform is the engine's deterministic FNV hash mapped to
+    * (0, 1) — `(fnv32a(id) + 0.5) / 2³²` — so the sample is
+    * reproducible across runs, engines, and partitionings (the same
+    * derandomization as every sampler in this file; a seeded salt
+    * concatenated into the hash input gives fresh draws).
+    *
+    * Shape at scale: ONE corpus scan; the global top-k plans as
+    * TakeOrderedAndProject — per-partition top-k heaps, then k·P rows
+    * to a single final merge — no full shuffle, no global sort of the
+    * data. The selection keys are well-separated with probability 1 −
+    * O(n²·ulp), so the libm `ln` in the ORDERING (never in the
+    * output) cannot flip the selected set; outputs are ids + weights,
+    * both exact. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    weightedSample(
+      graft.sources.Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_totalprice").as("w")), k)
+
+  /** df form: expects (id: Long, w: Double) with strictly positive
+    * weights (zero/negative weights have no sampling interpretation —
+    * filter upstream). */
+  def weightedSample(rows: DataFrame, k: Int): DataFrame =
+    rows
+      .withColumn("u",
+        (graft.functions.Fnv32a.fnv32a(col("id").cast("string")).cast("double")
+          + lit(0.5)) / lit(4294967296.0))
+      .withColumn("key", log(col("u")) / col("w"))
+      .orderBy(desc("key"), asc("id"))
+      .limit(k)
+      .select(col("id"), round(col("w"), 2).as("weight"))
+
   /** q_pack_tokens (declared form): greedy token-budget shard packing
     * per language — each doc lands in the shard its running token offset
     * falls into (running sum over the deterministic doc_id order). The

@@ -344,6 +344,149 @@ object TextOps {
         (graft.functions.Fnv32a.fnv32a(col("tok")) % buckets).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** q_pmi: bigram collocation mining — token pairs that co-occur far
+    * more than independence predicts (Church & Hanks, "Word Association
+    * Norms, Mutual Information, and Lexicography", CL 1990). The score
+    * is the LINEAR association ratio (lift) rather than its log (PMI):
+    * `c_xy·U²/(B·c_x·c_y)` — identical ranking (log is monotone), but
+    * multiplication/division are correctly-rounded IEEE-754 ops, so the
+    * fixed evaluation order is bit-identical to the oracle with no
+    * rounding and no libm dependence (the `tfidf`/`lm_score` precedent).
+    *
+    * Shape at scale: bigram and unigram counts are both wordcount-shaped
+    * partial/final aggregations; the min-count filter runs BEFORE the
+    * unigram joins, collapsing the long tail (Zipf: most bigrams are
+    * hapax) so the joins touch only the surviving head; the two joins
+    * key on the vocabulary (AQE broadcasts small ones). Two scalar
+    * counts (U, B) are driver-held like `tfidf`'s N. The bigram explode
+    * is the native Catalyst [[graft.functions.Bigrams]] Generator. */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocations(Tables(spark, dir, "documents"), 5L)
+
+  def collocations(docs: DataFrame, minCount: Long): DataFrame = {
+    val uni = docs.select(explode(tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val uniCnt = uni.groupBy("tok").agg(count(lit(1)).as("c"))
+    val bi = docs.select(graft.functions.Bigrams.bigrams(col("text")).as("bigram"))
+    val biCnt = bi.groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+    val totU = uni.count()
+    val totB = bi.count()
+    biCnt
+      .where(col("c_xy") >= minCount)
+      // tokens are whitespace-split, so ' ' cannot occur inside one —
+      // the bigram splits back losslessly
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+      .join(uniCnt.select(col("tok").as("x"), col("c").as("c_x")), "x")
+      .join(uniCnt.select(col("tok").as("y"), col("c").as("c_y")), "y")
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        (col("c_xy").cast("double") * totU / totB * totU / col("c_x") / col("c_y"))
+          .as("lift"))
+  }
+
+  /** q_ngram_df: cross-document n-gram document frequency — word
+    * 3-grams appearing in ≥ minDf DISTINCT documents, the
+    * boilerplate/template detector of a web-scale curation pipeline
+    * (headers, cookie banners, licence blurbs recur verbatim across
+    * hosts; Penedo et al., "The RefinedWeb Dataset for Falcon LLM",
+    * NeurIPS 2023 filters on exactly this signal). Complements
+    * `Pipeline.decontaminate` (which checks n-grams against a FIXED
+    * benchmark set): here the reference set is the corpus itself.
+    * Shape: per-doc DISTINCT shingles (dedup before the shuffle — a
+    * doc repeating its own header contributes df 1), then a
+    * wordcount-shaped count; the df ≥ minDf filter keeps only the
+    * recurring head. At 100 TB the (ngram, doc) space is huge but the
+    * aggregation splits partial/final and the hot n-grams are exactly
+    * the output — no skew hazard beyond wordcount's. */
+  def ngramDocFreq(spark: SparkSession, dir: String): DataFrame =
+    ngramDocFreq(Tables(spark, dir, "documents"), 3L)
+
+  def ngramDocFreq(docs: DataFrame, minDf: Long): DataFrame =
+    docs
+      .withColumn("ts", expr(TokensSql))
+      .where(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ts) - 2),
+          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1),
+          |              ' ', element_at(ts, i + 2)))""".stripMargin)).as("ngram"))
+      .distinct()
+      .groupBy("ngram").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+
+  /** q_bpe: byte-pair-encoding merge learning (Sennrich, Haddow &
+    * Birch, "Neural Machine Translation of Rare Words with Subword
+    * Units", ACL 2016) — tokenizer training as a distributed job, the
+    * missing piece between corpus curation and model training. The
+    * classic formulation works on the WORD-FREQUENCY table, not the
+    * corpus: wordcount first (corpus-sized, one pass), then every merge
+    * round touches only the vocabulary (≪ corpus — Heaps' law), each
+    * word a symbol array with an explicit `</w>` terminator.
+    *
+    * Per round: adjacent-pair counts weighted by word frequency (a
+    * vocabulary-sized partial/final aggregation), the argmax pair —
+    * count desc, then (left, right) asc for a total order, so learned
+    * merges are deterministic across partitionings and engines — comes
+    * to the driver (ONE row per round, the K-Means-centroid pattern of
+    * bounded driver state), and the merge is applied greedily
+    * left-to-right in every word. The apply step is a typed map over
+    * the vocabulary — the one place typed Scala beats an SQL fold
+    * (carrying a skip-next flag through `aggregate()` is write-only),
+    * and it deserializes only vocab rows, never the corpus.
+    * localCheckpoint cuts the per-round lineage (the iterative-operator
+    * norm here: dupComponents, pageRank, kmeans).
+    *
+    * Declared rows-only (the merge chosen at round i depends on rounds
+    * < i — not expressible as one oracle SQL statement); correctness is
+    * spec'd against a driver-side reference BPE on the sf0.001 corpus
+    * and the published worked example ("low/lower/newest/widest"). */
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame =
+    bpeLearn(spark, Tables(spark, dir, "documents"), 8)
+
+  def bpeLearn(spark: SparkSession, docs: DataFrame, nMerges: Int): DataFrame = {
+    import spark.implicits._
+    var vocab = wordCount(docs)
+      .select(col("cnt"), expr(
+        """concat(transform(sequence(1, length(word)),
+          |               i -> substring(word, i, 1)),
+          |       array('</w>'))""".stripMargin).as("syms"))
+      .as[(Long, Seq[String])]
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val top = vocab.toDF("cnt", "syms")
+        .select(col("cnt"), explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+            |         slice(syms, 2, size(syms) - 1),
+            |         (a, b) -> struct(a AS l, b AS r))""".stripMargin)).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(desc("c"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, l, rr, c))
+        vocab = vocab.map { case (cnt, syms) => (cnt, mergePair(syms, l, rr)) }
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Greedy left-to-right non-overlapping merge of adjacent (l, r) —
+    * the BPE apply step; "aaa" under (a,a) → ["aa", "a"]. */
+  def mergePair(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(Tables(spark, dir, "documents"))
 

@@ -30,6 +30,38 @@ class GraphsSpec extends SparkSuiteBase {
     assert(got(1L) === got(2L), "symmetric leaves rank equally")
   }
 
+  test("triangles: crafted graph with known counts") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant 1-5 + disjoint edge 6-7
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (6L, 7L))
+    val r = Graphs.triangles(edges.toDF("u", "v")).collect()(0)
+    assert(r.getAs[Long]("n_nodes") === 7L)
+    assert(r.getAs[Long]("n_edges") === 8L)
+    // deg = (4,3,3,3,1,1,1) → Σ C(d,2) = 6 + 3·3 = 15
+    assert(r.getAs[Long]("n_wedges") === 15L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    assert(r.getAs[Double]("clustering") === 3.0 * 4L / 15L)
+  }
+
+  test("triangles: degree-ordered count ≡ brute force on a pseudo-random graph") {
+    import spark.implicits._
+    // deterministic G(30, p): skewed enough that id-order ≠ degree-order
+    val rnd = new scala.util.Random(7)
+    val n = 30
+    val edges = (for {
+      u <- 1 until n; v <- (u + 1) to n if rnd.nextDouble() < 0.25
+    } yield (u.toLong, v.toLong)).toVector
+    val es = edges.toSet
+    val brute = (for {
+      a <- 1 to n; b <- (a + 1) to n; c <- (b + 1) to n
+      if es((a.toLong, b.toLong)) && es((b.toLong, c.toLong)) && es((a.toLong, c.toLong))
+    } yield 1).size.toLong
+    val r = Graphs.triangles(edges.toDF("u", "v")).collect()(0)
+    assert(r.getAs[Long]("n_triangles") === brute)
+    assert(r.getAs[Long]("n_edges") === edges.size.toLong)
+  }
+
   test("pageRank on the fixture graph: total mass conserved within floor losses") {
     val rows = Graphs.pageRank(spark, sf).collect().map(_.getLong(1))
     val n = rows.length.toLong

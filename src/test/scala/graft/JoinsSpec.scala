@@ -144,4 +144,51 @@ class JoinsSpec extends SparkSuiteBase {
     val n = graft.sources.Tables(spark, sf, "customer").count()
     assert(m("semi") + m("anti") === n)
   }
+
+  test("interval join: window inclusive at ±w; bin-boundary pairs found; no dups") {
+    import spark.implicits._
+    val t0 = 1700000000000000L // μs, deliberately NOT bin-aligned
+    val ev = Seq(
+      (1L, t0, "purchase"),
+      (10L, t0 + 60000000L, "click"),  // exactly +60 s → included
+      (11L, t0 - 60000000L, "click"),  // exactly −60 s → included
+      (12L, t0 + 60000001L, "click"),  // 1 μs past → excluded
+      (13L, t0 + 1L, "click"),         // same bin as the purchase
+      // second purchase, its click just under +60 s across a bin edge
+      (2L, t0 + 3600000000L, "purchase"),
+      (20L, t0 + 3600000000L + 59999999L, "click"))
+      .toDF("event_id", "us", "event_type")
+      // timestamp_micros keeps exact μs (a java.sql.Timestamp literal
+      // would round-trip through ms and lose the +1 μs case)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(us)"))
+      .drop("us")
+    val got = Joins.intervalJoin(ev, 60000000L).collect()
+    assert(got.map(_.getAs[Long]("n_pairs")).sum === 4L) // 10,11,13 + 20
+    assert(got.map(_.getAs[Long]("n_purchases")).sum === 2L)
+  }
+
+  test("interval join ≡ naive theta join on the fixture; plans an equi-join, not a nested loop") {
+    val events = graft.sources.Tables(spark, sf, "events")
+    val decl = Joins.intervalJoin(events, 60000000L)
+    import org.apache.spark.sql.functions._
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        unix_micros(col("ts")).as("p_us"))
+    val c = events.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), unix_micros(col("ts")).as("c_us"))
+    val naive = p.join(c, abs(col("p_us") - col("c_us")) <= 60000000L)
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("p_id").as("n_purchases"),
+        countDistinct("c_id").as("n_clicks"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(decl.collect().map(key).sortBy(identity).toSeq ===
+      naive.collect().map(key).sortBy(identity).toSeq)
+    val plan = decl.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
 }

@@ -108,6 +108,31 @@ class PipelineSpec extends SparkSuiteBase {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("weightedSample: matches the exponential-key reference; k ≥ n keeps all") {
+    import spark.implicits._
+    val n = 200
+    val weight = (i: Long) => ((i % 7) + 1).toDouble * 10.0
+    val rows = (1L to n.toLong).map(i => (i, weight(i))).toDF("id", "w")
+    val got = Pipeline.weightedSample(rows, 20).collect().map(_.getLong(0)).toSet
+    // driver-side Efraimidis–Spirakis with the identical derandomized key
+    val ref = (1L to n.toLong).map { i =>
+      val h = graft.functions.Fnv32a.hash(i.toString.getBytes("UTF-8"))
+      (math.log((h + 0.5) / 4294967296.0) / weight(i), i)
+    }.sortBy { case (k, i) => (-k, i) }.take(20).map(_._2).toSet
+    assert(got === ref)
+    assert(Pipeline.weightedSample(rows, 1000).count() === n.toLong)
+    // stable under repartitioning (TakeOrderedAndProject is global)
+    val again = Pipeline.weightedSample(rows.repartition(13), 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === ref)
+  }
+
+  test("weightedSample plans a TakeOrderedAndProject, not a global sort") {
+    val plan = Pipeline.weightedSample(spark, sf, 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
   test("curation states partition the corpus; kept docs carry tokens") {
     val rows = Pipeline.curate(spark, sf).collect()
     val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum

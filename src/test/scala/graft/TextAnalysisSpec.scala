@@ -136,4 +136,89 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq === Seq("b", "a"))
     assert(got.filter(_._1 == 2L).sortBy(_._3).map(_._2).toSeq === Seq("a", "b"))
   }
+
+  test("collocations: lift matches a driver-side reference; min-count prunes the tail") {
+    val d = docs(
+      1L -> "new york new york new york city",
+      2L -> "a new day in new york begins",
+      3L -> "a a a a")
+    val got = TextOps.collocations(d, 2L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // driver-side reference with the SAME fixed evaluation order
+    val toks = Seq("new york new york new york city",
+      "a new day in new york begins", "a a a a")
+      .map(_.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bis = toks.flatMap(t => t.zip(t.tail).map { case (x, y) => s"$x $y" })
+    val bcnt = bis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totU = toks.map(_.size).sum.toLong
+    val totB = bis.size.toLong
+    val ref = bcnt.filter(_._2 >= 2L).map { case (bg, cxy) =>
+      val Array(x, y) = bg.split(" ")
+      bg -> (cxy, uni(x), uni(y),
+        cxy.toDouble * totU / totB * totU / uni(x) / uni(y))
+    }
+    assert(got === ref)
+    assert(got.contains("new york") && got.contains("a a"))
+    assert(!got.contains("york city"), "count-1 bigram must be pruned")
+    // "new york" is a true collocation (lift ≫ 1); "a a" is just frequency
+    assert(got("new york")._4 > got("a a")._4)
+  }
+
+  test("ngram doc frequency: cross-doc boilerplate found; self-repeats count once") {
+    val d = docs(
+      1L -> "page one text all rights reserved worldwide",
+      2L -> "other page here all rights reserved worldwide",
+      3L -> "all rights reserved worldwide all rights reserved worldwide",
+      4L -> "completely unrelated content lives here")
+    val got = TextOps.ngramDocFreq(d, 3L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the two 3-grams inside the shared 4-token blurb appear in docs 1,2,3
+    // — doc 3's self-repeat contributes ONE, not two
+    assert(got === Map("all rights reserved" -> 3L, "rights reserved worldwide" -> 3L))
+  }
+
+  test("bpe: replays the published worked example and a plain-Scala reference") {
+    import spark.implicits._
+    // Sennrich et al. 2016 §3.2 vocabulary: low·5 lower·2 newest·6 widest·3
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val d = docs(1L -> corpus.mkString(" "))
+    val got = TextOps.bpeLearn(spark, d, 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+    // driver-side reference BPE: same greedy merge, same total order
+    var vocab: Seq[(Long, Seq[String])] =
+      corpus.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .map { case (w, c) => (c, w.map(_.toString).toSeq :+ "</w>") }.toSeq
+    val ref = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to 6) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (c, syms) =>
+        syms.zip(syms.tail).foreach(p => counts(p) += c)
+      }
+      val ((l, rr), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      ref += ((r.toLong, l, rr, c))
+      vocab = vocab.map { case (cnt, syms) =>
+        (cnt, TextOps.mergePair(syms, l, rr))
+      }
+    }
+    assert(got === ref.toSeq)
+    // the worked example's famous outcome: 'es' → 'est' → 'est</w>' early
+    // (count 9 = newest·6 + widest·3), before any 'lo' merge (count 7)
+    assert(got.take(3).map(m => (m._2, m._3)) ===
+      Seq(("e", "s"), ("es", "t"), ("est", "</w>")))
+    assert(got.take(3).forall(_._4 === 9L))
+    // max-pair counts never increase round over round
+    assert(got.map(_._4).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+  }
+
+  test("mergePair: greedy left-to-right, non-overlapping") {
+    assert(TextOps.mergePair(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(TextOps.mergePair(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
+    assert(TextOps.mergePair(Seq("x"), "a", "b") === Seq("x"))
+    assert(TextOps.mergePair(Nil, "a", "b") === Nil)
+  }
 }
