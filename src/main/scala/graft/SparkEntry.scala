@@ -132,7 +132,11 @@ object SparkEntry {
     "q_ngram_df"        -> ((s, d) => TextOps.ngramDocFreq(s, d)),
     "q_sample_weighted" -> ((s, d) => Pipeline.weightedSample(s, d)),
     "q_join_interval"   -> ((s, d) => Joins.intervalJoin(s, d)),
-    "q_bpe"             -> ((s, d) => TextOps.bpeLearn(s, d))
+    "q_bpe"             -> ((s, d) => TextOps.bpeLearn(s, d)),
+    "q_skyline"         -> ((s, d) => Relational.skyline(s, d)),
+    "q_dedup_contain"   -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "q_source_binary"   -> ((s, d) => graft.sources.FileFormats.binaryChecksums(s, d)),
+    "q_cogroup"         -> ((s, d) => MapReduceOps.cogroupReconcile(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1269,7 +1273,59 @@ object SparkEntry {
         |FROM events p JOIN events c
         |  ON abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 60000000
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-        |GROUP BY CAST(p.ts AS DATE)""".stripMargin
+        |GROUP BY CAST(p.ts AS DATE)""".stripMargin,
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT o_totalprice AS price, o_orderdate AS odate, count(*) AS n_dups
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT price, odate, n_dups FROM p b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p a
+        |  WHERE a.price >= b.price AND a.odate <= b.odate
+        |    AND (a.price > b.price OR a.odate < b.odate))""".stripMargin,
+    "q_dedup_contain" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+         |  FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+         |  WHERE len(ts) >= 3
+         |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |iv AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ic
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |), d AS (
+         |  SELECT da AS src, db AS dst, CAST(ic AS DOUBLE) / x.n AS cont
+         |  FROM iv JOIN sz x ON da = x.doc_id
+         |  UNION ALL
+         |  SELECT db AS src, da AS dst, CAST(ic AS DOUBLE) / y.n AS cont
+         |  FROM iv JOIN sz y ON db = y.doc_id
+         |)
+         |SELECT src, dst, cont FROM d WHERE cont >= 0.6""".stripMargin,
+    "q_source_binary" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS md5
+        |FROM documents""".stripMargin,
+    "q_cogroup" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, count(*) AS n_orders FROM orders GROUP BY 1
+        |), l AS (
+        |  SELECT l_orderkey, count(*) AS n_lines,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+        |       COALESCE(o.n_orders, 0) AS n_orders,
+        |       COALESCE(l.n_lines, 0) AS n_lines,
+        |       COALESCE(l.sum_qty, 0) AS sum_qty,
+        |       CASE WHEN o.o_orderkey IS NOT NULL AND l.l_orderkey IS NOT NULL
+        |              THEN 'both'
+        |            WHEN o.o_orderkey IS NOT NULL THEN 'order_only'
+        |            ELSE 'lines_only' END AS side
+        |FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

@@ -124,6 +124,43 @@ object Dedup {
 
   def ngramJaccard(docs: DataFrame): DataFrame = jaccardPairs(docs, 0.5)
 
+  /** q_dedup_contain: ASYMMETRIC containment pairs — `C(A→B) =
+    * |A∩B|/|A| ≥ tau` means most of document A's shingles appear in B
+    * (Broder's containment measure, "On the resemblance and containment
+    * of documents", SEQUENCES 1997). This is the signal symmetric
+    * Jaccard structurally cannot give: a short document quoted inside a
+    * long one has tiny J (the union is dominated by the long doc) but
+    * containment ≈ 1 — the quote/excerpt/subset detector of a curation
+    * pipeline, where near-dup J-pairs miss partial copies entirely.
+    *
+    * Same inverted-index shape as `jaccardPairs` (shared-shingle
+    * candidate pairs only, never all-pairs — identical 100 TB
+    * argument); each unordered candidate pair is scored in BOTH
+    * directions, so the output is directed: (src, dst, cont) with
+    * src's coverage by dst. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables(spark, dir, "documents"), 0.6)
+
+  def containmentPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val sh = shingles(docs)
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sized = inter
+      .join(sizes.select(col("doc_id"), col("n").as("na")),
+        col("da") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")),
+        col("db") === col("doc_id")).drop("doc_id")
+    val fwd = sized.select(col("da").as("src"), col("db").as("dst"),
+      (col("inter").cast("double") / col("na")).as("cont"))
+    val rev = sized.select(col("db").as("src"), col("da").as("dst"),
+      (col("inter").cast("double") / col("nb")).as("cont"))
+    fwd.unionAll(rev).where(col("cont") >= tau)
+  }
+
   // MinHash parameters: 128 permutations h_i(x) = (a_i·x + b_i) mod P
   // banded as 32 bands × 4 rows. Seeded deterministically.
   private val MinhashP = 2000000011L

@@ -104,4 +104,46 @@ object MapReduceOps {
       .select(Bigrams.bigrams(col("text")).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("cnt"))
+
+  /** q_cogroup: the two-input reduce — `Dataset.cogroup` hands BOTH
+    * sides' rows for one key to a single user function, the typed
+    * generalization of the reference's reducer to heterogeneous
+    * tagged inputs (the classic MapReduce reduce-side-join formulation,
+    * done natively instead of by tagging). Here: orders ⊞ lineitem per
+    * orderkey → one reconciliation row — order count, line count,
+    * total line quantity — INCLUDING keys present on only one side
+    * (the rows an inner join silently drops and an outer join
+    * null-pads; cogroup makes the asymmetry explicit user logic).
+    *
+    * Shape at scale: one hash shuffle per side on the key — same
+    * exchanges as a shuffle join — but the per-key merge materializes
+    * no join product (m·n pair rows never exist, only the two input
+    * iterators). The honest cost: typed iterators deserialize to JVM
+    * objects, outside whole-stage codegen — so this surface is for
+    * logic a declarative join/agg genuinely can't express (multi-pass
+    * per-key state machines, asymmetric validation); for plain
+    * aggregate-then-join semantics the declarative form wins (see
+    * `Joins.outerJoin`). Sums are Long — iterator order inside a group
+    * is partition-arrival order (nondeterministic), and integer
+    * addition doesn't care; a Double sum here would be a determinism
+    * bug. */
+  def cogroupReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .as[(Long, Long)].groupByKey(_._1)
+    val lines = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast(LongType))
+      .as[(Long, Long)].groupByKey(_._1)
+    orders.cogroup(lines) { (key, os, ls) =>
+      var nOrders = 0L
+      os.foreach(_ => nOrders += 1L)
+      var nLines = 0L
+      var sumQty = 0L
+      ls.foreach { case (_, q) => nLines += 1L; sumQty += q }
+      Iterator((key, nOrders, nLines, sumQty,
+        if (nOrders > 0L && nLines > 0L) "both"
+        else if (nOrders > 0L) "order_only" else "lines_only"))
+    }.toDF("o_orderkey", "n_orders", "n_lines", "sum_qty", "side")
+  }
 }

@@ -452,4 +452,49 @@ object Relational {
           .otherwise("*").as("nation_anon"),
         (col("grp_n") >= k).as("published"))
   }
+
+  /** q_skyline: the 2-D Pareto frontier (skyline operator — Börzsönyi,
+    * Kossmann & Stocker, "The Skyline Operator", ICDE 2001) — orders
+    * that are not dominated on (maximize o_totalprice, minimize
+    * o_orderdate): no other order is at least as good on both axes and
+    * strictly better on one. Exact duplicates of a point dominate
+    * nothing and are never dominated, so points are deduplicated first
+    * (carrying a multiplicity) and the skyline test runs on DISTINCT
+    * points, where the sweep below is exact.
+    *
+    * TWO-PHASE distributed sweep (the MR-style decomposition —
+    * domination restricted to a subset only shrinks, so every global
+    * skyline point survives its partition's local skyline): phase 1
+    * computes each partition's skyline with a per-(pid) window — sorted
+    * by (price desc, date asc), a point is dominated iff the running
+    * min of date over STRICTLY PRECEDING rows is ≤ its own date; phase
+    * 2 repeats the identical sweep globally over the surviving
+    * candidates only. The global sort touches candidates, not the
+    * corpus (the `groupSample` two-phase contract). Worst case
+    * (perfectly anti-correlated axes) every point is a candidate — the
+    * honest bound of any skyline algorithm; real scale-out for that
+    * regime grid-partitions the plane so phase-1 partitions can prune
+    * each other, the same shape with one extra repartition. */
+  def skyline(spark: SparkSession, dir: String): DataFrame =
+    skyline(Tables(spark, dir, "orders")
+      .select(col("o_totalprice").as("price"), col("o_orderdate").as("odate")))
+
+  /** df form: expects (price: Double — maximize, odate: Date —
+    * minimize); returns distinct frontier points with multiplicity. */
+  def skyline(pts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val distinctPts = pts.groupBy("price", "odate")
+      .agg(count(lit(1)).as("n_dups"))
+    def sweep(df: DataFrame, part: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(part.map(col): _*)
+        .orderBy(col("price").desc, col("odate").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("run_min", min(col("odate")).over(w))
+        .where(col("run_min").isNull || col("run_min") > col("odate"))
+        .drop("run_min")
+    }
+    val local = sweep(distinctPts.withColumn("pid", spark_partition_id()),
+      Seq("pid")).drop("pid")
+    sweep(local, Seq.empty)
+  }
 }

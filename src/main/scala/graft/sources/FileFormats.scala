@@ -193,4 +193,45 @@ object FileFormats {
         coalesce(col("o_orderpriority"), lit("pre-schema")).as("prio"))
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
   }
+
+  /** q_source_binary: whole-file BINARY ingest — the multimodal
+    * entrance (`spark.read.format("binaryFile")`), how images / audio /
+    * PDFs actually arrive before anything has schema: one row per FILE
+    * with (path, length, content: binary). Documents are staged as one
+    * `<doc_id>.bin` file each (UTF-8 bytes of the text, written by a
+    * distributed foreachPartition — no driver funnel), read back
+    * whole-file, the doc id recovered from the file name, and each
+    * content checksummed. The oracle computes byte length + MD5 from
+    * the ORIGINAL table's text, so the round trip proves BYTE
+    * fidelity, not just row counts — exactly the ingest contract
+    * `operators.Multimodal` builds on (its payloads are these binary
+    * columns).
+    *
+    * Scale notes: binaryFile is NOT splittable (a file is one row —
+    * fine: media files are the unit of work) and caps file size at
+    * `spark.sql.sources.binaryFile.maxLength`; the many-small-files
+    * regime staged here is deliberately the pathological one —
+    * `Sinks.compact` is this engine's answer once payloads are in a
+    * table. Filters on (path, length, modificationTime) push down to
+    * file listing; `content` is only materialized for selected rows. */
+  def binaryChecksums(spark: SparkSession, dir: String): DataFrame = {
+    val path = staged(dir, "documents", "bin") { root =>
+      root.mkdirs()
+      val target = root.getAbsolutePath
+      Tables(spark, dir, "documents").select("doc_id", "text")
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            val f = new java.io.File(target, s"${r.getLong(0)}.bin")
+            val out = new java.io.FileOutputStream(f)
+            try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
+        }
+    }
+    spark.read.format("binaryFile").load(path)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast(LongType).as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("md5"))
+  }
 }

@@ -138,4 +138,21 @@ class DedupSpec extends SparkSuiteBase {
       assert(r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0 + 1e-12)
     }
   }
+
+  test("containment: a quote inside a long doc scores ~1 forward, low backward") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val long = s"a very long host document begins here $quote and then " +
+      "continues with much more unrelated material about many other " +
+      "topics entirely for quite a while longer"
+    val docs = Seq((1L, quote), (2L, long), (3L, "nothing shared at all here"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = Dedup.containmentPairs(docs, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // all 7 of the quote's 3-gram shingles appear in the host verbatim
+    assert(got((1L, 2L)) === 1.0)
+    // asymmetry: the host is NOT contained in the quote
+    assert(!got.contains((2L, 1L)))
+    assert(got.keys.forall { case (s, d) => s != d && !Seq(s, d).contains(3L) })
+  }
 }

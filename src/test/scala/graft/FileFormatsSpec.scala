@@ -80,10 +80,11 @@ class FileFormatsSpec extends SparkSuiteBase {
     FileFormats.csvGroupSum(spark, sf).collect()
     FileFormats.jsonGroupSum(spark, sf).collect()
     // row-format stagings only: the schema-evolution staging ("evolve")
-    // shares this cache but is parquet (splittable WITH compression), so
-    // the uncompressed rule doesn't apply to it
+    // shares this cache but is parquet (splittable WITH compression), and
+    // the binaryFile staging ("bin") is one whole file per doc (not a
+    // Spark-writer part-file layout), so neither rule applies to them
     def rowFmtDirs = FileFormats.stageCache.collect {
-      case ((_, _, fmt), d) if fmt != "evolve" => d
+      case ((_, _, fmt), d) if fmt != "evolve" && fmt != "bin" => d
     }.toSet
     val dirs = rowFmtDirs
     assert(dirs.nonEmpty)

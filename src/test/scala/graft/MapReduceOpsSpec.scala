@@ -50,4 +50,27 @@ class MapReduceOpsSpec extends SparkSuiteBase {
     assert(plan.contains("Generate"), s"plan:\n$plan")
     assert(!plan.contains("SerializeFromObject"), s"plan:\n$plan")
   }
+
+  test("cogroup reconcile: both/one-sided keys classified; sums match a join reference") {
+    val got = MapReduceOps.cogroupReconcile(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    import org.apache.spark.sql.functions._
+    val o = graft.sources.Tables(spark, sf, "orders")
+      .groupBy("o_orderkey").agg(count(lit(1)).as("no"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l = graft.sources.Tables(spark, sf, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("nl"),
+        sum(col("l_quantity").cast("long")).as("sq"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === (o.keySet ++ l.keySet))
+    got.foreach { case (k, (no, nl, sq, side)) =>
+      assert(no === o.getOrElse(k, 0L))
+      assert((nl, sq) === l.getOrElse(k, (0L, 0L)))
+      val expectSide =
+        if (o.contains(k) && l.contains(k)) "both"
+        else if (o.contains(k)) "order_only" else "lines_only"
+      assert(side === expectSide)
+    }
+  }
 }

@@ -244,4 +244,53 @@ class RelationalSpec extends SparkSuiteBase {
     assert(got.count() ===
       graft.sources.Tables(spark, sf, "customer").count())
   }
+
+  test("skyline: crafted frontier with ties and duplicates; ≡ brute force") {
+    import spark.implicits._
+    import java.sql.Date
+    val d = (s: String) => Date.valueOf(s)
+    val pts = Seq(
+      (100.0, "2024-01-10"), // dominated by (100, 01-05) via date
+      (100.0, "2024-01-05"), // frontier (tie price, best date)
+      (200.0, "2024-01-08"), // frontier
+      (200.0, "2024-01-08"), // exact duplicate → same frontier row, n_dups 2
+      (150.0, "2024-01-08"), // dominated by (200, 01-08), price strict
+      (50.0, "2024-01-01"),  // dominated by (60, 01-01), price strict
+      (60.0, "2024-01-01"),  // frontier (earliest date)
+      (10.0, "2024-02-01")   // dominated by everything earlier+pricier
+    ).map { case (p, s) => (p, d(s)) }.toDF("price", "odate")
+    val got = Relational.skyline(pts).collect()
+      .map(r => (r.getDouble(0), r.getDate(1).toString, r.getLong(2))).toSet
+    // brute-force reference over distinct points
+    val raw = Seq((100.0, "2024-01-10"), (100.0, "2024-01-05"),
+      (200.0, "2024-01-08"), (200.0, "2024-01-08"), (150.0, "2024-01-08"),
+      (50.0, "2024-01-01"), (60.0, "2024-01-01"), (10.0, "2024-02-01"))
+    val grouped = raw.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+    val ref = grouped.filter { case (p, dt, _) =>
+      !grouped.exists { case (p2, d2, _) =>
+        p2 >= p && d2 <= dt && (p2 > p || d2 < dt)
+      }
+    }.toSet
+    assert(got === ref)
+    assert(got === Set(
+      (100.0, "2024-01-05", 1L), (200.0, "2024-01-08", 2L),
+      (60.0, "2024-01-01", 1L)))
+  }
+
+  test("skyline: two-phase result is repartition-stable and never dominated") {
+    import org.apache.spark.sql.functions.col
+    val base = graft.sources.Tables(spark, sf, "orders")
+      .select(col("o_totalprice").as("price"), col("o_orderdate").as("odate"))
+    val a = Relational.skyline(base).collect()
+      .map(r => (r.getDouble(0), r.get(1).toString, r.getLong(2))).toSet
+    val b = Relational.skyline(base.repartition(17)).collect()
+      .map(r => (r.getDouble(0), r.get(1).toString, r.getLong(2))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    // no output point dominates another output point
+    a.foreach { case (p, dt, _) =>
+      assert(!a.exists { case (p2, d2, _) =>
+        p2 >= p && d2 <= dt && (p2 > p || d2 < dt) })
+    }
+  }
 }

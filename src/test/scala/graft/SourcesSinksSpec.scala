@@ -243,4 +243,17 @@ class SourcesSinksSpec extends SparkSuiteBase {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
     assert(got === want)
   }
+
+  test("binaryFile ingest: per-doc files round-trip byte-identical (md5 + length)") {
+    val got = graft.sources.FileFormats.binaryChecksums(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        md5(encode(col("text"), "UTF-8")).as("md5"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
