@@ -136,7 +136,10 @@ object SparkEntry {
     "q_skyline"         -> ((s, d) => Relational.skyline(s, d)),
     "q_dedup_contain"   -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_source_binary"   -> ((s, d) => graft.sources.FileFormats.binaryChecksums(s, d)),
-    "q_cogroup"         -> ((s, d) => MapReduceOps.cogroupReconcile(s, d))
+    "q_cogroup"         -> ((s, d) => MapReduceOps.cogroupReconcile(s, d)),
+    "q_source_xml"      -> ((s, d) => graft.sources.FileFormats.xmlGroupSum(s, d)),
+    "q_histogram_eq"    -> ((s, d) => Relational.equiDepth(s, d)),
+    "q_corr_matrix"     -> ((s, d) => Relational.corrMatrix(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1325,7 +1328,47 @@ object SparkEntry {
         |              THEN 'both'
         |            WHEN o.o_orderkey IS NOT NULL THEN 'order_only'
         |            ELSE 'lines_only' END AS side
-        |FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey""".stripMargin
+        |FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey""".stripMargin,
+    "q_source_xml" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS cnt,
+        |       round(sum(s_acctbal), 2) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
+    "q_histogram_eq" ->
+      """WITH r AS (
+        |  SELECT o_totalprice AS v,
+        |         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM orders
+        |)
+        |SELECT ((rn - 1) * 10) // n AS bucket, count(*) AS cnt,
+        |       min(v) AS lo_v, max(v) AS hi_v, round(sum(v), 2) AS sum_v
+        |FROM r GROUP BY 1""".stripMargin,
+    "q_corr_matrix" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    sum(a) AS sa, sum(b) AS sb, sum(c) AS sc,
+        |    sum(a*a) AS saa, sum(b*b) AS sbb, sum(c*c) AS scc,
+        |    sum(a*b) AS sab, sum(a*c) AS sac, sum(b*c) AS sbc
+        |  FROM (SELECT CAST(round(l_quantity*100) AS BIGINT) AS a,
+        |               CAST(round(l_extendedprice*100) AS BIGINT) AS b,
+        |               CAST(round(l_discount*100) AS BIGINT) AS c FROM lineitem)
+        |)
+        |SELECT x_col, y_col, corr FROM (
+        |  SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col,
+        |         CAST(n*sab - sa*sb AS DOUBLE)
+        |           / sqrt(CAST(n*saa - sa*sa AS DOUBLE))
+        |           / sqrt(CAST(n*sbb - sb*sb AS DOUBLE)) AS corr FROM s
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount',
+        |         CAST(n*sac - sa*sc AS DOUBLE)
+        |           / sqrt(CAST(n*saa - sa*sa AS DOUBLE))
+        |           / sqrt(CAST(n*scc - sc*sc AS DOUBLE)) FROM s
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount',
+        |         CAST(n*sbc - sb*sc AS DOUBLE)
+        |           / sqrt(CAST(n*sbb - sb*sb AS DOUBLE))
+        |           / sqrt(CAST(n*scc - sc*sc AS DOUBLE)) FROM s
+        |)""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

@@ -453,6 +453,96 @@ object Relational {
         (col("grp_n") >= k).as("published"))
   }
 
+  /** q_histogram_eq: EQUI-DEPTH histogram (deciles of o_totalprice) —
+    * the profiling complement of q_histogram's fixed-width buckets:
+    * every bucket holds the same row count, so bucket boundaries ARE
+    * the distribution (this is the histogram query optimizers keep in
+    * their statistics catalogs). Exact ntile semantics without
+    * `ntile()`'s global sort: the `globalRowIds` two-pass shape applied
+    * to a VALUE ranking — (1) min/max to the driver, value range cut
+    * into contiguous slices; (2) per-slice cardinalities (≤ `slices`
+    * rows to the driver) → exclusive prefix offsets; (3) per-slice
+    * local rank + offset = exact global rank over the total order
+    * (value, id); bucket = `((rank−1)·k) div n`. No single-partition
+    * sort anywhere — the plan's only full-data exchanges are the slice
+    * hash partition and the final k-group aggregate. Value slices are
+    * contiguous, so cross-slice ordering is free (floor is monotone);
+    * ties across slice boundaries can't happen (equal values share a
+    * slice), and within a slice the unique id breaks them — the same
+    * total order the oracle's row_number uses. */
+  def equiDepth(spark: SparkSession, dir: String): DataFrame =
+    equiDepth(Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("v")), 10, 64)
+
+  /** df form: expects (id — unique tie-break, v: Double); `k` buckets,
+    * `slices` range slices for the two-pass rank. */
+  def equiDepth(rows: DataFrame, k: Int, slices: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mm = rows.agg(min("v"), max("v"), count(lit(1))).head()
+    val n = mm.getLong(2)
+    if (n == 0L) return rows.select(lit(0L).as("bucket"),
+      lit(0L).as("cnt"), col("v").as("lo_v"), col("v").as("hi_v"),
+      lit(0.0).as("sum_v")).where(lit(false))
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val span = (hi - lo) / slices
+    val slc =
+      if (span <= 0.0) lit(0L) // degenerate: all values equal
+      else least(lit(slices - 1L), floor((col("v") - lo) / span).cast("long"))
+    val sliced = rows.withColumn("slc", slc)
+    val counts = sliced.groupBy("slc").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, c) => val r = (b, acc); acc += c; r }.toSeq
+    val offDf = rows.sparkSession.createDataFrame(offsets).toDF("slc", "off")
+    val w = Window.partitionBy("slc").orderBy(col("v"), col("id"))
+    sliced.join(broadcast(offDf), "slc")
+      .withColumn("rank", row_number().over(w).cast("long") + col("off"))
+      .withColumn("bucket", expr(s"((rank - 1) * $k) div ${n}L"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), min("v").as("lo_v"), max("v").as("hi_v"),
+        round(sum("v"), 2).as("sum_v"))
+  }
+
+  /** q_corr_matrix: pairwise Pearson correlations of THREE lineitem
+    * measures in ONE scan — the profiling step that decides which
+    * features are redundant before training. Extends `momentStats`'s
+    * exact-integer technique to the documented 100 TB form: measures
+    * with 2-decimal values are scaled ×100 to integers and summed as
+    * DECIMAL (power sums stay EXACT where Long would overflow —
+    * Σ(price·100)² at sf0.1 already exceeds 2⁶³), so every power sum
+    * is reassociation-proof; correlation is scale-invariant, so the
+    * ×100 changes nothing. The final formula casts the exact decimal
+    * sums to double and applies fixed-order correctly-rounded ops
+    * (sqrt IS correctly rounded — IEEE 754) — bit-identical to the
+    * oracle, no rounding. One aggregate node computes all 9 power
+    * sums; the unpivot to (x_col, y_col, corr) rows touches 1 row. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select(
+      round(col("l_quantity") * 100).cast("decimal(14,0)").as("a"),
+      round(col("l_extendedprice") * 100).cast("decimal(14,0)").as("b"),
+      round(col("l_discount") * 100).cast("decimal(14,0)").as("c"))
+    val sums = li.agg(
+      count(lit(1)).cast("decimal(14,0)").as("n"),
+      sum("a").as("sa"), sum("b").as("sb"), sum("c").as("sc"),
+      sum(col("a") * col("a")).as("saa"), sum(col("b") * col("b")).as("sbb"),
+      sum(col("c") * col("c")).as("scc"), sum(col("a") * col("b")).as("sab"),
+      sum(col("a") * col("c")).as("sac"), sum(col("b") * col("c")).as("sbc"))
+    def corr(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+      ((col("n") * col(sxy) - col(sx) * col(sy)).cast("double") /
+        sqrt((col("n") * col(sxx) - col(sx) * col(sx)).cast("double")) /
+        sqrt((col("n") * col(syy) - col(sy) * col(sy)).cast("double")))
+    sums.select(
+      corr("sa", "sb", "saa", "sbb", "sab").as("corr_qty_price"),
+      corr("sa", "sc", "saa", "scc", "sac").as("corr_qty_disc"),
+      corr("sb", "sc", "sbb", "scc", "sbc").as("corr_price_disc"))
+      .select(expr(
+        """stack(3,
+          |  'l_quantity', 'l_extendedprice', corr_qty_price,
+          |  'l_quantity', 'l_discount', corr_qty_disc,
+          |  'l_extendedprice', 'l_discount', corr_price_disc)
+          |  AS (x_col, y_col, corr)""".stripMargin))
+  }
+
   /** q_skyline: the 2-D Pareto frontier (skyline operator — Börzsönyi,
     * Kossmann & Stocker, "The Skyline Operator", ICDE 2001) — orders
     * that are not dominated on (maximize o_totalprice, minimize

@@ -194,6 +194,32 @@ object FileFormats {
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
   }
 
+  /** q_source_xml: the supplier rollup through an XML round trip —
+    * Spark 4 ships the (formerly spark-xml) XML source built in:
+    * `write.xml` emits one `<row>` element per record under a root tag,
+    * `read.xml(rowTag)` parses them back against an EXPLICIT schema
+    * (same inference rule as CSV/JSON: never infer — an extra full pass
+    * and type drift on dirty data). The reader is splittable on the row
+    * tag like the other row formats staged uncompressed. Doubles
+    * round-trip exactly for the same reason as CSV (shortest-form
+    * decimal emit, standard parse). XML is the slowest row format per
+    * byte (tag overhead + full parse) — it lives at the ingest EDGE
+    * (B2B feeds, legacy exports), never mid-pipeline. */
+  def xmlGroupSum(spark: SparkSession, dir: String): DataFrame = {
+    val path = staged(dir, "supplier", "xml") { root =>
+      Tables(spark, dir, "supplier")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").option("rowTag", "row")
+        .xml(root.getAbsolutePath)
+    }
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_nationkey", LongType),
+      StructField("s_acctbal", DoubleType)))
+    spark.read.schema(schema).option("rowTag", "row").xml(path)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("cnt"), round(sum("s_acctbal"), 2).as("sum_bal"))
+  }
+
   /** q_source_binary: whole-file BINARY ingest — the multimodal
     * entrance (`spark.read.format("binaryFile")`), how images / audio /
     * PDFs actually arrive before anything has schema: one row per FILE

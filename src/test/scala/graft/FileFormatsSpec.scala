@@ -44,6 +44,21 @@ class FileFormatsSpec extends SparkSuiteBase {
     assert(fromJson === fromParquet)
   }
 
+  test("xml round trip: supplier rollup over staged XML equals parquet rollup") {
+    // s_nationkey is INT in parquet but declared LONG in the XML read
+    // schema — normalize through Number for the comparison
+    val key = (r: org.apache.spark.sql.Row) => r.get(0).asInstanceOf[Number].longValue
+    val fromXml = FileFormats.xmlGroupSum(spark, sf).collect()
+      .map(r => key(r) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val fromParquet = Tables(spark, sf, "supplier")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("cnt"), round(sum("s_acctbal"), 2).as("sum_bal"))
+      .collect()
+      .map(r => key(r) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(fromXml === fromParquet)
+    assert(fromXml.values.map(_._1).sum === Tables(spark, sf, "supplier").count())
+  }
+
   test("orc round trip: brand rollup equals parquet; ORC scan keeps pushdown") {
     import org.apache.spark.sql.functions._
     val got = FileFormats.orcGroupSum(spark, sf).collect()

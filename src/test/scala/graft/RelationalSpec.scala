@@ -245,6 +245,56 @@ class RelationalSpec extends SparkSuiteBase {
       graft.sources.Tables(spark, sf, "customer").count())
   }
 
+  test("equiDepth: exact decile ranks on a crafted set; repartition-stable; degenerate ties") {
+    import spark.implicits._
+    // 25 rows, values 1..25 shuffled: deciles by rank are fully known
+    val rows = scala.util.Random.shuffle((1 to 25).toList)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toDouble) }
+      .toDF("id", "v")
+    val got = Relational.equiDepth(rows, 10, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // reference: rank r (1-based) → bucket ((r-1)*10) div 25
+    val ref = (1 to 25).groupBy(r => ((r - 1) * 10) / 25).map { case (b, rs) =>
+      b.toLong -> ((rs.size.toLong, rs.min.toDouble, rs.max.toDouble))
+    }
+    assert(got === ref)
+    // bucket sizes differ by at most 1 (equi-depth contract)
+    val sizes = got.values.map(_._1)
+    assert(sizes.max - sizes.min <= 1L)
+    val again = Relational.equiDepth(rows.repartition(7), 10, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(again === got)
+    // all-equal values: single slice path, buckets still by rank
+    val flat = (1L to 20L).map((_, 5.0)).toDF("id", "v")
+    val g2 = Relational.equiDepth(flat, 4, 8).collect()
+    assert(g2.map(_.getLong(1)).sum === 20L)
+    assert(g2.forall(r => r.getDouble(2) === 5.0 && r.getDouble(3) === 5.0))
+  }
+
+  test("equiDepth plans no single-partition sort of the data") {
+    val plan = Relational.equiDepth(spark, sf).queryExecution.executedPlan.toString
+    // the only SinglePartition exchange allowed is for the tiny offset
+    // side; the data path must sort within slice partitions only
+    assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
+  }
+
+  test("corrMatrix matches Spark's builtin corr on all three pairs") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.corrMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+    val ref = li.agg(
+      corr("l_quantity", "l_extendedprice"),
+      corr("l_quantity", "l_discount"),
+      corr("l_extendedprice", "l_discount")).head()
+    assert(math.abs(got(("l_quantity", "l_extendedprice")) - ref.getDouble(0)) < 1e-9)
+    assert(math.abs(got(("l_quantity", "l_discount")) - ref.getDouble(1)) < 1e-9)
+    assert(math.abs(got(("l_extendedprice", "l_discount")) - ref.getDouble(2)) < 1e-9)
+    got.values.foreach(c => assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12))
+  }
+
   test("skyline: crafted frontier with ties and duplicates; ≡ brute force") {
     import spark.implicits._
     import java.sql.Date
