@@ -139,7 +139,9 @@ object SparkEntry {
     "q_cogroup"         -> ((s, d) => MapReduceOps.cogroupReconcile(s, d)),
     "q_source_xml"      -> ((s, d) => graft.sources.FileFormats.xmlGroupSum(s, d)),
     "q_histogram_eq"    -> ((s, d) => Relational.equiDepth(s, d)),
-    "q_corr_matrix"     -> ((s, d) => Relational.corrMatrix(s, d))
+    "q_corr_matrix"     -> ((s, d) => Relational.corrMatrix(s, d)),
+    "q_degree_dist"     -> ((s, d) => Graphs.degreeDist(s, d)),
+    "q_stream_topevent" -> ((s, d) => graft.streaming.Streams.topEvent(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -232,13 +234,13 @@ object SparkEntry {
     "q_scalar_array" ->
       """SELECT vec_id,
         |       len(embedding) AS dim,
-        |       round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+        |       round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
         |       round(list_reduce(
         |         list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
-        |         (acc, x) -> acc + x), 4) AS vsum,
+        |         (acc, x) -> acc + x), 4) + 0.0 AS vsum,
         |       round(sqrt(list_reduce(
         |         list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-        |         (acc, x) -> acc + x)), 4) AS norm
+        |         (acc, x) -> acc + x)), 4) + 0.0 AS norm
         |FROM embeddings""".stripMargin,
     "q_scalar_json" ->
       """SELECT event_id,
@@ -1368,7 +1370,29 @@ object SparkEntry {
         |         CAST(n*sbc - sb*sc AS DOUBLE)
         |           / sqrt(CAST(n*sbb - sb*sb AS DOUBLE))
         |           / sqrt(CAST(n*scc - sc*sc AS DOUBLE)) FROM s
-        |)""".stripMargin
+        |)""".stripMargin,
+    "q_degree_dist" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+        |), deg AS (
+        |  SELECT n, count(*) AS degree
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY n
+        |)
+        |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin,
+    "q_stream_topevent" ->
+      """WITH c AS (
+        |  SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |         event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT wstart, event_type AS top_type, cnt AS top_cnt
+        |FROM c
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY wstart ORDER BY cnt DESC, event_type DESC) = 1""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

@@ -73,6 +73,28 @@ object Graphs {
     ranks
   }
 
+  /** q_degree_dist: degree distribution of the part co-purchase graph —
+    * the first profiling question of any graph workload (is this
+    * power-law? where is the hub tail that breaks naive wedge/join
+    * strategies — exactly the skew `triangles`' degree ordering
+    * defends against). Wordcount-shaped: edge endpoints → per-node
+    * degree (partial/final count) → per-degree node count
+    * (partial/final again); two small shuffles, no joins. */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = lp.select(col("ok"), col("p").as("u"))
+      .join(lp.select(col("ok"), col("p").as("v")), "ok")
+      .where(col("u") < col("v"))
+      .select("u", "v")
+      .distinct()
+    edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** q_triangle: triangle count + global clustering coefficient over the
     * part co-purchase graph (parts appearing in the same order). Uses
     * DEGREE-ORDERED edge orientation (Cohen, "Graph Twiddling in a

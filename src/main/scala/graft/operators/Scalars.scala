@@ -89,9 +89,13 @@ object Scalars {
       .select(
         col("vec_id"),
         size(col("embedding")).cast(LongType).as("dim"),
-        round(element_at(emb, 1), 4).as("first_val"),
-        round(aggregate(emb, lit(0.0), (acc, x) => acc + x), 4).as("vsum"),
-        round(sqrt(aggregate(emb, lit(0.0), (acc, x) => acc + x * x)), 4)
+        // + 0.0 normalizes IEEE negative zero: round() of a tiny
+        // negative gives -0.0 on one engine and 0.0 on the other —
+        // value-equal, but the driver's exact hash would diverge
+        (round(element_at(emb, 1), 4) + lit(0.0)).as("first_val"),
+        (round(aggregate(emb, lit(0.0), (acc, x) => acc + x), 4) + lit(0.0))
+          .as("vsum"),
+        (round(sqrt(aggregate(emb, lit(0.0), (acc, x) => acc + x * x)), 4) + lit(0.0))
           .as("norm"))
   }
 

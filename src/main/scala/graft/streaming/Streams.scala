@@ -108,6 +108,15 @@ object Streams {
       import spark.implicits._
       writeOne(Seq(Ev(-1L, new java.sql.Timestamp(hiMs + 30 * 60 * 1000L),
         -1L, Sentinel, 0.0)).toDS().toDF())
+      // SECOND sentinel, a separate (later) file: CHAINED stateful
+      // operators (q_stream_topevent's agg-of-agg) need one watermark
+      // advance PER stage — the first flushes the last real window out
+      // of stage 1, the second flushes that row out of stage 2. Same
+      // event_id/user (−1) as the first so every query's existing
+      // sentinel exclusion applies unchanged; 30 min apart, so the
+      // outer join's ±10 min window cannot pair the two sentinels.
+      writeOne(Seq(Ev(-1L, new java.sql.Timestamp(hiMs + 60 * 60 * 1000L),
+        -1L, Sentinel, 0.0)).toDS().toDF())
       root
     })
 
@@ -252,6 +261,45 @@ object Streams {
           date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
           col("cnt")))
       .where(col("user_id") =!= -1L)
+
+  /** q_stream_topevent: CHAINED stateful aggregations — per 1-minute
+    * window, the top event type by count, computed as windowed counts
+    * feeding a SECOND windowed aggregation in the same streaming query
+    * (multiple stateful operators in append mode, SPARK-40925 — before
+    * Spark 3.4 this required two jobs with an intermediate sink). The
+    * second aggregate re-windows ON THE WINDOW COLUMN (`window(col
+    * ("window"), …)`), so both operators share watermark-driven
+    * finalization: a window's counts emit when the watermark passes,
+    * and the top-pick for that window finalizes in the same cascade.
+    * The pick is `max(struct(cnt, event_type))` — lexicographic struct
+    * order makes count ties break deterministically toward the larger
+    * type name, matching the oracle's ORDER BY cnt DESC, type DESC.
+    * State is bounded on both levels: live windows × types, then live
+    * windows.
+    *
+    * The sentinel exclusion MUST be a predicate on the aggregate
+    * RESULT (`top_type`), not on the grouping column between the
+    * aggregates: a deterministic filter on a grouping key is pushed by
+    * Catalyst through the aggregate AND below EventTimeWatermark into
+    * the scan (same trap as `streamJoinOuter`'s one-sided filter) —
+    * the sentinel rows would never reach the watermark tracker and the
+    * final windows of BOTH stages would never flush. A filter on the
+    * `max()` output cannot push below the aggregate, so sentinel rows
+    * advance the watermark, flow through both stages as their own
+    * isolated far-future windows, and only their finished window rows
+    * are dropped. */
+  def topEvent(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, withDupes = false, ds =>
+      ds.withWatermark("ts", "2 minutes")
+        .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(window(col("window"), "1 minute"))
+        .agg(max(struct(col("cnt"), col("event_type"))).as("top"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("top.event_type").as("top_type"),
+          col("top.cnt").as("top_cnt"))
+        .where(col("top_type") =!= Sentinel))
 
   /** Stream-stream interval join (q_stream_join): each purchase joined
     * to the same user's clicks in the preceding 10 minutes. Both sides

@@ -62,6 +62,18 @@ class GraphsSpec extends SparkSuiteBase {
     assert(r.getAs[Long]("n_edges") === edges.size.toLong)
   }
 
+  test("degreeDist: handshake identity and triangle-wedge consistency on the fixture") {
+    val dist = Graphs.degreeDist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tri = Graphs.triangles(spark, sf).collect()(0)
+    // Σ d·n(d) = 2|E| (handshake lemma)
+    assert(dist.map { case (d, n) => d * n }.sum === 2L * tri.getAs[Long]("n_edges"))
+    // Σ n(d) = |V|, Σ C(d,2)·n(d) = wedge count — same deg table as triangles
+    assert(dist.values.sum === tri.getAs[Long]("n_nodes"))
+    assert(dist.map { case (d, n) => d * (d - 1) / 2 * n }.sum ===
+      tri.getAs[Long]("n_wedges"))
+  }
+
   test("pageRank on the fixture graph: total mass conserved within floor losses") {
     val rows = Graphs.pageRank(spark, sf).collect().map(_.getLong(1))
     val n = rows.length.toLong

@@ -305,4 +305,25 @@ class StreamingSpec extends SparkSuiteBase {
       assert(ids === Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("chained stateful aggs (topEvent) equal batch, INCLUDING the final window") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.Streams.topEvent(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val batch = graft.sources.Tables(spark, sf, "events")
+      .groupBy(date_format(date_trunc("minute", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("wstart"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("wstart")
+      .agg(max(struct(col("cnt"), col("event_type"))).as("top"))
+      .select(col("wstart"), col("top.event_type").as("t"), col("top.cnt").as("c"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(streamed === batch)
+    // the final window is the one a single watermark advance cannot
+    // flush through BOTH stages (needs the second sentinel): pin it
+    val lastW = batch.keys.max
+    assert(streamed.contains(lastW), s"final window $lastW missing — " +
+      "second-stage flush regression (double-sentinel cascade broken)")
+  }
 }
