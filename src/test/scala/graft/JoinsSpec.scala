@@ -167,6 +167,36 @@ class JoinsSpec extends SparkSuiteBase {
     assert(got.map(_.getAs[Long]("n_purchases")).sum === 2L)
   }
 
+  test("interval join ≡ naive theta join on seeded random event times") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val w = 7000000L // 7 s window/bin, deliberately odd vs event spacing
+    for (seed <- Seq(3, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val t0 = 1700000000000000L
+      // cluster times so bin-boundary and exact-edge pairs occur
+      val ev = (1 to 300).map { i =>
+        val ty = if (rnd.nextBoolean()) "purchase" else "click"
+        (i.toLong, t0 + rnd.nextInt(600) * 1000000L + rnd.nextInt(3), ty)
+      }.toDF("event_id", "us", "event_type")
+        .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.get(0).toString, r.getLong(1), r.getLong(2), r.getLong(3))
+      val got = Joins.intervalJoin(ev, w).collect().map(key).sortBy(identity).toSeq
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+          unix_micros(col("ts")).as("p_us"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), unix_micros(col("ts")).as("c_us"))
+      val naive = p.join(c, abs(col("p_us") - col("c_us")) <= w)
+        .groupBy(to_date(col("p_ts")).as("day"))
+        .agg(count(lit(1)).as("n_pairs"), countDistinct("p_id").as("n_purchases"),
+          countDistinct("c_id").as("n_clicks"))
+        .collect().map(key).sortBy(identity).toSeq
+      assert(got === naive, s"seed=$seed")
+    }
+  }
+
   test("interval join ≡ naive theta join on the fixture; plans an equi-join, not a nested loop") {
     val events = graft.sources.Tables(spark, sf, "events")
     val decl = Joins.intervalJoin(events, 60000000L)

@@ -127,6 +127,24 @@ class PipelineSpec extends SparkSuiteBase {
     assert(again === ref)
   }
 
+  test("weightedSample ≡ reference on seeded random weights; heavy weights dominate") {
+    import spark.implicits._
+    for (seed <- Seq(13, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 500L).map(i =>
+        (i, if (i <= 50) 1000.0 * (1 + rnd.nextDouble()) else 0.5 + rnd.nextDouble()))
+      val got = Pipeline.weightedSample(rows.toDF("id", "w"), 25)
+        .collect().map(_.getLong(0)).toSet
+      val ref = rows.map { case (i, w) =>
+        val h = graft.functions.Fnv32a.hash(i.toString.getBytes("UTF-8"))
+        (math.log((h + 0.5) / 4294967296.0) / w, i)
+      }.sortBy { case (k, i) => (-k, i) }.take(25).map(_._2).toSet
+      assert(got === ref, s"seed=$seed")
+      // the 50 thousand-fold-heavier ids should dominate the sample
+      assert(got.count(_ <= 50L) >= 20, s"seed=$seed: ${got.count(_ <= 50L)}")
+    }
+  }
+
   test("weightedSample plans a TakeOrderedAndProject, not a global sort") {
     val plan = Pipeline.weightedSample(spark, sf, 50)
       .queryExecution.executedPlan.toString

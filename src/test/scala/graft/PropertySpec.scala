@@ -51,4 +51,27 @@ class PropertySpec extends AnyFunSuite {
       more.zip(base).forall { case (m, b) => m <= b }
     })
   }
+
+  // BPE apply-step laws over a tiny alphabet (so (l, r) pairs actually
+  // occur in generated sequences)
+  private val symGen = org.scalacheck.Gen.listOf(
+    org.scalacheck.Gen.oneOf("a", "b", "c"))
+
+  test("bpe mergePair: content preserved, no (l,r) adjacency survives, idempotent") {
+    import graft.operators.TextOps.mergePair
+    check(Prop.forAll(symGen, symGen.suchThat(_.nonEmpty)) { (xs, lr) =>
+      val (l, r) = (lr.head, if (lr.length > 1) lr(1) else "b")
+      val out = mergePair(xs, l, r)
+      // token concatenation is invariant — merging only regroups
+      val contentOk = out.mkString == xs.mkString
+      // greedy left-to-right leaves no adjacent (l, r) pair; the merged
+      // token "l+r" (2+ chars) can never equal a 1-char symbol, so the
+      // merge cannot CREATE new (l, r) adjacencies either...
+      val adjacencyOk = !out.zip(out.drop(1)).exists { case (x, y) =>
+        x == l && y == r }
+      // ...which makes a second application a no-op
+      val idempotentOk = mergePair(out, l, r) == out
+      contentOk && adjacencyOk && idempotentOk
+    })
+  }
 }

@@ -327,6 +327,49 @@ class RelationalSpec extends SparkSuiteBase {
       (60.0, "2024-01-01", 1L)))
   }
 
+  test("skyline ≡ brute force on seeded random point sets (coarse grid forces ties)") {
+    import spark.implicits._
+    import java.sql.Date
+    for (seed <- Seq(11, 42, 97)) {
+      val rnd = new scala.util.Random(seed)
+      // coarse grids → duplicate points and per-axis ties are common
+      val raw = Seq.fill(200)((rnd.nextInt(12) * 10.0,
+        Date.valueOf(f"2024-01-${1 + rnd.nextInt(25)}%02d")))
+      val got = Relational.skyline(
+        raw.toDF("price", "odate").repartition(1 + rnd.nextInt(8)))
+        .collect()
+        .map(r => (r.getDouble(0), r.getDate(1).toString, r.getLong(2))).toSet
+      val grouped = raw.groupBy(identity)
+        .map { case ((p, d), v) => (p, d.toString, v.size.toLong) }
+      val ref = grouped.filter { case (p, d, _) =>
+        !grouped.exists { case (p2, d2, _) =>
+          p2 >= p && d2 <= d && (p2 > p || d2 < d) }
+      }.toSet
+      assert(got === ref, s"seed=$seed")
+    }
+  }
+
+  test("equiDepth ≡ rank-formula reference on seeded random values with duplicates") {
+    import spark.implicits._
+    for (seed <- Seq(5, 77)) {
+      val rnd = new scala.util.Random(seed)
+      // duplicate-heavy values exercise tie handling across slices
+      val raw = (1L to 300L).map(i => (i, rnd.nextInt(40).toDouble))
+      val k = 7
+      val got = Relational.equiDepth(raw.toDF("id", "v"), k, 1 + rnd.nextInt(16))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      val n = raw.size
+      val ref = raw.sortBy { case (id, v) => (v, id) }.zipWithIndex
+        .map { case ((_, v), i) => (i.toLong * k / n, v) }
+        .groupBy(_._1).map { case (b, vs) =>
+          b -> ((vs.size.toLong, vs.map(_._2).min, vs.map(_._2).max))
+        }
+      assert(got === ref, s"seed=$seed")
+    }
+  }
+
   test("skyline: two-phase result is repartition-stable and never dominated") {
     import org.apache.spark.sql.functions.col
     val base = graft.sources.Tables(spark, sf, "orders")
