@@ -77,4 +77,34 @@ class EdgeCaseSpec extends SparkSuiteBase {
     assert(Dedup.minhashLsh(one).collect().isEmpty)
     assert(Dedup.dedupNear(one).collect().map(_.getLong(0)).toSeq === Seq(7L))
   }
+
+  test("empty inputs: round-4 batch operators return empty, schema intact") {
+    import spark.implicits._
+    val r = graft.operators.Relational
+    val noPts = Seq.empty[(Double, java.sql.Date)].toDF("price", "odate")
+    assert(r.skyline(noPts).collect().isEmpty)
+    assert(r.skyline(noPts).columns.toSeq === Seq("price", "odate", "n_dups"))
+    val noVals = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(r.equiDepth(noVals, 10, 8).collect().isEmpty)
+    assert(r.equiDepth(noVals, 10, 8).columns.toSeq ===
+      Seq("bucket", "cnt", "lo_v", "hi_v", "sum_v"))
+    assert(Pipeline.weightedSample(noVals.toDF("id", "w"), 5).collect().isEmpty)
+    assert(TextOps.collocations(empty, 2L).collect().isEmpty)
+    assert(TextOps.ngramDocFreq(empty, 2L).collect().isEmpty)
+    assert(Dedup.containmentPairs(empty, 0.5).collect().isEmpty)
+    val bpe = TextOps.bpeLearn(spark, empty, 4)
+    assert(bpe.collect().isEmpty)
+    assert(bpe.columns.toSeq === Seq("rank", "left", "right", "pair_count"))
+  }
+
+  test("edgeless graph: triangles report zero counts without NaN poisoning integers") {
+    import spark.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("u", "v")
+    val row = graft.operators.Graphs.triangles(noEdges).collect()(0)
+    assert(row.getLong(0) === 0L && row.getLong(1) === 0L)
+    assert(row.getLong(3) === 0L)
+    // n_wedges is an empty SUM → NULL; clustering = 3·0/NULL → NULL.
+    // Both documented: a caller sees "no wedges", never a NaN.
+    assert(row.isNullAt(2) && row.isNullAt(4))
+  }
 }
