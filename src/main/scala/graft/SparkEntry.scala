@@ -141,7 +141,9 @@ object SparkEntry {
     "q_histogram_eq"    -> ((s, d) => Relational.equiDepth(s, d)),
     "q_corr_matrix"     -> ((s, d) => Relational.corrMatrix(s, d)),
     "q_degree_dist"     -> ((s, d) => Graphs.degreeDist(s, d)),
-    "q_stream_topevent" -> ((s, d) => graft.streaming.Streams.topEvent(s, d))
+    "q_stream_topevent" -> ((s, d) => graft.streaming.Streams.topEvent(s, d)),
+    "q_snapshot_diff"   -> ((s, d) => Relational.snapshotDiff(s, d)),
+    "q_embed_centroid"  -> ((s, d) => Clustering.labelCentroids(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1392,7 +1394,31 @@ object SparkEntry {
         |SELECT wstart, event_type AS top_type, cnt AS top_cnt
         |FROM c
         |QUALIFY row_number() OVER (
-        |  PARTITION BY wstart ORDER BY cnt DESC, event_type DESC) = 1""".stripMargin
+        |  PARTITION BY wstart ORDER BY cnt DESC, event_type DESC) = 1""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS key, o_orderpriority AS p1
+        |  FROM orders WHERE o_orderkey % 89 <> 0
+        |), v2 AS (
+        |  SELECT o_orderkey AS key,
+        |         CASE WHEN o_orderkey % 13 = 0
+        |              THEN 'CHANGED-' || o_orderpriority
+        |              ELSE o_orderpriority END AS p2
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |)
+        |SELECT COALESCE(v1.key, v2.key) AS key,
+        |       CASE WHEN v1.key IS NULL THEN 'added'
+        |            WHEN v2.key IS NULL THEN 'removed'
+        |            WHEN p1 <> p2 THEN 'modified'
+        |            ELSE 'unchanged' END AS change,
+        |       p1, p2
+        |FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key""".stripMargin,
+    "q_embed_centroid" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+        |       count(*) AS n,
+        |       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean_e
+        |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |GROUP BY label, i""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

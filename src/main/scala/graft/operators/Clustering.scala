@@ -118,4 +118,23 @@ object Clustering {
       .groupBy(col("cid").cast(LongType).as("cid"))
       .agg(count(lit(1)).as("n"), round(sum("d2"), 4).as("inertia"))
       .orderBy("cid")
+
+  /** q_embed_centroid: per-label mean embedding — the supervised twin
+    * of the K-Means update step (class prototypes: mean-pooled
+    * category vectors for nearest-centroid classification, cluster
+    * summaries, drift baselines). One explode of the vector column to
+    * (label, dim) grain and ONE partial/final aggregation — the
+    * per-group key space is |labels|·dims regardless of corpus size,
+    * so the shuffle carries sketches, never vectors. Emitted at
+    * (label, dim) grain: reassembling arrays would force a second
+    * per-label collect and make the result column unsortable for the
+    * hash gate. Mean is rounded to 4 decimals (the float sums
+    * reassociate across partitions; rounding is the documented
+    * convention for cross-engine double aggregates). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "e")))
+      .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n"), round(avg("e"), 4).as("mean_e"))
 }

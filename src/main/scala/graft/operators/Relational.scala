@@ -460,6 +460,42 @@ object Relational {
         (col("grp_n") >= k).as("published"))
   }
 
+  /** q_snapshot_diff: table-snapshot reconciliation — the drift/audit
+    * primitive of a lakehouse (did the republish change what it
+    * shouldn't? what did the upstream feed add/drop/mutate?): two
+    * snapshots full-outer-joined on the key, every key classified
+    * added / removed / modified / unchanged. The fixture derives both
+    * snapshots deterministically from orders (v1 drops key%89==0,
+    * v2 drops key%97==0 and rewrites the priority of key%13==0), so
+    * the oracle reproduces them exactly; a real deployment passes two
+    * table reads. Comparison columns are pruned to the audited set
+    * BEFORE the join (at 100 TB: ship the key + a hash of the audited
+    * columns, not the rows); the join shuffles on the key — the same
+    * exchanges as any fact⋈fact equi-join, no window, no collect. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status_col"),
+        col("o_orderpriority").as("prio"))
+    val v1 = o.where(col("key") % 89 =!= 0L)
+      .select(col("key"), col("prio").as("p1"))
+    val v2 = o.where(col("key") % 97 =!= 0L)
+      .select(col("key"),
+        when(col("key") % 13 === 0L, concat(lit("CHANGED-"), col("prio")))
+          .otherwise(col("prio")).as("p2"))
+    snapshotDiff(v1, v2)
+  }
+
+  /** df form: v1 = (key, p1), v2 = (key, p2); keys unique per side,
+    * p1/p2 the audited value (hash several columns upstream). */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame =
+    v1.join(v2, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("p1").isNull, "added")
+          .when(col("p2").isNull, "removed")
+          .when(col("p1") =!= col("p2"), "modified")
+          .otherwise("unchanged").as("change"),
+        col("p1"), col("p2"))
+
   /** q_histogram_eq: EQUI-DEPTH histogram (deciles of o_totalprice) —
     * the profiling complement of q_histogram's fixed-width buckets:
     * every bucket holds the same row count, so bucket boundaries ARE

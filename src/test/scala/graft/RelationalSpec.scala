@@ -327,6 +327,43 @@ class RelationalSpec extends SparkSuiteBase {
       (60.0, "2024-01-01", 1L)))
   }
 
+  test("snapshotDiff classifies all four change classes; partitions the key union") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("key", "p1")
+    val v2 = Seq((2L, "b"), (3L, "X"), (4L, "d")).toDF("key", "p2")
+    val got = Relational.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "modified", 4L -> "added"))
+    // declared form: every key of either snapshot appears exactly once
+    val decl = Relational.snapshotDiff(spark, sf)
+    assert(decl.select("key").distinct().count() === decl.count())
+  }
+
+  test("labelCentroids: counts constant per label; means match a driver recomputation") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.operators.Clustering.labelCentroids(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val raw = graft.sources.Tables(spark, sf, "embeddings")
+      .select(col("label").cast("long"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val ref = raw.groupBy(_._1).flatMap { case (lbl, vs) =>
+      val dims = vs.head._2.length
+      (1 to dims).map { d =>
+        val xs = vs.map(_._2(d - 1))
+        (lbl, d.toLong) -> ((xs.size.toLong,
+          BigDecimal(xs.sum / xs.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toMap
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, (n, m)) =>
+      assert(n === ref(k)._1, s"$k count")
+      assert(math.abs(m - ref(k)._2) <= 1e-4 + 1e-12, s"$k mean $m vs ${ref(k)._2}")
+    }
+  }
+
   test("skyline ≡ brute force on seeded random point sets (coarse grid forces ties)") {
     import spark.implicits._
     import java.sql.Date
