@@ -143,7 +143,8 @@ object SparkEntry {
     "q_degree_dist"     -> ((s, d) => Graphs.degreeDist(s, d)),
     "q_stream_topevent" -> ((s, d) => graft.streaming.Streams.topEvent(s, d)),
     "q_snapshot_diff"   -> ((s, d) => Relational.snapshotDiff(s, d)),
-    "q_embed_centroid"  -> ((s, d) => Clustering.labelCentroids(s, d))
+    "q_embed_centroid"  -> ((s, d) => Clustering.labelCentroids(s, d)),
+    "q_nearest_centroid" -> ((s, d) => Clustering.nearestCentroid(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1418,7 +1419,29 @@ object SparkEntry {
         |       count(*) AS n,
         |       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean_e
         |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
-        |GROUP BY label, i""".stripMargin
+        |GROUP BY label, i""".stripMargin,
+    "q_nearest_centroid" ->
+      """WITH cent AS (
+        |  SELECT CAST(label AS BIGINT) AS cand, CAST(i AS BIGINT) AS dim,
+        |         round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS c
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |  GROUP BY label, i
+        |), ex AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+        |         CAST(i AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |), d AS (
+        |  SELECT vec_id, true_label, cand, sum((x - c) * (x - c)) AS d2
+        |  FROM ex JOIN cent ON ex.dim = cent.dim
+        |  GROUP BY vec_id, true_label, cand
+        |), p AS (
+        |  SELECT vec_id, true_label, cand AS pred_label
+        |  FROM d
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY d2, cand) = 1
+        |)
+        |SELECT true_label, pred_label, count(*) AS n
+        |FROM p GROUP BY true_label, pred_label""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

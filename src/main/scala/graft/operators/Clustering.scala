@@ -137,4 +137,40 @@ object Clustering {
         posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "e")))
       .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("dim"))
       .agg(count(lit(1)).as("n"), round(avg("e"), 4).as("mean_e"))
+
+  /** q_nearest_centroid: nearest-prototype classification confusion
+    * matrix — every vector assigned to its closest label centroid
+    * (Rocchio/nearest-class-mean classification), tallied against the
+    * true label. The self-evaluation a labeled corpus gets for free:
+    * how separable are the classes under their own prototypes?
+    *
+    * Shape: the centroid table (|labels|·dims rows — 640 here) is
+    * BROADCAST onto the exploded (vec, dim) grain, per-(vec, label)
+    * squared distances come from one partial/final sum, and the
+    * argmin is `min(struct(d2, label))` — lexicographic struct order
+    * gives a deterministic label-asc tie-break, mirrored by the
+    * oracle's ORDER BY d2, cand. Centroids enter the distance at
+    * their ROUNDED (4-decimal) values — exact doubles on both
+    * engines, so the only cross-engine float hazard is the unordered
+    * d2 summation (≈1e-15 relative), which cannot flip an argmin
+    * between genuinely separated classes. Nothing driver-side, no
+    * k·n² pair materialization — cost is |vectors|·dims·|labels|
+    * multiply-adds, embarrassingly parallel. */
+  def nearestCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val cent = labelCentroids(spark, dir)
+      .select(col("label").as("cand"), col("dim"), col("mean_e").as("c"))
+    val ex = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast(LongType).as("true_label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("true_label"),
+        (col("pos") + 1).cast(LongType).as("dim"), col("x"))
+    ex.join(broadcast(cent), "dim")
+      .groupBy("vec_id", "true_label", "cand")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      .groupBy("vec_id", "true_label")
+      .agg(min(struct(col("d2"), col("cand"))).as("m"))
+      .select(col("true_label"), col("m.cand").as("pred_label"))
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+  }
 }

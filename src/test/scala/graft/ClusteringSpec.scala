@@ -26,4 +26,23 @@ class ClusteringSpec extends SparkSuiteBase {
     assert(rows.length === n)
     assert(rows.map(_.getInt(1)).distinct.length <= Clustering.K)
   }
+
+  test("nearest-centroid confusion: totals reconcile, diagonal dominates, deterministic") {
+    val rows = Clustering.nearestCentroid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val n = graft.sources.Tables(spark, sf, "embeddings").count()
+    assert(rows.values.sum === n, "every vector classified exactly once")
+    // prototypes must beat chance on their own training data: the
+    // diagonal outweighs any single off-diagonal cell per true label
+    val labels = rows.keys.map(_._1).toSeq.distinct
+    labels.foreach { l =>
+      val diag = rows.getOrElse((l, l), 0L)
+      val offMax = rows.collect { case ((t, p), c) if t == l && p != l => c }
+        .foldLeft(0L)(math.max)
+      assert(diag > offMax, s"label $l: diag=$diag offMax=$offMax")
+    }
+    val again = Clustering.nearestCentroid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again === rows)
+  }
 }
