@@ -144,7 +144,8 @@ object SparkEntry {
     "q_stream_topevent" -> ((s, d) => graft.streaming.Streams.topEvent(s, d)),
     "q_snapshot_diff"   -> ((s, d) => Relational.snapshotDiff(s, d)),
     "q_embed_centroid"  -> ((s, d) => Clustering.labelCentroids(s, d)),
-    "q_nearest_centroid" -> ((s, d) => Clustering.nearestCentroid(s, d))
+    "q_nearest_centroid" -> ((s, d) => Clustering.nearestCentroid(s, d)),
+    "q_gini"            -> ((s, d) => Relational.giniByGroup(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1417,7 +1418,7 @@ object SparkEntry {
     "q_embed_centroid" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
         |       count(*) AS n,
-        |       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean_e
+        |       round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS mean_e
         |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
         |GROUP BY label, i""".stripMargin,
     "q_nearest_centroid" ->
@@ -1441,7 +1442,20 @@ object SparkEntry {
         |    PARTITION BY vec_id ORDER BY d2, cand) = 1
         |)
         |SELECT true_label, pred_label, count(*) AS n
-        |FROM p GROUP BY true_label, pred_label""".stripMargin
+        |FROM p GROUP BY true_label, pred_label""".stripMargin,
+    "q_gini" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS grp,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+        |         row_number() OVER (
+        |           PARTITION BY o_orderpriority
+        |           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS rk
+        |  FROM orders
+        |)
+        |SELECT grp, count(*) AS n, CAST(sum(x) AS BIGINT) AS total_cents,
+        |       CAST(2 * sum(rk * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+        |         / count(*) / CAST(sum(x) AS DOUBLE) AS gini
+        |FROM r GROUP BY grp""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

@@ -136,7 +136,9 @@ object Clustering {
       .select(col("label").cast(LongType).as("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "e")))
       .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("dim"))
-      .agg(count(lit(1)).as("n"), round(avg("e"), 4).as("mean_e"))
+      // + 0.0 normalizes IEEE negative zero out of the rounded mean
+      // (the q_scalar_array hash-divergence fix, same pattern)
+      .agg(count(lit(1)).as("n"), (round(avg("e"), 4) + lit(0.0)).as("mean_e"))
 
   /** q_nearest_centroid: nearest-prototype classification confusion
     * matrix — every vector assigned to its closest label centroid

@@ -586,6 +586,60 @@ object Relational {
           |  AS (x_col, y_col, corr)""".stripMargin))
   }
 
+  /** q_gini: per-group Gini concentration of order revenue — the
+    * inequality/concentration profile (is priority-class revenue
+    * spread evenly or carried by a few whale orders?), the same
+    * statistic data curators use for source/dedup-cluster share
+    * audits. Uses the rank formula `G = (2·Σrᵢxᵢ − (n+1)·Σxᵢ) /
+    * (n·Σxᵢ)` over EXACT integer cents with a deterministic total
+    * order (value, then key) — both engines compute identical ranks,
+    * exact DECIMAL power sums (Σ r·x overflows Long at TB scale), and
+    * the same fixed-order double division at the end: bit-identical,
+    * no rounding.
+    *
+    * The within-group rank is the GROUPED form of the two-pass
+    * range-sliced rank (`equiDepth`/`globalRowIds`): global value
+    * slices, per-(group, slice) counts to the driver (groups·slices
+    * rows), broadcast exclusive offsets, local windows per (group,
+    * slice) — the dominant group never funnels into one task, which
+    * a plain `Window.partitionBy(group)` would force. */
+  def giniByGroup(spark: SparkSession, dir: String): DataFrame =
+    giniByGroup(Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("grp"), col("o_orderkey").as("id"),
+        round(col("o_totalprice") * 100).cast("long").as("x")), 64)
+
+  /** df form: expects (grp: String, id: Long unique, x: Long ≥ 0). */
+  def giniByGroup(rows: DataFrame, slices: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mm = rows.agg(min("x"), max("x")).head()
+    if (mm.isNullAt(0))
+      return rows.groupBy("grp").agg(count(lit(1)).as("n"),
+        lit(0L).as("total_cents"), lit(0.0).as("gini"))
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, (hi - lo) / slices + 1)
+    val sliced = rows.withColumn("slc", expr(s"(x - ${lo}L) div ${span}L"))
+    val counts = sliced.groupBy("grp", "slc").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val offsets = counts.toSeq.flatMap { case (g, cs) =>
+      var acc = 0L
+      cs.sortBy(_._2).map { case (_, s, c) => val r = (g, s, acc); acc += c; r }
+    }
+    val offDf = rows.sparkSession.createDataFrame(offsets).toDF("grp", "slc", "off")
+    val w = Window.partitionBy("grp", "slc").orderBy(col("x"), col("id"))
+    sliced.join(broadcast(offDf), Seq("grp", "slc"))
+      .withColumn("rk", row_number().over(w).cast("long") + col("off"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(20,0)")).as("s"),
+        sum((col("rk").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))).as("t"))
+      .select(col("grp"), col("n"),
+        col("s").cast("long").as("total_cents"),
+        ((lit(2).cast("decimal(2,0)") * col("t")
+          - (col("n") + 1).cast("decimal(20,0)") * col("s")).cast("double")
+          / col("n").cast("double") / col("s").cast("double")).as("gini"))
+  }
+
   /** q_skyline: the 2-D Pareto frontier (skyline operator — Börzsönyi,
     * Kossmann & Stocker, "The Skyline Operator", ICDE 2001) — orders
     * that are not dominated on (maximize o_totalprice, minimize

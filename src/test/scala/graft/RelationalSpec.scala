@@ -327,6 +327,31 @@ class RelationalSpec extends SparkSuiteBase {
       (60.0, "2024-01-01", 1L)))
   }
 
+  test("gini: equality→0, single-holder→(n−1)/n, repartition-stable") {
+    import spark.implicits._
+    // group "eq": 40 equal values → G = 0 exactly (rank formula, no ties ambiguity: x identical)
+    // group "one": one holder of everything among 10 → G = (n−1)/n = 0.9
+    val rows =
+      (1L to 40L).map(i => ("eq", i, 100L)) ++
+        (1L to 9L).map(i => ("one", 100L + i, 0L)) :+ (("one", 110L, 1000L))
+    val df = rows.toDF("grp", "id", "x")
+    val got = Relational.giniByGroup(df, 8).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got("eq")._3 === 0.0)
+    assert(math.abs(got("one")._3 - 0.9) < 1e-12)
+    assert(got("eq") === ((40L, 4000L, 0.0)))
+    val again = Relational.giniByGroup(df.repartition(7), 8).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(again === got)
+  }
+
+  test("gini plans no single-partition sort of the data") {
+    val plan = Relational.giniByGroup(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
+  }
+
   test("snapshotDiff classifies all four change classes; partitions the key union") {
     import spark.implicits._
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("key", "p1")
