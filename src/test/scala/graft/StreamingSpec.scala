@@ -306,6 +306,58 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("checkpoint resume: windowed state survives a query restart (phase-split counts)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft_rsrc").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_rout").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_rck").toFile.getAbsolutePath
+    import spark.implicits._
+    val t0 = 1700000000000000L // μs
+    def writeBatch(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("event_id", "us")
+        .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+        .repartition(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val q = spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 minute"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("cnt"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // phase 1: 3 rows in window W1, 2 in W2 — watermark stays below both
+    // window ends, so EVERYTHING is still in the state store at stop
+    writeBatch(Seq((1L, t0), (2L, t0 + 1000000L), (3L, t0 + 2000000L),
+      (4L, t0 + 60000000L), (5L, t0 + 61000000L)))
+    run()
+    // phase 2: 3 more W2 rows + a far-future flusher, then RESTART from
+    // the same checkpoint. W2's final count must merge phase-1 state (2)
+    // with phase-2 arrivals (3) — a lost state store would report 3.
+    writeBatch(Seq((6L, t0 + 62000000L), (7L, t0 + 63000000L),
+      (8L, t0 + 64000000L), (99L, t0 + 3600000000L)))
+    run()
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w1 = new java.text.SimpleDateFormat("HH:mm") {
+      { setTimeZone(java.util.TimeZone.getTimeZone("UTC")) }
+    }.format(new java.util.Date(t0 / 1000L))
+    assert(got.values.sum === 8L, s"windows: $got")
+    assert(got(w1) === 3L, s"W1 count: $got")
+    assert(got.filterNot(_._1 == w1).values.toSeq.sorted === Seq(5L),
+      s"W2 must merge pre- and post-restart rows exactly once: $got")
+  }
+
   test("chained stateful aggs (topEvent) equal batch, INCLUDING the final window") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.Streams.topEvent(spark, sf).collect()
