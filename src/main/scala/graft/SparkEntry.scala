@@ -145,7 +145,8 @@ object SparkEntry {
     "q_snapshot_diff"   -> ((s, d) => Relational.snapshotDiff(s, d)),
     "q_embed_centroid"  -> ((s, d) => Clustering.labelCentroids(s, d)),
     "q_nearest_centroid" -> ((s, d) => Clustering.nearestCentroid(s, d)),
-    "q_gini"            -> ((s, d) => Relational.giniByGroup(s, d))
+    "q_gini"            -> ((s, d) => Relational.giniByGroup(s, d)),
+    "q_chunk"           -> ((s, d) => Pipeline.chunk(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1455,7 +1456,19 @@ object SparkEntry {
         |SELECT grp, count(*) AS n, CAST(sum(x) AS BIGINT) AS total_cents,
         |       CAST(2 * sum(rk * x) - (count(*) + 1) * sum(x) AS DOUBLE)
         |         / count(*) / CAST(sum(x) AS DOUBLE) AS gini
-        |FROM r GROUP BY grp""".stripMargin
+        |FROM r GROUP BY grp""".stripMargin,
+    "q_chunk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+         |  FROM documents
+         |), d AS (
+         |  SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0
+         |)
+         |SELECT doc_id,
+         |       CAST((s - 1) // 40 AS BIGINT) AS chunk_idx,
+         |       CAST(least(50, n - s + 1) AS BIGINT) AS chunk_len,
+         |       md5(array_to_string(list_slice(ts, s, s + 49), ' ')) AS chunk_md5
+         |FROM d, unnest(range(1, n + 1, 40)) AS u(s)""".stripMargin
   )
 
   /** DuckDB whitespace-run class (single-backslash: DuckDB string

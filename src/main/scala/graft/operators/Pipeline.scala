@@ -197,6 +197,48 @@ object Pipeline {
       .limit(k)
       .select(col("id"), round(col("w"), 2).as("weight"))
 
+  /** q_chunk: overlapping context-window chunking — each document cut
+    * into fixed-size token windows with a fixed overlap (stride =
+    * size − overlap), the standard pretraining/RAG preparation step
+    * (`packTokens` packs whole documents into shards; this SPLITS one
+    * document into attention-window-sized pieces whose overlap
+    * preserves cross-boundary context). Start offsets are `1, 1+st,
+    * 1+2st, …` while ≤ n_tok, so every token lands in ≥ 1 chunk, the
+    * last chunk may run short, and a zero-token document yields no
+    * chunks. Pure per-row array expressions — explode over the start
+    * sequence, slice, hash — embarrassingly parallel, no shuffle at
+    * any scale. Chunks are emitted as (id, index, length, md5) — the
+    * md5 pins EXACT chunk content against the oracle without shipping
+    * chunk text through the hash gate. */
+  def chunk(spark: SparkSession, dir: String,
+            size: Int = 50, overlap: Int = 10): DataFrame =
+    chunk(Tables(spark, dir, "documents"), size, overlap)
+
+  /** df form: expects (doc_id: Long, text: String); requires
+    * 0 ≤ overlap < size. */
+  def chunk(documents: DataFrame, size: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val stride = size - overlap
+    documents
+      .withColumn("ts", expr(graft.operators.TextOps.TokensSql))
+      .withColumn("n", size_(col("ts")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("ts"), col("n"),
+        explode(expr(s"sequence(1, n, $stride)")).as("s"))
+      .select(
+        col("doc_id"),
+        // chunk index derived from the start offset — identical on both
+        // engines without relying on unnest ordinality
+        ((col("s") - 1) / stride).cast("long").as("chunk_idx"),
+        least(lit(size), col("n") - col("s") + 1).cast("long").as("chunk_len"),
+        md5(encode(concat_ws(" ",
+          expr(s"slice(ts, s, $size)")), "UTF-8")).as("chunk_md5"))
+  }
+
+  // size() collides with the Scala collection method inside this object
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
+
   /** q_pack_tokens (declared form): greedy token-budget shard packing
     * per language — each doc lands in the shard its running token offset
     * falls into (running sum over the deterministic doc_id order). The

@@ -127,6 +127,40 @@ class PipelineSpec extends SparkSuiteBase {
     assert(again === ref)
   }
 
+  test("chunk: coverage, overlap, short tail, empty-doc exclusion") {
+    import spark.implicits._
+    // 12 tokens, size 5, overlap 2 → stride 3 → starts 1,4,7,10
+    val docs = Seq(
+      (1L, (1 to 12).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"),   // single short chunk
+      (3L, "   "))     // whitespace-only → no chunks
+      .toDF("doc_id", "text")
+    val got = Pipeline.chunk(docs, 5, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keys.count(_._1 == 1L) === 4)
+    assert(got((1L, 0L)) === 5L && got((1L, 1L)) === 5L && got((1L, 2L)) === 5L)
+    assert(got((1L, 3L)) === 3L, "tail chunk runs short")
+    assert(got((2L, 0L)) === 3L)
+    assert(!got.keys.exists(_._1 == 3L), "zero-token doc yields no chunks")
+    // every token covered: with stride 3 and len 5, union of [s, s+4]
+    // for s = 1,4,7,10 is 1..12
+    val starts = Seq(1, 4, 7, 10)
+    assert(starts.flatMap(s => s until (s + 5)).toSet.intersect((1 to 12).toSet)
+      === (1 to 12).toSet)
+    // chunk content is the exact slice: md5 equals a driver recomputation
+    val md5s = Pipeline.chunk(docs, 5, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    val toks = (1 to 12).map(i => s"t$i")
+    def ref(s: Int) = {
+      val js = toks.slice(s - 1, math.min(s - 1 + 5, 12)).mkString(" ")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(js.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    starts.zipWithIndex.foreach { case (s, i) =>
+      assert(md5s((1L, i.toLong)) === ref(s), s"chunk $i")
+    }
+  }
+
   test("weightedSample ≡ reference on seeded random weights; heavy weights dominate") {
     import spark.implicits._
     for (seed <- Seq(13, 31)) {
