@@ -113,9 +113,12 @@ object Graphs {
     * double (clustering coefficient 3T/W) is a fixed-order int→double
     * division, bit-identical to the oracle with no rounding. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once: the self-join below would otherwise run the
+    // scan + distinct TWICE (both join inputs)
     val lp = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
+      .localCheckpoint()
     // co-purchase edges, id-normalized u < v (order sizes are bounded —
     // ≤ 7 lines in TPC-H — so the per-order pair expansion is O(1);
     // for heavy containers, cap or sample the per-group expansion)
