@@ -146,7 +146,8 @@ object SparkEntry {
     "q_embed_centroid"  -> ((s, d) => Clustering.labelCentroids(s, d)),
     "q_nearest_centroid" -> ((s, d) => Clustering.nearestCentroid(s, d)),
     "q_gini"            -> ((s, d) => Relational.giniByGroup(s, d)),
-    "q_chunk"           -> ((s, d) => Pipeline.chunk(s, d))
+    "q_chunk"           -> ((s, d) => Pipeline.chunk(s, d)),
+    "q_dedup_stats"     -> ((s, d) => Dedup.dedupStats(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1457,6 +1458,43 @@ object SparkEntry {
         |       CAST(2 * sum(rk * x) - (count(*) + 1) * sum(x) AS DOUBLE)
         |         / count(*) / CAST(sum(x) AS DOUBLE) AS gini
         |FROM r GROUP BY grp""".stripMargin,
+    "q_dedup_stats" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+         |  FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+         |  WHERE len(ts) >= 3
+         |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |iv AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ic
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |), pairs AS (
+         |  SELECT da, db
+         |  FROM iv JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+         |  WHERE CAST(ic AS DOUBLE) / (x.n + y.n - ic) >= 0.8
+         |), edges AS (
+         |  SELECT da AS u, db AS v FROM pairs
+         |  UNION ALL SELECT db, da FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT u AS node, u AS r FROM edges
+         |  UNION
+         |  SELECT e.u AS node, t.r FROM edges e JOIN reach t ON e.v = t.node
+         |), comp AS (
+         |  SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node
+         |), csz AS (
+         |  SELECT comp, count(*) AS sz FROM comp GROUP BY comp
+         |), hist AS (
+         |  SELECT sz, count(*) AS n_clusters FROM csz GROUP BY sz
+         |  UNION ALL
+         |  SELECT 1 AS sz,
+         |         (SELECT count(*) FROM documents)
+         |           - COALESCE((SELECT sum(sz) FROM csz), 0) AS n_clusters
+         |)
+         |SELECT sz, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+         |FROM hist GROUP BY sz HAVING sum(n_clusters) > 0""".stripMargin,
     "q_chunk" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts

@@ -393,6 +393,32 @@ object Dedup {
   def dupComponents(spark: SparkSession, dir: String): DataFrame =
     dupComponents(minhashLsh(Tables(spark, dir, "documents")))
 
+  /** q_dedup_stats: duplicate-cluster size distribution — the QA view
+    * of a dedup run (how much of the corpus is duplicated, and is it
+    * many small pairs or a few giant boilerplate clusters? a heavy
+    * tail here usually means a template/boilerplate source, not true
+    * duplication — exactly what a curation team audits before
+    * dropping data). Composes `dupComponents`: per-component sizes,
+    * then a size histogram, plus singleton accounting from the corpus
+    * count (docs in no pair are singletons and never enter the label
+    * propagation). Output grain is |distinct sizes| — tiny at any
+    * corpus scale. */
+  def dedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables(spark, dir, "documents").count()
+    val sizes = dupComponents(spark, dir)
+      .groupBy("comp").agg(count(lit(1)).as("sz"))
+    val hist = sizes.groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+    val nInPairs = sizes.agg(sum("sz")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    hist.unionAll(
+      hist.sparkSession.range(1).select(
+        lit(1L).as("sz"), lit(nDocs - nInPairs).as("n_clusters")))
+      .groupBy("sz").agg(sum("n_clusters").as("n_clusters"))
+      .where(col("n_clusters") > 0L)
+  }
+
   /** Materialized transitive near-dedup of a corpus: drop every
     * non-canonical member of every near-dup component (MinHash-LSH
     * pairs closed by `dupComponents`), keep everything else untouched.

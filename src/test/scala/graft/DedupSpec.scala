@@ -139,6 +139,20 @@ class DedupSpec extends SparkSuiteBase {
     }
   }
 
+  test("dedup stats: cluster mass accounts for every document exactly once") {
+    val hist = Dedup.dedupStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = graft.sources.Tables(spark, sf, "documents").count()
+    assert(hist.map { case (sz, n) => sz * n }.sum === nDocs)
+    // histogram agrees with the component table it summarizes
+    val compSizes = Dedup.dupComponents(spark, sf).collect()
+      .groupBy(_.getLong(1)).map(_._2.length.toLong)
+    compSizes.groupBy(identity).foreach { case (sz, cs) =>
+      assert(hist(sz) >= cs.size.toLong, s"size-$sz clusters under-counted")
+    }
+    assert(hist.keys.forall(_ >= 1L) && hist.values.forall(_ > 0L))
+  }
+
   test("containment: a quote inside a long doc scores ~1 forward, low backward") {
     import spark.implicits._
     val quote = "the quick brown fox jumps over the lazy dog"
