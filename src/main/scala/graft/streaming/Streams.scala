@@ -455,6 +455,44 @@ object Streams {
       .toDF("user_id", "total_value", "batch_events")
   }
 
+  /** The MAP-state path of `transformWithState` (completing the state
+    * API family beside `SpendTracker`'s ValueState and
+    * `SessionCloser`'s timers): a per-user running count PER EVENT
+    * TYPE in a single keyed `MapState` — the point is that sub-keys
+    * (types) are read/updated INDIVIDUALLY against the store, not by
+    * rewriting one blob value per batch (with RocksDB each map entry
+    * is its own store key; a ValueState[Map[…]] would deserialize and
+    * rewrite the whole map every time a single type ticks). Emits the
+    * updated (user, type, running) rows each batch. */
+  class TypeCounter extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Ev, (Long, String, Long)] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    @transient private var perType: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      perType = getHandle.getMapState[String, Long]("perType",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[(Long, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val prev = if (perType.containsKey(e.event_type))
+          perType.getValue(e.event_type) else 0L
+        perType.updateValue(e.event_type, prev + 1L)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => (key, t, perType.getValue(t)))
+    }
+  }
+
+  def typeCounts(spark: SparkSession, events: Dataset[Ev]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCounter, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "event_type", "running")
+  }
+
   /** The timer path of `transformWithState`: a custom sessionizer that
     * emits ONLY when a per-user event-time timer expires (no events for
     * `gapMs` past the watermark), then clears its state — the arbitrary-

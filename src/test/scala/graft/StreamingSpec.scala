@@ -141,6 +141,35 @@ class StreamingSpec extends SparkSuiteBase {
     }
   }
 
+  test("transformWithState MapState: per-type sub-keys update independently across batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDB {
+    val source = MemoryStream[Ev]
+    val name = "mapstate_test_sink"
+    val q = graft.streaming.Streams.typeCounts(spark, source.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .start()
+    try {
+      source.addData(Seq(Ev(1, ts(0), 7, "view", 1.0), Ev(2, ts(1), 7, "view", 1.0),
+        Ev(3, ts(1), 7, "click", 1.0), Ev(4, ts(1), 8, "view", 1.0)))
+      q.processAllAvailable()
+      // only user 7's click ticks — its view count must NOT re-emit or reset
+      source.addData(Seq(Ev(5, ts(2), 7, "click", 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.contains((7L, "view", 2L)))
+      assert(rows.contains((7L, "click", 1L)), "batch-1 click emission")
+      assert(rows.contains((7L, "click", 2L)), "batch-2 ticked the click sub-key only")
+      assert(rows.contains((8L, "view", 1L)))
+      // batch 2 emitted exactly ONE row (the touched sub-key), proving
+      // untouched map entries are neither rewritten nor re-emitted
+      assert(rows.count { case (u, t, _) => u == 7L && t == "view" } === 1)
+    } finally q.stop()
+    }
+  }
+
   test("transformWithState timers: session closes only after the gap expires") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
