@@ -85,4 +85,30 @@ class LibraryApiSpec extends SparkSuiteBase {
       vecs.select(col("vec_id"), col("embedding").as("e")), iters = 2)
     assert(assigned.count() === 20)
   }
+
+  test("round-4 df-form surface on arbitrary DataFrames (README snippet shapes)") {
+    import spark.implicits._
+    // chunking over user docs
+    val chunks = Pipeline.chunk(userDocs, size = 4, overlap = 1)
+    assert(chunks.columns.toSeq ===
+      Seq("doc_id", "chunk_idx", "chunk_len", "chunk_md5"))
+    assert(chunks.where(col("doc_id") === 1L).count() >= 3)
+    // weighted sampling over arbitrary (id, w) rows
+    val ws = Pipeline.weightedSample(
+      (1L to 50L).map(i => (i, i.toDouble)).toDF("id", "w"), 10)
+    assert(ws.count() === 10)
+    // skyline over arbitrary points
+    val sky = graft.operators.Relational.skyline(
+      Seq((1.0, java.sql.Date.valueOf("2024-01-02")),
+        (2.0, java.sql.Date.valueOf("2024-01-01"))).toDF("price", "odate"))
+    assert(sky.count() === 1L) // (2.0, 01-01) dominates
+    // triangles over an arbitrary edge list
+    val tri = graft.operators.Graphs.triangles(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")).collect()(0)
+    assert(tri.getAs[Long]("n_triangles") === 1L)
+    // snapshot diff over two arbitrary keyed frames
+    val diff = graft.operators.Relational.snapshotDiff(
+      Seq((1L, "a")).toDF("key", "p1"), Seq((1L, "b")).toDF("key", "p2"))
+    assert(diff.collect()(0).getString(1) === "modified")
+  }
 }
