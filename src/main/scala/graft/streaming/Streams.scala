@@ -493,6 +493,44 @@ object Streams {
       .toDF("user_id", "event_type", "running")
   }
 
+  /** The LIST-state path of `transformWithState` (the last state type
+    * beside ValueState/MapState/timers): each user's most recent `cap`
+    * event ids, oldest-first — the "recent user actions" feature every
+    * online model reads. `appendValue` is an O(1) store append (no
+    * read-modify-write of the whole list on the hot path); the cap is
+    * enforced by trimming only when the batch actually overflows it.
+    * Emits each user's current window once per batch touched. */
+  class RecentN(cap: Int) extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Ev, (Long, Seq[Long])] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
+    @transient private var recent: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[(Long, Seq[Long])] = {
+      // events within a batch arrive in partition order; impose the
+      // deterministic (ts, event_id) order before appending
+      val incoming = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      incoming.foreach(e => recent.appendValue(e.event_id))
+      val all = recent.get().toSeq
+      if (all.length > cap) {
+        val trimmed = all.takeRight(cap)
+        recent.put(trimmed.toArray)
+        Iterator((key, trimmed))
+      } else Iterator((key, all))
+    }
+  }
+
+  def recentEvents(spark: SparkSession, events: Dataset[Ev],
+                   cap: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentN(cap), TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "recent_ids")
+  }
+
   /** The timer path of `transformWithState`: a custom sessionizer that
     * emits ONLY when a per-user event-time timer expires (no events for
     * `gapMs` past the watermark), then clears its state — the arbitrary-

@@ -170,6 +170,30 @@ class StreamingSpec extends SparkSuiteBase {
     }
   }
 
+  test("transformWithState ListState: capped recent-N window slides across batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDB {
+    val source = MemoryStream[Ev]
+    val name = "liststate_test_sink"
+    val q = graft.streaming.Streams.recentEvents(spark, source.toDS(), cap = 3)
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .start()
+    try {
+      source.addData(Seq(Ev(1, ts(0), 7, "x", 1.0), Ev(2, ts(1), 7, "x", 1.0)))
+      q.processAllAvailable()
+      source.addData(Seq(Ev(3, ts(2), 7, "x", 1.0), Ev(4, ts(3), 7, "x", 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+      // batch 1: under the cap → [1, 2]; batch 2: state carried, capped
+      // to the LATEST 3 → [2, 3, 4] (oldest id 1 evicted)
+      assert(rows.contains((7L, Seq(1L, 2L))), s"got ${rows.toSeq}")
+      assert(rows.contains((7L, Seq(2L, 3L, 4L))), s"got ${rows.toSeq}")
+    } finally q.stop()
+    }
+  }
+
   test("transformWithState timers: session closes only after the gap expires") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
