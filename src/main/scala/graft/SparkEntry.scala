@@ -69,6 +69,8 @@ object SparkEntry {
     "q_udtf_native"     -> ((s, d) => MapReduceOps.bigramCountsNative(s, d)),
     "q_multimodal"      -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_multimodal_frames" -> ((s, d) => Multimodal.frameLedger(s, d)),
+    "q_multimodal_decode" -> ((s, d) => Multimodal.imageDecode(s, d)),
+    "q_multimodal_resize" -> ((s, d) => Multimodal.imageResize(s, d)),
     "q_stream_tumbling" -> ((s, d) => graft.streaming.Streams.tumbling(s, d)),
     "q_stream_sliding"  -> ((s, d) => graft.streaming.Streams.sliding(s, d)),
     "q_stream_session"  -> ((s, d) => graft.streaming.Streams.session(s, d)),
@@ -559,6 +561,32 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_frames,
         |       CAST(sum(least(256, L - i * 256)) AS BIGINT) AS frame_bytes
         |FROM f GROUP BY doc_id""".stripMargin,
+    // Real ImageIO round-trip: the oracle predicts decoded dims and
+    // channel means from doc_id arithmetic alone (Multimodal.imgWidth/
+    // topRgb/botRgb mirrored); Spark must survive PNG encode→decode
+    // (q_multimodal_decode) plus a real bilinear resize + re-encode
+    // (q_multimodal_resize, flat color ⇒ exact mean preservation).
+    "q_multimodal_decode" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h,
+        |         doc_id % 256 AS tr, (doc_id * 31) % 256 AS tg,
+        |         (doc_id * 17) % 256 AS tb,
+        |         (doc_id * 7) % 256 AS br, (doc_id * 13) % 256 AS bg,
+        |         (doc_id * 29) % 256 AS bb
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  (w * (h // 2) * tr + w * (h - h // 2) * br) / CAST(w * h AS DOUBLE) AS mean_r,
+        |  (w * (h // 2) * tg + w * (h - h // 2) * bg) / CAST(w * h AS DOUBLE) AS mean_g,
+        |  (w * (h // 2) * tb + w * (h - h // 2) * bb) / CAST(w * h AS DOUBLE) AS mean_b
+        |FROM g""".stripMargin,
+    "q_multimodal_resize" ->
+      """SELECT doc_id, CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+        |       CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |       CAST((doc_id * 31) % 256 AS DOUBLE) AS mean_g,
+        |       CAST((doc_id * 17) % 256 AS DOUBLE) AS mean_b
+        |FROM documents""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sval

@@ -8,17 +8,28 @@ import graft.sources.Tables
   * columns with typed metadata, processed by per-partition JVM batch
   * functions — the Scala analogue of a Pandas-UDF/`mapInPandas` stage.
   *
-  * The decode step is a STUB by design (no image/audio codecs in this
-  * container): `extractFeatures` performs real byte-level computation
-  * (length, FNV-independent checksum, md5 digest, byte histogram) where
-  * a decoder (JPEG → pixels, PCM → frames) would plug in. Everything
-  * around it — the binary schema, the typed Dataset, the mapPartitions
-  * batch shape, partition-parallel execution — is the real 100 TB
-  * plumbing: payloads never hit the driver, one decoder init per
-  * partition (the expensive-init amortization that motivates
-  * mapPartitions over per-row UDFs).
+  * The IMAGE path is real end-to-end: `imageTable` stages genuine PNG
+  * payloads (encoded with the JDK's `javax.imageio.ImageIO`),
+  * `decodeImages` decodes them back to rasters and derives
+  * width/height/per-channel means, and `resizeImages` is a real
+  * `Graphics2D` bilinear resize + PNG re-encode. No external codec
+  * dependency — ImageIO ships JPEG/PNG/GIF/BMP in every JDK.
+  *
+  * Audio/video decode remains a documented STUB (no PCM/ffmpeg codecs
+  * in this container): `extractFeatures` performs real byte-level
+  * computation (length, checksum, md5 digest, byte histogram) where a
+  * PCM/frame decoder would plug in. Everything around both paths — the
+  * binary schema, the typed Dataset, the mapPartitions batch shape,
+  * partition-parallel execution — is the real 100 TB plumbing:
+  * payloads never hit the driver, one decoder init per partition (the
+  * expensive-init amortization that motivates mapPartitions over
+  * per-row UDFs).
   */
 object Multimodal {
+
+  // BufferedImage/ImageIO never touch a display, but force headless so
+  // AWT cannot probe for one on an executor without $DISPLAY.
+  System.setProperty("java.awt.headless", "true")
 
   /** An opaque media payload + typed metadata. */
   case class MediaItem(doc_id: Long, media_type: String, payload: Array[Byte])
@@ -73,33 +84,144 @@ object Multimodal {
     }
   }
 
-  /** A "resized" media item: fixed target dimensions + transformed
-    * payload. */
-  case class ResizedMedia(doc_id: Long, media_type: String,
-                          width: Int, height: Int, payload: Array[Byte])
-
   /** One sampled frame of a media payload. */
   case class MediaFrame(doc_id: Long, frame_idx: Long, payload: Array[Byte])
 
-  /** Resize STUB: a real implementation decodes (JPEG→pixels), scales,
-    * re-encodes; the codec being absent here, the payload is
-    * deterministically downsampled byte-wise to w·h bytes. The Spark
-    * plumbing — typed in/out schema, per-partition batches, payload
-    * never at the driver — is the real thing. */
-  def resizeStub(items: Dataset[MediaItem], w: Int, h: Int): Dataset[ResizedMedia] = {
+  // ── Real image pipeline (JDK ImageIO, no external codecs) ──────────
+
+  /** A real encoded image: PNG bytes in an opaque `binary` column. */
+  case class ImageItem(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded-raster features: dimensions + exact per-channel means. */
+  case class DecodedImage(doc_id: Long, width: Int, height: Int,
+                          mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Deterministic per-doc image geometry and band colors. These are
+    * plain doc_id arithmetic so the DuckDB oracle can predict the
+    * decoded dimensions and channel means without touching a codec —
+    * the Spark side must then round-trip real PNG encode→decode to
+    * match. */
+  private[graft] def imgWidth(id: Long): Int = (16 + (id % 16)).toInt
+  private[graft] def imgHeight(id: Long): Int = (12 + (id % 8)).toInt
+  private[graft] def topRgb(id: Long): (Int, Int, Int) =
+    ((id % 256).toInt, ((id * 31) % 256).toInt, ((id * 17) % 256).toInt)
+  private[graft] def botRgb(id: Long): (Int, Int, Int) =
+    (((id * 7) % 256).toInt, ((id * 13) % 256).toInt, ((id * 29) % 256).toInt)
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def renderTwoBand(id: Long, flat: Boolean): Array[Byte] = {
+    val (w, h) = (imgWidth(id), imgHeight(id))
+    val (tr, tg, tb) = topRgb(id)
+    val (br, bg, bb) = if (flat) topRgb(id) else botRgb(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val rgb = if (y < h / 2) (tr << 16) | (tg << 8) | tb
+                else (br << 16) | (bg << 8) | bb
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Stage one REAL PNG per document: a two-band pattern (top half one
+    * color, bottom half another, both pure doc_id arithmetic), so the
+    * decoded channel means are position-sensitive — a decoder that
+    * ignored pixel layout could not match the oracle. */
+  def imageTable(docs: DataFrame): Dataset[ImageItem] = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id").as[Long].mapPartitions { iter =>
+      // ImageIO writer lookup is per-call; nothing heavier to init here
+      iter.map(id => ImageItem(id, renderTwoBand(id, flat = false)))
+    }
+  }
+
+  /** Constant-color variant: bilinear interpolation of equal samples is
+    * the same sample, so channel means survive `resizeImages` exactly —
+    * which makes the full encode→decode→resize→re-encode→decode chain
+    * oracle-checkable. */
+  def flatImageTable(docs: DataFrame): Dataset[ImageItem] = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id").as[Long].mapPartitions { iter =>
+      iter.map(id => ImageItem(id, renderTwoBand(id, flat = true)))
+    }
+  }
+
+  /** REAL image decode: `javax.imageio.ImageIO.read` (JDK-builtin
+    * JPEG/PNG/GIF/BMP) → raster width/height + exact per-channel means.
+    * Channel sums are integers, so `sum.toDouble / n` is one correctly
+    * rounded division — bit-identical to the oracle's. */
+  def decodeImages(items: Dataset[ImageItem]): Dataset[DecodedImage] = {
     import items.sparkSession.implicits._
     items.mapPartitions { iter =>
-      // decoder/scaler init once per partition here
+      // decoder init once per partition would go here (ImageIO readers
+      // are looked up per call; a JNI codec would be cached here)
       iter.map { m =>
-        val n = w * h
-        val out = Array.tabulate(n) { i =>
-          if (m.payload.isEmpty) 0.toByte
-          else m.payload((i.toLong * m.payload.length / n).toInt)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"undecodable image payload for doc ${m.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            x += 1
+          }
+          y += 1
         }
-        ResizedMedia(m.doc_id, m.media_type, w, h, out)
+        val n = (w.toLong * h).toDouble
+        DecodedImage(m.doc_id, w, h, sr / n, sg / n, sb / n)
       }
     }
   }
+
+  /** REAL resize: decode → `Graphics2D` bilinear scale to (w, h) →
+    * PNG re-encode. Output rows are again valid `ImageItem`s, so the
+    * stage composes with `decodeImages` (and with itself). */
+  def resizeImages(items: Dataset[ImageItem], w: Int, h: Int): Dataset[ImageItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { iter =>
+      iter.map { m =>
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(src != null, s"undecodable image payload for doc ${m.doc_id}")
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+        g.dispose()
+        ImageItem(m.doc_id, encodePng(dst))
+      }
+    }
+  }
+
+  /** q_multimodal_decode: stage real PNGs, decode with ImageIO, emit
+    * dimensions + exact channel means. The oracle recomputes all five
+    * from doc_id arithmetic — any loss anywhere in encode→decode
+    * breaks the hash. */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeImages(imageTable(Tables(spark, dir, "documents"))).toDF()
+
+  /** q_multimodal_resize: constant-color PNGs → real bilinear resize to
+    * 24×16 → re-encode → decode. Dimensions prove the resize; the
+    * constant channel means prove the resampled pixels are the source
+    * color (bilinear of a constant is the constant). */
+  def imageResize(spark: SparkSession, dir: String): DataFrame =
+    decodeImages(
+      resizeImages(flatImageTable(Tables(spark, dir, "documents")), 24, 16))
+      .toDF()
 
   /** Frame-sampling STUB (one row → many): treats the payload as
     * fixed-size pseudo-frames (`frameBytes` each) and emits every

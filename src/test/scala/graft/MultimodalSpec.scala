@@ -16,17 +16,51 @@ class MultimodalSpec extends SparkSuiteBase {
     assert(f.hist(97 >> 5) === 1.0) // all three bytes in bin 3
   }
 
-  test("resize stub: fixed output shape, deterministic downsampling") {
+  test("image decode: PNG round-trip yields exact dims and channel means") {
     import spark.implicits._
-    val ds = Seq(Multimodal.MediaItem(1L, "image",
-      Array.tabulate(100)(_.toByte))).toDS()
-    val out = Multimodal.resizeStub(ds, 4, 4).collect()(0)
-    assert(out.width === 4 && out.height === 4)
-    assert(out.payload.length === 16)
-    assert(out.payload(0) === 0.toByte && out.payload(15) === 93.toByte)
-    // idempotent determinism
-    val again = Multimodal.resizeStub(ds, 4, 4).collect()(0)
-    assert(out.payload.toSeq === again.payload.toSeq)
+    val docs = Seq(0L, 7L, 123L, 255L).toDF("doc_id")
+    val out = Multimodal.decodeImages(Multimodal.imageTable(docs))
+      .collect().map(d => d.doc_id -> d).toMap
+    for (id <- Seq(0L, 7L, 123L, 255L)) {
+      val d = out(id)
+      val (w, h) = (Multimodal.imgWidth(id), Multimodal.imgHeight(id))
+      assert(d.width === w && d.height === h)
+      val (tr, _, _) = Multimodal.topRgb(id)
+      val (br, _, _) = Multimodal.botRgb(id)
+      val expR = (w.toLong * (h / 2) * tr + w.toLong * (h - h / 2) * br).toDouble / (w * h)
+      assert(d.mean_r === expR, s"doc $id mean_r")
+    }
+  }
+
+  test("image resize: real bilinear scale changes dims, keeps flat color") {
+    import spark.implicits._
+    val docs = Seq(5L, 200L).toDF("doc_id")
+    val out = Multimodal.decodeImages(
+      Multimodal.resizeImages(Multimodal.flatImageTable(docs), 24, 16))
+      .collect().map(d => d.doc_id -> d).toMap
+    for (id <- Seq(5L, 200L)) {
+      val d = out(id)
+      assert(d.width === 24 && d.height === 16)
+      val (r, g, b) = Multimodal.topRgb(id)
+      assert(d.mean_r === r.toDouble && d.mean_g === g.toDouble &&
+        d.mean_b === b.toDouble, s"doc $id flat color must survive bilinear")
+    }
+  }
+
+  test("image resize: two-band content resamples within the band range") {
+    import spark.implicits._
+    val docs = Seq(37L).toDF("doc_id")
+    val d = Multimodal.decodeImages(
+      Multimodal.resizeImages(Multimodal.imageTable(docs), 40, 30))
+      .collect()(0)
+    assert(d.width === 40 && d.height === 30)
+    val lo = math.min(Multimodal.topRgb(37L)._1, Multimodal.botRgb(37L)._1)
+    val hi = math.max(Multimodal.topRgb(37L)._1, Multimodal.botRgb(37L)._1)
+    assert(d.mean_r >= lo && d.mean_r <= hi,
+      "bilinear mean must stay inside the source band range")
+    // both bands must still be present after upscale: the mean cannot
+    // collapse to either extreme (h=30 leaves >= 10 rows per band)
+    assert(d.mean_r > lo + 1e-9 && d.mean_r < hi - 1e-9)
   }
 
   test("frame sampling: one row explodes to every-Nth fixed-size frames") {
