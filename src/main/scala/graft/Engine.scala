@@ -16,6 +16,31 @@ import org.apache.spark.sql.SparkSession
   *    corpus; flip it back on only for locale-sensitive corpora.
   */
 object Engine {
+
+  /** Degree-of-parallelism knobs, env-overridable in one place (the
+    * code used to hardcode them per call site).
+    *
+    * Batch shuffle partitions: set from SPARK_GRAFT_CPUS (= one
+    * partition per core locally; AQE coalesces small ones at runtime).
+    * At 100 TB: size so post-filter partitions land near
+    * spark.sql.files.maxPartitionBytes (~128-256 MiB) — e.g. a 10 TB
+    * shuffle wants ~40-80k partitions, then let AQE coalesce; skew is
+    * handled by AQE skew-join + the Skew.* salting operators, not by
+    * raising the global count. */
+
+  /** Streaming state-store partition count (each stateful operator's
+    * state is hash-split this many ways, FROZEN into the checkpoint at
+    * first query start). Local default 8: micro-batches are small and
+    * every batch pays task + state-commit overhead per partition per
+    * stateful stage, so fewer partitions is faster. At 100 TB/day:
+    * size to LIVE STATE volume, not batch size — target ≲ 1-2 GiB of
+    * RocksDB state per partition (1 TB live state → 512-1024
+    * partitions), and overprovision for growth: changing the count
+    * later means a new checkpoint and a state rebuild.
+    * Override: SPARK_GRAFT_STREAM_PARTITIONS. */
+  def streamStatePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8").toInt
+
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -99,6 +99,10 @@ object SparkEntry {
     "q_sessionize"      -> ((s, d) => Windows.sessionize(s, d)),
     "q_redact"          -> ((s, d) => Scalars.redact(s, d)),
     "q_stream_upsert"   -> ((s, d) => graft.streaming.Streams.upsert(s, d)),
+    "q_stream_spend"    -> ((s, d) => graft.streaming.Streams.spendFinal(s, d)),
+    "q_stream_typecounts" -> ((s, d) => graft.streaming.Streams.typeCountsFinal(s, d)),
+    "q_stream_recent"   -> ((s, d) => graft.streaming.Streams.recentFinal(s, d)),
+    "q_stream_usersession" -> ((s, d) => graft.streaming.Streams.userSessions(s, d)),
     "q_zorder"          -> ((s, d) => graft.sources.Sinks.zorderRead(s, d)),
     "q_join_fuzzy"      -> ((s, d) => Joins.fuzzyJoin(s, d)),
     "q_histogram"       -> ((s, d) => Relational.histogram(s, d)),
@@ -621,6 +625,45 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_stream_dedup" ->
       "SELECT event_id FROM events",
+    // transformWithState family: the streaming operators' FINAL state
+    // (reduced from the per-batch emission log) must equal the batch
+    // aggregation over the same events.
+    "q_stream_spend" ->
+      """SELECT user_id, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_stream_typecounts" ->
+      """SELECT user_id, event_type, count(*) AS cnt
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+    "q_stream_recent" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, ts,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |       string_agg(CAST(event_id AS VARCHAR), ','
+        |                  ORDER BY ts, event_id) AS recent_csv
+        |FROM r WHERE rn <= 3 GROUP BY user_id""".stripMargin,
+    "q_stream_usersession" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events
+        |), o AS (
+        |  -- strict > : an event at EXACTLY last + gap merges (same rule
+        |  -- as q_stream_session / q_sessionize; pinned by StreamingSpec)
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |       p.user_id AS user_id

@@ -55,6 +55,12 @@ object Streams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  /** Exact event-time in MICROseconds (`Timestamp.getTime` alone
+    * truncates to millis; the fixture — and the DuckDB oracle's
+    * comparisons — carry micros, so gap/order decisions must too). */
+  private[streaming] def tsMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -127,12 +133,14 @@ object Streams {
     * driver. The batch read honors the commit log (MetadataLogFileIndex),
     * so an interrupted epoch is never visible; the explicit schema covers
     * the empty-result case (no data files to infer from). */
-  private def run(spark: SparkSession, dir: String, withDupes: Boolean,
-                  build: DataFrame => DataFrame): DataFrame = {
-    val feed = staged(spark, dir, withDupes)
-    val root = graft.Engine.workDir("graft-sink-")
-    val data = new File(root, "data")
-    val ckpt = new File(root, "ckpt")
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Set per-query streaming confs (frozen at query start), run `body`
+    * (which must call `start()`), restore. `transformWithState` requires
+    * the RocksDB state store provider. */
+  private def withStreamConfs[T](spark: SparkSession, rocksdb: Boolean)(body: => T): T = {
     // State partition count is frozen at query start from
     // spark.sql.shuffle.partitions. Micro-batches here are small, and
     // every batch (including the final watermark-flush batch) pays
@@ -140,20 +148,73 @@ object Streams {
     // stages — 8 partitions cuts that ~4× at local scale. A production
     // job sizes this to state volume, not to the batch.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val (q, schema) =
-      try {
-        val result = build(
-          spark.readStream.schema(EvSchema).option("maxFilesPerTrigger", "1")
-            .parquet(feed.getAbsolutePath))
-        (result.writeStream.format("parquet")
-          .option("path", data.getAbsolutePath)
-          .option("checkpointLocation", ckpt.getAbsolutePath)
-          .outputMode("append")
-          .start(), result.schema)
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val prevProv = spark.conf.getOption(ProviderKey)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      graft.Engine.streamStatePartitions.toString)
+    if (rocksdb) spark.conf.set(ProviderKey, RocksDbProvider)
+    try body
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (rocksdb) prevProv match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
+
+  private def run(spark: SparkSession, dir: String, withDupes: Boolean,
+                  build: DataFrame => DataFrame,
+                  rocksdb: Boolean = false): DataFrame = {
+    val feed = staged(spark, dir, withDupes)
+    val root = graft.Engine.workDir("graft-sink-")
+    val data = new File(root, "data")
+    val ckpt = new File(root, "ckpt")
+    val (q, schema) = withStreamConfs(spark, rocksdb) {
+      val result = build(
+        spark.readStream.schema(EvSchema).option("maxFilesPerTrigger", "1")
+          .parquet(feed.getAbsolutePath))
+      (result.writeStream.format("parquet")
+        .option("path", data.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("append")
+        .start(), result.schema)
+    }
     try q.processAllAvailable() finally q.stop()
     spark.read.schema(schema).parquet(data.getAbsolutePath)
+  }
+
+  /** The UPDATE-mode twin of `run` for operators that emit per-batch
+    * running state (`transformWithState` trackers): the file sink is
+    * append-only, so emissions flow through `foreachBatch`, each batch
+    * appended to one parquet directory tagged with its batch id. The
+    * caller reduces the emission log to final state with
+    * `max_by(…, batch_seq)` — deterministic even under an at-least-once
+    * replay, because a replayed batch appends identical rows with the
+    * same batch_seq. */
+  private def runUpdate(spark: SparkSession, dir: String,
+                        build: Dataset[Ev] => DataFrame): DataFrame = {
+    import spark.implicits._
+    val feed = staged(spark, dir, withDupes = false)
+    val root = graft.Engine.workDir("graft-upd-")
+    val data = new File(root, "data")
+    var outSchema: StructType = null
+    val q = withStreamConfs(spark, rocksdb = true) {
+      val result = build(
+        spark.readStream.schema(EvSchema).option("maxFilesPerTrigger", "1")
+          .parquet(feed.getAbsolutePath).as[Ev])
+      outSchema = result.schema.add("batch_seq", LongType)
+      result.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.withColumn("batch_seq", lit(batchId))
+            .write.mode("append").parquet(data.getAbsolutePath)
+          ()
+        }
+        .option("checkpointLocation", new File(root, "ckpt").getAbsolutePath)
+        .start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    spark.read.schema(outSchema).parquet(data.getAbsolutePath)
   }
 
   /** q_stream_upsert: INCREMENTAL CDC materialization — the
@@ -510,8 +571,8 @@ object Streams {
     override def handleInputRows(key: Long, rows: Iterator[Ev],
                                  tv: TimerValues): Iterator[(Long, Seq[Long])] = {
       // events within a batch arrive in partition order; impose the
-      // deterministic (ts, event_id) order before appending
-      val incoming = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      // deterministic (ts, event_id) order (exact micros) before appending
+      val incoming = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
       incoming.foreach(e => recent.appendValue(e.event_id))
       val all = recent.get().toSeq
       if (all.length > cap) {
@@ -539,35 +600,64 @@ object Streams {
   class SessionCloser(gapMs: Long) extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, Ev, (Long, Long)] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    private val gapUs = gapMs * 1000L
     @transient private var count: ValueState[Long] = _
-    @transient private var lastTs: ValueState[Long] = _
+    @transient private var lastUs: ValueState[Long] = _ // exact micros
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       count = getHandle.getValueState[Long]("count",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
-      lastTs = getHandle.getValueState[Long]("lastTs",
+      lastUs = getHandle.getValueState[Long]("lastUs",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     }
+    /** Timers are millisecond-granular; +1 ms puts the expiry strictly
+      * after the micro-exact session end (delays the close by ≤ 1 ms of
+      * watermark, never changes which events merge). */
+    private def timerMsFor(endUs: Long): Long =
+      math.floorDiv(endUs + gapUs, 1000L) + 1L
     override def handleInputRows(key: Long, rows: Iterator[Ev],
                                  tv: TimerValues): Iterator[(Long, Long)] = {
+      val closed = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
       var n = if (count.exists()) count.get() else 0L
       // session end = max event time SEEN, not max of this batch: a
       // late-but-within-watermark batch must never pull the timer
       // earlier (that would close and split the session prematurely)
-      var maxTs = if (lastTs.exists()) lastTs.get() else Long.MinValue
-      rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
+      var maxUs = if (lastUs.exists()) lastUs.get() else Long.MinValue
+      // Gap detection is done HERE, not only by the timer: a coarse
+      // micro-batch can contain several sessions' worth of one user's
+      // events, and the timer only sees watermark advances BETWEEN
+      // batches. Processing in deterministic (ts, event_id) order and
+      // closing on every strict > gap makes the emitted sessions equal
+      // batch sessionization (Windows.sessionize's rule — an event at
+      // EXACTLY last + gap merges) for any in-order feed, regardless of
+      // how the feed is chopped into micro-batches. Late within-
+      // watermark events have ts <= maxUs and therefore always merge.
+      val incoming = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+      incoming.foreach { e =>
+        val t = tsMicros(e.ts)
+        if (n > 0L && t > maxUs + gapUs) { closed += ((key, n)); n = 0L }
+        n += 1
+        maxUs = math.max(maxUs, t)
+      }
       count.update(n)
-      lastTs.update(maxTs)
+      lastUs.update(maxUs)
       // (re)arm: close the session once the watermark passes last+gap
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(maxTs + gapMs)
-      Iterator.empty
+      getHandle.registerTimer(timerMsFor(maxUs))
+      closed.iterator
     }
     override def handleExpiredTimer(key: Long, tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
-      val n = if (count.exists()) count.get() else 0L
-      count.clear()
-      lastTs.clear()
-      Iterator((key, n))
+      // Only the timer matching the CURRENT session's close time may
+      // close it: a timer superseded in this same batch (the session
+      // merged forward, or a gap-close already emitted it) must no-op —
+      // this makes the output identical whichever order the runtime
+      // processes a key's input rows and its expired timers.
+      if (lastUs.exists() && info.getExpiryTimeInMs() == timerMsFor(lastUs.get())) {
+        val n = if (count.exists()) count.get() else 0L
+        count.clear()
+        lastUs.clear()
+        Iterator((key, n))
+      } else Iterator.empty
     }
   }
 
@@ -581,6 +671,54 @@ object Streams {
       .transformWithState(new SessionCloser(gapMs), TimeMode.EventTime(),
         OutputMode.Append())
       .toDF("user_id", "n_events")
+  }
+
+  // ── Driver-facing oracle queries over the transformWithState family ──
+  // Each runs the stateful operator as a REAL streaming query over the
+  // staged file feed; the Update-mode trackers reduce their per-batch
+  // emission log to final state with max_by(…, batch_seq), which a batch
+  // aggregation over the same events must reproduce exactly.
+
+  /** q_stream_spend: per-user running spend (`SpendTracker`, named
+    * ValueState on RocksDB) — the final emission per user equals the
+    * grouped sum over all events. Rounded to 2 decimals: the stream
+    * accumulates in arrival order, the oracle in scan order. */
+  def spendFinal(spark: SparkSession, dir: String): DataFrame =
+    runUpdate(spark, dir, ev => spendTotals(spark, ev))
+      .groupBy("user_id")
+      .agg(max_by(col("total_value"), col("batch_seq")).as("t"))
+      .where(col("user_id") =!= -1L)
+      .select(col("user_id"), round(col("t"), 2).as("total_value"))
+
+  /** q_stream_typecounts: per-(user, type) running counts (`TypeCounter`,
+    * MapState sub-keys updated individually) — final state ≡ GROUP BY
+    * user, type COUNT(*). Integer counts, exact. */
+  def typeCountsFinal(spark: SparkSession, dir: String): DataFrame =
+    runUpdate(spark, dir, ev => typeCounts(spark, ev))
+      .groupBy("user_id", "event_type")
+      .agg(max_by(col("running"), col("batch_seq")).as("cnt"))
+      .where(col("user_id") =!= -1L)
+
+  /** q_stream_recent: each user's last-3 event ids (`RecentN`, capped
+    * ListState) — final window ≡ the batch top-3 by (ts, event_id),
+    * oldest-first, emitted as a CSV string for engine-portable compare. */
+  def recentFinal(spark: SparkSession, dir: String): DataFrame =
+    runUpdate(spark, dir, ev => recentEvents(spark, ev, cap = 3))
+      .groupBy("user_id")
+      .agg(max_by(col("recent_ids"), col("batch_seq")).as("r"))
+      .where(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        array_join(col("r").cast("array<string>"), ",").as("recent_csv"))
+
+  /** q_stream_usersession: custom timer-driven sessionization
+    * (`SessionCloser`) — emitted (user, session size) rows equal batch
+    * gap-and-islands sessionization with the same strict-gap rule
+    * (`Windows.sessionize` / q_sessionize's oracle shape). */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    run(spark, dir, withDupes = false,
+      df => sessionClose(spark, df.as[Ev]), rocksdb = true)
+      .where(col("user_id") =!= -1L)
   }
 
   /** B25 q_stream_dedup: stateful dedup on event_id within the

@@ -221,6 +221,40 @@ class StreamingSpec extends SparkSuiteBase {
     }
   }
 
+  test("transformWithState timers: intra-batch gap splits sessions like batch sessionize") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDB {
+    val source = MemoryStream[Ev]
+    val name = "timer_gapsplit_sink"
+    val q = graft.streaming.Streams.sessionClose(spark, source.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      // ONE coarse batch holding THREE of user 7's sessions (gaps of
+      // 15 min and 20 min inside the batch): the timer alone cannot see
+      // them — the gap-aware input path must close the first two
+      // immediately, sizes 2 and 1
+      source.addData(Seq(
+        Ev(1, ts(0), 7, "x", 1.0), Ev(2, ts(3), 7, "x", 1.0),
+        Ev(3, ts(18), 7, "x", 1.0),
+        Ev(4, ts(38), 7, "x", 1.0), Ev(5, ts(39), 7, "x", 1.0)))
+      q.processAllAvailable()
+      val early = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(early.sorted === Seq((7L, 1L), (7L, 2L)),
+        s"two sessions must close on intra-batch gaps, got $early")
+      // advance the watermark past 10:39 + gap → the third closes via timer
+      source.addData(Seq(Ev(6, ts(59), 8, "x", 1.0)))
+      q.processAllAvailable()
+      val all = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(all === Seq((7L, 1L), (7L, 2L), (7L, 2L)),
+        s"final session (2 events) must close via the timer, got $all")
+    } finally q.stop()
+    }
+  }
+
   test("transformWithState timers: a late within-watermark batch never splits the session") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
