@@ -1030,6 +1030,9 @@ object SparkEntry {
     // iterations as chained CTEs; floor divisions and integer sums are
     // reassociation-proof, so ranks are bit-exact across engines
     "q_pagerank" -> pageRankOracle(5),
+    // fixed-point Lloyd's: the loop unrolled as chained CTEs — the last
+    // rows-only row that COULD be exact, now exact (see kmeansOracle)
+    "q_kmeans" -> kmeansOracle(operators.Clustering.Iters, operators.Clustering.K),
     // exact BIGINT numerator; two fixed-order divisions → bit parity
     "q_lm_score" ->
       s"""WITH tok AS (
@@ -1672,6 +1675,59 @@ object SparkEntry {
          |)""".stripMargin
     }
     head + ",\n" + its.mkString(",\n") + s"\nSELECT node, r FROM r$iters"
+  }
+
+  /** Oracle for q_kmeans: `Clustering.fitFixed`'s micro-unit integer
+    * Lloyd loop unrolled as chained CTEs (the q_pagerank pattern).
+    * Bit parity holds with NO ordering contract: quantization is one
+    * identical double multiply + round per component, and every
+    * subsequent distance/sum/mean is exact BIGINT arithmetic — the
+    * half-away-from-zero mean uses the same integer CASE formula as
+    * `Clustering.roundDiv`. The final inertia is one BIGINT→DOUBLE
+    * division per cluster, correctly rounded in both engines. */
+  private def kmeansOracle(iters: Int, k: Int): String = {
+    val head =
+      s"""WITH x AS (
+         |  SELECT vec_id, CAST(u.i AS INT) AS dim,
+         |         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+         |), c0 AS (
+         |  SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cid, x.dim, x.xi AS c
+         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k) s
+         |  JOIN x ON x.vec_id = s.vec_id
+         |)""".stripMargin
+    def assignCte(i: Int, from: String): String =
+      s"""a$i AS (
+         |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
+         |  FROM x JOIN $from c ON x.dim = c.dim
+         |  GROUP BY x.vec_id, c.cid
+         |), b$i AS (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT vec_id, cid, d2,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM a$i) WHERE rn = 1
+         |)""".stripMargin
+    val its = (1 to iters).map { i =>
+      assignCte(i, s"c${i - 1}") + s""",
+         |m$i AS (
+         |  SELECT b.cid, x.dim,
+         |    CASE WHEN sum(x.xi) >= 0
+         |         THEN (2 * CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*))
+         |         ELSE -((2 * -CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*)))
+         |    END AS c
+         |  FROM b$i b JOIN x ON x.vec_id = b.vec_id
+         |  GROUP BY b.cid, x.dim
+         |), c$i AS (
+         |  SELECT p.cid, p.dim, coalesce(m.c, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN m$i m ON m.cid = p.cid AND m.dim = p.dim
+         |)""".stripMargin
+    }
+    val fin = iters + 1
+    head + ",\n" + its.mkString(",\n") + ",\n" + assignCte(fin, s"c$iters") +
+      s"""
+         |SELECT CAST(cid AS BIGINT) AS cid, count(*) AS n,
+         |       CAST(sum(d2) AS DOUBLE) / 1000000000000.0 AS inertia
+         |FROM b$fin GROUP BY cid""".stripMargin
   }
 
   /** Shared by the typed-flatMap and native-Generator bigram queries

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnShim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Codegen'd vector kernels for the similarity/dedup/clustering hot
   * loops. The declarative forms (`aggregate(zip_with(...))`) are
@@ -104,6 +104,68 @@ case class SqDistF64(left: Expression, right: Expression) extends VectorFold {
     copy(left = l, right = r)
 }
 
+/** EXACT integer squared L2 distance Σ (aᵢ−bᵢ)² of two array<bigint> —
+  * the fixed-point kernel behind the oracle-exact q_kmeans: integer
+  * adds are reassociation-proof, so the DuckDB oracle's unordered sums
+  * match bit-for-bit with no fold-order contract at all. Overflow-safe
+  * while Σ(aᵢ−bᵢ)² < 2⁶³ (micro-unit embeddings: terms ≈ 4e12, 64 dims
+  * ≈ 3e14 — five orders of headroom). Same null/ragged semantics as
+  * the double kernels. */
+case class SqDistI64(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "sqdist_i64"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val u = a.asInstanceOf[ArrayData]
+    val v = b.asInstanceOf[ArrayData]
+    val n = u.numElements()
+    if (n != v.numElements()) null
+    else {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = u.getLong(i) - v.getLong(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistI64 =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
   /** Column form: dot product. */
   def dot(a: Column, b: Column): Column =
@@ -112,4 +174,8 @@ object VectorExprs {
   /** Column form: squared L2 distance. */
   def sqDist(a: Column, b: Column): Column =
     ColumnShim.column(SqDistF64(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column form: exact integer squared L2 distance. */
+  def sqDistLong(a: Column, b: Column): Column =
+    ColumnShim.column(SqDistI64(ColumnShim.expression(a), ColumnShim.expression(b)))
 }

@@ -60,7 +60,7 @@ object Clustering {
     new scala.collection.concurrent.TrieMap[(String, Int, Int, String), Array[Array[Double]]]()
 
   /** Drop all memoized fits (bench steady-state timing / data-swap hook). */
-  def clearFitCache(): Unit = fitCache.clear()
+  def clearFitCache(): Unit = { fitCache.clear(); fitFixedCache.clear() }
 
   def fit(spark: SparkSession, dir: String, iters: Int = Iters,
           k: Int = K): Array[Array[Double]] =
@@ -110,13 +110,89 @@ object Clustering {
     assign(vectors, fit(vectors, iters))
       .select(col("vec_id"), col("cid"), col("d2"))
 
+  // ── Fixed-point Lloyd's (the declared, ORACLE-EXACT q_kmeans) ──────
+  //
+  // The double-precision loop above is deterministic for Spark
+  // re-runs, but its per-(cid, dim) mean is an UNORDERED double sum —
+  // a DuckDB oracle recomputing it differs by ~1e-13 before the
+  // 9-decimal rounding, and across 8 iterations × k·64 rounding
+  // decisions a boundary straddle (then assignment flip) is
+  // near-certain. So the declared query runs Lloyd's in MICRO-UNIT
+  // INTEGER arithmetic (the q_pagerank pattern): components quantized
+  // to round(x·10⁶) once up front, distances and sums exact BIGINTs
+  // (reassociation-proof — no fold-order contract needed), centroid
+  // means rounded half-away-from-zero by an exact integer formula.
+  // Every step is bit-reproducible in any engine; the oracle unrolls
+  // the loop as chained CTEs. Quantization error (≤ 5e-7 per
+  // component) is noise at clustering granularity.
+  //
+  // Scale bound: per-(cid, dim) sums overflow signed 64-bit only past
+  // ~9e18 micro-units ≈ 9e12 members per cluster; beyond that the
+  // same loop runs on DECIMAL sums.
+
+  /** Micro-unit scale: 1e6 (components ≲ 2 in magnitude ⇒ |xi| ≲ 2e6). */
+  val FpScale = 1e6
+
+  private def qvecs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * lit(FpScale)).cast(LongType)).as("e"))
+
+  private def distStructsL(cs: Array[Array[Long]]): Seq[org.apache.spark.sql.Column] =
+    cs.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.VectorExprs.sqDistLong(col("e"), lit(c)).as("d2"),
+        lit(i).as("cid"))
+    }.toSeq
+
+  private def assignFixed(v: DataFrame, cs: Array[Array[Long]]): DataFrame =
+    v.withColumn("best", array_min(array(distStructsL(cs): _*)))
+      .select(col("vec_id"), col("e"),
+        col("best.cid").as("cid"), col("best.d2").as("d2"))
+
+  /** round-half-away-from-zero(s / n) in exact integer arithmetic
+    * (mirrored verbatim by the oracle's CASE; n ≥ 1). */
+  private def roundDiv(s: Long, n: Long): Long =
+    if (s >= 0) (2 * s + n) / (2 * n) else -((2 * -s + n) / (2 * n))
+
+  private val fitFixedCache =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int, String), Array[Array[Long]]]()
+
+  /** Fixed-point Lloyd's fit: same init (k lowest vec_ids), same
+    * tie-break (lower cid), same empty-cluster rule (carry the previous
+    * centroid) as the double loop — but exact at every step. */
+  def fitFixed(spark: SparkSession, dir: String, iters: Int = Iters,
+               k: Int = K): Array[Array[Long]] =
+    fitFixedCache.getOrElseUpdate((dir, iters, k, graft.Fs.tableFingerprint(dir, "embeddings")), {
+      val v = qvecs(spark, dir).cache()
+      var cs: Array[Array[Long]] = v.orderBy("vec_id").limit(k)
+        .collect().map(_.getSeq[Long](1).toArray)
+      for (_ <- 1 to iters) {
+        val upd = assignFixed(v, cs)
+          .select(col("cid"), posexplode(col("e")))
+          .groupBy("cid", "pos")
+          .agg(sum("col").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = cs.clone().map(_.clone())
+        upd.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = roundDiv(r.getLong(2), r.getLong(3))
+        }
+        cs = next
+      }
+      v.unpersist()
+      cs
+    })
+
   /** B21 q_kmeans: cluster cardinalities + within-cluster inertia after
-    * `Iters` Lloyd iterations (rows-only driver check; properties — loss
-    * monotonicity, determinism, label purity — covered in ScalaTest). */
+    * `Iters` fixed-point Lloyd iterations. Inertia converts the exact
+    * BIGINT micro² sum back to real units with ONE double division —
+    * bit-identical cross-engine, so the DuckDB oracle (the loop
+    * unrolled as chained CTEs) hash-matches exactly. */
   def kmeansSummary(spark: SparkSession, dir: String): DataFrame =
-    kmeansAssign(spark, dir)
+    assignFixed(qvecs(spark, dir), fitFixed(spark, dir))
       .groupBy(col("cid").cast(LongType).as("cid"))
-      .agg(count(lit(1)).as("n"), round(sum("d2"), 4).as("inertia"))
+      .agg(count(lit(1)).as("n"),
+        (sum("d2").cast("double") / lit(FpScale * FpScale)).as("inertia"))
       .orderBy("cid")
 
   /** q_embed_centroid: per-label mean embedding — the supervised twin
