@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs the headline SparkEntry queries on
+/** Benchmark main: runs the headline SparkEntry queries (min-of-N,
+  * warmed, memo-cleared — the per-round bar) PLUS a single-run
+  * full-matrix sweep of every declared query (regression telemetry) on
   * SPARK_GRAFT_SF_DIR and prints one JSON line {"metric":...}. Each query is
   * forced end-to-end with a noop-format write (materializes every output
   * column; `count()` would let Catalyst prune the computed columns away and
@@ -83,12 +85,38 @@ object Bench {
       if (best == Double.MaxValue) { failed ::= name; name -> -1.0 }
       else { if (aborted) degraded ::= name; name -> best }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // FULL-MATRIX scope (VERDICT r4 #3): one untimed-bar single run of
+    // EVERY declared query, timings persisted per query — so a
+    // regression in a non-headline query (e.g. the pre-fix 11.7 s
+    // q_recursive) surfaces in the round's JSON instead of by accident.
+    // Basis differs from the headline on purpose: no warmup, one run,
+    // shared memos (first consumer of the K-Means fit pays for it, as
+    // in a Verify pass) — compare per-query DELTAS across rounds, not
+    // absolute values against the headline bar. Disable with
+    // SPARK_GRAFT_MATRIX=0.
+    var mFailed = List.empty[String]
+    val matrix: Seq[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_MATRIX", "1") == "0") Seq.empty
+      else SparkEntry.queries.keys.toSeq.sorted.map { name =>
+        val t0 = System.nanoTime()
+        try {
+          force(SparkEntry.queries(name)(spark, sfDir))
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] matrix $name failed: ${e.getMessage}")
+          mFailed ::= name
+          name -> -1.0
+        }
+      }
+
+    def obj(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val mTotal = matrix.collect { case (_, v) if v >= 0 => v }.sum
     def arr(xs: List[String]) =
       xs.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
