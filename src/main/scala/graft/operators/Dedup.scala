@@ -402,7 +402,16 @@ object Dedup {
     * then a size histogram, plus singleton accounting from the corpus
     * count (docs in no pair are singletons and never enter the label
     * propagation). Output grain is |distinct sizes| — tiny at any
-    * corpus scale. */
+    * corpus scale.
+    *
+    * Oracle equivalence is PROBABILISTIC, as for q_dedup_minhash: the
+    * pair set comes from MinHash-LSH banding (32×4) while the DuckDB
+    * oracle derives components from exhaustive Jaccard ≥ 0.8 pairs —
+    * equal whp because a qualifying pair escapes all 32 bands with
+    * probability ≤ (1−0.8⁴)³² ≈ 2e-9 (and the exact-verify join removes
+    * all false positives). On an adversarial corpus with ~10⁶+
+    * qualifying pairs the histogram could diverge; re-derive the
+    * oracle from the LSH pair set if that regime matters. */
   def dedupStats(spark: SparkSession, dir: String): DataFrame = {
     val nDocs = Tables(spark, dir, "documents").count()
     val sizes = dupComponents(spark, dir)

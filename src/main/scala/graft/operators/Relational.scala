@@ -474,8 +474,7 @@ object Relational {
     * exchanges as any fact⋈fact equi-join, no window, no collect. */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir, "orders")
-      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status_col"),
-        col("o_orderpriority").as("prio"))
+      .select(col("o_orderkey").as("key"), col("o_orderpriority").as("prio"))
     val v1 = o.where(col("key") % 89 =!= 0L)
       .select(col("key"), col("prio").as("p1"))
     val v2 = o.where(col("key") % 97 =!= 0L)
@@ -486,13 +485,18 @@ object Relational {
   }
 
   /** df form: v1 = (key, p1), v2 = (key, p2); keys unique per side,
-    * p1/p2 the audited value (hash several columns upstream). */
+    * p1/p2 the audited value (hash several columns upstream). Presence
+    * is tracked with explicit marker columns — a key legitimately
+    * present with a NULL audited value classifies by PRESENCE, and
+    * NULL-vs-value compares as modified via null-safe equality (value
+    * nullness alone would misreport both). */
   def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame =
-    v1.join(v2, Seq("key"), "full_outer")
+    v1.withColumn("_in1", lit(true))
+      .join(v2.withColumn("_in2", lit(true)), Seq("key"), "full_outer")
       .select(col("key"),
-        when(col("p1").isNull, "added")
-          .when(col("p2").isNull, "removed")
-          .when(col("p1") =!= col("p2"), "modified")
+        when(col("_in1").isNull, "added")
+          .when(col("_in2").isNull, "removed")
+          .when(!(col("p1") <=> col("p2")), "modified")
           .otherwise("unchanged").as("change"),
         col("p1"), col("p2"))
 
@@ -500,8 +504,11 @@ object Relational {
     * the profiling complement of q_histogram's fixed-width buckets:
     * every bucket holds the same row count, so bucket boundaries ARE
     * the distribution (this is the histogram query optimizers keep in
-    * their statistics catalogs). Exact ntile semantics without
-    * `ntile()`'s global sort: the `globalRowIds` two-pass shape applied
+    * their statistics catalogs). Exact RANK-BASED equi-depth buckets
+    * (`((rank−1)·k) div n`, which spreads the remainder across the
+    * range — SQL `ntile()` front-loads the larger buckets instead; the
+    * oracle uses this same formula) without a global sort: the
+    * `globalRowIds` two-pass shape applied
     * to a VALUE ranking — (1) min/max to the driver, value range cut
     * into contiguous slices; (2) per-slice cardinalities (≤ `slices`
     * rows to the driver) → exclusive prefix offsets; (3) per-slice

@@ -225,9 +225,14 @@ object FileFormats {
     * PDFs actually arrive before anything has schema: one row per FILE
     * with (path, length, content: binary). Documents are staged as one
     * `<doc_id>.bin` file each (UTF-8 bytes of the text, written by a
-    * distributed foreachPartition — no driver funnel), read back
-    * whole-file, the doc id recovered from the file name, and each
-    * content checksummed. The oracle computes byte length + MD5 from
+    * foreachPartition — no driver funnel). NOTE the staging is
+    * local-mode-only: executors write `java.io.File`s under a
+    * driver-chosen path, which lands on one filesystem only because
+    * driver and executors share this host. A distributed deployment
+    * stages media through a Spark writer or onto a shared filesystem
+    * (HDFS/S3) instead — the READ side (binaryFile) is unchanged
+    * there. Files are read back whole-file, the doc id recovered from
+    * the file name, and each content checksummed. The oracle computes byte length + MD5 from
     * the ORIGINAL table's text, so the round trip proves BYTE
     * fidelity, not just row counts — exactly the ingest contract
     * `operators.Multimodal` builds on (its payloads are these binary

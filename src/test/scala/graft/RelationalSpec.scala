@@ -360,6 +360,16 @@ class RelationalSpec extends SparkSuiteBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(1L -> "removed", 2L -> "unchanged",
       3L -> "modified", 4L -> "added"))
+    // presence, not value nullness: a key present with a NULL audited
+    // value is NOT added/removed, and NULL-vs-value is modified
+    val n1 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Some("c"))).toDF("key", "p1")
+    val n2 = Seq((1L, Option.empty[String]), (2L, Some("b")),
+      (3L, Option.empty[String])).toDF("key", "p2")
+    val gotN = Relational.snapshotDiff(n1, n2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotN === Map(1L -> "unchanged", 2L -> "modified",
+      3L -> "modified"))
     // declared form: every key of either snapshot appears exactly once
     val decl = Relational.snapshotDiff(spark, sf)
     assert(decl.select("key").distinct().count() === decl.count())
