@@ -5,6 +5,11 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.Streams.Ev
 
+/** Shared fault switch for the failure-injection spec: a JVM-global
+  * `@volatile` the injected map closure reads on every row — works in
+  * local mode because driver and executors share the JVM. */
+object CrashFlag { @volatile var armed = false }
+
 /** Streaming semantics a batch oracle cannot check: true late-data
   * dropping and within-watermark dedup, via crafted MemoryStream
   * sequences (SURVEY §5.4). */
@@ -316,6 +321,69 @@ class StreamingSpec extends SparkSuiteBase {
     q2.awaitTermination(120000)
     assert(spark.read.parquet(outDir).count() === evs.count(),
       "checkpoint must make the restart a no-op (exactly-once)")
+  }
+
+  test("failure injection: a mid-batch crash leaves the interrupted epoch invisible; restart replays exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = graft.Engine.workDir("graft-crash-")
+    val data = new java.io.File(root, "data")
+    val ckpt = new java.io.File(root, "ckpt")
+    val source = MemoryStream[Ev]
+    CrashFlag.armed = true
+    // the poisoned row's task throws AFTER a beat, so sibling tasks of
+    // the same epoch finish and write their data files first — exactly
+    // the torn-epoch state the _spark_metadata commit log must hide
+    def start() = source.toDS()
+      .repartition(4, col("user_id"))
+      .map { e =>
+        if (CrashFlag.armed && e.value == 666.0) {
+          Thread.sleep(500)
+          throw new RuntimeException("injected mid-batch task failure")
+        }
+        e
+      }
+      .select("event_id", "user_id", "value")
+      .writeStream.format("parquet")
+      .option("path", data.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("append").start()
+
+    // epoch 1: clean
+    source.addData(Seq(Ev(1, ts(0), 1, "x", 1.0), Ev(2, ts(1), 2, "x", 2.0),
+      Ev(3, ts(2), 3, "x", 3.0)))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(data.getAbsolutePath).count() === 3L)
+
+    // epoch 2: poisoned → the query must DIE mid-batch
+    source.addData(Seq(Ev(4, ts(3), 4, "x", 4.0), Ev(5, ts(4), 5, "x", 5.0),
+      Ev(6, ts(5), 6, "x", 666.0), Ev(7, ts(6), 7, "x", 7.0)))
+    val q2 = start()
+    try { q2.processAllAvailable() } catch { case _: Throwable => () }
+    assert(q2.exception.isDefined, "the injected failure must kill the query")
+    q2.stop()
+
+    // the torn epoch is INVISIBLE: a commit-log-honoring read returns
+    // exactly the committed rows, even though orphan data files of the
+    // interrupted epoch may sit in the directory
+    val committed = spark.read.parquet(data.getAbsolutePath)
+    assert(committed.count() === 3L,
+      "uncommitted epoch rows must not be visible through _spark_metadata")
+    assert(committed.select("event_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L))
+
+    // restart with the fault cleared: the interrupted epoch replays
+    // from the checkpoint EXACTLY ONCE — every event visible once, no
+    // duplicates from the torn first attempt
+    CrashFlag.armed = false
+    val q3 = start()
+    q3.processAllAvailable(); q3.stop()
+    val fin = spark.read.parquet(data.getAbsolutePath)
+    assert(fin.count() === 7L, "replayed epoch must append exactly once")
+    assert(fin.select("event_id").distinct().count() === 7L,
+      "no event may be duplicated by the replay")
   }
 
   test("stream-static enrich equals the batch join+agg; no join state") {
