@@ -137,16 +137,31 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10, nProbe: Int = 0): DataFrame = {
     val lists = ivfK(corpusSize(spark, dir))          // K ≈ √n lists
     val probes = if (nProbe > 0) nProbe else ivfNProbe(lists)
-    val ds = Clustering.distStructs(Clustering.fit(spark, dir, k = lists))
+    ivfBody(vecs(spark, dir), col("vec_id") < 10, k, probes,
+      Clustering.fit(spark, dir, k = lists))
+  }
+
+  /** df form: expects (vec_id, embedding); sizes its quantizer from the
+    * corpus count and fits it on the spot (the catalog form memoizes). */
+  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val v = vecs(emb)
+    val lists = ivfK(v.count())
+    ivfBody(v, isQuery, k, ivfNProbe(lists),
+      Clustering.fit(v.select(col("vec_id"), col("e")), Clustering.Iters, lists))
+  }
+
+  private def ivfBody(v: DataFrame, isQuery: Column, k: Int, probes: Int,
+                      cents: Array[Array[Double]]): DataFrame = {
+    val ds = Clustering.distStructs(cents)
     // distances to all centroids, sorted: [0] = own list, [0..probes) = probes
     def withDists(df: DataFrame): DataFrame =
       df.withColumn("ds", array_sort(array(ds: _*)))
-    val v = withDists(vecs(spark, dir))
+    val cv = withDists(v)
       .withColumn("cid", col("ds")(0).getField("cid")).drop("ds")
-    val q = withDists(vecs(spark, dir).where(col("vec_id") < 10))
+    val q = withDists(v.where(isQuery))
       .withColumn("probe", explode(expr(s"transform(slice(ds, 1, $probes), s -> s.cid)")))
       .drop("ds")
-    val scored = broadcast(q).as("q").join(v.as("c"),
+    val scored = broadcast(q).as("q").join(cv.as("c"),
         col("q.probe") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"),
         cosCol.as("sim"))
@@ -158,10 +173,21 @@ object Similarity {
   /** North-star q_simsearch_lsh: approximate top-k via hyperplane LSH
     * with single-bit multi-probe. Not oracle-checked (approximate);
     * recall vs `bruteForceTopK` is property-tested. */
-  def lshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val nPlanes = lshPlanes(corpusSize(spark, dir))   // ≈ log₂(n/TargetBucket)
-    val v = vecs(spark, dir).withColumn("bucket", bucketCol(nPlanes))
-    val q = v.where(col("vec_id") < 10)
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    lshBody(vecs(spark, dir), col("vec_id") < 10,
+      lshPlanes(corpusSize(spark, dir)), k)
+
+  /** df form: expects (vec_id, embedding); plane count derived from the
+    * corpus count. */
+  def lshTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val v = vecs(emb)
+    lshBody(v, isQuery, lshPlanes(v.count()), k)
+  }
+
+  private def lshBody(vin: DataFrame, isQuery: Column, nPlanes: Int,
+                      k: Int): DataFrame = {
+    val v = vin.withColumn("bucket", bucketCol(nPlanes))
+    val q = v.where(isQuery)
       // probe set: own bucket + every single-bit flip
       .withColumn("probe", explode(expr(
         s"""array_union(array(bucket),

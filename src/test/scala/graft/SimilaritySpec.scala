@@ -86,6 +86,40 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(recall > 0.5, f"IVF recall $recall%.2f at the larger corpus")
   }
 
+  test("ANN recall >= 0.9 on a CLUSTERED corpus (the regime blocking is built for)") {
+    // The fixture embeddings are near-orthogonal random vectors — the
+    // HARD regime for any blocking scheme (neighbors are barely closer
+    // than strangers). Real embedding corpora are clustered; this pins
+    // that the self-derived sizing rules actually shine there, so a
+    // sizing regression cannot hide behind the hard fixture.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 64; val nClusters = 25; val perCluster = 80 // n = 2000
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield ((c * perCluster + i).toLong,
+      centers(c).map(_ + 0.02 * rnd.nextGaussian()))
+    val emb = rows.toDF("vec_id", "embedding")
+    // one query per cluster for the first 10 clusters
+    val isQuery = org.apache.spark.sql.functions.col("vec_id") % perCluster === 0 &&
+      org.apache.spark.sql.functions.col("vec_id") < 10L * perCluster
+    val brute = Similarity.bruteForceTopK(emb, isQuery, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size === 100)
+    val ivf = Similarity.ivfTopK(emb, isQuery, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ivfRecall = ivf.count(brute.contains).toDouble / brute.size
+    info(f"clustered-corpus IVF recall: $ivfRecall%.3f")
+    assert(ivfRecall >= 0.9, f"IVF recall $ivfRecall%.3f below 0.9 on clustered data")
+    val lsh = Similarity.lshTopK(emb, isQuery, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lshRecall = lsh.count(brute.contains).toDouble / brute.size
+    info(f"clustered-corpus LSH recall: $lshRecall%.3f")
+    assert(lshRecall >= 0.9, f"LSH recall $lshRecall%.3f below 0.9 on clustered data")
+  }
+
   test("LSH top-k candidates are a subset ranked identically to brute force") {
     val brute = Similarity.bruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
