@@ -16,21 +16,46 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Columnar scan of one table. Filters/projections applied downstream
-    * reach the parquet reader (verified via `.explain` PushedFilters).
+  // Pinned catalog: each (session, dir, table, data fingerprint) is
+  // resolved ONCE — the scan is built (one parquet footer read fixes
+  // the schema), registered as a dir-scoped temp view, and the frame
+  // reused by every later call. This is the local analogue of a
+  // metastore-pinned external table (a real deployment runs CREATE
+  // EXTERNAL TABLE / saveAsTable once and `spark.table` thereafter —
+  // exactly how `Joins.bucketedJoin` already stages its bucketed
+  // tables), so SQL users and the DataFrame API share one catalog and
+  // no query pays schema inference per call. The fingerprint key makes
+  // an in-place data regeneration invalidate the pin.
+  private val catalog =
+    new scala.collection.concurrent.TrieMap[(Int, String, String, String), DataFrame]()
+
+  /** Catalog view name for a (dir, table) pin — discoverable via
+    * `spark.catalog.listTables` beside the bucketed staging tables. */
+  def viewName(dir: String, name: String): String =
+    "graft_cat_" + Integer.toHexString(dir.hashCode) + "_" + name
+
+  /** Columnar scan of one table, via the pinned catalog. Filters and
+    * projections applied downstream reach the parquet reader (verified
+    * via `.explain` PushedFilters) — a temp view is just a named plan,
+    * not a materialization.
     *
     * `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark's
     * reader only admits as epoch-nanos Long (`nanosAsLong`, set in Engine);
     * converted here to a micros Timestamp with exact integer division
     * (`DIV`, not `/` — double division loses precision above 2^53 ns). */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else df
-  }
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    catalog.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, name, graft.Fs.tableFingerprint(dir, name)), {
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        val df =
+          if (name == "events")
+            raw.withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_micros(
+                org.apache.spark.sql.functions.expr("ts DIV 1000")))
+          else raw
+        df.createOrReplaceTempView(viewName(dir, name))
+        df
+      })
 
   /** Line-oriented text scan — the reference's native record model
     * (one record = one line, `/root/reference/test.go:22-25`). */
