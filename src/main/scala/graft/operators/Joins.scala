@@ -315,10 +315,21 @@ object Joins {
   private val bucketCache =
     new scala.collection.concurrent.TrieMap[(String, String), (String, String)]()
 
+  /** Bucket count for the staged co-located join tables. Local default
+    * 8 (env SPARK_GRAFT_BUCKETS); at 100 TB size so one bucket ≈ one
+    * task's worth of data (~128-256 MiB post-compression — e.g. a
+    * 10 TB fact → ~40-80k buckets), keep it a power of two so the two
+    * sides' counts stay coalescible multiples, and remember the count
+    * is part of the TABLE layout: both join sides must be bucketed by
+    * the same number (or an integer multiple) for the exchange-free
+    * plan, and changing it means rewriting the table. */
+  def bucketCount: Int = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "8").toInt
+
   /** Stage bucketed+sorted copies of orders/customer on o_custkey /
-    * c_custkey (8 buckets) as catalog tables; memoized per (dir, data
-    * fingerprint of BOTH staged tables — fingerprinting only one would
-    * serve a stale copy of the other after an in-place regen). */
+    * c_custkey (`bucketCount` buckets) as catalog tables; memoized per
+    * (dir, data fingerprint of BOTH staged tables — fingerprinting only
+    * one would serve a stale copy of the other after an in-place
+    * regen). */
   private[graft] def stagedBuckets(spark: SparkSession, dir: String): (String, String) = {
     val fp = graft.Fs.tableFingerprint(dir, "orders") + "|" +
       graft.Fs.tableFingerprint(dir, "customer")
@@ -333,8 +344,8 @@ object Joins {
           // propagates the sortBy ordering (eliding the join's Sort) for
           // single-file buckets
           Tables(spark, dir, table).select(cols.map(col): _*)
-            .repartition(8, col(key))
-            .write.bucketBy(8, key).sortBy(key)
+            .repartition(bucketCount, col(key))
+            .write.bucketBy(bucketCount, key).sortBy(key)
             .option("path", new java.io.File(root, name).getAbsolutePath)
             .mode("overwrite").saveAsTable(name)
         }

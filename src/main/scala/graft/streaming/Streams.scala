@@ -254,31 +254,28 @@ object Streams {
         .select(col("user_id"), col("n_versions"), col("l.last_type"),
           col("l.last_value"), col("l.ts"), col("l.event_id"))
 
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try {
-        spark.readStream.schema(EvSchema).option("maxFilesPerTrigger", "1")
-          .parquet(feed.getAbsolutePath)
-          .writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-            val asState = batch.select(col("user_id"), lit(1L).as("n_versions"),
-              col("event_type").as("last_type"), col("value").as("last_value"),
-              col("ts"), col("event_id"))
-            val merged = latestSnapBefore(batchId) match {
-              case Some(prev) =>
-                compact(asState.unionByName(
-                  batch.sparkSession.read.schema(stateSchema)
-                    .parquet(prev.getAbsolutePath)))
-              case None => compact(asState)
-            }
-            merged.write.mode("overwrite").parquet(snapDir(batchId).getAbsolutePath)
-            ()
+    val q = withStreamConfs(spark, rocksdb = false) {
+      spark.readStream.schema(EvSchema).option("maxFilesPerTrigger", "1")
+        .parquet(feed.getAbsolutePath)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val asState = batch.select(col("user_id"), lit(1L).as("n_versions"),
+            col("event_type").as("last_type"), col("value").as("last_value"),
+            col("ts"), col("event_id"))
+          val merged = latestSnapBefore(batchId) match {
+            case Some(prev) =>
+              compact(asState.unionByName(
+                batch.sparkSession.read.schema(stateSchema)
+                  .parquet(prev.getAbsolutePath)))
+            case None => compact(asState)
           }
-          .option("checkpointLocation",
-            new File(root, "ckpt").getAbsolutePath)
-          .start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+          merged.write.mode("overwrite").parquet(snapDir(batchId).getAbsolutePath)
+          ()
+        }
+        .option("checkpointLocation",
+          new File(root, "ckpt").getAbsolutePath)
+        .start()
+    }
     try q.processAllAvailable() finally q.stop()
     val last = latestSnapBefore(Long.MaxValue)
       .getOrElse(sys.error("stream produced no snapshot"))
