@@ -71,6 +71,7 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s, d) => Multimodal.frameLedger(s, d)),
     "q_multimodal_decode" -> ((s, d) => Multimodal.imageDecode(s, d)),
     "q_multimodal_resize" -> ((s, d) => Multimodal.imageResize(s, d)),
+    "q_multimodal_audio" -> ((s, d) => Multimodal.audioDecode(s, d)),
     "q_stream_tumbling" -> ((s, d) => graft.streaming.Streams.tumbling(s, d)),
     "q_stream_sliding"  -> ((s, d) => graft.streaming.Streams.sliding(s, d)),
     "q_stream_session"  -> ((s, d) => graft.streaming.Streams.session(s, d)),
@@ -591,6 +592,20 @@ object SparkEntry {
         |       CAST((doc_id * 31) % 256 AS DOUBLE) AS mean_g,
         |       CAST((doc_id * 17) % 256 AS DOUBLE) AS mean_b
         |FROM documents""".stripMargin,
+    // Real WAV round-trip: header metadata + exact integer waveform
+    // stats predicted from the synth arithmetic (Multimodal.audioSamples)
+    "q_multimodal_audio" ->
+      """WITH g AS (
+        |  SELECT doc_id, 800 + doc_id % 800 AS n FROM documents
+        |), s AS (
+        |  SELECT doc_id, n, (doc_id * 31 + 7 * i) % 2001 - 1000 AS amp
+        |  FROM g, unnest(range(0, n)) AS u(i)
+        |)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |       CAST(any_value(n) AS BIGINT) AS n_samples,
+        |       CAST(sum(amp) AS BIGINT) AS sum_amp,
+        |       CAST(max(abs(amp)) AS INT) AS peak
+        |FROM s GROUP BY doc_id""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
         |       event_type, count(*) AS cnt, round(sum(value), 2) AS sval

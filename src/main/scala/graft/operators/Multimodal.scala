@@ -223,6 +223,84 @@ object Multimodal {
       resizeImages(flatImageTable(Tables(spark, dir, "documents")), 24, 16))
       .toDF()
 
+  // ── Real audio pipeline (JDK javax.sound.sampled, no external codecs) ─
+
+  /** A real encoded audio clip: WAV (PCM 16-bit mono LE) bytes. */
+  case class AudioItem(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded-waveform features: container metadata read from the WAV
+    * header + exact integer sample statistics. */
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+                           n_samples: Long, sum_amp: Long, peak: Int)
+
+  /** Deterministic per-doc waveform: `n = 800 + id % 800` samples of
+    * `s(i) = (id·31 + 7·i) mod 2001 − 1000` — pure integer arithmetic
+    * the DuckDB oracle replays, so the decoded sum/peak are exactly
+    * predictable while still exercising a genuine WAV container
+    * encode → header-parse → PCM decode round trip. */
+  private[graft] def audioSamples(id: Long): Array[Short] = {
+    val n = (800 + id % 800).toInt
+    Array.tabulate(n)(i => ((id * 31 + 7L * i) % 2001 - 1000).toShort)
+  }
+
+  /** Stage one REAL WAV clip per document (8 kHz, 16-bit, mono). */
+  def audioTable(docs: DataFrame): Dataset[AudioItem] = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id").as[Long].mapPartitions { iter =>
+      iter.map { id =>
+        val samples = audioSamples(id)
+        val pcm = new Array[Byte](samples.length * 2)
+        var i = 0
+        while (i < samples.length) {
+          pcm(2 * i) = (samples(i) & 0xFF).toByte
+          pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        AudioItem(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the
+    * WAV container (format, channel count, frame length from the
+    * header — not trusted from the synth side), then the PCM payload
+    * is re-assembled into 16-bit samples for exact integer stats. */
+  def decodeAudio(items: Dataset[AudioItem]): Dataset[AudioFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { iter =>
+      // codec init once per partition would go here
+      iter.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val bytes = ais.readAllBytes()
+        var (sum, peak) = (0L, 0)
+        var i = 0
+        while (i < bytes.length / 2) {
+          val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort
+          sum += s
+          peak = math.max(peak, math.abs(s.toInt))
+          i += 1
+        }
+        AudioFeatures(m.doc_id, fmt.getSampleRate.toInt, fmt.getChannels,
+          frames, sum, peak)
+      }
+    }
+  }
+
+  /** q_multimodal_audio: stage real WAV clips, decode them back, emit
+    * header metadata + exact integer waveform stats — all predicted by
+    * the oracle from doc_id arithmetic alone. */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeAudio(audioTable(Tables(spark, dir, "documents"))).toDF()
+
   /** Frame-sampling STUB (one row → many): treats the payload as
     * fixed-size pseudo-frames (`frameBytes` each) and emits every
     * `everyNth` frame — the exact flatMap shape of real video frame

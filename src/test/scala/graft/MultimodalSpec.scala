@@ -63,6 +63,26 @@ class MultimodalSpec extends SparkSuiteBase {
     assert(d.mean_r > lo + 1e-9 && d.mean_r < hi - 1e-9)
   }
 
+  test("audio decode: WAV round-trip recovers header fields and exact sample stats") {
+    import spark.implicits._
+    val docs = Seq(0L, 123L, 499L).toDF("doc_id")
+    val out = Multimodal.decodeAudio(Multimodal.audioTable(docs))
+      .collect().map(a => a.doc_id -> a).toMap
+    for (id <- Seq(0L, 123L, 499L)) {
+      val a = out(id)
+      val samples = Multimodal.audioSamples(id)
+      // header-parsed metadata, not synth-side pass-through
+      assert(a.sample_rate === 8000 && a.channels === 1)
+      assert(a.n_samples === samples.length.toLong)
+      assert(a.sum_amp === samples.map(_.toLong).sum, s"doc $id sum")
+      assert(a.peak === samples.map(s => math.abs(s.toInt)).max, s"doc $id peak")
+    }
+    // the payload is a genuine WAV container (RIFF....WAVE magic)
+    val wav = Multimodal.audioTable(docs).collect().head.payload
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+  }
+
   test("frame sampling: one row explodes to every-Nth fixed-size frames") {
     import spark.implicits._
     val ds = Seq(Multimodal.MediaItem(7L, "video",
