@@ -85,6 +85,8 @@ object SparkEntry {
     "q_window_range"    -> ((s, d) => Windows.rangeFrame(s, d)),
     "q_window_value"    -> ((s, d) => Windows.valueWindows(s, d)),
     "q_sample_hash"     -> ((s, d) => Pipeline.hashSample(s, d)),
+    "q_mix_temperature" -> ((s, d) => Pipeline.mixTemperature(s, d)),
+    "q_passage_dedup"   -> ((s, d) => Dedup.passageDedup(s, d)),
     "q_sample_stratified" -> ((s, d) => Pipeline.stratifiedHashSample(s, d)),
     "q_pack_tokens"     -> ((s, d) => Pipeline.packTokens(s, d)),
     "q_sql_revenue"     -> ((s, d) => Relational.sqlRevenue(s, d)),
@@ -764,6 +766,60 @@ object SparkEntry {
          |  FROM f
          |)
          |SELECT doc_id, lang, h FROM g WHERE h % 20 = 0""".stripMargin,
+    // temperature-balanced mixture: exact BIGINT token totals; √t and the
+    // lang-asc fold are the only float ops (each correctly rounded, order
+    // pinned by list_reduce) — bit parity with Pipeline.mixTemperature
+    "q_mix_temperature" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |), tot AS (
+         |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS t FROM tok GROUP BY lang
+         |), g AS (
+         |  SELECT floor(0.5 * CAST(sum(t) AS DOUBLE)) AS budget,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list(sqrt(CAST(t AS DOUBLE)) ORDER BY lang)),
+         |           (a, b) -> a + b) AS s
+         |  FROM tot
+         |), r AS (
+         |  SELECT lang, t,
+         |    CASE WHEN t = 0 THEN 0 ELSE least(1000000,
+         |      (CAST(floor(budget * sqrt(CAST(t AS DOUBLE)) / s) AS BIGINT) * 1000000) // t)
+         |    END AS rate_ppm
+         |  FROM tot, g
+         |), f AS (
+         |  SELECT tok.doc_id, tok.lang, tok.n_tok, r.t, r.rate_ppm,
+         |    ${utf8BytesSql("CAST(tok.doc_id AS VARCHAR)")} AS bs
+         |  FROM tok JOIN r USING (lang)
+         |), k AS (
+         |  SELECT * FROM f
+         |  WHERE list_reduce(list_prepend(CAST(2166136261 AS BIGINT), bs),
+         |          (h, c) -> (xor(h, c) * 16777619) % 4294967296) % 1000000 < rate_ppm
+         |)
+         |SELECT lang, CAST(any_value(t) AS BIGINT) AS tokens_before,
+         |       CAST(any_value(rate_ppm) AS BIGINT) AS rate_ppm,
+         |       count(*) AS docs_kept,
+         |       CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+         |FROM k GROUP BY lang""".stripMargin,
+    // passage-level dedup: md5 digests as passage identity on both sides
+    "q_passage_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, CAST(w AS BIGINT) AS widx,
+         |         md5(array_to_string(ts[w * 10 + 1 : w * 10 + 10], ' ')) AS ph
+         |  FROM toks, unnest(range(0, len(ts) // 10)) AS u(w)
+         |  WHERE len(ts) >= 10
+         |), f AS (
+         |  SELECT doc_id, widx, ph,
+         |         row_number() OVER (PARTITION BY ph ORDER BY doc_id, widx) AS rn
+         |  FROM p
+         |)
+         |SELECT doc_id, count(*) AS n_passages,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_passages
+         |FROM f GROUP BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       s"""WITH f AS (
          |  SELECT doc_id, lang, ${utf8BytesSql("CAST(doc_id AS VARCHAR)")} AS bs

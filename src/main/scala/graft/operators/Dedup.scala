@@ -428,6 +428,49 @@ object Dedup {
       .where(col("n_clusters") > 0L)
   }
 
+  /** q_passage_dedup: sub-document duplicate-passage detection — the
+    * passage/line-level dedup of the C4/CCNet/RefinedWeb recipes (at
+    * web scale most duplication is REPEATED SPANS — boilerplate,
+    * navigation, license blurbs — inside otherwise-distinct pages, so
+    * doc-level dedup misses it). Each document is cut into
+    * non-overlapping `win`-token passages; a passage is canonical at
+    * its first corpus occurrence (lowest (doc_id, widx)) and a
+    * duplicate everywhere else. Emitted per document: passage count
+    * and surviving (canonical) count — the retention ledger a curation
+    * run audits before rewriting text.
+    *
+    * Scale shape: passages shuffle as 128-bit digests (md5), never as
+    * text — the groupBy key and the verify join carry 32 hex chars per
+    * `win` tokens; the canonical pick is a partial/final min(struct)
+    * aggregate, so a passage repeated 10⁹ times shuffles one candidate
+    * per input partition, not 10⁹ rows. No window over the passage
+    * key (the boilerplate passage IS the skew key). */
+  def passageDedup(spark: SparkSession, dir: String, win: Int = 10): DataFrame =
+    passageDedup(Tables(spark, dir, "documents"), win)
+
+  /** df form: expects (doc_id: Long, text: String). */
+  def passageDedup(docs: DataFrame, win: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val p = docs
+      .select(col("doc_id"), expr(graft.operators.TextOps.TokensSql).as("ts"))
+      .select(col("doc_id"), posexplode(
+        // the CASE guards short docs: sequence(0, -1) would DESCEND
+        expr(s"CASE WHEN size(ts) >= $win THEN" +
+          s" transform(sequence(0, cast(size(ts) / $win as int) - 1)," +
+          s" w -> concat_ws(' ', slice(ts, w * $win + 1, $win)))" +
+          s" ELSE cast(array() as array<string>) END"))
+        .as(Seq("widx", "passage")))
+      .select(col("doc_id"), col("widx").cast(LongType).as("widx"),
+        md5(col("passage")).as("ph"))
+    val first = p.groupBy("ph")
+      .agg(min(struct(col("doc_id"), col("widx"))).as("f"))
+    p.join(first, "ph")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("f.doc_id") === col("doc_id") &&
+          col("f.widx") === col("widx"), 1L).otherwise(0L)).as("kept_passages"))
+  }
+
   /** Materialized transitive near-dedup of a corpus: drop every
     * non-canonical member of every near-dup component (MinHash-LSH
     * pairs closed by `dupComponents`), keep everything else untouched.

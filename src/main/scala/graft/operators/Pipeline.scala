@@ -26,6 +26,58 @@ object Pipeline {
 
   val QualityThreshold = 0.5
 
+  /** q_mix_temperature: temperature-balanced multilingual mixture
+    * sampling — the rebalancing every multilingual training mix needs
+    * (mT5/UniMax family): high-resource languages are downsampled,
+    * low-resource ones kept, by giving language `l` a share ∝ t_l^α
+    * (α = 0.5 here, i.e. √tokens) of a global token budget
+    * (`MixBudgetFrac` of the corpus), then realizing each language's
+    * rate with the deterministic FNV doc sampler.
+    *
+    * Exactness: per-language token totals are exact BIGINTs; the only
+    * float work is |langs| square roots, one fold-ordered (lang-asc)
+    * sum, and one multiply+divide+floor per language — every step
+    * correctly rounded and order-pinned, so the DuckDB oracle matches
+    * bit-for-bit. Rates are integer ppm; the keep decision is
+    * `fnv(doc_id) mod 1e6 < rate_ppm` — reproducible, engine-portable,
+    * and stable under repartitioning like all the FNV samplers.
+    *
+    * Scale: the per-language ledger (|langs| rows) is the ONLY driver
+    * state; the corpus is touched by exactly two scans (totals, then
+    * the filtered pass) with pure codegen predicates. `rate_ppm`'s
+    * `B_l·10⁶` intermediate overflows signed 64-bit past ~9·10¹²
+    * tokens per language — at that scale, lift it to DECIMAL. */
+  val MixBudgetFrac = 0.5
+
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    mixTemperature(Tables(spark, dir, "documents"))
+
+  /** df form: expects (doc_id: Long, lang: String, text: String). */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val toks = docs.select(col("doc_id"), col("lang"),
+      expr(s"size(${TextOps.TokensSql})").cast(LongType).as("n_tok"))
+    val byLang = toks.groupBy("lang").agg(sum("n_tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val budget = math.floor(MixBudgetFrac * byLang.map(_._2).sum.toDouble)
+    var s = 0.0 // lang-asc fold, mirrored by the oracle's list_reduce
+    byLang.foreach { case (_, t) => s += math.sqrt(t.toDouble) }
+    val rates = byLang.map { case (l, t) =>
+      val bl = math.floor(budget * math.sqrt(t.toDouble) / s).toLong
+      (l, t, if (t == 0L) 0L else math.min(1000000L, bl * 1000000L / t))
+    }
+    val rateCol = rates.foldLeft(lit(-1L)) { case (els, (l, _, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(els) }
+    val beforeCol = rates.foldLeft(lit(0L)) { case (els, (l, t, _)) =>
+      when(col("lang") === l, lit(t)).otherwise(els) }
+    toks
+      .where(graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string"))
+        % 1000000L < rateCol)
+      .groupBy("lang")
+      .agg(max(beforeCol).as("tokens_before"), max(rateCol).as("rate_ppm"),
+        count(lit(1)).as("docs_kept"), sum("n_tok").as("tokens_kept"))
+  }
+
   /** q_sample_hash: deterministic hash-based sampling — keep the docs
     * whose FNV-1a(doc_id) lands in 1 of `mod` buckets. The
     * training-pipeline sampling primitive: reproducible across engines

@@ -169,4 +169,21 @@ class DedupSpec extends SparkSuiteBase {
     assert(!got.contains((2L, 1L)))
     assert(got.keys.forall { case (s, d) => s != d && !Seq(s, d).contains(3L) })
   }
+
+  test("passageDedup: first corpus occurrence is canonical, copies are not") {
+    import spark.implicits._
+    val block = (1 to 10).map(i => s"tok$i").mkString(" ")     // one passage
+    val other = (11 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$block $other",          // both passages first here
+      2L -> s"$block $block",          // copies doc 1's first passage, twice
+      3L -> other,                     // copies doc 1's second passage
+      4L -> "short doc").toDF("doc_id", "text")
+    val got = Dedup.passageDedup(docs, 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((2L, 2L)), "doc 1 owns both passages")
+    assert(got(2L) === ((2L, 0L)), "doc 2 is all copies (incl. its self-repeat)")
+    assert(got(3L) === ((1L, 0L)), "doc 3's only passage is doc 1's")
+    assert(!got.contains(4L), "sub-window docs have no full passage")
+  }
 }

@@ -193,4 +193,30 @@ class PipelineSpec extends SparkSuiteBase {
     assert(rows.map(_.getLong(4)).sum > 0)
     rows.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(4) >= 0))
   }
+
+  test("mixTemperature rebalances toward low-resource languages, deterministically") {
+    // (lang, tokens_before, rate_ppm, docs_kept, tokens_kept)
+    val rows = Pipeline.mixTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, before, ppm, kept, keptTok) =>
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(keptTok <= before, "a language cannot keep more tokens than it has")
+      assert(kept >= 1L)
+    }
+    // α = 0.5 gives smaller languages a HIGHER sampling rate than the
+    // dominant one (the whole point of temperature rebalancing)
+    val byTokens = rows.sortBy(_._2)
+    assert(byTokens.last._3 <= byTokens.head._3,
+      s"largest language must not out-rate the smallest: $rows")
+    // total kept token mass lands at ~MixBudgetFrac of the corpus
+    // (floor/ppm realization error is per-language, so allow slack)
+    val t = rows.map(_._2).sum.toDouble
+    val keptShare = rows.map(_._5).sum / t
+    assert(keptShare > 0.3 && keptShare < 0.7, f"kept share $keptShare%.2f")
+    // deterministic across runs
+    val again = Pipeline.mixTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
+  }
 }
