@@ -115,6 +115,8 @@ object SparkEntry {
     "q_schema_evolution" -> ((s, d) => graft.sources.FileFormats.schemaEvolution(s, d)),
     "q_row_ids"         -> ((s, d) => Pipeline.globalRowIds(s, d)),
     "q_funnel"          -> ((s, d) => Events.funnel(s, d)),
+    "q_ohlc"            -> ((s, d) => Events.ohlcBars(s, d)),
+    "q_expectations"    -> ((s, d) => Relational.expectations(s, d)),
     "q_cohort"          -> ((s, d) => Events.cohort(s, d)),
     "q_lm_score"        -> ((s, d) => TextOps.lmScore(s, d)),
     "q_outliers"        -> ((s, d) => Relational.outliers(s, d)),
@@ -755,6 +757,56 @@ object SparkEntry {
         |         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
         |         AS rev30d
         |FROM orders""".stripMargin,
+    // OHLC bars: open/close picked over the total (ts, event_id) order —
+    // the oracle's row_number mirrors min_by/max_by's struct order
+    "q_ohlc" ->
+      """WITH t AS (
+        |  SELECT epoch_us(date_trunc('microseconds', ts)) // 300000000 * 300000000 AS bar_start,
+        |         event_type, value, date_trunc('microseconds', ts) AS ts, event_id
+        |  FROM events
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY bar_start, event_type
+        |                       ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY bar_start, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_z
+        |  FROM t
+        |)
+        |SELECT bar_start, event_type,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_z = 1 THEN value END) AS close,
+        |       count(*) AS n_ticks,
+        |       round(sum(value), 2) AS volume
+        |FROM r GROUP BY bar_start, event_type""".stripMargin,
+    // declarative data-quality audit: each check is an exact count
+    "q_expectations" ->
+      """SELECT 'lineitem.quantity_in_1_50' AS "check",
+        |       CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.price_positive',
+        |       CAST(count(*) FILTER (l_extendedprice <= 0) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.discount_in_0_1',
+        |       CAST(count(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'orders.priority_not_null',
+        |       CAST(count(*) FILTER (o_orderpriority IS NULL) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'orders.totalprice_positive',
+        |       CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'events.event_id_unique',
+        |       CAST(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events
+        |UNION ALL
+        |SELECT 'lineitem.orderkey_in_orders',
+        |       CAST(count(*) AS BIGINT) FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'orders.custkey_in_customer',
+        |       CAST(count(*) AS BIGINT) FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)""".stripMargin,
     "q_sample_hash" ->
       s"""WITH f AS (
          |  SELECT doc_id, lang, ${utf8BytesSql("CAST(doc_id AS VARCHAR)")} AS bs

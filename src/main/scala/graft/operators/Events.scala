@@ -110,4 +110,32 @@ object Events {
       .agg(count(lit(1)).as("cnt"),
         countDistinct("user_id").as("n_users"))
   }
+
+  /** q_ohlc: time-series resampling to 5-minute OHLC bars per event
+    * type — the downsampling primitive of metric/market pipelines
+    * (billions of ticks → bounded bar table). Open/close are
+    * `min_by`/`max_by` over the total (ts, event_id) order — ONE
+    * partial/final aggregate: a bar with 10⁹ ticks shuffles one
+    * candidate per input partition, never a per-bar sort (the window
+    * formulation would). High/low/count are order-free; only the
+    * volume sum needs the rounding convention. Bar id = exact integer
+    * floor of epoch-micros to 5 minutes (cross-engine integer parity,
+    * the sessionize pattern). */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    ohlcBars(Tables(spark, dir, "events"))
+
+  /** df form: expects (ts: Timestamp, event_id: Long, event_type:
+    * String, value: Double). */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withColumn("bar_start",
+        expr("unix_micros(ts) DIV 300000000") * lit(300000000L))
+      .groupBy(col("bar_start"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_ticks"),
+        round(sum("value"), 2).as("volume"))
 }

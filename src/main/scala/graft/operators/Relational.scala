@@ -691,4 +691,64 @@ object Relational {
       Seq("pid")).drop("pid")
     sweep(local, Seq.empty)
   }
+
+  /** q_expectations: declarative data-quality audit — the dbt-test /
+    * Great-Expectations-style gate a pipeline runs before publishing a
+    * snapshot: one row per named constraint with its violation count
+    * (0 = the expectation holds). Covers the three standard families:
+    * column constraints (range, non-null, positivity — evaluated as
+    * conditional sums, so ALL of a table's column checks share ONE
+    * scan), uniqueness (count minus distinct count), and referential
+    * integrity (anti-join orphan counts, the dim side broadcast).
+    * Output grain is |checks| rows at any corpus scale; nothing wide
+    * ever shuffles — each check moves either per-partition partial
+    * sums or the anti-join's key column only. */
+  private def chk(name: String, v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(lit(name).as("check"), v.cast("long").as("violations"))
+
+  /** df form of the column-constraint family: one scan, every check a
+    * conditional sum; rows = (check, violations). */
+  def checkViolations(df: DataFrame,
+                      checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    df.agg(array(checks.map { case (n, cond) =>
+        chk(n, sum(when(cond, 1L).otherwise(0L))) }: _*).as("cs"))
+      .select(explode(col("cs")).as("c"))
+      .select(col("c.check"), col("c.violations"))
+
+  /** df form of a referential-integrity check: rows of `fk` whose key
+    * has no match in `pk` (anti-join orphan count). */
+  def orphanCount(name: String, fk: DataFrame, fkCol: String,
+                  pk: DataFrame, pkCol: String): DataFrame =
+    fk.select(col(fkCol))
+      .join(pk.select(col(pkCol)), col(fkCol) === col(pkCol), "left_anti")
+      .agg(array(chk(name, count(lit(1)))).as("cs"))
+      .select(explode(col("cs")).as("c"))
+      .select(col("c.check"), col("c.violations"))
+
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val e = Tables(spark, dir, "events")
+    Seq(
+      // per-table column checks: one scan each, conditional sums
+      checkViolations(li, Seq(
+        "lineitem.quantity_in_1_50" ->
+          (col("l_quantity") < 1 || col("l_quantity") > 50),
+        "lineitem.price_positive" -> (col("l_extendedprice") <= 0),
+        "lineitem.discount_in_0_1" ->
+          (col("l_discount") < 0 || col("l_discount") > 1))),
+      checkViolations(o, Seq(
+        "orders.priority_not_null" -> col("o_orderpriority").isNull,
+        "orders.totalprice_positive" -> (col("o_totalprice") <= 0))),
+      // uniqueness
+      e.agg(array(chk("events.event_id_unique",
+          count(lit(1)) - countDistinct(col("event_id")))).as("cs"))
+        .select(explode(col("cs")).as("c"))
+        .select(col("c.check"), col("c.violations")),
+      // referential integrity
+      orphanCount("lineitem.orderkey_in_orders", li, "l_orderkey", o, "o_orderkey"),
+      orphanCount("orders.custkey_in_customer", o, "o_custkey", c, "c_custkey"))
+      .reduce(_ unionAll _)
+  }
 }

@@ -69,4 +69,39 @@ class EventsSpec extends SparkSuiteBase {
       ("click", "view") -> ((1L, 1L)),
       ("view", "purchase") -> ((1L, 1L)))) // user 2's tie resolved by id
   }
+
+  test("ohlc: open/close follow the (ts, event_id) total order per bar") {
+    import spark.implicits._
+    // one 5-min bar (ts 0..299), one later bar; same-instant open tie
+    // at ts=0 broken by event_id
+    val events = Seq(
+      (1L, ts(0L), 7L, "x", 5.0), (2L, ts(0L), 7L, "x", 9.0),
+      (3L, ts(100L), 7L, "x", 1.0), (4L, ts(299L), 7L, "x", 7.0),
+      (5L, ts(300L), 7L, "x", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .select("ts", "event_id", "event_type", "value")
+    val got = graft.operators.Events.ohlcBars(events).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getLong(6)))).toMap
+    // bar 0: open = value of (ts 0, id 1) = 5.0, high 9, low 1, close = 7.0
+    assert(got(0L) === ((5.0, 9.0, 1.0, 7.0, 4L)))
+    // bar 300s: the single tick is open=high=low=close
+    assert(got(300000000L) === ((2.0, 2.0, 2.0, 2.0, 1L)))
+  }
+
+  test("expectation checks count violations exactly on a crafted frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 10.0), (2L, -3.0), (3L, 0.0), (4L, 99.0))
+      .toDF("id", "v")
+    val got = graft.operators.Relational.checkViolations(df, Seq(
+      "v_positive" -> (col("v") <= 0),
+      "v_under_50" -> (col("v") > 50)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("v_positive" -> 2L, "v_under_50" -> 1L))
+    val orphans = graft.operators.Relational.orphanCount("fk",
+      Seq(1L, 2L, 5L).toDF("a"), "a", Seq(1L, 2L, 3L).toDF("b"), "b")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(orphans === Map("fk" -> 1L))
+  }
 }
