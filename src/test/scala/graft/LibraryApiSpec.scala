@@ -111,4 +111,43 @@ class LibraryApiSpec extends SparkSuiteBase {
       Seq((1L, "a")).toDF("key", "p1"), Seq((1L, "b")).toDF("key", "p2"))
     assert(diff.collect()(0).getString(1) === "modified")
   }
+
+  test("round-5 df-form surface on arbitrary DataFrames") {
+    import spark.implicits._
+    import graft.operators.{Events, Multimodal, Relational}
+    // real image pipeline on a user id frame
+    val imgs = Multimodal.decodeImages(
+      Multimodal.imageTable(Seq(3L, 4L).toDF("doc_id"))).collect()
+    assert(imgs.length === 2 && imgs.forall(_.width >= 16))
+    // real audio pipeline likewise
+    val wavs = Multimodal.decodeAudio(
+      Multimodal.audioTable(Seq(3L).toDF("doc_id"))).collect()
+    assert(wavs.head.sample_rate === 8000)
+    // mixture sampling over arbitrary docs (two langs)
+    val mixDocs = (0L until 200L).map(i =>
+      (i, ("tok " * 40).trim, if (i % 4 == 0L) "small" else "big"))
+      .toDF("doc_id", "text", "lang")
+    val mix = Pipeline.mixTemperature(mixDocs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(mix("small") >= mix("big"), "temperature must favor the small lang")
+    // passage dedup over arbitrary docs
+    val pd = Dedup.passageDedup(mixDocs, 10).collect()
+    assert(pd.nonEmpty && pd.forall(_.getLong(2) <= pd.head.getLong(1)))
+    // OHLC bars over an arbitrary tick frame
+    val bars = Events.ohlcBars(Seq(
+      (new java.sql.Timestamp(0L), 1L, "t", 4.0),
+      (new java.sql.Timestamp(1000L), 2L, "t", 6.0))
+      .toDF("ts", "event_id", "event_type", "value")).collect()
+    assert(bars.length === 1 && bars.head.getDouble(2) === 4.0)
+    // expectation checks over an arbitrary frame
+    val ck = Relational.checkViolations(Seq(1.0, -1.0).toDF("v"),
+      Seq("pos" -> (col("v") <= 0))).collect()
+    assert(ck.head.getLong(1) === 1L)
+    // ANN df forms self-size on a user corpus
+    val emb = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(d => if (d == (i % 8).toInt) 1.0 else 0.01)))
+      .toDF("vec_id", "embedding")
+    val ann = Similarity.ivfTopK(emb, col("vec_id") < 2, 3).collect()
+    assert(ann.nonEmpty)
+  }
 }
