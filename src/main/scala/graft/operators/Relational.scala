@@ -710,8 +710,9 @@ object Relational {
     * conditional sum; rows = (check, violations). */
   def checkViolations(df: DataFrame,
                       checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    // coalesce: an EMPTY table has zero violations, not NULL ones
     df.agg(array(checks.map { case (n, cond) =>
-        chk(n, sum(when(cond, 1L).otherwise(0L))) }: _*).as("cs"))
+        chk(n, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))) }: _*).as("cs"))
       .select(explode(col("cs")).as("c"))
       .select(col("c.check"), col("c.violations"))
 

@@ -107,4 +107,24 @@ class EdgeCaseSpec extends SparkSuiteBase {
     // Both documented: a caller sees "no wedges", never a NaN.
     assert(row.isNullAt(2) && row.isNullAt(4))
   }
+
+  test("empty inputs: round-5 operators return empty or zero, never NULL counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    assert(Pipeline.mixTemperature(empty).collect().isEmpty)
+    assert(Dedup.passageDedup(empty, 10).collect().isEmpty)
+    val noTicks = Seq.empty[(java.sql.Timestamp, Long, String, Double)]
+      .toDF("ts", "event_id", "event_type", "value")
+    assert(graft.operators.Events.ohlcBars(noTicks).collect().isEmpty)
+    // an empty table has ZERO violations, not NULL ones
+    val ck = graft.operators.Relational.checkViolations(
+      Seq.empty[Double].toDF("v"), Seq("pos" -> (col("v") <= 0))).collect()
+    assert(ck.length === 1 && ck.head.getLong(1) === 0L)
+    val orph = graft.operators.Relational.orphanCount("fk",
+      Seq.empty[Long].toDF("a"), "a", Seq.empty[Long].toDF("b"), "b").collect()
+    assert(orph.head.getLong(1) === 0L)
+    // short-doc corpus: no full passage, no rows (not a crash)
+    assert(Dedup.passageDedup(
+      Seq((1L, "too short")).toDF("doc_id", "text"), 10).collect().isEmpty)
+  }
 }
