@@ -103,6 +103,7 @@ object SparkEntry {
     "q_redact"          -> ((s, d) => Scalars.redact(s, d)),
     "q_stream_upsert"   -> ((s, d) => graft.streaming.Streams.upsert(s, d)),
     "q_stream_spend"    -> ((s, d) => graft.streaming.Streams.spendFinal(s, d)),
+    "q_stream_ohlc"     -> ((s, d) => graft.streaming.Streams.streamOhlc(s, d)),
     "q_stream_typecounts" -> ((s, d) => graft.streaming.Streams.typeCountsFinal(s, d)),
     "q_stream_recent"   -> ((s, d) => graft.streaming.Streams.recentFinal(s, d)),
     "q_stream_usersession" -> ((s, d) => graft.streaming.Streams.userSessions(s, d)),
@@ -644,6 +645,28 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_stream_dedup" ->
       "SELECT event_id FROM events",
+    // streaming OHLC ≡ the batch bars re-keyed to the window start
+    "q_stream_ohlc" ->
+      """WITH t AS (
+        |  SELECT strftime(make_timestamp(epoch_us(date_trunc('microseconds', ts)) // 300000000 * 300000000),
+        |                  '%Y-%m-%d %H:%M:%S') AS wstart,
+        |         event_type, value, date_trunc('microseconds', ts) AS ts, event_id
+        |  FROM events
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY wstart, event_type
+        |                       ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY wstart, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_z
+        |  FROM t
+        |)
+        |SELECT wstart, event_type,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_z = 1 THEN value END) AS close,
+        |       count(*) AS n_ticks,
+        |       round(sum(value), 2) AS volume
+        |FROM r GROUP BY wstart, event_type""".stripMargin,
     // transformWithState family: the streaming operators' FINAL state
     // (reduced from the per-batch emission log) must equal the batch
     // aggregation over the same events.

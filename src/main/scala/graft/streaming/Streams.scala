@@ -359,6 +359,32 @@ object Streams {
           col("top.cnt").as("top_cnt"))
         .where(col("top_type") =!= Sentinel))
 
+  /** q_stream_ohlc: streaming tick→bar resampling — the live twin of
+    * `Events.ohlcBars`: 5-minute OHLC bars per event type maintained
+    * incrementally with watermark-driven finalization. open/close are
+    * `min_by`/`max_by` over the total (ts, event_id) order INSIDE the
+    * streaming aggregate — per-window state is one candidate row per
+    * aggregate, not the ticks, so a bar holding 10⁹ ticks still costs
+    * O(1) state. Append mode: a bar emits exactly once, when the
+    * watermark passes its end — the metrics/market pipeline that backs
+    * live dashboards without reprocessing. */
+  def streamOhlc(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, withDupes = false, ds =>
+      ds.withWatermark("ts", "2 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("n_ticks"),
+          round(sum("value"), 2).as("volume"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("open"), col("high"), col("low"),
+          col("close"), col("n_ticks"), col("volume")))
+      .where(col("event_type") =!= Sentinel)
+
   /** Stream-stream interval join (q_stream_join): each purchase joined
     * to the same user's clicks in the preceding 10 minutes. Both sides
     * carry watermarks and the join condition bounds event-time distance,
