@@ -28,6 +28,14 @@ class GraftExtensionsSpec extends SparkSuiteBase {
     assert(r.getDouble(1) === 25.0)
     val e = intercept[AnalysisException](spark.sql("SELECT dot_f64(array(1.0D))"))
     assert(e.getMessage.contains("dot_f64"))
+    // exact integer kernel (the fixed-point q_kmeans distance)
+    val i = spark.sql(
+      "SELECT sqdist_i64(array(1L, 2L), array(4L, 6L)) AS s").collect()(0)
+    assert(i.getLong(0) === 25L)
+    // ragged arrays are NULL, same as the double kernels
+    val ragged = spark.sql(
+      "SELECT sqdist_i64(array(1L), array(1L, 2L)) AS s").collect()(0)
+    assert(ragged.isNullAt(0))
   }
 
   test("bigrams generator works from SQL via LATERAL VIEW") {
