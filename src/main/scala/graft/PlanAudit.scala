@@ -12,7 +12,9 @@ object PlanAudit {
       "q_stream_dedup", "q_stream_join", "q_stream_upsert", "q_stream_enrich",
       "q_stream_outer", "q_stream_topevent", "q_stream_spend",
       "q_stream_typecounts", "q_stream_recent", "q_stream_usersession",
-      "q_kmeans", "q_simsearch_ivf", "q_pagerank")
+      "q_stream_ohlc",
+      // driver-collect at build time (per-language ledger / quantizer fit)
+      "q_mix_temperature", "q_kmeans", "q_simsearch_ivf", "q_pagerank")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString

@@ -66,15 +66,18 @@ object Pipeline {
       val bl = math.floor(budget * math.sqrt(t.toDouble) / s).toLong
       (l, t, if (t == 0L) 0L else math.min(1000000L, bl * 1000000L / t))
     }
-    val rateCol = rates.foldLeft(lit(-1L)) { case (els, (l, _, r)) =>
-      when(col("lang") === l, lit(r)).otherwise(els) }
-    val beforeCol = rates.foldLeft(lit(0L)) { case (els, (l, t, _)) =>
-      when(col("lang") === l, lit(t)).otherwise(els) }
-    toks
+    // the rate ledger joins in as a BROADCAST table (a per-row CASE
+    // chain over hundreds of languages would blow codegen's method
+    // limit and cost O(rows·langs))
+    import docs.sparkSession.implicits._
+    val rateDf = broadcast(
+      rates.toSeq.toDF("lang", "tokens_before", "rate_ppm"))
+    toks.join(rateDf, "lang")
       .where(graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string"))
-        % 1000000L < rateCol)
+        % 1000000L < col("rate_ppm"))
       .groupBy("lang")
-      .agg(max(beforeCol).as("tokens_before"), max(rateCol).as("rate_ppm"),
+      .agg(max("tokens_before").as("tokens_before"),
+        max("rate_ppm").as("rate_ppm"),
         count(lit(1)).as("docs_kept"), sum("n_tok").as("tokens_kept"))
   }
 

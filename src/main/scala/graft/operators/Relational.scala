@@ -717,11 +717,13 @@ object Relational {
       .select(col("c.check"), col("c.violations"))
 
   /** df form of a referential-integrity check: rows of `fk` whose key
-    * has no match in `pk` (anti-join orphan count). */
+    * has no match in `pk` (anti-join orphan count). Sides are aliased
+    * so fk and pk columns MAY share a name (the common FK shape). */
   def orphanCount(name: String, fk: DataFrame, fkCol: String,
                   pk: DataFrame, pkCol: String): DataFrame =
-    fk.select(col(fkCol))
-      .join(pk.select(col(pkCol)), col(fkCol) === col(pkCol), "left_anti")
+    fk.select(col(fkCol)).alias("fks")
+      .join(pk.select(col(pkCol)).alias("pks"),
+        col(s"fks.$fkCol") === col(s"pks.$pkCol"), "left_anti")
       .agg(array(chk(name, count(lit(1)))).as("cs"))
       .select(explode(col("cs")).as("c"))
       .select(col("c.check"), col("c.violations"))

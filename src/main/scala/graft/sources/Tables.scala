@@ -24,15 +24,36 @@ object Tables {
   // EXTERNAL TABLE / saveAsTable once and `spark.table` thereafter —
   // exactly how `Joins.bucketedJoin` already stages its bucketed
   // tables), so SQL users and the DataFrame API share one catalog and
-  // no query pays schema inference per call. The fingerprint key makes
-  // an in-place data regeneration invalidate the pin.
-  private val catalog =
-    new scala.collection.concurrent.TrieMap[(Int, String, String, String), DataFrame]()
+  // no query pays schema inference per call. The fingerprint in the
+  // key makes an in-place data regeneration invalidate the pin (the
+  // superseded entry is evicted, so the map is bounded by live
+  // (dir, table) pairs). Sessions are held in a WeakHashMap keyed by
+  // the session OBJECT — a stopped session's pins are GC-able and can
+  // never be served to a different session (identity hash codes
+  // collide; object identity does not).
+  private val catalog = new java.util.WeakHashMap[
+    SparkSession,
+    scala.collection.concurrent.TrieMap[(String, String), (String, DataFrame)]]()
+
+  private def sessionCatalog(spark: SparkSession) = catalog.synchronized {
+    var m = catalog.get(spark)
+    if (m == null) {
+      m = new scala.collection.concurrent.TrieMap[(String, String), (String, DataFrame)]()
+      catalog.put(spark, m)
+    }
+    m
+  }
 
   /** Catalog view name for a (dir, table) pin — discoverable via
-    * `spark.catalog.listTables` beside the bucketed staging tables. */
-  def viewName(dir: String, name: String): String =
-    "graft_cat_" + Integer.toHexString(dir.hashCode) + "_" + name
+    * `spark.catalog.listTables` beside the bucketed staging tables.
+    * Dir is identified by its md5 (String.hashCode collides too easily
+    * to name data). */
+  def viewName(dir: String, name: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+    s"graft_cat_${md}_$name"
+  }
 
   /** Columnar scan of one table, via the pinned catalog. Filters and
     * projections applied downstream reach the parquet reader (verified
@@ -43,9 +64,12 @@ object Tables {
     * reader only admits as epoch-nanos Long (`nanosAsLong`, set in Engine);
     * converted here to a micros Timestamp with exact integer division
     * (`DIV`, not `/` — double division loses precision above 2^53 ns). */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    catalog.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, name, graft.Fs.tableFingerprint(dir, name)), {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val m = sessionCatalog(spark)
+    val fp = graft.Fs.tableFingerprint(dir, name)
+    m.get((dir, name)) match {
+      case Some((`fp`, df)) => df
+      case _ =>
         val raw = spark.read.parquet(s"$dir/$name.parquet")
         val df =
           if (name == "events")
@@ -54,8 +78,10 @@ object Tables {
                 org.apache.spark.sql.functions.expr("ts DIV 1000")))
           else raw
         df.createOrReplaceTempView(viewName(dir, name))
+        m.put((dir, name), (fp, df))
         df
-      })
+    }
+  }
 
   /** Line-oriented text scan — the reference's native record model
     * (one record = one line, `/root/reference/test.go:22-25`). */

@@ -622,16 +622,23 @@ object Streams {
     * any user code (flush to a store, emit a summary, trigger a job). */
   class SessionCloser(gapMs: Long) extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, Ev, (Long, Long)] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TTLConfig, TimeMode, TimerValues}
     private val gapUs = gapMs * 1000L
-    @transient private var count: ValueState[Long] = _
-    @transient private var lastUs: ValueState[Long] = _ // exact micros
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      count = getHandle.getValueState[Long]("count",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
-      lastUs = getHandle.getValueState[Long]("lastUs",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
-    }
+    /** PENDING sessions (startUs, endUs, count), exact micros. A list,
+      * not a single running session: a coarse micro-batch can hold
+      * several sessions' worth of one user's events, and none may be
+      * EMITTED before the watermark passes its end + gap — an eagerly
+      * emitted session could not merge with a late-but-within-watermark
+      * bridging event that arrives in a later batch (the session_window
+      * merge rule). Pending count per user is bounded by the user's
+      * sessions inside the watermark horizon. */
+    @transient private var sessions: ListState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getListState[(Long, Long, Long)]("sessions",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
     /** Timers are millisecond-granular; +1 ms puts the expiry strictly
       * after the micro-exact session end (delays the close by ≤ 1 ms of
       * watermark, never changes which events merge). */
@@ -639,48 +646,39 @@ object Streams {
       math.floorDiv(endUs + gapUs, 1000L) + 1L
     override def handleInputRows(key: Long, rows: Iterator[Ev],
                                  tv: TimerValues): Iterator[(Long, Long)] = {
-      val closed = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
-      var n = if (count.exists()) count.get() else 0L
-      // session end = max event time SEEN, not max of this batch: a
-      // late-but-within-watermark batch must never pull the timer
-      // earlier (that would close and split the session prematurely)
-      var maxUs = if (lastUs.exists()) lastUs.get() else Long.MinValue
-      // Gap detection is done HERE, not only by the timer: a coarse
-      // micro-batch can contain several sessions' worth of one user's
-      // events, and the timer only sees watermark advances BETWEEN
-      // batches. Processing in deterministic (ts, event_id) order and
-      // closing on every strict > gap makes the emitted sessions equal
-      // batch sessionization (Windows.sessionize's rule — an event at
-      // EXACTLY last + gap merges) for any in-order feed, regardless of
-      // how the feed is chopped into micro-batches. Late within-
-      // watermark events have ts <= maxUs and therefore always merge.
-      val incoming = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-      incoming.foreach { e =>
-        val t = tsMicros(e.ts)
-        if (n > 0L && t > maxUs + gapUs) { closed += ((key, n)); n = 0L }
-        n += 1
-        maxUs = math.max(maxUs, t)
-      }
-      count.update(n)
-      lastUs.update(maxUs)
-      // (re)arm: close the session once the watermark passes last+gap
+      // sweep-merge pending sessions + incoming events in start order:
+      // batch gap-and-islands generalized to intervals (an event at
+      // EXACTLY end + gap merges — Windows.sessionize's strict-> rule;
+      // an event bridging two pending sessions merges them both)
+      val all = (sessions.get().map(s => (s._1, s._2, s._3)) ++
+        rows.map { e => val t = tsMicros(e.ts); (t, t, 1L) })
+        .toSeq.sortBy(s => (s._1, s._2))
+      val merged = all.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (h :: tail, s) if s._1 <= h._2 + gapUs =>
+          (h._1, math.max(h._2, s._2), h._3 + s._3) :: tail
+        case (acc, s) => s :: acc
+      }.reverse
+      sessions.put(merged.toArray)
+      // one timer per pending session's close time
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(timerMsFor(maxUs))
-      closed.iterator
+      merged.foreach(s => getHandle.registerTimer(timerMsFor(s._2)))
+      Iterator.empty
     }
     override def handleExpiredTimer(key: Long, tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
-      // Only the timer matching the CURRENT session's close time may
-      // close it: a timer superseded in this same batch (the session
-      // merged forward, or a gap-close already emitted it) must no-op —
-      // this makes the output identical whichever order the runtime
-      // processes a key's input rows and its expired timers.
-      if (lastUs.exists() && info.getExpiryTimeInMs() == timerMsFor(lastUs.get())) {
-        val n = if (count.exists()) count.get() else 0L
-        count.clear()
-        lastUs.clear()
-        Iterator((key, n))
-      } else Iterator.empty
+      // the watermark has passed `expiry`: close EVERY session whose
+      // end + gap lies at/before it (which session's timer fired is
+      // irrelevant; a stale timer of a merged-away session no-ops).
+      // Post-emission merges are impossible by construction: a bridging
+      // event for an emitted session would have ts <= end + gap <
+      // watermark and is dropped as late before reaching the processor.
+      val expiry = info.getExpiryTimeInMs()
+      val (closed, open) = sessions.get().toSeq.partition(s => timerMsFor(s._2) <= expiry)
+      if (closed.isEmpty) Iterator.empty
+      else {
+        if (open.isEmpty) sessions.clear() else sessions.put(open.toArray)
+        closed.sortBy(_._1).iterator.map(s => (key, s._3))
+      }
     }
   }
 

@@ -260,6 +260,38 @@ class StreamingSpec extends SparkSuiteBase {
     }
   }
 
+  test("transformWithState timers: a late BRIDGING event merges two pending sessions") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDB {
+    val source = MemoryStream[Ev]
+    val name = "timer_bridge_sink"
+    val q = graft.streaming.Streams.sessionClose(spark, source.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      // batch 1: 10:00:00 and 10:05:30 — a 5.5-min gap splits them into
+      // TWO pending sessions; neither may emit yet (watermark 10:04:30)
+      source.addData(Seq(Ev(1, ts(0), 7, "x", 1.0), Ev(2, ts(5, 30), 7, "x", 1.0)))
+      q.processAllAvailable()
+      assert(spark.table(name).isEmpty,
+        "a pending session must not emit before the watermark passes its close")
+      // batch 2: LATE but within-watermark 10:04:50 bridges both
+      // sessions (4:50 from the first, 0:40 from the second) → ONE
+      // merged session of 3 — exactly what batch sessionize computes
+      source.addData(Seq(Ev(3, ts(4, 50), 7, "x", 1.0)))
+      q.processAllAvailable()
+      // flush
+      source.addData(Seq(Ev(4, ts(59), 8, "x", 1.0)))
+      q.processAllAvailable()
+      val u7 = spark.table(name).collect()
+        .filter(_.getLong(0) == 7L).map(_.getLong(1)).toSeq
+      assert(u7 === Seq(3L),
+        s"bridged sessions must merge into one 3-event session, got $u7")
+    } finally q.stop()
+    }
+  }
+
   test("transformWithState timers: a late within-watermark batch never splits the session") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
