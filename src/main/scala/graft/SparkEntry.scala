@@ -121,6 +121,7 @@ object SparkEntry {
     "q_cohort"          -> ((s, d) => Events.cohort(s, d)),
     "q_lm_score"        -> ((s, d) => TextOps.lmScore(s, d)),
     "q_outliers"        -> ((s, d) => Relational.outliers(s, d)),
+    "q_mad"             -> ((s, d) => Relational.madOutliers(s, d)),
     "q_pagerank"        -> ((s, d) => Graphs.pageRank(s, d)),
     "q_stream_enrich"   -> ((s, d) => graft.streaming.Streams.enrich(s, d)),
     "q_scd2"            -> ((s, d) => Relational.scd2(s, d)),
@@ -1176,6 +1177,39 @@ object SparkEntry {
     // iterations as chained CTEs; floor divisions and integer sums are
     // reassociation-proof, so ranks are bit-exact across engines
     "q_pagerank" -> pageRankOracle(5),
+    // robust outliers: exact lower medians (rank (n+1) div 2), integer
+    // cents throughout — the oracle's windows mirror the two-pass ranks
+    "q_mad" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS grp, o_orderkey AS id,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders
+        |), rk AS (
+        |  SELECT grp, id, x,
+        |         row_number() OVER (PARTITION BY grp ORDER BY x, id) AS rk,
+        |         count(*) OVER (PARTITION BY grp) AS n
+        |  FROM r
+        |), med AS (
+        |  SELECT grp, CAST(any_value(n) AS BIGINT) AS n,
+        |         max(CASE WHEN rk = (n + 1) // 2 THEN x END) AS med
+        |  FROM rk GROUP BY grp
+        |), dr AS (
+        |  SELECT r.grp, r.id, abs(r.x - med.med) AS d,
+        |         row_number() OVER (PARTITION BY r.grp
+        |                            ORDER BY abs(r.x - med.med), r.id) AS rk,
+        |         med.n
+        |  FROM r JOIN med USING (grp)
+        |), mad AS (
+        |  SELECT grp, max(CASE WHEN rk = (n + 1) // 2 THEN d END) AS mad
+        |  FROM dr GROUP BY grp
+        |)
+        |SELECT r.grp, any_value(med.n) AS n,
+        |       any_value(med.med) AS med_cents,
+        |       any_value(mad.mad) AS mad_cents,
+        |       CAST(count(*) FILTER (abs(r.x - med.med) > 3 * mad.mad) AS BIGINT)
+        |         AS n_outliers
+        |FROM r JOIN med USING (grp) JOIN mad USING (grp)
+        |GROUP BY r.grp""".stripMargin,
     // fixed-point Lloyd's: the loop unrolled as chained CTEs — the last
     // rows-only row that COULD be exact, now exact (see kmeansOracle)
     "q_kmeans" -> kmeansOracle(operators.Clustering.Iters, operators.Clustering.K),

@@ -615,13 +615,19 @@ object Relational {
       .select(col("o_orderpriority").as("grp"), col("o_orderkey").as("id"),
         round(col("o_totalprice") * 100).cast("long").as("x")), 64)
 
-  /** df form: expects (grp: String, id: Long unique, x: Long ≥ 0). */
-  def giniByGroup(rows: DataFrame, slices: Int): DataFrame = {
+  /** Grouped two-pass range-sliced rank (shared by `giniByGroup` and
+    * `madOutliers`): adds `rk`, the 1-based within-group rank under the
+    * total order (x, id), WITHOUT ever partitioning a window by grp
+    * alone — global value slices, per-(grp, slice) counts to the driver
+    * (groups·slices rows), broadcast exclusive offsets, local windows
+    * per (grp, slice). The dominant group never funnels into one task.
+    * Expects (grp: String, id: Long unique, x: Long); empty in → empty
+    * out, schema intact. */
+  private[operators] def groupedRanks(rows: DataFrame, slices: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mm = rows.agg(min("x"), max("x")).head()
     if (mm.isNullAt(0))
-      return rows.groupBy("grp").agg(count(lit(1)).as("n"),
-        lit(0L).as("total_cents"), lit(0.0).as("gini"))
+      return rows.withColumn("rk", lit(0L)).where(lit(false))
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = math.max(1L, (hi - lo) / slices + 1)
     val sliced = rows.withColumn("slc", expr(s"(x - ${lo}L) div ${span}L"))
@@ -636,6 +642,12 @@ object Relational {
     val w = Window.partitionBy("grp", "slc").orderBy(col("x"), col("id"))
     sliced.join(broadcast(offDf), Seq("grp", "slc"))
       .withColumn("rk", row_number().over(w).cast("long") + col("off"))
+      .drop("slc", "off")
+  }
+
+  /** df form: expects (grp: String, id: Long unique, x: Long ≥ 0). */
+  def giniByGroup(rows: DataFrame, slices: Int): DataFrame =
+    groupedRanks(rows, slices)
       .groupBy("grp")
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(20,0)")).as("s"),
@@ -645,6 +657,42 @@ object Relational {
         ((lit(2).cast("decimal(2,0)") * col("t")
           - (col("n") + 1).cast("decimal(20,0)") * col("s")).cast("double")
           / col("n").cast("double") / col("s").cast("double")).as("gini"))
+
+  /** q_mad: per-group ROBUST outlier audit — median / MAD (median
+    * absolute deviation) and the count of |x − med| > 3·MAD points,
+    * the heavy-tail-safe complement of q_outliers' z-score gate (mean
+    * and σ are themselves dragged by the outliers they are supposed to
+    * find; the median/MAD pair has a 50% breakdown point — Hampel's
+    * rule). Medians are the EXACT lower median (rank (n+1) div 2 under
+    * the total (x, id) order — no interpolation, so integer-cent
+    * parity with the oracle is trivial), computed by TWO passes of the
+    * grouped two-pass range-sliced rank: no group ever funnels into a
+    * single task, shuffles carry (grp, id, value) triples only, and
+    * the per-group median/MAD ledgers broadcast back onto the scan. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("grp"), col("o_orderkey").as("id"),
+        round(col("o_totalprice") * 100).cast("long").as("x")), 64)
+
+  /** df form: expects (grp: String, id: Long unique, x: Long). */
+  def madOutliers(rows: DataFrame, slices: Int): DataFrame = {
+    def lowerMedian(in: DataFrame, as: String): DataFrame = {
+      val ranked = groupedRanks(in, slices)
+      val nDf = ranked.groupBy("grp").agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(nDf), "grp")
+        .where(col("rk") === expr("(n + 1) div 2"))
+        .select(col("grp"), col("n"), col("x").as(as))
+    }
+    val med = lowerMedian(rows, "med")
+    val dev = rows.join(broadcast(med.select("grp", "med")), "grp")
+      .select(col("grp"), col("id"), abs(col("x") - col("med")).as("x"))
+    val mad = lowerMedian(dev, "mad").select("grp", "mad")
+    rows.join(broadcast(med), "grp").join(broadcast(mad), "grp")
+      .groupBy("grp")
+      .agg(max("n").as("n"), max("med").as("med_cents"),
+        max("mad").as("mad_cents"),
+        sum(when(abs(col("x") - col("med")) > lit(3L) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
   }
 
   /** q_skyline: the 2-D Pareto frontier (skyline operator — Börzsönyi,

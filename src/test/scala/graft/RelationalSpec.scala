@@ -352,6 +352,28 @@ class RelationalSpec extends SparkSuiteBase {
     assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
   }
 
+  test("madOutliers: exact lower medians and Hampel counts on a crafted frame") {
+    import spark.implicits._
+    // group a: {10,20,30,40,1000} → med=30 (rank 3), devs {20,10,0,10,970}
+    // → mad=10, outliers: |x−30| > 30 → {1000} only (the mean/σ gate
+    // would be dragged by 1000 itself)
+    // group b: {5,7} → med=5 (lower), devs {0,2} → mad=0 → any dev>0 is
+    // an outlier → {7}
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L), ("a", 4L, 40L),
+      ("a", 5L, 1000L),
+      ("b", 6L, 5L), ("b", 7L, 7L)).toDF("grp", "id", "x")
+    val got = Relational.madOutliers(rows, 8).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") === ((5L, 30L, 10L, 1L)))
+    assert(got("b") === ((2L, 5L, 0L, 1L)))
+    // scale discipline: no single-partition exchange, no window keyed
+    // on grp alone (the dominant group must not funnel into one task)
+    val plan = Relational.madOutliers(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
+  }
+
   test("snapshotDiff classifies all four change classes; partitions the key union") {
     import spark.implicits._
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("key", "p1")
