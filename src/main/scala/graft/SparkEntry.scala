@@ -72,6 +72,7 @@ object SparkEntry {
     "q_multimodal_decode" -> ((s, d) => Multimodal.imageDecode(s, d)),
     "q_multimodal_resize" -> ((s, d) => Multimodal.imageResize(s, d)),
     "q_multimodal_audio" -> ((s, d) => Multimodal.audioDecode(s, d)),
+    "q_multimodal_video" -> ((s, d) => Multimodal.videoFrames(s, d)),
     "q_stream_tumbling" -> ((s, d) => graft.streaming.Streams.tumbling(s, d)),
     "q_stream_sliding"  -> ((s, d) => graft.streaming.Streams.sliding(s, d)),
     "q_stream_session"  -> ((s, d) => graft.streaming.Streams.session(s, d)),
@@ -668,6 +669,22 @@ object SparkEntry {
         |       count(*) AS n_ticks,
         |       round(sum(value), 2) AS volume
         |FROM r GROUP BY wstart, event_type""".stripMargin,
+    // Real multi-frame decode: animated GIF staged per doc, every 2nd
+    // frame extracted; dims + channel means predicted arithmetically
+    "q_multimodal_video" ->
+      """WITH g AS (
+        |  SELECT doc_id, 4 + doc_id % 4 AS n FROM documents
+        |), f AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx
+        |  FROM g, unnest(range(0, n)) AS u(i)
+        |  WHERE i % 2 = 0
+        |)
+        |SELECT doc_id, frame_idx,
+        |       CAST(20 AS INT) AS width, CAST(12 AS INT) AS height,
+        |       CAST((doc_id * 31 + frame_idx * 7) % 256 AS DOUBLE) AS mean_r,
+        |       CAST((doc_id * 13 + frame_idx * 11) % 256 AS DOUBLE) AS mean_g,
+        |       CAST((doc_id * 17 + frame_idx * 23) % 256 AS DOUBLE) AS mean_b
+        |FROM f""".stripMargin,
     // transformWithState family: the streaming operators' FINAL state
     // (reduced from the per-batch emission log) must equal the batch
     // aggregation over the same events.

@@ -301,6 +301,100 @@ object Multimodal {
   def audioDecode(spark: SparkSession, dir: String): DataFrame =
     decodeAudio(audioTable(Tables(spark, dir, "documents"))).toDF()
 
+  // ── Real video pipeline (animated GIF via JDK ImageIO) ─────────────
+  //
+  // No JDK ships an MP4/ffmpeg decoder, but animated GIF is a genuine
+  // MULTI-FRAME video container every JDK reads and writes — so frame
+  // extraction (the operation the byte-stub `frameSampleStub` stands in
+  // for) can be real: seek to frame k, decode its raster, emit frame
+  // features. The mapPartitions shape is identical to an ffmpeg/JNI
+  // path; swapping the codec changes one reader line.
+
+  /** A real multi-frame clip: animated GIF bytes. */
+  case class VideoItem(doc_id: Long, payload: Array[Byte])
+
+  /** One DECODED sampled frame: dims + exact channel means. */
+  case class VideoFrame(doc_id: Long, frame_idx: Long, width: Int,
+                        height: Int, mean_r: Double, mean_g: Double,
+                        mean_b: Double)
+
+  /** Frames per clip and per-frame colors — doc_id arithmetic, oracle-
+    * mirrorable; constant-color frames survive GIF's palette exactly. */
+  private[graft] def videoFrameCount(id: Long): Int = (4 + id % 4).toInt
+  private[graft] def frameRgb(id: Long, f: Long): (Int, Int, Int) =
+    (((id * 31 + f * 7) % 256).toInt, ((id * 13 + f * 11) % 256).toInt,
+      ((id * 17 + f * 23) % 256).toInt)
+
+  /** Stage one REAL animated GIF per document (20×12, 4–7 frames). */
+  def videoTable(docs: DataFrame): Dataset[VideoItem] = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id").as[Long].mapPartitions { iter =>
+      iter.map { id =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        for (f <- 0 until videoFrameCount(id)) {
+          val (r, g, b) = frameRgb(id, f.toLong)
+          val img = new java.awt.image.BufferedImage(
+            20, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gg = img.createGraphics()
+          gg.setColor(new java.awt.Color(r, g, b))
+          gg.fillRect(0, 0, 20, 12)
+          gg.dispose()
+          wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        wr.endWriteSequence()
+        ios.close()
+        wr.dispose()
+        VideoItem(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL frame sampling: open the GIF, read every `everyNth` frame's
+    * raster (random-access seek via the ImageIO reader — frames NOT
+    * sampled are never decoded), emit dims + exact channel means. */
+  def sampleVideoFrames(items: Dataset[VideoItem],
+                        everyNth: Int = 2): Dataset[VideoFrame] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { iter =>
+      // reader init once per partition would cache a JNI codec here
+      iter.flatMap { m =>
+        val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload)))
+        val n = rd.getNumImages(true)
+        val out = (0 until n by everyNth).map { f =>
+          val img = rd.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val np = (w.toLong * h).toDouble
+          VideoFrame(m.doc_id, f.toLong, w, h, sr / np, sg / np, sb / np)
+        }
+        rd.dispose()
+        out
+      }
+    }
+  }
+
+  /** q_multimodal_video: stage real animated GIFs, extract every 2nd
+    * frame with a real multi-frame decode, emit per-frame dims + exact
+    * channel means — all predicted by the oracle arithmetically. */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame =
+    sampleVideoFrames(videoTable(Tables(spark, dir, "documents"))).toDF()
+
   /** Frame-sampling STUB (one row → many): treats the payload as
     * fixed-size pseudo-frames (`frameBytes` each) and emits every
     * `everyNth` frame — the exact flatMap shape of real video frame

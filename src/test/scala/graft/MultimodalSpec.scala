@@ -83,6 +83,29 @@ class MultimodalSpec extends SparkSuiteBase {
     assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
   }
 
+  test("video decode: animated-GIF frame extraction recovers exact frames") {
+    import spark.implicits._
+    val docs = Seq(5L, 123L).toDF("doc_id")
+    val frames = Multimodal.sampleVideoFrames(Multimodal.videoTable(docs))
+      .collect().groupBy(_.doc_id)
+    for (id <- Seq(5L, 123L)) {
+      val n = Multimodal.videoFrameCount(id)
+      val fs = frames(id).sortBy(_.frame_idx)
+      assert(fs.map(_.frame_idx).toSeq === (0L until n.toLong by 2).toSeq,
+        s"doc $id must sample every 2nd of its $n frames")
+      fs.foreach { f =>
+        assert(f.width === 20 && f.height === 12)
+        val (r, g, b) = Multimodal.frameRgb(id, f.frame_idx)
+        assert((f.mean_r, f.mean_g, f.mean_b) ===
+          ((r.toDouble, g.toDouble, b.toDouble)),
+          s"doc $id frame ${f.frame_idx} color survived the GIF palette")
+      }
+    }
+    // the payload is a genuine GIF container
+    val gif = Multimodal.videoTable(docs).collect().head.payload
+    assert(new String(gif.take(6), "US-ASCII") === "GIF89a")
+  }
+
   test("frame sampling: one row explodes to every-Nth fixed-size frames") {
     import spark.implicits._
     val ds = Seq(Multimodal.MediaItem(7L, "video",
