@@ -126,5 +126,13 @@ class EdgeCaseSpec extends SparkSuiteBase {
     // short-doc corpus: no full passage, no rows (not a crash)
     assert(Dedup.passageDedup(
       Seq((1L, "too short")).toDF("doc_id", "text"), 10).collect().isEmpty)
+    // media pipelines on an empty id frame: empty out, no codec crash
+    val noIds = Seq.empty[Long].toDF("doc_id")
+    assert(graft.operators.Multimodal.decodeImages(
+      graft.operators.Multimodal.imageTable(noIds)).collect().isEmpty)
+    assert(graft.operators.Multimodal.decodeAudio(
+      graft.operators.Multimodal.audioTable(noIds)).collect().isEmpty)
+    assert(graft.operators.Multimodal.sampleVideoFrames(
+      graft.operators.Multimodal.videoTable(noIds)).collect().isEmpty)
   }
 }
