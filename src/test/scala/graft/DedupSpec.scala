@@ -170,6 +170,35 @@ class DedupSpec extends SparkSuiteBase {
     assert(got.keys.forall { case (s, d) => s != d && !Seq(s, d).contains(3L) })
   }
 
+  test("passageDedup equals a plain-Scala reference on seeded random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Array("aa", "bb", "cc", "dd") // tiny vocab → real collisions
+    val win = 4
+    val docs = (1L to 60L).map { id =>
+      val n = 3 + rnd.nextInt(14)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val got = Dedup.passageDedup(docs.toDF("doc_id", "text"), win).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference: same tokenization, non-overlapping windows, first
+    // (doc_id, widx) occurrence canonical
+    val passages = docs.flatMap { case (id, text) =>
+      val ts = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (0 until ts.length / win).map(w =>
+        (id, w.toLong, ts.slice(w * win, w * win + win).mkString(" ")))
+    }
+    val firstOf = passages.groupBy(_._3)
+      .map { case (p, occ) => p -> occ.map(o => (o._1, o._2)).min }
+    val want = passages.groupBy(_._1).map { case (id, ps) =>
+      id -> ((ps.size.toLong,
+        ps.count(p => firstOf(p._3) == ((p._1, p._2))).toLong))
+    }
+    assert(got === want)
+    assert(got.values.exists(v => v._2 < v._1),
+      "the tiny vocab must produce real cross-doc duplicates")
+  }
+
   test("passageDedup: first corpus occurrence is canonical, copies are not") {
     import spark.implicits._
     val block = (1 to 10).map(i => s"tok$i").mkString(" ")     // one passage

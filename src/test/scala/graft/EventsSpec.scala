@@ -89,6 +89,31 @@ class EventsSpec extends SparkSuiteBase {
     assert(got(300000000L) === ((2.0, 2.0, 2.0, 2.0, 1L)))
   }
 
+  test("ohlcBars equals a plain-Scala reference on seeded random ticks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val ticks = (1 to 500).map { i =>
+      (new java.sql.Timestamp(rnd.nextInt(40 * 60) * 1000L), i.toLong,
+        s"t${rnd.nextInt(3)}", math.round(rnd.nextDouble() * 1000) / 10.0)
+    }
+    val got = graft.operators.Events.ohlcBars(
+      ticks.toDF("ts", "event_id", "event_type", "value")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6)))).toMap
+    val want = ticks.groupBy(t =>
+      (t._1.getTime / 300000L * 300000000L, t._3)).map { case (k, ts) =>
+      val ord = ts.sortBy(t => (t._1.getTime, t._2))
+      k -> ((ord.head._4, ts.map(_._4).max, ts.map(_._4).min, ord.last._4,
+        ts.size.toLong))
+    }
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, (o, h, l, c, n)) =>
+      val w = want(k)
+      assert((o, h, l, c, n) === w, s"bar $k")
+    }
+  }
+
   test("expectation checks count violations exactly on a crafted frame") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -352,6 +352,34 @@ class RelationalSpec extends SparkSuiteBase {
     assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
   }
 
+  test("madOutliers equals a plain-Scala reference on seeded random frames") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 400).map { i =>
+        val g = s"g${rnd.nextInt(4)}"
+        // heavy-tailed: mostly small, occasional huge
+        val x = if (rnd.nextInt(10) == 0) rnd.nextInt(100000).toLong
+                else rnd.nextInt(100).toLong
+        (g, i.toLong, x)
+      }
+      val got = Relational.madOutliers(rows.toDF("grp", "id", "x"), 16)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.map(r => (r._3, r._2)).sorted // (x, id) total order
+        val n = sorted.length
+        val med = sorted((n + 1) / 2 - 1)._1
+        val devs = rs.map(r => (math.abs(r._3 - med), r._2)).sorted
+        val mad = devs((n + 1) / 2 - 1)._1
+        val out = rs.count(r => math.abs(r._3 - med) > 3 * mad)
+        g -> ((n.toLong, med, mad, out.toLong))
+      }
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("madOutliers: exact lower medians and Hampel counts on a crafted frame") {
     import spark.implicits._
     // group a: {10,20,30,40,1000} → med=30 (rank 3), devs {20,10,0,10,970}
