@@ -450,6 +450,55 @@ object Multimodal {
         .select(col("doc_id").as("vec_id"), col("embedding")),
       col("vec_id") < 10, k)
 
+  /** REAL visual features from DECODED pixels: each image is bilinear-
+    * resized to a `grid`×`grid` thumbnail (real Graphics2D), whose RGB
+    * pixels become a 3·grid² vector, L2-normalized — the classic
+    * tiny-thumbnail visual descriptor (pHash's first stage). Not a
+    * learned model, but every value comes from a genuine decode:
+    * byte-identical images coincide, similarly-colored images land
+    * near each other. Composes with `Similarity`'s ANN operators. */
+  def imageFeatures(items: Dataset[ImageItem], grid: Int = 4): Dataset[MediaEmbedding] = {
+    import items.sparkSession.implicits._
+    resizeImages(items, grid, grid).mapPartitions { iter =>
+      iter.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        val v = new Array[Float](3 * grid * grid)
+        var i = 0
+        var y = 0
+        while (y < grid) {
+          var x = 0
+          while (x < grid) {
+            val p = img.getRGB(x, y)
+            v(i) = ((p >> 16) & 0xFF).toFloat
+            v(i + 1) = ((p >> 8) & 0xFF).toFloat
+            v(i + 2) = (p & 0xFF).toFloat
+            i += 3
+            x += 1
+          }
+          y += 1
+        }
+        var s = 0.0
+        v.foreach(f => s += f.toDouble * f)
+        val n = math.sqrt(s).toFloat
+        MediaEmbedding(m.doc_id, if (n == 0f) v else v.map(_ / n))
+      }
+    }
+  }
+
+  /** Decoded-pixel composition: real PNGs → real resize → thumbnail
+    * features → exact cosine top-k. "Find images that look like these"
+    * with every stage real except nothing — the full multimodal ANN
+    * pipeline on JDK codecs alone. */
+  def imageNeighbors(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Similarity.bruteForceTopK(
+      imageFeatures(imageTable(Tables(spark, dir, "documents"))).toDF()
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        // an all-black image is a zero vector — no direction, so it can
+        // neither query nor match under cosine (ANSI div-by-zero guard)
+        .where(expr("exists(embedding, x -> x != 0F)")),
+      col("vec_id") < 10, k)
+
   /** q_multimodal_frames: per-document frame-sampling ledger — frame
     * count and sampled-byte mass from `frameSampleStub` (every 2nd
     * 256-byte pseudo-frame). The sampling arithmetic is deterministic,

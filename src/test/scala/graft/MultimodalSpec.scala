@@ -134,6 +134,26 @@ class MultimodalSpec extends SparkSuiteBase {
     assert(e(3L).sameElements(e2(3L)))
   }
 
+  test("decoded-pixel features: identical images coincide, colors separate") {
+    import spark.implicits._
+    // ids 1 and 257 render IDENTICAL two-band images (geometry is
+    // mod-16/8, band colors mod-256 arithmetic), id 128 differs
+    // (id 0 would be pure black — a legitimate zero vector)
+    val docs = Seq(1L, 257L, 128L).toDF("doc_id")
+    val f = Multimodal.imageFeatures(Multimodal.imageTable(docs))
+      .collect().map(e => e.doc_id -> e.embedding).toMap
+    assert(f(1L).sameElements(f(257L)),
+      "byte-identical renders must produce identical features")
+    assert(!f(1L).sameElements(f(128L)))
+    f.values.foreach { v =>
+      assert(math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-5, "unit norm")
+    }
+    // full decoded-pixel ANN composition runs end-to-end
+    val nn = Multimodal.imageNeighbors(spark, sf, k = 3).collect()
+    assert(nn.nonEmpty)
+    nn.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+  }
+
   test("multimodal -> similarity composition returns k neighbors per query") {
     val out = Multimodal.mediaNeighbors(spark, sf, k = 3)
     val perQuery = out.collect().groupBy(_.getLong(0))
