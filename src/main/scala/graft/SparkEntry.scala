@@ -123,6 +123,7 @@ object SparkEntry {
     "q_lm_score"        -> ((s, d) => TextOps.lmScore(s, d)),
     "q_outliers"        -> ((s, d) => Relational.outliers(s, d)),
     "q_mad"             -> ((s, d) => Relational.madOutliers(s, d)),
+    "q_group_quantiles" -> ((s, d) => Relational.groupQuantiles(s, d)),
     "q_pagerank"        -> ((s, d) => Graphs.pageRank(s, d)),
     "q_stream_enrich"   -> ((s, d) => graft.streaming.Streams.enrich(s, d)),
     "q_scd2"            -> ((s, d) => Relational.scd2(s, d)),
@@ -1194,6 +1195,24 @@ object SparkEntry {
     // iterations as chained CTEs; floor divisions and integer sums are
     // reassociation-proof, so ranks are bit-exact across engines
     "q_pagerank" -> pageRankOracle(5),
+    // grouped exact quartiles: rank ceil(p*n/100) under (x, id) — p·n/100
+    // is a dyadic rational (n/4, n/2, 3n/4), so the double ceil is exact
+    "q_group_quantiles" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS grp, o_orderkey AS id,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders
+        |), rk AS (
+        |  SELECT grp, x,
+        |         row_number() OVER (PARTITION BY grp ORDER BY x, id) AS rk,
+        |         count(*) OVER (PARTITION BY grp) AS n
+        |  FROM r
+        |)
+        |SELECT grp, CAST(any_value(n) AS BIGINT) AS n,
+        |       max(CASE WHEN rk = CAST(ceil(25 * n / 100.0) AS BIGINT) THEN x END) AS p25,
+        |       max(CASE WHEN rk = CAST(ceil(50 * n / 100.0) AS BIGINT) THEN x END) AS p50,
+        |       max(CASE WHEN rk = CAST(ceil(75 * n / 100.0) AS BIGINT) THEN x END) AS p75
+        |FROM rk GROUP BY grp""".stripMargin,
     // robust outliers: exact lower medians (rank (n+1) div 2), integer
     // cents throughout — the oracle's windows mirror the two-pass ranks
     "q_mad" ->

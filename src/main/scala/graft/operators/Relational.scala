@@ -695,6 +695,30 @@ object Relational {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** q_group_quantiles: per-group EXACT quartiles (p25/p50/p75) by
+    * rank — the grouped counterpart of the global q_quantiles: each
+    * quartile is the element at rank ⌈p·n⌉ of the total (x, id) order
+    * (the inverted-CDF definition — an actual corpus value, no
+    * interpolation, so integer-cent cross-engine parity is trivial).
+    * One `groupedRanks` pass + one aggregate; the dominant group never
+    * funnels into a single task. */
+  def groupQuantiles(spark: SparkSession, dir: String): DataFrame =
+    groupQuantiles(Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("grp"), col("o_orderkey").as("id"),
+        round(col("o_totalprice") * 100).cast("long").as("x")), 64)
+
+  /** df form: expects (grp: String, id: Long unique, x: Long). */
+  def groupQuantiles(rows: DataFrame, slices: Int): DataFrame = {
+    val ranked = groupedRanks(rows, slices)
+    val nDf = ranked.groupBy("grp").agg(count(lit(1)).as("n"))
+    def at(p: Int) = // rank ⌈p·n/100⌉, computed in exact integers
+      max(when(col("rk") === expr(s"cast(ceil($p * n / 100.0) as bigint)"),
+        col("x"))).as(s"p$p")
+    ranked.join(broadcast(nDf), "grp")
+      .groupBy("grp")
+      .agg(max(col("n")).as("n"), at(25), at(50), at(75))
+  }
+
   /** q_skyline: the 2-D Pareto frontier (skyline operator — Börzsönyi,
     * Kossmann & Stocker, "The Skyline Operator", ICDE 2001) — orders
     * that are not dominated on (maximize o_totalprice, minimize

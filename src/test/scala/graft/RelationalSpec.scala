@@ -352,6 +352,27 @@ class RelationalSpec extends SparkSuiteBase {
     assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
   }
 
+  test("groupQuantiles equals a plain-Scala reference on seeded random frames") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 300).map(i =>
+      (s"g${rnd.nextInt(3)}", i.toLong, rnd.nextInt(10000).toLong))
+    val got = Relational.groupQuantiles(rows.toDF("grp", "id", "x"), 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.map(r => (r._3, r._2)).sorted.map(_._1)
+      val n = sorted.length
+      def at(p: Int) = sorted(math.ceil(p * n / 100.0).toInt - 1)
+      g -> ((n.toLong, at(25), at(50), at(75)))
+    }
+    assert(got === want)
+    // quartile order is a sanity invariant
+    got.values.foreach { case (_, p25, p50, p75) =>
+      assert(p25 <= p50 && p50 <= p75)
+    }
+  }
+
   test("madOutliers equals a plain-Scala reference on seeded random frames") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
