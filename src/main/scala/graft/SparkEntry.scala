@@ -111,6 +111,7 @@ object SparkEntry {
     "q_zorder"          -> ((s, d) => graft.sources.Sinks.zorderRead(s, d)),
     "q_join_fuzzy"      -> ((s, d) => Joins.fuzzyJoin(s, d)),
     "q_histogram"       -> ((s, d) => Relational.histogram(s, d)),
+    "q_histogram2d"     -> ((s, d) => Relational.histogram2d(s, d)),
     "q_profile"         -> ((s, d) => Relational.profile(s, d)),
     "q_stats_moments"   -> ((s, d) => Relational.momentStats(s, d)),
     "q_dpp"             -> ((s, d) => graft.sources.Sinks.dppJoin(s, d)),
@@ -1397,6 +1398,11 @@ object SparkEntry {
       """SELECT CAST(floor(o_totalprice * 20.0 / 600000.0) AS BIGINT) AS bucket,
         |       count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_histogram2d" ->
+      """SELECT CAST(floor((l_quantity - 1.0) * 10.0 / 50.0) AS BIGINT) AS bx,
+        |       CAST(floor(l_extendedprice * 10.0 / 120000.0) AS BIGINT) AS by,
+        |       count(*) AS cnt, round(sum(l_discount), 2) AS sum_disc
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     // the oracle's UNION ALL scans lineitem four times — the Spark side's
     // single-Expand unpivot is the point; values are raw (exact parity)
     "q_unpivot" ->

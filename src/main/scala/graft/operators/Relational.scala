@@ -292,6 +292,21 @@ object Relational {
         .as("bucket"))
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
 
+  /** q_histogram2d: JOINT distribution heat-map of two lineitem
+    * measures (quantity × extended price, 10×10 fixed-width grid) —
+    * the profiling primitive behind correlation eyeballing, skew-cell
+    * detection, and 2-D clamp thresholds, where two 1-D histograms
+    * can't distinguish independent from coupled skew. Same explicit
+    * bucket arithmetic as q_histogram (bit-identical in the oracle);
+    * one partial/final count over a codegen'd (bx, by) pair — at most
+    * 100 cells shuffle regardless of corpus size. */
+  def histogram2d(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(
+        expr("cast(floor((l_quantity - 1.0D) * 10.0D / 50.0D) as bigint)").as("bx"),
+        expr("cast(floor(l_extendedprice * 10.0D / 120000.0D) as bigint)").as("by"))
+      .agg(count(lit(1)).as("cnt"), round(sum("l_discount"), 2).as("sum_disc"))
+
   /** q_profile: per-column data profiling — row count, null count,
     * exact distinct count, min/max — for a declared column set, in ONE
     * scan. The schema-audit primitive a pipeline runs before trusting a
