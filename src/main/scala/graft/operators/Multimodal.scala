@@ -363,28 +363,32 @@ object Multimodal {
       // reader init once per partition would cache a JNI codec here
       iter.flatMap { m =>
         val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-        rd.setInput(javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(m.payload)))
-        val n = rd.getNumImages(true)
-        val out = (0 until n by everyNth).map { f =>
-          val img = rd.read(f)
-          val (w, h) = (img.getWidth, img.getHeight)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-              x += 1
+        // the ImageInputStream must be CLOSED: with ImageIO's default
+        // use-cache it is temp-file-backed and holds an open fd that
+        // reader.dispose() does not release
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        try {
+          rd.setInput(in)
+          val n = rd.getNumImages(true)
+          (0 until n by everyNth).map { f =>
+            val img = rd.read(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            val np = (w.toLong * h).toDouble
+            VideoFrame(m.doc_id, f.toLong, w, h, sr / np, sg / np, sb / np)
           }
-          val np = (w.toLong * h).toDouble
-          VideoFrame(m.doc_id, f.toLong, w, h, sr / np, sg / np, sb / np)
-        }
-        rd.dispose()
-        out
+        } finally { rd.dispose(); in.close() }
       }
     }
   }
@@ -412,6 +416,15 @@ object Multimodal {
   /** A media payload embedded into R^dim. */
   case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
 
+  /** Shared L2-normalization epilogue (embedStub + imageFeatures feed
+    * the same Similarity operators — one zero-vector policy). */
+  private def l2Normalized(id: Long, v: Array[Float]): MediaEmbedding = {
+    var s = 0.0
+    v.foreach(x => s += x.toDouble * x)
+    val n = math.sqrt(s).toFloat
+    MediaEmbedding(id, if (n == 0f) v else v.map(_ / n))
+  }
+
   /** Embedding-extraction STUB: a real deployment runs an ONNX/JNI
     * vision or audio encoder initialized once per partition; here the
     * "encoder" rolls payload bytes into a position-mixed histogram and
@@ -432,10 +445,7 @@ object Multimodal {
           v((b * 31 + (i % 7)) % dim) += 1.0f
           i += 1
         }
-        var s = 0.0
-        v.foreach(x => s += x.toDouble * x)
-        val n = math.sqrt(s).toFloat
-        MediaEmbedding(m.doc_id, if (n == 0f) v else v.map(_ / n))
+        l2Normalized(m.doc_id, v)
       }
     }
   }
@@ -459,17 +469,29 @@ object Multimodal {
     * near each other. Composes with `Similarity`'s ANN operators. */
   def imageFeatures(items: Dataset[ImageItem], grid: Int = 4): Dataset[MediaEmbedding] = {
     import items.sparkSession.implicits._
-    resizeImages(items, grid, grid).mapPartitions { iter =>
+    // ONE decode per image: source PNG → in-memory bilinear thumbnail →
+    // pixels, all inside a single mapPartitions (routing through
+    // resizeImages would pay a pointless PNG re-encode + re-decode on
+    // the hot path of the ANN-feature pipeline)
+    items.mapPartitions { iter =>
       iter.map { m =>
-        val img = javax.imageio.ImageIO.read(
+        val src = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(m.payload))
+        require(src != null, s"undecodable image payload for doc ${m.doc_id}")
+        val thumb = new java.awt.image.BufferedImage(
+          grid, grid, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = thumb.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, grid, grid, null)
+        g.dispose()
         val v = new Array[Float](3 * grid * grid)
         var i = 0
         var y = 0
         while (y < grid) {
           var x = 0
           while (x < grid) {
-            val p = img.getRGB(x, y)
+            val p = thumb.getRGB(x, y)
             v(i) = ((p >> 16) & 0xFF).toFloat
             v(i + 1) = ((p >> 8) & 0xFF).toFloat
             v(i + 2) = (p & 0xFF).toFloat
@@ -478,10 +500,7 @@ object Multimodal {
           }
           y += 1
         }
-        var s = 0.0
-        v.foreach(f => s += f.toDouble * f)
-        val n = math.sqrt(s).toFloat
-        MediaEmbedding(m.doc_id, if (n == 0f) v else v.map(_ / n))
+        l2Normalized(m.doc_id, v)
       }
     }
   }

@@ -17,28 +17,33 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   // Pinned catalog: each (session, dir, table, data fingerprint) is
-  // resolved ONCE — the scan is built (one parquet footer read fixes
-  // the schema), registered as a dir-scoped temp view, and the frame
-  // reused by every later call. This is the local analogue of a
-  // metastore-pinned external table (a real deployment runs CREATE
-  // EXTERNAL TABLE / saveAsTable once and `spark.table` thereafter —
-  // exactly how `Joins.bucketedJoin` already stages its bucketed
-  // tables), so SQL users and the DataFrame API share one catalog and
-  // no query pays schema inference per call. The fingerprint in the
-  // key makes an in-place data regeneration invalidate the pin (the
-  // superseded entry is evicted, so the map is bounded by live
+  // RESOLVED once — the first call reads the parquet footer, pins the
+  // SCHEMA, and registers a dir-scoped temp view; later calls rebuild
+  // the (cheap) scan from the pinned schema with no footer read. This
+  // is the local analogue of a metastore-pinned external table (a real
+  // deployment runs CREATE EXTERNAL TABLE / saveAsTable once and
+  // `spark.table` thereafter — exactly how `Joins.bucketedJoin` already
+  // stages its bucketed tables), so SQL users and the DataFrame API
+  // share one catalog and no query pays schema inference per call. The
+  // fingerprint makes an in-place data regeneration invalidate the pin
+  // (superseded entries are replaced, so the map is bounded by live
   // (dir, table) pairs). Sessions are held in a WeakHashMap keyed by
-  // the session OBJECT — a stopped session's pins are GC-able and can
-  // never be served to a different session (identity hash codes
-  // collide; object identity does not).
+  // the session OBJECT — object identity cannot collide the way
+  // identity hash codes can — and the VALUE side stores only
+  // (fingerprint, schema), which reference no session, so a stopped
+  // session's entry really is GC-able (caching the DataFrame itself
+  // would strongly reference the key through Dataset.sparkSession and
+  // pin the entry forever).
   private val catalog = new java.util.WeakHashMap[
     SparkSession,
-    scala.collection.concurrent.TrieMap[(String, String), (String, DataFrame)]]()
+    scala.collection.concurrent.TrieMap[(String, String),
+      (String, org.apache.spark.sql.types.StructType)]]()
 
   private def sessionCatalog(spark: SparkSession) = catalog.synchronized {
     var m = catalog.get(spark)
     if (m == null) {
-      m = new scala.collection.concurrent.TrieMap[(String, String), (String, DataFrame)]()
+      m = new scala.collection.concurrent.TrieMap[(String, String),
+        (String, org.apache.spark.sql.types.StructType)]()
       catalog.put(spark, m)
     }
     m
@@ -65,20 +70,23 @@ object Tables {
     * converted here to a micros Timestamp with exact integer division
     * (`DIV`, not `/` — double division loses precision above 2^53 ns). */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    def convert(raw: DataFrame): DataFrame =
+      if (name == "events")
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      else raw
     val m = sessionCatalog(spark)
     val fp = graft.Fs.tableFingerprint(dir, name)
     m.get((dir, name)) match {
-      case Some((`fp`, df)) => df
+      case Some((`fp`, schema)) =>
+        // pinned schema → no footer read; scan construction is cheap
+        convert(spark.read.schema(schema).parquet(s"$dir/$name.parquet"))
       case _ =>
         val raw = spark.read.parquet(s"$dir/$name.parquet")
-        val df =
-          if (name == "events")
-            raw.withColumn("ts",
-              org.apache.spark.sql.functions.timestamp_micros(
-                org.apache.spark.sql.functions.expr("ts DIV 1000")))
-          else raw
+        val df = convert(raw)
         df.createOrReplaceTempView(viewName(dir, name))
-        m.put((dir, name), (fp, df))
+        m.put((dir, name), (fp, raw.schema))
         df
     }
   }
