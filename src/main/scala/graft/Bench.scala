@@ -1,11 +1,15 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark main: runs the headline SparkEntry queries (min-of-N,
   * warmed, memo-cleared — the per-round bar) PLUS a single-run
   * full-matrix sweep of every declared query (regression telemetry) on
-  * SPARK_GRAFT_SF_DIR and prints one JSON line {"metric":...}. Each query is
+  * SPARK_GRAFT_SF_DIR and prints the headline JSON line {"metric":"total"...}
+  * as the LAST stdout line (matrix timings on their own earlier line, and
+  * both mirrored to ./bench_last.json, so a stdout tail capture of any
+  * length still yields a parseable headline). Each query is
   * forced end-to-end with a noop-format write (materializes every output
   * column; `count()` would let Catalyst prune the computed columns away and
   * under-measure). Each query gets ONE untimed warmup before its timed
@@ -60,7 +64,7 @@ object Bench {
     val results = picked.map { name =>
       def runOnce(): Unit = force(SparkEntry.queries(name)(spark, sfDir))
       var warmupOk = true
-      try runOnce() catch { case e: Throwable =>
+      try runOnce() catch { case NonFatal(e) =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
         warmupOk = false
       }
@@ -73,7 +77,7 @@ object Bench {
         try {
           runOnce()
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
+        } catch { case NonFatal(e) =>
           System.err.println(s"[bench] $name run ${r + 1} failed: ${e.getMessage}")
           aborted = true
         }
@@ -102,7 +106,9 @@ object Bench {
         try {
           force(SparkEntry.queries(name)(spark, sfDir))
           name -> (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
+        } catch { case NonFatal(e) =>
+          // NonFatal only (VM errors like OOM abort the whole bench —
+          // continuing in a corrupted JVM would print misleading timings)
           System.err.println(s"[bench] matrix $name failed: ${e.getMessage}")
           mFailed ::= name
           name -> -1.0
@@ -116,7 +122,19 @@ object Bench {
     val mTotal = matrix.collect { case (_, v) if v >= 0 => v }.sum
     def arr(xs: List[String]) =
       xs.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"sf":"$sfDir"}""")
+    // Truncation-proofing (VERDICT r5 #5): the driver tail-captures stdout,
+    // so the ~12 KB matrix object gets its own line printed FIRST and the
+    // compact headline line (the contract's "one JSON line") goes LAST —
+    // a tail capture of any length that includes the final line parses.
+    // Both lines are also mirrored to bench_last.json in the CWD.
+    val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
+      try { w.println(matrixLine); w.println(headlineLine) } finally w.close()
+    } catch { case NonFatal(_) => () } // file mirror is best-effort
+    if (matrix.nonEmpty) println(matrixLine)
+    println(headlineLine)
     spark.stop()
   }
 }

@@ -669,7 +669,7 @@ object SparkEntry {
         |       max(value) AS high, min(value) AS low,
         |       max(CASE WHEN rn_z = 1 THEN value END) AS close,
         |       count(*) AS n_ticks,
-        |       round(sum(value), 2) AS volume
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS volume
         |FROM r GROUP BY wstart, event_type""".stripMargin,
     // Real multi-frame decode: animated GIF staged per doc, every 2nd
     // frame extracted; dims + channel means predicted arithmetically
@@ -820,7 +820,7 @@ object SparkEntry {
         |       max(value) AS high, min(value) AS low,
         |       max(CASE WHEN rn_z = 1 THEN value END) AS close,
         |       count(*) AS n_ticks,
-        |       round(sum(value), 2) AS volume
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS volume
         |FROM r GROUP BY bar_start, event_type""".stripMargin,
     // declarative data-quality audit: each check is an exact count
     "q_expectations" ->
@@ -844,12 +844,14 @@ object SparkEntry {
         |       CAST(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events
         |UNION ALL
         |SELECT 'lineitem.orderkey_in_orders',
-        |       CAST(count(*) AS BIGINT) FROM lineitem
-        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |       CAST(count(*) AS BIGINT) FROM lineitem l
+        |WHERE l.l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         |UNION ALL
         |SELECT 'orders.custkey_in_customer',
-        |       CAST(count(*) AS BIGINT) FROM orders
-        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)""".stripMargin,
+        |       CAST(count(*) AS BIGINT) FROM orders o
+        |WHERE o.o_custkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
     "q_sample_hash" ->
       s"""WITH f AS (
          |  SELECT doc_id, lang, ${utf8BytesSql("CAST(doc_id AS VARCHAR)")} AS bs

@@ -128,8 +128,12 @@ object Events {
     * String, value: Double). */
   def ohlcBars(events: DataFrame): DataFrame =
     events
+      // floor alignment via x - pmod(x, n): Spark's DIV truncates toward
+      // zero but DuckDB's // floors, so pre-epoch (negative-micros) bars
+      // would diverge; pmod is always non-negative, making this a true
+      // floor multiple on both engines for all event times
       .withColumn("bar_start",
-        expr("unix_micros(ts) DIV 300000000") * lit(300000000L))
+        expr("unix_micros(ts) - pmod(unix_micros(ts), 300000000)"))
       .groupBy(col("bar_start"), col("event_type"))
       .agg(
         min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
@@ -137,5 +141,8 @@ object Events {
         min(col("value")).as("low"),
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("n_ticks"),
-        round(sum("value"), 2).as("volume"))
+        // integer-cents accumulation: BIGINT sums are reassociation-proof,
+        // so parity cannot flake when a bar's double sum straddles a
+        // half-cent rounding boundary (same convention as kmeans/mad)
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("volume"))
 }

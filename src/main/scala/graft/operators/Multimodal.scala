@@ -15,10 +15,14 @@ import graft.sources.Tables
   * `Graphics2D` bilinear resize + PNG re-encode. No external codec
   * dependency — ImageIO ships JPEG/PNG/GIF/BMP in every JDK.
   *
-  * Audio/video decode remains a documented STUB (no PCM/ffmpeg codecs
-  * in this container): `extractFeatures` performs real byte-level
-  * computation (length, checksum, md5 digest, byte histogram) where a
-  * PCM/frame decoder would plug in. Everything around both paths — the
+  * AUDIO and VIDEO are real JDK codecs too: `audioTable`/`decodeAudio`
+  * round-trip PCM-16 WAV containers through `javax.sound.sampled`
+  * (RIFF header parse + exact integer waveform stats), and
+  * `videoTable`/`sampleVideoFrames` stage animated GIFs and extract every
+  * 2nd frame via ImageIO's multi-frame reader. The one remaining
+  * stand-in is `extractFeatures`' embedStub (byte-level length/
+  * checksum/md5/histogram where a learned feature extractor would plug
+  * in — no ML runtime in any JDK). Everything around the codecs — the
   * binary schema, the typed Dataset, the mapPartitions batch shape,
   * partition-parallel execution — is the real 100 TB plumbing:
   * payloads never hit the driver, one decoder init per partition (the

@@ -621,8 +621,8 @@ object Relational {
     *
     * The within-group rank is the GROUPED form of the two-pass
     * range-sliced rank (`equiDepth`/`globalRowIds`): global value
-    * slices, per-(group, slice) counts to the driver (groups·slices
-    * rows), broadcast exclusive offsets, local windows per (group,
+    * slices, a distributed running-sum window over the (group, slice)
+    * count table for exclusive offsets, local windows per (group,
     * slice) — the dominant group never funnels into one task, which
     * a plain `Window.partitionBy(group)` would force. */
   def giniByGroup(spark: SparkSession, dir: String): DataFrame =
@@ -633,12 +633,14 @@ object Relational {
   /** Grouped two-pass range-sliced rank (shared by `giniByGroup` and
     * `madOutliers`): adds `rk`, the 1-based within-group rank under the
     * total order (x, id), WITHOUT ever partitioning a window by grp
-    * alone — global value slices, per-(grp, slice) counts to the driver
-    * (groups·slices rows), broadcast exclusive offsets, local windows
-    * per (grp, slice). The dominant group never funnels into one task.
-    * Expects (grp: String, id: Long unique, x: Long); empty in → empty
-    * out, schema intact. */
-  private[operators] def groupedRanks(rows: DataFrame, slices: Int): DataFrame = {
+    * alone — global value slices, exclusive offsets via a distributed
+    * running-sum window over the (grp, slice) counts (≤ slices rows per
+    * grp partition, so the offset stage parallelizes across groups and
+    * never visits the driver), local windows per (grp, slice). The
+    * dominant group never funnels into one task; 10⁶+ groups never
+    * funnel through a driver collect. Expects (grp: String, id: Long
+    * unique, x: Long); empty in → empty out, schema intact. */
+  private[graft] def groupedRanks(rows: DataFrame, slices: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mm = rows.agg(min("x"), max("x")).head()
     if (mm.isNullAt(0))
@@ -646,16 +648,20 @@ object Relational {
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = math.max(1L, (hi - lo) / slices + 1)
     val sliced = rows.withColumn("slc", expr(s"(x - ${lo}L) div ${span}L"))
-    val counts = sliced.groupBy("grp", "slc").count().collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .groupBy(_._1)
-    val offsets = counts.toSeq.flatMap { case (g, cs) =>
-      var acc = 0L
-      cs.sortBy(_._2).map { case (_, s, c) => val r = (g, s, acc); acc += c; r }
-    }
-    val offDf = rows.sparkSession.createDataFrame(offsets).toDF("grp", "slc", "off")
+    // exclusive prefix offsets computed DISTRIBUTIVELY: a running sum
+    // over the (grp, slc) count table, partitioned by grp (≤ `slices`
+    // rows per partition — tiny windows spread across all groups). No
+    // driver round-trip, so 10⁶+ distinct groups never funnel through
+    // a collect. The offsets join is left to AQE: it broadcasts when
+    // the table is small and shuffle-joins at high group cardinality,
+    // where a forced broadcast of groups×slices rows would not fit.
+    val wOff = Window.partitionBy("grp").orderBy("slc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = sliced.groupBy("grp", "slc").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+      .drop("c")
     val w = Window.partitionBy("grp", "slc").orderBy(col("x"), col("id"))
-    sliced.join(broadcast(offDf), Seq("grp", "slc"))
+    sliced.join(offDf, Seq("grp", "slc"))
       .withColumn("rk", row_number().over(w).cast("long") + col("off"))
       .drop("slc", "off")
   }
@@ -803,12 +809,16 @@ object Relational {
       .select(explode(col("cs")).as("c"))
       .select(col("c.check"), col("c.violations"))
 
-  /** df form of a referential-integrity check: rows of `fk` whose key
-    * has no match in `pk` (anti-join orphan count). Sides are aliased
-    * so fk and pk columns MAY share a name (the common FK shape). */
+  /** df form of a referential-integrity check: NON-NULL rows of `fk`
+    * whose key has no match in `pk` (anti-join orphan count). NULL
+    * foreign keys are excluded on purpose — SQL's NOT EXISTS/NOT IN
+    * skip them too, so both engines share one NULL semantics; audit
+    * nullability separately with a checkViolations isNull check.
+    * Sides are aliased so fk and pk columns MAY share a name (the
+    * common FK shape). */
   def orphanCount(name: String, fk: DataFrame, fkCol: String,
                   pk: DataFrame, pkCol: String): DataFrame =
-    fk.select(col(fkCol)).alias("fks")
+    fk.select(col(fkCol)).where(col(fkCol).isNotNull).alias("fks")
       .join(pk.select(col(pkCol)).alias("pks"),
         col(s"fks.$fkCol") === col(s"pks.$pkCol"), "left_anti")
       .agg(array(chk(name, count(lit(1)))).as("cs"))

@@ -378,7 +378,8 @@ object Streams {
           min(col("value")).as("low"),
           max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
           count(lit(1)).as("n_ticks"),
-          round(sum("value"), 2).as("volume"))
+          // integer-cents accumulation — see Events.ohlcBars
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("volume"))
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
           col("event_type"), col("open"), col("high"), col("low"),

@@ -347,6 +347,28 @@ class RelationalSpec extends SparkSuiteBase {
     assert(again === got)
   }
 
+  test("groupedRanks: 1e5-group regime matches plain window ranks (distributed offsets)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 100k distinct groups × 2 rows — the regime where the pre-r6
+    // driver-collected offsets would funnel groups·slices rows through
+    // the driver; offsets are now a distributed running-sum window.
+    val n = 200000L
+    val df = spark.range(n).select(
+      concat(lit("g"), pmod(col("id"), lit(100000L))).as("grp"),
+      col("id"),
+      pmod(hash(col("id")), lit(1000)).cast("long").as("x"))
+    val ranked = Relational.groupedRanks(df, 16)
+    val w = Window.partitionBy("grp").orderBy("x", "id")
+    val want = df.withColumn("rk_ref", row_number().over(w).cast("long"))
+    val joined = ranked.join(want, Seq("grp", "id", "x")).cache()
+    try {
+      assert(joined.count() === n)
+      assert(joined.where(col("rk") =!= col("rk_ref")).count() === 0L)
+    } finally joined.unpersist()
+  }
+
   test("gini plans no single-partition sort of the data") {
     val plan = Relational.giniByGroup(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
