@@ -41,6 +41,41 @@ object Engine {
   def streamStatePartitions: Int =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8").toInt
 
+  /** Reliable-checkpoint knob for iterative operators.
+    *
+    * `localCheckpoint()` cuts lineage by caching blocks on executors —
+    * fast, but NON-RELIABLE: lose an executor mid-run and the blocks
+    * are gone with no lineage to recompute them, so a 20-iteration
+    * connected-components pass restarts from zero. On a long-lived
+    * cluster with real node churn, set SPARK_GRAFT_CHECKPOINT_DIR to a
+    * durable path (HDFS/object store; locally any disk dir) and every
+    * iterative operator (pageRank, dupComponents, BPE, triangles)
+    * routes its per-round lineage cuts through
+    * `sparkContext.setCheckpointDir` + reliable `checkpoint()` instead.
+    * Default (unset): localCheckpoint — the right call for local mode
+    * and short-lived jobs, where the extra write+read round-trip per
+    * iteration buys nothing. */
+  def reliableCheckpointDir: Option[String] =
+    ckptOverride.orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")).filter(_.nonEmpty)
+
+  /** Test seam: force/clear the reliable dir without re-execing the JVM. */
+  @volatile private var ckptOverride: Option[String] = None
+  private[graft] def setReliableCheckpointDir(dir: Option[String]): Unit =
+    ckptOverride = dir
+
+  /** Lineage cut for iterative operators — localCheckpoint by default,
+    * reliable checkpoint when [[reliableCheckpointDir]] is set. Both
+    * are eager, so call sites are behavior-identical either way. */
+  def cut[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
+    reliableCheckpointDir match {
+      case Some(dir) =>
+        val sc = ds.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty || !sc.getCheckpointDir.exists(_.contains(dir)))
+          sc.setCheckpointDir(dir)
+        ds.checkpoint()
+      case None => ds.localCheckpoint()
+    }
+
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -344,23 +344,24 @@ object Dedup {
     * 2009 — which is the reference's programming model done declaratively):
     * each node adopts the min label among itself and its neighbors until
     * fixpoint. Iterations ≤ graph diameter; each is one join + one
-    * partial/final min-agg, lineage cut per round with localCheckpoint.
+    * partial/final min-agg, lineage cut per round with Engine.cut
+    * (reliable-checkpoint knob: SPARK_GRAFT_CHECKPOINT_DIR).
     * Driver state is one Boolean (converged?). The dup GRAPH (pairs) is
     * orders of magnitude smaller than the corpus at any scale. */
   def dupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("da").as("u"), col("db").as("v"))
       .unionAll(pairs.select(col("db").as("u"), col("da").as("v")))
-      .localCheckpoint()
+      .transform(graft.Engine.cut(_))
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("comp", col("node"))
-      .localCheckpoint()
+      .transform(graft.Engine.cut(_))
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
       // Convergence rides the SAME action as the propagation: each node's
       // previous label is carried through the min-agg (every node has
       // exactly one self row), and an Observation (CollectMetrics) counts
-      // changed labels during the localCheckpoint materialization — one
+      // changed labels during the lineage-cut materialization — one
       // Spark job per iteration. (The previous probe was a second full
       // left_semi join job per round.)
       val obs = org.apache.spark.sql.Observation()
@@ -374,7 +375,7 @@ object Dedup {
         .observe(obs,
           sum(when(col("c2") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
         .select(col("n2").as("node"), col("c2").as("comp"))
-        .localCheckpoint()
+        .transform(graft.Engine.cut(_))
       converged = Option(obs.get("changed"))
         .forall(_.asInstanceOf[Long] == 0L)
       labels = next

@@ -25,7 +25,7 @@ import graft.sources.Tables
   *
   * Shape at scale: the edge list shuffles once per iteration, keyed on
   * the join side (src), then aggregates per dst — both partial/final;
-  * per-round lineage is cut with localCheckpoint (the dupComponents
+  * per-round lineage is cut with Engine.cut (the dupComponents
   * pattern). Driver state is nothing at all: a FIXED iteration count,
   * the production norm for PageRank at scale (convergence-delta
   * variants fold a metric into the same aggregate — see
@@ -57,8 +57,8 @@ object Graphs {
     * upstream for graphs with sinks — unhandled dangling nodes would
     * silently leak rank mass). */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
+    val e = graft.Engine.cut(edges)
+    val deg = graft.Engine.cut(e.groupBy("src").agg(count(lit(1)).as("d")))
     var ranks = deg.select(col("src").as("node"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
       ranks = e.join(deg, "src")
@@ -68,7 +68,7 @@ object Graphs {
         .agg(sum("c").as("s"))
         .select(col("dst").as("node"),
           (lit(Scale * 15L / 100L) + expr("(85 * s) div 100")).as("r"))
-        .localCheckpoint()
+        .transform(graft.Engine.cut(_))
     }
     ranks
   }
@@ -118,7 +118,7 @@ object Graphs {
     val lp = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Engine.cut(_))
     // co-purchase edges, id-normalized u < v (order sizes are bounded —
     // ≤ 7 lines in TPC-H — so the per-order pair expansion is O(1);
     // for heavy containers, cap or sample the per-group expansion)
@@ -133,7 +133,7 @@ object Graphs {
   /** df form: expects a deduplicated undirected edge list (u: Long,
     * v: Long) normalized to u < v, no self-loops. */
   def triangles(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.localCheckpoint() // reused 4× below
+    val edges = graft.Engine.cut(edgesIn) // reused 4× below
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -148,7 +148,7 @@ object Graphs {
           .otherwise(col("u")).as("y"),
         when(col("du") < col("dv") || (col("du") === col("dv")), col("dv"))
           .otherwise(col("du")).as("dy"))
-      .localCheckpoint()
+      .transform(graft.Engine.cut(_))
     // wedges at the apex x, unordered pair {y1, y2} taken in rank order
     val wedges = oriented.select(col("x"), col("y").as("y1"), col("dy").as("d1"))
       .join(oriented.select(col("x"), col("y").as("y2"), col("dy").as("d2")), "x")

@@ -432,8 +432,9 @@ object TextOps {
     * the vocabulary — the one place typed Scala beats an SQL fold
     * (carrying a skip-next flag through `aggregate()` is write-only),
     * and it deserializes only vocab rows, never the corpus.
-    * localCheckpoint cuts the per-round lineage (the iterative-operator
-    * norm here: dupComponents, pageRank, kmeans).
+    * Engine.cut severs the per-round lineage (the iterative-operator
+    * norm here: dupComponents, pageRank, kmeans; reliable-checkpoint
+    * knob: SPARK_GRAFT_CHECKPOINT_DIR).
     *
     * Declared rows-only (the merge chosen at round i depends on rounds
     * < i — not expressible as one oracle SQL statement); correctness is
@@ -450,7 +451,7 @@ object TextOps {
           |               i -> substring(word, i, 1)),
           |       array('</w>'))""".stripMargin).as("syms"))
       .as[(Long, Seq[String])]
-      .localCheckpoint()
+      .transform(graft.Engine.cut(_))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
     for (r <- 1 to nMerges if !exhausted) {
@@ -467,8 +468,8 @@ object TextOps {
       else {
         val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, l, rr, c))
-        vocab = vocab.map { case (cnt, syms) => (cnt, mergePair(syms, l, rr)) }
-          .localCheckpoint()
+        vocab = graft.Engine.cut(
+          vocab.map { case (cnt, syms) => (cnt, mergePair(syms, l, rr)) })
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "pair_count")

@@ -54,6 +54,32 @@ class DedupSpec extends SparkSuiteBase {
     assert(Seq(20L, 21L, 22L).map(comps).toSet === Set(20L))
   }
 
+  test("dup components under the reliable-checkpoint knob: identical output, durable files") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("da", "db")
+    val want = Dedup.dupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-spec").toFile
+    try {
+      Engine.setReliableCheckpointDir(Some(dir.getAbsolutePath))
+      val got = Dedup.dupComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+      // the lineage cuts really went through reliable checkpoints —
+      // durable RDD files exist under the knob's dir
+      def rddFiles(f: java.io.File): Int =
+        Option(f.listFiles()).getOrElse(Array.empty).map { c =>
+          (if (c.getName.startsWith("rdd-")) 1 else 0) + rddFiles(c)
+        }.sum
+      assert(rddFiles(dir) > 0, s"no rdd-* checkpoint dirs under $dir")
+    } finally {
+      Engine.setReliableCheckpointDir(None)
+      Fs.rmRf(dir)
+    }
+  }
+
   test("dup components run ONE Spark job per propagation iteration") {
     import spark.implicits._
     // chain 1..6: min-label needs 5 propagation rounds + 1 no-change
