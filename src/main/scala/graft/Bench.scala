@@ -73,6 +73,7 @@ object Bench {
       var r = 0
       while (!aborted && r < Runs) {
         graft.operators.Clustering.clearFitCache()
+        graft.operators.TextOps.clearMergeCache()
         val t0 = System.nanoTime()
         try {
           runOnce()

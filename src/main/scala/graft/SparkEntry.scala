@@ -149,6 +149,7 @@ object SparkEntry {
     "q_sample_weighted" -> ((s, d) => Pipeline.weightedSample(s, d)),
     "q_join_interval"   -> ((s, d) => Joins.intervalJoin(s, d)),
     "q_bpe"             -> ((s, d) => TextOps.bpeLearn(s, d)),
+    "q_bpe_encode"      -> ((s, d) => TextOps.bpeEncode(s, d)),
     "q_skyline"         -> ((s, d) => Relational.skyline(s, d)),
     "q_dedup_contain"   -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_source_binary"   -> ((s, d) => graft.sources.FileFormats.binaryChecksums(s, d)),

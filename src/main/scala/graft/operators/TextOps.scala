@@ -475,6 +475,110 @@ object TextOps {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** North-star q_bpe_encode: tokenize the CORPUS with the learned BPE
+    * merges — the actual LLM-pipeline encode step that bpeLearn feeds.
+    * Emits (doc_id, n_words, n_tokens, token_ids) with `token_ids` the
+    * document's full word-order subword id sequence.
+    *
+    * Scale shape (100 TB): the greedy merge application runs once per
+    * DISTINCT word (vocabulary altitude — the same trick as bpeLearn;
+    * corpus duplication of a word costs nothing), with the bounded
+    * merge list carried in the task closure. Token ids are ranks in
+    * the sorted final symbol set, which is provably bounded by
+    * |alphabet| + 1 + nMerges (every merge mints exactly ONE new
+    * symbol), so the id map is a broadcast-sized driver collect — the
+    * K-Means-centroid pattern of bounded driver state. The corpus-side
+    * cost is one posexplode, one word-keyed join against the encoded
+    * vocabulary, and one per-doc sort-flatten; nothing wide shuffles
+    * except (doc_id, pos, word-id-array) triples.
+    *
+    * Declared rows-only (merges are round-dependent, like q_bpe);
+    * correctness is spec'd against a driver-side reference tokenizer
+    * and reconciled with q_token_count's per-doc word counts. */
+  /** Learned-tokenizer memo: real pipelines learn merges ONCE and
+    * encode many corpora with them (the learn loop is the expensive
+    * iterative part). Deterministic per (dir, nMerges, data
+    * fingerprint) → safe to memoize, same pattern as Clustering's fit
+    * cache; cleared by the bench between timed runs. */
+  private val mergeCache =
+    new scala.collection.concurrent.TrieMap[(String, Int, String), Seq[(String, String)]]()
+
+  def clearMergeCache(): Unit = mergeCache.clear()
+
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = mergeCache.getOrElseUpdate(
+      (dir, 8, graft.Fs.tableFingerprint(dir, "documents")), {
+        val docs = Tables(spark, dir, "documents")
+        bpeLearn(spark, docs, 8).orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+      })
+    bpeEncode(spark, Tables(spark, dir, "documents"), merges)
+  }
+
+  def bpeEncode(spark: SparkSession, docs: DataFrame, nMerges: Int): DataFrame = {
+    // learn, then pull the BOUNDED merge table (nMerges rows) to the driver
+    val merges = bpeLearn(spark, docs, nMerges)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncode(spark, docs, merges)
+  }
+
+  /** Encode with an externally-learned merge list (rank order). */
+  def bpeEncode(spark: SparkSession, docs: DataFrame,
+                merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    // each DISTINCT word tokenized once: chars + </w>, merges replayed
+    // in learned rank order (the standard BPE apply)
+    val wordSyms = docs.select(explode(tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0).distinct()
+      .as[String]
+      .map { w =>
+        var syms: Seq[String] = w.map(_.toString) :+ "</w>"
+        merges.foreach { case (l, r) => syms = mergePair(syms, l, r) }
+        (w, syms)
+      }
+      .toDF("word", "syms")
+    // symbol→id: final symbols ⊆ alphabet ∪ {</w>} ∪ merge outputs, so
+    // the vocab is ≤ |alphabet| + 1 + |merges| rows — bounded driver
+    // state, sorted for a deterministic id assignment
+    val vocabIds = wordSyms.select(explode(col("syms")).as("s")).distinct()
+      .collect().map(_.getString(0)).sorted.zipWithIndex.toMap
+    val idsOf = udfLessIds(vocabIds)
+    val wordIds = wordSyms
+      .withColumn("ids", idsOf(col("syms")))
+      .select(col("word"), col("ids"))
+    // corpus side: words in document order, word-keyed join to the
+    // encoded vocabulary, per-doc flatten in position order
+    val docWords = docs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+    val enc = docWords.join(wordIds, Seq("word"))
+      .groupBy("doc_id")
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("ids"))))
+        .getField("ids")).as("token_ids"),
+        count(lit(1)).as("n_words"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("token_ids")).cast(LongType).as("n_tokens"),
+        col("token_ids"))
+    // keep zero-token documents (explode drops them): empty encode
+    docs.select(col("doc_id")).join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("token_ids"), array().cast("array<int>")).as("token_ids"))
+      .orderBy("doc_id")
+  }
+
+  /** Map a symbol array to vocab ids inside codegen-friendly SQL: the
+    * bounded vocab rides the plan as a map literal (no UDF, no
+    * broadcast variable plumbing). */
+  private def udfLessIds(vocab: Map[String, Int]): Column => Column = {
+    val m = map(vocab.toSeq.sortBy(_._1)
+      .flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
+    (syms: Column) => transform(syms, s => element_at(m, s))
+  }
+
   /** Greedy left-to-right non-overlapping merge of adjacent (l, r) —
     * the BPE apply step; "aaa" under (a,a) → ["aa", "a"]. */
   def mergePair(syms: Seq[String], l: String, r: String): Seq[String] = {

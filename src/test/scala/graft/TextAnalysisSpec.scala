@@ -215,6 +215,56 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got.map(_._4).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
   }
 
+  test("bpeEncode: matches a driver-side reference tokenizer, reconciles with tokenCounts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = docs(
+      1L -> "low low low low low lower lower newest newest newest newest newest newest widest widest widest",
+      2L -> "lowest newest low",
+      3L -> "")
+    val nMerges = 6
+    val got = TextOps.bpeEncode(spark, d, nMerges).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Int](3)))).toMap
+
+    // reference: learn merges with the already-spec'd bpeLearn, apply
+    // them per word on the driver, flatten in word order, id = rank in
+    // the sorted final symbol set
+    val merges = TextOps.bpeLearn(spark, d, nMerges).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    def encodeWord(w: String): Seq[String] = {
+      var syms: Seq[String] = w.map(_.toString) :+ "</w>"
+      merges.foreach { case (l, r) => syms = TextOps.mergePair(syms, l, r) }
+      syms
+    }
+    val texts = Map(
+      1L -> "low low low low low lower lower newest newest newest newest newest newest widest widest widest",
+      2L -> "lowest newest low", 3L -> "")
+    val wordsOf = texts.view.mapValues(
+      _.toLowerCase.split("[ \t\n\r\f]+").filter(_.nonEmpty).toSeq).toMap
+    val symSeqs = wordsOf.view.mapValues(_.flatMap(encodeWord)).toMap
+    val vocab = symSeqs.values.flatten.toSeq.distinct.sorted.zipWithIndex.toMap
+    val want = wordsOf.map { case (id, ws) =>
+      id -> ((ws.size.toLong, symSeqs(id).size.toLong,
+        symSeqs(id).map(vocab): Seq[Int]))
+    }
+    assert(got === want)
+    // zero-token doc keeps a row with an empty encode
+    assert(got(3L) === ((0L, 0L, Seq.empty[Int])))
+
+    // reconciliation with q_token_count: every word emits ≥ 1 and
+    // ≤ len+1 subword tokens, so per doc ws_tokens ≤ n_tokens ≤
+    // Σ(len(word)+1)
+    val tc = TextOps.tokenCounts(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, (nw, nt, _)) =>
+      assert(nw === tc(id), s"doc $id word count")
+      assert(nt >= tc(id), s"doc $id: n_tokens < ws_tokens")
+      val ceil = wordsOf(id).map(_.length + 1L).sum
+      assert(nt <= ceil, s"doc $id: n_tokens > char ceiling")
+    }
+  }
+
   test("mergePair: greedy left-to-right, non-overlapping") {
     assert(TextOps.mergePair(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
     assert(TextOps.mergePair(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
