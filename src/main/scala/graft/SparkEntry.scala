@@ -152,6 +152,7 @@ object SparkEntry {
     "q_bpe_encode"      -> ((s, d) => TextOps.bpeEncode(s, d)),
     "q_skyline"         -> ((s, d) => Relational.skyline(s, d)),
     "q_dedup_contain"   -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "q_dedup_semantic"  -> ((s, d) => Dedup.semanticDedup(s, d)),
     "q_source_binary"   -> ((s, d) => graft.sources.FileFormats.binaryChecksums(s, d)),
     "q_cogroup"         -> ((s, d) => MapReduceOps.cogroupReconcile(s, d)),
     "q_source_xml"      -> ((s, d) => graft.sources.FileFormats.xmlGroupSum(s, d)),

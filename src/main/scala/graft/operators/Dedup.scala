@@ -333,6 +333,69 @@ object Dedup {
       .where(col("cos") >= tau)
   }
 
+  /** q_dedup_semantic: SemDeDup-style cluster-then-prune semantic
+    * deduplication (Abbas et al., "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", 2023 — the
+    * published recipe for pretraining-corpus semantic dedup). K-Means
+    * clusters the embedding space (quantizer shared with — and
+    * memoized by — the IVF search path, K ≈ √n), then WITHIN each
+    * cluster members are scanned in vec_id order and dropped when
+    * their cosine to an earlier-KEPT member is ≥ τ; the survivor set
+    * carries no within-cluster near-dup pair.
+    *
+    * Scale shape: never an all-pairs stage — candidate pairs exist
+    * only inside a cluster, so the quadratic kernel runs on ~√n-sized
+    * member lists in K independent tasks (the whole point of
+    * clustering first; at 100 TB size `k` so clusters hold ~1-10k
+    * members). The greedy scan is sequential PER CLUSTER by design
+    * (each decision depends on earlier keeps — the leader-clustering
+    * semantics), and the cosine kernel is the same left-fold as the
+    * exact grid dedup, so every drop edge is bit-verifiable against
+    * `embedNearDupGrid`'s pair list. Declared rows-only (cluster
+    * boundaries make the result quantizer-dependent); spec'd against
+    * the exact grid pairs at the same τ. */
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    val v = Similarity.vecs(spark, dir)
+    val k = Similarity.ivfK(v.count())
+    semanticDedup(v, Clustering.fit(spark, dir, k = k), tau)
+  }
+
+  /** df form: expects (vec_id, e, nrm) as produced by
+    * `Similarity.vecs`, plus fitted centroids. */
+  def semanticDedup(v: DataFrame, cents: Array[Array[Double]],
+                    tau: Double): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    v.withColumn("best", array_min(array(Clustering.distStructs(cents): _*)))
+      .select(col("vec_id"), col("e"), col("nrm"), col("best.cid").as("cid"))
+      .as[(Long, Seq[Double], Double, Int)]
+      .groupByKey(_._4)
+      .flatMapGroups { (cid, it) =>
+        val ms = it.map { case (id, e, nrm, _) => (id, e.toArray, nrm) }
+          .toArray.sortBy(_._1)
+        val kept =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        ms.iterator.map { case (id, ea, nrm) =>
+          // first earlier-kept member at cos ≥ τ claims this one; the
+          // dot is the same left-fold as VectorExprs.dot (bit-parity
+          // with the exact grid pair list)
+          var keeper = -1L
+          val ki = kept.iterator
+          while (keeper < 0L && ki.hasNext) {
+            val (kid, ke, knrm) = ki.next()
+            var s = 0.0
+            var i = 0
+            while (i < ea.length) { s += ea(i) * ke(i); i += 1 }
+            if (s / (nrm * knrm) >= tau) keeper = kid
+          }
+          if (keeper < 0L) { kept += ((id, ea, nrm)); (id, cid, true, None: Option[Long]) }
+          else (id, cid, false, Some(keeper))
+        }
+      }
+      .toDF("vec_id", "cid", "keep", "kept_by")
+      .orderBy("vec_id")
+  }
+
   /** q_dedup_cc: connected components over the near-dup pair graph —
     * transitive dup clustering. A pair list alone under-deduplicates: if
     * A≈B and B≈C but A̸≈C, keeping "the lower id of each pair" keeps A

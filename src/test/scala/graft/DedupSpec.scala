@@ -157,6 +157,62 @@ class DedupSpec extends SparkSuiteBase {
       s"grid form still plans a cartesian:\n$plan")
   }
 
+  test("semanticDedup: drop edges are true grid pairs; kept set is within-cluster pair-free") {
+    val rows = Dedup.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // row conservation: one verdict per corpus vector
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length.toLong === n)
+    assert(rows.map(_._1).distinct.length.toLong === n)
+    val grid = Dedup.embedNearDupGrid(spark, sf, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cidOf = rows.map(r => r._1 -> r._2).toMap
+    // soundness: every drop points at an earlier KEPT member of the
+    // SAME cluster, and the (keeper, dropped) pair is a true cos≥τ
+    // pair in the exact all-pairs grid list
+    val keptIds = rows.filter(_._3).map(_._1).toSet
+    val dropped = rows.filterNot(_._3)
+    assert(dropped.nonEmpty, "corpus has near-dups; expected drops")
+    dropped.foreach { case (id, cid, _, by) =>
+      assert(by >= 0 && by < id, s"$id kept_by $by not earlier")
+      assert(keptIds.contains(by), s"$id dropped by non-kept $by")
+      assert(cidOf(by) === cid, s"$id keeper $by in other cluster")
+      assert(grid.contains((math.min(by, id), math.max(by, id))),
+        s"drop edge ($by,$id) not an exact grid pair")
+    }
+    // completeness within clusters: no two KEPT members of one cluster
+    // form a grid pair (the greedy scan would have dropped the later)
+    grid.foreach { case (a, b) =>
+      assert(!(keptIds.contains(a) && keptIds.contains(b) &&
+        cidOf.get(a) === cidOf.get(b)),
+        s"kept pair ($a,$b) shares cluster ${cidOf.get(a)} at cos>=tau")
+    }
+    info(f"kept ${keptIds.size}/${rows.length} " +
+      f"(${dropped.length} semantic dups pruned)")
+  }
+
+  test("semanticDedup greedy-leader semantics on a crafted single-cluster frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // vec 1 and 2: identical direction (cos 1); vec 3: orthogonal;
+    // vec 4: aligned with 3 → greedy keeps 1, drops 2→1, keeps 3, drops 4→3
+    val emb = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(2.0, 0.0)),
+      (3L, Array(0.0, 1.0)), (4L, Array(0.0, 3.0)))
+      .toDF("vec_id", "embedding")
+    val v = emb.withColumn("e", col("embedding"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(e, 0.0d, (a, x) -> a + x * x)")))
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val got = Dedup.semanticDedup(v, Array(Array(0.0, 0.0)), 0.9).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((true, -1L)), 2L -> ((false, 1L)),
+      3L -> ((true, -1L)), 4L -> ((false, 3L))))
+  }
+
   test("embedding near-dup: cosine symmetric range and self-free") {
     val rows = Dedup.embedNearDup(spark, sf).collect()
     rows.foreach { r =>
