@@ -74,6 +74,7 @@ object Bench {
       while (!aborted && r < Runs) {
         graft.operators.Clustering.clearFitCache()
         graft.operators.TextOps.clearMergeCache()
+        graft.operators.Similarity.clearIndexCache()
         val t0 = System.nanoTime()
         try {
           runOnce()

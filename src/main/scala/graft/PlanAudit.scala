@@ -25,7 +25,17 @@ object PlanAudit {
           l.contains("TakeOrdered") || l.contains("Window") ||
           l.contains("Sort") || l.contains("Generate")).toSeq
         println(s"=== $name")
-        lines.take(14).foreach(l => println("  " + l.trim.take(160)))
+        lines.take(14).foreach { l =>
+          println("  " + l.trim.take(160))
+          // partition pruning evidence sits deep in FileScan lines and
+          // would be lost to the 160-char cap — surface it explicitly
+          val pf = l.indexOf("PartitionFilters: [")
+          if (pf >= 0) {
+            val frag = l.substring(pf, math.min(l.length, pf + 140))
+            if (!frag.startsWith("PartitionFilters: []"))
+              println("      ^- " + frag.takeWhile(_ != ']') + "]")
+          }
+        }
       }
     }
     spark.stop()

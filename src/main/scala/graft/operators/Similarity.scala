@@ -170,6 +170,72 @@ object Similarity {
       .where(col("rn") <= k)
   }
 
+  // ---- persisted IVF index (VERDICT r5 #1): `ivfTopK` re-assigns the
+  // whole corpus to centroids on EVERY invocation — at 100 TB that is a
+  // full-corpus scan × K distance kernels per query batch. The indexed
+  // form stages the assignment ONCE as a cid-partitioned parquet layout
+  // (the Sinks writePartitioned machinery), so probing a list becomes a
+  // partition-pruned directory read: scan cost ∝ lists PROBED
+  // (nProbe/K ≈ 15% of the corpus), not lists existing, and the
+  // assignment cost is paid once per corpus version, amortized over
+  // every subsequent query batch.
+
+  /** Memoized staged index, keyed (dir, data fingerprint): path of the
+    * cid-partitioned corpus + the centroids that defined it (quantizer
+    * state k·64 doubles — bounded driver memory). */
+  private val indexCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Array[Array[Double]])]()
+
+  def clearIndexCache(): Unit = indexCache.clear()
+
+  private[graft] def stagedIvfIndex(spark: SparkSession, dir: String): (String, Array[Array[Double]]) =
+    indexCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
+      val lists = ivfK(corpusSize(spark, dir))
+      val cents = Clustering.fit(spark, dir, k = lists)
+      val assigned = vecs(spark, dir)
+        .withColumn("best", array_min(array(Clustering.distStructs(cents): _*)))
+        .withColumn("cid", col("best.cid")).drop("best")
+      val root = new java.io.File(graft.Engine.workDir("graft-ivf-"), "ivf_index")
+      graft.sources.Sinks.writePartitioned(
+        assigned, root.getAbsolutePath, Seq("cid"), Seq("vec_id"))
+      (root.getAbsolutePath, cents)
+    })
+
+  /** North-star q_simsearch_ivf_indexed: IVF search over the PERSISTED
+    * index. Identical search semantics to `ivfTopK` (same memoized
+    * quantizer, same probe sizing, parquet round-trips doubles
+    * bit-exactly → identical results), but the corpus side is a read
+    * of the staged cid-partitioned table with the probed list ids
+    * inlined as a static `cid IN (…)` predicate — the scan's
+    * PartitionFilters prune the directory listing to the ≤ nQueries ×
+    * nProbe probed lists, and NO full-corpus assignment stage exists
+    * in the plan. The probed-cid union is bounded driver state
+    * (ints), same pattern as the centroid array itself. */
+  def ivfTopKIndexed(spark: SparkSession, dir: String, k: Int = 10,
+                     nProbe: Int = 0): DataFrame = {
+    val (path, cents) = stagedIvfIndex(spark, dir)
+    val probes = if (nProbe > 0) nProbe else ivfNProbe(cents.length)
+    val ds = Clustering.distStructs(cents)
+    // query batch: derives probe lists from the tiny centroid array —
+    // the only corpus touch is the pushed-filter vec_id < 10 read
+    val q = vecs(spark, dir).where(col("vec_id") < 10)
+      .withColumn("dsrt", array_sort(array(ds: _*)))
+      .withColumn("probe",
+        explode(expr(s"transform(slice(dsrt, 1, $probes), s -> s.cid)")))
+      .drop("dsrt")
+    val probeCids = q.select(col("probe")).distinct().collect()
+      .map(_.getInt(0).asInstanceOf[AnyRef])
+    val corpus = spark.read.parquet(path)
+      .where(col("cid").isin(probeCids: _*)) // static PartitionFilters
+    val scored = broadcast(q).as("q").join(corpus.as("c"),
+        col("q.probe") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"),
+        cosCol.as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= k)
+  }
+
   /** North-star q_simsearch_lsh: approximate top-k via hyperplane LSH
     * with single-bit multi-probe. Not oracle-checked (approximate);
     * recall vs `bruteForceTopK` is property-tested. */

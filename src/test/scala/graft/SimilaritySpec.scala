@@ -59,6 +59,32 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(recall > 0.5, f"IVF recall $recall%.2f unexpectedly low")
   }
 
+  test("indexed IVF ≡ live IVF bit-for-bit; corpus side is a partition-pruned index scan") {
+    // result equality is STRONGER than a recall bar: the staged index
+    // shares the memoized quantizer and parquet round-trips doubles
+    // exactly, so the indexed search inherits ivfTopK's spec'd recall
+    // (0.98 on the clustered corpus) by identity
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))
+    val live = Similarity.ivfTopK(spark, sf).collect().map(key).toSet
+    val idx = Similarity.ivfTopKIndexed(spark, sf)
+    assert(idx.collect().map(key).toSet === live)
+    val plan = idx.queryExecution.executedPlan.toString
+    // the probed cids are a STATIC partition filter on the index scan
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"index scan not partition-pruned:\n$plan")
+    // no full-corpus assignment stage: every scan of the raw
+    // embeddings table carries the query-batch pushdown (vec_id < 10)
+    // — an unfiltered corpus scan would mean per-run re-assignment
+    val rawScans = plan.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("embeddings.parquet")).toSeq
+    assert(rawScans.nonEmpty, "query-batch scan missing")
+    rawScans.foreach(l =>
+      assert(l.contains("vec_id") && l.contains("< 10"),
+        s"unfiltered corpus scan in indexed plan:\n$l"))
+  }
+
   test("quantizer sizing derives from corpus cardinality (code, not prose)") {
     assert(Similarity.ivfK(100) === 10)
     assert(Similarity.ivfK(1000000) === 1000)
