@@ -58,6 +58,7 @@ object SparkEntry {
     "q_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"   -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_cc"        -> ((s, d) => Dedup.dupComponents(s, d)),
+    "q_dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "q_dedup_embed"     -> ((s, d) => Dedup.embedNearDupGrid(s, d)),
     "q_simsearch"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_simsearch_lsh"   -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -479,6 +480,47 @@ object SparkEntry {
          |  SELECT e.u AS node, t.r FROM edges e JOIN reach t ON e.v = t.node
          |)
          |SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node""".stripMargin,
+    // keep-best: q_dedup_cc's components + a quality argmax per cluster;
+    // row_number mirrors max_by(doc_id, struct(n_chars, -doc_id))
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+         |  FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+         |  WHERE len(ts) >= 3
+         |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |iv AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ic
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |), pairs AS (
+         |  SELECT da, db
+         |  FROM iv JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+         |  WHERE CAST(ic AS DOUBLE) / (x.n + y.n - ic) >= 0.8
+         |), edges AS (
+         |  SELECT da AS u, db AS v FROM pairs
+         |  UNION ALL SELECT db, da FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT u AS node, u AS r FROM edges
+         |  UNION
+         |  SELECT e.u AS node, t.r FROM edges e JOIN reach t ON e.v = t.node
+         |), comp AS (
+         |  SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node
+         |), lab AS (
+         |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp, d.n_chars
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |), best AS (
+         |  SELECT comp, doc_id AS canonical_id FROM (
+         |    SELECT comp, doc_id,
+         |           row_number() OVER (PARTITION BY comp
+         |                              ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM lab) WHERE rn = 1
+         |)
+         |SELECT l.doc_id, b.canonical_id,
+         |       l.doc_id = b.canonical_id AS is_canonical
+         |FROM lab l JOIN best b ON l.comp = b.comp""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH tc AS (
          |  SELECT doc_id, tok, count(*) AS cnt FROM (

@@ -492,6 +492,38 @@ object Dedup {
       .where(col("n_clusters") > 0L)
   }
 
+  /** q_dedup_keep_best: QUALITY-AWARE canonical selection — within each
+    * dup cluster keep the highest-quality member (here: longest
+    * `n_chars`, ties to the lower doc_id) instead of blindly keeping
+    * the minimum id. This is the curation policy real pipelines want:
+    * boilerplate-stripped short copies lose to the fullest version of
+    * the content. Composes `dupComponents` over the MinHash-LSH pair
+    * graph; docs in no pair are their own canonical. The argmax is a
+    * partial/final `max_by(doc_id, struct(n_chars, -doc_id))` — no
+    * window over the corpus, so a giant boilerplate cluster never
+    * funnels into one task; the oracle mirrors it with a
+    * `row_number() OVER (ORDER BY n_chars DESC, doc_id)` pick.
+    * Output: (doc_id, canonical_id, is_canonical) at corpus grain. */
+  def keepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBest(Tables(spark, dir, "documents").select("doc_id", "n_chars"),
+      dupComponents(minhashLsh(Tables(spark, dir, "documents"))))
+
+  /** df form: expects docs (doc_id, n_chars) and component labels
+    * (doc_id, comp) covering the docs that are in any dup pair. */
+  def keepBest(docs: DataFrame, comps: DataFrame): DataFrame = {
+    val labeled = docs
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+    val best = labeled.groupBy("comp")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("canonical_id"))
+    labeled.join(best, "comp")
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** q_passage_dedup: sub-document duplicate-passage detection — the
     * passage/line-level dedup of the C4/CCNet/RefinedWeb recipes (at
     * web scale most duplication is REPEATED SPANS — boilerplate,

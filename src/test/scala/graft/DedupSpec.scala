@@ -192,6 +192,21 @@ class DedupSpec extends SparkSuiteBase {
       f"(${dropped.length} semantic dups pruned)")
   }
 
+  test("keepBest: longest member is canonical, ties to lower id, singletons self-canonical") {
+    import spark.implicits._
+    // cluster {1,2,3}: 2 is longest → canonical; cluster {5,6}: tied
+    // length → lower id 5; doc 9: singleton
+    val docs = Seq((1L, 100L), (2L, 250L), (3L, 80L),
+      (5L, 90L), (6L, 90L), (9L, 10L)).toDF("doc_id", "n_chars")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "comp")
+    val got = Dedup.keepBest(docs, comps).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      1L -> ((2L, false)), 2L -> ((2L, true)), 3L -> ((2L, false)),
+      5L -> ((5L, true)), 6L -> ((5L, false)), 9L -> ((9L, true))))
+  }
+
   test("semanticDedup greedy-leader semantics on a crafted single-cluster frame") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
