@@ -63,6 +63,7 @@ object SparkEntry {
     "q_simsearch"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_simsearch_lsh"   -> ((s, d) => Similarity.lshTopK(s, d)),
     "q_simsearch_ivf_indexed" -> ((s, d) => Similarity.ivfTopKIndexed(s, d)),
+    "q_simsearch_ivf_append" -> ((s, d) => Similarity.ivfTopKAppended(s, d)),
     "q_simsearch_ivf"   -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),

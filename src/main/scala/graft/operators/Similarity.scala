@@ -186,7 +186,7 @@ object Similarity {
   private val indexCache =
     new scala.collection.concurrent.TrieMap[(String, String), (String, Array[Array[Double]])]()
 
-  def clearIndexCache(): Unit = indexCache.clear()
+  def clearIndexCache(): Unit = { indexCache.clear(); appendCache.clear() }
 
   private[graft] def stagedIvfIndex(spark: SparkSession, dir: String): (String, Array[Array[Double]]) =
     indexCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
@@ -214,6 +214,12 @@ object Similarity {
   def ivfTopKIndexed(spark: SparkSession, dir: String, k: Int = 10,
                      nProbe: Int = 0): DataFrame = {
     val (path, cents) = stagedIvfIndex(spark, dir)
+    searchIndex(spark, dir, path, cents, k, nProbe)
+  }
+
+  private def searchIndex(spark: SparkSession, dir: String, path: String,
+                          cents: Array[Array[Double]], k: Int,
+                          nProbe: Int): DataFrame = {
     val probes = if (nProbe > 0) nProbe else ivfNProbe(cents.length)
     val ds = Clustering.distStructs(cents)
     // query batch: derives probe lists from the tiny centroid array —
@@ -235,6 +241,47 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w).cast(LongType))
       .where(col("rn") <= k)
   }
+
+  /** North-star q_simsearch_ivf_append: INCREMENTAL index maintenance.
+    * A real 100 TB corpus is not static — new batches arrive after the
+    * index is built, and rebuilding per batch would cost a full-corpus
+    * assignment each time. Here the base index is staged on the first
+    * ~90% of vectors, then the late batch is assigned with the SAME
+    * (already-trained) quantizer and appended into its `cid=…`
+    * directories — existing partitions are never rewritten, the append
+    * cost is |delta| × K distance kernels, and searches over the
+    * appended index are BIT-IDENTICAL to an index built on the full
+    * corpus in one shot (same centroids ⇒ same assignment of every
+    * vector; spec-asserted). Centroid drift from accumulated appends
+    * is the operator's documented refresh trigger: re-fit + rebuild
+    * when the appended fraction gets large. */
+  def ivfTopKAppended(spark: SparkSession, dir: String, k: Int = 10,
+                      nProbe: Int = 0): DataFrame = {
+    val (path, cents) = stagedAppendedIndex(spark, dir)
+    searchIndex(spark, dir, path, cents, k, nProbe)
+  }
+
+  private val appendCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Array[Array[Double]])]()
+
+  private[graft] def stagedAppendedIndex(spark: SparkSession, dir: String): (String, Array[Array[Double]]) =
+    appendCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
+      val n = corpusSize(spark, dir)
+      val cents = Clustering.fit(spark, dir, k = ivfK(n))
+      val cut = n - math.max(1L, n / 10) // last ~10% arrive "late"
+      def assigned(df: DataFrame): DataFrame = df
+        .withColumn("best", array_min(array(Clustering.distStructs(cents): _*)))
+        .withColumn("cid", col("best.cid")).drop("best")
+      val v = vecs(spark, dir)
+      val root = new java.io.File(graft.Engine.workDir("graft-ivf-"), "ivf_index_inc")
+      graft.sources.Sinks.writePartitioned(
+        assigned(v.where(col("vec_id") < cut)),
+        root.getAbsolutePath, Seq("cid"), Seq("vec_id"))
+      assigned(v.where(col("vec_id") >= cut))
+        .write.mode("append").partitionBy("cid")
+        .parquet(root.getAbsolutePath)
+      (root.getAbsolutePath, cents)
+    })
 
   /** North-star q_simsearch_lsh: approximate top-k via hyperplane LSH
     * with single-bit multi-probe. Not oracle-checked (approximate);

@@ -85,6 +85,22 @@ class SimilaritySpec extends SparkSuiteBase {
         s"unfiltered corpus scan in indexed plan:\n$l"))
   }
 
+  test("appended index ≡ one-shot index bit-for-bit (same quantizer, no rebuild)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))
+    val oneShot = Similarity.ivfTopKIndexed(spark, sf).collect().map(key).toSet
+    val appended = Similarity.ivfTopKAppended(spark, sf).collect().map(key).toSet
+    assert(appended === oneShot)
+    // the append really landed as extra files inside existing cid= dirs
+    val (path, _) = Similarity.stagedAppendedIndex(spark, sf)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(dirs.nonEmpty)
+    val multiFile = dirs.count(_.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    assert(multiFile > 0, "no cid partition holds an appended file")
+  }
+
   test("quantizer sizing derives from corpus cardinality (code, not prose)") {
     assert(Similarity.ivfK(100) === 10)
     assert(Similarity.ivfK(1000000) === 1000)
