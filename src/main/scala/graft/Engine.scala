@@ -63,15 +63,26 @@ object Engine {
   private[graft] def setReliableCheckpointDir(dir: Option[String]): Unit =
     ckptOverride = dir
 
+  /** The reliable dir `cut` last applied via setCheckpointDir — NOT a
+    * substring probe of sc.getCheckpointDir (which is UUID-suffixed and
+    * could be a stale/foreign path that merely contains the knob value). */
+  @volatile private var ckptDirApplied: Option[String] = None
+
   /** Lineage cut for iterative operators — localCheckpoint by default,
     * reliable checkpoint when [[reliableCheckpointDir]] is set. Both
-    * are eager, so call sites are behavior-identical either way. */
+    * are eager, so call sites are behavior-identical either way.
+    * Superseded iteration checkpoints are GC-cleaned
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` in
+    * [[configure]]) so a 20-round loop does not leave 20 full copies
+    * of its working set in the durable store. */
   def cut[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
     reliableCheckpointDir match {
       case Some(dir) =>
         val sc = ds.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty || !sc.getCheckpointDir.exists(_.contains(dir)))
+        if (!ckptDirApplied.contains(dir)) {
           sc.setCheckpointDir(dir)
+          ckptDirApplied = Some(dir)
+        }
         ds.checkpoint()
       case None => ds.localCheckpoint()
     }
@@ -85,6 +96,10 @@ object Engine {
       // events.parquet stores ts as TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as epoch-nanos long, converted in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reliable checkpoints (Engine.cut knob): delete a round's rdd-*
+      // files once its RDD is GC'd — without this every iteration of a
+      // checkpointed loop leaves a full copy in the durable store
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 
   /** Standard local session for mains and tests. Scratch space (shuffle

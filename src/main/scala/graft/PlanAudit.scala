@@ -32,8 +32,13 @@ object PlanAudit {
           val pf = l.indexOf("PartitionFilters: [")
           if (pf >= 0) {
             val frag = l.substring(pf, math.min(l.length, pf + 140))
-            if (!frag.startsWith("PartitionFilters: []"))
-              println("      ^- " + frag.takeWhile(_ != ']') + "]")
+            if (!frag.startsWith("PartitionFilters: []")) {
+              // mark truncation honestly instead of fabricating a ']'
+              if (frag.contains(']'))
+                println("      ^- " + frag.takeWhile(_ != ']') + "]")
+              else
+                println("      ^- " + frag + "… (truncated)")
+            }
           }
         }
       }

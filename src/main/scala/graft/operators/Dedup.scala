@@ -355,9 +355,8 @@ object Dedup {
     * boundaries make the result quantizer-dependent); spec'd against
     * the exact grid pairs at the same τ. */
   def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
-    val v = Similarity.vecs(spark, dir)
-    val k = Similarity.ivfK(v.count())
-    semanticDedup(v, Clustering.fit(spark, dir, k = k), tau)
+    val k = Similarity.ivfK(Similarity.corpusSize(spark, dir)) // memoized count
+    semanticDedup(Similarity.vecs(spark, dir), Clustering.fit(spark, dir, k = k), tau)
   }
 
   /** df form: expects (vec_id, e, nrm) as produced by
@@ -506,7 +505,7 @@ object Dedup {
     * Output: (doc_id, canonical_id, is_canonical) at corpus grain. */
   def keepBest(spark: SparkSession, dir: String): DataFrame =
     keepBest(Tables(spark, dir, "documents").select("doc_id", "n_chars"),
-      dupComponents(minhashLsh(Tables(spark, dir, "documents"))))
+      dupComponents(spark, dir)) // same pair source as q_dedup_cc/q_dedup_stats
 
   /** df form: expects docs (doc_id, n_chars) and component labels
     * (doc_id, comp) covering the docs that are in any dup pair. */

@@ -528,16 +528,20 @@ object TextOps {
                 merges: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
     // each DISTINCT word tokenized once: chars + </w>, merges replayed
-    // in learned rank order (the standard BPE apply)
-    val wordSyms = docs.select(explode(tokens(col("text"))).as("word"))
-      .where(length(col("word")) > 0).distinct()
-      .as[String]
-      .map { w =>
-        var syms: Seq[String] = w.map(_.toString) :+ "</w>"
-        merges.foreach { case (l, r) => syms = mergePair(syms, l, r) }
-        (w, syms)
-      }
-      .toDF("word", "syms")
+    // in learned rank order (the standard BPE apply). Materialized
+    // (Engine.cut) because BOTH the vocab-id collect below and the
+    // corpus join consume it — uncached, the corpus scan + distinct +
+    // merge replay would execute twice.
+    val wordSyms = graft.Engine.cut(
+      docs.select(explode(tokens(col("text"))).as("word"))
+        .where(length(col("word")) > 0).distinct()
+        .as[String]
+        .map { w =>
+          var syms: Seq[String] = w.map(_.toString) :+ "</w>"
+          merges.foreach { case (l, r) => syms = mergePair(syms, l, r) }
+          (w, syms)
+        }
+        .toDF("word", "syms"))
     // symbol→id: final symbols ⊆ alphabet ∪ {</w>} ∪ merge outputs, so
     // the vocab is ≤ |alphabet| + 1 + |merges| rows — bounded driver
     // state, sorted for a deterministic id assignment

@@ -85,13 +85,16 @@ class SimilaritySpec extends SparkSuiteBase {
         s"unfiltered corpus scan in indexed plan:\n$l"))
   }
 
-  test("appended index ≡ one-shot index bit-for-bit (same quantizer, no rebuild)") {
+  test("appended index ≡ live search under the base-trained quantizer (no rebuild)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1),
         java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))
-    val oneShot = Similarity.ivfTopKIndexed(spark, sf).collect().map(key).toSet
     val appended = Similarity.ivfTopKAppended(spark, sf).collect().map(key).toSet
-    assert(appended === oneShot)
+    // the quantizer never saw the delta; a live full-corpus search
+    // under the SAME centroids is the ground truth the append must hit
+    val (_, cents) = Similarity.stagedAppendedIndex(spark, sf)
+    val live = Similarity.ivfTopKWith(spark, sf, cents).collect().map(key).toSet
+    assert(appended === live)
     // the append really landed as extra files inside existing cid= dirs
     val (path, _) = Similarity.stagedAppendedIndex(spark, sf)
     val dirs = new java.io.File(path).listFiles()
