@@ -577,11 +577,14 @@ object TextOps {
   /** Map a symbol array to vocab ids inside codegen-friendly SQL: the
     * bounded vocab rides the plan as a map literal (no UDF, no
     * broadcast variable plumbing). */
-  private def udfLessIds(vocab: Map[String, Int]): Column => Column = {
-    val m = map(vocab.toSeq.sortBy(_._1)
-      .flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
-    (syms: Column) => transform(syms, s => element_at(m, s))
-  }
+  private def udfLessIds(vocab: Map[String, Int]): Column => Column =
+    if (vocab.isEmpty) // empty corpus: no symbols exist to look up
+      (syms: Column) => transform(syms, _ => lit(null).cast("int"))
+    else {
+      val m = map(vocab.toSeq.sortBy(_._1)
+        .flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
+      (syms: Column) => transform(syms, s => element_at(m, s))
+    }
 
   /** Greedy left-to-right non-overlapping merge of adjacent (l, r) —
     * the BPE apply step; "aaa" under (a,a) → ["aa", "a"]. */

@@ -108,6 +108,25 @@ class EdgeCaseSpec extends SparkSuiteBase {
     assert(row.isNullAt(2) && row.isNullAt(4))
   }
 
+  test("empty inputs: round-6 operators return empty, schema intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // BPE encode of an empty corpus: no words, empty vocab, empty out
+    val enc = TextOps.bpeEncode(spark, empty, Seq.empty[(String, String)])
+    assert(enc.collect().isEmpty)
+    assert(enc.columns.toSeq === Seq("doc_id", "n_words", "n_tokens", "token_ids"))
+    // keepBest with no components: every doc is its own canonical
+    val solo = Dedup.keepBest(
+      Seq((7L, 42L)).toDF("doc_id", "n_chars"),
+      Seq.empty[(Long, Long)].toDF("doc_id", "comp")).collect()
+    assert(solo.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ===
+      Seq((7L, 7L, true)))
+    // semantic dedup over an empty vector frame: empty out, no fit crash
+    val noVecs = Seq.empty[(Long, Seq[Double], Double)].toDF("vec_id", "e", "nrm")
+    assert(Dedup.semanticDedup(noVecs, Array(Array(0.0, 0.0)), 0.9)
+      .collect().isEmpty)
+  }
+
   test("empty inputs: round-5 operators return empty or zero, never NULL counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
