@@ -79,7 +79,10 @@ object Engine {
     reliableCheckpointDir match {
       case Some(dir) =>
         val sc = ds.sparkSession.sparkContext
-        if (!ckptDirApplied.contains(dir)) {
+        // re-apply when the knob changed OR the context is fresh (a
+        // recreated SparkContext loses its checkpoint dir while the
+        // JVM-global flag would still claim it was applied)
+        if (!ckptDirApplied.contains(dir) || sc.getCheckpointDir.isEmpty) {
           sc.setCheckpointDir(dir)
           ckptDirApplied = Some(dir)
         }

@@ -57,10 +57,15 @@ object Similarity {
     graft.functions.VectorExprs.dot(col("q.e"), col("c.e")) /
       (col("q.nrm") * col("c.nrm"))
 
+  /** The catalog query batch: the first 10 vectors. ONE definition —
+    * the brute-force / IVF / indexed / LSH forms and the appended-index
+    * parity spec all share it, so the sets can never drift apart. */
+  private[graft] def QueryVecs: Column = col("vec_id") < 10
+
   /** B20 q_simsearch: exact cosine top-k (k=10) for the query vectors
     * vec_id < 10 over the whole corpus (self excluded). */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    bruteForceTopK(Tables(spark, dir, "embeddings"), col("vec_id") < 10, k)
+    bruteForceTopK(Tables(spark, dir, "embeddings"), QueryVecs, k)
 
   /** df form: `isQuery` selects the query vectors out of `emb`. */
   def bruteForceTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
@@ -137,7 +142,7 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10, nProbe: Int = 0): DataFrame = {
     val lists = ivfK(corpusSize(spark, dir))          // K ≈ √n lists
     val probes = if (nProbe > 0) nProbe else ivfNProbe(lists)
-    ivfBody(vecs(spark, dir), col("vec_id") < 10, k, probes,
+    ivfBody(vecs(spark, dir), QueryVecs, k, probes,
       Clustering.fit(spark, dir, k = lists))
   }
 
@@ -186,6 +191,11 @@ object Similarity {
   private val indexCache =
     new scala.collection.concurrent.TrieMap[(String, String), (String, Array[Array[Double]])]()
 
+  /** Drop the memoized index metadata so the NEXT call re-stages.
+    * CONTRACT: materialize any previously returned indexed/appended
+    * search DataFrame before clearing — re-staging overwrites the
+    * stable root in place, so un-collected plans built against the old
+    * file listing would hit FileNotFoundException on evaluation. */
   def clearIndexCache(): Unit = { indexCache.clear(); appendCache.clear() }
 
   private[graft] def stagedIvfIndex(spark: SparkSession, dir: String): (String, Array[Array[Double]]) =
@@ -224,7 +234,7 @@ object Similarity {
     val ds = Clustering.distStructs(cents)
     // query batch: derives probe lists from the tiny centroid array —
     // the only corpus touch is the pushed-filter vec_id < 10 read
-    val q = vecs(spark, dir).where(col("vec_id") < 10)
+    val q = vecs(spark, dir).where(QueryVecs)
       .withColumn("dsrt", array_sort(array(ds: _*)))
       .withColumn("probe",
         explode(expr(s"transform(slice(dsrt, 1, $probes), s -> s.cid)")))
@@ -269,7 +279,7 @@ object Similarity {
                                  cents: Array[Array[Double]], k: Int = 10,
                                  nProbe: Int = 0): DataFrame = {
     val probes = if (nProbe > 0) nProbe else ivfNProbe(cents.length)
-    ivfBody(vecs(spark, dir), col("vec_id") < 10, k, probes, cents)
+    ivfBody(vecs(spark, dir), QueryVecs, k, probes, cents)
   }
 
   private val appendCache =
@@ -280,10 +290,16 @@ object Similarity {
       val n = corpusSize(spark, dir)
       val cut = n - math.max(1L, n / 10) // last ~10% arrive "late"
       val v = vecs(spark, dir)
-      // quantizer trained on the base only — the delta does not exist yet
-      val cents = Clustering.fit(
+      // quantizer trained on the base only — the delta does not exist
+      // yet; degenerate corpora whose base slice is empty fall back to
+      // a full fit (zero centroids would break the assignment kernel)
+      val baseFit = Clustering.fit(
         v.where(col("vec_id") < cut).select(col("vec_id"), col("e")),
         Clustering.Iters, ivfK(n))
+      val cents =
+        if (baseFit.nonEmpty) baseFit
+        else Clustering.fit(v.select(col("vec_id"), col("e")),
+          Clustering.Iters, ivfK(n))
       def assigned(df: DataFrame): DataFrame = df
         .withColumn("best", array_min(array(Clustering.distStructs(cents): _*)))
         .withColumn("cid", col("best.cid")).drop("best")
@@ -310,7 +326,7 @@ object Similarity {
     * with single-bit multi-probe. Not oracle-checked (approximate);
     * recall vs `bruteForceTopK` is property-tested. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    lshBody(vecs(spark, dir), col("vec_id") < 10,
+    lshBody(vecs(spark, dir), QueryVecs,
       lshPlanes(corpusSize(spark, dir)), k)
 
   /** df form: expects (vec_id, embedding); plane count derived from the

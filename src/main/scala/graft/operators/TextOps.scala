@@ -528,11 +528,12 @@ object TextOps {
                 merges: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
     // each DISTINCT word tokenized once: chars + </w>, merges replayed
-    // in learned rank order (the standard BPE apply). Materialized
-    // (Engine.cut) because BOTH the vocab-id collect below and the
-    // corpus join consume it — uncached, the corpus scan + distinct +
-    // merge replay would execute twice.
-    val wordSyms = graft.Engine.cut(
+    // in learned rank order (the standard BPE apply). Materialized with
+    // localCheckpoint (NOT Engine.cut: this is a two-consumer cache,
+    // not a fault-tolerance lineage cut — the vocab-id collect below
+    // and the corpus join both consume it, and a durable checkpoint
+    // would buy nothing since a failure re-runs the whole encode).
+    val wordSyms = (
       docs.select(explode(tokens(col("text"))).as("word"))
         .where(length(col("word")) > 0).distinct()
         .as[String]
@@ -541,7 +542,7 @@ object TextOps {
           merges.foreach { case (l, r) => syms = mergePair(syms, l, r) }
           (w, syms)
         }
-        .toDF("word", "syms"))
+        .toDF("word", "syms")).localCheckpoint()
     // symbol→id: final symbols ⊆ alphabet ∪ {</w>} ∪ merge outputs, so
     // the vocab is ≤ |alphabet| + 1 + |merges| rows — bounded driver
     // state, sorted for a deterministic id assignment

@@ -64,16 +64,19 @@ class DedupSpec extends SparkSuiteBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-spec").toFile
     try {
       Engine.setReliableCheckpointDir(Some(dir.getAbsolutePath))
-      val got = Dedup.dupComponents(pairs).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === want)
-      // the lineage cuts really went through reliable checkpoints —
-      // durable RDD files exist under the knob's dir
+      // hold the result DataFrame while asserting on the filesystem:
+      // cleanCheckpoints=true lets the ContextCleaner GC-delete files
+      // of unreachable checkpointed RDDs, so the file check must run
+      // while the final checkpoint is still referenced by `df`
+      val df = Dedup.dupComponents(pairs)
       def rddFiles(f: java.io.File): Int =
         Option(f.listFiles()).getOrElse(Array.empty).map { c =>
           (if (c.getName.startsWith("rdd-")) 1 else 0) + rddFiles(c)
         }.sum
       assert(rddFiles(dir) > 0, s"no rdd-* checkpoint dirs under $dir")
+      val got = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
     } finally {
       Engine.setReliableCheckpointDir(None)
       Fs.rmRf(dir)
