@@ -210,6 +210,39 @@ class DedupSpec extends SparkSuiteBase {
       5L -> ((5L, true)), 6L -> ((5L, false)), 9L -> ((9L, true))))
   }
 
+  test("keepBest equals a plain-Scala reference on seeded random frames") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val docs = (1 to n).map(i => (i.toLong, rnd.nextInt(500).toLong))
+      // random partition into clusters of 1-4 members
+      var id = 1
+      val comps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (id <= n) {
+        val sz = 1 + rnd.nextInt(4)
+        val members = (id until math.min(id + sz, n + 1)).map(_.toLong)
+        // only multi-member clusters get component labels (singletons
+        // stay unlabeled, as dupComponents leaves non-paired docs)
+        if (members.size > 1) members.foreach(m => comps += ((m, members.min)))
+        id += sz
+      }
+      val got = Dedup.keepBest(docs.toDF("doc_id", "n_chars"),
+          comps.toSeq.toDF("doc_id", "comp")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
+      val compOf = comps.toMap
+      val chars = docs.toMap
+      val want = docs.map { case (d, nc) =>
+        val c = compOf.getOrElse(d, d)
+        val members = docs.collect {
+          case (m, _) if compOf.getOrElse(m, m) == c => m }
+        val canon = members.maxBy(m => (chars(m), -m))
+        (d, canon, d == canon)
+      }.sorted
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("semanticDedup greedy-leader semantics on a crafted single-cluster frame") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -265,6 +265,19 @@ class TextAnalysisSpec extends SparkSuiteBase {
     }
   }
 
+  test("bpeEncode with zero merges: every word is chars + </w>, ids cover the alphabet") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(1L -> "ab ba abba", 2L -> "b")
+    val got = TextOps.bpeEncode(spark, d, Seq.empty).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getSeq[Int](3)))).toMap
+    // n_tokens = Σ (len(word) + 1) exactly when nothing merges
+    assert(got(1L)._1 === 3L && got(1L)._2 === (3 + 3 + 5).toLong)
+    assert(got(2L)._1 === 1L && got(2L)._2 === 2L)
+    // vocab is {</w>, a, b} sorted → ids 0, 1, 2
+    assert(got(2L)._3 === Seq(2, 0))             // "b" → b, </w>
+    assert(got(1L)._3.take(3) === Seq(1, 2, 0))  // "ab" → a, b, </w>
+  }
+
   test("mergePair: greedy left-to-right, non-overlapping") {
     assert(TextOps.mergePair(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
     assert(TextOps.mergePair(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
