@@ -75,6 +75,7 @@ object Bench {
         graft.operators.Clustering.clearFitCache()
         graft.operators.TextOps.clearMergeCache()
         graft.operators.Similarity.clearIndexCache()
+        graft.operators.Dedup.clearComponentCache()
         val t0 = System.nanoTime()
         try {
           runOnce()

@@ -452,9 +452,22 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("comp"))
   }
 
-  /** Catalog form over the MinHash-LSH pairs (J ≥ 0.8). */
+  /** Catalog form over the MinHash-LSH pairs (J ≥ 0.8). Memoized per
+    * (dir, data fingerprint): a curation run computes components ONCE
+    * and every consumer (q_dedup_cc, q_dedup_stats, q_dedup_keep_best)
+    * reads the same materialized labels — the returned frame is backed
+    * by the CC loop's final lineage cut, so repeated actions replay
+    * cached blocks, not the propagation loop. Session-scoped (the
+    * backing blocks die with the SparkContext); cleared by the bench
+    * between timed runs. */
+  private val compCache =
+    new scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  def clearComponentCache(): Unit = compCache.clear()
+
   def dupComponents(spark: SparkSession, dir: String): DataFrame =
-    dupComponents(minhashLsh(Tables(spark, dir, "documents")))
+    compCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "documents")),
+      dupComponents(minhashLsh(Tables(spark, dir, "documents"))))
 
   /** q_dedup_stats: duplicate-cluster size distribution — the QA view
     * of a dedup run (how much of the corpus is duplicated, and is it
