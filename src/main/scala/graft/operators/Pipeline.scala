@@ -461,18 +461,27 @@ object Pipeline {
       .select("doc_id", "lang")
   }
 
-  /** q_pipeline_curate: per-language curation ledger. */
+  /** q_pipeline_curate: per-language curation ledger. The catalog form
+    * reads the MEMOIZED component labels — the pipeline computes
+    * components once per corpus version and every consumer (dedup
+    * audit, keep-best, this ledger) shares them. */
   def curate(spark: SparkSession, dir: String): DataFrame =
-    curate(Tables(spark, dir, "documents"))
+    curate(Tables(spark, dir, "documents"),
+      Dedup.dupComponents(spark, dir))
 
-  /** df form: expects (doc_id: Long, text: String, lang: String). */
-  def curate(documents: DataFrame): DataFrame = {
+  /** df form: expects (doc_id: Long, text: String, lang: String);
+    * computes its own components. */
+  def curate(documents: DataFrame): DataFrame =
+    curate(documents, Dedup.dupComponents(Dedup.minhashLsh(documents)))
+
+  /** df form with externally-computed component labels (doc_id, comp). */
+  def curate(documents: DataFrame, comps: DataFrame): DataFrame = {
     val docs = documents.select("doc_id", "lang")
     // transitive dedup: drop every non-canonical member of each near-dup
     // COMPONENT (keep the min id). Pairwise keep-the-lower would
     // under-deduplicate chains (A≈B≈C with A̸≈C keeps both A and C
     // unless B's bridge closes them into one component).
-    val dupIds = Dedup.dupComponents(Dedup.minhashLsh(documents))
+    val dupIds = comps
       .where(col("doc_id") =!= col("comp"))
       .select(col("doc_id")).distinct()
     val quality = TextOps.qualityScore(documents).select("doc_id", "score")
