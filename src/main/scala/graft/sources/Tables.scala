@@ -65,17 +65,33 @@ object Tables {
     * via `.explain` PushedFilters) — a temp view is just a named plan,
     * not a materialization.
     *
-    * `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark's
-    * reader only admits as epoch-nanos Long (`nanosAsLong`, set in Engine);
-    * converted here to a micros Timestamp with exact integer division
-    * (`DIV`, not `/` — double division loses precision above 2^53 ns). */
+    * Timestamp normalization — the engine's surface type for event time
+    * is TimestampType (UTC instants), whatever the parquet footer says:
+    *  - TIMESTAMP(NANOS) footers (early testdata generations) reach
+    *    Spark as epoch-nanos Long (`nanosAsLong`, set in Engine) →
+    *    exact integer `DIV 1000` to micros (not `/` — double division
+    *    loses precision above 2^53 ns);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) footers (current
+    *    generation) reach Spark as TIMESTAMP_NTZ → cast to TIMESTAMP,
+    *    which under the engine's pinned UTC session zone keeps the
+    *    wall-clock value bit-for-bit (DuckDB reads the same file as a
+    *    naive TIMESTAMP, so oracle `epoch_us` parity is unchanged). */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    def convert(raw: DataFrame): DataFrame =
-      if (name == "events")
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      else raw
+    def convert(raw: DataFrame): DataFrame = {
+      val nanosFixed =
+        if (name == "events" &&
+            raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        else raw
+      nanosFixed.schema.fields.foldLeft(nanosFixed) { (df, f) =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+          df.withColumn(f.name,
+            df.col(f.name).cast(org.apache.spark.sql.types.TimestampType))
+        else df
+      }
+    }
     val m = sessionCatalog(spark)
     val fp = graft.Fs.tableFingerprint(dir, name)
     m.get((dir, name)) match {
