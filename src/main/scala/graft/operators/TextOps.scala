@@ -515,6 +515,16 @@ object TextOps {
     bpeEncode(spark, Tables(spark, dir, "documents"), merges)
   }
 
+  /** Driver-checkable form of q_bpe_encode: `token_ids` rendered as a
+    * space-joined string. The correctness harness normalizes results
+    * with a pandas all-column sort, which cannot order a list column —
+    * the array stays on the library API (`bpeEncode`); only the
+    * DECLARED query flattens it (content-preserving: the string is a
+    * bijection of the id sequence). */
+  def bpeEncodeDeclared(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir)
+      .withColumn("token_ids", concat_ws(" ", col("token_ids")))
+
   def bpeEncode(spark: SparkSession, docs: DataFrame, nMerges: Int): DataFrame = {
     // learn, then pull the BOUNDED merge table (nMerges rows) to the driver
     val merges = bpeLearn(spark, docs, nMerges)
@@ -603,20 +613,23 @@ object TextOps {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(Tables(spark, dir, "documents"))
 
+  /** Document fingerprints: `full_fp` the polynomial hash of the whole
+    * lowercased text, `win_fp` the MINIMUM over all 8-char window
+    * hashes (a winnowing-style robust fingerprint).
+    *
+    * Scale shape: both hashes come from [[graft.functions.PolyFingerprint]],
+    * a codegen'd rolling-hash Expression — ONE compiled O(n) pass per
+    * document, no per-element allocation. Replaces the round-6
+    * perf-weak `transform(sequence(…), i -> aggregate(slice(codes, i,
+    * 8), …))` form, whose interpreted higher-order-function path
+    * re-sliced and re-folded 8 chars per position (~4-5 s at sf0.1;
+    * the Expression is ~ms). Bit parity with the per-window fold (and
+    * the unchanged DuckDB oracle) is argued at the Expression and
+    * pinned by the driver-reference spec. */
   def fingerprint(docs: DataFrame): DataFrame =
     docs
-      .withColumn("t", lower(col("text")))
-      .withColumn("codes",
-        expr("transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1)))"))
-      .select(
-        col("doc_id"),
-        expr("aggregate(codes, cast(0 as bigint), (a, c) -> (a * 31 + c) % 1000000007)")
-          .as("full_fp"),
-        expr("""CASE WHEN length(t) >= 8 THEN
-                  array_min(transform(sequence(1, length(t) - 7),
-                    i -> aggregate(slice(codes, i, 8), cast(0 as bigint),
-                           (a, c) -> (a * 31 + c) % 1000000007)))
-                ELSE aggregate(codes, cast(0 as bigint),
-                       (a, c) -> (a * 31 + c) % 1000000007) END""")
-          .as("win_fp"))
+      .withColumn("fp", graft.functions.PolyFingerprint.fp(lower(col("text"))))
+      .select(col("doc_id"),
+        col("fp.full_fp").as("full_fp"),
+        col("fp.win_fp").as("win_fp"))
 }
