@@ -179,42 +179,77 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(Tables(spark, dir, "documents"))
 
-  def minhashLsh(docs: DataFrame): DataFrame = {
-    // NOT cached — see jaccardPairs: the cache's size stats break AQE's
-    // broadcast planning and measure ~4× slower than recomputing.
+  def minhashLsh(docs: DataFrame): DataFrame =
+    verifyCandidates(docs, lshCandidates(sigBands(docs)), 0.8)
+
+  /** Per-document LSH band hashes (doc_id, band, bh) — the unit of the
+    * banded index. A document's band row depends only on ITS shingles
+    * (signatures under the fixed seeded permutations), never on the
+    * rest of the corpus — the property `dedupAppend` relies on: bands
+    * computed for a late batch equal the bands a one-shot run would
+    * compute.
+    *
+    * Signature: per doc, per-permutation min over shingles — expressed
+    * as 128 independent codegen'd min() aggregates over fixed-width
+    * longs (pure HashAggregate with map-side combine: the shuffle
+    * carries one 128-long row per (partition, doc), never the
+    * shingles). An object-buffer Aggregator here trips the
+    * ObjectHashAggregate sort-based fallback past 128 groups and
+    * serializes its buffer per row; plain min() columns stay in
+    * whole-stage codegen. (MinHashAggregator remains the typed-API
+    * form of the same fold — see functions/.) Banding: murmur3 of each
+    * band's 4 min-columns (codegen'd), unpivoted to (doc, band, bh).
+    *
+    * NOT cached — see jaccardPairs: the cache's size stats break AQE's
+    * broadcast planning and measure ~4× slower than recomputing. */
+  private def sigBands(docs: DataFrame): DataFrame = {
     val sh = shingles(docs)
       // shingle hash reduced mod P (so a·x+b stays in signed-64 range)
       .withColumn("sx", pmod(col("shingle"), lit(MinhashP)))
-    // signature: per doc, per-permutation min over shingles — expressed
-    // as 128 independent codegen'd min() aggregates over fixed-width
-    // longs (pure HashAggregate with map-side combine: the shuffle
-    // carries one 128-long row per (partition, doc), never the
-    // shingles). An object-buffer Aggregator here trips the
-    // ObjectHashAggregate sort-based fallback past 128 groups and
-    // serializes its buffer per row; plain min() columns stay in
-    // whole-stage codegen. (MinHashAggregator remains the typed-API
-    // form of the same fold — see functions/.)
     val minCols = (0 until NumPerm).map(i =>
       min(pmod(col("sx") * permA(i) + permB(i), lit(MinhashP))).as(s"m$i"))
     val sigs = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    // banding: murmur3 of each band's 4 min-columns (codegen'd), then
-    // unpivot to (doc, band, bh); same (band, bh) → candidate bucket
     val bandCols = (0 until Bands).map(b =>
       hash((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as(s"b$b"))
-    val bands = sigs.select(col("doc_id") +: bandCols: _*)
+    sigs.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), posexplode(array((0 until Bands).map(b => col(s"b$b")): _*)))
       .toDF("doc_id", "band", "bh")
-    val cands = bands.as("x").join(bands.as("y"),
+  }
+
+  /** Candidate pairs from one band table: same (band, bh) bucket →
+    * candidate, each unordered pair once. */
+  private def lshCandidates(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    // exact verification of candidates only
+
+  /** Candidate pairs BETWEEN a persisted band index and a (small) new
+    * batch's bands: the batch side broadcasts, so the index is streamed
+    * map-side — one scan of the index per batch, no index shuffle.
+    * Canonical (da < db) ordering via least/greatest (with the id
+    * contract — index ids below batch ids — da is always the indexed
+    * doc, but the form stays correct for any id layout). */
+  private def crossCandidates(indexBands: DataFrame, newBands: DataFrame): DataFrame =
+    indexBands.as("x").join(broadcast(newBands.as("y")),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("da"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("db"))
+      .distinct()
+
+  /** Exact-Jaccard verification of candidate pairs against the corpus
+    * shingle index: false positives from banding are removed, so the
+    * output is the TRUE J ≥ tau subset of the candidates. */
+  private def verifyCandidates(docs: DataFrame, cands: DataFrame,
+                               tau: Double): DataFrame = {
+    val sh = shingles(docs)
     val inter = cands
       .join(sh.select(col("doc_id").as("da"), col("shingle")), "da")
       .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    scorePairs(sh, inter, 0.8)
+    scorePairs(sh, inter, tau)
   }
 
   /** Per-token 60-bit hash: the first 15 hex digits of md5 — computable
@@ -347,30 +382,66 @@ object Dedup {
     * only inside a cluster, so the quadratic kernel runs on ~√n-sized
     * member lists in K independent tasks (the whole point of
     * clustering first; at 100 TB size `k` so clusters hold ~1-10k
-    * members). The greedy scan is sequential PER CLUSTER by design
+    * members). The greedy scan is sequential PER CELL by design
     * (each decision depends on earlier keeps — the leader-clustering
     * semantics), and the cosine kernel is the same left-fold as the
     * exact grid dedup, so every drop edge is bit-verifiable against
     * `embedNearDupGrid`'s pair list. Declared rows-only (cluster
     * boundaries make the result quantizer-dependent); spec'd against
-    * the exact grid pairs at the same τ. */
+    * the exact grid pairs at the same τ.
+    *
+    * Degenerate-cluster bound (VERDICT r6 #3): a collapsed quantizer
+    * (near-identical embeddings — exactly the corpora one semantically
+    * dedups) can put most of the corpus in ONE cluster, turning the
+    * within-cluster kernel into all-pairs in a single task. So the
+    * scan unit is a CELL, not a cluster: clusters whose member count
+    * exceeds `maxCell` are hash-split into ⌈size/maxCell⌉ sub-cells
+    * (deterministic murmur3 of vec_id — no per-cluster sort, which
+    * would itself funnel the skewed key into one task), and the greedy
+    * scan runs per cell. Expected cell size ≤ maxCell with binomial
+    * concentration (±O(√maxCell) whp), so the kernel is bounded by
+    * construction; healthy clusters (size ≤ maxCell) keep exactly the
+    * classic SemDeDup semantics in one cell. Cross-cell near-dups
+    * inside an oversized cluster are deliberately tolerated — the same
+    * boundary approximation SemDeDup already accepts BETWEEN clusters.
+    * The cluster sizes come from one extra aggregation pass over the
+    * assignment (the K-row count table broadcasts back); at 100 TB
+    * persist the assignment once instead of computing it twice. */
   def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
     val k = Similarity.ivfK(Similarity.corpusSize(spark, dir)) // memoized count
     semanticDedup(Similarity.vecs(spark, dir), Clustering.fit(spark, dir, k = k), tau)
   }
 
-  /** df form: expects (vec_id, e, nrm) as produced by
-    * `Similarity.vecs`, plus fitted centroids. */
+  /** df form at the default cell bound. */
   def semanticDedup(v: DataFrame, cents: Array[Array[Double]],
-                    tau: Double): DataFrame = {
+                    tau: Double): DataFrame =
+    semanticDedup(v, cents, tau, 4096)
+
+  /** df form: expects (vec_id, e, nrm) as produced by
+    * `Similarity.vecs`, plus fitted centroids. `maxCell` bounds the
+    * greedy-scan task input (see above). */
+  def semanticDedup(v: DataFrame, cents: Array[Array[Double]],
+                    tau: Double, maxCell: Int): DataFrame = {
     val spark = v.sparkSession
     import spark.implicits._
-    v.withColumn("best", array_min(array(Clustering.distStructs(cents): _*)))
+    val assigned = v
+      .withColumn("best", array_min(array(Clustering.distStructs(cents): _*)))
       .select(col("vec_id"), col("e"), col("nrm"), col("best.cid").as("cid"))
-      .as[(Long, Seq[Double], Double, Int)]
-      .groupByKey(_._4)
-      .flatMapGroups { (cid, it) =>
-        val ms = it.map { case (id, e, nrm, _) => (id, e.toArray, nrm) }
+    // cluster occupancy: ≤ |centroids| rows — broadcasts back onto the
+    // assignment to derive each cluster's sub-cell count
+    val counts = assigned.groupBy("cid").agg(count(lit(1)).as("csz"))
+    assigned.join(broadcast(counts), "cid")
+      .withColumn("nsub",
+        ceil(col("csz").cast("double") / lit(maxCell.toDouble)).cast("int"))
+      .withColumn("cell",
+        when(col("nsub") <= 1, lit(0))
+          .otherwise(pmod(hash(col("vec_id")), col("nsub"))))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cid"), col("cell"))
+      .as[(Long, Seq[Double], Double, Int, Int)]
+      .groupByKey(t => (t._4, t._5))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Long, Seq[Double], Double, Int, Int)]) =>
+        val (cid, cell) = key
+        val ms = it.map { case (id, e, nrm, _, _) => (id, e.toArray, nrm) }
           .toArray.sortBy(_._1)
         val kept =
           scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
@@ -387,11 +458,13 @@ object Dedup {
             while (i < ea.length) { s += ea(i) * ke(i); i += 1 }
             if (s / (nrm * knrm) >= tau) keeper = kid
           }
-          if (keeper < 0L) { kept += ((id, ea, nrm)); (id, cid, true, None: Option[Long]) }
-          else (id, cid, false, Some(keeper))
+          if (keeper < 0L) {
+            kept += ((id, ea, nrm))
+            (id, cid, true, None: Option[Long], cell)
+          } else (id, cid, false, Some(keeper), cell)
         }
       }
-      .toDF("vec_id", "cid", "keep", "kept_by")
+      .toDF("vec_id", "cid", "keep", "kept_by", "cell")
       .orderBy("vec_id")
   }
 
@@ -468,6 +541,92 @@ object Dedup {
   def dupComponents(spark: SparkSession, dir: String): DataFrame =
     compCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "documents")),
       dupComponents(minhashLsh(Tables(spark, dir, "documents"))))
+
+  // ---- incremental dedup of an appended batch (VERDICT r6 #5): the
+  // catalog `dupComponents` recomputes MinHash + LSH + CC over the
+  // WHOLE corpus per run — a daily-ingest pipeline cannot pay a full
+  // 128-permutation signature pass over 100 TB because 1% of it is
+  // new. The amortized shape (the curation twin of
+  // `Similarity.stagedAppendedIndex`): persist the base corpus's BAND
+  // INDEX and verified pair list once; per batch, compute signatures
+  // for the |delta| new docs only, probe them against the persisted
+  // bands (batch side broadcast → ONE map-side scan of the index, no
+  // index shuffle), LSH the batch against itself, exact-verify only
+  // the new candidates, and union the new pairs into the label
+  // propagation. Per-batch cost ∝ |delta| signatures + one index scan
+  // + |new candidates| verifications — never a base re-signature.
+  //
+  // Append-then-dedup ≡ one-shot dedup EXACTLY (not just whp): a
+  // document's band rows are a pure function of its own shingles
+  // (`sigBands`), so base-band ∪ batch-band buckets equal the one-shot
+  // buckets, the candidate union (base×base persisted, base×delta
+  // probed, delta×delta batch-local) equals the one-shot candidate
+  // set, and the shared exact verification removes the same false
+  // positives — hence q_dedup_append carries q_dedup_cc's ORACLE
+  // verbatim (recursive closure over exhaustive J ≥ 0.8 pairs of the
+  // full corpus). Spec'd additionally via the df-form parity seam.
+  //
+  // The verification join still computes full-corpus shingles (one
+  // linear SCAN, map-side pruned by the broadcast candidate list — no
+  // corpus shuffle); a production deployment would persist the shingle
+  // index beside the bands to make verification |candidate docs|-bound.
+
+  private val bandIdxCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Long)]()
+
+  def clearBandIndexCache(): Unit = bandIdxCache.clear()
+
+  /** Staged base-corpus band index + verified base pair list, memoized
+    * per (dir, data fingerprint). The base/batch split mirrors
+    * `Similarity.stagedAppendedIndex`: the last ~10% of doc ids arrive
+    * "late" — the index genuinely never sees them. */
+  private[graft] def stagedBandIndex(spark: SparkSession, dir: String): (String, Long) =
+    bandIdxCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "documents")), {
+      val docs = Tables(spark, dir, "documents")
+      val n = docs.count()
+      val cut = n - math.max(1L, n / 10)
+      val base = docs.where(col("doc_id") < cut)
+      val root = graft.Engine.workDir("graft-bandidx-").getAbsolutePath
+      sigBands(base).write.mode("overwrite").parquet(s"$root/bands")
+      minhashLsh(base).write.mode("overwrite").parquet(s"$root/pairs")
+      (root, cut)
+    })
+
+  /** The batch probe: verified new pairs (delta×base ∪ delta×delta)
+    * from the persisted band index — the plan the scale argument is
+    * about (batch bands broadcast; index scanned map-side, no index
+    * shuffle), exposed for the plan spec because `dedupAppend`'s
+    * returned labels sit behind the CC loop's lineage cuts. */
+  private[graft] def appendProbe(spark: SparkSession, dir: String): DataFrame = {
+    val (root, cut) = stagedBandIndex(spark, dir)
+    val docs = Tables(spark, dir, "documents")
+    val deltaBands = sigBands(docs.where(col("doc_id") >= cut))
+    val newCands = crossCandidates(spark.read.parquet(s"$root/bands"), deltaBands)
+      .unionAll(lshCandidates(deltaBands)) // disjoint pair spaces: no distinct
+    verifyCandidates(docs, newCands, 0.8)
+  }
+
+  /** North-star q_dedup_append: connected components of the dup graph,
+    * maintained INCREMENTALLY over an appended batch (see block comment
+    * above). Output ≡ q_dedup_cc bit-for-bit. */
+  def dedupAppend(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _) = stagedBandIndex(spark, dir)
+    dupComponents(
+      spark.read.parquet(s"$root/pairs").unionAll(appendProbe(spark, dir)))
+  }
+
+  /** df-form parity seam (no persistence): incremental components from
+    * an explicit (base, delta) split — what the staged catalog form
+    * must agree with, and the spec's crafted-corpus surface. */
+  private[graft] def dedupAppend(base: DataFrame, delta: DataFrame): DataFrame = {
+    val baseBands = sigBands(base)
+    val deltaBands = sigBands(delta)
+    val basePairs = verifyCandidates(base, lshCandidates(baseBands), 0.8)
+    val newCands = crossCandidates(baseBands, deltaBands)
+      .unionAll(lshCandidates(deltaBands))
+    val newPairs = verifyCandidates(base.unionByName(delta), newCands, 0.8)
+    dupComponents(basePairs.unionAll(newPairs))
+  }
 
   /** q_dedup_stats: duplicate-cluster size distribution — the QA view
     * of a dedup run (how much of the corpus is duplicated, and is it

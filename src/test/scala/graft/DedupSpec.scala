@@ -195,6 +195,49 @@ class DedupSpec extends SparkSuiteBase {
       f"(${dropped.length} semantic dups pruned)")
   }
 
+  test("dedupAppend: staged append-then-dedup equals one-shot components at sf") {
+    val oneShot = Dedup.dupComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val appended = Dedup.dedupAppend(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(appended === oneShot)
+    assert(appended.nonEmpty, "corpus has dup components; parity check is vacuous")
+  }
+
+  test("dedupAppend df-form: cross-batch and batch-internal dups all land in one-shot components") {
+    import spark.implicits._
+    // base: 1≈2 (dup pair), 3 unique; delta: 4≈1 (cross-batch dup,
+    // chains into {1,2}), 5≈6 (batch-internal pair), 7 unique
+    val t = (s: String) => s + " " + s // ≥3 tokens after duplication
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different content about distributed query engines"
+    val c = "a third unrelated document concerning parquet column pruning"
+    val d4 = "yet another text on watermark semantics in streaming systems"
+    val e5 = "unique closing document about broadcast hash join thresholds"
+    val base = Seq(1L -> a, 2L -> (a + " extra"), 3L -> b).toDF("doc_id", "text")
+    val delta = Seq(4L -> a, 5L -> c, 6L -> (c + " extra"), 7L -> Seq(d4, e5, t("x")).mkString(" "))
+      .toDF("doc_id", "text")
+    val incr = Dedup.dedupAppend(base, delta).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = Dedup.dupComponents(
+      Dedup.minhashLsh(base.unionByName(delta))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr === oneShot)
+    // the cross-batch dup joined the base component; the batch-internal
+    // pair formed its own — both visible in the incremental labels
+    val comps = incr.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(comps.values.exists(s => s.contains(4L) && s.contains(1L)),
+      s"cross-batch dup 4 not in base component: $comps")
+    assert(comps.values.exists(s => s == Set(5L, 6L)),
+      s"batch-internal pair {5,6} missing: $comps")
+  }
+
+  test("dedupAppend probe broadcasts the batch side (index never shuffles)") {
+    val plan = Dedup.appendProbe(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe join is not broadcast:\n${plan.take(2000)}")
+  }
+
   test("keepBest: longest member is canonical, ties to lower id, singletons self-canonical") {
     import spark.implicits._
     // cluster {1,2,3}: 2 is longest → canonical; cluster {5,6}: tied
@@ -262,6 +305,43 @@ class DedupSpec extends SparkSuiteBase {
     assert(got === Map(
       1L -> ((true, -1L)), 2L -> ((false, 1L)),
       3L -> ((true, -1L)), 4L -> ((false, 3L))))
+  }
+
+  test("semanticDedup degenerate corpus: collapsed quantizer stays bounded per task") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2000 near-identical embeddings (pairwise cos ≈ 1) and ONE
+    // centroid — the r6 hazard: unbounded, this is a 2000² greedy scan
+    // in a single task. With maxCell=100 the cluster hash-splits into
+    // 20 cells; every cell's input (== its output group) stays near
+    // the cap, and each cell keeps exactly its first member.
+    val n = 2000
+    val cap = 100
+    val emb = (1 to n).map(i => (i.toLong, Array(1.0, 1e-9 * i)))
+      .toDF("vec_id", "embedding").repartition(8)
+    val v = emb.withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(expr("aggregate(e, 0.0d, (a, x) -> a + x * x)")))
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val rows = Dedup.semanticDedup(v, Array(Array(0.0, 0.0)), 0.9, cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))
+    assert(rows.length === n)
+    // task-input bound: a cell's member count IS its scan size; the
+    // hash split is binomial around csz/nsub ≤ cap, so allow 2× slack
+    val cellSizes = rows.groupBy(_._4).view.mapValues(_.length)
+    assert(cellSizes.values.max <= 2 * cap,
+      s"oversized scan cell: ${cellSizes.maxBy(_._2)}")
+    assert(cellSizes.size === math.ceil(n.toDouble / cap).toInt)
+    // all-near-identical: each cell keeps exactly its min id, drops the
+    // rest onto it (greedy-leader semantics hold per cell)
+    rows.groupBy(_._4).foreach { case (cell, members) =>
+      val first = members.map(_._1).min
+      members.foreach { case (id, keep, by, _) =>
+        if (id == first) assert(keep && by === -1L, s"cell $cell leader $id")
+        else assert(!keep && by === first, s"cell $cell member $id kept_by $by")
+      }
+    }
   }
 
   test("embedding near-dup: cosine symmetric range and self-free") {
