@@ -92,6 +92,31 @@ object Bench {
       if (best == Double.MaxValue) { failed ::= name; name -> -1.0 }
       else { if (aborted) degraded ::= name; name -> best }
     }
+    // IVF index lifecycle split (VERDICT r6 #4): the r6 matrix billed
+    // the one-time quantizer fit + full index staging to the first ivf
+    // query it ran (a 17.6 s "query" that is really a build). Time the
+    // two phases separately — build = fit + stage from cold caches,
+    // search = the probe query over the warm index (the amortized
+    // steady state a real pipeline sees) — and leave the memos WARM so
+    // the matrix rows below also measure search, not staging.
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val ivfLifecycle: Seq[(String, Double)] =
+      try {
+        graft.operators.Clustering.clearFitCache()
+        graft.operators.Similarity.clearIndexCache()
+        val bIdx = timed(graft.operators.Similarity.stagedIvfIndex(spark, sfDir))
+        val sIdx = timed(force(SparkEntry.queries("q_simsearch_ivf_indexed")(spark, sfDir)))
+        val bApp = timed(graft.operators.Similarity.stagedAppendedIndex(spark, sfDir))
+        val sApp = timed(force(SparkEntry.queries("q_simsearch_ivf_append")(spark, sfDir)))
+        Seq("ivf_indexed_build_sec" -> bIdx, "ivf_indexed_search_sec" -> sIdx,
+          "ivf_append_build_sec" -> bApp, "ivf_append_search_sec" -> sApp)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] ivf lifecycle split failed: ${e.getMessage}")
+        Seq.empty
+      }
+
     // FULL-MATRIX scope (VERDICT r4 #3): one untimed-bar single run of
     // EVERY declared query, timings persisted per query — so a
     // regression in a non-headline query (e.g. the pre-fix 11.7 s
@@ -101,14 +126,25 @@ object Bench {
     // in a Verify pass) — compare per-query DELTAS across rounds, not
     // absolute values against the headline bar. Disable with
     // SPARK_GRAFT_MATRIX=0.
+    //
+    // Adaptive re-run (VERDICT r6 #4): this host stalls 2-3× under
+    // transient external load, and a single-run matrix cannot tell a
+    // stall from a regression (r6's q_stream_typecounts 3.4→11.6 s was
+    // a stall). Any row whose single run exceeds the threshold is run
+    // once more and the MINIMUM reported — cheap (only slow rows pay)
+    // and exactly the rows where a stall misleads.
+    val RerunThresholdSec = 2.0
     var mFailed = List.empty[String]
+    var mReruns = 0
     val matrix: Seq[(String, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_MATRIX", "1") == "0") Seq.empty
       else SparkEntry.queries.keys.toSeq.sorted.map { name =>
-        val t0 = System.nanoTime()
         try {
-          force(SparkEntry.queries(name)(spark, sfDir))
-          name -> (System.nanoTime() - t0) / 1e9
+          def once(): Double = timed(force(SparkEntry.queries(name)(spark, sfDir)))
+          val t1 = once()
+          val t = if (t1 > RerunThresholdSec) { mReruns += 1; math.min(t1, once()) }
+                  else t1
+          name -> t
         } catch { case NonFatal(e) =>
           // NonFatal only (VM errors like OOM abort the whole bench —
           // continuing in a corrupted JVM would print misleading timings)
@@ -130,8 +166,8 @@ object Bench {
     // compact headline line (the contract's "one JSON line") goes LAST —
     // a tail capture of any length that includes the final line parses.
     // Both lines are also mirrored to bench_last.json in the CWD.
-    val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"sf":"$sfDir"}"""
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"matrix_rerun_threshold_sec":$RerunThresholdSec,"matrix_rerun_n":$mReruns,"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
       try { w.println(matrixLine); w.println(headlineLine) } finally w.close()

@@ -58,6 +58,7 @@ object SparkEntry {
     "q_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q_dedup_simhash"   -> ((s, d) => Dedup.simhash(s, d)),
     "q_dedup_cc"        -> ((s, d) => Dedup.dupComponents(s, d)),
+    "q_dedup_append"    -> ((s, d) => Dedup.dedupAppend(s, d)),
     "q_dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "q_dedup_embed"     -> ((s, d) => Dedup.embedNearDupGrid(s, d)),
     "q_simsearch"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -152,7 +153,7 @@ object SparkEntry {
     "q_sample_weighted" -> ((s, d) => Pipeline.weightedSample(s, d)),
     "q_join_interval"   -> ((s, d) => Joins.intervalJoin(s, d)),
     "q_bpe"             -> ((s, d) => TextOps.bpeLearn(s, d)),
-    "q_bpe_encode"      -> ((s, d) => TextOps.bpeEncode(s, d)),
+    "q_bpe_encode"      -> ((s, d) => TextOps.bpeEncodeDeclared(s, d)),
     "q_skyline"         -> ((s, d) => Relational.skyline(s, d)),
     "q_dedup_contain"   -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q_dedup_semantic"  -> ((s, d) => Dedup.semanticDedup(s, d)),
@@ -455,32 +456,11 @@ object SparkEntry {
     "q_dedup_minhash" -> jaccardOracle(0.8),
     // components of the J >= 0.8 pair graph: min reachable id per node
     // via a recursive transitive closure (tiny graph — pairs only)
-    "q_dedup_cc" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
-         |  FROM documents
-         |), sh AS (
-         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-         |  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
-         |  WHERE len(ts) >= 3
-         |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |iv AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ic
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id
-         |), pairs AS (
-         |  SELECT da, db
-         |  FROM iv JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
-         |  WHERE CAST(ic AS DOUBLE) / (x.n + y.n - ic) >= 0.8
-         |), edges AS (
-         |  SELECT da AS u, db AS v FROM pairs
-         |  UNION ALL SELECT db, da FROM pairs
-         |), reach AS (
-         |  SELECT DISTINCT u AS node, u AS r FROM edges
-         |  UNION
-         |  SELECT e.u AS node, t.r FROM edges e JOIN reach t ON e.v = t.node
-         |)
-         |SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node""".stripMargin,
+    "q_dedup_cc" -> ccOracle,
+    // incremental append-then-dedup ≡ one-shot dedup of the full corpus
+    // (band rows are per-doc pure functions — see Dedup.dedupAppend),
+    // so the oracle is q_dedup_cc's, verbatim
+    "q_dedup_append" -> ccOracle,
     // keep-best: q_dedup_cc's components + a quality argmax per cluster;
     // row_number mirrors max_by(doc_id, struct(n_chars, -doc_id))
     "q_dedup_keep_best" ->
@@ -2034,4 +2014,36 @@ object SparkEntry {
        |  SELECT da, db, CAST(ic AS DOUBLE) / (x.n + y.n - ic) AS jac
        |  FROM iv JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
        |) WHERE jac >= $tau""".stripMargin
+
+  /** Connected components of the exhaustive J ≥ 0.8 pair graph (min
+    * reachable id per node, recursive transitive closure) — oracle for
+    * BOTH q_dedup_cc and q_dedup_append: the incremental append path
+    * reproduces the one-shot pair set exactly (per-doc band purity;
+    * see Dedup.dedupAppend), so the two queries share one truth. */
+  private def ccOracle: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       |  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+       |  WHERE len(ts) >= 3
+       |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |iv AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ic
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |), pairs AS (
+       |  SELECT da, db
+       |  FROM iv JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+       |  WHERE CAST(ic AS DOUBLE) / (x.n + y.n - ic) >= 0.8
+       |), edges AS (
+       |  SELECT da AS u, db AS v FROM pairs
+       |  UNION ALL SELECT db, da FROM pairs
+       |), reach AS (
+       |  SELECT DISTINCT u AS node, u AS r FROM edges
+       |  UNION
+       |  SELECT e.u AS node, t.r FROM edges e JOIN reach t ON e.v = t.node
+       |)
+       |SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node""".stripMargin
 }

@@ -278,6 +278,54 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got(1L)._3.take(3) === Seq(1, 2, 0))  // "ab" → a, b, </w>
   }
 
+  test("fingerprint: rolling window hash matches a per-window driver reference") {
+    import spark.implicits._
+    val p = 1000000007L
+    def hash(cs: Seq[Long]): Long = cs.foldLeft(0L)((a, c) => (a * 31 + c) % p)
+    def reference(text: String): (Long, Long) = {
+      val codes = text.toLowerCase.map(_.toLong)
+      val full = hash(codes)
+      val win =
+        if (codes.length >= 8) codes.sliding(8).map(hash).min else full
+      (full, win)
+    }
+    val rnd = new scala.util.Random(7)
+    val texts =
+      Seq("", "a", "abcdefg", "abcdefgh", "abcdefghi", "AbC dEf GhIj",
+        "zzzzzzzzzzzz") ++
+        (1 to 40).map(_ => rnd.alphanumeric.take(rnd.nextInt(30)).mkString) ++
+        (1 to 10).map(_ => (1 to 64).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextOps.fingerprint(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === reference(t), s"text '$t'")
+    }
+  }
+
+  test("q_bpe_encode declared surface: sortable columns, string form mirrors the array") {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val declared = SparkEntry.queries("q_bpe_encode")(spark, sf)
+    // the correctness harness normalizes every column with a pandas
+    // sort — list/map columns crash it (the round-6 red row), so the
+    // declared surface must stay atomic-typed
+    declared.schema.fields.foreach { f =>
+      assert(!f.dataType.isInstanceOf[ArrayType] &&
+        !f.dataType.isInstanceOf[MapType],
+        s"declared q_bpe_encode column '${f.name}' is not pandas-sortable")
+    }
+    val rows = declared.limit(50).collect()
+    assert(rows.nonEmpty)
+    // the flattened string is the space-joined id sequence, nothing else
+    rows.foreach { r =>
+      val s = r.getAs[String]("token_ids")
+      assert(s.matches("""(\d+( \d+)*)?"""), s"malformed token_ids: '$s'")
+      val n = if (s.isEmpty) 0L else s.split(" ").length.toLong
+      assert(n === r.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("mergePair: greedy left-to-right, non-overlapping") {
     assert(TextOps.mergePair(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
     assert(TextOps.mergePair(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
