@@ -58,6 +58,18 @@ object Bench {
     //    cleared: the feed is input data (analogous to the testdata
     //    parquet itself), and every timed run still executes the complete
     //    streaming query over it.
+    // every product-state memo in one place — used by the headline loop
+    // (before each timed run) and the matrix adaptive re-run (ADVICE r7:
+    // a rerun of a memoized query was a cache hit, so min(first, rerun)
+    // reported cache-hit time and masked regressions in memoized rows)
+    def clearProductMemos(): Unit = {
+      graft.operators.Clustering.clearFitCache()
+      graft.operators.TextOps.clearMergeCache()
+      graft.operators.Similarity.clearIndexCache()
+      graft.operators.Dedup.clearComponentCache()
+      graft.operators.Dedup.clearBandIndexCache()
+    }
+
     val Runs = 2
     var failed = List.empty[String]
     var degraded = List.empty[String]
@@ -72,10 +84,7 @@ object Bench {
       var aborted = !warmupOk
       var r = 0
       while (!aborted && r < Runs) {
-        graft.operators.Clustering.clearFitCache()
-        graft.operators.TextOps.clearMergeCache()
-        graft.operators.Similarity.clearIndexCache()
-        graft.operators.Dedup.clearComponentCache()
+        clearProductMemos()
         val t0 = System.nanoTime()
         try {
           runOnce()
@@ -132,7 +141,15 @@ object Bench {
     // stall from a regression (r6's q_stream_typecounts 3.4→11.6 s was
     // a stall). Any row whose single run exceeds the threshold is run
     // once more and the MINIMUM reported — cheap (only slow rows pay)
-    // and exactly the rows where a stall misleads.
+    // and exactly the rows where a stall misleads. The product memos
+    // are CLEARED before the rerun (ADVICE r7): without that, a
+    // memoized row's rerun is a cache hit and min() reports cache-hit
+    // time, masking real regressions in q_dedup_cc/q_kmeans/ivf rows.
+    // With the clear, both runs are genuine computations: a memo-warm
+    // first run stays the row's (documented, first-consumer-pays)
+    // basis via min(); a memo-cold stalled first run gets an honest
+    // cold rerun. Cost: later rows that would have ridden the cleared
+    // memo re-pay it once — bounded by one extra build per rerun.
     val RerunThresholdSec = 2.0
     var mFailed = List.empty[String]
     var mReruns = 0
@@ -142,8 +159,11 @@ object Bench {
         try {
           def once(): Double = timed(force(SparkEntry.queries(name)(spark, sfDir)))
           val t1 = once()
-          val t = if (t1 > RerunThresholdSec) { mReruns += 1; math.min(t1, once()) }
-                  else t1
+          val t = if (t1 > RerunThresholdSec) {
+            mReruns += 1
+            clearProductMemos()
+            math.min(t1, once())
+          } else t1
           name -> t
         } catch { case NonFatal(e) =>
           // NonFatal only (VM errors like OOM abort the whole bench —

@@ -156,7 +156,7 @@ object SparkEntry {
     "q_bpe_encode"      -> ((s, d) => TextOps.bpeEncodeDeclared(s, d)),
     "q_skyline"         -> ((s, d) => Relational.skyline(s, d)),
     "q_dedup_contain"   -> ((s, d) => Dedup.containmentPairs(s, d)),
-    "q_dedup_semantic"  -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "q_dedup_semantic"  -> ((s, d) => Dedup.semanticDedupFixed(s, d)),
     "q_source_binary"   -> ((s, d) => graft.sources.FileFormats.binaryChecksums(s, d)),
     "q_cogroup"         -> ((s, d) => MapReduceOps.cogroupReconcile(s, d)),
     "q_source_xml"      -> ((s, d) => graft.sources.FileFormats.xmlGroupSum(s, d)),
@@ -1278,6 +1278,9 @@ object SparkEntry {
     // fixed-point Lloyd's: the loop unrolled as chained CTEs — the last
     // rows-only row that COULD be exact, now exact (see kmeansOracle)
     "q_kmeans" -> kmeansOracle(operators.Clustering.Iters, operators.Clustering.K),
+    // fixed-point SemDeDup replayed exactly (Lloyd chain + recursive
+    // greedy leader scan, all-integer τ test) — was no_oracle until r8
+    "q_dedup_semantic" -> semanticOracle(operators.Clustering.Iters),
     // exact BIGINT numerator; two fixed-order divisions → bit parity
     "q_lm_score" ->
       s"""WITH tok AS (
@@ -1978,6 +1981,112 @@ object SparkEntry {
          |SELECT CAST(cid AS BIGINT) AS cid, count(*) AS n,
          |       CAST(sum(d2) AS DOUBLE) / 1000000000000.0 AS inertia
          |FROM b$fin GROUP BY cid""".stripMargin
+  }
+
+  /** Oracle for q_dedup_semantic (`Dedup.semanticDedupFixed`): the
+    * fixed-point SemDeDup pipeline replayed end-to-end in DuckDB.
+    * Three exact-integer stages, so bit parity needs NO float or
+    * fold-order contract anywhere:
+    *  1. the `fitFixed` Lloyd loop (K = ivfK(n) from a data-derived
+    *     kpar CTE) unrolled as chained CTEs — same chain as
+    *     [[kmeansOracle]];
+    *  2. cells: cluster size counts → nsub = ⌈csz/4096⌉, cell =
+    *     vec_id mod nsub (integer, engine-agnostic);
+    *  3. the per-cell greedy leader scan as a RECURSIVE CTE stepping
+    *     one member rank per iteration, the kept-so-far set carried in
+    *     list columns (ids, micro-unit vectors, |a|²); the drop test
+    *     cos ≥ 2/5 is `s > 0 ∧ 25·s² ≥ 4·|a|²·|b|²` in HUGEINT.
+    * `mem` is MATERIALIZED: inlined, the recursive part would re-run
+    * the whole Lloyd chain once per recursion step. */
+  private def semanticOracle(iters: Int): String = {
+    def assignCte(i: Int, from: String): String =
+      s"""a$i AS (
+         |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
+         |  FROM x JOIN $from c ON x.dim = c.dim
+         |  GROUP BY x.vec_id, c.cid
+         |), b$i AS (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT vec_id, cid, d2,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM a$i) WHERE rn = 1
+         |)""".stripMargin
+    val head =
+      s"""WITH RECURSIVE q AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+         |  FROM embeddings
+         |), x AS (
+         |  SELECT vec_id, CAST(u.i AS INT) AS dim, qe[u.i] AS xi
+         |  FROM q, unnest(range(1, len(qe) + 1)) AS u(i)
+         |), kpar AS (
+         |  SELECT GREATEST(4, LEAST(4096, CAST(round(sqrt(count(*))) AS BIGINT))) AS k
+         |  FROM embeddings
+         |), c0 AS (
+         |  SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cid, x.dim, x.xi AS c
+         |  FROM (SELECT vec_id FROM
+         |          (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+         |           FROM embeddings), kpar
+         |        WHERE rn <= k) s
+         |  JOIN x ON x.vec_id = s.vec_id
+         |)""".stripMargin
+    val its = (1 to iters).map { i =>
+      assignCte(i, s"c${i - 1}") + s""",
+         |m$i AS (
+         |  SELECT b.cid, x.dim,
+         |    CASE WHEN sum(x.xi) >= 0
+         |         THEN (2 * CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*))
+         |         ELSE -((2 * -CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*)))
+         |    END AS c
+         |  FROM b$i b JOIN x ON x.vec_id = b.vec_id
+         |  GROUP BY b.cid, x.dim
+         |), c$i AS (
+         |  SELECT p.cid, p.dim, coalesce(m.c, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN m$i m ON m.cid = p.cid AND m.dim = p.dim
+         |)""".stripMargin
+    }
+    val fin = iters + 1
+    head + ",\n" + its.mkString(",\n") + ",\n" + assignCte(fin, s"c$iters") +
+      s""",
+         |asg AS (SELECT vec_id, cid FROM b$fin),
+         |cnt AS (SELECT cid, count(*) AS csz FROM asg GROUP BY cid),
+         |mem AS MATERIALIZED (
+         |  SELECT m.vec_id, m.cid,
+         |         CAST(m.vec_id % GREATEST(1, CAST(ceil(CAST(c.csz AS DOUBLE) / 4096.0) AS BIGINT)) AS INT) AS cell,
+         |         q.qe,
+         |         list_sum(list_transform(q.qe, e -> e * e)) AS na2,
+         |         row_number() OVER (
+         |           PARTITION BY m.cid,
+         |             CAST(m.vec_id % GREATEST(1, CAST(ceil(CAST(c.csz AS DOUBLE) / 4096.0) AS BIGINT)) AS INT)
+         |           ORDER BY m.vec_id) AS rnk
+         |  FROM asg m JOIN cnt c USING (cid) JOIN q USING (vec_id)
+         |),
+         |g AS (
+         |  SELECT 1 AS it, m.cid, m.cell, m.vec_id AS dv, TRUE AS dkeep,
+         |         CAST(NULL AS BIGINT) AS dby,
+         |         [m.vec_id] AS kept_ids, [m.qe] AS kept_qes, [m.na2] AS kept_n2s
+         |  FROM mem m WHERE m.rnk = 1
+         |  UNION ALL
+         |  SELECT g.it + 1, g.cid, g.cell, m.vec_id,
+         |         d.kb IS NULL, d.kb,
+         |         CASE WHEN d.kb IS NULL THEN list_append(g.kept_ids, m.vec_id) ELSE g.kept_ids END,
+         |         CASE WHEN d.kb IS NULL THEN list_append(g.kept_qes, m.qe) ELSE g.kept_qes END,
+         |         CASE WHEN d.kb IS NULL THEN list_append(g.kept_n2s, m.na2) ELSE g.kept_n2s END
+         |  FROM g
+         |  JOIN mem m ON m.cid = g.cid AND m.cell = g.cell AND m.rnk = g.it + 1
+         |  LEFT JOIN LATERAL (
+         |    SELECT min(kv) AS kb FROM (
+         |      SELECT g.kept_ids[u.j] AS kv,
+         |             list_sum(list_transform(range(1, len(m.qe) + 1),
+         |               d -> g.kept_qes[u.j][d] * m.qe[d])) AS s,
+         |             g.kept_n2s[u.j] AS kn2
+         |      FROM unnest(range(1, len(g.kept_ids) + 1)) AS u(j)
+         |    ) WHERE s > 0 AND 25 * s * s >= 4 * kn2 * m.na2
+         |  ) d ON TRUE
+         |)
+         |SELECT g.dv AS vec_id, CAST(g.cid AS BIGINT) AS cid, g.dkeep AS keep,
+         |       g.dby AS kept_by, CAST(g.cell AS BIGINT) AS cell
+         |FROM g""".stripMargin
   }
 
   /** Shared by the typed-flatMap and native-Generator bigram queries

@@ -133,7 +133,7 @@ object Clustering {
   /** Micro-unit scale: 1e6 (components ≲ 2 in magnitude ⇒ |xi| ≲ 2e6). */
   val FpScale = 1e6
 
-  private def qvecs(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def qvecs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
@@ -145,7 +145,7 @@ object Clustering {
         lit(i).as("cid"))
     }.toSeq
 
-  private def assignFixed(v: DataFrame, cs: Array[Array[Long]]): DataFrame =
+  private[operators] def assignFixed(v: DataFrame, cs: Array[Array[Long]]): DataFrame =
     v.withColumn("best", array_min(array(distStructsL(cs): _*)))
       .select(col("vec_id"), col("e"),
         col("best.cid").as("cid"), col("best.d2").as("d2"))

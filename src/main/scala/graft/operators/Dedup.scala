@@ -225,19 +225,38 @@ object Dedup {
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
 
-  /** Candidate pairs BETWEEN a persisted band index and a (small) new
-    * batch's bands: the batch side broadcasts, so the index is streamed
-    * map-side — one scan of the index per batch, no index shuffle.
+  /** Broadcast ceiling for the batch band table in `crossCandidates`
+    * (ADVICE r7): broadcasting the batch side is the right plan while
+    * the batch is small — one map-side scan of the index, no index
+    * shuffle — but the hint is a driver/executor-memory contract, and
+    * "delta ≈ 10% of the corpus × Bands rows" grows without bound. Past
+    * ~4M (doc_id, band, bh) rows (~100 MB serialized) the build side
+    * must shuffle instead: the fallback hash-joins BOTH sides on
+    * (band, bh) — the index then shuffles as 16-byte band rows, still
+    * never as documents or signatures. */
+  private val BroadcastBandRowLimit: Long = 4L << 20
+
+  /** Candidate pairs BETWEEN a persisted band index and a new batch's
+    * bands. `newBandRows` (≈ |delta docs| × Bands, known from staging
+    * metadata — no extra count job) gates the plan: small batches
+    * broadcast, so the index is streamed map-side — one scan of the
+    * index per batch, no index shuffle; oversized batches fall back to
+    * a shuffled hash join (see [[BroadcastBandRowLimit]]).
     * Canonical (da < db) ordering via least/greatest (with the id
     * contract — index ids below batch ids — da is always the indexed
     * doc, but the form stays correct for any id layout). */
-  private def crossCandidates(indexBands: DataFrame, newBands: DataFrame): DataFrame =
-    indexBands.as("x").join(broadcast(newBands.as("y")),
+  private def crossCandidates(indexBands: DataFrame, newBands: DataFrame,
+                              newBandRows: Long): DataFrame = {
+    val batchSide =
+      if (newBandRows <= BroadcastBandRowLimit) broadcast(newBands.as("y"))
+      else newBands.as("y").hint("shuffle_hash")
+    indexBands.as("x").join(batchSide,
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("da"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("db"))
       .distinct()
+  }
 
   /** Exact-Jaccard verification of candidate pairs against the corpus
     * shingle index: false positives from banding are removed, so the
@@ -250,6 +269,29 @@ object Dedup {
       .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
     scorePairs(sh, inter, tau)
+  }
+
+  /** Exact-Jaccard verification against an EXPLICIT shingle table
+    * (persisted base index ∪ freshly-shingled delta) instead of
+    * re-shingling documents (VERDICT r7 #1): the candidate doc-id list
+    * (bounded by the new pairs — tiny next to the corpus) is
+    * broadcast-semi-joined onto the shingle table first, so everything
+    * downstream of the index scan — the intersection join, the size
+    * aggregate, the scoring — is |candidate docs|-bound, and the
+    * append path never recomputes full-corpus shingles. Pruning by DOC
+    * keeps every candidate's shingle set complete, so sizes,
+    * intersections, and the output are identical to `verifyCandidates`
+    * over the same documents. */
+  private def verifyCandidatesIndexed(sh: DataFrame, cands: DataFrame,
+                                      tau: Double): DataFrame = {
+    val candIds = cands.select(col("da").as("doc_id"))
+      .unionAll(cands.select(col("db").as("doc_id"))).distinct()
+    val pruned = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val inter = cands
+      .join(pruned.select(col("doc_id").as("da"), col("shingle")), "da")
+      .join(pruned.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    scorePairs(pruned, inter, tau)
   }
 
   /** Per-token 60-bit hash: the first 15 hex digits of md5 — computable
@@ -468,6 +510,89 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  // ── ORACLE-EXACT semantic dedup (VERDICT r7 #3) ────────────────────
+  //
+  // `semanticDedup` above is the SemDeDup recipe with double cosines
+  // and a murmur3 cell split — deterministic for Spark, but not
+  // replayable in another engine (float fold order, engine-specific
+  // hash). The DECLARED q_dedup_semantic is this fixed-point twin,
+  // bit-reproducible anywhere (the q_kmeans pattern):
+  //  - embeddings quantized once to micro-units (round(x·10⁶) BIGINT);
+  //  - the quantizer is `Clustering.fitFixed` (exact-integer Lloyd,
+  //    already oracle-unrolled for q_kmeans) at K = ivfK(n);
+  //  - oversized clusters split by vec_id mod nsub — as deterministic
+  //    as the murmur3 split, equally skew-proof (ids within a cluster
+  //    are arbitrary), and trivially mirrored in SQL;
+  //  - the greedy drop test `cos ≥ τ` runs in EXACT integers: with
+  //    τ = num/den, cos(a,b) ≥ τ ⇔ s > 0 ∧ den²·s² ≥ num²·|a|²·|b|²
+  //    where s = Σaᵢbᵢ over micro-units — no sqrt, no division, no
+  //    fold-order contract. The DuckDB oracle replays the whole thing:
+  //    the Lloyd chain as chained CTEs, the per-cell greedy scan as a
+  //    recursive CTE stepping one member rank per iteration with the
+  //    kept-so-far set carried as list columns.
+  // Same 100 TB shape as `semanticDedup`: bounded cells, K tasks,
+  // never all-pairs. Σaᵢbᵢ fits a signed 64-bit long while components
+  // stay under ~3.8e8 micro-units (|x| ≲ 380) at 64 dims — any real
+  // embedding is orders of magnitude inside that; the τ comparison
+  // itself runs in BigInt (s² overflows long).
+
+  /** Catalog form — the declared q_dedup_semantic. τ = 0.4 = 2/5. */
+  def semanticDedupFixed(spark: SparkSession, dir: String): DataFrame = {
+    val k = Similarity.ivfK(Similarity.corpusSize(spark, dir))
+    semanticDedupFixed(Clustering.qvecs(spark, dir),
+      Clustering.fitFixed(spark, dir, Clustering.Iters, k), 2L, 5L, 4096)
+  }
+
+  /** df form: expects (vec_id: Long, e: Array[Long]) micro-unit vectors
+    * plus fitted integer centroids; τ = tauNum/tauDen. */
+  private[graft] def semanticDedupFixed(v: DataFrame, cents: Array[Array[Long]],
+                                        tauNum: Long, tauDen: Long,
+                                        maxCell: Int): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val assigned = Clustering.assignFixed(v, cents)
+      .select(col("vec_id"), col("e"), col("cid"))
+    val counts = assigned.groupBy("cid").agg(count(lit(1)).as("csz"))
+    val num2 = BigInt(tauNum) * BigInt(tauNum)
+    val den2 = BigInt(tauDen) * BigInt(tauDen)
+    assigned.join(broadcast(counts), "cid")
+      .withColumn("nsub",
+        greatest(lit(1L), ceil(col("csz").cast("double") / lit(maxCell.toDouble))))
+      .withColumn("cell", (col("vec_id") % col("nsub")).cast("int"))
+      .select(col("vec_id"), col("e"), col("cid"), col("cell"))
+      .as[(Long, Seq[Long], Int, Int)]
+      .groupByKey(t => (t._3, t._4))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Long, Seq[Long], Int, Int)]) =>
+        val (cid, cell) = key
+        val ms = it.map { case (id, e, _, _) => (id, e.toArray) }
+          .toArray.sortBy(_._1)
+        val kept =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+        ms.iterator.map { case (id, qa) =>
+          var na2 = 0L
+          var i = 0
+          while (i < qa.length) { na2 += qa(i) * qa(i); i += 1 }
+          var keeper = -1L
+          val ki = kept.iterator
+          while (keeper < 0L && ki.hasNext) {
+            val (kid, kq, kn2) = ki.next()
+            var s = 0L
+            var j = 0
+            while (j < qa.length) { s += qa(j) * kq(j); j += 1 }
+            if (s > 0L &&
+                den2 * BigInt(s) * BigInt(s) >= num2 * BigInt(na2) * BigInt(kn2))
+              keeper = kid
+          }
+          if (keeper < 0L) {
+            kept += ((id, qa, na2))
+            (id, cid.toLong, true, None: Option[Long], cell.toLong)
+          } else (id, cid.toLong, false, Some(keeper), cell.toLong)
+        }
+      }
+      .toDF("vec_id", "cid", "keep", "kept_by", "cell")
+      .orderBy("vec_id")
+  }
+
   /** q_dedup_cc: connected components over the near-dup pair graph —
     * transitive dup clustering. A pair list alone under-deduplicates: if
     * A≈B and B≈C but A̸≈C, keeping "the lower id of each pair" keeps A
@@ -566,21 +691,27 @@ object Dedup {
   // verbatim (recursive closure over exhaustive J ≥ 0.8 pairs of the
   // full corpus). Spec'd additionally via the df-form parity seam.
   //
-  // The verification join still computes full-corpus shingles (one
-  // linear SCAN, map-side pruned by the broadcast candidate list — no
-  // corpus shuffle); a production deployment would persist the shingle
-  // index beside the bands to make verification |candidate docs|-bound.
+  // The verification stage joins candidates against the SHINGLE INDEX
+  // persisted beside the bands (plus the delta's freshly-computed
+  // shingles), so per-batch verify cost is |candidate docs|-bound —
+  // the append path never re-shingles the corpus (VERDICT r7 #1).
 
   private val bandIdxCache =
-    new scala.collection.concurrent.TrieMap[(String, String), (String, Long)]()
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Long, Long)]()
 
   def clearBandIndexCache(): Unit = bandIdxCache.clear()
 
-  /** Staged base-corpus band index + verified base pair list, memoized
-    * per (dir, data fingerprint). The base/batch split mirrors
+  /** Staged base-corpus band index + SHINGLE index + verified base pair
+    * list, memoized per (dir, data fingerprint); returns (root, cut,
+    * deltaDocs). The base/batch split mirrors
     * `Similarity.stagedAppendedIndex`: the last ~10% of doc ids arrive
-    * "late" — the index genuinely never sees them. */
-  private[graft] def stagedBandIndex(spark: SparkSession, dir: String): (String, Long) =
+    * "late" — the index genuinely never sees them. The shingle index
+    * rides beside the bands so the per-batch exact-verify stage joins
+    * candidates against it instead of re-shingling the corpus;
+    * range-layout on doc_id gives every file/row-group tight min/max
+    * stats, so at 100 TB the candidate semi-join reads only the index
+    * slices holding candidate docs. */
+  private[graft] def stagedBandIndex(spark: SparkSession, dir: String): (String, Long, Long) =
     bandIdxCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "documents")), {
       val docs = Tables(spark, dir, "documents")
       val n = docs.count()
@@ -588,43 +719,57 @@ object Dedup {
       val base = docs.where(col("doc_id") < cut)
       val root = graft.Engine.workDir("graft-bandidx-").getAbsolutePath
       sigBands(base).write.mode("overwrite").parquet(s"$root/bands")
+      shingles(base).repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$root/shingles")
       minhashLsh(base).write.mode("overwrite").parquet(s"$root/pairs")
-      (root, cut)
+      (root, cut, n - cut)
     })
 
   /** The batch probe: verified new pairs (delta×base ∪ delta×delta)
     * from the persisted band index — the plan the scale argument is
-    * about (batch bands broadcast; index scanned map-side, no index
-    * shuffle), exposed for the plan spec because `dedupAppend`'s
-    * returned labels sit behind the CC loop's lineage cuts. */
+    * about (batch bands broadcast below the size gate; index scanned
+    * map-side, no index shuffle; verification candidate-bound via the
+    * persisted shingle index — the only documents scans in the plan
+    * are the delta's), exposed for the plan spec because
+    * `dedupAppend`'s returned labels sit behind the CC loop's lineage
+    * cuts. */
   private[graft] def appendProbe(spark: SparkSession, dir: String): DataFrame = {
-    val (root, cut) = stagedBandIndex(spark, dir)
+    val (root, cut, deltaDocs) = stagedBandIndex(spark, dir)
     val docs = Tables(spark, dir, "documents")
-    val deltaBands = sigBands(docs.where(col("doc_id") >= cut))
-    val newCands = crossCandidates(spark.read.parquet(s"$root/bands"), deltaBands)
+    val delta = docs.where(col("doc_id") >= cut)
+    val deltaBands = sigBands(delta)
+    val newCands = crossCandidates(spark.read.parquet(s"$root/bands"),
+        deltaBands, deltaDocs * Bands)
       .unionAll(lshCandidates(deltaBands)) // disjoint pair spaces: no distinct
-    verifyCandidates(docs, newCands, 0.8)
+    verifyCandidatesIndexed(
+      spark.read.parquet(s"$root/shingles").unionByName(shingles(delta)),
+      newCands, 0.8)
   }
 
   /** North-star q_dedup_append: connected components of the dup graph,
     * maintained INCREMENTALLY over an appended batch (see block comment
     * above). Output ≡ q_dedup_cc bit-for-bit. */
   def dedupAppend(spark: SparkSession, dir: String): DataFrame = {
-    val (root, _) = stagedBandIndex(spark, dir)
+    val (root, _, _) = stagedBandIndex(spark, dir)
     dupComponents(
       spark.read.parquet(s"$root/pairs").unionAll(appendProbe(spark, dir)))
   }
 
   /** df-form parity seam (no persistence): incremental components from
     * an explicit (base, delta) split — what the staged catalog form
-    * must agree with, and the spec's crafted-corpus surface. */
+    * must agree with, and the spec's crafted-corpus surface. Routes
+    * through the same indexed-verify code path as `appendProbe` (the
+    * shingle table here is computed, not persisted — the seam proves
+    * SEMANTICS, the staged form proves the plan). */
   private[graft] def dedupAppend(base: DataFrame, delta: DataFrame): DataFrame = {
     val baseBands = sigBands(base)
     val deltaBands = sigBands(delta)
     val basePairs = verifyCandidates(base, lshCandidates(baseBands), 0.8)
-    val newCands = crossCandidates(baseBands, deltaBands)
+    val newCands = crossCandidates(baseBands, deltaBands, delta.count() * Bands)
       .unionAll(lshCandidates(deltaBands))
-    val newPairs = verifyCandidates(base.unionByName(delta), newCands, 0.8)
+    val newPairs = verifyCandidatesIndexed(
+      shingles(base).unionByName(shingles(delta)), newCands, 0.8)
     dupComponents(basePairs.unionAll(newPairs))
   }
 

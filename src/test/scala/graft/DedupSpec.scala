@@ -238,6 +238,26 @@ class DedupSpec extends SparkSuiteBase {
       s"probe join is not broadcast:\n${plan.take(2000)}")
   }
 
+  test("dedupAppend verify is candidate-bound: no full-corpus documents scan, base shingles from the persisted index") {
+    val plan = Dedup.appendProbe(spark, sf).queryExecution.executedPlan.toString
+    // every scan of the documents table must be delta-only (pushed
+    // doc_id >= cut) — the base side's shingles/bands come from the
+    // staged parquet index, never a re-shingle of the corpus
+    val docScans = plan.linesIterator
+      .filter(_.contains("documents.parquet")).toSeq
+    assert(docScans.nonEmpty, s"no documents scan found:\n${plan.take(2000)}")
+    docScans.foreach { l =>
+      assert(l.contains("GreaterThanOrEqual(doc_id"),
+        s"full-corpus documents scan in append probe:\n$l")
+    }
+    // the persisted shingle index is scanned and pruned to candidate
+    // docs via a broadcast left-semi join
+    assert(plan.contains("/shingles"),
+      s"persisted shingle index not in plan:\n${plan.take(2000)}")
+    assert(plan.contains("LeftSemi"),
+      s"no candidate-id semi-join pruning the shingle index:\n${plan.take(2000)}")
+  }
+
   test("keepBest: longest member is canonical, ties to lower id, singletons self-canonical") {
     import spark.implicits._
     // cluster {1,2,3}: 2 is longest → canonical; cluster {5,6}: tied
@@ -341,6 +361,100 @@ class DedupSpec extends SparkSuiteBase {
         if (id == first) assert(keep && by === -1L, s"cell $cell leader $id")
         else assert(!keep && by === first, s"cell $cell member $id kept_by $by")
       }
+    }
+  }
+
+  test("semanticDedupFixed greedy-leader semantics on a crafted single-cluster frame") {
+    import spark.implicits._
+    // micro-unit twin of the double-form test: 1 and 2 share a
+    // direction (cos 1 ≥ 9/10 → drop 2→1); 3 orthogonal (keep);
+    // 4 aligned with 3 (drop 4→3)
+    val v = Seq(
+      (1L, Seq(1000000L, 0L)), (2L, Seq(2000000L, 0L)),
+      (3L, Seq(0L, 1000000L)), (4L, Seq(0L, 3000000L)))
+      .toDF("vec_id", "e")
+    val got = Dedup.semanticDedupFixed(v, Array(Array(0L, 0L)), 9L, 10L, 4096)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((true, -1L)), 2L -> ((false, 1L)),
+      3L -> ((true, -1L)), 4L -> ((false, 3L))))
+  }
+
+  test("semanticDedupFixed: exact-integer tau boundary (cos == tau drops, just under keeps)") {
+    import spark.implicits._
+    // e1=(4,3)·1e6 scaled, e2=(4,3)·2e6: cos exactly 1 — and against
+    // e3=(3,4): cos = 24/25 = 0.96. With tau = 24/25 the boundary pair
+    // DROPS (≥ is inclusive, exactly representable); with
+    // tau = 961/1000 (> 0.96) it KEEPS — float arithmetic could not
+    // make that cut deterministically
+    val v = Seq(
+      (1L, Seq(4000000L, 3000000L)),
+      (2L, Seq(3000000L, 4000000L))).toDF("vec_id", "e")
+    val atTau = Dedup.semanticDedupFixed(v, Array(Array(0L, 0L)), 24L, 25L, 4096)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(atTau === Map(1L -> true, 2L -> false))
+    val aboveTau = Dedup.semanticDedupFixed(v, Array(Array(0L, 0L)), 961L, 1000L, 4096)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(aboveTau === Map(1L -> true, 2L -> true))
+  }
+
+  test("semanticDedupFixed degenerate corpus: mod split bounds cells exactly") {
+    import spark.implicits._
+    // 2000 near-identical micro vectors, ONE centroid, cap 100: the
+    // vec_id % 20 split gives exactly 100 members per cell; each cell
+    // keeps exactly its min id (greedy-leader per cell)
+    val n = 2000
+    val cap = 100
+    val v = (1 to n).map(i => (i.toLong, Seq(1000000L, i.toLong)))
+      .toDF("vec_id", "e").repartition(8)
+    val rows = Dedup.semanticDedupFixed(v, Array(Array(0L, 0L)), 9L, 10L, cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    assert(rows.length === n)
+    val cellSizes = rows.groupBy(_._4).view.mapValues(_.length)
+    assert(cellSizes.size === n / cap)
+    assert(cellSizes.values.forall(_ === cap),
+      s"mod split must be exact on sequential ids: ${cellSizes.toMap}")
+    rows.groupBy(_._4).foreach { case (cell, members) =>
+      val first = members.map(_._1).min
+      members.foreach { case (id, keep, by, _) =>
+        if (id == first) assert(keep && by === -1L, s"cell $cell leader $id")
+        else assert(!keep && by === first, s"cell $cell member $id kept_by $by")
+      }
+    }
+  }
+
+  test("semanticDedupFixed on sf: row conservation; drop edges satisfy the integer predicate") {
+    val rows = SparkEntry.queries("q_dedup_semantic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length.toLong === n)
+    assert(rows.map(_._1).distinct.length.toLong === n)
+    // driver-side replay of the quantization + predicate: every drop
+    // edge must point at an earlier KEPT member of the same (cid, cell)
+    // with s > 0 and 25·s² ≥ 4·|a|²·|b|²
+    val q = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(cast(embedding as array<double>), x -> cast(round(x * 1000000) as bigint)) as qe")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def n2(a: Array[Long]): BigInt =
+      a.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * BigInt(x))
+    val info = rows.map(r => r._1 -> r).toMap
+    val dropped = rows.filterNot(_._3)
+    assert(dropped.nonEmpty, "corpus has semantic dups; expected drops")
+    dropped.foreach { case (id, cid, _, by, cell) =>
+      assert(by >= 0 && by < id, s"$id kept_by $by not earlier")
+      val k = info(by)
+      assert(k._3, s"$id dropped by non-kept $by")
+      assert(k._2 === cid && k._5 === cell, s"$id keeper $by in other cell")
+      val (qa, qb) = (q(id), q(by))
+      val s = qa.indices.foldLeft(BigInt(0))((acc, i) => acc + BigInt(qa(i)) * BigInt(qb(i)))
+      assert(s > 0 && 25 * s * s >= 4 * n2(qa) * n2(qb),
+        s"drop edge ($by,$id) fails the integer cos ≥ 2/5 test")
     }
   }
 

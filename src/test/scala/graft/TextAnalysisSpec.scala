@@ -283,7 +283,11 @@ class TextAnalysisSpec extends SparkSuiteBase {
     val p = 1000000007L
     def hash(cs: Seq[Long]): Long = cs.foldLeft(0L)((a, c) => (a * 31 + c) % p)
     def reference(text: String): (Long, Long) = {
-      val codes = text.toLowerCase.map(_.toLong)
+      // fold over CODEPOINTS, not UTF-16 chars (ADVICE r7): the
+      // Expression iterates codePointAt, so a supplementary-plane char
+      // is ONE hash step — a char-wise reference would silently agree
+      // on BMP-only inputs and diverge beyond them
+      val codes = text.toLowerCase.codePoints().toArray.toSeq.map(_.toLong)
       val full = hash(codes)
       val win =
         if (codes.length >= 8) codes.sliding(8).map(hash).min else full
@@ -292,9 +296,21 @@ class TextAnalysisSpec extends SparkSuiteBase {
     val rnd = new scala.util.Random(7)
     val texts =
       Seq("", "a", "abcdefg", "abcdefgh", "abcdefghi", "AbC dEf GhIj",
-        "zzzzzzzzzzzz") ++
+        "zzzzzzzzzzzz",
+        // supplementary-plane coverage: emoji (no case mapping),
+        // musical symbol, math fraktur, Deseret capital (HAS a
+        // lowercase mapping in the supplementary plane), and mixes
+        // that put the window boundary astride surrogate pairs
+        "🦀🦀 crab 𝄞 music",
+        "𝕳𝖊𝖑𝖑𝖔",
+        "𐐀𐐁 deseret CAPS 𐐂xyz",
+        "a😀b😁c😂d😃e") ++
         (1 to 40).map(_ => rnd.alphanumeric.take(rnd.nextInt(30)).mkString) ++
-        (1 to 10).map(_ => (1 to 64).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+        (1 to 10).map(_ => (1 to 64).map(_ => (32 + rnd.nextInt(95)).toChar).mkString) ++
+        // random mixed BMP + supplementary streams (emoji block)
+        (1 to 10).map(_ => (1 to 24).map(_ =>
+          if (rnd.nextBoolean()) new String(Character.toChars(0x1F600 + rnd.nextInt(80)))
+          else ('a' + rnd.nextInt(26)).toChar.toString).mkString)
     val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val got = TextOps.fingerprint(d).collect()
