@@ -119,8 +119,26 @@ object Bench {
         val sIdx = timed(force(SparkEntry.queries("q_simsearch_ivf_indexed")(spark, sfDir)))
         val bApp = timed(graft.operators.Similarity.stagedAppendedIndex(spark, sfDir))
         val sApp = timed(force(SparkEntry.queries("q_simsearch_ivf_append")(spark, sfDir)))
+        // per-round ANN quality guard (VERDICT r7 #4): recall@10 of the
+        // ANN paths vs the exact brute-force result, measured on every
+        // bench run so a quantizer/probe-sizing change that silently
+        // degrades recall shows up in the round JSON (the 0.87 figure
+        // was a one-off from round 5 until now). Result sets are
+        // nQueries × k rows — driver-side compare is trivially bounded.
+        def topk(name: String): Map[Long, Set[Long]] =
+          SparkEntry.queries(name)(spark, sfDir).select("qid", "vec_id")
+            .collect().groupBy(_.getLong(0))
+            .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val exact = topk("q_simsearch")
+        def recall(ann: Map[Long, Set[Long]]): Double =
+          if (exact.isEmpty) 0.0
+          else exact.map { case (q, ex) =>
+            ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+          }.sum / exact.size
         Seq("ivf_indexed_build_sec" -> bIdx, "ivf_indexed_search_sec" -> sIdx,
-          "ivf_append_build_sec" -> bApp, "ivf_append_search_sec" -> sApp)
+          "ivf_append_build_sec" -> bApp, "ivf_append_search_sec" -> sApp,
+          "ivf_recall_at_10" -> recall(topk("q_simsearch_ivf_indexed")),
+          "ivf_append_recall_at_10" -> recall(topk("q_simsearch_ivf_append")))
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] ivf lifecycle split failed: ${e.getMessage}")
         Seq.empty

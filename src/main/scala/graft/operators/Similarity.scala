@@ -282,6 +282,35 @@ object Similarity {
     ivfBody(vecs(spark, dir), QueryVecs, k, probes, cents)
   }
 
+  /** df-form of the seam: search `emb` under external centroids — the
+    * surface the centroid-drift refresh spec measures stale-vs-fresh
+    * recall on. */
+  private[graft] def ivfTopKWith(emb: DataFrame, isQuery: Column,
+                                 cents: Array[Array[Double]], k: Int,
+                                 nProbe: Int): DataFrame =
+    ivfBody(vecs(emb), isQuery, k, nProbe, cents)
+
+  /** Centroid-drift refresh trigger (VERDICT r7 #7), as CODE: a
+    * base-trained quantizer stays valid only while the appended
+    * fraction is bounded. Vectors from a SHIFTED append are
+    * near-equidistant to every stale centroid, so the assignment
+    * argmin collapses and the new mass funnels into a handful of lists
+    * — the inverted-file cost contract (candidate work ≈ nProbe·n/K)
+    * silently becomes corpus-linear, even while recall looks fine
+    * because the crowd and its queries share the same overloaded list
+    * (measured in the refresh spec: stale max-list share ~0.3+ vs
+    * ~0.05 refreshed). Past this appended fraction the index is
+    * REBUILT under a fresh full-corpus fit instead of appending into
+    * stale lists. 0.5 is the standard rebuild heuristic (amortizes one
+    * full re-fit + restage against at least a doubling of the corpus —
+    * the same geometric-doubling argument as dynamic arrays); corpora
+    * with known drift refresh earlier. */
+  val AppendRefreshFraction = 0.5
+
+  def appendNeedsRefresh(baseRows: Long, appendedRows: Long): Boolean =
+    appendedRows.toDouble / math.max(1L, baseRows + appendedRows).toDouble >
+      AppendRefreshFraction
+
   private val appendCache =
     new scala.collection.concurrent.TrieMap[(String, String), (String, Array[Array[Double]])]()
 
@@ -292,10 +321,14 @@ object Similarity {
       val v = vecs(spark, dir)
       // quantizer trained on the base only — the delta does not exist
       // yet; degenerate corpora whose base slice is empty fall back to
-      // a full fit (zero centroids would break the assignment kernel)
-      val baseFit = Clustering.fit(
-        v.where(col("vec_id") < cut).select(col("vec_id"), col("e")),
-        Clustering.Iters, ivfK(n))
+      // a full fit (zero centroids would break the assignment kernel),
+      // and a batch past the refresh threshold takes the REBUILD path
+      // (fresh full-corpus fit) instead of appending into stale lists
+      val baseFit =
+        if (appendNeedsRefresh(cut, n - cut)) Array.empty[Array[Double]]
+        else Clustering.fit(
+          v.where(col("vec_id") < cut).select(col("vec_id"), col("e")),
+          Clustering.Iters, ivfK(n))
       val cents =
         if (baseFit.nonEmpty) baseFit
         else Clustering.fit(v.select(col("vec_id"), col("e")),

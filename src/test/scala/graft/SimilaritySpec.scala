@@ -165,6 +165,88 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(lshRecall >= 0.9, f"LSH recall $lshRecall%.3f below 0.9 on clustered data")
   }
 
+  test("appended-IVF refresh: shifted append concentrates stale lists; re-fit restores the IVF contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // BASE: 2 tight clusters; DELTA (appended later): 6 NEW clusters in
+    // directions the base quantizer never saw — the drift scenario the
+    // refresh threshold exists for. Ids interleave within each era so
+    // fit's k-lowest-id init spans the era's clusters. The appended
+    // fraction (1200/2000 = 0.6) crosses AppendRefreshFraction.
+    val rnd = new scala.util.Random(11)
+    val dim = 64; val per = 200
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    def mk(cl: Seq[Int], idBase: Long) = for {
+      i <- 0 until per; c <- cl.indices
+    } yield (idBase + i.toLong * cl.length + c,
+      centers(cl(c)).map(_ + 0.35 * rnd.nextGaussian()))
+    val base = mk(Seq(0, 1), 0L)
+    val delta = mk(Seq(2, 3, 4, 5, 6, 7), 400L)
+    val emb = (base ++ delta).toDF("vec_id", "embedding")
+    assert(Similarity.appendNeedsRefresh(base.size, delta.size),
+      "the scenario must cross the refresh threshold")
+    // queries: 12 delta vectors (two per new cluster)
+    val isQuery = col("vec_id") >= 400L && col("vec_id") < 412L
+    val truth = Similarity.bruteForceTopK(emb, isQuery, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size === 120)
+    val k = Similarity.ivfK(2000) // 45 lists, as the catalog would size
+    val nProbe = Similarity.ivfNProbe(k)
+    def recall(cents: Array[Array[Double]]): Double =
+      Similarity.ivfTopKWith(emb, isQuery, cents, 10, nProbe).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .count(truth.contains).toDouble / truth.size
+    val staleCents = graft.operators.Clustering.fit(
+      base.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+      graft.operators.Clustering.Iters, k)
+    val freshCents = graft.operators.Clustering.fit(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+      graft.operators.Clustering.Iters, k)
+    // What a stale quantizer actually breaks at scale: vectors from the
+    // unseen distribution are near-equidistant to every stale centroid,
+    // so the argmin collapses and the WHOLE shifted append funnels into
+    // a handful of lists — probing one of them scans a corpus-sized
+    // candidate set (the inverted-file contract, candidate work ≈
+    // nProbe·n/K, is gone). Recall can survive that collapse (the crowd
+    // and its queries share the same list), which is exactly why
+    // occupancy — not recall alone — must be the refresh signal.
+    def maxListShare(cents: Array[Array[Double]]): Double = {
+      val all = (base ++ delta)
+      val occ = new Array[Int](cents.length)
+      all.foreach { case (_, v) =>
+        var bi = 0; var bd = Double.MaxValue
+        cents.indices.foreach { ci =>
+          var d = 0.0; var j = 0
+          while (j < v.length) {
+            val t = v(j) - cents(ci)(j); d += t * t; j += 1
+          }
+          if (d < bd) { bd = d; bi = ci }
+        }
+        occ(bi) += 1
+      }
+      occ.max.toDouble / all.size
+    }
+    val staleShare = maxListShare(staleCents)
+    val freshShare = maxListShare(freshCents)
+    val staleR = recall(staleCents)
+    val freshR = recall(freshCents)
+    info(f"stale: recall $staleR%.3f, max-list share $staleShare%.3f; " +
+      f"fresh: recall $freshR%.3f, max-list share $freshShare%.3f")
+    // refresh restores BOTH halves of the IVF contract: recall ≥ 0.9
+    // with bounded per-list occupancy — one NATURAL cluster per list
+    // (250/2000 = 0.125) is the fixture's floor; what must not survive
+    // is a multi-cluster funnel
+    assert(freshR >= 0.9, f"refresh must restore recall, got $freshR%.3f")
+    assert(freshShare <= 0.15,
+      f"refreshed lists must be balanced, max share $freshShare%.3f")
+    // and the stale index demonstrably violates the occupancy bound —
+    // the probe-cost blowup the AppendRefreshFraction trigger exists for
+    assert(staleShare >= 2 * freshShare,
+      f"shifted append must visibly concentrate stale lists " +
+        f"(stale $staleShare%.3f vs fresh $freshShare%.3f)")
+  }
+
   test("LSH top-k candidates are a subset ranked identically to brute force") {
     val brute = Similarity.bruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
