@@ -215,6 +215,40 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got.map(_._4).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
   }
 
+  test("batched bpe learns the IDENTICAL merge sequence in fewer driver rounds") {
+    import spark.implicits._
+    // the worked-example fixture (conflict-heavy: e/es/est chain) plus
+    // the real sf corpus — batch=4 must replay batch=1's sequence
+    // exactly, pair counts included, in strictly fewer rounds
+    val fixture = docs(1L -> (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    val sfDocs = graft.sources.Tables(spark, sf, "documents")
+    // the worked example is the conservative rule's WORST case — its
+    // merges form one chain (e→es→est→est</w>), every round's runner-up
+    // conflicts with the winner, so the batch degenerates to 1/round
+    // (correctness over speed); the real corpus is where disjoint top
+    // pairs exist and rounds must strictly shrink
+    for ((d, nm, name, mustSave) <- Seq(
+        (fixture, 6, "fixture", false), (sfDocs, 8, "sf", true),
+        (sfDocs, 40, "sf40", true))) {
+      def run(batch: Int) = {
+        val (df, rounds) = TextOps.bpeLearnBatched(spark, d, nm, batch)
+        (df.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSeq, rounds)
+      }
+      val (classic, roundsClassic) = run(1)
+      val (batched, roundsBatched) = run(4)
+      assert(batched === classic, s"$name: batched sequence diverged")
+      assert(roundsClassic === classic.size,
+        s"$name: classic loop must pay one round per merge")
+      assert(roundsBatched <= roundsClassic,
+        s"$name: batching must never cost extra rounds")
+      if (mustSave) assert(roundsBatched < roundsClassic,
+        s"$name: batching saved nothing ($roundsBatched vs $roundsClassic rounds)")
+      info(s"$name: ${classic.size} merges in $roundsBatched rounds (classic $roundsClassic)")
+    }
+  }
+
   test("bpeEncode: matches a driver-side reference tokenizer, reconciles with tokenCounts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
