@@ -14,7 +14,8 @@ object PlanAudit {
       "q_stream_typecounts", "q_stream_recent", "q_stream_usersession",
       "q_stream_ohlc",
       // driver-collect at build time (per-language ledger / quantizer fit)
-      "q_mix_temperature", "q_kmeans", "q_simsearch_ivf", "q_pagerank")
+      "q_mix_temperature", "q_kmeans", "q_simsearch_ivf", "q_pagerank",
+      "q_dedup_semantic")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
