@@ -144,6 +144,24 @@ object Bench {
         Seq.empty
       }
 
+    // Dedup band-index lifecycle split (the q_dedup_append analogue of
+    // the ivf split above): build = one-time base band/shingle/pair
+    // staging from cold caches; inc = the incremental batch path over
+    // the warm index (probe + verify + CC — the amortized per-batch
+    // cost a daily-ingest pipeline pays). Memos left WARM so the
+    // matrix row below measures the incremental path, not staging.
+    val dedupLifecycle: Seq[(String, Double)] =
+      try {
+        graft.operators.Dedup.clearBandIndexCache()
+        graft.operators.Dedup.clearComponentCache()
+        val bBand = timed(graft.operators.Dedup.stagedBandIndex(spark, sfDir))
+        val sInc = timed(force(SparkEntry.queries("q_dedup_append")(spark, sfDir)))
+        Seq("dedup_append_build_sec" -> bBand, "dedup_append_inc_sec" -> sInc)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] dedup lifecycle split failed: ${e.getMessage}")
+        Seq.empty
+      }
+
     // FULL-MATRIX scope (VERDICT r4 #3): one untimed-bar single run of
     // EVERY declared query, timings persisted per query — so a
     // regression in a non-headline query (e.g. the pre-fix 11.7 s
@@ -205,7 +223,7 @@ object Bench {
     // a tail capture of any length that includes the final line parses.
     // Both lines are also mirrored to bench_last.json in the CWD.
     val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"matrix_rerun_threshold_sec":$RerunThresholdSec,"matrix_rerun_n":$mReruns,"sf":"$sfDir"}"""
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","ivf_lifecycle":${obj(ivfLifecycle ++ dedupLifecycle)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
       try { w.println(matrixLine); w.println(headlineLine) } finally w.close()

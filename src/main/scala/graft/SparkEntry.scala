@@ -1991,7 +1991,8 @@ object SparkEntry {
     *     kpar CTE) unrolled as chained CTEs — same chain as
     *     [[kmeansOracle]];
     *  2. cells: cluster size counts → nsub = ⌈csz/4096⌉, cell =
-    *     vec_id mod nsub (integer, engine-agnostic);
+    *     Lehmer-mixed id mod nsub (integer, engine-agnostic;
+    *     see Dedup.CellMixP/CellMixA);
     *  3. the per-cell greedy leader scan as a RECURSIVE CTE stepping
     *     one member rank per iteration, the kept-so-far set carried in
     *     list columns (ids, micro-unit vectors, |a|²); the drop test
@@ -2052,12 +2053,12 @@ object SparkEntry {
          |cnt AS (SELECT cid, count(*) AS csz FROM asg GROUP BY cid),
          |mem AS MATERIALIZED (
          |  SELECT m.vec_id, m.cid,
-         |         CAST(m.vec_id % GREATEST(1, CAST(ceil(CAST(c.csz AS DOUBLE) / 4096.0) AS BIGINT)) AS INT) AS cell,
+         |         CAST(m.vec_id % 2147483647 * 48271 % 2147483647 * 48271 % 2147483647 % GREATEST(1, CAST(ceil(CAST(c.csz AS DOUBLE) / 4096.0) AS BIGINT)) AS INT) AS cell,
          |         q.qe,
          |         list_sum(list_transform(q.qe, e -> e * e)) AS na2,
          |         row_number() OVER (
          |           PARTITION BY m.cid,
-         |             CAST(m.vec_id % GREATEST(1, CAST(ceil(CAST(c.csz AS DOUBLE) / 4096.0) AS BIGINT)) AS INT)
+         |             CAST(m.vec_id % 2147483647 * 48271 % 2147483647 * 48271 % 2147483647 % GREATEST(1, CAST(ceil(CAST(c.csz AS DOUBLE) / 4096.0) AS BIGINT)) AS INT)
          |           ORDER BY m.vec_id) AS rnk
          |  FROM asg m JOIN cnt c USING (cid) JOIN q USING (vec_id)
          |),

@@ -283,10 +283,16 @@ object Dedup {
     * intersections, and the output are identical to `verifyCandidates`
     * over the same documents. */
   private def verifyCandidatesIndexed(sh: DataFrame, cands: DataFrame,
-                                      tau: Double): DataFrame = {
+                                      tau: Double,
+                                      materializePruned: Boolean = false): DataFrame = {
     val candIds = cands.select(col("da").as("doc_id"))
       .unionAll(cands.select(col("db").as("doc_id"))).distinct()
-    val pruned = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val pruned0 = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    // the pruned shingle table has 4 consumers (both sides of the
+    // intersection join + both size lookups in scorePairs); in the
+    // executed path it is materialized ONCE — bounded by candidate
+    // docs — instead of re-running the scan+semi-join per consumer
+    val pruned = if (materializePruned) pruned0.localCheckpoint() else pruned0
     val inter = cands
       .join(pruned.select(col("doc_id").as("da"), col("shingle")), "da")
       .join(pruned.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
@@ -520,9 +526,13 @@ object Dedup {
   //  - embeddings quantized once to micro-units (round(x·10⁶) BIGINT);
   //  - the quantizer is `Clustering.fitFixed` (exact-integer Lloyd,
   //    already oracle-unrolled for q_kmeans) at K = ivfK(n);
-  //  - oversized clusters split by vec_id mod nsub — as deterministic
-  //    as the murmur3 split, equally skew-proof (ids within a cluster
-  //    are arbitrary), and trivially mirrored in SQL;
+  //  - oversized clusters split by a twice-iterated Lehmer/MINSTD mix
+  //    of the id — cell = (id mod P)·48271² [mod P between steps] mod
+  //    nsub with P = 2³¹−1 (see CellMixP/CellMixA) — deterministic,
+  //    engine-agnostic integer arithmetic (no murmur3 in SQL) that
+  //    breaks the residue structure a plain id-mod split would
+  //    inherit from structured id schemes (stride-20 ids would land
+  //    every member in ONE sub-cell under a raw mod; spec'd);
   //  - the greedy drop test `cos ≥ τ` runs in EXACT integers: with
   //    τ = num/den, cos(a,b) ≥ τ ⇔ s > 0 ∧ den²·s² ≥ num²·|a|²·|b|²
   //    where s = Σaᵢbᵢ over micro-units — no sqrt, no division, no
@@ -535,6 +545,17 @@ object Dedup {
   // stay under ~3.8e8 micro-units (|x| ≲ 380) at 64 dims — any real
   // embedding is orders of magnitude inside that; the τ comparison
   // itself runs in BigInt (s² overflows long).
+
+  /** Lehmer/MINSTD cell-split mix (Park–Miller minimal standard
+    * generator step, applied TWICE): P = 2³¹−1 (prime), multiplier
+    * 48271. One step is not enough — id·48271 stays below P for ids
+    * under ~44k, so small structured ids (stride 20, stride 2…) keep
+    * their residue pattern verbatim; the second step multiplies a
+    * value ≥ 48271 and always wraps mod P, destroying the stride. Each
+    * product fits signed 64-bit ((P−1)·48271 ≈ 1.0e14), so Spark and
+    * DuckDB compute the mix exactly. */
+  private[graft] val CellMixP = 2147483647L
+  private[graft] val CellMixA = 48271L
 
   /** Catalog form — the declared q_dedup_semantic. τ = 0.4 = 2/5. */
   def semanticDedupFixed(spark: SparkSession, dir: String): DataFrame = {
@@ -558,7 +579,9 @@ object Dedup {
     assigned.join(broadcast(counts), "cid")
       .withColumn("nsub",
         greatest(lit(1L), ceil(col("csz").cast("double") / lit(maxCell.toDouble))))
-      .withColumn("cell", (col("vec_id") % col("nsub")).cast("int"))
+      .withColumn("cell",
+        (pmod(col("vec_id"), lit(CellMixP)) * lit(CellMixA) % lit(CellMixP)
+          * lit(CellMixA) % lit(CellMixP) % col("nsub")).cast("int"))
       .select(col("vec_id"), col("e"), col("cid"), col("cell"))
       .as[(Long, Seq[Long], Int, Int)]
       .groupByKey(t => (t._3, t._4))
@@ -747,13 +770,38 @@ object Dedup {
       newCands, 0.8)
   }
 
+  /** Executed form of the batch probe: the SAME dataflow as
+    * [[appendProbe]] with the bounded intermediates materialized once
+    * (localCheckpoint — the bpeEncode multi-consumer pattern, and
+    * accurate sizes for AQE, unlike .cache()'s inflated stats). The
+    * declarative form re-evaluates shared subtrees per consumer — the
+    * delta band table feeds the cross probe plus both sides of the
+    * batch-local self-join, and the candidate/pruned tables fan out
+    * 2-4× each, multiplying to ~12 delta re-signatures per run
+    * (measured 12.4 s vs ~4 s at sf0.1). Checkpointed sizes are all
+    * batch- or dup-graph-bounded: |delta|·32 band rows, candidate
+    * pairs, candidate docs' shingles. */
+  private def appendProbeExec(spark: SparkSession, dir: String): DataFrame = {
+    val (root, cut, deltaDocs) = stagedBandIndex(spark, dir)
+    val docs = Tables(spark, dir, "documents")
+    val delta = docs.where(col("doc_id") >= cut)
+    val deltaBands = sigBands(delta).localCheckpoint()
+    val newCands = crossCandidates(spark.read.parquet(s"$root/bands"),
+        deltaBands, deltaDocs * Bands)
+      .unionAll(lshCandidates(deltaBands))
+      .localCheckpoint()
+    verifyCandidatesIndexed(
+      spark.read.parquet(s"$root/shingles").unionByName(shingles(delta)),
+      newCands, 0.8, materializePruned = true)
+  }
+
   /** North-star q_dedup_append: connected components of the dup graph,
     * maintained INCREMENTALLY over an appended batch (see block comment
     * above). Output ≡ q_dedup_cc bit-for-bit. */
   def dedupAppend(spark: SparkSession, dir: String): DataFrame = {
     val (root, _, _) = stagedBandIndex(spark, dir)
     dupComponents(
-      spark.read.parquet(s"$root/pairs").unionAll(appendProbe(spark, dir)))
+      spark.read.parquet(s"$root/pairs").unionAll(appendProbeExec(spark, dir)))
   }
 
   /** df-form parity seam (no persistence): incremental components from
@@ -766,7 +814,11 @@ object Dedup {
     val baseBands = sigBands(base)
     val deltaBands = sigBands(delta)
     val basePairs = verifyCandidates(base, lshCandidates(baseBands), 0.8)
-    val newCands = crossCandidates(baseBands, deltaBands, delta.count() * Bands)
+    // spec-scale seam: always broadcast (0 ≤ gate) rather than paying
+    // an eager count() job on an arbitrary caller frame at
+    // plan-construction time — the STAGED path owns the size gate,
+    // with the batch size known from staging metadata
+    val newCands = crossCandidates(baseBands, deltaBands, 0L)
       .unionAll(lshCandidates(deltaBands))
     val newPairs = verifyCandidatesIndexed(
       shingles(base).unionByName(shingles(delta)), newCands, 0.8)

@@ -317,15 +317,20 @@ object Similarity {
   private[graft] def stagedAppendedIndex(spark: SparkSession, dir: String): (String, Array[Array[Double]]) =
     appendCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
       val n = corpusSize(spark, dir)
-      val cut = n - math.max(1L, n / 10) // last ~10% arrive "late"
+      val cut = n - math.max(1L, n / 10) // last ~10% of IDS arrive "late"
       val v = vecs(spark, dir)
       // quantizer trained on the base only — the delta does not exist
       // yet; degenerate corpora whose base slice is empty fall back to
       // a full fit (zero centroids would break the assignment kernel),
       // and a batch past the refresh threshold takes the REBUILD path
-      // (fresh full-corpus fit) instead of appending into stale lists
+      // (fresh full-corpus fit) instead of appending into stale lists.
+      // The refresh fraction uses COUNTED base rows, not the id
+      // threshold: `cut` is an id cutoff, and with sparse ids the two
+      // diverge arbitrarily (ids 0..9 ∪ 5000.. would make cut≈900
+      // claim a 10% append while 99% of the rows are actually late).
+      val baseRows = v.where(col("vec_id") < cut).count()
       val baseFit =
-        if (appendNeedsRefresh(cut, n - cut)) Array.empty[Array[Double]]
+        if (appendNeedsRefresh(baseRows, n - baseRows)) Array.empty[Array[Double]]
         else Clustering.fit(
           v.where(col("vec_id") < cut).select(col("vec_id"), col("e")),
           Clustering.Iters, ivfK(n))

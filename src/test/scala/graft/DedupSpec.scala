@@ -251,9 +251,14 @@ class DedupSpec extends SparkSuiteBase {
         s"full-corpus documents scan in append probe:\n$l")
     }
     // the persisted shingle index is scanned and pruned to candidate
-    // docs via a broadcast left-semi join
-    assert(plan.contains("/shingles"),
-      s"persisted shingle index not in plan:\n${plan.take(2000)}")
+    // docs via a broadcast left-semi join. (Identify the scan by the
+    // staging-root PREFIX + its column list, not the "/shingles" path
+    // suffix: FileScan Location strings truncate at 100 chars and the
+    // pid-bearing tmp root can push the suffix past the cut.)
+    val idxScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("graft-bandidx-")).toSeq
+    assert(idxScans.exists(_.contains("shingle#")),
+      s"persisted shingle index not scanned:\n${plan.take(2000)}")
     assert(plan.contains("LeftSemi"),
       s"no candidate-id semi-join pruning the shingle index:\n${plan.take(2000)}")
   }
@@ -400,29 +405,40 @@ class DedupSpec extends SparkSuiteBase {
     assert(aboveTau === Map(1L -> true, 2L -> true))
   }
 
-  test("semanticDedupFixed degenerate corpus: mod split bounds cells exactly") {
+  test("semanticDedupFixed degenerate corpus: Lehmer-mixed split bounds cells, incl. structured ids") {
     import spark.implicits._
-    // 2000 near-identical micro vectors, ONE centroid, cap 100: the
-    // vec_id % 20 split gives exactly 100 members per cell; each cell
-    // keeps exactly its min id (greedy-leader per cell)
-    val n = 2000
+    // 2000 near-identical micro vectors, ONE centroid, cap 100 — the
+    // greedy scan must stay bounded per cell whatever the id layout.
+    // Two layouts: sequential ids, and STRIDE-20 ids (20, 40, …) — the
+    // structured scheme under which a raw `vec_id % nsub` split would
+    // put EVERY member in cell 0 (one 2000² task); the Lehmer mix
+    // breaks the residue structure
     val cap = 100
-    val v = (1 to n).map(i => (i.toLong, Seq(1000000L, i.toLong)))
-      .toDF("vec_id", "e").repartition(8)
-    val rows = Dedup.semanticDedupFixed(v, Array(Array(0L, 0L)), 9L, 10L, cap)
-      .collect()
-      .map(r => (r.getLong(0), r.getBoolean(2),
-        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
-    assert(rows.length === n)
-    val cellSizes = rows.groupBy(_._4).view.mapValues(_.length)
-    assert(cellSizes.size === n / cap)
-    assert(cellSizes.values.forall(_ === cap),
-      s"mod split must be exact on sequential ids: ${cellSizes.toMap}")
-    rows.groupBy(_._4).foreach { case (cell, members) =>
-      val first = members.map(_._1).min
-      members.foreach { case (id, keep, by, _) =>
-        if (id == first) assert(keep && by === -1L, s"cell $cell leader $id")
-        else assert(!keep && by === first, s"cell $cell member $id kept_by $by")
+    for ((ids, name) <- Seq(
+        ((1 to 2000).map(_.toLong), "sequential"),
+        ((1 to 2000).map(_ * 20L), "stride-20"))) {
+      val n = ids.size
+      val v = ids.map(i => (i, Seq(1000000L, i)))
+        .toDF("vec_id", "e").repartition(8)
+      val rows = Dedup.semanticDedupFixed(v, Array(Array(0L, 0L)), 9L, 10L, cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+      assert(rows.length === n, name)
+      // task-input bound: a cell's member count IS its scan size; the
+      // mixed split is near-uniform — allow 2× slack over the cap
+      val cellSizes = rows.groupBy(_._4).view.mapValues(_.length)
+      assert(cellSizes.values.max <= 2 * cap,
+        s"$name: oversized scan cell: ${cellSizes.maxBy(_._2)}")
+      assert(cellSizes.size >= (n / cap) / 2,
+        s"$name: split collapsed to ${cellSizes.size} cells")
+      // all-near-identical: each cell keeps exactly its min id
+      rows.groupBy(_._4).foreach { case (cell, members) =>
+        val first = members.map(_._1).min
+        members.foreach { case (id, keep, by, _) =>
+          if (id == first) assert(keep && by === -1L, s"$name cell $cell leader $id")
+          else assert(!keep && by === first, s"$name cell $cell member $id kept_by $by")
+        }
       }
     }
   }
