@@ -179,6 +179,12 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(Tables(spark, dir, "documents"))
 
+  // Measured and rejected (round 8): localCheckpoint'ing the band
+  // table before the self-join halves the signature COMPUTE but made
+  // q_dedup_minhash ~20% slower relative at sf0.1 — on local[32] the
+  // redundant sides overlap on idle cores while the eager
+  // materialization serializes. A standing corpus persists the band
+  // index to a TABLE instead (stagedBandIndex) — the real 100 TB shape.
   def minhashLsh(docs: DataFrame): DataFrame =
     verifyCandidates(docs, lshCandidates(sigBands(docs)), 0.8)
 

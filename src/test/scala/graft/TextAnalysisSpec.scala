@@ -249,6 +249,26 @@ class TextAnalysisSpec extends SparkSuiteBase {
     }
   }
 
+  test("batched bpe ≡ classic on seeded RANDOM corpora (hazard-validation property)") {
+    import spark.implicits._
+    // tiny alphabets force dense pair-count ties and symbol conflicts —
+    // exactly the regime where an unsound batching rule would diverge
+    // (equal-count minted pairs tie-breaking into the sequence). Three
+    // seeds × two alphabet sizes, 12 merges, batch 3 vs 1.
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3; alpha <- Seq("ab", "abcd")) {
+      val words = (1 to 120).map { _ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val d = docs(1L -> words.take(60).mkString(" "),
+        2L -> words.drop(60).mkString(" "))
+      def seq(batch: Int) =
+        TextOps.bpeLearnBatched(spark, d, 12, batch)._1.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(seq(3) === seq(1), s"trial $trial alpha=$alpha diverged")
+    }
+  }
+
   test("bpeEncode: matches a driver-side reference tokenizer, reconciles with tokenCounts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
