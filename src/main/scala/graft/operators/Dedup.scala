@@ -251,8 +251,8 @@ object Dedup {
     * Canonical (da < db) ordering via least/greatest (with the id
     * contract — index ids below batch ids — da is always the indexed
     * doc, but the form stays correct for any id layout). */
-  private def crossCandidates(indexBands: DataFrame, newBands: DataFrame,
-                              newBandRows: Long): DataFrame = {
+  private[graft] def crossCandidates(indexBands: DataFrame, newBands: DataFrame,
+                                     newBandRows: Long): DataFrame = {
     val batchSide =
       if (newBandRows <= BroadcastBandRowLimit) broadcast(newBands.as("y"))
       else newBands.as("y").hint("shuffle_hash")

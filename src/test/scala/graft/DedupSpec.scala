@@ -263,6 +263,29 @@ class DedupSpec extends SparkSuiteBase {
       s"no candidate-id semi-join pruning the shingle index:\n${plan.take(2000)}")
   }
 
+  test("crossCandidates: oversized-batch shuffle fallback yields the same pairs as the broadcast path") {
+    import spark.implicits._
+    // same band fixture through both gate branches: rows=0 broadcasts,
+    // rows above the ~4M ceiling takes the shuffle_hash fallback — the
+    // candidate SET must be identical (only the join strategy differs)
+    val idx = Seq((1L, 0, 11), (2L, 0, 11), (3L, 1, 22), (4L, 2, 33))
+      .toDF("doc_id", "band", "bh")
+    val batch = Seq((10L, 0, 11), (11L, 1, 22), (12L, 1, 99))
+      .toDF("doc_id", "band", "bh")
+    def pairs(rows: Long) =
+      Dedup.crossCandidates(idx, batch, rows).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBroadcast = pairs(0L)
+    val viaShuffle = pairs(Long.MaxValue)
+    assert(viaBroadcast === Set((1L, 10L), (2L, 10L), (3L, 11L)))
+    assert(viaShuffle === viaBroadcast)
+    // and the fallback really is a different physical strategy
+    val fallbackPlan = Dedup.crossCandidates(idx, batch, Long.MaxValue)
+      .queryExecution.executedPlan.toString
+    assert(!fallbackPlan.contains("BroadcastHashJoin"),
+      s"fallback still broadcasts:\n${fallbackPlan.take(1500)}")
+  }
+
   test("keepBest: longest member is canonical, ties to lower id, singletons self-canonical") {
     import spark.implicits._
     // cluster {1,2,3}: 2 is longest → canonical; cluster {5,6}: tied
