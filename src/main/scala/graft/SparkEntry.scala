@@ -2053,12 +2053,12 @@ object SparkEntry {
          |cnt AS (SELECT cid, count(*) AS csz FROM asg GROUP BY cid),
          |mem AS MATERIALIZED (
          |  SELECT m.vec_id, m.cid,
-         |         CAST(m.vec_id % 2147483647 * 48271 % 2147483647 * 48271 % 2147483647 % GREATEST(1, CAST(ceil(CAST(c.csz AS DOUBLE) / 4096.0) AS BIGINT)) AS INT) AS cell,
+         |         CAST((m.vec_id % 2147483647 + 2147483647) % 2147483647 * 48271 % 2147483647 * 48271 % 2147483647 % GREATEST(1, CAST(ceil(CAST(c.csz AS DOUBLE) / 4096.0) AS BIGINT)) AS INT) AS cell,
          |         q.qe,
          |         list_sum(list_transform(q.qe, e -> e * e)) AS na2,
          |         row_number() OVER (
          |           PARTITION BY m.cid,
-         |             CAST(m.vec_id % 2147483647 * 48271 % 2147483647 * 48271 % 2147483647 % GREATEST(1, CAST(ceil(CAST(c.csz AS DOUBLE) / 4096.0) AS BIGINT)) AS INT)
+         |             CAST((m.vec_id % 2147483647 + 2147483647) % 2147483647 * 48271 % 2147483647 * 48271 % 2147483647 % GREATEST(1, CAST(ceil(CAST(c.csz AS DOUBLE) / 4096.0) AS BIGINT)) AS INT)
          |           ORDER BY m.vec_id) AS rnk
          |  FROM asg m JOIN cnt c USING (cid) JOIN q USING (vec_id)
          |),

@@ -746,13 +746,18 @@ object Dedup {
       val n = docs.count()
       val cut = n - math.max(1L, n / 10)
       val base = docs.where(col("doc_id") < cut)
+      // the broadcast gate needs the delta ROW count, not the id
+      // threshold — with sparse doc ids the two diverge arbitrarily
+      // (the Similarity.stagedAppendedIndex refresh-fraction fix, same
+      // class); counted once here, carried in the staging metadata
+      val baseRows = base.count()
       val root = graft.Engine.workDir("graft-bandidx-").getAbsolutePath
       sigBands(base).write.mode("overwrite").parquet(s"$root/bands")
       shingles(base).repartitionByRange(col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(s"$root/shingles")
       minhashLsh(base).write.mode("overwrite").parquet(s"$root/pairs")
-      (root, cut, n - cut)
+      (root, cut, n - baseRows)
     })
 
   /** The batch probe: verified new pairs (delta×base ∪ delta×delta)
@@ -762,43 +767,35 @@ object Dedup {
     * persisted shingle index — the only documents scans in the plan
     * are the delta's), exposed for the plan spec because
     * `dedupAppend`'s returned labels sit behind the CC loop's lineage
-    * cuts. */
-  private[graft] def appendProbe(spark: SparkSession, dir: String): DataFrame = {
-    val (root, cut, deltaDocs) = stagedBandIndex(spark, dir)
-    val docs = Tables(spark, dir, "documents")
-    val delta = docs.where(col("doc_id") >= cut)
-    val deltaBands = sigBands(delta)
-    val newCands = crossCandidates(spark.read.parquet(s"$root/bands"),
-        deltaBands, deltaDocs * Bands)
-      .unionAll(lshCandidates(deltaBands)) // disjoint pair spaces: no distinct
-    verifyCandidatesIndexed(
-      spark.read.parquet(s"$root/shingles").unionByName(shingles(delta)),
-      newCands, 0.8)
-  }
-
-  /** Executed form of the batch probe: the SAME dataflow as
-    * [[appendProbe]] with the bounded intermediates materialized once
-    * (localCheckpoint — the bpeEncode multi-consumer pattern, and
-    * accurate sizes for AQE, unlike .cache()'s inflated stats). The
-    * declarative form re-evaluates shared subtrees per consumer — the
+    * cuts.
+    *
+    * ONE body, two modes (so the spec'd plan cannot drift from the
+    * executed one): `exec = false` (the plan-spec surface) keeps the
+    * dataflow fully declarative; `exec = true` (what `dedupAppend`
+    * runs) materializes the bounded intermediates once via
+    * localCheckpoint — the bpeEncode multi-consumer pattern, with
+    * accurate sizes for AQE unlike .cache()'s inflated stats. Left
+    * declarative, the shared subtrees re-evaluate per consumer (the
     * delta band table feeds the cross probe plus both sides of the
-    * batch-local self-join, and the candidate/pruned tables fan out
-    * 2-4× each, multiplying to ~12 delta re-signatures per run
-    * (measured 12.4 s vs ~4 s at sf0.1). Checkpointed sizes are all
-    * batch- or dup-graph-bounded: |delta|·32 band rows, candidate
-    * pairs, candidate docs' shingles. */
-  private def appendProbeExec(spark: SparkSession, dir: String): DataFrame = {
+    * batch-local self-join; candidate/pruned tables fan out 2-4×
+    * each), multiplying to ~12 delta re-signatures per run — measured
+    * 12.4 s vs ~4 s at sf0.1. Checkpointed sizes are all batch- or
+    * dup-graph-bounded: |delta|·32 band rows, candidate pairs,
+    * candidate docs' shingles. */
+  private[graft] def appendProbe(spark: SparkSession, dir: String,
+                                 exec: Boolean = false): DataFrame = {
     val (root, cut, deltaDocs) = stagedBandIndex(spark, dir)
+    val mat: DataFrame => DataFrame =
+      if (exec) df => df.localCheckpoint() else identity
     val docs = Tables(spark, dir, "documents")
     val delta = docs.where(col("doc_id") >= cut)
-    val deltaBands = sigBands(delta).localCheckpoint()
-    val newCands = crossCandidates(spark.read.parquet(s"$root/bands"),
+    val deltaBands = mat(sigBands(delta))
+    val newCands = mat(crossCandidates(spark.read.parquet(s"$root/bands"),
         deltaBands, deltaDocs * Bands)
-      .unionAll(lshCandidates(deltaBands))
-      .localCheckpoint()
+      .unionAll(lshCandidates(deltaBands))) // disjoint pair spaces: no distinct
     verifyCandidatesIndexed(
       spark.read.parquet(s"$root/shingles").unionByName(shingles(delta)),
-      newCands, 0.8, materializePruned = true)
+      newCands, 0.8, materializePruned = exec)
   }
 
   /** North-star q_dedup_append: connected components of the dup graph,
@@ -806,8 +803,8 @@ object Dedup {
     * above). Output ≡ q_dedup_cc bit-for-bit. */
   def dedupAppend(spark: SparkSession, dir: String): DataFrame = {
     val (root, _, _) = stagedBandIndex(spark, dir)
-    dupComponents(
-      spark.read.parquet(s"$root/pairs").unionAll(appendProbeExec(spark, dir)))
+    dupComponents(spark.read.parquet(s"$root/pairs")
+      .unionAll(appendProbe(spark, dir, exec = true)))
   }
 
   /** df-form parity seam (no persistence): incremental components from
