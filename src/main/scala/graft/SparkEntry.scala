@@ -1281,6 +1281,10 @@ object SparkEntry {
     // fixed-point SemDeDup replayed exactly (Lloyd chain + recursive
     // greedy leader scan, all-integer τ test) — was no_oracle until r8
     "q_dedup_semantic" -> semanticOracle(operators.Clustering.Iters),
+    // BPE learn/encode replayed exactly (rounds as chained CTEs, greedy
+    // merge via separator-encoded replace) — was no_oracle until r8
+    "q_bpe" -> bpeOracle(8),
+    "q_bpe_encode" -> bpeEncodeOracle(8),
     // exact BIGINT numerator; two fixed-order divisions → bit parity
     "q_lm_score" ->
       s"""WITH tok AS (
@@ -2089,6 +2093,100 @@ object SparkEntry {
          |       g.dby AS kept_by, CAST(g.cell AS BIGINT) AS cell
          |FROM g""".stripMargin
   }
+
+  /** Oracles for q_bpe / q_bpe_encode (`TextOps.bpeLearn` / `.bpeEncode`):
+    * the BPE merge-learning loop replayed in DuckDB. Rounds unroll as
+    * chained CTEs (the kmeansOracle pattern — no aggregates inside a
+    * recursive term); the greedy left-to-right NON-OVERLAPPING merge
+    * application is one `replace()` per round over a separator-encoded
+    * symbol string: a word's symbols are joined as
+    * `SEP sym SEP SEP sym … SEP` (SEP = chr(1), absent from the corpus),
+    * so the merge (l, r) is the literal rewrite
+    * `SEP+l+SEP+SEP+r+SEP → SEP+lr+SEP` — `replace` scans left to right
+    * and resumes AFTER each match, which is exactly BPE's greedy
+    * non-overlap ("a a a" → "aa a"), and the doubled inner separator
+    * keeps adjacent matches from sharing a boundary character. The
+    * argmax total order (count desc, l, r) is binary-collation string
+    * comparison on both engines. Every CTE is MATERIALIZED: inlined,
+    * round i would re-expand round i−1 ~5× (scalar subqueries) for an
+    * exponential blowup. Encode continues from the final vocab: ids =
+    * row_number over the sorted distinct final symbols − 1, per-doc id
+    * sequences flattened in word order. */
+  private def bpeLearnCtes(nMerges: Int): String = {
+    val head =
+      s"""WITH v0 AS MATERIALIZED (
+         |  SELECT word, chr(1) || array_to_string(
+         |           list_append(list_transform(range(1, length(word) + 1), i -> word[i]), '</w>'),
+         |           chr(1) || chr(1)) || chr(1) AS enc,
+         |         count(*) AS cnt
+         |  FROM (SELECT unnest(string_split_regex(lower(text), '$Ws')) AS word
+         |        FROM documents)
+         |  WHERE length(word) > 0
+         |  GROUP BY word
+         |)""".stripMargin
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT s.syms[j] AS l, s.syms[j + 1] AS r, CAST(sum(s.cnt) AS BIGINT) AS c
+         |  FROM (SELECT string_split(trim(v${i - 1}.enc, chr(1)), chr(1) || chr(1)) AS syms, cnt
+         |        FROM v${i - 1}) s,
+         |       unnest(range(1, len(s.syms))) AS u(j)
+         |  GROUP BY 1, 2
+         |), m$i AS MATERIALIZED (
+         |  SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1
+         |), v$i AS MATERIALIZED (
+         |  SELECT word, CASE WHEN (SELECT count(*) FROM m$i) = 0 THEN enc
+         |         ELSE replace(enc,
+         |                chr(1) || (SELECT l FROM m$i) || chr(1) || chr(1) || (SELECT r FROM m$i) || chr(1),
+         |                chr(1) || (SELECT l FROM m$i) || (SELECT r FROM m$i) || chr(1))
+         |         END AS enc, cnt
+         |  FROM v${i - 1}
+         |)""".stripMargin
+    }
+    head + ",\n" + rounds.mkString(",\n")
+  }
+
+  private def bpeOracle(nMerges: Int): String =
+    bpeLearnCtes(nMerges) + "\nSELECT * FROM (" +
+      (1 to nMerges).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right", c AS pair_count FROM m$i""")
+        .mkString("\nUNION ALL ") + ")"
+
+  private def bpeEncodeOracle(nMerges: Int): String =
+    bpeLearnCtes(nMerges) +
+      s""",
+         |ws AS MATERIALIZED (
+         |  SELECT word, string_split(trim(enc, chr(1)), chr(1) || chr(1)) AS syms FROM v$nMerges
+         |),
+         |vocab AS MATERIALIZED (
+         |  SELECT s AS sym, CAST(row_number() OVER (ORDER BY s) - 1 AS INT) AS id
+         |  FROM (SELECT DISTINCT unnest(syms) AS s FROM ws)
+         |),
+         |wid AS MATERIALIZED (
+         |  SELECT w.word, list(v.id ORDER BY w.j) AS ids
+         |  FROM (SELECT word, syms[u.j] AS sym, u.j AS j
+         |        FROM ws, unnest(range(1, len(syms) + 1)) AS u(j)) w
+         |  JOIN vocab v ON v.sym = w.sym
+         |  GROUP BY w.word
+         |),
+         |dw AS (
+         |  SELECT t.doc_id, u.j AS pos, t.toks[u.j] AS word
+         |  FROM (SELECT doc_id,
+         |               list_filter(string_split_regex(lower(text), '$Ws'),
+         |                           x -> x != '') AS toks
+         |        FROM documents) t,
+         |       unnest(range(1, len(t.toks) + 1)) AS u(j)
+         |),
+         |encd AS (
+         |  SELECT dw.doc_id, count(*) AS n_words,
+         |         CAST(sum(len(wid.ids)) AS BIGINT) AS n_tokens,
+         |         string_agg(array_to_string(wid.ids, ' '), ' ' ORDER BY dw.pos) AS token_ids
+         |  FROM dw JOIN wid USING (word)
+         |  GROUP BY dw.doc_id
+         |)
+         |SELECT d.doc_id, coalesce(e.n_words, 0) AS n_words,
+         |       coalesce(e.n_tokens, 0) AS n_tokens,
+         |       coalesce(e.token_ids, '') AS token_ids
+         |FROM documents d LEFT JOIN encd e USING (doc_id)""".stripMargin
 
   /** Shared by the typed-flatMap and native-Generator bigram queries
     * (same semantics, two execution tiers). */

@@ -436,10 +436,13 @@ object TextOps {
     * norm here: dupComponents, pageRank, kmeans; reliable-checkpoint
     * knob: SPARK_GRAFT_CHECKPOINT_DIR).
     *
-    * Declared rows-only (the merge chosen at round i depends on rounds
-    * < i — not expressible as one oracle SQL statement); correctness is
-    * spec'd against a driver-side reference BPE on the sf0.001 corpus
-    * and the published worked example ("low/lower/newest/widest"). */
+    * ORACLE-CHECKED since round 8: the round-dependent merge loop IS
+    * expressible as one SQL statement — rounds unrolled as chained
+    * CTEs, with the greedy non-overlapping merge application done by
+    * `replace()` over a separator-encoded symbol string (see
+    * SparkEntry.bpeLearnCtes). Also spec'd against a driver-side
+    * reference BPE and the published worked example
+    * ("low/lower/newest/widest"). */
   def bpeLearn(spark: SparkSession, dir: String): DataFrame =
     bpeLearn(spark, Tables(spark, dir, "documents"), 8)
 
@@ -571,9 +574,11 @@ object TextOps {
     * vocabulary, and one per-doc sort-flatten; nothing wide shuffles
     * except (doc_id, pos, word-id-array) triples.
     *
-    * Declared rows-only (merges are round-dependent, like q_bpe);
-    * correctness is spec'd against a driver-side reference tokenizer
-    * and reconciled with q_token_count's per-doc word counts. */
+    * ORACLE-CHECKED since round 8 (the q_bpe CTE chain continued
+    * through vocab-id assignment and per-doc flatten —
+    * SparkEntry.bpeEncodeOracle); also spec'd against a driver-side
+    * reference tokenizer and reconciled with q_token_count's per-doc
+    * word counts. */
   /** Learned-tokenizer memo: real pipelines learn merges ONCE and
     * encode many corpora with them (the learn loop is the expensive
     * iterative part). Deterministic per (dir, nMerges, data
