@@ -1285,6 +1285,9 @@ object SparkEntry {
     // merge via separator-encoded replace) — was no_oracle until r8
     "q_bpe" -> bpeOracle(8),
     "q_bpe_encode" -> bpeEncodeOracle(8),
+    // hyperplane LSH replayed exactly (inlined plane literals,
+    // fold-parity sign buckets, bit-flip probes) — was no_oracle
+    "q_simsearch_lsh" -> lshOracle,
     // exact BIGINT numerator; two fixed-order divisions → bit parity
     "q_lm_score" ->
       s"""WITH tok AS (
@@ -2187,6 +2190,65 @@ object SparkEntry {
          |       coalesce(e.n_tokens, 0) AS n_tokens,
          |       coalesce(e.token_ids, '') AS token_ids
          |FROM documents d LEFT JOIN encd e USING (doc_id)""".stripMargin
+
+  /** Oracle for q_simsearch_lsh (`Similarity.lshTopK`): the
+    * hyperplane-LSH search replayed exactly. Everything in the
+    * operator is deterministic given the fixed seeded plane pool, so
+    * "approximate" (vs brute force) does not mean "uncheckable" —
+    * the planes inline as exact shortest-round-trip double literals
+    * (Double.toString → DuckDB's decimal parser returns the identical
+    * double), the sign-bit bucket uses the same left-fold dot as the
+    * Spark kernel (list_reduce parity, proven by q_simsearch), probes
+    * are the own bucket plus every single-bit flip, and scoring/top-k
+    * mirror the brute-force oracle. The plane-count formula is
+    * mirrored via log2 (Scala uses ln x / ln 2): the two can disagree
+    * only when n/16 sits within 1 ulp of a power of two — not a
+    * corpus cardinality the harness uses. */
+  private def lshOracle: String = {
+    val planeRows = operators.Similarity.planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n      ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, e,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+       |         (a, p) -> a + p)) AS nrm
+       |  FROM v
+       |), pl(i, p) AS (VALUES
+       |      $planeRows
+       |), np AS (
+       |  SELECT GREATEST(4, LEAST(${operators.Similarity.MaxPlanes},
+       |    CAST(ceil(log2(GREATEST(1.0, count(*) / ${operators.Similarity.TargetBucket}.0))) AS BIGINT))) AS np
+       |  FROM embeddings
+       |), b AS MATERIALIZED (
+       |  SELECT n.vec_id, n.e, n.nrm,
+       |    CAST(sum(CASE WHEN list_reduce(list_prepend(0.0,
+       |           list_transform(range(1, len(n.e) + 1), j -> pl.p[j] * n.e[j])),
+       |           (a, x) -> a + x) > 0
+       |         THEN (1 << pl.i) ELSE 0 END) AS INT) AS bucket
+       |  FROM n, pl, np WHERE pl.i < np.np
+       |  GROUP BY n.vec_id, n.e, n.nrm
+       |), q AS (
+       |  SELECT b.vec_id, b.e, b.nrm,
+       |    list_distinct(list_prepend(b.bucket,
+       |      list_transform(range(0, np.np), i -> xor(b.bucket, CAST(1 << i AS INT))))) AS probes
+       |  FROM b, np WHERE b.vec_id < 10
+       |), s AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])),
+       |      (acc, p) -> acc + p) / (q.nrm * c.nrm) AS sim
+       |  FROM q JOIN b c ON list_contains(q.probes, c.bucket)
+       |    AND q.vec_id != c.vec_id
+       |), r AS (
+       |  SELECT qid, vec_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+       |  FROM s
+       |)
+       |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin
+  }
 
   /** Shared by the typed-flatMap and native-Generator bigram queries
     * (same semantics, two execution tiers). */

@@ -116,8 +116,9 @@ object Similarity {
 
   // Deterministic random hyperplanes (seed 7) in R^64 — a fixed pool of
   // MaxPlanes; lshPlanes(n) selects the prefix (first 8 are bit-identical
-  // to the previous fixed-8 scheme).
-  private val planes: Array[Array[Double]] = {
+  // to the previous fixed-8 scheme). private[graft]: the DuckDB oracle
+  // inlines these as exact round-trip double literals.
+  private[graft] val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
     Array.fill(MaxPlanes)(Array.fill(64)(rnd.nextGaussian()))
   }
