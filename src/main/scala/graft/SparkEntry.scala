@@ -1288,6 +1288,13 @@ object SparkEntry {
     // hyperplane LSH replayed exactly (inlined plane literals,
     // fold-parity sign buckets, bit-flip probes) — was no_oracle
     "q_simsearch_lsh" -> lshOracle,
+    // fixed-point IVF replayed exactly (Lloyd chain quantizer, integer
+    // probe ranking, fold-parity cosine) — was no_oracle until r8; the
+    // indexed form shares the oracle by staged≡live identity, the
+    // appended form replays the base-only fit
+    "q_simsearch_ivf" -> ivfOracle(operators.Clustering.Iters, base = false),
+    "q_simsearch_ivf_indexed" -> ivfOracle(operators.Clustering.Iters, base = false),
+    "q_simsearch_ivf_append" -> ivfOracle(operators.Clustering.Iters, base = true),
     // exact BIGINT numerator; two fixed-order divisions → bit parity
     "q_lm_score" ->
       s"""WITH tok AS (
@@ -2248,6 +2255,120 @@ object SparkEntry {
        |  FROM s
        |)
        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin
+  }
+
+  /** Oracle for q_simsearch_ivf / _indexed / _append
+    * (`Similarity.ivfTopK` family): the inverted-file search replayed
+    * end-to-end in DuckDB. Possible because the coarse quantizer is the
+    * FIXED-POINT Lloyd fit (micro-unit BIGINT — the kmeansOracle /
+    * semanticOracle chain) and probe ranking is exact-integer d2 with
+    * a (d2, cid) tie-break; only the final cosine is floating point,
+    * and that kernel's list_reduce fold parity is proven by the
+    * q_simsearch oracle. The indexed form shares this oracle verbatim:
+    * parquet round-trips doubles/longs bit-exactly, so staged search ≡
+    * live search is an identity (also spec-asserted). The appended form
+    * (`base = true`) fits the quantizer on the base slice only
+    * (vec_id < n − max(1, n⁄10), the operator's arrival cut) and
+    * assigns the FULL corpus under it — replaying the append path; the
+    * refresh branch (appended fraction > 0.5) cannot trigger under
+    * this cut construction on the harness's dense-id corpora, and the
+    * operator spec covers it separately. */
+  private def ivfOracle(iters: Int, base: Boolean): String = {
+    // fit-side rows: the base slice for the appended variant, the whole
+    // corpus otherwise. K always sizes from the FULL corpus (ivfK(n)).
+    val fx = if (base) "bx" else "x"
+    val initSrc =
+      if (base) "(SELECT vec_id FROM embeddings, cutpar WHERE vec_id < cut)"
+      else "embeddings"
+    def assignCte(i: Int, cfrom: String, xfrom: String): String =
+      s"""a$i AS (
+         |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
+         |  FROM $xfrom x JOIN $cfrom c ON x.dim = c.dim
+         |  GROUP BY x.vec_id, c.cid
+         |), b$i AS (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT vec_id, cid, d2,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM a$i) WHERE rn = 1
+         |)""".stripMargin
+    val cutCte =
+      if (base) """cutpar AS (
+        |  SELECT count(*) - GREATEST(1, count(*) // 10) AS cut FROM embeddings
+        |), bx AS (SELECT x.* FROM x, cutpar WHERE x.vec_id < cut),
+        |""".stripMargin
+      else ""
+    val head =
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+         |  FROM embeddings
+         |), x AS (
+         |  SELECT vec_id, CAST(u.i AS INT) AS dim, qe[u.i] AS xi
+         |  FROM q, unnest(range(1, len(qe) + 1)) AS u(i)
+         |), n AS (
+         |  SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+         |         (a, p) -> a + p)) AS nrm
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |        FROM embeddings)
+         |), ${cutCte}kpar AS (
+         |  SELECT k, GREATEST(3, CAST(floor(0.15 * k + 0.5) AS BIGINT)) AS nprobe
+         |  FROM (SELECT GREATEST(4, LEAST(4096,
+         |          CAST(round(sqrt(count(*))) AS BIGINT))) AS k FROM embeddings)
+         |), c0 AS (
+         |  SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cid, x.dim, x.xi AS c
+         |  FROM (SELECT vec_id FROM
+         |          (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+         |           FROM $initSrc), kpar
+         |        WHERE rn <= k) s
+         |  JOIN x ON x.vec_id = s.vec_id
+         |)""".stripMargin
+    val its = (1 to iters).map { i =>
+      assignCte(i, s"c${i - 1}", fx) + s""",
+         |m$i AS (
+         |  SELECT b.cid, x.dim,
+         |    CASE WHEN sum(x.xi) >= 0
+         |         THEN (2 * CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*))
+         |         ELSE -((2 * -CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*)))
+         |    END AS c
+         |  FROM b$i b JOIN $fx x ON x.vec_id = b.vec_id
+         |  GROUP BY b.cid, x.dim
+         |), c$i AS (
+         |  SELECT p.cid, p.dim, coalesce(m.c, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN m$i m ON m.cid = p.cid AND m.dim = p.dim
+         |)""".stripMargin
+    }
+    val fin = iters + 1
+    head + ",\n" + its.mkString(",\n") + ",\n" +
+      assignCte(fin, s"c$iters", "x") + // full-corpus list assignment
+      s""",
+         |asg AS (SELECT vec_id, cid FROM b$fin),
+         |qd AS (
+         |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
+         |  FROM x JOIN c$iters c ON x.dim = c.dim
+         |  WHERE x.vec_id < 10
+         |  GROUP BY x.vec_id, c.cid
+         |), pr AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM qd), kpar
+         |  WHERE rn <= nprobe
+         |), s AS (
+         |  SELECT pr.vec_id AS qid, a.vec_id AS vec_id,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, len(qn.e) + 1), i -> qn.e[i] * cn.e[i])),
+         |      (acc, p) -> acc + p) / (qn.nrm * cn.nrm) AS sim
+         |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.vec_id
+         |  JOIN n qn ON qn.vec_id = pr.vec_id
+         |  JOIN n cn ON cn.vec_id = a.vec_id
+         |), r AS (
+         |  SELECT qid, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+         |  FROM s
+         |)
+         |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin
   }
 
   /** Shared by the typed-flatMap and native-Generator bigram queries

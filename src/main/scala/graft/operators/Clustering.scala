@@ -139,7 +139,7 @@ object Clustering {
         transform(col("embedding").cast("array<double>"),
           x => round(x * lit(FpScale)).cast(LongType)).as("e"))
 
-  private def distStructsL(cs: Array[Array[Long]]): Seq[org.apache.spark.sql.Column] =
+  private[operators] def distStructsL(cs: Array[Array[Long]]): Seq[org.apache.spark.sql.Column] =
     cs.zipWithIndex.map { case (c, i) =>
       struct(graft.functions.VectorExprs.sqDistLong(col("e"), lit(c)).as("d2"),
         lit(i).as("cid"))
@@ -163,25 +163,31 @@ object Clustering {
     * centroid) as the double loop — but exact at every step. */
   def fitFixed(spark: SparkSession, dir: String, iters: Int = Iters,
                k: Int = K): Array[Array[Long]] =
-    fitFixedCache.getOrElseUpdate((dir, iters, k, graft.Fs.tableFingerprint(dir, "embeddings")), {
-      val v = qvecs(spark, dir).cache()
-      var cs: Array[Array[Long]] = v.orderBy("vec_id").limit(k)
-        .collect().map(_.getSeq[Long](1).toArray)
-      for (_ <- 1 to iters) {
-        val upd = assignFixed(v, cs)
-          .select(col("cid"), posexplode(col("e")))
-          .groupBy("cid", "pos")
-          .agg(sum("col").as("s"), count(lit(1)).as("n"))
-          .collect()
-        val next = cs.clone().map(_.clone())
-        upd.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = roundDiv(r.getLong(2), r.getLong(3))
-        }
-        cs = next
+    fitFixedCache.getOrElseUpdate((dir, iters, k, graft.Fs.tableFingerprint(dir, "embeddings")),
+      fitFixed(qvecs(spark, dir), iters, k))
+
+  /** df form: expects (vec_id: Long, e: Array[Long] micro-units); not
+    * memoized. Also the IVF coarse-quantizer fit (`Similarity`), where
+    * exactness makes the whole ANN search DuckDB-replayable. */
+  def fitFixed(vectors: DataFrame, iters: Int, k: Int): Array[Array[Long]] = {
+    val v = vectors.cache()
+    var cs: Array[Array[Long]] = v.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    for (_ <- 1 to iters) {
+      val upd = assignFixed(v, cs)
+        .select(col("cid"), posexplode(col("e")))
+        .groupBy("cid", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cs.clone().map(_.clone())
+      upd.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = roundDiv(r.getLong(2), r.getLong(3))
       }
-      v.unpersist()
-      cs
-    })
+      cs = next
+    }
+    v.unpersist()
+    cs
+  }
 
   /** B21 q_kmeans: cluster cardinalities + within-cluster inertia after
     * `Iters` fixed-point Lloyd iterations. Inertia converts the exact

@@ -49,6 +49,28 @@ object Similarity {
         sqrt(graft.functions.VectorExprs.dot(col("e"), col("e"))))
       .select(col("vec_id"), col("e"), col("nrm"))
 
+  /** `vecs` plus the micro-unit quantized vector `eq` (the q_kmeans
+    * FpScale convention) — quantizer distances run on `eq` in EXACT
+    * integer arithmetic, scoring runs on the original doubles. The
+    * quantization is identical to `Clustering.qvecs`, so the IVF
+    * coarse quantizer and q_kmeans share one fixed-point convention. */
+  private def vecsQ(spark: SparkSession, dir: String): DataFrame =
+    vecsQ(Tables(spark, dir, "embeddings"))
+
+  private def vecsQ(emb: DataFrame): DataFrame =
+    vecs(emb).withColumn("eq",
+      transform(col("e"),
+        x => round(x * lit(Clustering.FpScale)).cast(LongType)))
+
+  /** Per-centroid (d2, cid) structs over the quantized column `eq` —
+    * BIGINT-exact squared distances, reassociation-proof, so list
+    * assignment and probe ranking are bit-reproducible in any engine. */
+  private def distStructsQ(cs: Array[Array[Long]]): Seq[Column] =
+    cs.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.VectorExprs.sqDistLong(col("eq"), lit(c)).as("d2"),
+        lit(i).as("cid"))
+    }.toSeq
+
   /** Cosine between the aliased sides — codegen'd dot product, fold
     * order identical to the oracle's list_reduce (bit-parity). On the
     * n·k pair joins this kernel IS the profile; the interpreted
@@ -132,30 +154,69 @@ object Similarity {
         lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** IVF (inverted-file) approximate top-k: `Clustering.fit`'s K-Means
-    * centroids act as the coarse quantizer; each corpus vector lives in
-    * its nearest centroid's inverted list, and a query scans only the
-    * `nProbe` nearest lists — the candidate set is ~nProbe/K of the
-    * corpus. The standard ANN scale shape (quantizer state is k·64
-    * doubles; lists are just a `cid` column, so "probing a list" is a
-    * broadcast-joined filter, partition-parallel). Recall is
-    * property-tested vs `bruteForceTopK`. */
+  /** IVF (inverted-file) approximate top-k: `Clustering.fitFixed`'s
+    * K-Means centroids act as the coarse quantizer; each corpus vector
+    * lives in its nearest centroid's inverted list, and a query scans
+    * only the `nProbe` nearest lists — the candidate set is ~nProbe/K
+    * of the corpus. The standard ANN scale shape (quantizer state is
+    * k·64 longs; lists are just a `cid` column, so "probing a list" is
+    * a broadcast-joined filter, partition-parallel). The quantizer and
+    * all list/probe decisions are FIXED-POINT (micro-unit BIGINT, the
+    * q_kmeans convention): "approximate" means approximate-vs-brute-
+    * force, not nondeterministic — given the corpus, every assignment
+    * and probe is bit-reproducible, which is what lets the DuckDB
+    * oracle replay the whole search (quantization moves a list
+    * boundary by ≤5e-7 per component — noise at quantizer granularity,
+    * recall is property-tested vs `bruteForceTopK` either way). */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10, nProbe: Int = 0): DataFrame = {
     val lists = ivfK(corpusSize(spark, dir))          // K ≈ √n lists
     val probes = if (nProbe > 0) nProbe else ivfNProbe(lists)
-    ivfBody(vecs(spark, dir), QueryVecs, k, probes,
-      Clustering.fit(spark, dir, k = lists))
+    ivfBodyQ(vecsQ(spark, dir), QueryVecs, k, probes,
+      ivfCentsFixed(spark, dir, lists))
   }
+
+  /** Memoizing fixed-point quantizer fit at K lists (the `fitFixed`
+    * cache keys on (dir, iters, k, fingerprint) so kmeans' K=10 fit
+    * and the IVF K≈√n fit coexist). */
+  private def ivfCentsFixed(spark: SparkSession, dir: String, lists: Int): Array[Array[Long]] =
+    Clustering.fitFixed(spark, dir, Clustering.Iters, lists)
 
   /** df form: expects (vec_id, embedding); sizes its quantizer from the
     * corpus count and fits it on the spot (the catalog form memoizes). */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
-    val v = vecs(emb)
+    val v = vecsQ(emb)
     val lists = ivfK(v.count())
-    ivfBody(v, isQuery, k, ivfNProbe(lists),
-      Clustering.fit(v.select(col("vec_id"), col("e")), Clustering.Iters, lists))
+    ivfBodyQ(v, isQuery, k, ivfNProbe(lists),
+      Clustering.fitFixed(v.select(col("vec_id"), col("eq").as("e")),
+        Clustering.Iters, lists))
   }
 
+  /** Quantized-quantizer search body: list assignment and probe
+    * ranking on `eq` (exact BIGINT d2, ties to the lower cid via
+    * struct order), cosine scoring on the original doubles (the
+    * list_reduce-parity kernel proven by q_simsearch's oracle). */
+  private def ivfBodyQ(v: DataFrame, isQuery: Column, k: Int, probes: Int,
+                       cents: Array[Array[Long]]): DataFrame = {
+    val ds = distStructsQ(cents)
+    def withDists(df: DataFrame): DataFrame =
+      df.withColumn("ds", array_sort(array(ds: _*)))
+    val cv = withDists(v)
+      .withColumn("cid", col("ds")(0).getField("cid")).drop("ds", "eq")
+    val q = withDists(v.where(isQuery))
+      .withColumn("probe", explode(expr(s"transform(slice(ds, 1, $probes), s -> s.cid)")))
+      .drop("ds", "eq")
+    val scored = broadcast(q).as("q").join(cv.as("c"),
+        col("q.probe") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"),
+        cosCol.as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= k)
+  }
+
+  /** Float-quantizer search body — retained as the seam the
+    * centroid-drift refresh spec measures stale-vs-fresh recall on
+    * (externally supplied double centroids). */
   private def ivfBody(v: DataFrame, isQuery: Column, k: Int, probes: Int,
                       cents: Array[Array[Double]]): DataFrame = {
     val ds = Clustering.distStructs(cents)
@@ -188,9 +249,9 @@ object Similarity {
 
   /** Memoized staged index, keyed (dir, data fingerprint): path of the
     * cid-partitioned corpus + the centroids that defined it (quantizer
-    * state k·64 doubles — bounded driver memory). */
+    * state k·64 micro-unit longs — bounded driver memory). */
   private val indexCache =
-    new scala.collection.concurrent.TrieMap[(String, String), (String, Array[Array[Double]])]()
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Array[Array[Long]])]()
 
   /** Drop the memoized index metadata so the NEXT call re-stages.
     * CONTRACT: materialize any previously returned indexed/appended
@@ -199,13 +260,13 @@ object Similarity {
     * file listing would hit FileNotFoundException on evaluation. */
   def clearIndexCache(): Unit = { indexCache.clear(); appendCache.clear() }
 
-  private[graft] def stagedIvfIndex(spark: SparkSession, dir: String): (String, Array[Array[Double]]) =
+  private[graft] def stagedIvfIndex(spark: SparkSession, dir: String): (String, Array[Array[Long]]) =
     indexCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
       val lists = ivfK(corpusSize(spark, dir))
-      val cents = Clustering.fit(spark, dir, k = lists)
-      val assigned = vecs(spark, dir)
-        .withColumn("best", array_min(array(Clustering.distStructs(cents): _*)))
-        .withColumn("cid", col("best.cid")).drop("best")
+      val cents = ivfCentsFixed(spark, dir, lists)
+      val assigned = vecsQ(spark, dir)
+        .withColumn("best", array_min(array(distStructsQ(cents): _*)))
+        .withColumn("cid", col("best.cid")).drop("best", "eq")
       val root = new java.io.File(stableRoot(dir), "ivf_index")
       graft.sources.Sinks.writePartitioned(
         assigned, root.getAbsolutePath, Seq("cid"), Seq("vec_id"))
@@ -229,17 +290,17 @@ object Similarity {
   }
 
   private def searchIndex(spark: SparkSession, dir: String, path: String,
-                          cents: Array[Array[Double]], k: Int,
+                          cents: Array[Array[Long]], k: Int,
                           nProbe: Int): DataFrame = {
     val probes = if (nProbe > 0) nProbe else ivfNProbe(cents.length)
-    val ds = Clustering.distStructs(cents)
+    val ds = distStructsQ(cents)
     // query batch: derives probe lists from the tiny centroid array —
     // the only corpus touch is the pushed-filter vec_id < 10 read
-    val q = vecs(spark, dir).where(QueryVecs)
+    val q = vecsQ(spark, dir).where(QueryVecs)
       .withColumn("dsrt", array_sort(array(ds: _*)))
       .withColumn("probe",
         explode(expr(s"transform(slice(dsrt, 1, $probes), s -> s.cid)")))
-      .drop("dsrt")
+      .drop("dsrt", "eq")
     val probeCids = q.select(col("probe")).distinct().collect()
       .map(_.getInt(0).asInstanceOf[AnyRef])
     val corpus = spark.read.parquet(path)
@@ -265,7 +326,8 @@ object Similarity {
     * the append cost is |delta| × K distance kernels. Searches over
     * the appended index are BIT-IDENTICAL to a LIVE search of the full
     * corpus under the same quantizer (same centroids ⇒ same assignment
-    * of every vector; spec-asserted via ivfTopKWith). Centroid drift
+    * of every vector; spec-asserted via ivfTopKWithFixed, and the
+    * DuckDB oracle replays the base-only fit). Centroid drift
     * from accumulated appends is the operator's documented refresh
     * trigger: re-fit + rebuild when the appended fraction gets large. */
   def ivfTopKAppended(spark: SparkSession, dir: String, k: Int = 10,
@@ -275,12 +337,12 @@ object Similarity {
   }
 
   /** Test seam: live (unstaged) IVF search under externally-supplied
-    * centroids — what the appended index must agree with. */
-  private[graft] def ivfTopKWith(spark: SparkSession, dir: String,
-                                 cents: Array[Array[Double]], k: Int = 10,
-                                 nProbe: Int = 0): DataFrame = {
+    * FIXED-POINT centroids — what the appended index must agree with. */
+  private[graft] def ivfTopKWithFixed(spark: SparkSession, dir: String,
+                                      cents: Array[Array[Long]], k: Int = 10,
+                                      nProbe: Int = 0): DataFrame = {
     val probes = if (nProbe > 0) nProbe else ivfNProbe(cents.length)
-    ivfBody(vecs(spark, dir), QueryVecs, k, probes, cents)
+    ivfBodyQ(vecsQ(spark, dir), QueryVecs, k, probes, cents)
   }
 
   /** df-form of the seam: search `emb` under external centroids — the
@@ -313,13 +375,13 @@ object Similarity {
       AppendRefreshFraction
 
   private val appendCache =
-    new scala.collection.concurrent.TrieMap[(String, String), (String, Array[Array[Double]])]()
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Array[Array[Long]])]()
 
-  private[graft] def stagedAppendedIndex(spark: SparkSession, dir: String): (String, Array[Array[Double]]) =
+  private[graft] def stagedAppendedIndex(spark: SparkSession, dir: String): (String, Array[Array[Long]]) =
     appendCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
       val n = corpusSize(spark, dir)
       val cut = n - math.max(1L, n / 10) // last ~10% of IDS arrive "late"
-      val v = vecs(spark, dir)
+      val v = vecsQ(spark, dir)
       // quantizer trained on the base only — the delta does not exist
       // yet; degenerate corpora whose base slice is empty fall back to
       // a full fit (zero centroids would break the assignment kernel),
@@ -331,17 +393,17 @@ object Similarity {
       // claim a 10% append while 99% of the rows are actually late).
       val baseRows = v.where(col("vec_id") < cut).count()
       val baseFit =
-        if (appendNeedsRefresh(baseRows, n - baseRows)) Array.empty[Array[Double]]
-        else Clustering.fit(
-          v.where(col("vec_id") < cut).select(col("vec_id"), col("e")),
+        if (appendNeedsRefresh(baseRows, n - baseRows)) Array.empty[Array[Long]]
+        else Clustering.fitFixed(
+          v.where(col("vec_id") < cut).select(col("vec_id"), col("eq").as("e")),
           Clustering.Iters, ivfK(n))
       val cents =
         if (baseFit.nonEmpty) baseFit
-        else Clustering.fit(v.select(col("vec_id"), col("e")),
+        else Clustering.fitFixed(v.select(col("vec_id"), col("eq").as("e")),
           Clustering.Iters, ivfK(n))
       def assigned(df: DataFrame): DataFrame = df
-        .withColumn("best", array_min(array(Clustering.distStructs(cents): _*)))
-        .withColumn("cid", col("best.cid")).drop("best")
+        .withColumn("best", array_min(array(distStructsQ(cents): _*)))
+        .withColumn("cid", col("best.cid")).drop("best", "eq")
       val root = new java.io.File(stableRoot(dir), "ivf_index_inc")
       graft.sources.Sinks.writePartitioned(
         assigned(v.where(col("vec_id") < cut)),
@@ -362,8 +424,10 @@ object Similarity {
       graft.Engine.workDir("graft-ivf-"))
 
   /** North-star q_simsearch_lsh: approximate top-k via hyperplane LSH
-    * with single-bit multi-probe. Not oracle-checked (approximate);
-    * recall vs `bruteForceTopK` is property-tested. */
+    * with single-bit multi-probe. Approximate vs brute force, but fully
+    * deterministic given the seeded plane pool — oracle-replayed in
+    * DuckDB (inlined plane literals); recall vs `bruteForceTopK` is
+    * property-tested besides. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     lshBody(vecs(spark, dir), QueryVecs,
       lshPlanes(corpusSize(spark, dir)), k)

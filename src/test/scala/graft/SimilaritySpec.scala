@@ -93,7 +93,7 @@ class SimilaritySpec extends SparkSuiteBase {
     // the quantizer never saw the delta; a live full-corpus search
     // under the SAME centroids is the ground truth the append must hit
     val (_, cents) = Similarity.stagedAppendedIndex(spark, sf)
-    val live = Similarity.ivfTopKWith(spark, sf, cents).collect().map(key).toSet
+    val live = Similarity.ivfTopKWithFixed(spark, sf, cents).collect().map(key).toSet
     assert(appended === live)
     // the append really landed as extra files inside existing cid= dirs
     val (path, _) = Similarity.stagedAppendedIndex(spark, sf)
