@@ -45,6 +45,8 @@ object SparkEntry {
     "q_join_range"      -> ((s, d) => Joins.rangeJoin(s, d)),
     "q_join_bucketed"   -> ((s, d) => Joins.bucketedJoin(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
+    "q_approx_distinct_det" -> ((s, d) => Relational.approxDistinctDet(s, d)),
+    "q_quantiles_sample" -> ((s, d) => Relational.quantilesSample(s, d)),
     "q_window_rank"     -> ((s, d) => Windows.rankTopN(s, d)),
     "q_window_dist"     -> ((s, d) => Windows.distWindows(s, d)),
     "q_window_running"  -> ((s, d) => Windows.runningTotal(s, d)),
@@ -211,6 +213,69 @@ object SparkEntry {
         |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // deterministic HLL: FNV bucket/rank registers + the integer-rational
+    // raw estimator, replayed exactly (operators/Relational.approxDistinctDet)
+    "q_approx_distinct_det" -> {
+      val m = graft.operators.Relational.HllM
+      val rMax = graft.operators.Relational.HllRhoMax
+      val num = graft.operators.Relational.HllEstNum
+      val den = graft.operators.Relational.HllEstDen
+      s"""WITH h0 AS (
+         |  SELECT l_returnflag,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+         |      ${utf8BytesSql("CAST(l_orderkey AS VARCHAR)")}),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+         |  FROM lineitem
+         |), m1 AS (
+         |  SELECT l_returnflag, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h0
+         |), m2 AS (
+         |  SELECT l_returnflag, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM m1
+         |), h AS (
+         |  SELECT l_returnflag, xor(h >> 16, h) AS h FROM m2
+         |), hb AS (
+         |  SELECT l_returnflag, h % $m AS bucket,
+         |         CASE WHEN h // $m = 0 THEN $rMax
+         |              ELSE bit_count(xor(h // $m, h // $m - 1)) END AS rho
+         |  FROM h
+         |), mj AS (
+         |  SELECT l_returnflag, bucket, max(rho) AS mj FROM hb GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT f.l_returnflag, b.bucket
+         |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) f,
+         |       (SELECT unnest(range($m)) AS bucket) b
+         |), agg AS (
+         |  SELECT g.l_returnflag,
+         |         CAST(sum(CASE WHEN coalesce(mj.mj, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_buckets,
+         |         CAST(sum(CAST(1 AS BIGINT) << CAST($rMax - coalesce(mj.mj, 0) AS INTEGER)) AS BIGINT) AS s_scaled
+         |  FROM grid g LEFT JOIN mj
+         |    ON g.l_returnflag = mj.l_returnflag AND g.bucket = mj.bucket
+         |  GROUP BY 1
+         |)
+         |SELECT l_returnflag, zero_buckets, s_scaled,
+         |       CAST($num AS BIGINT) // (CAST($den AS BIGINT) * s_scaled) AS hll_est
+         |FROM agg""".stripMargin
+    },
+    // deterministic-sample quantiles: same FNV keep-predicate, same
+    // type-1 rank selection (operators/Relational.quantilesSample)
+    "q_quantiles_sample" ->
+      s"""WITH s AS (
+         |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+         |      ${utf8BytesSql("CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")}),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+         |  FROM lineitem
+         |), k AS (
+         |  SELECT l_returnflag, l_extendedprice,
+         |         row_number() OVER (PARTITION BY l_returnflag
+         |           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         |         count(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM s WHERE h % 10 = 0
+         |)
+         |SELECT l_returnflag,
+         |       max(CASE WHEN rn = (n + 1) // 2 THEN l_extendedprice END) AS p50_s,
+         |       max(CASE WHEN rn = (19 * n + 19) // 20 THEN l_extendedprice END) AS p95_s,
+         |       CAST(max(n) AS BIGINT) AS n_sample
+         |FROM k GROUP BY l_returnflag""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS prio,

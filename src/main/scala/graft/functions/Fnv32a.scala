@@ -62,4 +62,20 @@ object Fnv32a {
 
   /** Column form. */
   def fnv32a(c: Column): Column = ColumnShim.column(Fnv32a(ColumnShim.expression(c)))
+
+  /** 32-bit avalanche finalizer (Mueller's published
+    * `x = ((x >> 16) ^ x) * 0x45d9f3b` double round): FNV-1a's LOW bits
+    * are nearly linear in the input (bit 0 is a parity chain), which
+    * biases any trailing-zero/bucket statistic built on them — this mix
+    * spreads every input bit to every output bit. Multiplier 0x45d9f3b
+    * < 2^27 keeps each product < 2^59, so the same arithmetic runs
+    * overflow-free on BIGINT in DuckDB (see the q_approx_distinct_det
+    * oracle, which replays it verbatim). */
+  def mix32(c: Column): Column = {
+    import org.apache.spark.sql.functions.{shiftright, lit}
+    val m1 = lit(0x45d9f3bL)
+    val s1 = shiftright(c, 16).bitwiseXOR(c).multiply(m1) % lit(4294967296L)
+    val s2 = shiftright(s1, 16).bitwiseXOR(s1).multiply(m1) % lit(4294967296L)
+    shiftright(s2, 16).bitwiseXOR(s2)
+  }
 }

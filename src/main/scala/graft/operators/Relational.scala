@@ -71,6 +71,72 @@ object Relational {
         approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx_custs"),
         count(lit(1)).as("cnt"))
 
+  /** q_approx_distinct_det: the same HLL idea as q_approx_distinct, but
+    * ENGINE-INDEPENDENTLY deterministic — so the whole sketch pipeline
+    * (hash → bucket → rank → register merge → estimator) is replayed
+    * bit-for-bit by the DuckDB oracle. Every step is integer-domain:
+    *
+    *  - hash: FNV-1a 32-bit of the key's decimal string (the codegen
+    *    `Fnv32a` Expression, same byte loop as q_udf_fnv's oracle),
+    *    then the `Fnv32a.mix32` avalanche finalizer — raw FNV's low
+    *    bits are near-linear in the input and bias the trailing-zero
+    *    rank ~20% low (measured at sf0.01);
+    *  - bucket: low [[HllP]] bits; remaining word w gets the classic
+    *    Flajolet rank rho = (trailing zeros of w) + 1, computed with the
+    *    bit trick popcount(w XOR (w-1)) — no floats, no loops;
+    *  - registers: per-(group, bucket) MAX(rho) — a partial/final
+    *    aggregate whose state is m small ints per group (the mergeable
+    *    sketch property that makes HLL the 100 TB COUNT(DISTINCT));
+    *  - estimator: raw HLL alpha_m·m²/Σ2^(−Mj), evaluated EXACTLY as
+    *    one BIGINT floor division by scaling registers to 2^(K+1−Mj)
+    *    and alpha_m = 0.7213/(1+1.079/m) to the rational
+    *    7213m/(10·(1000m+1079)).
+    *
+    * m = 256 keeps the raw estimator out of its small-range bias zone
+    * (n per group ≥ 2.5m at every test SF) with ~1.04/√m ≈ 6.5% σ; the
+    * spec bounds it against the exact count. */
+  def approxDistinctDet(spark: SparkSession, dir: String): DataFrame = {
+    val m = HllM
+    val sMax = HllRhoMax           // rho of w == 0 (all-zero word)
+    val li = Tables(spark, dir, "lineitem")
+    val regs = li
+      .select(col("l_returnflag"),
+        graft.functions.Fnv32a.mix32(
+          graft.functions.Fnv32a.fnv32a(col("l_orderkey").cast("string"))).as("h"))
+      .select(col("l_returnflag"),
+        col("h").bitwiseAND(m - 1).cast("int").as("bucket"),
+        shiftright(col("h"), HllP).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(sMax))
+          .otherwise(bit_count(col("w").bitwiseXOR(col("w") - 1))))
+      .groupBy("l_returnflag", "bucket")
+      .agg(max("rho").as("mj"))
+    // dense register grid: empty buckets are Mj = 0 (they carry the
+    // full 2^(K+1) weight in the harmonic sum)
+    val grid = li.select(col("l_returnflag")).distinct()
+      .select(col("l_returnflag"),
+        explode(sequence(lit(0), lit(m - 1))).as("bucket"))
+    grid.join(regs, Seq("l_returnflag", "bucket"), "left")
+      .withColumn("mj", coalesce(col("mj"), lit(0)))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("mj") === 0, 1L).otherwise(0L)).as("zero_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $sMax - mj)")).as("s_scaled"))
+      .withColumn("hll_est", expr(s"$HllEstNum div ($HllEstDen * s_scaled)"))
+  }
+
+  /** HLL bucket-bit count / register count for [[approxDistinctDet]]. */
+  val HllP = 8
+  val HllM: Int = 1 << HllP
+  /** Max rank: rho of an all-zero remaining hash word (32-p bits + 1). */
+  val HllRhoMax: Int = 32 - HllP + 1
+  /** Raw-estimator alpha_m·m²·2^(rhoMax) numerator and denominator as
+    * exact BIGINTs (alpha_m = 0.7213/(1+1.079/m) = 7213m/(10(1000m+1079)));
+    * shared verbatim with the DuckDB oracle so both engines evaluate
+    * ONE integer floor division. 7213·256³·2^25 ≈ 4.1e18 fits a Long. */
+  val HllEstNum: Long = 7213L * HllM * HllM * HllM * (1L << HllRhoMax)
+  val HllEstDen: Long = 10L * (1000L * HllM + 1079L)
+
   /** B6 q_rollup: hierarchical subtotals; rolled-up levels surfaced as
     * 'ALL' instead of NULL (str-compare-safe for the oracle). */
   def rollupSales(spark: SparkSession, dir: String): DataFrame =
@@ -212,6 +278,47 @@ object Relational {
         round(expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
         round(expr("percentile_approx(l_extendedprice, 0.95, 10000)"), 4).as("p95"),
         count(lit(1)).as("cnt"))
+
+  /** q_quantiles_sample: deterministic-sample quantiles — the
+    * oracle-replayable cousin of q_quantiles_approx. A fixed hash
+    * predicate (FNV-1a of the unique line key, keep h ≡ 0 mod 10)
+    * selects the same ~10% of rows in ANY engine; per group the type-1
+    * (no-interpolation) quantile is then an exact rank selection over a
+    * total order (price, orderkey, linenumber), so the result is an
+    * ORIGINAL datum — bit-identical in Spark and DuckDB, hash-green at
+    * the driver gate. Rank error of a uniform 10% sample is
+    * ~1/√(n/10) per group (spec-bounded vs the exact percentile).
+    *
+    * Scale shape: the only sorted set is the SAMPLE (10× smaller than
+    * the corpus; the rate is the knob — 100 TB pipelines run 0.1-1%),
+    * partitioned by group. A single group whose sample still exceeds a
+    * task would move to the two-pass range-partitioned rank machinery
+    * (see Pipeline.packTokens / rowIds); at every test SF the per-group
+    * window is the right plan. */
+  def quantilesSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .where(graft.functions.Fnv32a.fnv32a(
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"))) % 10 === 0)
+    val byG = Window.partitionBy("l_returnflag")
+    val ord = byG.orderBy(col("l_extendedprice"), col("l_orderkey"),
+      col("l_linenumber"))
+    keyed
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("n", count(lit(1)).over(byG))
+      // type-1 quantile indices, integer-only: ceil(q·n) via
+      // ceil(a/b) = (a + b - 1) div b
+      .withColumn("i50", expr("(n + 1) div 2"))
+      .withColumn("i95", expr("(19 * n + 19) div 20"))
+      .groupBy("l_returnflag")
+      .agg(
+        max(when(col("rn") === col("i50"), col("l_extendedprice"))).as("p50_s"),
+        max(when(col("rn") === col("i95"), col("l_extendedprice"))).as("p95_s"),
+        max("n").as("n_sample"))
+  }
 
   /** B13 q_sort_limit: global top-10 with full tie-break; plans as
     * TakeOrderedAndProject, not a total sort. */

@@ -170,6 +170,45 @@ class RelationalSpec extends SparkSuiteBase {
     }
   }
 
+  test("deterministic HLL (q_approx_distinct_det) within 3 sigma of exact") {
+    // sigma = 1.04/sqrt(256) ~ 6.5%; the estimator is fully deterministic
+    // (FNV + mix32 + integer floor division), so these are fixed numbers,
+    // not flaky statistics. sf0.001 sits just above the raw estimator's
+    // small-range zone (n/m ~ 4), hence the full 3-sigma allowance.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val est = Relational.approxDistinctDet(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      val exact = graft.sources.Tables(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.countDistinct("l_orderkey"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (k, ex) =>
+        assert(math.abs(est(k) - ex) <= ex * 0.20,
+          s"$dir $k: hll ${est(k)} vs exact $ex")
+      }
+    }
+  }
+
+  test("deterministic sample quantiles track exact; sample rate ~10%") {
+    val rows = Relational.quantilesSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val exact = Relational.quantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val groupN = graft.sources.Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, p50, p95, n) =>
+      val (e50, e95) = exact(k)
+      // ~200 sampled rows/group: rank sd ~ sqrt(q(1-q)/n) — loose, but
+      // deterministic (fixed hash predicate), so these never flake
+      assert(math.abs(p50 - e50) / e50 < 0.10, s"$k p50 $p50 vs $e50")
+      assert(math.abs(p95 - e95) / e95 < 0.05, s"$k p95 $p95 vs $e95")
+      val rate = n.toDouble / groupN(k)
+      assert(rate > 0.05 && rate < 0.15, s"$k sample rate $rate")
+    }
+  }
+
   test("percentile_approx tracks exact percentile within 2%") {
     import org.apache.spark.sql.functions._
     val exact = Relational.quantiles(spark, sf).collect()
