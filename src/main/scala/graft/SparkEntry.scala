@@ -68,6 +68,7 @@ object SparkEntry {
     "q_simsearch_ivf_indexed" -> ((s, d) => Similarity.ivfTopKIndexed(s, d)),
     "q_simsearch_ivf_append" -> ((s, d) => Similarity.ivfTopKAppended(s, d)),
     "q_simsearch_ivf"   -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q_simsearch_pq"    -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
     "q_udaf_typed"      -> ((s, d) => MapReduceOps.typedAgg(s, d)),
@@ -1360,6 +1361,7 @@ object SparkEntry {
     "q_simsearch_ivf" -> ivfOracle(operators.Clustering.Iters, base = false),
     "q_simsearch_ivf_indexed" -> ivfOracle(operators.Clustering.Iters, base = false),
     "q_simsearch_ivf_append" -> ivfOracle(operators.Clustering.Iters, base = true),
+    "q_simsearch_pq" -> pqOracle(operators.Similarity.PqIters),
     // exact BIGINT numerator; two fixed-order divisions → bit parity
     "q_lm_score" ->
       s"""WITH tok AS (
@@ -2434,6 +2436,117 @@ object SparkEntry {
          |  FROM s
          |)
          |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin
+  }
+
+  /** Oracle for q_simsearch_pq (`Similarity.pqTopK`): product
+    * quantization replayed end-to-end — 8 independent fixed-point
+    * Lloyd chains (one per subspace, the ivfOracle fit pattern over the
+    * subspace's dim slice), code assignment and query LUTs from ONE
+    * shared distance CTE per subspace (`ea$s` serves both: argmin → the
+    * corpus code, filter vec_id < 10 → the query's per-code distances),
+    * integer ADC scoring + shortlist, exact-cosine re-rank (the proven
+    * list_reduce kernel). */
+  private def pqOracle(iters: Int): String = {
+    val m = operators.Similarity.PqM
+    val d = operators.Similarity.PqD
+    val kc = operators.Similarity.PqK
+    val shortN = operators.Similarity.pqShortlist(10)
+    def chain(s: Int): String = {
+      val head =
+        s"""xs$s AS (
+           |  SELECT vec_id, dim, xi FROM x WHERE dim > ${s * d} AND dim <= ${(s + 1) * d}
+           |), c${s}_0 AS (
+           |  SELECT dense_rank() OVER (ORDER BY sv.vec_id) - 1 AS cid, x.dim, x.xi AS c
+           |  FROM (SELECT vec_id FROM
+           |          (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+           |           FROM embeddings)
+           |        WHERE rn <= $kc) sv
+           |  JOIN xs$s x ON x.vec_id = sv.vec_id
+           |)""".stripMargin
+      val its = (1 to iters).map { i =>
+        s"""a${s}_$i AS (
+           |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
+           |  FROM xs$s x JOIN c${s}_${i - 1} c ON x.dim = c.dim
+           |  GROUP BY x.vec_id, c.cid
+           |), b${s}_$i AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |    FROM a${s}_$i) WHERE rn = 1
+           |), m${s}_$i AS (
+           |  SELECT b.cid, x.dim,
+           |    CASE WHEN sum(x.xi) >= 0
+           |         THEN (2 * CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*))
+           |         ELSE -((2 * -CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*)))
+           |    END AS c
+           |  FROM b${s}_$i b JOIN xs$s x ON x.vec_id = b.vec_id
+           |  GROUP BY b.cid, x.dim
+           |), c${s}_$i AS (
+           |  SELECT p.cid, p.dim, coalesce(mm.c, p.c) AS c
+           |  FROM c${s}_${i - 1} p LEFT JOIN m${s}_$i mm
+           |    ON mm.cid = p.cid AND mm.dim = p.dim
+           |)""".stripMargin
+      }
+      val enc =
+        s"""ea$s AS (
+           |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
+           |  FROM xs$s x JOIN c${s}_$iters c ON x.dim = c.dim
+           |  GROUP BY x.vec_id, c.cid
+           |), eb$s AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |    FROM ea$s) WHERE rn = 1
+           |)""".stripMargin
+      (head +: its :+ enc).mkString(",\n")
+    }
+    val encU = (0 until m)
+      .map(s => s"SELECT vec_id, $s AS s, cid FROM eb$s").mkString("\n  UNION ALL ")
+    val lutU = (0 until m)
+      .map(s => s"SELECT vec_id AS qid, $s AS s, cid AS code, d2 FROM ea$s WHERE vec_id < 10")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |), x AS (
+       |  SELECT vec_id, CAST(u.i AS INT) AS dim, qe[u.i] AS xi
+       |  FROM q, unnest(range(1, len(qe) + 1)) AS u(i)
+       |), n AS (
+       |  SELECT vec_id, e,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+       |         (a, p) -> a + p)) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |        FROM embeddings)
+       |),
+       |${(0 until m).map(chain).mkString(",\n")},
+       |enc AS (
+       |  $encU
+       |), lut AS (
+       |  $lutU
+       |), sc AS (
+       |  SELECT l.qid, e.vec_id, CAST(sum(l.d2) AS BIGINT) AS pqd2
+       |  FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.cid AND l.qid != e.vec_id
+       |  GROUP BY 1, 2
+       |), sh AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY pqd2, vec_id) AS srn
+       |    FROM sc) WHERE srn <= $shortN
+       |), s2 AS (
+       |  SELECT sh.qid, sh.vec_id,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, len(qn.e) + 1), i -> qn.e[i] * cn.e[i])),
+       |      (acc, p) -> acc + p) / (qn.nrm * cn.nrm) AS sim
+       |  FROM sh JOIN n qn ON qn.vec_id = sh.qid
+       |  JOIN n cn ON cn.vec_id = sh.vec_id
+       |), r AS (
+       |  SELECT qid, vec_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+       |  FROM s2
+       |)
+       |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin
   }
 
   /** Shared by the typed-flatMap and native-Generator bigram queries

@@ -439,6 +439,102 @@ object Similarity {
     lshBody(v, isQuery, lshPlanes(v.count()), k)
   }
 
+  // ---- Product quantization (q_simsearch_pq) ----
+
+  /** PQ geometry: 64-dim embeddings split into [[PqM]] subspaces of
+    * [[PqD]] dims; each subspace gets a [[PqK]]-codeword codebook
+    * (Jégou-Douze-Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011). A corpus vector compresses to M 4-bit codes
+    * — 4 bytes instead of 512 (the reason PQ is THE 100 TB ANN memory
+    * story: 100 TB of fp32 embeddings become ~0.8 TB of codes that fit
+    * in cluster RAM; full vectors are only touched for the shortlist). */
+  val PqM = 8
+  val PqD = 8
+  val PqK = 16
+  /** Lloyd rounds per subspace codebook — 8-dim/16-centroid fits
+    * converge fast, and each round is replayed as a CTE block in the
+    * DuckDB oracle (8 subspaces × PqIters chains), so this also bounds
+    * oracle size. */
+  val PqIters = 4
+  /** ADC shortlist size before exact re-rank. */
+  def pqShortlist(k: Int): Int = 8 * k
+
+  private val pqCache =
+    new scala.collection.concurrent.TrieMap[(String, String), Array[Array[Array[Long]]]]()
+
+  /** Per-subspace fixed-point codebooks [subspace][code][dim], memoized
+    * per (dir, data fingerprint). Each fit is `Clustering.fitFixed` on
+    * the micro-unit subvectors — deterministic init (first PqK corpus
+    * vectors), integer Lloyd, so the codebooks are bit-reproducible in
+    * any engine (the q_kmeans / IVF convention). */
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Long]]] =
+    pqCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
+      val v = vecsQ(spark, dir).select(col("vec_id"), col("eq"))
+      (0 until PqM).map { s =>
+        Clustering.fitFixed(
+          v.select(col("vec_id"), slice(col("eq"), s * PqD + 1, PqD).as("e")),
+          PqIters, PqK)
+      }.toArray
+    })
+
+  /** q_simsearch_pq: PQ + asymmetric-distance shortlist + exact
+    * re-rank. Corpus vectors are encoded once into M codes; a query
+    * builds a LUT of exact-integer partial distances to every codeword
+    * (M·K BIGINTs), scores EVERY code tuple by 8 array lookups
+    * (map-side, no shuffle — ADC never touches a full corpus vector),
+    * shortlists the best `pqShortlist(k)` by (pqd2, vec_id), and
+    * re-ranks only that shortlist with the exact double cosine (the
+    * fold-parity kernel proven by q_simsearch's oracle). Every
+    * pre-cosine step is integer — fits, codes, LUTs, shortlist ranking
+    * — so the DuckDB oracle replays the whole search bit-for-bit. */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val books = pqCodebooks(spark, dir)
+    val v = vecsQ(spark, dir)
+    // encode: nearest codeword per subspace, ties to the lower code
+    val codeCols = (0 until PqM).map { s =>
+      val ds = books(s).zipWithIndex.map { case (c, i) =>
+        struct(graft.functions.VectorExprs.sqDistLong(
+          slice(col("eq"), s * PqD + 1, PqD), lit(c)).as("d2"),
+          lit(i).as("code"))
+      }.toSeq
+      array_min(array(ds: _*)).getField("code").as(s"c$s")
+    }
+    val enc = v.select(col("vec_id") +: codeCols: _*)
+      .select(col("vec_id"),
+        array((0 until PqM).map(s => col(s"c$s")): _*).as("codes"))
+    // query LUT: flat subspace-major array of partial squared distances
+    // (books may be ragged below PqK on tiny corpora, hence offsets)
+    val offs = books.scanLeft(0)(_ + _.length)
+    val lutCols = for {
+      s <- 0 until PqM
+      c <- books(s).indices
+    } yield graft.functions.VectorExprs.sqDistLong(
+      slice(col("eq"), s * PqD + 1, PqD), lit(books(s)(c)))
+    val q = v.where(QueryVecs)
+      .select(col("vec_id").as("qid"), array(lutCols: _*).as("lut"))
+    // ADC: 8 literal-offset lookups, codegen-friendly (no lambda;
+    // element_at is 1-based in both Spark and DuckDB)
+    val pqd2 = (0 until PqM).map { s =>
+      expr(s"element_at(lut, ${offs(s) + 1} + element_at(codes, ${s + 1}))")
+    }.reduce(_ + _)
+    val scored = broadcast(q).join(enc, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), pqd2.as("pqd2"))
+    val wS = Window.partitionBy("qid").orderBy(asc("pqd2"), asc("vec_id"))
+    val short = scored.withColumn("srn", row_number().over(wS))
+      .where(col("srn") <= pqShortlist(k))
+      .select(col("qid"), col("vec_id").as("cand"))
+    // exact re-rank of the shortlist on the original doubles
+    val qv = v.where(QueryVecs)
+      .select(col("vec_id").as("qqid"), col("e"), col("nrm"))
+    val rr = v.as("c")
+      .join(broadcast(short), col("c.vec_id") === col("cand"))
+      .join(broadcast(qv).as("q"), col("qid") === col("qqid"))
+      .select(col("qid"), col("cand").as("vec_id"), cosCol.as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    rr.withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= k)
+  }
+
   private def lshBody(vin: DataFrame, isQuery: Column, nPlanes: Int,
                       k: Int): DataFrame = {
     val v = vin.withColumn("bucket", bucketCol(nPlanes))
