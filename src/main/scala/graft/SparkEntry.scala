@@ -69,6 +69,7 @@ object SparkEntry {
     "q_simsearch_ivf_append" -> ((s, d) => Similarity.ivfTopKAppended(s, d)),
     "q_simsearch_ivf"   -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_simsearch_pq"    -> ((s, d) => Similarity.pqTopK(s, d)),
+    "q_simsearch_ivfpq" -> ((s, d) => Similarity.ivfpqTopK(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
     "q_udaf_typed"      -> ((s, d) => MapReduceOps.typedAgg(s, d)),
@@ -1362,6 +1363,8 @@ object SparkEntry {
     "q_simsearch_ivf_indexed" -> ivfOracle(operators.Clustering.Iters, base = false),
     "q_simsearch_ivf_append" -> ivfOracle(operators.Clustering.Iters, base = true),
     "q_simsearch_pq" -> pqOracle(operators.Similarity.PqIters),
+    "q_simsearch_ivfpq" ->
+      ivfpqOracle(operators.Clustering.Iters, operators.Similarity.PqIters),
     // exact BIGINT numerator; two fixed-order divisions → bit parity
     "q_lm_score" ->
       s"""WITH tok AS (
@@ -2370,10 +2373,10 @@ object SparkEntry {
          |         list_transform(embedding,
          |           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qe
          |  FROM embeddings
-         |), x AS (
+         |), x AS MATERIALIZED (
          |  SELECT vec_id, CAST(u.i AS INT) AS dim, qe[u.i] AS xi
          |  FROM q, unnest(range(1, len(qe) + 1)) AS u(i)
-         |), n AS (
+         |), n AS MATERIALIZED (
          |  SELECT vec_id, e,
          |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
          |         (a, p) -> a + p)) AS nrm
@@ -2408,12 +2411,13 @@ object SparkEntry {
     }
     val fin = iters + 1
     head + ",\n" + its.mkString(",\n") + ",\n" +
-      assignCte(fin, s"c$iters", "x") + // full-corpus list assignment
+      s"cfin AS MATERIALIZED (SELECT cid, dim, c FROM c$iters),\n" +
+      assignCte(fin, "cfin", "x") + // full-corpus list assignment
       s""",
          |asg AS (SELECT vec_id, cid FROM b$fin),
          |qd AS (
          |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
-         |  FROM x JOIN c$iters c ON x.dim = c.dim
+         |  FROM x JOIN cfin c ON x.dim = c.dim
          |  WHERE x.vec_id < 10
          |  GROUP BY x.vec_id, c.cid
          |), pr AS (
@@ -2453,7 +2457,7 @@ object SparkEntry {
     val shortN = operators.Similarity.pqShortlist(10)
     def chain(s: Int): String = {
       val head =
-        s"""xs$s AS (
+        s"""xs$s AS MATERIALIZED (
            |  SELECT vec_id, dim, xi FROM x WHERE dim > ${s * d} AND dim <= ${(s + 1) * d}
            |), c${s}_0 AS (
            |  SELECT dense_rank() OVER (ORDER BY sv.vec_id) - 1 AS cid, x.dim, x.xi AS c
@@ -2510,10 +2514,10 @@ object SparkEntry {
        |         list_transform(embedding,
        |           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qe
        |  FROM embeddings
-       |), x AS (
+       |), x AS MATERIALIZED (
        |  SELECT vec_id, CAST(u.i AS INT) AS dim, qe[u.i] AS xi
        |  FROM q, unnest(range(1, len(qe) + 1)) AS u(i)
-       |), n AS (
+       |), n AS MATERIALIZED (
        |  SELECT vec_id, e,
        |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
        |         (a, p) -> a + p)) AS nrm
@@ -2528,6 +2532,190 @@ object SparkEntry {
        |), sc AS (
        |  SELECT l.qid, e.vec_id, CAST(sum(l.d2) AS BIGINT) AS pqd2
        |  FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.cid AND l.qid != e.vec_id
+       |  GROUP BY 1, 2
+       |), sh AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY pqd2, vec_id) AS srn
+       |    FROM sc) WHERE srn <= $shortN
+       |), s2 AS (
+       |  SELECT sh.qid, sh.vec_id,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, len(qn.e) + 1), i -> qn.e[i] * cn.e[i])),
+       |      (acc, p) -> acc + p) / (qn.nrm * cn.nrm) AS sim
+       |  FROM sh JOIN n qn ON qn.vec_id = sh.qid
+       |  JOIN n cn ON cn.vec_id = sh.vec_id
+       |), r AS (
+       |  SELECT qid, vec_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+       |  FROM s2
+       |)
+       |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin
+  }
+
+  /** Oracle for q_simsearch_ivfpq (`Similarity.ivfpqTopK`): the
+    * composed search replayed end-to-end — the ivfOracle coarse-fit
+    * chain (kpar/c0..cN + full assignment), exact-integer residuals
+    * xr = x − centroid, 8 residual-subspace Lloyd chains (rc…, the
+    * pqOracle pattern over residual dims), corpus codes (rea/reb),
+    * per-probed-list query residuals + LUTs (xqr/lu…), integer ADC
+    * scoring restricted to probed lists, shortlist, cosine re-rank. */
+  private def ivfpqOracle(ivfIters: Int, pqIters: Int): String = {
+    val m = operators.Similarity.PqM
+    val d = operators.Similarity.PqD
+    val kc = operators.Similarity.PqK
+    val shortN = operators.Similarity.pqShortlist(10)
+    // coarse-quantizer Lloyd chain (same CTE text as ivfOracle, non-base)
+    def assignCte(i: Int, cfrom: String): String =
+      s"""a$i AS (
+         |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
+         |  FROM x JOIN $cfrom c ON x.dim = c.dim
+         |  GROUP BY x.vec_id, c.cid
+         |), b$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM a$i) WHERE rn = 1
+         |)""".stripMargin
+    val coarse = (1 to ivfIters).map { i =>
+      assignCte(i, s"c${i - 1}") + s""",
+         |m$i AS (
+         |  SELECT b.cid, x.dim,
+         |    CASE WHEN sum(x.xi) >= 0
+         |         THEN (2 * CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*))
+         |         ELSE -((2 * -CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*)))
+         |    END AS c
+         |  FROM b$i b JOIN x ON x.vec_id = b.vec_id
+         |  GROUP BY b.cid, x.dim
+         |), c$i AS (
+         |  SELECT p.cid, p.dim, coalesce(mm.c, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN m$i mm ON mm.cid = p.cid AND mm.dim = p.dim
+         |)""".stripMargin
+    }
+    val fin = ivfIters + 1
+    // residual-subspace codebook chain over xr's global dim slice
+    def rchain(s: Int): String = {
+      val head =
+        s"""rs$s AS MATERIALIZED (
+           |  SELECT vec_id, dim, xi FROM xr WHERE dim > ${s * d} AND dim <= ${(s + 1) * d}
+           |), rc${s}_0 AS (
+           |  SELECT dense_rank() OVER (ORDER BY sv.vec_id) - 1 AS cid, x.dim, x.xi AS c
+           |  FROM (SELECT vec_id FROM
+           |          (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+           |           FROM embeddings)
+           |        WHERE rn <= $kc) sv
+           |  JOIN rs$s x ON x.vec_id = sv.vec_id
+           |)""".stripMargin
+      val its = (1 to pqIters).map { i =>
+        s"""ra${s}_$i AS (
+           |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
+           |  FROM rs$s x JOIN rc${s}_${i - 1} c ON x.dim = c.dim
+           |  GROUP BY x.vec_id, c.cid
+           |), rb${s}_$i AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |    FROM ra${s}_$i) WHERE rn = 1
+           |), rm${s}_$i AS (
+           |  SELECT b.cid, x.dim,
+           |    CASE WHEN sum(x.xi) >= 0
+           |         THEN (2 * CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*))
+           |         ELSE -((2 * -CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*)))
+           |    END AS c
+           |  FROM rb${s}_$i b JOIN rs$s x ON x.vec_id = b.vec_id
+           |  GROUP BY b.cid, x.dim
+           |), rc${s}_$i AS (
+           |  SELECT p.cid, p.dim, coalesce(mm.c, p.c) AS c
+           |  FROM rc${s}_${i - 1} p LEFT JOIN rm${s}_$i mm
+           |    ON mm.cid = p.cid AND mm.dim = p.dim
+           |)""".stripMargin
+      }
+      val enc =
+        s"""rea$s AS (
+           |  SELECT x.vec_id, c.cid AS code, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
+           |  FROM rs$s x JOIN rc${s}_$pqIters c ON x.dim = c.dim
+           |  GROUP BY 1, 2
+           |), reb$s AS (
+           |  SELECT vec_id, code FROM (
+           |    SELECT vec_id, code,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+           |    FROM rea$s) WHERE rn = 1
+           |), lu$s AS (
+           |  SELECT q.qid, q.cid AS probe, c.cid AS code,
+           |         CAST(sum((q.xi - c.c) * (q.xi - c.c)) AS BIGINT) AS d2
+           |  FROM (SELECT qid, cid, dim, xi FROM xqr
+           |        WHERE dim > ${s * d} AND dim <= ${(s + 1) * d}) q
+           |  JOIN rc${s}_$pqIters c ON c.dim = q.dim
+           |  GROUP BY 1, 2, 3
+           |)""".stripMargin
+      (head +: its :+ enc).mkString(",\n")
+    }
+    val encU = (0 until m)
+      .map(s => s"SELECT eb.vec_id, a.cid, $s AS s, eb.code FROM reb$s eb JOIN asg a ON a.vec_id = eb.vec_id")
+      .mkString("\n  UNION ALL ")
+    val lutU = (0 until m)
+      .map(s => s"SELECT qid, probe, $s AS s, code, d2 FROM lu$s")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |), x AS MATERIALIZED (
+       |  SELECT vec_id, CAST(u.i AS INT) AS dim, qe[u.i] AS xi
+       |  FROM q, unnest(range(1, len(qe) + 1)) AS u(i)
+       |), n AS MATERIALIZED (
+       |  SELECT vec_id, e,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+       |         (a, p) -> a + p)) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |        FROM embeddings)
+       |), kpar AS (
+       |  SELECT k, GREATEST(3, CAST(floor(0.15 * k + 0.5) AS BIGINT)) AS nprobe
+       |  FROM (SELECT GREATEST(4, LEAST(4096,
+       |          CAST(round(sqrt(count(*))) AS BIGINT))) AS k FROM embeddings)
+       |), c0 AS (
+       |  SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cid, x.dim, x.xi AS c
+       |  FROM (SELECT vec_id FROM
+       |          (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+       |           FROM embeddings), kpar
+       |        WHERE rn <= k) s
+       |  JOIN x ON x.vec_id = s.vec_id
+       |),
+       |${coarse.mkString(",\n")},
+       |cfin AS MATERIALIZED (SELECT cid, dim, c FROM c$ivfIters),
+       |${assignCte(fin, "cfin")},
+       |asg AS MATERIALIZED (SELECT vec_id, cid FROM b$fin),
+       |xr AS MATERIALIZED (
+       |  SELECT x.vec_id, x.dim, x.xi - c.c AS xi
+       |  FROM x JOIN asg a ON a.vec_id = x.vec_id
+       |  JOIN cfin c ON c.cid = a.cid AND c.dim = x.dim
+       |),
+       |qd AS (
+       |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
+       |  FROM x JOIN cfin c ON x.dim = c.dim
+       |  WHERE x.vec_id < 10
+       |  GROUP BY x.vec_id, c.cid
+       |), pr AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM qd), kpar
+       |  WHERE rn <= nprobe
+       |), xqr AS MATERIALIZED (
+       |  SELECT pr.vec_id AS qid, pr.cid, x.dim, x.xi - c.c AS xi
+       |  FROM pr JOIN x ON x.vec_id = pr.vec_id
+       |  JOIN cfin c ON c.cid = pr.cid AND c.dim = x.dim
+       |),
+       |${(0 until m).map(rchain).mkString(",\n")},
+       |enc AS (
+       |  $encU
+       |), lut AS (
+       |  $lutU
+       |), sc AS (
+       |  SELECT l.qid, e.vec_id, CAST(sum(l.d2) AS BIGINT) AS pqd2
+       |  FROM enc e JOIN lut l
+       |    ON l.probe = e.cid AND l.s = e.s AND l.code = e.code AND l.qid != e.vec_id
        |  GROUP BY 1, 2
        |), sh AS (
        |  SELECT qid, vec_id FROM (

@@ -490,40 +490,53 @@ object Similarity {
   def pqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val books = pqCodebooks(spark, dir)
     val v = vecsQ(spark, dir)
-    // encode: nearest codeword per subspace, ties to the lower code
-    val codeCols = (0 until PqM).map { s =>
+    val enc = v.select(col("vec_id"), pqCodesCol(books, "eq").as("codes"))
+    val q = v.where(QueryVecs)
+      .select(col("vec_id").as("qid"), pqLutCol(books, "eq").as("lut"))
+    val scored = broadcast(q).join(enc, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), pqAdcCol(books).as("pqd2"))
+    pqRerank(v, scored, k)
+  }
+
+  /** Codes column: nearest codeword per subspace over the micro-unit
+    * source column, ties to the lower code. */
+  private def pqCodesCol(books: Array[Array[Array[Long]]], src: String): Column =
+    array((0 until PqM).map { s =>
       val ds = books(s).zipWithIndex.map { case (c, i) =>
         struct(graft.functions.VectorExprs.sqDistLong(
-          slice(col("eq"), s * PqD + 1, PqD), lit(c)).as("d2"),
+          slice(col(src), s * PqD + 1, PqD), lit(c)).as("d2"),
           lit(i).as("code"))
       }.toSeq
-      array_min(array(ds: _*)).getField("code").as(s"c$s")
-    }
-    val enc = v.select(col("vec_id") +: codeCols: _*)
-      .select(col("vec_id"),
-        array((0 until PqM).map(s => col(s"c$s")): _*).as("codes"))
-    // query LUT: flat subspace-major array of partial squared distances
-    // (books may be ragged below PqK on tiny corpora, hence offsets)
-    val offs = books.scanLeft(0)(_ + _.length)
-    val lutCols = for {
+      array_min(array(ds: _*)).getField("code")
+    }: _*)
+
+  /** Query LUT: flat subspace-major array of partial squared distances
+    * to every codeword (books may be ragged below PqK on tiny corpora,
+    * hence offset-based layout — see [[pqAdcCol]]). */
+  private def pqLutCol(books: Array[Array[Array[Long]]], src: String): Column =
+    array((for {
       s <- 0 until PqM
       c <- books(s).indices
     } yield graft.functions.VectorExprs.sqDistLong(
-      slice(col("eq"), s * PqD + 1, PqD), lit(books(s)(c)))
-    val q = v.where(QueryVecs)
-      .select(col("vec_id").as("qid"), array(lutCols: _*).as("lut"))
-    // ADC: 8 literal-offset lookups, codegen-friendly (no lambda;
-    // element_at is 1-based in both Spark and DuckDB)
-    val pqd2 = (0 until PqM).map { s =>
+      slice(col(src), s * PqD + 1, PqD), lit(books(s)(c)))): _*)
+
+  /** ADC score `lut` × `codes`: 8 literal-offset lookups,
+    * codegen-friendly (no lambda; element_at is 1-based in both Spark
+    * and DuckDB). */
+  private def pqAdcCol(books: Array[Array[Array[Long]]]): Column = {
+    val offs = books.scanLeft(0)(_ + _.length)
+    (0 until PqM).map { s =>
       expr(s"element_at(lut, ${offs(s) + 1} + element_at(codes, ${s + 1}))")
     }.reduce(_ + _)
-    val scored = broadcast(q).join(enc, col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), pqd2.as("pqd2"))
+  }
+
+  /** Shortlist `pqShortlist(k)` rows per query by (pqd2, vec_id), then
+    * exact-cosine re-rank on the original doubles. */
+  private def pqRerank(v: DataFrame, scored: DataFrame, k: Int): DataFrame = {
     val wS = Window.partitionBy("qid").orderBy(asc("pqd2"), asc("vec_id"))
     val short = scored.withColumn("srn", row_number().over(wS))
       .where(col("srn") <= pqShortlist(k))
       .select(col("qid"), col("vec_id").as("cand"))
-    // exact re-rank of the shortlist on the original doubles
     val qv = v.where(QueryVecs)
       .select(col("vec_id").as("qqid"), col("e"), col("nrm"))
     val rr = v.as("c")
@@ -533,6 +546,80 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
     rr.withColumn("rn", row_number().over(w).cast(LongType))
       .where(col("rn") <= k)
+  }
+
+  // ---- IVF + residual PQ (q_simsearch_ivfpq) ----
+
+  private val ivfpqCache = new scala.collection.concurrent.TrieMap[
+    (String, String), (Array[Array[Long]], Array[Array[Array[Long]]])]()
+
+  /** Tiny centroid table (cid, cent) for broadcast residual joins —
+    * quantizer state is K·64 longs, bounded driver memory. */
+  private def centsDf(spark: SparkSession, cents: Array[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cid", "cent")
+  }
+
+  /** IVFPQ model: the IVF coarse quantizer (ivfK(n) lists, shared with
+    * q_simsearch_ivf via the fitFixed memo) plus per-subspace codebooks
+    * trained on the RESIDUALS eq − centroid(cid) — residuals are far
+    * more compressible than raw vectors (Jégou et al. §IV), and since
+    * both terms are micro-unit longs the residual stays exact-integer. */
+  private[graft] def ivfpqModel(spark: SparkSession, dir: String): (Array[Array[Long]], Array[Array[Array[Long]]]) =
+    ivfpqCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
+      val cents = ivfCentsFixed(spark, dir, ivfK(corpusSize(spark, dir)))
+      val resid = residuals(vecsQ(spark, dir), centsDf(spark, cents), cents)
+        .select(col("vec_id"), col("rq"))
+      val books = (0 until PqM).map { s =>
+        Clustering.fitFixed(
+          resid.select(col("vec_id"), slice(col("rq"), s * PqD + 1, PqD).as("e")),
+          PqIters, PqK)
+      }.toArray
+      (cents, books)
+    })
+
+  /** Attach the nearest-list cid and the exact-integer residual
+    * `rq = eq − cent(cid)` to each vector of `v`. */
+  private def residuals(v: DataFrame, cdf: DataFrame,
+                        cents: Array[Array[Long]]): DataFrame =
+    v.withColumn("ds", array_sort(array(distStructsQ(cents): _*)))
+      .withColumn("cid", col("ds")(0).getField("cid")).drop("ds")
+      .join(broadcast(cdf), "cid")
+      .withColumn("rq", expr("zip_with(eq, cent, (a, b) -> a - b)"))
+      .drop("cent")
+
+  /** q_simsearch_ivfpq: the production large-scale ANN shape (FAISS
+    * IVFPQ) — IVF list pruning composed with residual-PQ compression.
+    * The corpus stores (cid, 8 codes) per vector; a query probes its
+    * nProbe nearest lists and builds ONE residual LUT per probed list
+    * (the residual differs per list), ADC-scores only vectors in probed
+    * lists (≈ nProbe/K of the corpus — unlike flat PQ, which scans all
+    * codes), shortlists by exact-integer (pqd2, vec_id), and re-ranks
+    * with the exact double cosine. At 100 TB: lists prune I/O, codes
+    * prune memory 128×, full vectors are touched for shortlist·k rows
+    * only. All pre-cosine arithmetic is integer → the DuckDB oracle
+    * replays the search bit-for-bit. */
+  def ivfpqTopK(spark: SparkSession, dir: String, k: Int = 10,
+                nProbe: Int = 0): DataFrame = {
+    val (cents, books) = ivfpqModel(spark, dir)
+    val probes = if (nProbe > 0) nProbe else ivfNProbe(cents.length)
+    val v = vecsQ(spark, dir)
+    val cdf = centsDf(spark, cents)
+    val enc = residuals(v, cdf, cents)
+      .select(col("vec_id"), col("cid"), pqCodesCol(books, "rq").as("codes"))
+    // queries: one row per probed list, carrying that list's residual LUT
+    val q = v.where(QueryVecs)
+      .withColumn("ds", array_sort(array(distStructsQ(cents): _*)))
+      .withColumn("cid", explode(expr(s"transform(slice(ds, 1, $probes), s -> s.cid)")))
+      .drop("ds")
+      .join(broadcast(cdf), "cid")
+      .withColumn("rq", expr("zip_with(eq, cent, (a, b) -> a - b)"))
+      .select(col("vec_id").as("qid"), col("cid").as("probe"),
+        pqLutCol(books, "rq").as("lut"))
+    val scored = broadcast(q).join(enc,
+        col("probe") === col("cid") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), pqAdcCol(books).as("pqd2"))
+    pqRerank(v, scored, k)
   }
 
   private def lshBody(vin: DataFrame, isQuery: Column, nPlanes: Int,

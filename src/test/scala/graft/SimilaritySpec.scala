@@ -138,6 +138,26 @@ class SimilaritySpec extends SparkSuiteBase {
     }
   }
 
+  test("IVFPQ top-k: residual codes inside probed lists, decent recall") {
+    val brute = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfpqTopK(spark, sf).collect()
+    ivfpq.foreach(r => assert(r.getLong(0) != r.getLong(1), "no self-match"))
+    val recall = ivfpq.map(r => (r.getLong(0), r.getLong(1)))
+      .count(brute.contains).toDouble / brute.size
+    info(f"IVFPQ recall vs brute force: $recall%.2f")
+    // list pruning costs recall vs flat PQ (a neighbor in an unprobed
+    // list is unreachable) — that's the probe-fraction trade, same as
+    // plain IVF's bar
+    assert(recall > 0.5, f"IVFPQ recall $recall%.2f unexpectedly low")
+    // model shape: coarse quantizer sized by ivfK, residual codebooks
+    // by subspace geometry
+    val (cents, books) = Similarity.ivfpqModel(spark, sf)
+    assert(cents.length === Similarity.ivfK(Similarity.corpusSize(spark, sf)))
+    assert(books.length === Similarity.PqM)
+    books.foreach(b => assert(b.length <= Similarity.PqK && b.nonEmpty))
+  }
+
   test("IVF recall holds at a SECOND corpus size with derived parameters") {
     val big = "/root/testdata/sf0.1"
     val kSmall = Similarity.ivfK(Similarity.corpusSize(spark, sf))
