@@ -75,6 +75,7 @@ object Bench {
       graft.operators.Clustering.clearFitCache()
       graft.operators.TextOps.clearMergeCache()
       graft.operators.Dedup.clearComponentCache()
+      graft.operators.Similarity.clearPqCache()
     }
     def clearIndexMemos(): Unit = {
       graft.operators.Similarity.clearIndexCache()
@@ -153,6 +154,40 @@ object Bench {
           "ivf_append_recall_at_10" -> recall(topk("q_simsearch_ivf_append")))
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] ivf lifecycle split failed: ${e.getMessage}")
+        Seq.empty
+      }
+
+    // PQ model lifecycle split (the codebook analogue of the ivf index
+    // split): build = subspace codebook fits (plus the coarse fit for
+    // ivfpq) from cold caches, search = the encode+ADC+re-rank query
+    // over the warm model. Model memos left warm so the matrix rows
+    // below bill the consumer path; the matrix RERUN clears them (they
+    // are model memos), so a rerun re-pays one fit — documented cost.
+    // Recall rows guard quantizer changes the same way the ivf rows do.
+    val pqLifecycle: Seq[(String, Double)] =
+      try {
+        def topk(name: String): Map[Long, Set[Long]] =
+          SparkEntry.queries(name)(spark, sfDir).select("qid", "vec_id")
+            .collect().groupBy(_.getLong(0))
+            .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val exact = topk("q_simsearch")
+        def recall(ann: Map[Long, Set[Long]]): Double =
+          if (exact.isEmpty) 0.0
+          else exact.map { case (q, ex) =>
+            ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+          }.sum / exact.size
+        graft.operators.Clustering.clearFitCache()
+        graft.operators.Similarity.clearPqCache()
+        val bPq = timed(graft.operators.Similarity.pqCodebooks(spark, sfDir))
+        val sPq = timed(force(SparkEntry.queries("q_simsearch_pq")(spark, sfDir)))
+        val bIvfpq = timed(graft.operators.Similarity.ivfpqModel(spark, sfDir))
+        val sIvfpq = timed(force(SparkEntry.queries("q_simsearch_ivfpq")(spark, sfDir)))
+        Seq("pq_build_sec" -> bPq, "pq_search_sec" -> sPq,
+          "ivfpq_build_sec" -> bIvfpq, "ivfpq_search_sec" -> sIvfpq,
+          "pq_recall_at_10" -> recall(topk("q_simsearch_pq")),
+          "ivfpq_recall_at_10" -> recall(topk("q_simsearch_ivfpq")))
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] pq lifecycle split failed: ${e.getMessage}")
         Seq.empty
       }
 
@@ -238,7 +273,7 @@ object Bench {
     // a tail capture of any length that includes the final line parses.
     // Both lines are also mirrored to bench_last.json in the CWD.
     val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"matrix_rerun_threshold_sec":$RerunThresholdSec,"matrix_rerun_n":$mReruns,"sf":"$sfDir"}"""
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
       try { w.println(matrixLine); w.println(headlineLine) } finally w.close()

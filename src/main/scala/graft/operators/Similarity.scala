@@ -260,6 +260,11 @@ object Similarity {
     * file listing would hit FileNotFoundException on evaluation. */
   def clearIndexCache(): Unit = { indexCache.clear(); appendCache.clear() }
 
+  /** Drop the memoized PQ / IVFPQ models (codebooks + centroids) —
+    * model memos in the bench taxonomy (a warm hit would replace the
+    * fit compute), cleared wherever the K-Means fit cache is. */
+  def clearPqCache(): Unit = { pqCache.clear(); ivfpqCache.clear() }
+
   private[graft] def stagedIvfIndex(spark: SparkSession, dir: String): (String, Array[Array[Long]]) =
     indexCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
       val lists = ivfK(corpusSize(spark, dir))
@@ -468,14 +473,26 @@ object Similarity {
     * vectors), integer Lloyd, so the codebooks are bit-reproducible in
     * any engine (the q_kmeans / IVF convention). */
   private[graft] def pqCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Long]]] =
-    pqCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
-      val v = vecsQ(spark, dir).select(col("vec_id"), col("eq"))
-      (0 until PqM).map { s =>
-        Clustering.fitFixed(
-          v.select(col("vec_id"), slice(col("eq"), s * PqD + 1, PqD).as("e")),
-          PqIters, PqK)
-      }.toArray
-    })
+    pqCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")),
+      fitSubspaceBooks(vecsQ(spark, dir).select(col("vec_id"), col("eq")), "eq"))
+
+  /** Fit the [[PqM]] subspace codebooks CONCURRENTLY — each fit is an
+    * independent driver-round Lloyd loop over a narrow projection, and
+    * at small per-job cost the wall clock is dominated by job-round
+    * overhead, so 8 interleaved job streams ≈ one fit's latency.
+    * Results are independent of interleaving (each fit only reads its
+    * own projection). */
+  private def fitSubspaceBooks(v: DataFrame, src: String): Array[Array[Array[Long]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence((0 until PqM).toList.map { s =>
+        Future(Clustering.fitFixed(
+          v.select(col("vec_id"), slice(col(src), s * PqD + 1, PqD).as("e")),
+          PqIters, PqK))
+      }), Duration.Inf).toArray
+  }
 
   /** q_simsearch_pq: PQ + asymmetric-distance shortlist + exact
     * re-rank. Corpus vectors are encoded once into M codes; a query
@@ -568,14 +585,12 @@ object Similarity {
   private[graft] def ivfpqModel(spark: SparkSession, dir: String): (Array[Array[Long]], Array[Array[Array[Long]]]) =
     ivfpqCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
       val cents = ivfCentsFixed(spark, dir, ivfK(corpusSize(spark, dir)))
+      // localCheckpoint: the residual projection feeds 8 concurrent
+      // codebook fits; without it each fit would re-run the assignment
+      // (K distance kernels over the corpus) behind its narrow slice
       val resid = residuals(vecsQ(spark, dir), centsDf(spark, cents), cents)
-        .select(col("vec_id"), col("rq"))
-      val books = (0 until PqM).map { s =>
-        Clustering.fitFixed(
-          resid.select(col("vec_id"), slice(col("rq"), s * PqD + 1, PqD).as("e")),
-          PqIters, PqK)
-      }.toArray
-      (cents, books)
+        .select(col("vec_id"), col("rq")).localCheckpoint()
+      (cents, fitSubspaceBooks(resid, "rq"))
     })
 
   /** Attach the nearest-list cid and the exact-integer residual
