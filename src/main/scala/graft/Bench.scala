@@ -124,6 +124,31 @@ object Bench {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // per-round ANN quality guard (VERDICT r7 #4): recall@10 of every
+    // ANN path vs the exact brute-force result, measured on every bench
+    // run so a quantizer/probe-sizing change that silently degrades
+    // recall shows up in the round JSON. Result sets are nQueries × k
+    // rows — driver-side compare is trivially bounded. Helpers (and the
+    // ONE brute-force run) are shared by the ivf and pq lifecycle
+    // blocks below.
+    def topk(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sfDir).select("qid", "vec_id")
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact: Map[Long, Set[Long]] =
+      try topk("q_simsearch") catch { case NonFatal(e) =>
+        System.err.println(s"[bench] exact topk failed: ${e.getMessage}")
+        Map.empty
+      }
+    def recall(name: String): Seq[(String, Double)] =
+      if (exact.isEmpty) Seq.empty   // no denominator → omit, not a fake 0.0
+      else Seq(s"${name.stripPrefix("q_simsearch_")}_recall_at_10" ->
+        (try {
+          val ann = topk(name)
+          exact.map { case (q, ex) =>
+            ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+          }.sum / exact.size
+        } catch { case NonFatal(_) => -1.0 }))
     val ivfLifecycle: Seq[(String, Double)] =
       try {
         graft.operators.Clustering.clearFitCache()
@@ -132,26 +157,10 @@ object Bench {
         val sIdx = timed(force(SparkEntry.queries("q_simsearch_ivf_indexed")(spark, sfDir)))
         val bApp = timed(graft.operators.Similarity.stagedAppendedIndex(spark, sfDir))
         val sApp = timed(force(SparkEntry.queries("q_simsearch_ivf_append")(spark, sfDir)))
-        // per-round ANN quality guard (VERDICT r7 #4): recall@10 of the
-        // ANN paths vs the exact brute-force result, measured on every
-        // bench run so a quantizer/probe-sizing change that silently
-        // degrades recall shows up in the round JSON (the 0.87 figure
-        // was a one-off from round 5 until now). Result sets are
-        // nQueries × k rows — driver-side compare is trivially bounded.
-        def topk(name: String): Map[Long, Set[Long]] =
-          SparkEntry.queries(name)(spark, sfDir).select("qid", "vec_id")
-            .collect().groupBy(_.getLong(0))
-            .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-        val exact = topk("q_simsearch")
-        def recall(ann: Map[Long, Set[Long]]): Double =
-          if (exact.isEmpty) 0.0
-          else exact.map { case (q, ex) =>
-            ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
-          }.sum / exact.size
         Seq("ivf_indexed_build_sec" -> bIdx, "ivf_indexed_search_sec" -> sIdx,
-          "ivf_append_build_sec" -> bApp, "ivf_append_search_sec" -> sApp,
-          "ivf_recall_at_10" -> recall(topk("q_simsearch_ivf_indexed")),
-          "ivf_append_recall_at_10" -> recall(topk("q_simsearch_ivf_append")))
+          "ivf_append_build_sec" -> bApp, "ivf_append_search_sec" -> sApp) ++
+          recall("q_simsearch_ivf_indexed").map { case (_, v) => "ivf_recall_at_10" -> v } ++
+          recall("q_simsearch_ivf_append").map { case (_, v) => "ivf_append_recall_at_10" -> v }
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] ivf lifecycle split failed: ${e.getMessage}")
         Seq.empty
@@ -166,28 +175,27 @@ object Bench {
     // Recall rows guard quantizer changes the same way the ivf rows do.
     val pqLifecycle: Seq[(String, Double)] =
       try {
-        def topk(name: String): Map[Long, Set[Long]] =
-          SparkEntry.queries(name)(spark, sfDir).select("qid", "vec_id")
-            .collect().groupBy(_.getLong(0))
-            .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-        val exact = topk("q_simsearch")
-        def recall(ann: Map[Long, Set[Long]]): Double =
-          if (exact.isEmpty) 0.0
-          else exact.map { case (q, ex) =>
-            ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
-          }.sum / exact.size
-        graft.operators.Clustering.clearFitCache()
         graft.operators.Similarity.clearPqCache()
         val bPq = timed(graft.operators.Similarity.pqCodebooks(spark, sfDir))
         val sPq = timed(force(SparkEntry.queries("q_simsearch_pq")(spark, sfDir)))
+        // the coarse fit is cleared ONLY here, immediately before the
+        // build that re-warms it, so ivfpq build bills fit+codebooks;
+        // the catch below restores the memo if this step aborts (the
+        // ivf lifecycle above left it warm on purpose — the matrix
+        // ivf rows must not silently change basis on this failure path)
+        graft.operators.Clustering.clearFitCache()
         val bIvfpq = timed(graft.operators.Similarity.ivfpqModel(spark, sfDir))
         val sIvfpq = timed(force(SparkEntry.queries("q_simsearch_ivfpq")(spark, sfDir)))
         Seq("pq_build_sec" -> bPq, "pq_search_sec" -> sPq,
-          "ivfpq_build_sec" -> bIvfpq, "ivfpq_search_sec" -> sIvfpq,
-          "pq_recall_at_10" -> recall(topk("q_simsearch_pq")),
-          "ivfpq_recall_at_10" -> recall(topk("q_simsearch_ivfpq")))
+          "ivfpq_build_sec" -> bIvfpq, "ivfpq_search_sec" -> sIvfpq) ++
+          recall("q_simsearch_pq") ++ recall("q_simsearch_ivfpq")
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] pq lifecycle split failed: ${e.getMessage}")
+        try graft.operators.Clustering.fitFixed(spark, sfDir,
+          graft.operators.Clustering.Iters,
+          graft.operators.Similarity.ivfK(
+            graft.operators.Similarity.corpusSize(spark, sfDir)))
+        catch { case NonFatal(_) => () }
         Seq.empty
       }
 

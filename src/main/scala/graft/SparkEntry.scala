@@ -260,12 +260,18 @@ object SparkEntry {
     // deterministic-sample quantiles: same FNV keep-predicate, same
     // type-1 rank selection (operators/Relational.quantilesSample)
     "q_quantiles_sample" ->
-      s"""WITH s AS (
+      s"""WITH s0 AS (
          |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
          |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
          |      ${utf8BytesSql("CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")}),
          |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
          |  FROM lineitem
+         |), s1 AS (
+         |  SELECT * REPLACE ((xor(h >> 16, h) * 73244475) % 4294967296 AS h) FROM s0
+         |), s2 AS (
+         |  SELECT * REPLACE ((xor(h >> 16, h) * 73244475) % 4294967296 AS h) FROM s1
+         |), s AS (
+         |  SELECT * REPLACE (xor(h >> 16, h) AS h) FROM s2
          |), k AS (
          |  SELECT l_returnflag, l_extendedprice,
          |         row_number() OVER (PARTITION BY l_returnflag
@@ -2450,60 +2456,74 @@ object SparkEntry {
     * corpus code, filter vec_id < 10 → the query's per-code distances),
     * integer ADC scoring + shortlist, exact-cosine re-rank (the proven
     * list_reduce kernel). */
+  /** ONE fixed-point Lloyd chain over a dim-slice of `src`, as CTE
+    * text: slice (`${p}xs$s`, MATERIALIZED), deterministic init (first
+    * `kc` corpus vec_ids), `iters` assign/argmin/mean/update rounds
+    * (sign-safe round-half-away division, empty clusters keep their
+    * centroid — the fitFixed contract), then the all-(vector, codeword)
+    * distance table `${p}ea$s` and the argmin codes `${p}eb$s
+    * (vec_id, cid)`. Shared by pqOracle (p = "", src = x) and
+    * ivfpqOracle (p = "r", src = xr residuals); ivfOracle's COARSE
+    * chain stays separate — it is parameterized differently (corpus-
+    * derived k from kpar, base-slice fit source for the append
+    * variant) — but mirrors the same assign/update CTE text. */
+  private def lloydSubspaceSql(p: String, src: String, s: Int, iters: Int,
+                               kc: Int, d: Int): String = {
+    val head =
+      s"""${p}xs$s AS MATERIALIZED (
+         |  SELECT vec_id, dim, xi FROM $src WHERE dim > ${s * d} AND dim <= ${(s + 1) * d}
+         |), ${p}c${s}_0 AS (
+         |  SELECT dense_rank() OVER (ORDER BY sv.vec_id) - 1 AS cid, x.dim, x.xi AS c
+         |  FROM (SELECT vec_id FROM
+         |          (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+         |           FROM embeddings)
+         |        WHERE rn <= $kc) sv
+         |  JOIN ${p}xs$s x ON x.vec_id = sv.vec_id
+         |)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""${p}a${s}_$i AS (
+         |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
+         |  FROM ${p}xs$s x JOIN ${p}c${s}_${i - 1} c ON x.dim = c.dim
+         |  GROUP BY x.vec_id, c.cid
+         |), ${p}b${s}_$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM ${p}a${s}_$i) WHERE rn = 1
+         |), ${p}m${s}_$i AS (
+         |  SELECT b.cid, x.dim,
+         |    CASE WHEN sum(x.xi) >= 0
+         |         THEN (2 * CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*))
+         |         ELSE -((2 * -CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*)))
+         |    END AS c
+         |  FROM ${p}b${s}_$i b JOIN ${p}xs$s x ON x.vec_id = b.vec_id
+         |  GROUP BY b.cid, x.dim
+         |), ${p}c${s}_$i AS (
+         |  SELECT pp.cid, pp.dim, coalesce(mm.c, pp.c) AS c
+         |  FROM ${p}c${s}_${i - 1} pp LEFT JOIN ${p}m${s}_$i mm
+         |    ON mm.cid = pp.cid AND mm.dim = pp.dim
+         |)""".stripMargin
+    }
+    val enc =
+      s"""${p}ea$s AS (
+         |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
+         |  FROM ${p}xs$s x JOIN ${p}c${s}_$iters c ON x.dim = c.dim
+         |  GROUP BY x.vec_id, c.cid
+         |), ${p}eb$s AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM ${p}ea$s) WHERE rn = 1
+         |)""".stripMargin
+    (head +: its :+ enc).mkString(",\n")
+  }
+
   private def pqOracle(iters: Int): String = {
     val m = operators.Similarity.PqM
     val d = operators.Similarity.PqD
     val kc = operators.Similarity.PqK
     val shortN = operators.Similarity.pqShortlist(10)
-    def chain(s: Int): String = {
-      val head =
-        s"""xs$s AS MATERIALIZED (
-           |  SELECT vec_id, dim, xi FROM x WHERE dim > ${s * d} AND dim <= ${(s + 1) * d}
-           |), c${s}_0 AS (
-           |  SELECT dense_rank() OVER (ORDER BY sv.vec_id) - 1 AS cid, x.dim, x.xi AS c
-           |  FROM (SELECT vec_id FROM
-           |          (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
-           |           FROM embeddings)
-           |        WHERE rn <= $kc) sv
-           |  JOIN xs$s x ON x.vec_id = sv.vec_id
-           |)""".stripMargin
-      val its = (1 to iters).map { i =>
-        s"""a${s}_$i AS (
-           |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
-           |  FROM xs$s x JOIN c${s}_${i - 1} c ON x.dim = c.dim
-           |  GROUP BY x.vec_id, c.cid
-           |), b${s}_$i AS (
-           |  SELECT vec_id, cid FROM (
-           |    SELECT vec_id, cid,
-           |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-           |    FROM a${s}_$i) WHERE rn = 1
-           |), m${s}_$i AS (
-           |  SELECT b.cid, x.dim,
-           |    CASE WHEN sum(x.xi) >= 0
-           |         THEN (2 * CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*))
-           |         ELSE -((2 * -CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*)))
-           |    END AS c
-           |  FROM b${s}_$i b JOIN xs$s x ON x.vec_id = b.vec_id
-           |  GROUP BY b.cid, x.dim
-           |), c${s}_$i AS (
-           |  SELECT p.cid, p.dim, coalesce(mm.c, p.c) AS c
-           |  FROM c${s}_${i - 1} p LEFT JOIN m${s}_$i mm
-           |    ON mm.cid = p.cid AND mm.dim = p.dim
-           |)""".stripMargin
-      }
-      val enc =
-        s"""ea$s AS (
-           |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
-           |  FROM xs$s x JOIN c${s}_$iters c ON x.dim = c.dim
-           |  GROUP BY x.vec_id, c.cid
-           |), eb$s AS (
-           |  SELECT vec_id, cid FROM (
-           |    SELECT vec_id, cid,
-           |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-           |    FROM ea$s) WHERE rn = 1
-           |)""".stripMargin
-      (head +: its :+ enc).mkString(",\n")
-    }
+    def chain(s: Int): String = lloydSubspaceSql("", "x", s, iters, kc, d)
     val encU = (0 until m)
       .map(s => s"SELECT vec_id, $s AS s, cid FROM eb$s").mkString("\n  UNION ALL ")
     val lutU = (0 until m)
@@ -2593,65 +2613,22 @@ object SparkEntry {
          |)""".stripMargin
     }
     val fin = ivfIters + 1
-    // residual-subspace codebook chain over xr's global dim slice
-    def rchain(s: Int): String = {
-      val head =
-        s"""rs$s AS MATERIALIZED (
-           |  SELECT vec_id, dim, xi FROM xr WHERE dim > ${s * d} AND dim <= ${(s + 1) * d}
-           |), rc${s}_0 AS (
-           |  SELECT dense_rank() OVER (ORDER BY sv.vec_id) - 1 AS cid, x.dim, x.xi AS c
-           |  FROM (SELECT vec_id FROM
-           |          (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
-           |           FROM embeddings)
-           |        WHERE rn <= $kc) sv
-           |  JOIN rs$s x ON x.vec_id = sv.vec_id
-           |)""".stripMargin
-      val its = (1 to pqIters).map { i =>
-        s"""ra${s}_$i AS (
-           |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
-           |  FROM rs$s x JOIN rc${s}_${i - 1} c ON x.dim = c.dim
-           |  GROUP BY x.vec_id, c.cid
-           |), rb${s}_$i AS (
-           |  SELECT vec_id, cid FROM (
-           |    SELECT vec_id, cid,
-           |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-           |    FROM ra${s}_$i) WHERE rn = 1
-           |), rm${s}_$i AS (
-           |  SELECT b.cid, x.dim,
-           |    CASE WHEN sum(x.xi) >= 0
-           |         THEN (2 * CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*))
-           |         ELSE -((2 * -CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*)))
-           |    END AS c
-           |  FROM rb${s}_$i b JOIN rs$s x ON x.vec_id = b.vec_id
-           |  GROUP BY b.cid, x.dim
-           |), rc${s}_$i AS (
-           |  SELECT p.cid, p.dim, coalesce(mm.c, p.c) AS c
-           |  FROM rc${s}_${i - 1} p LEFT JOIN rm${s}_$i mm
-           |    ON mm.cid = p.cid AND mm.dim = p.dim
-           |)""".stripMargin
-      }
-      val enc =
-        s"""rea$s AS (
-           |  SELECT x.vec_id, c.cid AS code, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
-           |  FROM rs$s x JOIN rc${s}_$pqIters c ON x.dim = c.dim
-           |  GROUP BY 1, 2
-           |), reb$s AS (
-           |  SELECT vec_id, code FROM (
-           |    SELECT vec_id, code,
-           |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
-           |    FROM rea$s) WHERE rn = 1
-           |), lu$s AS (
-           |  SELECT q.qid, q.cid AS probe, c.cid AS code,
-           |         CAST(sum((q.xi - c.c) * (q.xi - c.c)) AS BIGINT) AS d2
-           |  FROM (SELECT qid, cid, dim, xi FROM xqr
-           |        WHERE dim > ${s * d} AND dim <= ${(s + 1) * d}) q
-           |  JOIN rc${s}_$pqIters c ON c.dim = q.dim
-           |  GROUP BY 1, 2, 3
-           |)""".stripMargin
-      (head +: its :+ enc).mkString(",\n")
-    }
+    // residual-subspace codebook chain over xr's global dim slice (the
+    // shared lloydSubspaceSql with prefix "r"), plus the per-probed-
+    // list query LUT — the one piece flat PQ does not have (the query
+    // residual differs per probed list, so lu comes from xqr, not rea)
+    def rchain(s: Int): String =
+      lloydSubspaceSql("r", "xr", s, pqIters, kc, d) + s""",
+         |lu$s AS (
+         |  SELECT q.qid, q.cid AS probe, c.cid AS code,
+         |         CAST(sum((q.xi - c.c) * (q.xi - c.c)) AS BIGINT) AS d2
+         |  FROM (SELECT qid, cid, dim, xi FROM xqr
+         |        WHERE dim > ${s * d} AND dim <= ${(s + 1) * d}) q
+         |  JOIN rc${s}_$pqIters c ON c.dim = q.dim
+         |  GROUP BY 1, 2, 3
+         |)""".stripMargin
     val encU = (0 until m)
-      .map(s => s"SELECT eb.vec_id, a.cid, $s AS s, eb.code FROM reb$s eb JOIN asg a ON a.vec_id = eb.vec_id")
+      .map(s => s"SELECT eb.vec_id, a.cid, $s AS s, eb.cid AS code FROM reb$s eb JOIN asg a ON a.vec_id = eb.vec_id")
       .mkString("\n  UNION ALL ")
     val lutU = (0 until m)
       .map(s => s"SELECT qid, probe, $s AS s, code, d2 FROM lu$s")

@@ -281,7 +281,9 @@ object Relational {
 
   /** q_quantiles_sample: deterministic-sample quantiles — the
     * oracle-replayable cousin of q_quantiles_approx. A fixed hash
-    * predicate (FNV-1a of the unique line key, keep h ≡ 0 mod 10)
+    * predicate (FNV-1a + the mix32 avalanche finalizer — h mod 10
+    * reads bit 0, which in RAW FNV is a parity chain of the key bytes,
+    * a structured linear function, not a fair coin; keep h ≡ 0 mod 10)
     * selects the same ~10% of rows in ANY engine; per group the type-1
     * (no-interpolation) quantile is then an exact rank selection over a
     * total order (price, orderkey, linenumber), so the result is an
@@ -300,9 +302,9 @@ object Relational {
     val keyed = Tables(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"))
-      .where(graft.functions.Fnv32a.fnv32a(
+      .where(graft.functions.Fnv32a.mix32(graft.functions.Fnv32a.fnv32a(
         concat(col("l_orderkey").cast("string"), lit("-"),
-          col("l_linenumber").cast("string"))) % 10 === 0)
+          col("l_linenumber").cast("string")))) % 10 === 0)
     val byG = Window.partitionBy("l_returnflag")
     val ord = byG.orderBy(col("l_extendedprice"), col("l_orderkey"),
       col("l_linenumber"))
