@@ -178,6 +178,9 @@ object Bench {
         graft.operators.Similarity.clearPqCache()
         val bPq = timed(graft.operators.Similarity.pqCodebooks(spark, sfDir))
         val sPq = timed(force(SparkEntry.queries("q_simsearch_pq")(spark, sfDir)))
+        // codes-table staging rides the warm codebooks: bills encode+write
+        val bPqIdx = timed(graft.operators.Similarity.stagedPqIndex(spark, sfDir))
+        val sPqIdx = timed(force(SparkEntry.queries("q_simsearch_pq_indexed")(spark, sfDir)))
         // the coarse fit is cleared ONLY here, immediately before the
         // build that re-warms it, so ivfpq build bills fit+codebooks;
         // the catch below restores the memo if this step aborts (the
@@ -187,6 +190,7 @@ object Bench {
         val bIvfpq = timed(graft.operators.Similarity.ivfpqModel(spark, sfDir))
         val sIvfpq = timed(force(SparkEntry.queries("q_simsearch_ivfpq")(spark, sfDir)))
         Seq("pq_build_sec" -> bPq, "pq_search_sec" -> sPq,
+          "pq_index_build_sec" -> bPqIdx, "pq_index_search_sec" -> sPqIdx,
           "ivfpq_build_sec" -> bIvfpq, "ivfpq_search_sec" -> sIvfpq) ++
           recall("q_simsearch_pq") ++ recall("q_simsearch_ivfpq")
       } catch { case NonFatal(e) =>

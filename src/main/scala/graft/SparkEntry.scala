@@ -70,6 +70,7 @@ object SparkEntry {
     "q_simsearch_ivf"   -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_simsearch_pq"    -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_simsearch_ivfpq" -> ((s, d) => Similarity.ivfpqTopK(s, d)),
+    "q_simsearch_pq_indexed" -> ((s, d) => Similarity.pqTopKIndexed(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
     "q_udaf_typed"      -> ((s, d) => MapReduceOps.typedAgg(s, d)),
@@ -1369,6 +1370,9 @@ object SparkEntry {
     "q_simsearch_ivf_indexed" -> ivfOracle(operators.Clustering.Iters, base = false),
     "q_simsearch_ivf_append" -> ivfOracle(operators.Clustering.Iters, base = true),
     "q_simsearch_pq" -> pqOracle(operators.Similarity.PqIters),
+    // staged ≡ live is an identity (same codebooks ⇒ same codes; parquet
+    // round-trips exactly) — shared oracle, also spec-asserted
+    "q_simsearch_pq_indexed" -> pqOracle(operators.Similarity.PqIters),
     "q_simsearch_ivfpq" ->
       ivfpqOracle(operators.Clustering.Iters, operators.Similarity.PqIters),
     // exact BIGINT numerator; two fixed-order divisions → bit parity

@@ -258,7 +258,9 @@ object Similarity {
     * search DataFrame before clearing — re-staging overwrites the
     * stable root in place, so un-collected plans built against the old
     * file listing would hit FileNotFoundException on evaluation. */
-  def clearIndexCache(): Unit = { indexCache.clear(); appendCache.clear() }
+  def clearIndexCache(): Unit = {
+    indexCache.clear(); appendCache.clear(); pqIndexCache.clear()
+  }
 
   /** Drop the memoized PQ / IVFPQ models (codebooks + centroids) —
     * model memos in the bench taxonomy (a warm hit would replace the
@@ -563,6 +565,47 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
     rr.withColumn("rn", row_number().over(w).cast(LongType))
       .where(col("rn") <= k)
+  }
+
+  private val pqIndexCache = new scala.collection.concurrent.TrieMap[
+    (String, String), (String, Array[Array[Array[Long]]])]()
+
+  /** Staged PQ index: the corpus encoded ONCE into its (vec_id, codes)
+    * table — 8 small ints per vector, the compact artifact a real
+    * deployment persists and serves many searches from — plus the
+    * codebooks that defined it (M·K·D longs, bounded driver state,
+    * stored beside the path so a later model-memo clear cannot desync
+    * codes from codebooks). Sorted by vec_id so row-group stats stay
+    * selective for id-ranged maintenance reads. */
+  private[graft] def stagedPqIndex(spark: SparkSession, dir: String): (String, Array[Array[Array[Long]]]) =
+    pqIndexCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
+      val books = pqCodebooks(spark, dir)
+      val enc = vecsQ(spark, dir)
+        .select(col("vec_id"), pqCodesCol(books, "eq").as("codes"))
+      val root = new java.io.File(stableRoot(dir), "pq_index")
+      enc.repartitionByRange(col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(root.getAbsolutePath)
+      (root.getAbsolutePath, books)
+    })
+
+  /** q_simsearch_pq_indexed: PQ search over the persisted codes table —
+    * encode-once/search-many. The scan touches ONLY the 8-small-ints
+    * codes table (at 100 TB of embeddings that is the ~0.8 TB artifact
+    * that fits in cluster RAM); full vectors are read for the query
+    * batch and the shortlist re-rank alone. Results ≡ the live
+    * [[pqTopK]] bit-for-bit (same codebooks ⇒ same codes; parquet
+    * round-trips longs/ints exactly) — spec-asserted, and the DuckDB
+    * oracle is shared verbatim with q_simsearch_pq. */
+  def pqTopKIndexed(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val (path, books) = stagedPqIndex(spark, dir)
+    val enc = spark.read.parquet(path)
+    val v = vecsQ(spark, dir)
+    val q = v.where(QueryVecs)
+      .select(col("vec_id").as("qid"), pqLutCol(books, "eq").as("lut"))
+    val scored = broadcast(q).join(enc, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), pqAdcCol(books).as("pqd2"))
+    pqRerank(v, scored, k)
   }
 
   // ---- IVF + residual PQ (q_simsearch_ivfpq) ----

@@ -138,6 +138,19 @@ class SimilaritySpec extends SparkSuiteBase {
     }
   }
 
+  test("staged PQ index: search ≡ live PQ search; scan reads the codes table") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(3))
+    val live = Similarity.pqTopK(spark, sf).collect().map(key).toSet
+    val idx = Similarity.pqTopKIndexed(spark, sf)
+    assert(idx.collect().map(key).toSet === live,
+      "indexed PQ search must be bit-identical to the live search")
+    // the ADC scan really reads the persisted codes table, not a
+    // re-encode of the corpus
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_index"), s"expected the staged codes scan in:\n$plan")
+  }
+
   test("IVFPQ top-k: residual codes inside probed lists, decent recall") {
     val brute = Similarity.bruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
