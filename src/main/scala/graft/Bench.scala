@@ -80,6 +80,7 @@ object Bench {
     def clearIndexMemos(): Unit = {
       graft.operators.Similarity.clearIndexCache()
       graft.operators.Dedup.clearBandIndexCache()
+      graft.operators.Incremental.clearAggStateCache()
     }
 
     val Runs = 2
@@ -221,6 +222,22 @@ object Bench {
         Seq.empty
       }
 
+    // Incremental-aggregate lifecycle split (the q_incr_agg analogue):
+    // build = one-time base partial-agg state staging from a cold
+    // cache; merge = the state∪delta re-aggregation over the warm
+    // state (the amortized per-refresh cost). Memo left WARM for the
+    // matrix row, same contract as the other staged artifacts.
+    val incrLifecycle: Seq[(String, Double)] =
+      try {
+        graft.operators.Incremental.clearAggStateCache()
+        val bState = timed(graft.operators.Incremental.stagedAggState(spark, sfDir))
+        val sMerge = timed(force(SparkEntry.queries("q_incr_agg")(spark, sfDir)))
+        Seq("incr_agg_build_sec" -> bState, "incr_agg_merge_sec" -> sMerge)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] incr-agg lifecycle split failed: ${e.getMessage}")
+        Seq.empty
+      }
+
     // FULL-MATRIX scope (VERDICT r4 #3): one untimed-bar single run of
     // EVERY declared query, timings persisted per query — so a
     // regression in a non-headline query (e.g. the pre-fix 11.7 s
@@ -285,7 +302,7 @@ object Bench {
     // a tail capture of any length that includes the final line parses.
     // Both lines are also mirrored to bench_last.json in the CWD.
     val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"matrix_rerun_threshold_sec":$RerunThresholdSec,"matrix_rerun_n":$mReruns,"sf":"$sfDir"}"""
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"incr_lifecycle":${obj(incrLifecycle)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
       try { w.println(matrixLine); w.println(headlineLine) } finally w.close()

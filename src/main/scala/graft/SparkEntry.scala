@@ -71,6 +71,9 @@ object SparkEntry {
     "q_simsearch_pq"    -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_simsearch_ivfpq" -> ((s, d) => Similarity.ivfpqTopK(s, d)),
     "q_simsearch_pq_indexed" -> ((s, d) => Similarity.pqTopKIndexed(s, d)),
+    "q_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
+    "q_knn_join_blocked" -> ((s, d) => Similarity.knnJoinBlocked(s, d)),
+    "q_incr_agg"        -> ((s, d) => Incremental.incrAgg(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
     "q_udaf_typed"      -> ((s, d) => MapReduceOps.typedAgg(s, d)),
@@ -1375,6 +1378,42 @@ object SparkEntry {
     "q_simsearch_pq_indexed" -> pqOracle(operators.Similarity.PqIters),
     "q_simsearch_ivfpq" ->
       ivfpqOracle(operators.Clustering.Iters, operators.Similarity.PqIters),
+    // kNN self-join: every vector's top-5 — exact all-pairs window for
+    // the exact form; the blocked form is the IVF oracle with the
+    // whole corpus as the query set (same quantizer chain, k=5)
+    "q_knn_join" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+         |         (a, p) -> a + p)) AS nrm
+         |  FROM v
+         |), s AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])),
+         |      (acc, p) -> acc + p) / (q.nrm * c.nrm) AS sim
+         |  FROM n q JOIN n c ON q.vec_id != c.vec_id
+         |), r AS (
+         |  SELECT qid, vec_id, sim,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+         |  FROM s
+         |)
+         |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= ${operators.Similarity.KnnK}""".stripMargin,
+    "q_knn_join_blocked" ->
+      ivfOracle(operators.Clustering.Iters, base = false, allQ = true,
+        k = operators.Similarity.KnnK),
+    // incremental rollup ≡ full recompute (BIGINT cent partials are
+    // associative), so the oracle is the plain group-by; the merge
+    // plan's delta-bounded scans are spec-asserted instead
+    "q_incr_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       o_orderstatus,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     // exact BIGINT numerator; two fixed-order divisions → bit parity
     "q_lm_score" ->
       s"""WITH tok AS (
@@ -2353,7 +2392,8 @@ object SparkEntry {
     * refresh branch (appended fraction > 0.5) cannot trigger under
     * this cut construction on the harness's dense-id corpora, and the
     * operator spec covers it separately. */
-  private def ivfOracle(iters: Int, base: Boolean): String = {
+  private def ivfOracle(iters: Int, base: Boolean, allQ: Boolean = false,
+                        k: Int = 10): String = {
     // fit-side rows: the base slice for the appended variant, the whole
     // corpus otherwise. K always sizes from the FULL corpus (ivfK(n)).
     val fx = if (base) "bx" else "x"
@@ -2428,7 +2468,7 @@ object SparkEntry {
          |qd AS (
          |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
          |  FROM x JOIN cfin c ON x.dim = c.dim
-         |  WHERE x.vec_id < 10
+         |  ${if (allQ) "" else "WHERE x.vec_id < 10"}
          |  GROUP BY x.vec_id, c.cid
          |), pr AS (
          |  SELECT vec_id, cid FROM (
@@ -2449,7 +2489,7 @@ object SparkEntry {
          |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
          |  FROM s
          |)
-         |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin
+         |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= $k""".stripMargin
   }
 
   /** Oracle for q_simsearch_pq (`Similarity.pqTopK`): product

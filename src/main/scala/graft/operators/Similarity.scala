@@ -680,6 +680,88 @@ object Similarity {
     pqRerank(v, scored, k)
   }
 
+  // ---- kNN join (q_knn_join / q_knn_join_blocked): every corpus
+  // vector ↔ its k nearest neighbors, not just a small query batch.
+  // The all-pairs retrieval primitive behind dedup-by-retrieval,
+  // mutual-kNN graph clustering, and hard-negative mining. The exact
+  // form is inherently O(n²) score work — it exists as the correctness
+  // baseline and is shaped so the SHUFFLE is not quadratic (bounded
+  // top-k partial aggregation, block-replicated join, never a
+  // broadcast of the corpus); the blocked form prunes the score work
+  // itself with the IVF quantizer (≈ nProbe/K of the pairs).
+
+  /** Neighbors per vector in the catalog kNN-join queries. */
+  val KnnK = 5
+  /** Candidate-side block count for the exact form: bounds the
+    * shuffle-hash build side at |corpus|/KnnBlocks rows per task. */
+  val KnnBlocks = 8
+
+  /** Rank a (qid, vec_id, sim) score stream to per-qid top-k via the
+    * bounded [[graft.functions.TopKByScore]] partial aggregator: each
+    * map partition contributes ≤ k entries per qid to the exchange
+    * (n·k rows shuffle, not the full scored stream — the reason the
+    * exact kNN join's shuffle is linear even though its score work is
+    * quadratic). The aggregator's comparator treats ±0.0 as equal
+    * (SQL double ordering), so ties fall to the id in both engines. */
+  private[graft] def topkRank(scored: DataFrame, k: Int): DataFrame = {
+    val tk = udaf(new graft.functions.TopKByScore(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    scored.groupBy("qid")
+      .agg(tk(col("sim"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col._2").as("vec_id"), col("col._1").as("sim"),
+        (col("pos") + 1).cast(LongType).as("rn"))
+  }
+
+  /** q_knn_join: exact cosine kNN self-join. Block-replicated
+    * shuffle-hash join (queries replicate ×[[KnnBlocks]], candidates
+    * hash into blocks) — both sides stream through bounded hash tables,
+    * NO corpus broadcast, no cartesian task explosion; the post-score
+    * exchange is n·k via [[topkRank]]. The O(n²) kernel work is the
+    * definition of exactness — [[knnJoinBlocked]] is the scale path. */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame =
+    knnJoinExact(vecs(spark, dir), k, KnnBlocks)
+
+  private[graft] def knnJoinExact(v: DataFrame, k: Int, blocks: Int): DataFrame = {
+    val c = v.withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
+    val q = v.withColumn("blk",
+      explode(lit((0 until blocks).toArray)))
+    val scored = q.as("q").join(c.as("c").hint("shuffle_hash"),
+        col("q.blk") === col("c.blk") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"),
+        cosCol.as("sim"))
+    topkRank(scored, k)
+  }
+
+  /** q_knn_join_blocked: the IVF-pruned kNN join — every vector probes
+    * its nProbe nearest lists and scores only those lists' members,
+    * ≈ nProbe/K of the exact pair work. Unlike the query-batch searches
+    * there is no broadcast side (the "query" set IS the corpus): the
+    * probe-exploded corpus shuffle-hash joins the assigned corpus on
+    * cid — K keys, list-sized build rows — and top-k rides the same
+    * n·k partial-agg exchange. Fixed-point quantizer (the shared
+    * fitFixed convention) → every probe decision is bit-reproducible
+    * and the DuckDB oracle replays the whole join. */
+  def knnJoinBlocked(spark: SparkSession, dir: String, k: Int = KnnK,
+                     nProbe: Int = 0): DataFrame = {
+    val lists = ivfK(corpusSize(spark, dir))
+    val probes = if (nProbe > 0) nProbe else ivfNProbe(lists)
+    val v = vecsQ(spark, dir)
+    val ds = distStructsQ(ivfCentsFixed(spark, dir, lists))
+    def withDists(df: DataFrame): DataFrame =
+      df.withColumn("ds", array_sort(array(ds: _*)))
+    val cv = withDists(v)
+      .withColumn("cid", col("ds")(0).getField("cid")).drop("ds", "eq")
+    val qv = withDists(v)
+      .withColumn("probe", explode(expr(s"transform(slice(ds, 1, $probes), s -> s.cid)")))
+      .drop("ds", "eq")
+    val scored = qv.as("q").join(cv.as("c").hint("shuffle_hash"),
+        col("q.probe") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"),
+        cosCol.as("sim"))
+    topkRank(scored, k)
+  }
+
   private def lshBody(vin: DataFrame, isQuery: Column, nPlanes: Int,
                       k: Int): DataFrame = {
     val v = vin.withColumn("bucket", bucketCol(nPlanes))

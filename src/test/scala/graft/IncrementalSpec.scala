@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Incremental
+import graft.sources.Tables
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSuiteBase {
+
+  private def key(r: Row) =
+    (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getLong(3))
+
+  test("incremental rollup ≡ full recompute bit-for-bit (BIGINT partials)") {
+    val merged = Incremental.incrAgg(spark, sf).collect().map(key).toSet
+    val full = Tables(spark, sf, "orders")
+      .groupBy(
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+        col("o_orderstatus"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+        count(lit(1)).as("cnt"))
+      .collect().map(key).toSet
+    assert(merged === full)
+  }
+
+  test("state genuinely excludes the append window; merge covers every row exactly once") {
+    val (root, cut) = Incremental.stagedAggState(spark, sf)
+    val state = spark.read.parquet(s"$root/state")
+    // no state group may touch the delta window: every state month is
+    // strictly before the cut's month
+    val cutMonth = cut.toLocalDateTime.toLocalDate.withDayOfMonth(1)
+    state.select("month").collect().foreach { r =>
+      assert(!r.getDate(0).toLocalDate.isAfter(cutMonth),
+        s"state month ${r.getDate(0)} reaches past the cut month $cutMonth")
+    }
+    // row conservation: state counts + delta rows = all orders
+    val stateCnt = state.agg(sum("cnt")).head().getLong(0)
+    val orders = Tables(spark, sf, "orders")
+    val deltaCnt = orders.where(col("o_orderdate") >= lit(cut)).count()
+    assert(stateCnt + deltaCnt === orders.count(),
+      "base/delta split must partition the table")
+    assert(deltaCnt > 0, "the append window must be non-empty at this SF")
+  }
+
+  test("merge plan is delta-bounded: state artifact scan + pushed-date orders scan only") {
+    val plan = Incremental.incrAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-aggstate-"),
+      s"expected the persisted state artifact in the plan:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"delta scan must push the date predicate to parquet:\n$plan")
+    // exactly one orders scan (the delta); the base facts are never re-read
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordersScans === 1,
+      s"expected exactly one (delta) orders scan, found $ordersScans:\n$plan")
+  }
+}

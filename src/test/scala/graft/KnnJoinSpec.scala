@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.TopKByScore
+import graft.operators.Similarity
+import org.apache.spark.sql.Row
+
+class KnnJoinSpec extends SparkSuiteBase {
+
+  private def key(r: Row) =
+    (r.getLong(0), r.getLong(1),
+      java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))
+
+  test("TopKByScore: any reduce/merge tree equals sort-take-k (random streams, ties, ±0.0)") {
+    val rnd = new scala.util.Random(83)
+    val agg = new TopKByScore(5)
+    def reference(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      xs.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(b._1 + 0.0, a._1 + 0.0)
+        c < 0 || (c == 0 && a._2 < b._2)
+      }.take(5)
+    for (trial <- 1 to 50) {
+      val n = 1 + rnd.nextInt(40)
+      // small score alphabet forces ties; sprinkle exact ±0.0
+      val xs = Seq.fill(n)((
+        rnd.nextInt(6) match {
+          case 0 => 0.0
+          case 1 => -0.0
+          case _ => math.rint(rnd.nextDouble() * 4) / 4.0
+        },
+        rnd.nextInt(20).toLong))
+      // random partition split + random merge order
+      val parts = xs.grouped(1 + rnd.nextInt(5)).toVector
+      val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(bufs).reduceLeft(agg.merge)
+      val got = agg.finish(merged).toSeq.map { case (s, i) => (s + 0.0, i) }
+      val want = reference(xs).map { case (s, i) => (s + 0.0, i) }
+      assert(got === want, s"trial $trial: $xs")
+    }
+  }
+
+  test("exact kNN join restricted to the query batch ≡ bruteForceTopK bit-for-bit") {
+    val all = Similarity.knnJoin(spark, sf, k = 10).collect()
+    val restricted = all.filter(_.getLong(0) < 10).map(key).toSet
+    val brute = Similarity.bruteForceTopK(spark, sf).collect().map(key).toSet
+    assert(restricted === brute,
+      "knnJoin is bruteForceTopK with every vector as a query — the " +
+        "partial-agg top-k must reproduce the window ranking exactly")
+  }
+
+  test("exact kNN join: k rows per vector, no self pairs, ranks dense") {
+    val rows = Similarity.knnJoin(spark, sf).collect()
+    val n = Similarity.corpusSize(spark, sf)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size.toLong === n, "every corpus vector is a query")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq === (1L to Similarity.KnnK),
+        s"qid $q ranks")
+      assert(!rs.exists(_.getLong(1) == q), s"qid $q self pair")
+    }
+  }
+
+  test("exact kNN join plan: block shuffle-hash join + partial top-k — no broadcast corpus, no cartesian") {
+    val df = Similarity.knnJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the block join to be shuffle-hash:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"exact form must not fall back to cartesian/BNL:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"neither side of an all-pairs self-join is broadcastable at scale:\n$plan")
+    // the top-k aggregation is partial/final (map-side ≤ k per group),
+    // not a window sort of the full scored stream
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected partial/final top-k aggregate:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !df.queryExecution.optimizedPlan.toString.contains("row_number"),
+      s"top-k must ride the bounded aggregator, not a window rank:\n$plan")
+  }
+
+  test("blocked kNN join: same surface, decent recall vs exact, self excluded") {
+    val exact = Similarity.knnJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.knnJoinBlocked(spark, sf).collect()
+    blocked.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    val byQ = blocked.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(3)).sorted.toSeq
+      assert(ranks === (1L to ranks.length), s"qid $q ranks dense")
+      assert(ranks.length <= Similarity.KnnK)
+    }
+    val recall = blocked.map(r => (r.getLong(0), r.getLong(1)))
+      .count(exact.contains).toDouble / exact.size
+    info(f"blocked kNN-join recall vs exact: $recall%.2f")
+    assert(recall > 0.4, f"recall $recall%.2f unexpectedly low for nProbe/K pruning")
+  }
+
+  test("blocked kNN join plan: cid shuffle-hash join, no broadcast side") {
+    val plan = Similarity.knnJoinBlocked(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"probe×list join must shuffle on cid (the query set IS the corpus):\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"no broadcast side in the all-vector join:\n$plan")
+  }
+}
