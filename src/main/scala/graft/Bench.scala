@@ -238,6 +238,23 @@ object Bench {
         Seq.empty
       }
 
+    // kNN-join quality guard (the q_knn_join_blocked analogue of the
+    // ANN recall rows): corpus-wide recall of the IVF-blocked join vs
+    // the exact join — n·k pairs, so the driver-side compare stays
+    // bounded at any bench SF.
+    val knnRecall: Seq[(String, Double)] =
+      try {
+        def pairs(name: String): Set[(Long, Long)] =
+          SparkEntry.queries(name)(spark, sfDir).select("qid", "vec_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exactP = pairs("q_knn_join")
+        Seq("knn_blocked_recall_at_5" ->
+          pairs("q_knn_join_blocked").intersect(exactP).size.toDouble / exactP.size)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] knn recall failed: ${e.getMessage}")
+        Seq.empty
+      }
+
     // FULL-MATRIX scope (VERDICT r4 #3): one untimed-bar single run of
     // EVERY declared query, timings persisted per query — so a
     // regression in a non-headline query (e.g. the pre-fix 11.7 s
@@ -302,7 +319,7 @@ object Bench {
     // a tail capture of any length that includes the final line parses.
     // Both lines are also mirrored to bench_last.json in the CWD.
     val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"matrix_rerun_threshold_sec":$RerunThresholdSec,"matrix_rerun_n":$mReruns,"sf":"$sfDir"}"""
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"incr_lifecycle":${obj(incrLifecycle)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"incr_lifecycle":${obj(incrLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
       try { w.println(matrixLine); w.println(headlineLine) } finally w.close()

@@ -15,7 +15,7 @@ object PlanAudit {
       "q_stream_ohlc",
       // driver-collect at build time (per-language ledger / quantizer fit)
       "q_mix_temperature", "q_kmeans", "q_simsearch_ivf", "q_pagerank",
-      "q_dedup_semantic",
+      "q_dedup_semantic", "q_knn_join_blocked",
       // codebook fits run at plan-build time (q_simsearch_pq_indexed is
       // NOT skipped: it stages once, then its plan is the static
       // codes-table scan the persisted-PQ design exists for)

@@ -74,6 +74,7 @@ object SparkEntry {
     "q_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
     "q_knn_join_blocked" -> ((s, d) => Similarity.knnJoinBlocked(s, d)),
     "q_incr_agg"        -> ((s, d) => Incremental.incrAgg(s, d)),
+    "q_group_topk"      -> ((s, d) => Relational.groupTopK(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
     "q_udaf_typed"      -> ((s, d) => MapReduceOps.typedAgg(s, d)),
@@ -1405,6 +1406,18 @@ object SparkEntry {
     "q_knn_join_blocked" ->
       ivfOracle(operators.Clustering.Iters, base = false, allQ = true,
         k = operators.Similarity.KnnK),
+    // aggregated top-N-per-group (the TopKByScore partial-agg form of
+    // q_window_rank's question) — oracle keeps the window since DuckDB
+    // has no bounded-top-k aggregate; ties break (price DESC, key ASC)
+    "q_group_topk" ->
+      """SELECT month, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY date_trunc('month', o_orderdate)
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3""".stripMargin,
     // incremental rollup ≡ full recompute (BIGINT cent partials are
     // associative), so the oracle is the plain group-by; the merge
     // plan's delta-bounded scans are spec-asserted instead

@@ -31,6 +31,7 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKByScore(k: Int)
     extends Aggregator[(Double, Long), Array[(Double, Long)], Array[(Double, Long)]]
     with Serializable {
+  require(k >= 1, s"top-k capacity must be positive, got $k")
 
   // (a before b) under score DESC, id ASC. +0.0 added to each score so
   // -0.0 compares equal to 0.0 (SQL double ordering: IEEE -0.0+0.0 =

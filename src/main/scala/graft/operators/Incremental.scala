@@ -74,6 +74,20 @@ object Incremental {
       (root, cut)
     })
 
+  /** State ∪ delta partials, re-aggregated — ONE body serves the read
+    * path ([[incrAgg]]) and the state-update path ([[advanceState]]),
+    * so the two can never drift. */
+  private def merged(spark: SparkSession, statePath: String,
+                     delta: DataFrame): DataFrame =
+    spark.read.parquet(statePath)
+      .unionByName(partials(delta))
+      .groupBy("month", "o_orderstatus")
+      .agg(sum("total_cents").as("total_cents"), sum("cnt").as("cnt"))
+
+  private def deltaRows(spark: SparkSession, dir: String,
+                        cut: java.sql.Timestamp): DataFrame =
+    Tables(spark, dir, "orders").where(col("o_orderdate") >= lit(cut))
+
   /** q_incr_agg: the maintained rollup — persisted state ∪ the append
     * batch's partials, re-aggregated. Equal to the full group-by
     * bit-for-bit (BIGINT partials), which is what the oracle checks;
@@ -81,11 +95,21 @@ object Incremental {
     * carries the pushed delta predicate. */
   def incrAgg(spark: SparkSession, dir: String): DataFrame = {
     val (root, cut) = stagedAggState(spark, dir)
-    val delta = Tables(spark, dir, "orders")
-      .where(col("o_orderdate") >= lit(cut))
-    spark.read.parquet(s"$root/state")
-      .unionByName(partials(delta))
-      .groupBy("month", "o_orderstatus")
-      .agg(sum("total_cents").as("total_cents"), sum("cnt").as("cnt"))
+    merged(spark, s"$root/state", deltaRows(spark, dir, cut))
+  }
+
+  /** The state-UPDATE half of the maintenance cycle: fold the append
+    * batch into the persisted state and publish the advanced state
+    * (stage-and-swap into a sibling path — readers of the old state
+    * are never torn). Same merged body as the read path, so the
+    * advance also never re-scans base facts; after it, the rollup is
+    * servable from the state artifact alone. Returns the advanced
+    * state's path. */
+  private[graft] def advanceState(spark: SparkSession, dir: String): String = {
+    val (root, cut) = stagedAggState(spark, dir)
+    val next = s"$root/state_advanced"
+    merged(spark, s"$root/state", deltaRows(spark, dir, cut))
+      .write.mode("overwrite").parquet(next)
+    next
   }
 }

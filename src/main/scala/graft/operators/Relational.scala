@@ -960,4 +960,26 @@ object Relational {
       orphanCount("orders.custkey_in_customer", o, "o_custkey", c, "c_custkey"))
       .reduce(_ unionAll _)
   }
+
+  /** q_group_topk: top-3 orders by price per month — the AGGREGATED
+    * top-N-per-group form. q_window_rank (Windows.scala) answers the
+    * same question with `row_number() OVER`: every row shuffles to its
+    * group's reducer and sorts there. This form rides the bounded
+    * [[graft.functions.TopKByScore]] partial aggregator instead: each
+    * map partition contributes ≤ k rows per group to the exchange, so
+    * at 100 TB a month's billions of orders cost the shuffle k rows
+    * per map partition — the partial/final shape `max()` has, applied
+    * to a ranked list. Ties (equal price) break to the lower order
+    * key in both engines, so the result is oracle-hashable. */
+  def groupTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tk = udaf(new graft.functions.TopKByScore(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    Tables(spark, dir, "orders")
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(tk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("month"), posexplode(col("top")))
+      .select(col("month"), col("col._2").as("o_orderkey"),
+        col("col._1").as("o_totalprice"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
 }

@@ -41,6 +41,23 @@ class IncrementalSpec extends SparkSuiteBase {
     assert(deltaCnt > 0, "the append window must be non-empty at this SF")
   }
 
+  test("advanceState publishes a state the rollup is servable from alone") {
+    val next = Incremental.advanceState(spark, sf)
+    // the advanced artifact re-aggregated (it is already at final
+    // grain, but re-agg proves idempotence) ≡ full recompute
+    val advanced = spark.read.parquet(next)
+      .groupBy("month", "o_orderstatus")
+      .agg(sum("total_cents").as("total_cents"), sum("cnt").as("cnt"))
+      .collect().map(key).toSet
+    val full = Incremental.incrAgg(spark, sf).collect().map(key).toSet
+    assert(advanced === full,
+      "state ∪ delta folded into the artifact must equal the live merge")
+    // stage-and-swap: the original state is untouched beside it
+    val (root, _) = Incremental.stagedAggState(spark, sf)
+    assert(next != s"$root/state" &&
+      spark.read.parquet(s"$root/state").count() > 0)
+  }
+
   test("merge plan is delta-bounded: state artifact scan + pushed-date orders scan only") {
     val plan = Incremental.incrAgg(spark, sf)
       .queryExecution.executedPlan.toString

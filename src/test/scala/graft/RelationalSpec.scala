@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Relational
+import org.apache.spark.sql.functions._
 
 /** Relational core (B1–B6, B13–B14): results + plan shape. */
 class RelationalSpec extends SparkSuiteBase {
@@ -589,5 +590,30 @@ class RelationalSpec extends SparkSuiteBase {
       assert(!a.exists { case (p2, d2, _) =>
         p2 >= p && d2 <= dt && (p2 > p || d2 < dt) })
     }
+  }
+
+  test("group_topk ≡ window row_number reference bit-for-bit; plan has no window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Relational.groupTopK(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDate(0).toString, r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))
+    val got = df.collect().map(key).toSet
+    val w = Window.partitionBy("month")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val want = graft.sources.Tables(spark, sf, "orders")
+      .select(to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+        col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .collect().map(key).toSet
+    assert(got === want)
+    // the point of the operator: partial/final bounded aggregation,
+    // not a window sort of every order row
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"group_topk must not plan a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected partial/final top-k aggregate:\n$plan")
   }
 }
