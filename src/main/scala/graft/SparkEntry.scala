@@ -73,6 +73,7 @@ object SparkEntry {
     "q_simsearch_pq_indexed" -> ((s, d) => Similarity.pqTopKIndexed(s, d)),
     "q_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
     "q_knn_join_blocked" -> ((s, d) => Similarity.knnJoinBlocked(s, d)),
+    "q_knn_graph"       -> ((s, d) => Similarity.knnGraph(s, d)),
     "q_incr_agg"        -> ((s, d) => Incremental.incrAgg(s, d)),
     "q_group_topk"      -> ((s, d) => Relational.groupTopK(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
@@ -1406,6 +1407,45 @@ object SparkEntry {
     "q_knn_join_blocked" ->
       ivfOracle(operators.Clustering.Iters, base = false, allQ = true,
         k = operators.Similarity.KnnK),
+    // mutual-kNN communities: the knn chain → mutuality filter →
+    // the ccOracle recursive closure, singletons self-labeled
+    "q_knn_graph" ->
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+         |         (a, p) -> a + p)) AS nrm
+         |  FROM v
+         |), s AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])),
+         |      (acc, p) -> acc + p) / (q.nrm * c.nrm) AS sim
+         |  FROM n q JOIN n c ON q.vec_id != c.vec_id
+         |), r AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s
+         |), knn AS (
+         |  SELECT qid AS da, vec_id AS db FROM r WHERE rn <= ${operators.Similarity.KnnK}
+         |), mut AS (
+         |  SELECT k1.da, k1.db FROM knn k1
+         |  JOIN knn k2 ON k1.da = k2.db AND k1.db = k2.da
+         |  WHERE k1.da < k1.db
+         |), edges AS (
+         |  SELECT da AS u, db AS v FROM mut
+         |  UNION ALL SELECT db, da FROM mut
+         |), reach AS (
+         |  SELECT DISTINCT u AS node, u AS r FROM edges
+         |  UNION
+         |  SELECT e.u AS node, t.r FROM edges e JOIN reach t ON e.v = t.node
+         |), cmp AS (
+         |  SELECT node, min(r) AS comp FROM reach GROUP BY node
+         |)
+         |SELECT emb.vec_id, coalesce(c.comp, emb.vec_id) AS comp
+         |FROM embeddings emb LEFT JOIN cmp c ON c.node = emb.vec_id""".stripMargin,
     // aggregated top-N-per-group (the TopKByScore partial-agg form of
     // q_window_rank's question) — oracle keeps the window since DuckDB
     // has no bounded-top-k aggregate; ties break (price DESC, key ASC)

@@ -630,13 +630,24 @@ object Dedup {
     *
     * Algorithm: iterative min-label propagation (the classic MapReduce
     * connected-components loop — Kang et al.'s HCC in PEGASUS, ICDM
-    * 2009 — which is the reference's programming model done declaratively):
-    * each node adopts the min label among itself and its neighbors until
-    * fixpoint. Iterations ≤ graph diameter; each is one join + one
+    * 2009 — which is the reference's programming model done declaratively)
+    * WITH label shortcutting: each round every node adopts the min of
+    * its own label, its neighbors' labels, AND its label's label
+    * (L(L(v)) — the pointer-doubling step of Shiloach-Vishkin, the
+    * star-contraction idea in Kiveris et al., SoCC 2014). Plain
+    * propagation needs diameter rounds — fatal on chain-shaped
+    * components (a mutual-kNN graph, q_knn_graph, builds exactly
+    * those); the shortcut hop doubles propagation distance per round,
+    * so rounds ≈ log₂(diameter). Each round is two joins + one
     * partial/final min-agg, lineage cut per round with Engine.cut
-    * (reliable-checkpoint knob: SPARK_GRAFT_CHECKPOINT_DIR).
-    * Driver state is one Boolean (converged?). The dup GRAPH (pairs) is
-    * orders of magnitude smaller than the corpus at any scale. */
+    * (reliable-checkpoint knob: SPARK_GRAFT_CHECKPOINT_DIR). The
+    * shortcut preserves the invariant that L(v) names a node of v's
+    * own component (initially L(v)=v; both the neighbor pull and the
+    * L(L(v)) hop stay inside the component), so the fixpoint —
+    * nothing changed — is exactly "every node holds its component
+    * min". Driver state is one Boolean (converged?). The dup GRAPH
+    * (pairs) is orders of magnitude smaller than the corpus at any
+    * scale. */
   def dupComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("da").as("u"), col("db").as("v"))
       .unionAll(pairs.select(col("db").as("u"), col("da").as("v")))
@@ -654,8 +665,16 @@ object Dedup {
       // Spark job per iteration. (The previous probe was a second full
       // left_semi join job per round.)
       val obs = org.apache.spark.sql.Observation()
+      // L(L(v)) shortcut rows: v adopts its label's label. comp values
+      // are always node ids present in `labels` (see invariant above),
+      // so the self-join hits every row.
+      val hop = labels.as("a")
+        .join(labels.select(col("node").as("ln"), col("comp").as("lc")),
+          col("a.comp") === col("ln"))
+        .select(col("a.node").as("u"), col("lc").as("comp"), lit(0L).as("own"))
       val next = edges.join(labels, col("v") === col("node"))
         .select(col("u"), col("comp"), lit(0L).as("own"))
+        .unionAll(hop)
         .unionAll(labels.select(col("node").as("u"), col("comp"),
           lit(1L).as("own")))
         .groupBy(col("u").as("n2"))

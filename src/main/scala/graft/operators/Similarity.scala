@@ -692,9 +692,18 @@ object Similarity {
 
   /** Neighbors per vector in the catalog kNN-join queries. */
   val KnnK = 5
-  /** Candidate-side block count for the exact form: bounds the
-    * shuffle-hash build side at |corpus|/KnnBlocks rows per task. */
-  val KnnBlocks = 8
+
+  /** Grid dimension for the exact form's 2-D block join: the pair
+    * space splits into B×B independent cells (candidates hash into B
+    * blocks AND replicate across the B query blocks; queries
+    * symmetrically), so the join fans out to B² tasks while the
+    * shuffle stays 2·n·B rows. Sized from cluster parallelism the way
+    * ivfK sizes from corpus cardinality: B ≈ √(2·cores) keeps ~2 cells
+    * per core at any cluster size — a 1-D blocking (join key = the
+    * candidate block alone) would cap the stage at B tasks no matter
+    * how many executors exist. */
+  private[graft] def knnGrid(spark: SparkSession): Int =
+    math.max(2, math.round(math.sqrt(2.0 * spark.sparkContext.defaultParallelism)).toInt)
 
   /** Rank a (qid, vec_id, sim) score stream to per-qid top-k via the
     * bounded [[graft.functions.TopKByScore]] partial aggregator: each
@@ -713,21 +722,26 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rn"))
   }
 
-  /** q_knn_join: exact cosine kNN self-join. Block-replicated
-    * shuffle-hash join (queries replicate ×[[KnnBlocks]], candidates
-    * hash into blocks) — both sides stream through bounded hash tables,
-    * NO corpus broadcast, no cartesian task explosion; the post-score
-    * exchange is n·k via [[topkRank]]. The O(n²) kernel work is the
-    * definition of exactness — [[knnJoinBlocked]] is the scale path. */
+  /** q_knn_join: exact cosine kNN self-join. 2-D block-grid
+    * shuffle-hash join ([[knnGrid]]): each side hashes into its own B
+    * blocks and replicates across the other side's, so every (query
+    * block, candidate block) cell is one bounded independent task —
+    * B² -way parallelism, 2·n·B shuffle rows, NO corpus broadcast, no
+    * cartesian task explosion; the post-score exchange is n·k via
+    * [[topkRank]]. The O(n²) kernel work is the definition of
+    * exactness — [[knnJoinBlocked]] is the scale path. */
   def knnJoin(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame =
-    knnJoinExact(vecs(spark, dir), k, KnnBlocks)
+    knnJoinExact(vecs(spark, dir), k, knnGrid(spark))
 
-  private[graft] def knnJoinExact(v: DataFrame, k: Int, blocks: Int): DataFrame = {
-    val c = v.withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
-    val q = v.withColumn("blk",
-      explode(lit((0 until blocks).toArray)))
+  private[graft] def knnJoinExact(v: DataFrame, k: Int, b: Int): DataFrame = {
+    val grid = lit((0 until b).toArray)
+    val c = v.withColumn("cblk", pmod(col("vec_id"), lit(b)).cast("int"))
+      .withColumn("qblk", explode(grid))
+    val q = v.withColumn("qblk", pmod(col("vec_id"), lit(b)).cast("int"))
+      .withColumn("cblk", explode(grid))
     val scored = q.as("q").join(c.as("c").hint("shuffle_hash"),
-        col("q.blk") === col("c.blk") && col("q.vec_id") =!= col("c.vec_id"))
+        col("q.qblk") === col("c.qblk") && col("q.cblk") === col("c.cblk") &&
+          col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"),
         cosCol.as("sim"))
     topkRank(scored, k)
@@ -760,6 +774,41 @@ object Similarity {
       .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"),
         cosCol.as("sim"))
     topkRank(scored, k)
+  }
+
+  /** q_knn_graph: mutual-kNN communities — the standard graph step on
+    * top of a kNN join (near-dup community detection, corpus
+    * clustering for curriculum/dedup decisions): an undirected edge
+    * (a,b) exists iff b ∈ knn(a) AND a ∈ knn(b) (mutuality prunes the
+    * asymmetric hub edges a raw kNN digraph is full of), then
+    * connected components label every vector; vectors with no mutual
+    * edge are their own singleton community.
+    *
+    * Composition, not new machinery: [[knnJoin]] supplies edges
+    * (grid-blocked, n·k output), the mutuality check is a left-semi
+    * self-join on the k·n edge list, and [[Dedup.dupComponents]] —
+    * the HCC min-label loop the dedup family already trusts — closes
+    * the relation. Everything after the kNN join is bounded by the
+    * EDGE list (≤ n·k rows), never the corpus × corpus pair space. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = KnnK,
+               blocked: Boolean = false): DataFrame = {
+    // `blocked = true` swaps in the IVF-pruned join — the 100 TB form
+    // (the exact join's pair space is quadratic; the graph machinery
+    // downstream is identical either way). The declared q_knn_graph
+    // stays on the exact join so the oracle pins the full pipeline;
+    // the blocked composition is spec'd against it.
+    val knnDf = if (blocked) knnJoinBlocked(spark, dir, k)
+                else knnJoin(spark, dir, k)
+    val knn = knnDf.select(col("qid").as("da"), col("vec_id").as("db"))
+    val mutual = knn.where(col("da") < col("db"))
+      .join(knn.select(col("db").as("da"), col("da").as("db")),
+        Seq("da", "db"), "left_semi")
+    val comps = Dedup.dupComponents(mutual)
+      .select(col("doc_id").as("vec_id"), col("comp"))
+    vecs(spark, dir).select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("comp"))
   }
 
   private def lshBody(vin: DataFrame, isQuery: Column, nPlanes: Int,

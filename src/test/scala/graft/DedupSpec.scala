@@ -54,6 +54,19 @@ class DedupSpec extends SparkSuiteBase {
     assert(Seq(20L, 21L, 22L).map(comps).toSet === Set(20L))
   }
 
+  test("dup components converge in log rounds on a long chain (label shortcutting)") {
+    import spark.implicits._
+    // a 400-node path: diameter 399. Plain min-label propagation needs
+    // ~399 rounds; the L(L(v)) shortcut doubles reach per round, so
+    // the default maxIter=20 (≥ log₂(399) + slack) must suffice —
+    // this is the q_knn_graph regime (mutual-kNN graphs are chains).
+    val pairs = (1L until 400L).map(i => (i, i + 1)).toDF("da", "db")
+    val comps = Dedup.dupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 400)
+    assert(comps.values.toSet === Set(1L), "whole path is one component")
+  }
+
   test("dup components under the reliable-checkpoint knob: identical output, durable files") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),

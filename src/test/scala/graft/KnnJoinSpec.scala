@@ -93,6 +93,49 @@ class KnnJoinSpec extends SparkSuiteBase {
     assert(recall > 0.4, f"recall $recall%.2f unexpectedly low for nProbe/K pruning")
   }
 
+  test("knn graph: mutual-edge communities labeled by min member; singletons self-labeled") {
+    val knn = Similarity.knnJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = knn.filter { case (a, b) => a < b && knn.contains((b, a)) }
+    val labels = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size.toLong === Similarity.corpusSize(spark, sf),
+      "every corpus vector gets exactly one label")
+    // each component's label IS its minimum member
+    labels.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.keys.min === comp, s"component $comp label not min member")
+    }
+    // mutual edges never straddle components; vectors with no mutual
+    // edge are singletons
+    mutual.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"edge ($a,$b) straddles components")
+    }
+    val touched = mutual.flatMap(p => Seq(p._1, p._2))
+    labels.foreach { case (v, comp) =>
+      if (!touched.contains(v)) assert(comp === v, s"edgeless $v not singleton")
+    }
+    val multi = labels.groupBy(_._2).count(_._2.size > 1)
+    info(s"mutual edges: ${mutual.size}, multi-member communities: $multi")
+  }
+
+  test("blocked knn graph: same invariants on pruned edges, high label agreement with exact") {
+    val labels = Similarity.knnGraph(spark, sf, Similarity.KnnK, blocked = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size.toLong === Similarity.corpusSize(spark, sf))
+    labels.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.keys.min === comp)
+    }
+    val exact = Similarity.knnGraph(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val agree = labels.count { case (v, c) => exact(v) == c }.toDouble / labels.size
+    info(f"blocked-graph label agreement with exact: $agree%.2f")
+    // pruning both drops true edges (splits) and admits substitute
+    // lower-ranked mutual pairs (can merge differently) — agreement is
+    // an empirical recall-style bar: mutual neighbors usually share a
+    // list, so most labels survive the pruning
+    assert(agree > 0.6, f"agreement $agree%.2f unexpectedly low")
+  }
+
   test("blocked kNN join plan: cid shuffle-hash join, no broadcast side") {
     val plan = Similarity.knnJoinBlocked(spark, sf)
       .queryExecution.executedPlan.toString
