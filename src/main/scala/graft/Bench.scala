@@ -76,6 +76,7 @@ object Bench {
       graft.operators.TextOps.clearMergeCache()
       graft.operators.Dedup.clearComponentCache()
       graft.operators.Similarity.clearPqCache()
+      graft.operators.Similarity.clearSqCache()
     }
     def clearIndexMemos(): Unit = {
       graft.operators.Similarity.clearIndexCache()
@@ -193,7 +194,8 @@ object Bench {
         Seq("pq_build_sec" -> bPq, "pq_search_sec" -> sPq,
           "pq_index_build_sec" -> bPqIdx, "pq_index_search_sec" -> sPqIdx,
           "ivfpq_build_sec" -> bIvfpq, "ivfpq_search_sec" -> sIvfpq) ++
-          recall("q_simsearch_pq") ++ recall("q_simsearch_ivfpq")
+          recall("q_simsearch_pq") ++ recall("q_simsearch_ivfpq") ++
+          recall("q_simsearch_sq")
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] pq lifecycle split failed: ${e.getMessage}")
         try graft.operators.Clustering.fitFixed(spark, sfDir,

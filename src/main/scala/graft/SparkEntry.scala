@@ -71,6 +71,7 @@ object SparkEntry {
     "q_simsearch_pq"    -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_simsearch_ivfpq" -> ((s, d) => Similarity.ivfpqTopK(s, d)),
     "q_simsearch_pq_indexed" -> ((s, d) => Similarity.pqTopKIndexed(s, d)),
+    "q_simsearch_sq"    -> ((s, d) => Similarity.sqTopK(s, d)),
     "q_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
     "q_knn_join_blocked" -> ((s, d) => Similarity.knnJoinBlocked(s, d)),
     "q_knn_graph"       -> ((s, d) => Similarity.knnGraph(s, d)),
@@ -1380,6 +1381,10 @@ object SparkEntry {
     "q_simsearch_pq_indexed" -> pqOracle(operators.Similarity.PqIters),
     "q_simsearch_ivfpq" ->
       ivfpqOracle(operators.Clustering.Iters, operators.Similarity.PqIters),
+    // SQ8 replayed exactly: per-dim min/max "model", affine 8-bit
+    // codes, integer decode, d2 shortlist, exact-cosine re-rank —
+    // every division has non-negative operands (trunc ≡ floor)
+    "q_simsearch_sq" -> sqOracle,
     // kNN self-join: every vector's top-5 — exact all-pairs window for
     // the exact form; the blocked form is the IVF oracle with the
     // whole corpus as the query set (same quantizer chain, k=5)
@@ -2851,6 +2856,60 @@ object SparkEntry {
     * BOTH q_dedup_cc and q_dedup_append: the incremental append path
     * reproduces the one-shot pair set exactly (per-doc band purity;
     * see Dedup.dedupAppend), so the two queries share one truth. */
+  /** Oracle for q_simsearch_sq (`Similarity.sqTopK`): the SQ8 model is
+    * a per-dim min/max GROUP BY (no Lloyd chains), codes and decode are
+    * single integer expressions, the approximate d2 is an exact BIGINT
+    * sum, and shortlist/re-rank mirror the pqOracle tail. */
+  private def sqOracle: String = {
+    val shortN = operators.Similarity.pqShortlist(10)
+    val lv = operators.Similarity.SqLevels
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |), x AS MATERIALIZED (
+       |  SELECT vec_id, CAST(u.i AS INT) AS dim, qe[u.i] AS xi
+       |  FROM q, unnest(range(1, len(qe) + 1)) AS u(i)
+       |), n AS MATERIALIZED (
+       |  SELECT vec_id, e,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+       |         (a, p) -> a + p)) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |        FROM embeddings)
+       |), st AS MATERIALIZED (
+       |  SELECT dim, min(xi) AS lo, GREATEST(1, max(xi) - min(xi)) AS w
+       |  FROM x GROUP BY dim
+       |), xh AS MATERIALIZED (
+       |  SELECT x.vec_id, x.dim,
+       |         st.lo + (2 * ((x.xi - st.lo) * $lv // st.w) * st.w + $lv) // (2 * $lv) AS xhat
+       |  FROM x JOIN st USING (dim)
+       |), sc AS (
+       |  SELECT qx.vec_id AS qid, c.vec_id,
+       |         CAST(sum((qx.xi - c.xhat) * (qx.xi - c.xhat)) AS BIGINT) AS pqd2
+       |  FROM x qx JOIN xh c ON qx.dim = c.dim AND qx.vec_id < 10
+       |       AND qx.vec_id != c.vec_id
+       |  GROUP BY 1, 2
+       |), sh AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY pqd2, vec_id) AS srn
+       |    FROM sc) WHERE srn <= $shortN
+       |), s2 AS (
+       |  SELECT sh.qid, sh.vec_id,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, len(qn.e) + 1), i -> qn.e[i] * cn.e[i])),
+       |      (acc, p) -> acc + p) / (qn.nrm * cn.nrm) AS sim
+       |  FROM sh JOIN n qn ON qn.vec_id = sh.qid
+       |  JOIN n cn ON cn.vec_id = sh.vec_id
+       |), r AS (
+       |  SELECT qid, vec_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+       |  FROM s2
+       |)
+       |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin
+  }
+
   private def ccOracle: String =
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts

@@ -79,10 +79,7 @@ object Incremental {
     * so the two can never drift. */
   private def merged(spark: SparkSession, statePath: String,
                      delta: DataFrame): DataFrame =
-    spark.read.parquet(statePath)
-      .unionByName(partials(delta))
-      .groupBy("month", "o_orderstatus")
-      .agg(sum("total_cents").as("total_cents"), sum("cnt").as("cnt"))
+    foldBatch(spark.read.parquet(statePath), delta)
 
   private def deltaRows(spark: SparkSession, dir: String,
                         cut: java.sql.Timestamp): DataFrame =
@@ -97,6 +94,16 @@ object Incremental {
     val (root, cut) = stagedAggState(spark, dir)
     merged(spark, s"$root/state", deltaRows(spark, dir, cut))
   }
+
+  /** One state-fold generation over arbitrary frames: current state
+    * (at final grain) ∪ the batch's partials, re-aggregated. Exposed
+    * for the multi-generation spec: partials are associative AND the
+    * fold is, so state·D1 then ·D2 ≡ state·(D1∪D2) ≡ full recompute —
+    * the property that makes arbitrary refresh cadences safe. */
+  private[graft] def foldBatch(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(partials(batch))
+      .groupBy("month", "o_orderstatus")
+      .agg(sum("total_cents").as("total_cents"), sum("cnt").as("cnt"))
 
   /** The state-UPDATE half of the maintenance cycle: fold the append
     * batch into the persisted state and publish the advanced state

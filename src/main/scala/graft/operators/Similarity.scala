@@ -680,6 +680,81 @@ object Similarity {
     pqRerank(v, scored, k)
   }
 
+  // ---- Scalar quantization (q_simsearch_sq): the third compression
+  // point on the ANN memory/recall curve — IVF prunes WHAT is scored,
+  // PQ compresses 128× with codebooks, SQ8 compresses 4× with NO
+  // codebooks: one affine (lo, width) pair per dimension maps each
+  // micro-unit component to an 8-bit level. Cheaper to build (one
+  // min/max scan — no Lloyd fits), cheaper to decode (two integer ops
+  // per component), higher fidelity per vector than PQ; the standard
+  // first rung before PQ is warranted (FAISS SQ8 / Lucene int8 HNSW).
+  // All arithmetic is exact-integer → DuckDB replays the search.
+
+  /** SQ8 quantization levels (codes 0..255). */
+  val SqLevels = 255L
+
+  private val sqCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (Array[Long], Array[Long])]()
+  def clearSqCache(): Unit = sqCache.clear()
+
+  /** The SQ "model": per-dimension (lo, width = max(1, hi−lo)) over
+    * the micro-unit corpus — 2·dims longs of driver state from ONE
+    * min/max scan, memoized per (dir, data fingerprint). */
+  private[graft] def sqStats(spark: SparkSession, dir: String): (Array[Long], Array[Long]) =
+    sqCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
+      val v = vecsQ(spark, dir)
+      val d = Dims
+      val row = v.agg(
+        array((0 until d).map(i => min(col("eq")(i))): _*).as("lo"),
+        array((0 until d).map(i => max(col("eq")(i))): _*).as("hi")).head()
+      val lo = row.getSeq[Long](0).toArray
+      val hi = row.getSeq[Long](1).toArray
+      (lo, hi.lazyZip(lo).map((h, l) => math.max(1L, h - l)).toArray)
+    })
+
+  /** Embedding dimensionality of the harness corpus (the PQ geometry
+    * PqM·PqD and the LSH plane table already fix it). */
+  private[graft] val Dims: Int = PqM * PqD
+
+  private def sqlArr(xs: Array[Long]): String =
+    xs.mkString("array(", "L,", "L)")
+
+  /** 8-bit codes: code_d = (x_d − lo_d)·255 div w_d ∈ [0, 255] —
+    * x ≥ lo (lo is the corpus min) keeps every operand non-negative,
+    * so Spark's truncating div ≡ DuckDB's flooring //. */
+  private def sqCodesCol(lo: Array[Long], w: Array[Long]): Column =
+    expr(s"transform(eq, (x, i) -> CAST((x - element_at(${sqlArr(lo)}, i + 1)) * $SqLevels" +
+      s" div element_at(${sqlArr(w)}, i + 1) AS INT))")
+
+  /** Dequantized reconstruction (micro-unit scale): xhat_d = lo_d +
+    * round(code_d·w_d / 255) as the exact integer (2·c·w + 255) div
+    * 510 — the Lloyd-oracle rounding convention, non-negative
+    * operands again. */
+  private def sqDecodeCol(lo: Array[Long], w: Array[Long]): Column =
+    expr(s"transform(codes, (c, i) -> element_at(${sqlArr(lo)}, i + 1) +" +
+      s" (2 * CAST(c AS BIGINT) * element_at(${sqlArr(w)}, i + 1) + $SqLevels)" +
+      s" div (2 * $SqLevels))")
+
+  /** q_simsearch_sq: asymmetric SQ8 search — the query keeps its exact
+    * micro-unit vector, the corpus is scored from its decoded 8-bit
+    * reconstruction (exact-integer d2 via the codegen kernel), the
+    * shortlist re-ranks with the exact double cosine (shared
+    * [[pqRerank]]). Encode→decode runs here to keep the query
+    * self-contained; a deployment persists the codes table exactly
+    * like [[stagedPqIndex]] (64 bytes/vector vs 256 fp32). */
+  def sqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val (lo, w) = sqStats(spark, dir)
+    val v = vecsQ(spark, dir)
+    val enc = v.select(col("vec_id"), sqCodesCol(lo, w).as("codes"))
+      .withColumn("xhat", sqDecodeCol(lo, w)).drop("codes")
+    val q = v.where(QueryVecs)
+      .select(col("vec_id").as("qid"), col("eq").as("qeq"))
+    val scored = broadcast(q).join(enc, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorExprs.sqDistLong(col("qeq"), col("xhat")).as("pqd2"))
+    pqRerank(v, scored, k)
+  }
+
   // ---- kNN join (q_knn_join / q_knn_join_blocked): every corpus
   // vector ↔ its k nearest neighbors, not just a small query batch.
   // The all-pairs retrieval primitive behind dedup-by-retrieval,

@@ -58,6 +58,22 @@ class IncrementalSpec extends SparkSuiteBase {
       spark.read.parquet(s"$root/state").count() > 0)
   }
 
+  test("multi-generation folds compose: state·D1 then ·D2 ≡ one-shot merge ≡ full recompute") {
+    val (root, cut) = Incremental.stagedAggState(spark, sf)
+    val state = spark.read.parquet(s"$root/state")
+    val mid = java.sql.Timestamp.valueOf(
+      cut.toLocalDateTime.plusDays(Incremental.DeltaDays.toLong / 2))
+    val orders = Tables(spark, sf, "orders")
+    val d1 = orders.where(col("o_orderdate") >= lit(cut) && col("o_orderdate") < lit(mid))
+    val d2 = orders.where(col("o_orderdate") >= lit(mid))
+    assert(d1.count() > 0 && d2.count() > 0, "both generations must be non-empty")
+    val twoGen = Incremental.foldBatch(Incremental.foldBatch(state, d1), d2)
+      .collect().map(key).toSet
+    val oneShot = Incremental.incrAgg(spark, sf).collect().map(key).toSet
+    assert(twoGen === oneShot,
+      "any refresh cadence must land on the same rollup (associative partials)")
+  }
+
   test("merge plan is delta-bounded: state artifact scan + pushed-date orders scan only") {
     val plan = Incremental.incrAgg(spark, sf)
       .queryExecution.executedPlan.toString

@@ -151,6 +151,24 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(plan.contains("pq_index"), s"expected the staged codes scan in:\n$plan")
   }
 
+  test("SQ8 top-k: int8-reconstructed scoring, high recall vs brute force, deterministic") {
+    val brute = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sqTopK(spark, sf).collect()
+    sq.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    val recall = sq.map(r => (r.getLong(0), r.getLong(1)))
+      .count(brute.contains).toDouble / brute.size
+    info(f"SQ8 recall vs brute force: $recall%.2f")
+    // 8-bit affine reconstruction error is ≤ w/2/255 per component
+    // (~0.2% of the dim range) — recall should sit far above the
+    // codebook-compressed PQ path
+    assert(recall > 0.8, f"SQ8 recall $recall%.2f unexpectedly low")
+    val again = Similarity.sqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(again === sq.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet,
+      "SQ path must be deterministic")
+  }
+
   test("IVFPQ top-k: residual codes inside probed lists, decent recall") {
     val brute = Similarity.bruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
