@@ -551,12 +551,13 @@ object Similarity {
 
   /** Shortlist `pqShortlist(k)` rows per query by (pqd2, vec_id), then
     * exact-cosine re-rank on the original doubles. */
-  private def pqRerank(v: DataFrame, scored: DataFrame, k: Int): DataFrame = {
+  private def pqRerank(v: DataFrame, scored: DataFrame, k: Int,
+                       isQuery: Column = QueryVecs): DataFrame = {
     val wS = Window.partitionBy("qid").orderBy(asc("pqd2"), asc("vec_id"))
     val short = scored.withColumn("srn", row_number().over(wS))
       .where(col("srn") <= pqShortlist(k))
       .select(col("qid"), col("vec_id").as("cand"))
-    val qv = v.where(QueryVecs)
+    val qv = v.where(isQuery)
       .select(col("vec_id").as("qqid"), col("e"), col("nrm"))
     val rr = v.as("c")
       .join(broadcast(short), col("c.vec_id") === col("cand"))
@@ -701,16 +702,19 @@ object Similarity {
     * the micro-unit corpus — 2·dims longs of driver state from ONE
     * min/max scan, memoized per (dir, data fingerprint). */
   private[graft] def sqStats(spark: SparkSession, dir: String): (Array[Long], Array[Long]) =
-    sqCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
-      val v = vecsQ(spark, dir)
-      val d = Dims
-      val row = v.agg(
-        array((0 until d).map(i => min(col("eq")(i))): _*).as("lo"),
-        array((0 until d).map(i => max(col("eq")(i))): _*).as("hi")).head()
-      val lo = row.getSeq[Long](0).toArray
-      val hi = row.getSeq[Long](1).toArray
-      (lo, hi.lazyZip(lo).map((h, l) => math.max(1L, h - l)).toArray)
-    })
+    sqCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")),
+      sqFit(vecsQ(spark, dir)))
+
+  /** One min/max scan → the per-dim (lo, width) model. */
+  private def sqFit(v: DataFrame): (Array[Long], Array[Long]) = {
+    val d = Dims
+    val row = v.agg(
+      array((0 until d).map(i => min(col("eq")(i))): _*).as("lo"),
+      array((0 until d).map(i => max(col("eq")(i))): _*).as("hi")).head()
+    val lo = row.getSeq[Long](0).toArray
+    val hi = row.getSeq[Long](1).toArray
+    (lo, hi.lazyZip(lo).map((h, l) => math.max(1L, h - l)).toArray)
+  }
 
   /** Embedding dimensionality of the harness corpus (the PQ geometry
     * PqM·PqD and the LSH plane table already fix it). */
@@ -744,15 +748,28 @@ object Similarity {
     * like [[stagedPqIndex]] (64 bytes/vector vs 256 fp32). */
   def sqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val (lo, w) = sqStats(spark, dir)
-    val v = vecsQ(spark, dir)
+    sqBody(vecsQ(spark, dir), QueryVecs, k, lo, w)
+  }
+
+  /** df form: expects (vec_id, embedding) with the harness's 64-dim
+    * vectors; fits the min/max model on the spot (the catalog form
+    * memoizes it). */
+  def sqTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val v = vecsQ(emb)
+    val (lo, w) = sqFit(v)
+    sqBody(v, isQuery, k, lo, w)
+  }
+
+  private def sqBody(v: DataFrame, isQuery: Column, k: Int,
+                     lo: Array[Long], w: Array[Long]): DataFrame = {
     val enc = v.select(col("vec_id"), sqCodesCol(lo, w).as("codes"))
       .withColumn("xhat", sqDecodeCol(lo, w)).drop("codes")
-    val q = v.where(QueryVecs)
+    val q = v.where(isQuery)
       .select(col("vec_id").as("qid"), col("eq").as("qeq"))
     val scored = broadcast(q).join(enc, col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         graft.functions.VectorExprs.sqDistLong(col("qeq"), col("xhat")).as("pqd2"))
-    pqRerank(v, scored, k)
+    pqRerank(v, scored, k, isQuery)
   }
 
   // ---- kNN join (q_knn_join / q_knn_join_blocked): every corpus
@@ -807,6 +824,11 @@ object Similarity {
     * exactness — [[knnJoinBlocked]] is the scale path. */
   def knnJoin(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame =
     knnJoinExact(vecs(spark, dir), k, knnGrid(spark))
+
+  /** df form: expects (vec_id, embedding); grid sized from the
+    * session's parallelism. */
+  def knnJoin(emb: DataFrame, k: Int): DataFrame =
+    knnJoinExact(vecs(emb), k, knnGrid(emb.sparkSession))
 
   private[graft] def knnJoinExact(v: DataFrame, k: Int, b: Int): DataFrame = {
     val grid = lit((0 until b).toArray)
@@ -874,13 +896,21 @@ object Similarity {
     // the blocked composition is spec'd against it.
     val knnDf = if (blocked) knnJoinBlocked(spark, dir, k)
                 else knnJoin(spark, dir, k)
+    knnGraphBody(vecs(spark, dir), knnDf)
+  }
+
+  /** df form over the exact join: expects (vec_id, embedding). */
+  def knnGraph(emb: DataFrame, k: Int): DataFrame =
+    knnGraphBody(vecs(emb), knnJoin(emb, k))
+
+  private def knnGraphBody(v: DataFrame, knnDf: DataFrame): DataFrame = {
     val knn = knnDf.select(col("qid").as("da"), col("vec_id").as("db"))
     val mutual = knn.where(col("da") < col("db"))
       .join(knn.select(col("db").as("da"), col("da").as("db")),
         Seq("da", "db"), "left_semi")
     val comps = Dedup.dupComponents(mutual)
       .select(col("doc_id").as("vec_id"), col("comp"))
-    vecs(spark, dir).select(col("vec_id"))
+    v.select(col("vec_id"))
       .join(comps, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("comp"), col("vec_id")).as("comp"))

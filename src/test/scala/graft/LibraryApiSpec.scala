@@ -38,6 +38,45 @@ class LibraryApiSpec extends SparkSuiteBase {
     assert(ledger("en")._2 === 1L)
   }
 
+  test("kNN join + mutual-kNN graph on an arbitrary embeddings DataFrame") {
+    import spark.implicits._
+    // 3 clusters × 4 near-identical 64-dim vectors; dim 63 constant
+    val rnd = new scala.util.Random(19)
+    val rows = for (c <- 0 until 3; m <- 0 until 4) yield {
+      val e = Array.fill(64)(0.01 * rnd.nextGaussian())
+      e(c) = 1.0           // cluster direction
+      e(63) = 0.5          // constant dimension (SQ w=1 guard below)
+      ((c * 4 + m).toLong, e)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val knn = Similarity.knnJoin(emb, 3).collect()
+    // each vector's top-3 are its 3 cluster mates
+    knn.foreach { r =>
+      assert(r.getLong(0) / 4 === r.getLong(1) / 4,
+        s"${r.getLong(0)} neighbors outside its cluster")
+    }
+    val labels = Similarity.knnGraph(emb, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size === 12)
+    labels.foreach { case (v, comp) => assert(comp === (v / 4) * 4,
+      s"vector $v labeled $comp, want cluster min ${(v / 4) * 4}") }
+  }
+
+  test("SQ8 search on an arbitrary embeddings DataFrame (constant-dim width guard)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = for (c <- 0 until 3; m <- 0 until 4) yield {
+      val e = Array.fill(64)(0.01 * rnd.nextGaussian())
+      e(c) = 1.0
+      e(63) = 0.5
+      ((c * 4 + m).toLong, e)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val top = Similarity.sqTopK(emb, col("vec_id") === 0L, 3).collect()
+    assert(top.map(_.getLong(1)).toSet === Set(1L, 2L, 3L),
+      "vector 0's SQ8 top-3 must be its cluster mates")
+  }
+
   test("hash sampling is deterministic, composable and partition-stable") {
     import spark.implicits._
     val docs = (0L until 1000L).map(i => (i, s"text $i", "en"))
