@@ -82,6 +82,8 @@ object Bench {
       graft.operators.Similarity.clearIndexCache()
       graft.operators.Dedup.clearBandIndexCache()
       graft.operators.Incremental.clearAggStateCache()
+      graft.operators.Incremental.clearWordStateCache()
+      graft.operators.Incremental.clearHllStateCache()
     }
 
     val Runs = 2

@@ -76,6 +76,10 @@ object SparkEntry {
     "q_knn_join_blocked" -> ((s, d) => Similarity.knnJoinBlocked(s, d)),
     "q_knn_graph"       -> ((s, d) => Similarity.knnGraph(s, d)),
     "q_incr_agg"        -> ((s, d) => Incremental.incrAgg(s, d)),
+    "q_incr_wordcount"  -> ((s, d) => Incremental.incrWordCount(s, d)),
+    "q_incr_distinct"   -> ((s, d) => Incremental.incrDistinct(s, d)),
+    "q_inverted_index"  -> ((s, d) => TextOps.invertedIndex(s, d)),
+    "q_cms_topk"        -> ((s, d) => TextOps.cmsTopTokens(s, d)),
     "q_group_topk"      -> ((s, d) => Relational.groupTopK(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
@@ -224,45 +228,53 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // deterministic HLL: FNV bucket/rank registers + the integer-rational
     // raw estimator, replayed exactly (operators/Relational.approxDistinctDet)
-    "q_approx_distinct_det" -> {
-      val m = graft.operators.Relational.HllM
-      val rMax = graft.operators.Relational.HllRhoMax
-      val num = graft.operators.Relational.HllEstNum
-      val den = graft.operators.Relational.HllEstDen
-      s"""WITH h0 AS (
-         |  SELECT l_returnflag,
-         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
-         |      ${utf8BytesSql("CAST(l_orderkey AS VARCHAR)")}),
-         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
-         |  FROM lineitem
-         |), m1 AS (
-         |  SELECT l_returnflag, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h0
-         |), m2 AS (
-         |  SELECT l_returnflag, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM m1
-         |), h AS (
-         |  SELECT l_returnflag, xor(h >> 16, h) AS h FROM m2
-         |), hb AS (
-         |  SELECT l_returnflag, h % $m AS bucket,
-         |         CASE WHEN h // $m = 0 THEN $rMax
-         |              ELSE bit_count(xor(h // $m, h // $m - 1)) END AS rho
-         |  FROM h
-         |), mj AS (
-         |  SELECT l_returnflag, bucket, max(rho) AS mj FROM hb GROUP BY 1, 2
-         |), grid AS (
-         |  SELECT f.l_returnflag, b.bucket
-         |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) f,
-         |       (SELECT unnest(range($m)) AS bucket) b
-         |), agg AS (
-         |  SELECT g.l_returnflag,
-         |         CAST(sum(CASE WHEN coalesce(mj.mj, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_buckets,
-         |         CAST(sum(CAST(1 AS BIGINT) << CAST($rMax - coalesce(mj.mj, 0) AS INTEGER)) AS BIGINT) AS s_scaled
-         |  FROM grid g LEFT JOIN mj
-         |    ON g.l_returnflag = mj.l_returnflag AND g.bucket = mj.bucket
-         |  GROUP BY 1
+    "q_approx_distinct_det" -> hllOracle,
+    // incremental registers max-merge to the full-corpus registers
+    // (max is associative + idempotent), so the maintained sketch
+    // shares the one-shot sketch's oracle verbatim; the state/delta
+    // split is spec-asserted on the plan (IncrementalSpec)
+    "q_incr_distinct" -> hllOracle,
+    // inverted index: bounded ascending-id postings — the TopKByScore
+    // buffer at score = −doc_id ≡ sorted-ascending first-cap slice
+    "q_inverted_index" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS word
+         |  FROM documents
+         |), d AS (
+         |  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
          |)
-         |SELECT l_returnflag, zero_buckets, s_scaled,
-         |       CAST($num AS BIGINT) // (CAST($den AS BIGINT) * s_scaled) AS hll_est
-         |FROM agg""".stripMargin
+         |SELECT word, CAST(count(*) AS BIGINT) AS df,
+         |       CAST(sum(tf) AS BIGINT) AS total_tf,
+         |       array_to_string(list_sort(list(doc_id))[1:${graft.operators.TextOps.PostingsCap}], ',') AS postings
+         |FROM d GROUP BY word ORDER BY word""".stripMargin,
+    // Count-Min sketch: the whole build (FNV+avalanche row-seeded
+    // hashes, width mask, counter sums) and the min-over-rows point
+    // queries replayed integer-exact
+    "q_cms_topk" -> {
+      val d = graft.operators.TextOps.CmsDepth
+      val w = graft.operators.TextOps.CmsWidth
+      s"""WITH wc AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS word
+         |    FROM documents) GROUP BY word
+         |), cells0 AS (
+         |  SELECT word, cnt, j,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+         |      ${utf8BytesSql("CAST(j AS VARCHAR) || ':' || word")}),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+         |  FROM wc, (SELECT unnest(range($d)) AS j)
+         |), c1 AS (
+         |  SELECT word, cnt, j, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM cells0
+         |), c2 AS (
+         |  SELECT word, cnt, j, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM c1
+         |), cells AS (
+         |  SELECT word, cnt, j, xor(h >> 16, h) % $w AS cell FROM c2
+         |)
+         |SELECT word, cnt, CAST(min(c) AS BIGINT) AS cms_est FROM (
+         |  SELECT word, cnt, sum(cnt) OVER (PARTITION BY j, cell) AS c FROM cells)
+         |GROUP BY word, cnt
+         |ORDER BY cms_est DESC, word LIMIT 20""".stripMargin
     },
     // deterministic-sample quantiles: same FNV keep-predicate, same
     // type-1 rank selection (operators/Relational.quantilesSample)
@@ -1463,6 +1475,16 @@ object SparkEntry {
         |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
         |  FROM orders
         |) WHERE rn <= 3""".stripMargin,
+    // incremental word count ≡ the full flagship word count (counts
+    // are associative) — shares q_wordcount's oracle body; the
+    // state/delta split is spec-asserted on the plan
+    "q_incr_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+')) AS word
+        |      FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word
+        |ORDER BY word""".stripMargin,
     // incremental rollup ≡ full recompute (BIGINT cent partials are
     // associative), so the oracle is the plain group-by; the merge
     // plan's delta-bounded scans are spec-asserted instead
@@ -2030,6 +2052,51 @@ object SparkEntry {
   /** DuckDB whitespace-run class (single-backslash: DuckDB string
     * literals do not unescape). */
   private val Ws = "[ \\t\\n\\r\\f\\x0B]+"
+
+  /** Deterministic-HLL oracle (hash → bucket → rank → register
+    * max-merge → exact-integer raw estimator), shared verbatim by
+    * q_approx_distinct_det and q_incr_distinct — the incremental form
+    * is register-merge-associative so both land on this sketch. */
+  private def hllOracle: String = {
+    val m = graft.operators.Relational.HllM
+    val rMax = graft.operators.Relational.HllRhoMax
+    val num = graft.operators.Relational.HllEstNum
+    val den = graft.operators.Relational.HllEstDen
+    s"""WITH h0 AS (
+       |  SELECT l_returnflag,
+       |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+       |      ${utf8BytesSql("CAST(l_orderkey AS VARCHAR)")}),
+       |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+       |  FROM lineitem
+       |), m1 AS (
+       |  SELECT l_returnflag, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h0
+       |), m2 AS (
+       |  SELECT l_returnflag, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM m1
+       |), h AS (
+       |  SELECT l_returnflag, xor(h >> 16, h) AS h FROM m2
+       |), hb AS (
+       |  SELECT l_returnflag, h % $m AS bucket,
+       |         CASE WHEN h // $m = 0 THEN $rMax
+       |              ELSE bit_count(xor(h // $m, h // $m - 1)) END AS rho
+       |  FROM h
+       |), mj AS (
+       |  SELECT l_returnflag, bucket, max(rho) AS mj FROM hb GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT f.l_returnflag, b.bucket
+       |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) f,
+       |       (SELECT unnest(range($m)) AS bucket) b
+       |), agg AS (
+       |  SELECT g.l_returnflag,
+       |         CAST(sum(CASE WHEN coalesce(mj.mj, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_buckets,
+       |         CAST(sum(CAST(1 AS BIGINT) << CAST($rMax - coalesce(mj.mj, 0) AS INTEGER)) AS BIGINT) AS s_scaled
+       |  FROM grid g LEFT JOIN mj
+       |    ON g.l_returnflag = mj.l_returnflag AND g.bucket = mj.bucket
+       |  GROUP BY 1
+       |)
+       |SELECT l_returnflag, zero_buckets, s_scaled,
+       |       CAST($num AS BIGINT) // (CAST($den AS BIGINT) * s_scaled) AS hll_est
+       |FROM agg""".stripMargin
+  }
 
   /** DuckDB expression: UTF-8 BYTE values of a string column as a
     * BIGINT list (via hex of the encoded blob — `ascii()` would give

@@ -95,33 +95,46 @@ object Relational {
     * m = 256 keeps the raw estimator out of its small-range bias zone
     * (n per group ≥ 2.5m at every test SF) with ~1.04/√m ≈ 6.5% σ; the
     * spec bounds it against the exact count. */
-  def approxDistinctDet(spark: SparkSession, dir: String): DataFrame = {
-    val m = HllM
-    val sMax = HllRhoMax           // rho of w == 0 (all-zero word)
-    val li = Tables(spark, dir, "lineitem")
-    val regs = li
-      .select(col("l_returnflag"),
+  def approxDistinctDet(spark: SparkSession, dir: String): DataFrame =
+    hllEstimate(hllRegisters(Tables(spark, dir, "lineitem")))
+
+  /** HLL register table over `li`: per-(l_returnflag, bucket) MAX(rho).
+    * This IS the sketch state, and max is associative + commutative +
+    * idempotent — registers built over any partition of the rows
+    * max-merge to the full-corpus registers bit-for-bit, which is what
+    * makes the sketch maintainable incrementally (q_incr_distinct)
+    * and mergeable across 100 TB of partial scans. */
+  private[graft] def hllRegisters(li: DataFrame): DataFrame =
+    li.select(col("l_returnflag"),
         graft.functions.Fnv32a.mix32(
           graft.functions.Fnv32a.fnv32a(col("l_orderkey").cast("string"))).as("h"))
       .select(col("l_returnflag"),
-        col("h").bitwiseAND(m - 1).cast("int").as("bucket"),
+        col("h").bitwiseAND(HllM - 1).cast("int").as("bucket"),
         shiftright(col("h"), HllP).as("w"))
       .withColumn("rho",
-        when(col("w") === 0, lit(sMax))
+        when(col("w") === 0, lit(HllRhoMax))
           .otherwise(bit_count(col("w").bitwiseXOR(col("w") - 1))))
       .groupBy("l_returnflag", "bucket")
       .agg(max("rho").as("mj"))
-    // dense register grid: empty buckets are Mj = 0 (they carry the
-    // full 2^(K+1) weight in the harmonic sum)
-    val grid = li.select(col("l_returnflag")).distinct()
-      .select(col("l_returnflag"),
-        explode(sequence(lit(0), lit(m - 1))).as("bucket"))
-    grid.join(regs, Seq("l_returnflag", "bucket"), "left")
-      .withColumn("mj", coalesce(col("mj"), lit(0)))
-      .groupBy("l_returnflag")
+
+  /** Raw-HLL estimator over a register table, single-pass: an absent
+    * (group, bucket) register is Mj = 0 and carries the full 2^(K+1)
+    * weight in the harmonic sum — rather than materializing a dense
+    * m-bucket grid and outer-joining (a second consumption of `regs`
+    * plus an explode), fold the absent buckets in arithmetically:
+    * zero_buckets = m − |present| and their scaled weight is
+    * zero_buckets·2^rhoMax (present registers always have Mj ≥ 1, so
+    * none are conflated). One aggregation, `regs` consumed once —
+    * which also keeps the incremental form (q_incr_distinct) at
+    * exactly one delta scan. */
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame = {
+    val sMax = HllRhoMax           // rho of w == 0 (all-zero word)
+    regs.groupBy("l_returnflag")
       .agg(
-        sum(when(col("mj") === 0, 1L).otherwise(0L)).as("zero_buckets"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $sMax - mj)")).as("s_scaled"))
+        (lit(HllM.toLong) - count(lit(1))).as("zero_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $sMax - mj)")).as("present_scaled"))
+      .select(col("l_returnflag"), col("zero_buckets"),
+        (col("present_scaled") + col("zero_buckets") * (1L << sMax)).as("s_scaled"))
       .withColumn("hll_est", expr(s"$HllEstNum div ($HllEstDen * s_scaled)"))
   }
 

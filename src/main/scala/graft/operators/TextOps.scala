@@ -716,4 +716,99 @@ object TextOps {
       .select(col("doc_id"),
         col("fp.full_fp").as("full_fp"),
         col("fp.win_fp").as("win_fp"))
+
+  /** Per-term postings cap for [[invertedIndex]]. */
+  val PostingsCap = 32
+
+  /** q_inverted_index: term → (document frequency, total term
+    * frequency, bounded posting list) — the canonical MapReduce
+    * application (Dean & Ghemawat, OSDI 2004, §2.1 lists it beside
+    * word count; the reference's framework exists to run exactly this
+    * shape) re-expressed as two partial/final aggregations.
+    *
+    * Scale shape: the trap at 100 TB is the posting list itself — a
+    * stop word's postings are |corpus|-sized, so `collect_list` (an
+    * unbounded agg buffer AND an unbounded exchange row) OOMs the hot
+    * reducer. Here the list rides the bounded [[graft.functions.TopKByScore]]
+    * partial aggregator (score = −doc_id keeps the FIRST
+    * [[PostingsCap]] docs in ascending-id order): each map partition
+    * contributes ≤ cap entries per term to the exchange, the merged
+    * buffer never exceeds cap — the same partial/final shape the kNN
+    * join uses. df/tf stay exact (plain count partials); the capped
+    * list is the index's retrieval seed, the caps documented in-row
+    * via df vs the list length. Doc ids fit a double exactly (< 2^53),
+    * so the score negation is lossless. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    invertedIndex(Tables(spark, dir, "documents"))
+
+  def invertedIndex(docs: DataFrame): DataFrame = {
+    val tk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByScore(PostingsCap),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("word")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("total_tf"),
+        tk(-col("doc_id").cast("double"), col("doc_id")).as("top"))
+      .select(col("word"), col("df"), col("total_tf"),
+        array_join(transform(col("top"), x => x.getField("_2").cast("string")), ",")
+          .as("postings"))
+      .orderBy("word")
+  }
+
+  /** Count-Min sketch depth (hash rows) / width (counters per row).
+    * Width a power of two so `h AND (w−1)` ≡ `h % w` in both engines. */
+  val CmsDepth = 4
+  val CmsWidth = 512
+
+  /** (j, cell) assignments for every (word, cnt) row: d rows per word,
+    * cell_j = mix32(fnv32a("j:" ++ word)) masked to the width — the
+    * same avalanche-finalized FNV family as the HLL/sample operators,
+    * row-seeded through the key prefix. One pass over `wc` (the d-way
+    * fan-out is an explode, not a union of re-scans). */
+  private[graft] def cmsCells(wc: DataFrame): DataFrame =
+    wc.select(col("word"), col("cnt"),
+        explode(array((0 until CmsDepth).map(lit(_)): _*)).as("j"))
+      .withColumn("cell",
+        graft.functions.Fnv32a.mix32(
+          graft.functions.Fnv32a.fnv32a(
+            concat(col("j").cast("string"), lit(":"), col("word"))))
+          .bitwiseAND(CmsWidth - 1))
+
+  /** q_cms_topk: Count-Min sketch frequency estimates (Cormode &
+    * Muthukrishnan, J. Algorithms 2005) for the corpus's top tokens —
+    * the point-queryable counterpart to q_topk_sketch's Misra-Gries:
+    * d×w = 4×512 counters at ANY corpus size, each counter a plain
+    * SUM (so sketches of partitions merge by addition — the mergeable
+    * property that lets 1000 executors build one sketch with no
+    * coordination), estimate = min over the d rows, one-sidedly ≥ the
+    * true count and ≤ true + εN with ε = e/w.
+    *
+    * Every step is integer-domain and seed-free (the hash family is
+    * the deterministic FNV+avalanche chain), so the DuckDB oracle
+    * replays the whole sketch: build, point queries, and the top-k
+    * surface. The counter table derives via a window over the
+    * vocab-grain cell table — ONE documents scan feeds both the
+    * sketch and the queries (no self-join re-scan); the final top-k
+    * is an ORDER BY ... LIMIT (TakeOrderedAndProject, no full sort). */
+  def cmsTopTokens(spark: SparkSession, dir: String): DataFrame =
+    cmsTopTokens(Tables(spark, dir, "documents"), 20)
+
+  def cmsTopTokens(docs: DataFrame, k: Int): DataFrame = {
+    val wc = docs.select(explode(tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("j", "cell")
+    cmsCells(wc)
+      .withColumn("c", sum("cnt").over(w))
+      .groupBy("word", "cnt")
+      .agg(min("c").as("cms_est"))
+      .orderBy(desc("cms_est"), asc("word"))
+      .limit(k)
+  }
 }

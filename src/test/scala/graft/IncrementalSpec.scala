@@ -74,6 +74,58 @@ class IncrementalSpec extends SparkSuiteBase {
       "any refresh cadence must land on the same rollup (associative partials)")
   }
 
+  test("incremental word count ≡ the flagship word count bit-for-bit; delta-bounded plan") {
+    val merged = Incremental.incrWordCount(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val full = graft.operators.TextOps.wordCount(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged === full)
+    val plan = Incremental.incrWordCount(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-wcstate-"),
+      s"expected the persisted word state in the plan:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      s"delta docs scan must push the id predicate:\n$plan")
+    val docScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(docScans === 1,
+      s"expected exactly one (delta) documents scan, found $docScans:\n$plan")
+  }
+
+  test("incremental HLL sketch ≡ the one-shot sketch bit-for-bit; delta-bounded plan") {
+    val merged = Incremental.incrDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = graft.operators.Relational.approxDistinctDet(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(merged === full,
+      "register max-merge must land on the full-corpus sketch exactly")
+    val plan = Incremental.incrDistinct(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-hllstate-"),
+      s"expected the persisted register state in the plan:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("l_orderkey"),
+      s"delta lineitem scan must push the key predicate:\n$plan")
+    val liScans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(liScans === 1,
+      s"expected exactly one (delta) lineitem scan, found $liScans:\n$plan")
+  }
+
+  test("re-folding an overlapping batch is idempotent: registers are a max-lattice") {
+    // fold the delta registers in TWICE — a crash-retry / overlapping
+    // refresh scenario; exact-partial incrementals would double-count,
+    // the sketch must not move (max is idempotent)
+    val (root, cut) = Incremental.stagedHllState(spark, sf)
+    val delta = Tables(spark, sf, "lineitem").where(col("l_orderkey") >= cut)
+    val deltaRegs = graft.operators.Relational.hllRegisters(delta)
+    val twice = spark.read.parquet(s"$root/state")
+      .unionByName(deltaRegs).unionByName(deltaRegs)
+      .groupBy("l_returnflag", "bucket").agg(max("mj").as("mj"))
+    val est = graft.operators.Relational.hllEstimate(twice).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSet
+    val once = Incremental.incrDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(est === once)
+  }
+
   test("merge plan is delta-bounded: state artifact scan + pushed-date orders scan only") {
     val plan = Incremental.incrAgg(spark, sf)
       .queryExecution.executedPlan.toString

@@ -402,4 +402,70 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(TextOps.mergePair(Seq("x"), "a", "b") === Seq("x"))
     assert(TextOps.mergePair(Nil, "a", "b") === Nil)
   }
+
+  test("inverted index: df/tf exact, postings = ascending first-cap, stopword capped") {
+    val cap = TextOps.PostingsCap
+    // "the" in cap+9 docs (exercises the cap); "rare" in two with tf 3
+    val d = docs(
+      ((1L to (cap + 8).toLong).map(i => i -> "the") :+
+        (100L -> "rare rare") :+ (50L -> "rare the")): _*)
+    val got = TextOps.invertedIndex(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got("rare") === ((2L, 3L, "50,100")))
+    val (dfThe, tfThe, postThe) = got("the")
+    assert(dfThe === (cap + 9).toLong && tfThe === (cap + 9).toLong)
+    // capped postings: the cap SMALLEST doc ids, ascending
+    assert(postThe === (1L to cap.toLong).mkString(","))
+    assert(got.size === 2)
+  }
+
+  test("count-min: estimates never undercount; collisions overcount only (vocab >> width)") {
+    import spark.implicits._
+    // 2000 distinct words over 512 cells per row: collisions are
+    // guaranteed by pigeonhole; frequencies 1..5 cycle
+    val d = (0 until 2000).map(i => (i.toLong, Seq.fill(i % 5 + 1)(s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.cmsTopTokens(d, 3000).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 2000)
+    got.foreach { case (w, cnt, est) =>
+      assert(est >= cnt, s"CMS must never undercount: $w est=$est true=$cnt")
+    }
+    assert(got.exists { case (_, cnt, est) => est > cnt },
+      "2000 words over 512 cells must collide somewhere — overestimates expected")
+    // the d-row min must beat any single row's estimate quality:
+    // total overestimate is finite and bounded by the collision mass
+    val over = got.map { case (_, cnt, est) => est - cnt }.sum
+    val n = got.map(_._2).sum
+    assert(over <= TextOps.CmsDepth * n,
+      "aggregate overestimate cannot exceed the total sketched mass per row")
+  }
+
+  test("count-min: partition sketches merge by addition to the corpus sketch") {
+    import spark.implicits._
+    val rows = (0 until 300).map(i => (i.toLong, s"w${i % 40} w${i % 7}"))
+    val all = rows.toDF("doc_id", "text")
+    val (a, b) = (rows.take(150).toDF("doc_id", "text"),
+      rows.drop(150).toDF("doc_id", "text"))
+    def wc(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(TextOps.tokens(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+    def counters(df: org.apache.spark.sql.DataFrame) =
+      TextOps.cmsCells(wc(df)).groupBy("j", "cell").agg(sum("cnt").as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (counters(a).toSeq ++ counters(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(merged === counters(all),
+      "CMS counters are sums — partition sketches must add to the corpus sketch")
+  }
+
+  test("inverted index plan: bounded partial/final aggregate, no Window, no collect_list") {
+    val plan = TextOps.invertedIndex(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"postings must ride the bounded partial/final aggregator:\n$plan")
+    assert(!plan.contains("Window"), s"no window rank in the index build:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"unbounded list agg must not appear:\n$plan")
+  }
 }
