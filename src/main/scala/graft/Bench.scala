@@ -84,6 +84,7 @@ object Bench {
       graft.operators.Incremental.clearAggStateCache()
       graft.operators.Incremental.clearWordStateCache()
       graft.operators.Incremental.clearHllStateCache()
+      graft.operators.Incremental.clearIndexStateCache()
     }
 
     val Runs = 2

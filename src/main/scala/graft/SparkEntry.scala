@@ -80,6 +80,7 @@ object SparkEntry {
     "q_incr_distinct"   -> ((s, d) => Incremental.incrDistinct(s, d)),
     "q_inverted_index"  -> ((s, d) => TextOps.invertedIndex(s, d)),
     "q_cms_topk"        -> ((s, d) => TextOps.cmsTopTokens(s, d)),
+    "q_incr_inverted"   -> ((s, d) => Incremental.incrInverted(s, d)),
     "q_group_topk"      -> ((s, d) => Relational.groupTopK(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
@@ -236,18 +237,11 @@ object SparkEntry {
     "q_incr_distinct" -> hllOracle,
     // inverted index: bounded ascending-id postings — the TopKByScore
     // buffer at score = −doc_id ≡ sorted-ascending first-cap slice
-    "q_inverted_index" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS word
-         |  FROM documents
-         |), d AS (
-         |  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
-         |)
-         |SELECT word, CAST(count(*) AS BIGINT) AS df,
-         |       CAST(sum(tf) AS BIGINT) AS total_tf,
-         |       array_to_string(list_sort(list(doc_id))[1:${graft.operators.TextOps.PostingsCap}], ',') AS postings
-         |FROM d GROUP BY word ORDER BY word""".stripMargin,
+    "q_inverted_index" -> invertedOracle,
+    // the maintained index folds disjoint-slice partials (sum df/tf,
+    // capped-list merge law), landing on the one-shot index exactly —
+    // shared oracle; the state/delta plan split is spec-asserted
+    "q_incr_inverted" -> invertedOracle,
     // Count-Min sketch: the whole build (FNV+avalanche row-seeded
     // hashes, width mask, counter sums) and the min-over-rows point
     // queries replayed integer-exact
@@ -2052,6 +2046,22 @@ object SparkEntry {
   /** DuckDB whitespace-run class (single-backslash: DuckDB string
     * literals do not unescape). */
   private val Ws = "[ \\t\\n\\r\\f\\x0B]+"
+
+  /** Inverted-index oracle, shared by q_inverted_index and
+    * q_incr_inverted (the maintained form folds to the one-shot index
+    * bit-for-bit — see Incremental.incrInverted). */
+  private def invertedOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS word
+       |  FROM documents
+       |), d AS (
+       |  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+       |)
+       |SELECT word, CAST(count(*) AS BIGINT) AS df,
+       |       CAST(sum(tf) AS BIGINT) AS total_tf,
+       |       array_to_string(list_sort(list(doc_id))[1:${graft.operators.TextOps.PostingsCap}], ',') AS postings
+       |FROM d GROUP BY word ORDER BY word""".stripMargin
 
   /** Deterministic-HLL oracle (hash → bucket → rank → register
     * max-merge → exact-integer raw estimator), shared verbatim by

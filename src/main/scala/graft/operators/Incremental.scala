@@ -155,6 +155,60 @@ object Incremental {
       .orderBy("word")
   }
 
+  // ---- incremental inverted index: maintain the SEARCH artifact.
+  // The posting-list cap is what makes this fold: df/total_tf are sum
+  // partials, and the bounded ascending-id list merges associatively
+  // (smallest-cap of a union ≡ smallest-cap of the two sides'
+  // smallest-caps — TopKByScore's own merge law), so an appended batch
+  // folds into the persisted per-term rows for |delta| tokenization +
+  // a vocabulary-grain merge. At 100 TB: the index never rebuilds; a
+  // crawl increment costs its own size.
+
+  private val idxCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Long)]()
+
+  def clearIndexStateCache(): Unit = idxCache.clear()
+
+  /** Staged per-term index partials over the base docs (doc_id < cut),
+    * memoized per (dir, data fingerprint); returns (root, cut). */
+  private[graft] def stagedIndexState(spark: SparkSession, dir: String): (String, Long) =
+    idxCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "documents")), {
+      val docs = Tables(spark, dir, "documents")
+      val n = docs.count()
+      val cut = n - math.max(1L, n / 10)
+      val root = graft.Engine.workDir("graft-idxstate-").getAbsolutePath
+      TextOps.indexPartials(docs.where(col("doc_id") < cut))
+        .write.mode("overwrite").parquet(s"$root/state")
+      (root, cut)
+    })
+
+  /** q_incr_inverted: persisted index partials ∪ the appended batch's
+    * partials, folded per term — ≡ the one-shot q_inverted_index
+    * bit-for-bit (shared oracle): base and delta doc sets are disjoint
+    * by the id cut, so df/tf sums are exact and the capped-list merge
+    * law gives the global smallest-cap postings. The per-term fold is
+    * a bounded sort over ≤ 2·cap ids (the collect_list sees at most
+    * one state row + one delta row per term). */
+  def incrInverted(spark: SparkSession, dir: String): DataFrame = {
+    val (root, cut) = stagedIndexState(spark, dir)
+    val delta = Tables(spark, dir, "documents").where(col("doc_id") >= cut)
+    TextOps.finishIndex(
+      foldIndex(spark.read.parquet(s"$root/state"), TextOps.indexPartials(delta)))
+  }
+
+  /** One index-fold generation over per-term partial frames (exposed
+    * for the crafted merge-law spec): sum df/tf, merge the two capped
+    * ascending lists and re-cap — a bounded per-term sort over ≤ 2·cap
+    * ids (collect_list sees ≤ 1 row per side per term). */
+  private[graft] def foldIndex(state: DataFrame, batchPartials: DataFrame): DataFrame =
+    state.unionByName(batchPartials)
+      .groupBy("word")
+      .agg(
+        sum("df").as("df"),
+        sum("total_tf").as("total_tf"),
+        slice(array_sort(flatten(collect_list("postings"))),
+          1, TextOps.PostingsCap).as("postings"))
+
   // ---- incremental distinct count: MERGEABLE SKETCH state. The
   // rollup/wordcount incrementals fold exact partials; COUNT(DISTINCT)
   // has no bounded exact partial (the partial IS the key set), which

@@ -741,7 +741,16 @@ object TextOps {
   def invertedIndex(spark: SparkSession, dir: String): DataFrame =
     invertedIndex(Tables(spark, dir, "documents"))
 
-  def invertedIndex(docs: DataFrame): DataFrame = {
+  def invertedIndex(docs: DataFrame): DataFrame =
+    finishIndex(indexPartials(docs))
+
+  /** Per-term index partials: (word, df, total_tf, ascending-id
+    * postings array ≤ [[PostingsCap]]). Shared by the one-shot index
+    * and the maintained one (Incremental.incrInverted) — df/tf are sum
+    * partials and the capped list merges associatively (smallest-cap
+    * of a union = smallest-cap of the two sides' smallest-caps), so
+    * partials over disjoint doc slices fold to the full index. */
+  private[graft] def indexPartials(docs: DataFrame): DataFrame = {
     val tk = org.apache.spark.sql.functions.udaf(
       new graft.functions.TopKByScore(PostingsCap),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
@@ -756,10 +765,15 @@ object TextOps {
         sum("tf").as("total_tf"),
         tk(-col("doc_id").cast("double"), col("doc_id")).as("top"))
       .select(col("word"), col("df"), col("total_tf"),
-        array_join(transform(col("top"), x => x.getField("_2").cast("string")), ",")
-          .as("postings"))
-      .orderBy("word")
+        transform(col("top"), x => x.getField("_2")).as("postings"))
   }
+
+  /** Postings array → the catalog surface (joined string, term order). */
+  private[graft] def finishIndex(partials: DataFrame): DataFrame =
+    partials
+      .select(col("word"), col("df"), col("total_tf"),
+        array_join(transform(col("postings"), _.cast("string")), ",").as("postings"))
+      .orderBy("word")
 
   /** Count-Min sketch depth (hash rows) / width (counters per row).
     * Width a power of two so `h AND (w−1)` ≡ `h % w` in both engines. */

@@ -109,6 +109,45 @@ class IncrementalSpec extends SparkSuiteBase {
       s"expected exactly one (delta) lineitem scan, found $liScans:\n$plan")
   }
 
+  test("incremental inverted index ≡ the one-shot index bit-for-bit; delta-bounded plan") {
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(keyed(Incremental.incrInverted(spark, sf))
+      === keyed(graft.operators.TextOps.invertedIndex(spark, sf)))
+    val plan = Incremental.incrInverted(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-idxstate-"),
+      s"expected the persisted index state in the plan:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      s"delta docs scan must push the id predicate:\n$plan")
+    val docScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(docScans === 1,
+      s"expected exactly one (delta) documents scan, found $docScans:\n$plan")
+  }
+
+  test("capped-postings merge law on crafted slices: cap-straddling, sub-cap, delta-only terms") {
+    import spark.implicits._
+    val cap = graft.operators.TextOps.PostingsCap
+    // base: "a" in cap+8 docs (state list capped), "b" in 10;
+    // delta (ids ≥ 1000): more "a", 5 more "b", and new term "c"
+    val base = ((1L to (cap + 8).toLong).map(i => (i, "a")) ++
+      (101L to 110L).map(i => (i, "b"))).toDF("doc_id", "text")
+    val delta = ((1000L to 1004L).map(i => (i, "a b")) :+ (1005L, "c")).toDF("doc_id", "text")
+    val folded = graft.operators.TextOps.finishIndex(
+      Incremental.foldIndex(
+        graft.operators.TextOps.indexPartials(base),
+        graft.operators.TextOps.indexPartials(delta)))
+    val oneShot = graft.operators.TextOps.invertedIndex(base.unionByName(delta))
+    assert(folded.collect().toSeq.map(_.toSeq) === oneShot.collect().toSeq.map(_.toSeq))
+    val got = folded.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(got("a")._1 === (cap + 13).toLong)
+    assert(got("a")._2 === (1L to cap.toLong).mkString(","), "capped list must not grow")
+    assert(got("b")._2 === ((101L to 110L) ++ (1000L to 1004L)).mkString(","),
+      "sub-cap lists must extend across the fold")
+    assert(got("c") === ((1L, "1005")), "delta-only terms must appear")
+  }
+
   test("re-folding an overlapping batch is idempotent: registers are a max-lattice") {
     // fold the delta registers in TWICE — a crash-retry / overlapping
     // refresh scenario; exact-partial incrementals would double-count,
