@@ -85,6 +85,7 @@ object Bench {
       graft.operators.Incremental.clearWordStateCache()
       graft.operators.Incremental.clearHllStateCache()
       graft.operators.Incremental.clearIndexStateCache()
+      graft.operators.TextOps.clearPostingsCache()
     }
 
     val Runs = 2

@@ -81,6 +81,7 @@ object SparkEntry {
     "q_inverted_index"  -> ((s, d) => TextOps.invertedIndex(s, d)),
     "q_cms_topk"        -> ((s, d) => TextOps.cmsTopTokens(s, d)),
     "q_incr_inverted"   -> ((s, d) => Incremental.incrInverted(s, d)),
+    "q_index_lookup"    -> ((s, d) => TextOps.indexLookup(s, d)),
     "q_group_topk"      -> ((s, d) => Relational.groupTopK(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
@@ -242,6 +243,25 @@ object SparkEntry {
     // capped-list merge law), landing on the one-shot index exactly —
     // shared oracle; the state/delta plan split is spec-asserted
     "q_incr_inverted" -> invertedOracle,
+    // conjunctive lookup served from the postings artifact ≡ a direct
+    // tokenized filter over the corpus (which is what DuckDB runs —
+    // the index is an access path, not a semantics change)
+    "q_index_lookup" -> {
+      val (t1, t2) = graft.operators.TextOps.LookupTerms
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS word
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN word = '$t1' THEN 1 END) AS BIGINT) AS tf_a,
+         |         CAST(sum(CASE WHEN word = '$t2' THEN 1 END) AS BIGINT) AS tf_b
+         |  FROM t GROUP BY doc_id
+         |)
+         |SELECT doc_id, tf_a, tf_b FROM c
+         |WHERE tf_a IS NOT NULL AND tf_b IS NOT NULL
+         |ORDER BY doc_id""".stripMargin
+    },
     // Count-Min sketch: the whole build (FNV+avalanche row-seeded
     // hashes, width mask, counter sums) and the min-over-rows point
     // queries replayed integer-exact

@@ -78,4 +78,15 @@ object Fnv32a {
     val s2 = shiftright(s1, 16).bitwiseXOR(s1).multiply(m1) % lit(4294967296L)
     shiftright(s2, 16).bitwiseXOR(s2)
   }
+
+  /** Scalar form of the Column [[mix32]] — identical arithmetic on the
+    * JVM (inputs are non-negative 32-bit values, so the `% 2^32` there
+    * and the mask here agree), for driver-side constants such as
+    * term → bucket routing in the postings index. */
+  def mix32(h: Long): Long = {
+    val m = 0x45d9f3bL
+    val s1 = (((h >> 16) ^ h) * m) & 0xFFFFFFFFL
+    val s2 = (((s1 >> 16) ^ s1) * m) & 0xFFFFFFFFL
+    (s2 >> 16) ^ s2
+  }
 }

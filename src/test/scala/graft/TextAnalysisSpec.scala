@@ -419,6 +419,35 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got.size === 2)
   }
 
+  test("index lookup ≡ direct corpus filter; plan never touches the documents table") {
+    val (t1, t2) = TextOps.LookupTerms
+    val direct = TextOps.invertedIndexDirectProbe(spark, sf, t1, t2)
+    val got = TextOps.indexLookup(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === direct.collect().map(_.toSeq).toSeq)
+    assert(got.nonEmpty, "fixture terms must co-occur")
+    val plan = TextOps.indexLookup(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"the lookup must be served from the postings artifact alone:\n$plan")
+    assert(plan.contains("graft-postings-"), s"postings artifact missing:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"term buckets must prune as partition filters:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("word"),
+      s"the word predicate must reach the parquet scan:\n$plan")
+  }
+
+  test("term bucket routing: driver-side scalar ≡ the artifact's column expression") {
+    import spark.implicits._
+    val words = ((1 to 200).map(i => s"term$i") ++ Seq("scan", "merge", "naïve-ü"))
+    val colSide = words.toDF("word")
+      .select(col("word"),
+        graft.functions.Fnv32a.mix32(graft.functions.Fnv32a.fnv32a(col("word")))
+          .bitwiseAND(TextOps.PostingsBuckets - 1).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    words.foreach { w =>
+      assert(TextOps.termBucket(w) === colSide(w), s"bucket mismatch for $w")
+    }
+  }
+
   test("count-min: estimates never undercount; collisions overcount only (vocab >> width)") {
     import spark.implicits._
     // 2000 distinct words over 512 cells per row: collisions are
