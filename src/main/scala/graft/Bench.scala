@@ -238,7 +238,18 @@ object Bench {
         graft.operators.Incremental.clearAggStateCache()
         val bState = timed(graft.operators.Incremental.stagedAggState(spark, sfDir))
         val sMerge = timed(force(SparkEntry.queries("q_incr_agg")(spark, sfDir)))
-        Seq("incr_agg_build_sec" -> bState, "incr_agg_merge_sec" -> sMerge)
+        // same split for the maintained inverted index and the staged
+        // postings artifact: build = one-time staging, serve = the
+        // amortized per-refresh merge / per-query pruned lookup
+        graft.operators.Incremental.clearIndexStateCache()
+        val bIdx = timed(graft.operators.Incremental.stagedIndexState(spark, sfDir))
+        val sIdx = timed(force(SparkEntry.queries("q_incr_inverted")(spark, sfDir)))
+        graft.operators.TextOps.clearPostingsCache()
+        val bPost = timed(graft.operators.TextOps.stagedPostings(spark, sfDir))
+        val sLook = timed(force(SparkEntry.queries("q_index_lookup")(spark, sfDir)))
+        Seq("incr_agg_build_sec" -> bState, "incr_agg_merge_sec" -> sMerge,
+          "incr_idx_build_sec" -> bIdx, "incr_idx_merge_sec" -> sIdx,
+          "postings_build_sec" -> bPost, "index_lookup_sec" -> sLook)
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] incr-agg lifecycle split failed: ${e.getMessage}")
         Seq.empty

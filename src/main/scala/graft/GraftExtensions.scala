@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Bigrams, DotF64, Fnv32a, SqDistF64, SqDistI64}
+import graft.functions.{Bigrams, DotF64, Fnv32a, PolyFingerprint, SqDistF64, SqDistI64}
 
 /** Spark extension entry point: makes graft's custom expressions
   * available to plain SQL users —
@@ -45,7 +45,8 @@ object GraftExtensions {
     fn("bigrams", 1, c => Bigrams(c.head)),
     fn("dot_f64", 2, c => DotF64(c(0), c(1))),
     fn("sqdist_f64", 2, c => SqDistF64(c(0), c(1))),
-    fn("sqdist_i64", 2, c => SqDistI64(c(0), c(1))))
+    fn("sqdist_i64", 2, c => SqDistI64(c(0), c(1))),
+    fn("poly_fingerprint", 1, c => PolyFingerprint(c.head)))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

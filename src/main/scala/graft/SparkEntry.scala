@@ -82,6 +82,7 @@ object SparkEntry {
     "q_cms_topk"        -> ((s, d) => TextOps.cmsTopTokens(s, d)),
     "q_incr_inverted"   -> ((s, d) => Incremental.incrInverted(s, d)),
     "q_index_lookup"    -> ((s, d) => TextOps.indexLookup(s, d)),
+    "q_index_search"    -> ((s, d) => TextOps.indexSearch(s, d)),
     "q_group_topk"      -> ((s, d) => Relational.groupTopK(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
@@ -261,6 +262,29 @@ object SparkEntry {
          |SELECT doc_id, tf_a, tf_b FROM c
          |WHERE tf_a IS NOT NULL AND tf_b IS NOT NULL
          |ORDER BY doc_id""".stripMargin
+    },
+    // ranked OR-retrieval: linear tf·N/df weights (the q_tfidf
+    // convention — no libm log), sum over ≤2 per-doc rows is
+    // order-independent, top-k under the (score, doc_id) total order
+    "q_index_search" -> {
+      val (t1, t2) = graft.operators.TextOps.LookupTerms
+      val k = graft.operators.TextOps.SearchK
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS word
+         |  FROM documents
+         |), d AS (
+         |  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t
+         |  WHERE word IN ('$t1', '$t2') GROUP BY 1, 2
+         |), wts AS (
+         |  SELECT doc_id,
+         |         CAST(tf AS DOUBLE) * (SELECT count(*) FROM documents)
+         |           / count(*) OVER (PARTITION BY word) AS weight
+         |  FROM d
+         |)
+         |SELECT doc_id, sum(weight) AS score, CAST(count(*) AS BIGINT) AS terms_hit
+         |FROM wts GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
     },
     // Count-Min sketch: the whole build (FNV+avalanche row-seeded
     // hashes, width mask, counter sums) and the min-over-rows point

@@ -196,6 +196,20 @@ object Incremental {
       foldIndex(spark.read.parquet(s"$root/state"), TextOps.indexPartials(delta)))
   }
 
+  /** Index-state advance (the update half, mirroring [[advanceState]]):
+    * fold the append batch's partials into the persisted per-term rows
+    * and stage-and-swap publish. Same fold body as the read path, so
+    * after the advance the index is servable from the state artifact
+    * alone — spec'd ≡ the one-shot index. Returns the advanced path. */
+  private[graft] def advanceIndexState(spark: SparkSession, dir: String): String = {
+    val (root, cut) = stagedIndexState(spark, dir)
+    val delta = Tables(spark, dir, "documents").where(col("doc_id") >= cut)
+    val next = s"$root/state_advanced"
+    foldIndex(spark.read.parquet(s"$root/state"), TextOps.indexPartials(delta))
+      .write.mode("overwrite").parquet(next)
+    next
+  }
+
   /** One index-fold generation over per-term partial frames (exposed
     * for the crafted merge-law spec): sum df/tf, merge the two capped
     * ascending lists and re-cap — a bounded per-term sort over ≤ 2·cap

@@ -847,6 +847,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q_index_search: RANKED disjunctive retrieval from the postings
+    * index — top-[[SearchK]] docs for an OR-query scored by the
+    * tf·N/df weight sum (the linear tf-idf convention of
+    * [[tfidfTopTerms]]: rare terms weigh more, no libm log so the
+    * score replays exactly; N enters as a driver-held scalar). The
+    * scan is the same ≤-2-bucket pruned artifact read as
+    * [[indexLookup]]; df comes from a tiny per-term aggregate of the
+    * surviving rows (never a second corpus pass), and the top-k is a
+    * TakeOrderedAndProject under (score DESC, doc_id ASC) — no full
+    * sort at any corpus size. */
+  def indexSearch(spark: SparkSession, dir: String): DataFrame =
+    indexSearch(spark, dir, LookupTerms._1, LookupTerms._2, SearchK)
+
+  def indexSearch(spark: SparkSession, dir: String, t1: String, t2: String,
+      k: Int): DataFrame = {
+    val root = stagedPostings(spark, dir)
+    val nDocs = Tables(spark, dir, "documents").count() // driver scalar
+    val posts = spark.read.parquet(root)
+      .where(col("bucket").isin(termBucket(t1), termBucket(t2)) &&
+        col("word").isin(t1, t2))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("word")
+    posts
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("weight",
+        col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
+      .groupBy("doc_id")
+      .agg(sum("weight").as("score"), count(lit(1)).as("terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Result size for [[indexSearch]]'s catalog row. */
+  val SearchK = 25
+
   /** Direct corpus-scan form of [[indexLookup]] (no index) — the
     * semantics reference: the spec asserts lookup ≡ this, and the
     * DuckDB oracle is this query in SQL. */

@@ -38,6 +38,27 @@ class GraftExtensionsSpec extends SparkSuiteBase {
     assert(ragged.isNullAt(0))
   }
 
+  test("poly_fingerprint is callable from SQL and matches the Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lower}
+    val texts = Seq((1L, "The quick brown fox"), (2L, "ab"), (3L, ""))
+    texts.toDF("doc_id", "text").createOrReplaceTempView("pf_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, poly_fingerprint(lower(text)).full_fp AS f,
+        |       poly_fingerprint(lower(text)).win_fp AS w
+        |FROM pf_docs ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaCol = texts.toDF("doc_id", "text")
+      .withColumn("fp", graft.functions.PolyFingerprint.fp(lower(col("text"))))
+      .select(col("doc_id"), col("fp.full_fp"), col("fp.win_fp"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaSql.toSeq === viaCol.toSeq)
+    val e = intercept[AnalysisException](spark.sql("SELECT poly_fingerprint()"))
+    assert(e.getMessage.contains("poly_fingerprint"))
+  }
+
   test("bigrams generator works from SQL via LATERAL VIEW") {
     GraftExtensions.register(spark)
     import spark.implicits._

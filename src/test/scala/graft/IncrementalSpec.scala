@@ -148,6 +148,14 @@ class IncrementalSpec extends SparkSuiteBase {
     assert(got("c") === ((1L, "1005")), "delta-only terms must appear")
   }
 
+  test("advanced index state serves the full index alone (stage-and-swap update half)") {
+    val next = Incremental.advanceIndexState(spark, sf)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(keyed(graft.operators.TextOps.finishIndex(spark.read.parquet(next)))
+      === keyed(graft.operators.TextOps.invertedIndex(spark, sf)))
+  }
+
   test("re-folding an overlapping batch is idempotent: registers are a max-lattice") {
     // fold the delta registers in TWICE — a crash-retry / overlapping
     // refresh scenario; exact-partial incrementals would double-count,

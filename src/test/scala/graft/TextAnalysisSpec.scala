@@ -435,6 +435,30 @@ class TextAnalysisSpec extends SparkSuiteBase {
       s"the word predicate must reach the parquet scan:\n$plan")
   }
 
+  test("index search ≡ direct corpus scoring; plan stays on the artifact") {
+    val (t1, t2) = TextOps.LookupTerms
+    val nDocs = graft.sources.Tables(spark, sf, "documents").count()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("word")
+    val direct = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .where(col("word").isin(t1, t2))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("weight",
+        col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
+      .groupBy("doc_id")
+      .agg(sum("weight").as("score"), count(lit(1)).as("terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(TextOps.SearchK)
+    val got = TextOps.indexSearch(spark, sf)
+    assert(got.collect().map(_.toSeq).toSeq === direct.collect().map(_.toSeq).toSeq)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"ranked search must be served from the postings artifact:\n$plan")
+    assert(plan.contains("TakeOrdered"),
+      s"top-k must be a TakeOrderedAndProject, not a full sort:\n$plan")
+  }
+
   test("term bucket routing: driver-side scalar ≡ the artifact's column expression") {
     import spark.implicits._
     val words = ((1 to 200).map(i => s"term$i") ++ Seq("scan", "merge", "naïve-ü"))
