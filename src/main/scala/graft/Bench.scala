@@ -81,10 +81,7 @@ object Bench {
     def clearIndexMemos(): Unit = {
       graft.operators.Similarity.clearIndexCache()
       graft.operators.Dedup.clearBandIndexCache()
-      graft.operators.Incremental.clearAggStateCache()
-      graft.operators.Incremental.clearWordStateCache()
-      graft.operators.Incremental.clearHllStateCache()
-      graft.operators.Incremental.clearIndexStateCache()
+      graft.operators.Incremental.clearAllStateCaches()
       graft.operators.TextOps.clearPostingsCache()
     }
 
@@ -238,22 +235,35 @@ object Bench {
         graft.operators.Incremental.clearAggStateCache()
         val bState = timed(graft.operators.Incremental.stagedAggState(spark, sfDir))
         val sMerge = timed(force(SparkEntry.queries("q_incr_agg")(spark, sfDir)))
-        // same split for the maintained inverted index and the staged
-        // postings artifact: build = one-time staging, serve = the
-        // amortized per-refresh merge / per-query pruned lookup
-        graft.operators.Incremental.clearIndexStateCache()
-        val bIdx = timed(graft.operators.Incremental.stagedIndexState(spark, sfDir))
-        val sIdx = timed(force(SparkEntry.queries("q_incr_inverted")(spark, sfDir)))
-        graft.operators.TextOps.clearPostingsCache()
-        val bPost = timed(graft.operators.TextOps.stagedPostings(spark, sfDir))
-        val sLook = timed(force(SparkEntry.queries("q_index_lookup")(spark, sfDir)))
-        Seq("incr_agg_build_sec" -> bState, "incr_agg_merge_sec" -> sMerge,
-          "incr_idx_build_sec" -> bIdx, "incr_idx_merge_sec" -> sIdx,
-          "postings_build_sec" -> bPost, "index_lookup_sec" -> sLook)
+        Seq("incr_agg_build_sec" -> bState, "incr_agg_merge_sec" -> sMerge)
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] incr-agg lifecycle split failed: ${e.getMessage}")
         Seq.empty
       }
+
+    // Same split for the maintained inverted index and the staged
+    // postings artifact (each its OWN try, so a failure here never
+    // discards the incr-agg timings already measured above): build =
+    // one-time staging, serve = the amortized per-refresh merge /
+    // per-query pruned lookup.
+    val idxLifecycle: Seq[(String, Double)] =
+      (try {
+        graft.operators.Incremental.clearIndexStateCache()
+        val bIdx = timed(graft.operators.Incremental.stagedIndexState(spark, sfDir))
+        val sIdx = timed(force(SparkEntry.queries("q_incr_inverted")(spark, sfDir)))
+        Seq("incr_idx_build_sec" -> bIdx, "incr_idx_merge_sec" -> sIdx)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] incr-index lifecycle split failed: ${e.getMessage}")
+        Seq.empty
+      }) ++ (try {
+        graft.operators.TextOps.clearPostingsCache()
+        val bPost = timed(graft.operators.TextOps.stagedPostings(spark, sfDir))
+        val sLook = timed(force(SparkEntry.queries("q_index_lookup")(spark, sfDir)))
+        Seq("postings_build_sec" -> bPost, "index_lookup_sec" -> sLook)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] postings lifecycle split failed: ${e.getMessage}")
+        Seq.empty
+      })
 
     // kNN-join quality guard (the q_knn_join_blocked analogue of the
     // ANN recall rows): corpus-wide recall of the IVF-blocked join vs
@@ -336,7 +346,7 @@ object Bench {
     // a tail capture of any length that includes the final line parses.
     // Both lines are also mirrored to bench_last.json in the CWD.
     val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"matrix_rerun_threshold_sec":$RerunThresholdSec,"matrix_rerun_n":$mReruns,"sf":"$sfDir"}"""
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"incr_lifecycle":${obj(incrLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
       try { w.println(matrixLine); w.println(headlineLine) } finally w.close()

@@ -193,13 +193,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] = Map(
-    "q_wordcount" ->
-      """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+')) AS word
-        |      FROM documents)
-        |WHERE length(word) > 0
-        |GROUP BY word
-        |ORDER BY word""".stripMargin,
+    "q_wordcount" -> wordcountOracle,
     "q_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "q_filter" ->
@@ -1514,15 +1508,9 @@ object SparkEntry {
         |  FROM orders
         |) WHERE rn <= 3""".stripMargin,
     // incremental word count ≡ the full flagship word count (counts
-    // are associative) — shares q_wordcount's oracle body; the
+    // are associative) — shares q_wordcount's oracle def; the
     // state/delta split is spec-asserted on the plan
-    "q_incr_wordcount" ->
-      """SELECT word, count(*) AS cnt
-        |FROM (SELECT unnest(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+')) AS word
-        |      FROM documents)
-        |WHERE length(word) > 0
-        |GROUP BY word
-        |ORDER BY word""".stripMargin,
+    "q_incr_wordcount" -> wordcountOracle,
     // incremental rollup ≡ full recompute (BIGINT cent partials are
     // associative), so the oracle is the plain group-by; the merge
     // plan's delta-bounded scans are spec-asserted instead
@@ -2090,6 +2078,17 @@ object SparkEntry {
   /** DuckDB whitespace-run class (single-backslash: DuckDB string
     * literals do not unescape). */
   private val Ws = "[ \\t\\n\\r\\f\\x0B]+"
+
+  /** Flagship word-count oracle, shared by q_wordcount and
+    * q_incr_wordcount (integer counts are associative, so the
+    * maintained count folds to the full count exactly). */
+  private def wordcountOracle: String =
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+')) AS word
+      |      FROM documents)
+      |WHERE length(word) > 0
+      |GROUP BY word
+      |ORDER BY word""".stripMargin
 
   /** Inverted-index oracle, shared by q_inverted_index and
     * q_incr_inverted (the maintained form folds to the one-shot index

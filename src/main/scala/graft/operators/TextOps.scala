@@ -59,12 +59,19 @@ object TextOps {
     wordCount(Tables(spark, dir, "documents"))
 
   def wordCount(docs: DataFrame): DataFrame =
+    wordCountPartials(docs).orderBy("word")
+
+  /** The q_wordcount aggregation body minus the ordering — ONE
+    * definition shared by the flagship count, its incremental form
+    * (Incremental.incrWordCount's state/delta partials), and the CMS
+    * sketch build, so the tokenizer/filter can never drift between
+    * the "bit-for-bit ≡ q_wordcount" claims and q_wordcount itself. */
+  private[graft] def wordCountPartials(docs: DataFrame): DataFrame =
     docs
       .select(explode(tokens(col("text"))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
-      .orderBy("word")
 
   /** B22 q_text_stats: per-language corpus statistics — doc count, token
     * count, vocabulary size, mean doc length, type/token ratio. Two
@@ -781,7 +788,7 @@ object TextOps {
   val LookupTerms: (String, String) = ("scan", "merge")
 
   private val postCache =
-    new scala.collection.concurrent.TrieMap[(String, String), String]()
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Long)]()
 
   def clearPostingsCache(): Unit = postCache.clear()
 
@@ -797,10 +804,20 @@ object TextOps {
     * directories — while the within-bucket (word, doc_id) sort gives
     * parquet row-group min/max stats that skip everything but the
     * probed terms inside a bucket. */
-  private[graft] def stagedPostings(spark: SparkSession, dir: String): String =
+  /** Returns (artifact root, corpus doc count). The count is staged
+    * WITH the artifact (it describes the same corpus version), so
+    * serve-time queries never run a corpus job — [[indexSearch]]'s N
+    * is a memo read, not a count() per call. The explicit sort leads
+    * with `bucket`: the partitioned writer requires [bucket] ordering
+    * and would otherwise insert its OWN per-partition sort (double
+    * work, and the (word, doc_id) layout would rest on that sort's
+    * stability); one bucket-led sort gives the guaranteed layout. */
+  private[graft] def stagedPostings(spark: SparkSession, dir: String): (String, Long) =
     postCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "documents")), {
       val root = graft.Engine.workDir("graft-postings-").getAbsolutePath
-      Tables(spark, dir, "documents")
+      val docs = Tables(spark, dir, "documents")
+      val nDocs = docs.count()
+      docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .where(length(col("word")) > 0)
         .groupBy("word", "doc_id")
@@ -809,9 +826,9 @@ object TextOps {
           graft.functions.Fnv32a.mix32(graft.functions.Fnv32a.fnv32a(col("word")))
             .bitwiseAND(PostingsBuckets - 1).cast("int"))
         .repartition(col("bucket"))
-        .sortWithinPartitions("word", "doc_id")
+        .sortWithinPartitions("bucket", "word", "doc_id")
         .write.partitionBy("bucket").mode("overwrite").parquet(root)
-      root
+      (root, nDocs)
     })
 
   /** The JVM twin of the artifact's bucket expression (term routing is
@@ -835,7 +852,7 @@ object TextOps {
     indexLookup(spark, dir, LookupTerms._1, LookupTerms._2)
 
   def indexLookup(spark: SparkSession, dir: String, t1: String, t2: String): DataFrame = {
-    val root = stagedPostings(spark, dir)
+    val (root, _) = stagedPostings(spark, dir)
     spark.read.parquet(root)
       .where(col("bucket").isin(termBucket(t1), termBucket(t2)) &&
         col("word").isin(t1, t2))
@@ -862,8 +879,7 @@ object TextOps {
 
   def indexSearch(spark: SparkSession, dir: String, t1: String, t2: String,
       k: Int): DataFrame = {
-    val root = stagedPostings(spark, dir)
-    val nDocs = Tables(spark, dir, "documents").count() // driver scalar
+    val (root, nDocs) = stagedPostings(spark, dir) // N staged with the index
     val posts = spark.read.parquet(root)
       .where(col("bucket").isin(termBucket(t1), termBucket(t2)) &&
         col("word").isin(t1, t2))
@@ -935,9 +951,7 @@ object TextOps {
     cmsTopTokens(Tables(spark, dir, "documents"), 20)
 
   def cmsTopTokens(docs: DataFrame, k: Int): DataFrame = {
-    val wc = docs.select(explode(tokens(col("text"))).as("word"))
-      .where(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val wc = wordCountPartials(docs)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("j", "cell")
     cmsCells(wc)
       .withColumn("c", sum("cnt").over(w))
