@@ -83,6 +83,7 @@ object Bench {
       graft.operators.Dedup.clearBandIndexCache()
       graft.operators.Incremental.clearAllStateCaches()
       graft.operators.TextOps.clearPostingsCache()
+      graft.operators.TextOps.clearPostingsAppendCache()
     }
 
     val Runs = 2

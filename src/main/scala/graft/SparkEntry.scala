@@ -83,6 +83,7 @@ object SparkEntry {
     "q_incr_inverted"   -> ((s, d) => Incremental.incrInverted(s, d)),
     "q_index_lookup"    -> ((s, d) => TextOps.indexLookup(s, d)),
     "q_index_search"    -> ((s, d) => TextOps.indexSearch(s, d)),
+    "q_index_append"    -> ((s, d) => TextOps.indexLookupAppended(s, d)),
     "q_group_topk"      -> ((s, d) => Relational.groupTopK(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
@@ -241,22 +242,10 @@ object SparkEntry {
     // conjunctive lookup served from the postings artifact ≡ a direct
     // tokenized filter over the corpus (which is what DuckDB runs —
     // the index is an access path, not a semantics change)
-    "q_index_lookup" -> {
-      val (t1, t2) = graft.operators.TextOps.LookupTerms
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS word
-         |  FROM documents
-         |), c AS (
-         |  SELECT doc_id,
-         |         CAST(sum(CASE WHEN word = '$t1' THEN 1 END) AS BIGINT) AS tf_a,
-         |         CAST(sum(CASE WHEN word = '$t2' THEN 1 END) AS BIGINT) AS tf_b
-         |  FROM t GROUP BY doc_id
-         |)
-         |SELECT doc_id, tf_a, tf_b FROM c
-         |WHERE tf_a IS NOT NULL AND tf_b IS NOT NULL
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q_index_lookup" -> lookupOracle,
+    // the appended artifact holds exactly the full-corpus posting row
+    // set (disjoint doc slices → disjoint exact rows) — shared oracle
+    "q_index_append" -> lookupOracle,
     // ranked OR-retrieval: linear tf·N/df weights (the q_tfidf
     // convention — no libm log), sum over ≤2 per-doc rows is
     // order-independent, top-k under the (score, doc_id) total order
@@ -2089,6 +2078,26 @@ object SparkEntry {
       |WHERE length(word) > 0
       |GROUP BY word
       |ORDER BY word""".stripMargin
+
+  /** Conjunctive-lookup oracle, shared by q_index_lookup and
+    * q_index_append (the appended postings artifact carries exactly
+    * the full-corpus posting rows). */
+  private def lookupOracle: String = {
+    val (t1, t2) = graft.operators.TextOps.LookupTerms
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS word
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN word = '$t1' THEN 1 END) AS BIGINT) AS tf_a,
+       |         CAST(sum(CASE WHEN word = '$t2' THEN 1 END) AS BIGINT) AS tf_b
+       |  FROM t GROUP BY doc_id
+       |)
+       |SELECT doc_id, tf_a, tf_b FROM c
+       |WHERE tf_a IS NOT NULL AND tf_b IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Inverted-index oracle, shared by q_inverted_index and
     * q_incr_inverted (the maintained form folds to the one-shot index

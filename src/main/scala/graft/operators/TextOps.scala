@@ -817,18 +817,55 @@ object TextOps {
       val root = graft.Engine.workDir("graft-postings-").getAbsolutePath
       val docs = Tables(spark, dir, "documents")
       val nDocs = docs.count()
-      docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        .where(length(col("word")) > 0)
-        .groupBy("word", "doc_id")
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("bucket",
-          graft.functions.Fnv32a.mix32(graft.functions.Fnv32a.fnv32a(col("word")))
-            .bitwiseAND(PostingsBuckets - 1).cast("int"))
-        .repartition(col("bucket"))
-        .sortWithinPartitions("bucket", "word", "doc_id")
-        .write.partitionBy("bucket").mode("overwrite").parquet(root)
+      writePostings(docs, root, "overwrite")
       (root, nDocs)
+    })
+
+  /** Bucketed posting rows for a doc slice: (word, doc_id, tf, bucket).
+    * tf is per (word, doc), so disjoint doc slices produce disjoint,
+    * exact posting rows — the property that makes the serving artifact
+    * APPEND-ONLY maintainable ([[stagedAppendedPostings]]). */
+  private def postingRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        graft.functions.Fnv32a.mix32(graft.functions.Fnv32a.fnv32a(col("word")))
+          .bitwiseAND(PostingsBuckets - 1).cast("int"))
+
+  private def writePostings(docs: DataFrame, root: String, mode: String): Unit =
+    postingRows(docs)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "word", "doc_id")
+      .write.partitionBy("bucket").mode(mode).parquet(root)
+
+  private val postAppendCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Long)]()
+
+  def clearPostingsAppendCache(): Unit = postAppendCache.clear()
+
+  /** Postings artifact built as base + APPENDED crawl increment: the
+    * base slice (doc_id < cut) is staged once, then the delta slice is
+    * written with `mode("append")` into the SAME bucket directories —
+    * the increment costs its own tokenization and writes delta-sized
+    * files only; base files are never read or rewritten, and lookups
+    * keep their static bucket pruning (new files land inside the same
+    * partition dirs). Posting rows over disjoint doc slices are
+    * disjoint and exact, so the appended artifact holds exactly the
+    * full-corpus row set — q_index_append shares q_index_lookup's
+    * oracle. (Row-group word-sort pruning holds per file; the delta
+    * files are sorted the same way.) */
+  private[graft] def stagedAppendedPostings(spark: SparkSession, dir: String): (String, Long) =
+    postAppendCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "documents")), {
+      val root = graft.Engine.workDir("graft-postappend-").getAbsolutePath
+      val docs = Tables(spark, dir, "documents")
+      val n = docs.count()
+      val cut = n - math.max(1L, n / 10)
+      writePostings(docs.where(col("doc_id") < cut), root, "overwrite")
+      writePostings(docs.where(col("doc_id") >= cut), root, "append")
+      (root, n)
     })
 
   /** The JVM twin of the artifact's bucket expression (term routing is
@@ -851,8 +888,19 @@ object TextOps {
   def indexLookup(spark: SparkSession, dir: String): DataFrame =
     indexLookup(spark, dir, LookupTerms._1, LookupTerms._2)
 
-  def indexLookup(spark: SparkSession, dir: String, t1: String, t2: String): DataFrame = {
-    val (root, _) = stagedPostings(spark, dir)
+  def indexLookup(spark: SparkSession, dir: String, t1: String, t2: String): DataFrame =
+    lookupFrom(spark, stagedPostings(spark, dir)._1, t1, t2)
+
+  /** q_index_append: the same conjunctive lookup served from the
+    * base+appended artifact — ≡ [[indexLookup]] over the full corpus
+    * (disjoint exact posting rows), shared oracle; the pruned-scan
+    * plan shape is identical (spec'd). */
+  def indexLookupAppended(spark: SparkSession, dir: String): DataFrame =
+    lookupFrom(spark, stagedAppendedPostings(spark, dir)._1,
+      LookupTerms._1, LookupTerms._2)
+
+  private def lookupFrom(spark: SparkSession, root: String,
+      t1: String, t2: String): DataFrame =
     spark.read.parquet(root)
       .where(col("bucket").isin(termBucket(t1), termBucket(t2)) &&
         col("word").isin(t1, t2))
@@ -862,7 +910,6 @@ object TextOps {
         sum(when(col("word") === t2, col("tf"))).as("tf_b"))
       .where(col("tf_a").isNotNull && col("tf_b").isNotNull)
       .orderBy("doc_id")
-  }
 
   /** q_index_search: RANKED disjunctive retrieval from the postings
     * index — top-[[SearchK]] docs for an OR-query scored by the

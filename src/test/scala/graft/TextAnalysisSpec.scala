@@ -459,6 +459,27 @@ class TextAnalysisSpec extends SparkSuiteBase {
       s"top-k must be a TakeOrderedAndProject, not a full sort:\n$plan")
   }
 
+  test("appended postings artifact serves the full-corpus lookup; increment lands as extra files") {
+    val got = TextOps.indexLookupAppended(spark, sf).collect().map(_.toSeq).toSeq
+    val full = TextOps.indexLookup(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got === full, "append-built artifact must hold exactly the full posting rows")
+    val plan = TextOps.indexLookupAppended(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket pruning must survive the append:\n$plan")
+    assert(!plan.contains("documents.parquet"), s"no corpus scan at serve time:\n$plan")
+    // the increment is append-only: probed buckets hold files from BOTH
+    // write batches (base + delta), base files never rewritten
+    val (root, _) = TextOps.stagedAppendedPostings(spark, sf)
+    val (t1, t2) = TextOps.LookupTerms
+    Seq(TextOps.termBucket(t1), TextOps.termBucket(t2)).distinct.foreach { b =>
+      val files = new java.io.File(s"$root/bucket=$b")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length >= 2,
+        s"bucket $b should hold base + appended files, found ${files.length}")
+    }
+  }
+
   test("term bucket routing: driver-side scalar ≡ the artifact's column expression") {
     import spark.implicits._
     val words = ((1 to 200).map(i => s"term$i") ++ Seq("scan", "merge", "naïve-ü"))
