@@ -84,6 +84,7 @@ object SparkEntry {
     "q_index_lookup"    -> ((s, d) => TextOps.indexLookup(s, d)),
     "q_index_search"    -> ((s, d) => TextOps.indexSearch(s, d)),
     "q_index_append"    -> ((s, d) => TextOps.indexLookupAppended(s, d)),
+    "q_incr_topk"       -> ((s, d) => Incremental.incrTopk(s, d)),
     "q_group_topk"      -> ((s, d) => Relational.groupTopK(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
@@ -1487,15 +1488,11 @@ object SparkEntry {
     // aggregated top-N-per-group (the TopKByScore partial-agg form of
     // q_window_rank's question) — oracle keeps the window since DuckDB
     // has no bounded-top-k aggregate; ties break (price DESC, key ASC)
-    "q_group_topk" ->
-      """SELECT month, o_orderkey, o_totalprice, rn FROM (
-        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |         o_orderkey, o_totalprice,
-        |         CAST(row_number() OVER (
-        |           PARTITION BY date_trunc('month', o_orderdate)
-        |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
-        |  FROM orders
-        |) WHERE rn <= 3""".stripMargin,
+    "q_group_topk" -> groupTopkOracle,
+    // maintained ranked state folds to the full-corpus top-k (the
+    // TopKByScore merge is associative) — shared oracle; the
+    // state/delta plan split is spec-asserted
+    "q_incr_topk" -> groupTopkOracle,
     // incremental word count ≡ the full flagship word count (counts
     // are associative) — shares q_wordcount's oracle def; the
     // state/delta split is spec-asserted on the plan
@@ -2078,6 +2075,19 @@ object SparkEntry {
       |WHERE length(word) > 0
       |GROUP BY word
       |ORDER BY word""".stripMargin
+
+  /** Top-k-per-month oracle (window mirror), shared by q_group_topk
+    * and q_incr_topk (the maintained ranked state folds to the
+    * full-corpus top-k — TopKByScore's merge is associative). */
+  private def groupTopkOracle: String =
+    """SELECT month, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         o_orderkey, o_totalprice,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY date_trunc('month', o_orderdate)
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders
+      |) WHERE rn <= 3""".stripMargin
 
   /** Conjunctive-lookup oracle, shared by q_index_lookup and
     * q_index_append (the appended postings artifact carries exactly

@@ -148,6 +148,51 @@ class IncrementalSpec extends SparkSuiteBase {
     assert(got("c") === ((1L, "1005")), "delta-only terms must appear")
   }
 
+  test("incremental top-k ≡ the one-shot ranked aggregate bit-for-bit; delta-bounded plan") {
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(keyed(Incremental.incrTopk(spark, sf))
+      === keyed(graft.operators.Relational.groupTopK(spark, sf)),
+      "folded ranked state must land on the full-corpus top-k")
+    val plan = Incremental.incrTopk(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-topkstate-"),
+      s"expected the persisted ranked state in the plan:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"delta orders scan must push the date predicate:\n$plan")
+    val ordScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordScans === 1,
+      s"expected exactly one (delta) orders scan, found $ordScans:\n$plan")
+  }
+
+  test("seeded random corpora × random cuts: folds ≡ one-shot (wordcount, inverted index)") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 50 + rnd.nextInt(150)
+      val vocab = (1 to (2 + rnd.nextInt(30))).map(i => s"w$i")
+      val docs = (0L until n.toLong).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val cut = 1 + rnd.nextInt(n - 1)
+      val base = docs.where(col("doc_id") < cut)
+      val delta = docs.where(col("doc_id") >= cut)
+      def wcSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(wcSet(TextOps.wordCountPartials(base)
+          .unionByName(TextOps.wordCountPartials(delta))
+          .groupBy("word").agg(sum("cnt").as("cnt")))
+        === wcSet(TextOps.wordCountPartials(docs)),
+        s"wordcount fold diverged at n=$n cut=$cut")
+      val idxFold = TextOps.finishIndex(Incremental.foldIndex(
+        TextOps.indexPartials(base), TextOps.indexPartials(delta)))
+      assert(idxFold.collect().map(_.toSeq).toSeq
+        === TextOps.invertedIndex(docs).collect().map(_.toSeq).toSeq,
+        s"inverted-index fold diverged at n=$n cut=$cut")
+    }
+  }
+
   test("advanced index state serves the full index alone (stage-and-swap update half)") {
     val next = Incremental.advanceIndexState(spark, sf)
     def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
