@@ -841,6 +841,27 @@ object TextOps {
       .sortWithinPartitions("bucket", "word", "doc_id")
       .write.partitionBy("bucket").mode(mode).parquet(root)
 
+  // ---- df-form library surface for the postings index (arbitrary
+  // corpora and paths; the catalog q_index_* rows ride the staged
+  // memoized forms of the same three calls).
+
+  /** Build (or overwrite) a bucketed postings index for `docs`
+    * (doc_id, text) at `path`. */
+  def buildPostingsIndex(docs: DataFrame, path: String): Unit =
+    writePostings(docs, path, "overwrite")
+
+  /** Append an increment's postings into an existing index at `path`
+    * — delta-sized files into the same bucket dirs; callers feed only
+    * NEW doc_ids (disjoint slices keep the row set exact). */
+  def appendPostingsIndex(docs: DataFrame, path: String): Unit =
+    writePostings(docs, path, "append")
+
+  /** Conjunctive lookup against an index built by the two calls
+    * above: (doc_id, tf_a, tf_b) for docs containing both terms. */
+  def lookupPostings(spark: SparkSession, path: String,
+      t1: String, t2: String): DataFrame =
+    lookupFrom(spark, path, t1, t2)
+
   private val postAppendCache =
     new scala.collection.concurrent.TrieMap[(String, String), (String, Long)]()
 

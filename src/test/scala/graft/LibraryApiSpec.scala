@@ -189,4 +189,19 @@ class LibraryApiSpec extends SparkSuiteBase {
     val ann = Similarity.ivfTopK(emb, col("vec_id") < 2, 3).collect()
     assert(ann.nonEmpty)
   }
+
+  test("postings index build/append/lookup on an arbitrary docs DataFrame") {
+    import graft.operators.TextOps
+    val path = new java.io.File(graft.Engine.workDir("libapi-postings-"), "idx").getAbsolutePath
+    TextOps.buildPostingsIndex(userDocs.where(org.apache.spark.sql.functions.col("doc_id") <= 2L), path)
+    TextOps.appendPostingsIndex(userDocs.where(org.apache.spark.sql.functions.col("doc_id") > 2L), path)
+    val hits = TextOps.lookupPostings(spark, path, "the", "fox").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // docs 1 and 2 contain "the" twice and "fox" once; 3/4 lack both
+    assert(hits === Set((1L, 2L, 1L), (2L, 2L, 1L)))
+    // a term only in the APPENDED slice is servable too
+    val sorted = TextOps.lookupPostings(spark, path, "sorting", "tables").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sorted === Set((3L, 1L, 1L)))
+  }
 }
