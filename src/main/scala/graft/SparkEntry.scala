@@ -2080,14 +2080,14 @@ object SparkEntry {
     * and q_incr_topk (the maintained ranked state folds to the
     * full-corpus top-k — TopKByScore's merge is associative). */
   private def groupTopkOracle: String =
-    """SELECT month, o_orderkey, o_totalprice, rn FROM (
-      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-      |         o_orderkey, o_totalprice,
-      |         CAST(row_number() OVER (
-      |           PARTITION BY date_trunc('month', o_orderdate)
-      |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
-      |  FROM orders
-      |) WHERE rn <= 3""".stripMargin
+    s"""SELECT month, o_orderkey, o_totalprice, rn FROM (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       |         o_orderkey, o_totalprice,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY date_trunc('month', o_orderdate)
+       |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+       |  FROM orders
+       |) WHERE rn <= ${graft.operators.Relational.GroupTopkK}""".stripMargin
 
   /** Conjunctive-lookup oracle, shared by q_index_lookup and
     * q_index_append (the appended postings artifact carries exactly

@@ -45,18 +45,25 @@ object Incremental {
 
   def clearAggStateCache(): Unit = stateCache.clear()
 
-  /** Shared staging scaffold for the incremental family: memoize per
-    * (dir, data fingerprint of `table`), allocate a fresh workDir,
-    * run `build(root)` (which writes the state artifact under root
-    * and returns the cut/meta value). One definition instead of a
-    * copy per operator, and every cache registers in [[allCaches]]
-    * so the bench's memo-clear wiring is a single call. */
   private def stage[M](cache: scala.collection.concurrent.TrieMap[(String, String), (String, M)],
       dir: String, table: String, prefix: String)(build: (String) => M): (String, M) =
-    cache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, table)), {
-      val root = graft.Engine.workDir(prefix).getAbsolutePath
-      (root, build(root))
-    })
+    Staging.stage(cache, dir, table, prefix)(build)
+
+  /** The shared event-time cut over orders (max date − [[DeltaDays]]),
+    * one driver row — stagedAggState and stagedTopkState must use the
+    * SAME arrival convention, so it is defined once. */
+  private def ordersCut(spark: SparkSession, dir: String): java.sql.Timestamp = {
+    val maxD = Tables(spark, dir, "orders")
+      .agg(max("o_orderdate")).head().getTimestamp(0) // 1 driver row
+    java.sql.Timestamp.valueOf(maxD.toLocalDateTime.minusDays(DeltaDays.toLong))
+  }
+
+  /** The TopKByScore udaf wiring, shared by the state build and the
+    * fold path so the two cannot drift. */
+  private[graft] def tkUdaf(k: Int) =
+    org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByScore(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
 
   private def allCaches: Seq[scala.collection.concurrent.TrieMap[_, _]] =
     Seq(stateCache, wcCache, idxCache, hllCache, topkCache)
@@ -83,11 +90,8 @@ object Incremental {
     * operators. */
   private[graft] def stagedAggState(spark: SparkSession, dir: String): (String, java.sql.Timestamp) =
     stage(stateCache, dir, "orders", "graft-aggstate-") { root =>
-      val orders = Tables(spark, dir, "orders")
-      val maxD = orders.agg(max("o_orderdate")).head().getTimestamp(0) // 1 driver row
-      val cut = java.sql.Timestamp.valueOf(
-        maxD.toLocalDateTime.minusDays(DeltaDays.toLong))
-      partials(orders.where(col("o_orderdate") < lit(cut)))
+      val cut = ordersCut(spark, dir)
+      partials(Tables(spark, dir, "orders").where(col("o_orderdate") < lit(cut)))
         .write.mode("overwrite").parquet(s"$root/state")
       cut
     }
@@ -253,28 +257,23 @@ object Incremental {
 
   /** Per-month capped top-k partials over `df` — q_group_topk's
     * aggregation body (same aggregator, same k), minus the explode. */
-  private def topkPartials(df: DataFrame, k: Int): DataFrame = {
-    val tk = org.apache.spark.sql.functions.udaf(
-      new graft.functions.TopKByScore(k),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+  private def topkPartials(df: DataFrame, k: Int): DataFrame =
     df.groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
-      .agg(tk(col("o_totalprice"), col("o_orderkey")).as("top"))
-  }
+      .agg(tkUdaf(k)(col("o_totalprice"), col("o_orderkey")).as("top"))
 
   /** Staged top-k state over the base orders slice (same DeltaDays
-    * event-time cut as the rollup state). */
+    * event-time cut as the rollup state — [[ordersCut]]). */
   private[graft] def stagedTopkState(spark: SparkSession, dir: String): (String, java.sql.Timestamp) =
     stage(topkCache, dir, "orders", "graft-topkstate-") { root =>
-      val orders = Tables(spark, dir, "orders")
-      val maxD = orders.agg(max("o_orderdate")).head().getTimestamp(0) // 1 driver row
-      val cut = java.sql.Timestamp.valueOf(
-        maxD.toLocalDateTime.minusDays(DeltaDays.toLong))
-      topkPartials(orders.where(col("o_orderdate") < lit(cut)), TopkK)
+      val cut = ordersCut(spark, dir)
+      topkPartials(Tables(spark, dir, "orders")
+          .where(col("o_orderdate") < lit(cut)), TopkK)
         .write.mode("overwrite").parquet(s"$root/state")
       cut
     }
 
-  val TopkK = 3
+  /** ONE k for the pair — q_group_topk's constant. */
+  def TopkK: Int = Relational.GroupTopkK
 
   /** q_incr_topk: persisted per-month top-k lists folded with the
     * append batch's lists — the fold explodes both sides' ≤ k entries
@@ -285,9 +284,7 @@ object Incremental {
   def incrTopk(spark: SparkSession, dir: String): DataFrame = {
     val (root, cut) = stagedTopkState(spark, dir)
     val delta = Tables(spark, dir, "orders").where(col("o_orderdate") >= lit(cut))
-    val tk = org.apache.spark.sql.functions.udaf(
-      new graft.functions.TopKByScore(TopkK),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val tk = tkUdaf(TopkK)
     spark.read.parquet(s"$root/state")
       .unionByName(topkPartials(delta, TopkK))
       .select(col("month"), explode(col("top")).as("e"))

@@ -984,7 +984,12 @@ object Relational {
     * per map partition — the partial/final shape `max()` has, applied
     * to a ranked list. Ties (equal price) break to the lower order
     * key in both engines, so the result is oracle-hashable. */
-  def groupTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  /** THE k for the q_group_topk / q_incr_topk pair and their shared
+    * window-mirror oracle — one constant, three consumers, so the
+    * bit-for-bit equivalence claim cannot be broken by a lone edit. */
+  val GroupTopkK = 3
+
+  def groupTopK(spark: SparkSession, dir: String, k: Int = GroupTopkK): DataFrame = {
     val tk = udaf(new graft.functions.TopKByScore(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     Tables(spark, dir, "orders")

@@ -813,13 +813,12 @@ object TextOps {
     * work, and the (word, doc_id) layout would rest on that sort's
     * stability); one bucket-led sort gives the guaranteed layout. */
   private[graft] def stagedPostings(spark: SparkSession, dir: String): (String, Long) =
-    postCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "documents")), {
-      val root = graft.Engine.workDir("graft-postings-").getAbsolutePath
+    Staging.stage(postCache, dir, "documents", "graft-postings-") { root =>
       val docs = Tables(spark, dir, "documents")
       val nDocs = docs.count()
       writePostings(docs, root, "overwrite")
-      (root, nDocs)
-    })
+      nDocs
+    }
 
   /** Bucketed posting rows for a doc slice: (word, doc_id, tf, bucket).
     * tf is per (word, doc), so disjoint doc slices produce disjoint,
@@ -879,15 +878,14 @@ object TextOps {
     * oracle. (Row-group word-sort pruning holds per file; the delta
     * files are sorted the same way.) */
   private[graft] def stagedAppendedPostings(spark: SparkSession, dir: String): (String, Long) =
-    postAppendCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "documents")), {
-      val root = graft.Engine.workDir("graft-postappend-").getAbsolutePath
+    Staging.stage(postAppendCache, dir, "documents", "graft-postappend-") { root =>
       val docs = Tables(spark, dir, "documents")
       val n = docs.count()
       val cut = n - math.max(1L, n / 10)
       writePostings(docs.where(col("doc_id") < cut), root, "overwrite")
       writePostings(docs.where(col("doc_id") >= cut), root, "append")
-      (root, n)
-    })
+      n
+    }
 
   /** The JVM twin of the artifact's bucket expression (term routing is
     * a driver-side constant fold — no corpus work to find a bucket). */
