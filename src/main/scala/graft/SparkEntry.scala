@@ -85,6 +85,7 @@ object SparkEntry {
     "q_index_search"    -> ((s, d) => TextOps.indexSearch(s, d)),
     "q_index_append"    -> ((s, d) => TextOps.indexLookupAppended(s, d)),
     "q_incr_topk"       -> ((s, d) => Incremental.incrTopk(s, d)),
+    "q_stream_wordcount" -> ((s, d) => graft.streaming.Streams.streamWordCount(s, d)),
     "q_group_topk"      -> ((s, d) => Relational.groupTopK(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
@@ -1497,6 +1498,10 @@ object SparkEntry {
     // are associative) — shares q_wordcount's oracle def; the
     // state/delta split is spec-asserted on the plan
     "q_incr_wordcount" -> wordcountOracle,
+    // the streamed fold lands on the same count (associative partials,
+    // one fold generation per micro-batch) — third sharer of the
+    // flagship oracle
+    "q_stream_wordcount" -> wordcountOracle,
     // incremental rollup ≡ full recompute (BIGINT cent partials are
     // associative), so the oracle is the plain group-by; the merge
     // plan's delta-bounded scans are spec-asserted instead

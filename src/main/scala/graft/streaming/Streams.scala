@@ -755,4 +755,85 @@ object Streams {
         .select(col("event_id"), col("event_type")))
       .where(col("event_type") =!= Sentinel)
       .select(col("event_id"))
+
+  // ---- streaming fold into the incremental family's state shape: the
+  // KAPPA bridge. q_incr_wordcount maintains the flagship count over a
+  // batch append; this maintains it over a STREAM of document files —
+  // the same fold body (TextOps.wordCountPartials ∪ state, re-summed)
+  // applied per micro-batch.
+
+  private val DocSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private val docFeedCache =
+    new scala.collection.concurrent.TrieMap[(String, String), File]()
+
+  /** Stage the documents table as an id-ordered file feed of
+    * [[NumChunks]] + 2 parquet files (mtime-ordered, one micro-batch
+    * each) — an arriving-crawl shape; no sentinel needed (the fold is
+    * not watermark-gated; processAllAvailable drains the feed). */
+  private def stagedDocFeed(spark: SparkSession, dir: String): File =
+    docFeedCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "documents")), {
+      val docs = Tables(spark, dir, "documents")
+      val n = docs.count()
+      val chunks = NumChunks + 2
+      val per = math.max(1L, (n + chunks - 1) / chunks)
+      val root = Files.createTempDirectory("graft-docfeed-").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => graft.Fs.rmRf(root)))
+      val base = System.currentTimeMillis()
+      (0 until chunks).foreach { i =>
+        val stage = new File(root, s"stage-$i")
+        docs.where(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
+          .repartition(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+        stage.listFiles().filter(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .foreach { part =>
+            val dest = new File(root, f"doc-$i%03d.parquet")
+            Files.move(part.toPath, dest.toPath)
+            dest.setLastModified(base + i * 10000L)
+          }
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
+      root
+    })
+
+  /** q_stream_wordcount: each micro-batch folds its word partials into
+    * the persisted vocabulary state — state_N = fold(state_{N−1},
+    * partials(batch_N)), written to a BATCH-ID-NAMED directory so
+    * foreachBatch's at-least-once redelivery is repaired by overwrite
+    * idempotence (the q_stream_upsert convention). The final state is
+    * the full corpus count exactly (associative integer partials —
+    * shared q_wordcount oracle); per batch the work is |batch|
+    * tokenization + a vocabulary-grain merge, and no corpus-sized
+    * collection ever exists anywhere. */
+  def streamWordCount(spark: SparkSession, dir: String): DataFrame = {
+    val feed = stagedDocFeed(spark, dir)
+    val stateRoot = Files.createTempDirectory("graft-swcstate-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => graft.Fs.rmRf(stateRoot)))
+    val ckpt = new File(stateRoot, "ckpt").getAbsolutePath
+    @volatile var last = -1L
+    val q = spark.readStream.schema(DocSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val cur = graft.operators.TextOps.wordCountPartials(batch.toDF())
+        val prev = new File(stateRoot, s"state-${batchId - 1}")
+        val merged =
+          if (prev.exists())
+            spark.read.parquet(prev.getAbsolutePath).unionByName(cur)
+              .groupBy("word").agg(sum("cnt").as("cnt"))
+          else cur
+        merged.write.mode("overwrite")
+          .parquet(new File(stateRoot, s"state-$batchId").getAbsolutePath)
+        last = math.max(last, batchId)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(new File(stateRoot, s"state-$last").getAbsolutePath)
+      .orderBy("word")
+  }
 }

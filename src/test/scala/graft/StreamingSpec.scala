@@ -565,4 +565,13 @@ class StreamingSpec extends SparkSuiteBase {
     assert(streamed.contains(lastW), s"final window $lastW missing — " +
       "second-stage flush regression (double-sentinel cascade broken)")
   }
+
+  test("streamed word-count fold ≡ the batch flagship count (kappa bridge, multi-batch)") {
+    val streamed = graft.streaming.Streams.streamWordCount(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = graft.operators.TextOps.wordCount(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed === batch,
+      "per-micro-batch state folds must land on the full corpus count")
+  }
 }
