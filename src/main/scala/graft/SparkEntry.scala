@@ -86,6 +86,7 @@ object SparkEntry {
     "q_index_append"    -> ((s, d) => TextOps.indexLookupAppended(s, d)),
     "q_incr_topk"       -> ((s, d) => Incremental.incrTopk(s, d)),
     "q_stream_wordcount" -> ((s, d) => graft.streaming.Streams.streamWordCount(s, d)),
+    "q_zorder_optimize" -> ((s, d) => graft.sources.Sinks.zorderOptimizeRead(s, d)),
     "q_group_topk"      -> ((s, d) => Relational.groupTopK(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
@@ -1263,9 +1264,10 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_masked
         |FROM customer""".stripMargin,
     // read over the Z-ordered staged layout; values must round-trip
-    "q_zorder" ->
-      """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_quantity
-        |FROM lineitem WHERE l_suppkey < 10 AND l_partkey < 200""".stripMargin,
+    "q_zorder" -> zorderOracle,
+    // cluster → raw-append → re-cluster: results equal the plain
+    // filter at every stage (layout is an access path) — shared oracle
+    "q_zorder_optimize" -> zorderOracle,
     // oracle is the exhaustive n² comparison the deletion index avoids;
     // the cap keeps it bounded at every sf
     "q_join_fuzzy" ->
@@ -2080,6 +2082,12 @@ object SparkEntry {
       |WHERE length(word) > 0
       |GROUP BY word
       |ORDER BY word""".stripMargin
+
+  /** Z-order selective-read oracle (the plain filter over the original
+    * layout), shared by q_zorder and q_zorder_optimize. */
+  private def zorderOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey, l_quantity
+      |FROM lineitem WHERE l_suppkey < 10 AND l_partkey < 200""".stripMargin
 
   /** Top-k-per-month oracle (window mirror), shared by q_group_topk
     * and q_incr_topk (the maintained ranked state folds to the

@@ -163,6 +163,42 @@ class SourcesSinksSpec extends SparkSuiteBase {
     assert(zPart < 0.6, s"partkey span fraction $zPart not bounded")
   }
 
+  test("OPTIMIZE cycle: raw append degrades per-file span bounds; re-cluster restores them") {
+    import graft.sources.Sinks
+    // files whose per-file span of `c` covers >90% of the global span —
+    // the files row-group skipping can never skip
+    def fullSpanFiles(dirPath: String, c: String): Int = {
+      val files = new java.io.File(dirPath).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val g = spark.read.parquet(dirPath)
+        .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+      val global = math.max(1.0, g.getDouble(1) - g.getDouble(0))
+      files.count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+        (r.getDouble(1) - r.getDouble(0)) / global > 0.9
+      }
+    }
+    def results(path: String) = spark.read.parquet(path)
+      .where(col("l_suppkey") < 10L && col("l_partkey") < 200L)
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    val reference = graft.sources.Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey", "l_quantity")
+      .where(col("l_suppkey") < 10L && col("l_partkey") < 200L)
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    val path = tmp("graft_zopt_cycle")
+    Sinks.buildAppendedZ(spark, sf, path)
+    assert(results(path) === reference, "correctness must survive the raw append")
+    val preFull = fullSpanFiles(path, "l_partkey")
+    assert(preFull >= 1,
+      s"the raw delta file(s) should span ~the whole partkey domain, found $preFull")
+    Sinks.optimizeZOrdered(spark, path, "l_suppkey", "l_partkey", 16)
+    assert(results(path) === reference, "correctness must survive the re-cluster")
+    val postFull = fullSpanFiles(path, "l_partkey")
+    assert(postFull < preFull,
+      s"re-clustering must shrink the unskippable file set: $preFull -> $postFull")
+  }
+
   test("q_partition_prune: declared query equals direct filter, prunes at listing") {
     import graft.sources.Sinks
     val got = Sinks.partitionPruned(spark, sf, month = "1995-03")
