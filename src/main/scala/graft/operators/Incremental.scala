@@ -45,10 +45,6 @@ object Incremental {
 
   def clearAggStateCache(): Unit = stateCache.clear()
 
-  private def stage[M](cache: scala.collection.concurrent.TrieMap[(String, String), (String, M)],
-      dir: String, table: String, prefix: String)(build: (String) => M): (String, M) =
-    Staging.stage(cache, dir, table, prefix)(build)
-
   /** The shared event-time cut over orders (max date − [[DeltaDays]]),
     * one driver row — stagedAggState and stagedTopkState must use the
     * SAME arrival convention, so it is defined once. */
@@ -89,7 +85,7 @@ object Incremental {
     * exactly the index-staging contract of the other incremental
     * operators. */
   private[graft] def stagedAggState(spark: SparkSession, dir: String): (String, java.sql.Timestamp) =
-    stage(stateCache, dir, "orders", "graft-aggstate-") { root =>
+    Staging.stage(stateCache, dir, "orders", "graft-aggstate-") { root =>
       val cut = ordersCut(spark, dir)
       partials(Tables(spark, dir, "orders").where(col("o_orderdate") < lit(cut)))
         .write.mode("overwrite").parquet(s"$root/state")
@@ -149,7 +145,7 @@ object Incremental {
   /** Staged word-count state over the base docs (doc_id < cut),
     * memoized per (dir, data fingerprint); returns (root, cut). */
   private[graft] def stagedWordState(spark: SparkSession, dir: String): (String, Long) =
-    stage(wcCache, dir, "documents", "graft-wcstate-") { root =>
+    Staging.stage(wcCache, dir, "documents", "graft-wcstate-") { root =>
       val docs = Tables(spark, dir, "documents")
       val n = docs.count()
       val cut = n - math.max(1L, n / 10)
@@ -191,7 +187,7 @@ object Incremental {
   /** Staged per-term index partials over the base docs (doc_id < cut),
     * memoized per (dir, data fingerprint); returns (root, cut). */
   private[graft] def stagedIndexState(spark: SparkSession, dir: String): (String, Long) =
-    stage(idxCache, dir, "documents", "graft-idxstate-") { root =>
+    Staging.stage(idxCache, dir, "documents", "graft-idxstate-") { root =>
       val docs = Tables(spark, dir, "documents")
       val n = docs.count()
       val cut = n - math.max(1L, n / 10)
@@ -264,7 +260,7 @@ object Incremental {
   /** Staged top-k state over the base orders slice (same DeltaDays
     * event-time cut as the rollup state — [[ordersCut]]). */
   private[graft] def stagedTopkState(spark: SparkSession, dir: String): (String, java.sql.Timestamp) =
-    stage(topkCache, dir, "orders", "graft-topkstate-") { root =>
+    Staging.stage(topkCache, dir, "orders", "graft-topkstate-") { root =>
       val cut = ordersCut(spark, dir)
       topkPartials(Tables(spark, dir, "orders")
           .where(col("o_orderdate") < lit(cut)), TopkK)
@@ -317,7 +313,7 @@ object Incremental {
     * incrementals, expressed on the lineitem fact), memoized per
     * (dir, data fingerprint); returns (root, cut). */
   private[graft] def stagedHllState(spark: SparkSession, dir: String): (String, Long) =
-    stage(hllCache, dir, "lineitem", "graft-hllstate-") { root =>
+    Staging.stage(hllCache, dir, "lineitem", "graft-hllstate-") { root =>
       val li = Tables(spark, dir, "lineitem")
       val maxKey = li.agg(max("l_orderkey")).head().getLong(0) // 1 driver row
       val cut = maxKey - math.max(1L, maxKey / 10)

@@ -90,17 +90,7 @@ object Streams {
       val base = System.currentTimeMillis()
       var seq = 0
       def writeOne(df: DataFrame): Unit = {
-        val stage = new File(root, s"stage-$seq")
-        df.repartition(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-        stage.listFiles().filter(f =>
-          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .foreach { part =>
-            val dest = new File(root, f"ev-$seq%03d.parquet")
-            Files.move(part.toPath, dest.toPath)
-            // strictly increasing, far enough apart for coarse mtime fs
-            dest.setLastModified(base + seq * 10000L)
-          }
-        stage.listFiles().foreach(_.delete()); stage.delete()
+        writeFeedChunk(df, root, f"ev-$seq%03d", base + seq * 10000L)
         seq += 1
       }
       writeOne(ev.where(col("ts") <= lit(new java.sql.Timestamp(midMs))))
@@ -767,6 +757,24 @@ object Streams {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** ONE definition of the feed-file convention (single part file per
+    * chunk, %03d-ordered names, strictly-increasing mtimes spaced for
+    * coarse-mtime filesystems — FileStreamSource processes in mtime
+    * order), shared by the events feed and the documents feed. */
+  private def writeFeedChunk(df: DataFrame, root: File, name: String,
+      mtime: Long): Unit = {
+    val stage = new File(root, s"stage-$name")
+    df.repartition(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+    stage.listFiles().filter(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .foreach { part =>
+        val dest = new File(root, s"$name.parquet")
+        Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(mtime)
+      }
+    stage.listFiles().foreach(_.delete()); stage.delete()
+  }
+
   private val docFeedCache =
     new scala.collection.concurrent.TrieMap[(String, String), File]()
 
@@ -784,17 +792,9 @@ object Streams {
       Runtime.getRuntime.addShutdownHook(new Thread(() => graft.Fs.rmRf(root)))
       val base = System.currentTimeMillis()
       (0 until chunks).foreach { i =>
-        val stage = new File(root, s"stage-$i")
-        docs.where(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
-          .repartition(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-        stage.listFiles().filter(f =>
-          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .foreach { part =>
-            val dest = new File(root, f"doc-$i%03d.parquet")
-            Files.move(part.toPath, dest.toPath)
-            dest.setLastModified(base + i * 10000L)
-          }
-        stage.listFiles().foreach(_.delete()); stage.delete()
+        writeFeedChunk(
+          docs.where(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per),
+          root, f"doc-$i%03d", base + i * 10000L)
       }
       root
     })
@@ -833,7 +833,15 @@ object Streams {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(new File(stateRoot, s"state-$last").getAbsolutePath)
-      .orderBy("word")
+    if (last < 0)
+      // zero micro-batches (empty corpus): empty result WITH schema,
+      // the same contract as the event-feed queries' sentinel rule
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("word", StringType),
+          StructField("cnt", LongType))))
+    else
+      spark.read.parquet(new File(stateRoot, s"state-$last").getAbsolutePath)
+        .orderBy("word")
   }
 }

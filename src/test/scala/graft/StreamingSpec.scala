@@ -574,4 +574,16 @@ class StreamingSpec extends SparkSuiteBase {
     assert(streamed === batch,
       "per-micro-batch state folds must land on the full corpus count")
   }
+
+  test("streamed word-count on an empty corpus: empty result WITH schema, no crash") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptycorpus-")
+      .toFile.getAbsolutePath
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.streaming.Streams.streamWordCount(spark, dir)
+    assert(out.columns.toSeq === Seq("word", "cnt"))
+    assert(out.count() === 0)
+  }
 }
