@@ -152,6 +152,8 @@ object SparkEntry {
     "q_mad"             -> ((s, d) => Relational.madOutliers(s, d)),
     "q_group_quantiles" -> ((s, d) => Relational.groupQuantiles(s, d)),
     "q_pagerank"        -> ((s, d) => Graphs.pageRank(s, d)),
+    "q_bfs"             -> ((s, d) => Graphs.bfsDistances(s, d)),
+    "q_basket_pairs"    -> ((s, d) => Graphs.basketPairs(s, d)),
     "q_stream_enrich"   -> ((s, d) => graft.streaming.Streams.enrich(s, d)),
     "q_scd2"            -> ((s, d) => Relational.scd2(s, d)),
     "q_topk_sketch"     -> ((s, d) => TextOps.approxTopTokens(s, d)),
@@ -1341,6 +1343,30 @@ object SparkEntry {
     // iterations as chained CTEs; floor divisions and integer sums are
     // reassociation-proof, so ranks are bit-exact across engines
     "q_pagerank" -> pageRankOracle(5),
+    // level-synchronous multi-source BFS unrolled as chained frontier
+    // CTEs (the pageRank pattern); hop labels are exact integers
+    "q_bfs" -> bfsOracle(4),
+    // market-basket pair mining: integer counts + micro-unit lift
+    // (floor div) — every column exact, support filter mirrors
+    // Graphs.BasketMinSupport
+    "q_basket_pairs" ->
+      s"""WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+        |ic AS (SELECT item, count(*) AS c FROM b GROUP BY item),
+        |pr AS (
+        |  SELECT a.item AS item_a, bb.item AS item_b,
+        |         CAST(count(*) AS BIGINT) AS support
+        |  FROM b a JOIN b bb ON a.basket = bb.basket AND a.item < bb.item
+        |  GROUP BY 1, 2 HAVING count(*) >= ${Graphs.BasketMinSupport}
+        |)
+        |SELECT pr.item_a, pr.item_b, pr.support,
+        |  CAST((pr.support * nb.n_baskets * ${Graphs.LiftMicro})
+        |       // (ia.c * ib.c) AS BIGINT) AS lift_micro
+        |FROM pr
+        |JOIN ic ia ON pr.item_a = ia.item
+        |JOIN ic ib ON pr.item_b = ib.item
+        |CROSS JOIN nb""".stripMargin,
     // grouped exact quartiles: rank ceil(p*n/100) under (x, id) — p·n/100
     // is a dyadic rational (n/4, n/2, 3n/4), so the double ceil is exact
     "q_group_quantiles" ->
@@ -2271,6 +2297,38 @@ object SparkEntry {
          |)""".stripMargin
     }
     head + ",\n" + its.mkString(",\n") + s"\nSELECT node, r FROM r$iters"
+  }
+
+  /** Oracle for q_bfs: the fixed-round level-synchronous BFS unrolled
+    * as chained CTEs (frontier fᵢ = distinct neighbors of fᵢ₋₁ minus
+    * visited vᵢ₋₁; vᵢ = vᵢ₋₁ ∪ fᵢ at dist i) — same node encoding and
+    * seed definition as `Graphs.bfsDistances`. Hop labels are integers,
+    * so the result is bit-exact with no ordering contract. */
+  private def bfsOracle(maxHops: Int): String = {
+    val head =
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+        |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT CAST(l_suppkey * 2 + 1 AS BIGINT),
+        |         CAST(l_partkey * 2 AS BIGINT) FROM lineitem
+        |), f0 AS (
+        |  SELECT DISTINCT CAST(s_suppkey * 2 + 1 AS BIGINT) AS node
+        |  FROM supplier
+        |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)
+        |), v0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM f0)""".stripMargin
+    val its = (1 to maxHops).map { i =>
+      s"""f$i AS (
+         |  SELECT n.node FROM (
+         |    SELECT DISTINCT e.dst AS node
+         |    FROM e JOIN f${i - 1} ON e.src = f${i - 1}.node) n
+         |  WHERE n.node NOT IN (SELECT node FROM v${i - 1})
+         |), v$i AS (
+         |  SELECT * FROM v${i - 1}
+         |  UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i
+         |)""".stripMargin
+    }
+    head + ",\n" + its.mkString(",\n") + s"\nSELECT node, dist FROM v$maxHops"
   }
 
   /** Oracle for q_kmeans: `Clustering.fitFixed`'s micro-unit integer

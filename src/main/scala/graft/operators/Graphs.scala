@@ -176,4 +176,114 @@ object Graphs {
         (lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double"))
           .as("clustering"))
   }
+
+  /** q_bfs: multi-source breadth-first distances — the hop distance
+    * from a trusted SEED SET to every reachable node, the classic
+    * "distance to seeds" labeling (TrustRank's seed propagation,
+    * Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004, uses exactly this
+    * frontier structure before damping). Seeds here: the suppliers of
+    * the lowest-keyed nation; graph: the part↔supplier bipartite graph
+    * (pageRank's node encoding — part·2, supplier·2+1).
+    *
+    * Level-synchronous BFS, the Pregel formulation: each round joins
+    * the FRONTIER (not the whole visited set) against the edge list,
+    * dedups the neighbor set, and anti-joins visited — so round cost is
+    * |frontier|·avg-degree + one shuffle each for the distinct and the
+    * anti-join, never |V|·|E|. A FIXED round count (like pageRank's
+    * fixed iterations) keeps the plan static and driver state at zero;
+    * an empty frontier makes remaining rounds no-op unions. Hop counts
+    * are exact integers → bit-identical across engines, so the DuckDB
+    * oracle replays the loop as chained CTEs. Unreached nodes are
+    * absent from the output (no sentinel row), matching the seeds'
+    * reachable-set semantics. */
+  def bfsDistances(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val fwd = li.select((col("l_partkey") * 2).cast("long").as("src"),
+      (col("l_suppkey") * 2 + 1).cast("long").as("dst")).distinct()
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val sup = Tables(spark, dir, "supplier")
+    // scalar-subquery form of "suppliers of the min nation": a 1-row
+    // aggregate broadcast against the dim table — no driver round-trip
+    val minNation = sup.agg(min(col("s_nationkey")).as("mn"))
+    val seeds = sup.join(broadcast(minNation), col("s_nationkey") === col("mn"))
+      .select((col("s_suppkey") * 2 + 1).cast("long").as("node"))
+    bfsDistances(edges, seeds, 4)
+  }
+
+  /** df form: expects (src: Long, dst: Long) directed edges (feed both
+    * directions for an undirected graph) and a (node: Long) seed set.
+    * Runs exactly `maxHops` rounds; nodes further than that are not
+    * emitted (cap the horizon explicitly — on a 100 TB graph an
+    * unbounded BFS is a latent full-transitive-closure). */
+  def bfsDistances(edgesIn: DataFrame, seedsIn: DataFrame, maxHops: Int): DataFrame = {
+    val e = graft.Engine.cut(edgesIn)
+    var visited = graft.Engine.cut(
+      seedsIn.select(col("node")).distinct().withColumn("dist", lit(0L)))
+    var frontier = visited.select("node")
+    for (hop <- 1 to maxHops) {
+      // frontier-sized join; distinct BEFORE the anti-join so the
+      // visited probe sees each candidate once, not once per in-edge
+      val fresh = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+        .transform(graft.Engine.cut(_)) // reused twice: union + next frontier
+      visited = graft.Engine.cut(visited.unionAll(fresh))
+      frontier = fresh.select("node")
+    }
+    visited
+  }
+
+  /** q_basket_pairs minimum pair support (chosen so every SF keeps a
+    * few thousand qualifying pairs — see the DF stats in the Scaladoc). */
+  val BasketMinSupport = 2L
+
+  /** Lift micro-unit scale: lift 1.0 (independence) = 10⁶. */
+  val LiftMicro = 1000000L
+
+  /** q_basket_pairs: market-basket pair mining — co-purchased part
+    * pairs with support ≥ [[BasketMinSupport]], scored by LIFT
+    * (P(ab)/(P(a)·P(b)), Agrawal & Srikant's association-rule measure,
+    * VLDB 1994, at itemset size 2 — the level the Apriori lattice
+    * prunes everything else against). This is the sibling of q_pmi
+    * (same independence-ratio shape, baskets instead of bigrams) and
+    * feeds the same "what belongs together" questions as q_knn_graph.
+    *
+    * Shape at scale: the pair expansion is per-basket C(k,2) with k
+    * bounded by basket size (≤7 lines in TPC-H; cap or sample heavy
+    * baskets upstream for unbounded containers), then one shuffle on
+    * the pair key with partial/final counts; the support filter prunes
+    * BEFORE the item-count joins, so the singleton-lattice join touches
+    * only surviving pairs. Lift is computed in integer micro-units with
+    * `div` (exact, reassociation-proof, oracle-replayable); overflow
+    * bound: support·n_baskets·10⁶ < 2⁶³ → safe to ~9·10¹² basket-pair
+    * volume, far past any per-partition reality — shard the lift scale
+    * down for corpora beyond that. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    basketPairs(li.select(col("l_orderkey").as("basket"),
+      col("l_partkey").as("item")), BasketMinSupport)
+  }
+
+  /** df form: (basket, item) rows, any duplicates tolerated (presence
+    * semantics — a basket holds an item once no matter how many rows). */
+  def basketPairs(basketsIn: DataFrame, minSupport: Long): DataFrame = {
+    // materialized once: feeds the self-join (twice), the item counts,
+    // and the basket count — four consumers of one distinct
+    val b = graft.Engine.cut(basketsIn.select("basket", "item").distinct())
+    val nBaskets = b.select("basket").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = b.groupBy("item").agg(count(lit(1)).as("c"))
+    val pairs = b.select(col("basket"), col("item").as("item_a"))
+      .join(b.select(col("basket"), col("item").as("item_b")), "basket")
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+      .where(col("support") >= lit(minSupport))
+    pairs
+      .join(itemCnt.select(col("item").as("item_a"), col("c").as("ca")), "item_a")
+      .join(itemCnt.select(col("item").as("item_b"), col("c").as("cb")), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("support"),
+        expr(s"(support * n_baskets * $LiftMicro) div (ca * cb)").as("lift_micro"))
+  }
 }
