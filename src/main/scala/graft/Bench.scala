@@ -193,9 +193,16 @@ object Bench {
         graft.operators.Clustering.clearFitCache()
         val bIvfpq = timed(graft.operators.Similarity.ivfpqModel(spark, sfDir))
         val sIvfpq = timed(force(SparkEntry.queries("q_simsearch_ivfpq")(spark, sfDir)))
+        // staged codes index rides the warm model: build bills the
+        // one-time encode+partitioned-write, search the pruned serve
+        // path (the per-query-batch cost a deployment actually pays)
+        val bIvfpqIdx = timed(graft.operators.Similarity.stagedIvfpqIndex(spark, sfDir))
+        val sIvfpqIdx = timed(force(SparkEntry.queries("q_simsearch_ivfpq_indexed")(spark, sfDir)))
         Seq("pq_build_sec" -> bPq, "pq_search_sec" -> sPq,
           "pq_index_build_sec" -> bPqIdx, "pq_index_search_sec" -> sPqIdx,
-          "ivfpq_build_sec" -> bIvfpq, "ivfpq_search_sec" -> sIvfpq) ++
+          "ivfpq_build_sec" -> bIvfpq, "ivfpq_search_sec" -> sIvfpq,
+          "ivfpq_index_build_sec" -> bIvfpqIdx,
+          "ivfpq_index_search_sec" -> sIvfpqIdx) ++
           recall("q_simsearch_pq") ++ recall("q_simsearch_ivfpq") ++
           recall("q_simsearch_sq")
       } catch { case NonFatal(e) =>

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_simsearch_ivf"   -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_simsearch_pq"    -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_simsearch_ivfpq" -> ((s, d) => Similarity.ivfpqTopK(s, d)),
+    "q_simsearch_ivfpq_indexed" -> ((s, d) => Similarity.ivfpqTopKIndexed(s, d)),
     "q_simsearch_pq_indexed" -> ((s, d) => Similarity.pqTopKIndexed(s, d)),
     "q_simsearch_sq"    -> ((s, d) => Similarity.sqTopK(s, d)),
     "q_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
@@ -1443,6 +1444,10 @@ object SparkEntry {
     // round-trips exactly) — shared oracle, also spec-asserted
     "q_simsearch_pq_indexed" -> pqOracle(operators.Similarity.PqIters),
     "q_simsearch_ivfpq" ->
+      ivfpqOracle(operators.Clustering.Iters, operators.Similarity.PqIters),
+    // staged ≡ live identity again (same model memo ⇒ same codes; cid
+    // partition pruning changes WHAT IS READ, not what is computed)
+    "q_simsearch_ivfpq_indexed" ->
       ivfpqOracle(operators.Clustering.Iters, operators.Similarity.PqIters),
     // SQ8 replayed exactly: per-dim min/max "model", affine 8-bit
     // codes, integer decode, d2 shortlist, exact-cosine re-rank —

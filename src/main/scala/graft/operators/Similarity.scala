@@ -260,6 +260,7 @@ object Similarity {
     * file listing would hit FileNotFoundException on evaluation. */
   def clearIndexCache(): Unit = {
     indexCache.clear(); appendCache.clear(); pqIndexCache.clear()
+    ivfpqIndexCache.clear()
   }
 
   /** Drop the memoized PQ / IVFPQ models (codebooks + centroids) —
@@ -675,6 +676,69 @@ object Similarity {
       .withColumn("rq", expr("zip_with(eq, cent, (a, b) -> a - b)"))
       .select(col("vec_id").as("qid"), col("cid").as("probe"),
         pqLutCol(books, "rq").as("lut"))
+    val scored = broadcast(q).join(enc,
+        col("probe") === col("cid") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), pqAdcCol(books).as("pqd2"))
+    pqRerank(v, scored, k)
+  }
+
+  private val ivfpqIndexCache = new scala.collection.concurrent.TrieMap[
+    (String, String), (String, Array[Array[Long]], Array[Array[Array[Long]]])]()
+
+  /** Staged IVFPQ index: the corpus encoded ONCE as (vec_id, codes)
+    * rows laid out in `cid=…` partition directories — the artifact a
+    * real deployment serves from (FAISS's IndexIVFPQ on disk). The
+    * live [[ivfpqTopK]] recomputes the residual + codes of EVERY
+    * corpus vector per search (a full-corpus scan × K distance kernels
+    * × M code argmins — at 100 TB that is the dominant cost, paid per
+    * query batch); staging pays it once per corpus version, and the
+    * partition layout turns "probe a list" into a pruned directory
+    * read, so a search touches ≈ nProbe/K of the CODES (8 small ints
+    * per vector), full vectors only for the query batch + shortlist.
+    * Centroids and codebooks are stored beside the path so a later
+    * model-memo clear cannot desync codes from the model. */
+  private[graft] def stagedIvfpqIndex(spark: SparkSession, dir: String): (String, Array[Array[Long]], Array[Array[Array[Long]]]) =
+    ivfpqIndexCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
+      val (cents, books) = ivfpqModel(spark, dir)
+      val enc = residuals(vecsQ(spark, dir), centsDf(spark, cents), cents)
+        .select(col("vec_id"), col("cid"), pqCodesCol(books, "rq").as("codes"))
+      val root = new java.io.File(stableRoot(dir), "ivfpq_index")
+      graft.sources.Sinks.writePartitioned(
+        enc, root.getAbsolutePath, Seq("cid"), Seq("vec_id"))
+      (root.getAbsolutePath, cents, books)
+    })
+
+  /** q_simsearch_ivfpq_indexed: IVFPQ search served from the persisted
+    * codes index — the [[ivfTopKIndexed]] partition-pruning story
+    * composed with PQ compression. The probed cids are inlined as a
+    * static `cid IN (…)` predicate (bounded driver state: ≤ nQueries ×
+    * nProbe ints), so the scan's PartitionFilters prune the directory
+    * listing to the probed lists and NO residual-encode stage touches
+    * the corpus at search time. Same memoized model as the live form
+    * (same centroids ⇒ same codes ⇒ same integer ADC ranks; parquet
+    * round-trips ints exactly) ⇒ results are bit-identical to
+    * [[ivfpqTopK]] — spec-asserted, and the DuckDB oracle is shared
+    * verbatim with q_simsearch_ivfpq. */
+  def ivfpqTopKIndexed(spark: SparkSession, dir: String, k: Int = 10,
+                       nProbe: Int = 0): DataFrame = {
+    val (path, cents, books) = stagedIvfpqIndex(spark, dir)
+    val probes = if (nProbe > 0) nProbe else ivfNProbe(cents.length)
+    val v = vecsQ(spark, dir)
+    val cdf = centsDf(spark, cents)
+    // query batch: probe lists + one residual LUT per probed list —
+    // derived from the pushed-filter vec_id < 10 read alone
+    val q = v.where(QueryVecs)
+      .withColumn("ds", array_sort(array(distStructsQ(cents): _*)))
+      .withColumn("cid", explode(expr(s"transform(slice(ds, 1, $probes), s -> s.cid)")))
+      .drop("ds")
+      .join(broadcast(cdf), "cid")
+      .withColumn("rq", expr("zip_with(eq, cent, (a, b) -> a - b)"))
+      .select(col("vec_id").as("qid"), col("cid").as("probe"),
+        pqLutCol(books, "rq").as("lut"))
+    val probeCids = q.select(col("probe")).distinct().collect()
+      .map(_.getInt(0).asInstanceOf[AnyRef])
+    val enc = spark.read.parquet(path)
+      .where(col("cid").isin(probeCids: _*)) // static PartitionFilters
     val scored = broadcast(q).join(enc,
         col("probe") === col("cid") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), pqAdcCol(books).as("pqd2"))

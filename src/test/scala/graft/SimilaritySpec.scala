@@ -189,6 +189,32 @@ class SimilaritySpec extends SparkSuiteBase {
     books.foreach(b => assert(b.length <= Similarity.PqK && b.nonEmpty))
   }
 
+  test("staged IVFPQ index: search ≡ live IVFPQ; probed lists partition-pruned; no per-search corpus encode") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(3))
+    val live = Similarity.ivfpqTopK(spark, sf).collect().map(key).toSet
+    val idx = Similarity.ivfpqTopKIndexed(spark, sf)
+    assert(idx.collect().map(key).toSet === live,
+      "indexed IVFPQ search must be bit-identical to the live search")
+    val plan = idx.queryExecution.executedPlan.toString
+    // the ADC side reads the persisted codes table, pruned to probed cids
+    assert(plan.contains("ivfpq_index"),
+      s"expected the staged codes scan in:\n$plan")
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"codes scan not partition-pruned:\n$plan")
+    // the live form's per-search full-corpus residual-encode stage must
+    // be GONE: of the raw embeddings scans that remain, only the
+    // shortlist re-rank reads without the query-batch pushdown
+    // dedupe by the FileScan suffix: one logical scan can print at
+    // several tree positions (exchange reuse), but it scans once
+    val rawScans = plan.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("embeddings.parquet"))
+      .map(l => l.substring(l.indexOf("FileScan"))).toSeq.distinct
+    val unfiltered = rawScans.filterNot(l => l.contains("vec_id") && l.contains("< 10"))
+    assert(unfiltered.size <= 1,
+      s"per-search corpus encode still present (${unfiltered.size} unfiltered raw scans):\n$plan")
+  }
+
   test("IVF recall holds at a SECOND corpus size with derived parameters") {
     val big = "/root/testdata/sf0.1"
     val kSmall = Similarity.ivfK(Similarity.corpusSize(spark, sf))
