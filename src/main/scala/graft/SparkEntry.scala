@@ -55,6 +55,8 @@ object SparkEntry {
     "q_quality_score"   -> ((s, d) => TextOps.qualityScore(s, d)),
     "q_token_count"     -> ((s, d) => TextOps.tokenCounts(s, d)),
     "q_fingerprint"     -> ((s, d) => TextOps.fingerprint(s, d)),
+    "q_winnow"          -> ((s, d) => TextOps.winnow(s, d)),
+    "q_winnow_dups"     -> ((s, d) => TextOps.winnowDups(s, d)),
     "q_dedup_exact"     -> ((s, d) => Dedup.exactGroups(s, d)),
     "q_dedup_ngram"     -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -84,6 +86,7 @@ object SparkEntry {
     "q_incr_inverted"   -> ((s, d) => Incremental.incrInverted(s, d)),
     "q_index_lookup"    -> ((s, d) => TextOps.indexLookup(s, d)),
     "q_index_search"    -> ((s, d) => TextOps.indexSearch(s, d)),
+    "q_bm25"            -> ((s, d) => TextOps.bm25(s, d)),
     "q_index_append"    -> ((s, d) => TextOps.indexLookupAppended(s, d)),
     "q_incr_topk"       -> ((s, d) => Incremental.incrTopk(s, d)),
     "q_stream_wordcount" -> ((s, d) => graft.streaming.Streams.streamWordCount(s, d)),
@@ -273,6 +276,35 @@ object SparkEntry {
          |)
          |SELECT doc_id, sum(weight) AS score, CAST(count(*) AS BIGINT) AS terms_hit
          |FROM wts GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+    },
+    // BM25 replayed exactly: same tokenization, df/dl/N/T from the
+    // corpus, the single integer division per (doc, term) — `//` ≡
+    // Spark's div on the non-negative operands
+    "q_bm25" -> {
+      val (t1, t2) = graft.operators.TextOps.LookupTerms
+      val k = graft.operators.TextOps.SearchK
+      val sc = graft.operators.TextOps.Bm25Scale
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS word
+         |  FROM documents
+         |), dl AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id
+         |), par AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM t) AS tt
+         |), d AS (
+         |  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t
+         |  WHERE word IN ('$t1', '$t2') GROUP BY 1, 2
+         |), sc AS (
+         |  SELECT d.doc_id,
+         |    CAST(($sc * (2 * n - 2 * (count(*) OVER (PARTITION BY word)) + 1) * 22 * tf * tt) //
+         |      ((2 * (count(*) OVER (PARTITION BY word)) + 1) * (10 * tt * tf + 3 * tt + 9 * dl.dl * n)) AS BIGINT) AS s
+         |  FROM d JOIN dl ON d.doc_id = dl.doc_id, par
+         |)
+         |SELECT doc_id, CAST(sum(s) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS terms_hit
+         |FROM sc GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
     },
     // Count-Min sketch: the whole build (FNV+avalanche row-seeded
@@ -567,6 +599,31 @@ object SparkEntry {
         |  ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
         |         (a, x) -> (a * 31 + x) % 1000000007) END AS win_fp
         |FROM c""".stripMargin,
+    // winnowing selection replayed exactly: per-position gram hashes
+    // (the q_fingerprint fold), per-window rightmost-min via
+    // list_position over the reversed slice, the same pos·2³⁰+fp
+    // encoding decoded back to (pos, fp) — integer throughout
+    "q_winnow" ->
+      s"""$winnowSelCte
+         |SELECT doc_id, CAST(u.enc // ${functions.WinnowFp.Enc} AS BIGINT) AS pos,
+         |       CAST(u.enc % ${functions.WinnowFp.Enc} AS BIGINT) AS fp
+         |FROM sel, unnest(encs) AS u(enc)""".stripMargin,
+    "q_winnow_dups" ->
+      s"""$winnowSelCte, fd AS (
+         |  SELECT DISTINCT doc_id, u.enc % ${functions.WinnowFp.Enc} AS fp,
+         |         substr(t, CAST(u.enc // ${functions.WinnowFp.Enc} AS INTEGER), ${functions.WinnowFp.K}) AS gram
+         |  FROM sel, unnest(encs) AS u(enc)
+         |), rare AS (
+         |  SELECT fp, gram FROM fd GROUP BY fp, gram
+         |  HAVING count(*) <= ${operators.TextOps.WinnowMaxDf}
+         |), fdr AS (
+         |  SELECT fd.* FROM fd JOIN rare USING (fp, gram)
+         |)
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |       CAST(count(DISTINCT a.gram) AS BIGINT) AS shared_grams
+         |FROM fdr a JOIN fdr b
+         |  ON a.fp = b.fp AND a.gram = b.gram AND a.doc_id < b.doc_id
+         |GROUP BY da, db""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT md5(regexp_replace(trim(lower(text)), '$Ws', ' ', 'g')) AS h,
          |       min(doc_id) AS keep_id, count(*) AS copies
@@ -1479,7 +1536,8 @@ object SparkEntry {
          |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= ${operators.Similarity.KnnK}""".stripMargin,
     "q_knn_join_blocked" ->
       ivfOracle(operators.Clustering.Iters, base = false, allQ = true,
-        k = operators.Similarity.KnnK),
+        k = operators.Similarity.KnnK,
+        probeFraction = operators.Similarity.KnnJoinProbeFraction),
     // mutual-kNN communities: the knn chain → mutuality filter →
     // the ccOracle recursive closure, singletons self-labeled
     "q_knn_graph" ->
@@ -2590,6 +2648,49 @@ object SparkEntry {
          |       coalesce(e.token_ids, '') AS token_ids
          |FROM documents d LEFT JOIN encd e USING (doc_id)""".stripMargin
 
+  /** Shared winnow-selection CTEs (q_winnow / q_winnow_dups —
+    * `TextOps.winnow` family): per-position 8-char-gram polynomial
+    * hashes (the q_fingerprint fold, K-char grams), then per window of W gram
+    * hashes the rightmost minimum, encoded pos·2³⁰ + hash. The
+    * rightmost-tie rule is `len(slice) − list_position(reverse(slice),
+    * min)` — first match in the reversed window IS the rightmost in
+    * the original. `GREATEST(ng − W + 1, 1)` degrades to one whole-list
+    * window when a document has fewer than W grams, the Expression's
+    * short-document branch. list_distinct mirrors the Expression's
+    * consecutive-selection dedupe (selection positions are
+    * non-decreasing, so set-dedupe ≡ consecutive-dedupe). */
+  private def winnowSelCte: String = {
+    val k = functions.WinnowFp.K
+    val w = functions.WinnowFp.W
+    s"""WITH c AS (
+       |  SELECT doc_id, lower(text) AS t FROM documents
+       |), g AS (
+       |  SELECT doc_id, t,
+       |    list_transform(range(1, length(t) + 1),
+       |      i -> CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT)) AS codes
+       |  FROM c
+       |), h AS (
+       |  SELECT doc_id, t,
+       |    CASE WHEN length(t) >= $k THEN
+       |      list_transform(range(1, length(t) - ${k - 2}),
+       |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(codes, i, i + ${k - 1})),
+       |               (a, x) -> (a * 31 + x) % 1000000007))
+       |    ELSE CAST([] AS BIGINT[]) END AS hs
+       |  FROM g
+       |), w AS (
+       |  SELECT doc_id, t, hs, len(hs) AS ng FROM h WHERE len(hs) > 0
+       |), sel AS (
+       |  SELECT doc_id, t,
+       |    list_distinct(list_transform(range(1, GREATEST(ng - ${w - 1}, 1) + 1),
+       |      j -> (j + len(list_slice(hs, j, LEAST(j + ${w - 1}, ng)))
+       |              - list_position(list_reverse(list_slice(hs, j, LEAST(j + ${w - 1}, ng))),
+       |                  list_min(list_slice(hs, j, LEAST(j + ${w - 1}, ng))))) * ${functions.WinnowFp.Enc}
+       |           + list_min(list_slice(hs, j, LEAST(j + ${w - 1}, ng)))
+       |    )) AS encs
+       |  FROM w
+       |)""".stripMargin
+  }
+
   /** Oracle for q_simsearch_lsh (`Similarity.lshTopK`): the
     * hyperplane-LSH search replayed exactly. Everything in the
     * operator is deterministic given the fixed seeded plane pool, so
@@ -2666,7 +2767,8 @@ object SparkEntry {
     * this cut construction on the harness's dense-id corpora, and the
     * operator spec covers it separately. */
   private def ivfOracle(iters: Int, base: Boolean, allQ: Boolean = false,
-                        k: Int = 10): String = {
+                        k: Int = 10,
+                        probeFraction: Double = 0.15): String = {
     // fit-side rows: the base slice for the appended variant, the whole
     // corpus otherwise. K always sizes from the FULL corpus (ivfK(n)).
     val fx = if (base) "bx" else "x"
@@ -2706,7 +2808,7 @@ object SparkEntry {
          |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |        FROM embeddings)
          |), ${cutCte}kpar AS (
-         |  SELECT k, GREATEST(3, CAST(floor(0.15 * k + 0.5) AS BIGINT)) AS nprobe
+         |  SELECT k, GREATEST(3, CAST(floor($probeFraction * k + 0.5) AS BIGINT)) AS nprobe
          |  FROM (SELECT GREATEST(4, LEAST(4096,
          |          CAST(round(sqrt(count(*))) AS BIGINT))) AS k FROM embeddings)
          |), c0 AS (

@@ -724,6 +724,76 @@ object TextOps {
         col("fp.full_fp").as("full_fp"),
         col("fp.win_fp").as("win_fp"))
 
+  /** q_winnow: full winnowing fingerprint SELECTION (Schleimer-
+    * Wilkerson-Aiken, SIGMOD 2003) — where [[fingerprint]] keeps one
+    * global-min hash per document, this keeps the whole fixed-density
+    * sketch: per doc, every window of [[graft.functions.WinnowFp.W]]
+    * consecutive K-char-gram hashes selects its rightmost minimum.
+    * Output (doc_id, pos, fp): 1-based codepoint position of the
+    * selected gram and its polynomial hash. The selection guarantee —
+    * any substring of length ≥ W + K − 1 = 35 shared by two documents
+    * shares a selected fingerprint — is what makes this the standard
+    * exact-substring dedup primitive (the MOSS algorithm; the same
+    * role as the suffix-array pass in Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022, at
+    * fixed-gram granularity).
+    *
+    * Scale shape: the sketch is ~2/(W+1) of positions — a 100 TB
+    * corpus yields a bounded-density fingerprint table, computed in
+    * ONE codegen'd O(n)-per-doc pass (monotonic-deque window minimum
+    * inside the Expression), no shuffle until the consumer. */
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    winnow(Tables(spark, dir, "documents"))
+
+  def winnow(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFp.of(lower(col("text")))).as("enc"))
+      .select(col("doc_id"),
+        expr(s"enc div ${graft.functions.WinnowFp.Enc}").as("pos"),
+        expr(s"enc % ${graft.functions.WinnowFp.Enc}").as("fp"))
+
+  /** Document-frequency cap for [[winnowDups]]: a fingerprint selected
+    * in more than this many documents is boilerplate (shared template
+    * text), and every boilerplate gram contributes df² candidate
+    * pairs — the cap bounds per-key join fanout the same way the
+    * MinHash band convention bounds band buckets. */
+  val WinnowMaxDf = 256
+
+  /** q_winnow_dups: exact-substring duplicate pairs — documents
+    * sharing ≥ 1 VERIFIED selected gram (fingerprint hash equality is
+    * only the candidate filter; the k-gram text itself is compared, so
+    * hash collisions cannot create a false pair). Output (da, db,
+    * shared_grams): the number of distinct shared grams per pair.
+    *
+    * Scale shape: join key is (fp, gram) over the fixed-density
+    * winnow sketch — never doc × doc; the [[WinnowMaxDf]] cap drops
+    * boilerplate keys whose fanout would be quadratic, the standard
+    * df-cut every large-scale substring-dedup pipeline applies. */
+  def winnowDups(spark: SparkSession, dir: String): DataFrame =
+    winnowDups(Tables(spark, dir, "documents"))
+
+  def winnowDups(docs: DataFrame): DataFrame = {
+    val k = graft.functions.WinnowFp.K
+    val fd = docs
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(graft.functions.WinnowFp.of(col("t"))).as("enc"))
+      .select(col("doc_id"),
+        expr(s"enc % ${graft.functions.WinnowFp.Enc}").as("fp"),
+        expr(s"substring(t, cast(enc div ${graft.functions.WinnowFp.Enc} as int), $k)").as("gram"))
+      .distinct()
+    val rare = fd.groupBy("fp", "gram").count()
+      .where(col("count") <= WinnowMaxDf).select("fp", "gram")
+    val fdr = fd.join(rare, Seq("fp", "gram"), "left_semi")
+    fdr.as("a")
+      .join(fdr.as("b"),
+        col("a.fp") === col("b.fp") && col("a.gram") === col("b.gram") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(countDistinct(col("a.gram")).as("shared_grams"))
+  }
+
   /** Per-term postings cap for [[invertedIndex]]. */
   val PostingsCap = 32
 
@@ -962,6 +1032,112 @@ object TextOps {
 
   /** Result size for [[indexSearch]]'s catalog row. */
   val SearchK = 25
+
+  private val docLenCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Long)]()
+
+  def clearDocLenCache(): Unit = docLenCache.clear()
+
+  /** Doc-length sidecar for [[bm25]]: (doc_id, dl) under the SAME
+    * tokenization as the postings rows (so Σ tf per doc ≡ dl exactly),
+    * staged beside the index with the corpus token total T. One small
+    * table — |docs| rows, two ints — the standard companion artifact
+    * every BM25 deployment persists (Lucene's norms file). */
+  private[graft] def stagedDocLens(spark: SparkSession, dir: String): (String, Long) =
+    Staging.stage(docLenCache, dir, "documents", "graft-doclens-") { root =>
+      val dls = Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      dls.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(root)
+      spark.read.parquet(root).agg(sum("dl")).head().getLong(0)
+    }
+
+  /** BM25 k1 as the exact rational 6/5 (term-frequency saturation). */
+  val Bm25K1: (Int, Int) = (6, 5)
+  /** BM25 b as the exact rational 3/4 (doc-length normalization). */
+  val Bm25B: (Int, Int) = (3, 4)
+  /** Fixed-point score scale (integer-scaled BM25 scores). */
+  val Bm25Scale = 10000L
+
+  /** q_bm25: BM25-ranked disjunctive retrieval — [[indexSearch]]'s
+    * pruned-artifact read upgraded to the industry-standard ranking
+    * function (Robertson-Spärck Jones / Okapi BM25): per matched term,
+    * idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with k1 = 1.2,
+    * b = 0.75 — term-frequency SATURATION (the 50th occurrence is not
+    * 50× evidence) and DOC-LENGTH normalization (a match in a short
+    * doc outranks the same match buried in a long one), the two
+    * semantics the linear tf·N/df convention lacks.
+    *
+    * No-libm exactness: the log-idf is replaced by its argument, the
+    * Robertson–Spärck Jones odds ratio (N − df + ½)/(df + ½) — the
+    * same rare-terms-weigh-more ordering per term without a
+    * transcendental call — and every factor is cleared to integers:
+    * with avgdl = T/N, the per-term score is the single integer
+    * division  S·(2N−2df+1)·22·tf·T div ((2df+1)·(10·T·tf + 3·T +
+    * 9·dl·N))  (k1, b substituted; all operands non-negative, so
+    * Spark's `div` ≡ DuckDB's `//` and the oracle replays the ranking
+    * bit-for-bit). Overflow bound: the numerator is ≤ S·2N·22·tf·T —
+    * fine in BIGINT through ~10⁹ corpus tokens at S = 10⁴; past that
+    * a deployment drops S or swaps the division to double (documented
+    * trade, exactness for range).
+    *
+    * Scale shape: postings read is the ≤-2-bucket pruned artifact scan
+    * (static PartitionFilters); the dl sidecar joins map-side against
+    * the broadcast matched-postings set (never a corpus scan of
+    * documents); N and T are memo scalars staged with the artifacts;
+    * top-k is TakeOrderedAndProject. */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25(spark, dir, LookupTerms._1, LookupTerms._2, SearchK)
+
+  def bm25(spark: SparkSession, dir: String, t1: String, t2: String,
+      k: Int): DataFrame = {
+    val (root, nDocs) = stagedPostings(spark, dir)
+    val (dlRoot, totTok) = stagedDocLens(spark, dir)
+    val posts = spark.read.parquet(root)
+      .where(col("bucket").isin(termBucket(t1), termBucket(t2)) &&
+        col("word").isin(t1, t2))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("word")
+    bm25Rank(
+      spark.read.parquet(dlRoot)
+        .join(broadcast(posts.withColumn("df", count(lit(1)).over(w))), "doc_id"),
+      nDocs, totTok, k)
+  }
+
+  /** The BM25 ranking tail over (doc_id, tf, df, dl) rows — shared by
+    * the artifact-served form and the direct semantics reference. */
+  private def bm25Rank(rows: DataFrame, nDocs: Long, totTok: Long,
+      k: Int): DataFrame =
+    rows
+      .withColumn("s", // L-suffixed literals: INT·INT would overflow
+        expr(s"(${Bm25Scale}L * (2L * ${nDocs}L - 2L * df + 1L) * 22L * tf * ${totTok}L) div " +
+          s"((2L * df + 1L) * (10L * ${totTok}L * tf + 3L * ${totTok}L + 9L * dl * ${nDocs}L))"))
+      .groupBy("doc_id")
+      .agg(sum("s").as("score"), count(lit(1)).as("terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** Direct corpus-scan form of [[bm25]] (no staged artifacts) — the
+    * semantics reference the spec pins the artifact-served form
+    * against, and the df-form library surface for arbitrary corpora.
+    * Driver-side counts are the test seam's cost, not the serving
+    * path's (the staged form reads N and T from the artifact memos). */
+  private[graft] def bm25Direct(docs: DataFrame, t1: String, t2: String,
+      k: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+    val nDocs = docs.count()
+    val totTok = toks.count()
+    val dls = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.where(col("word").isin(t1, t2))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("word")
+    bm25Rank(
+      dls.join(broadcast(tf.withColumn("df", count(lit(1)).over(w))), "doc_id"),
+      nDocs, totTok, k)
+  }
 
   /** Direct corpus-scan form of [[indexLookup]] (no index) — the
     * semantics reference: the spec asserts lookup ≡ this, and the

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+class Bm25Spec extends SparkSuiteBase {
+
+  test("q_bm25 (artifact-served) ≡ the direct corpus-scan reference") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val served = TextOps.bm25(spark, sf).collect().map(key)
+    val direct = TextOps.bm25Direct(
+      graft.sources.Tables(spark, sf, "documents"),
+      TextOps.LookupTerms._1, TextOps.LookupTerms._2, TextOps.SearchK)
+      .collect().map(key)
+    assert(served.toSeq === direct.toSeq,
+      "staged-artifact BM25 must rank identically to the direct form")
+    assert(served.nonEmpty)
+    // ranked: scores non-increasing, doc_id ascending within ties
+    served.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      case _ =>
+    }
+  }
+
+  test("term-frequency saturation: the 50th occurrence is not 50× evidence") {
+    import spark.implicits._
+    // same doc length, tf 1 vs 50 of the query term; filler is neutral
+    val docs = Seq(
+      (1L, ("term " * 1 + "pad " * 59).trim),
+      (2L, ("term " * 50 + "pad " * 10).trim)).toDF("doc_id", "text")
+    val r = TextOps.bm25Direct(docs, "term", "absent", 10).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) > r(1L), "more occurrences must still score higher")
+    // linear scoring would put doc 2 at ~50× doc 1; BM25's asymptote is
+    // (k1+1)·idf — the ratio must stay near that bound, far under 50×
+    assert(r(2L).toDouble / r(1L) < 3.0,
+      s"saturation failed: ${r(2L)} vs ${r(1L)}")
+  }
+
+  test("doc-length normalization: same tf, shorter doc ranks higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("term " + "pad " * 9).trim),            // 10 tokens
+      (2L, ("term " + "pad " * 99).trim),           // 100 tokens
+      (3L, "unrelated filler words only here")).toDF("doc_id", "text")
+    val r = TextOps.bm25Direct(docs, "term", "absent", 10).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L),
+      s"short doc must outrank long at equal tf: ${r(1L)} vs ${r(2L)}")
+    assert(!r.contains(3L), "docs matching no term must not appear")
+  }
+
+  test("idf: at equal tf and dl, the rarer term's doc outranks the common term's") {
+    import spark.implicits._
+    // 'rare' appears in 1 doc, 'common' in 8; docs 1 and 2 are
+    // structurally identical except which term they contain
+    val base = (10L to 17L).map(i => (i, ("common " + "pad " * 9).trim))
+    val docs = (Seq(
+      (1L, ("rare " + "pad " * 9).trim),
+      (2L, ("common " + "pad " * 9).trim)) ++ base).toDF("doc_id", "text")
+    val r = TextOps.bm25Direct(docs, "rare", "common", 20).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L), s"rare-term doc must outrank: ${r(1L)} vs ${r(2L)}")
+  }
+
+  test("q_bm25 plan: pruned artifact read, no corpus scan of documents") {
+    val df = TextOps.bm25(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"postings scan must keep its static bucket pruning:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"BM25 serve path must not scan the documents table:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject, not a full sort:\n$plan")
+  }
+}

@@ -126,8 +126,9 @@ class SimilaritySpec extends SparkSuiteBase {
       .count(brute.contains).toDouble / brute.size
     info(f"PQ recall vs brute force: $recall%.2f")
     // deterministic (fixed-point fits, integer ADC), so this is a fixed
-    // number per fixture, not a flaky statistic; 0.79 measured at sf0.01
-    assert(recall > 0.6, f"PQ recall $recall%.2f unexpectedly low")
+    // number per fixture, not a flaky statistic; 1.00 measured at
+    // sf0.001 / 0.94 at sf0.1 with the 64·k shortlist
+    assert(recall > 0.8, f"PQ recall $recall%.2f unexpectedly low")
     // the compression claim: every codebook is at most PqK codewords of
     // PqD micro-unit components — codes address 4 bits per subspace
     val books = Similarity.pqCodebooks(spark, sf)

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.WinnowFp
+import graft.operators.TextOps
+
+class WinnowSpec extends SparkSuiteBase {
+
+  /** Plain-Scala reference: the paper's definition, no rolling hash,
+    * no deque — O(n·K·W), trusted by inspection. */
+  private def refWinnow(text: String): Set[(Int, Long)] = {
+    val P = 1000000007L
+    val t = text.toLowerCase
+    val codes = t.codePoints().toArray.map(_.toLong)
+    val g = codes.length - WinnowFp.K + 1
+    if (g <= 0) return Set.empty
+    val hs = (0 until g).map { i =>
+      codes.slice(i, i + WinnowFp.K).foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    }
+    val windows =
+      if (g < WinnowFp.W) Seq(0 until g)
+      else (0 to g - WinnowFp.W).map(j => j until j + WinnowFp.W)
+    windows.map { win =>
+      val m = win.map(hs).min
+      val p = win.filter(i => hs(i) == m).max // rightmost tie
+      (p + 1, hs(p))
+    }.toSet
+  }
+
+  test("WinnowFp expression ≡ the paper-definition reference on random and crafted strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val crafted = Seq(
+      "", "short", "exactly8", "exactly8!", // below/at/above one gram
+      "aaaaaaaaaaaaaaaaaaaa",               // all-equal hashes → rightmost ties
+      "The quick brown fox jumps over the lazy dog",
+      "abcabcabcabcabcabcabc")              // periodic text
+    val random = (1 to 40).map(_ =>
+      (1 to (1 + rnd.nextInt(150))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val rows = (crafted ++ random).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), explode(WinnowFp.of(lower(col("text")))).as("enc"))
+      .select(col("doc_id"),
+        expr(s"cast(enc div ${WinnowFp.Enc} as int)").as("pos"),
+        expr(s"enc % ${WinnowFp.Enc}").as("fp"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getLong(2))).toSet).toMap
+    rows.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty) === refWinnow(t),
+        s"winnow mismatch for '$t'")
+    }
+  }
+
+  test("q_winnow: fixed-density selection; every fingerprint re-hashes to its gram") {
+    val docs = operators.Dedup // touch nothing; just use catalog form
+    val rows = TextOps.winnow(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // density: winnowing keeps ~2/(W+1) of positions — allow wide slack
+    // but catch both extremes (keeping everything / nearly nothing)
+    val texts = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val totalChars = texts.values.map(_.length).sum
+    val density = rows.length.toDouble / totalChars
+    info(f"winnow density: $density%.3f (theory ≈ ${2.0 / (WinnowFp.W + 1)}%.3f)")
+    assert(density > 0.05 && density < 0.5)
+    // each selected (pos, fp) must re-hash to the recorded fingerprint
+    val P = 1000000007L
+    rows.take(500).foreach { r =>
+      val (id, pos, fp) = (r.getLong(0), r.getLong(1).toInt, r.getLong(2))
+      val gram = texts(id).substring(pos - 1, pos - 1 + WinnowFp.K)
+      val h = gram.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+      assert(h === fp, s"doc $id pos $pos gram '$gram'")
+    }
+  }
+
+  test("the detection guarantee: docs sharing a ≥ K+W−1 substring share a verified gram") {
+    import spark.implicits._
+    val shared = "zqxjk wvbnm pfzqx jkwvb nmpfz qxjkw" // 35 chars ≥ K+W−1, unusual — no accidental overlap
+    val docs = Seq(
+      (1L, s"first document ${shared} with plenty of surrounding words"),
+      (2L, s"completely different tail but ${shared} appears here too"),
+      (3L, "no overlap with anything else at all here")).toDF("doc_id", "text")
+    val dups = TextOps.winnowDups(docs).collect()
+    val pairSet = dups.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((1L, 2L)),
+      s"guaranteed pair (1,2) missing from ${pairSet.mkString(",")}")
+    assert(dups.filter(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+      .head.getLong(2) >= 1)
+    assert(!pairSet.exists(p => p._1 == 3L || p._2 == 3L),
+      "doc 3 shares no 35-char substring and must not pair")
+  }
+
+  test("q_winnow_dups on the fixture: pairs verified, symmetric-free, df-capped") {
+    val dups = TextOps.winnowDups(spark, sf).collect()
+    dups.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be da < db")
+      assert(r.getLong(2) >= 1)
+    }
+    info(s"fixture dup pairs: ${dups.length}")
+  }
+}
