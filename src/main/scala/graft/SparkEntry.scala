@@ -57,6 +57,7 @@ object SparkEntry {
     "q_fingerprint"     -> ((s, d) => TextOps.fingerprint(s, d)),
     "q_winnow"          -> ((s, d) => TextOps.winnow(s, d)),
     "q_winnow_dups"     -> ((s, d) => TextOps.winnowDups(s, d)),
+    "q_winnow_spans"    -> ((s, d) => TextOps.winnowSpans(s, d)),
     "q_dedup_exact"     -> ((s, d) => Dedup.exactGroups(s, d)),
     "q_dedup_ngram"     -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -87,12 +88,16 @@ object SparkEntry {
     "q_index_lookup"    -> ((s, d) => TextOps.indexLookup(s, d)),
     "q_index_search"    -> ((s, d) => TextOps.indexSearch(s, d)),
     "q_bm25"            -> ((s, d) => TextOps.bm25(s, d)),
+    "q_bm25_append"     -> ((s, d) => TextOps.bm25Appended(s, d)),
     "q_index_append"    -> ((s, d) => TextOps.indexLookupAppended(s, d)),
     "q_incr_topk"       -> ((s, d) => Incremental.incrTopk(s, d)),
     "q_stream_wordcount" -> ((s, d) => graft.streaming.Streams.streamWordCount(s, d)),
+    "q_stream_neardup"  -> ((s, d) => graft.streaming.Streams.streamNearDup(s, d)),
     "q_zorder_optimize" -> ((s, d) => graft.sources.Sinks.zorderOptimizeRead(s, d)),
     "q_group_topk"      -> ((s, d) => Relational.groupTopK(s, d)),
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
+    "q_pca_power"       -> ((s, d) => Clustering.pcaPower(s, d)),
+    "q_pca_project"     -> ((s, d) => Clustering.pcaProject(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
     "q_udaf_typed"      -> ((s, d) => MapReduceOps.typedAgg(s, d)),
     "q_udtf_explode"    -> ((s, d) => MapReduceOps.bigramCounts(s, d)),
@@ -281,32 +286,10 @@ object SparkEntry {
     // BM25 replayed exactly: same tokenization, df/dl/N/T from the
     // corpus, the single integer division per (doc, term) — `//` ≡
     // Spark's div on the non-negative operands
-    "q_bm25" -> {
-      val (t1, t2) = graft.operators.TextOps.LookupTerms
-      val k = graft.operators.TextOps.SearchK
-      val sc = graft.operators.TextOps.Bm25Scale
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS word
-         |  FROM documents
-         |), dl AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id
-         |), par AS (
-         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
-         |         (SELECT CAST(count(*) AS BIGINT) FROM t) AS tt
-         |), d AS (
-         |  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t
-         |  WHERE word IN ('$t1', '$t2') GROUP BY 1, 2
-         |), sc AS (
-         |  SELECT d.doc_id,
-         |    CAST(($sc * (2 * n - 2 * (count(*) OVER (PARTITION BY word)) + 1) * 22 * tf * tt) //
-         |      ((2 * (count(*) OVER (PARTITION BY word)) + 1) * (10 * tt * tf + 3 * tt + 9 * dl.dl * n)) AS BIGINT) AS s
-         |  FROM d JOIN dl ON d.doc_id = dl.doc_id, par
-         |)
-         |SELECT doc_id, CAST(sum(s) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS terms_hit
-         |FROM sc GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
-    },
+    "q_bm25" -> oracleSqlBm25,
+    // appended artifacts hold exactly the one-shot row sets (per-doc
+    // pure posting/dl rows over disjoint slices) -> q_bm25's oracle
+    "q_bm25_append" -> oracleSqlBm25,
     // Count-Min sketch: the whole build (FNV+avalanche row-seeded
     // hashes, width mask, counter sums) and the min-over-rows point
     // queries replayed integer-exact
@@ -624,6 +607,41 @@ object SparkEntry {
          |FROM fdr a JOIN fdr b
          |  ON a.fp = b.fp AND a.gram = b.gram AND a.doc_id < b.doc_id
          |GROUP BY da, db""".stripMargin,
+    // duplicated-region spans: shared verified grams → per-doc
+    // gaps-and-islands interval merge, the same window forms in both
+    // engines (running max over preceding rows, running sum island id)
+    "q_winnow_spans" -> {
+      val k = functions.WinnowFp.K
+      s"""$winnowSelCte, f AS (
+         |  SELECT doc_id, CAST(u.enc // ${functions.WinnowFp.Enc} AS BIGINT) AS pos,
+         |         u.enc % ${functions.WinnowFp.Enc} AS fp,
+         |         substr(t, CAST(u.enc // ${functions.WinnowFp.Enc} AS INTEGER), $k) AS gram
+         |  FROM sel, unnest(encs) AS u(enc)
+         |), keys AS (
+         |  SELECT fp, gram FROM (SELECT DISTINCT doc_id, fp, gram FROM f)
+         |  GROUP BY fp, gram
+         |  HAVING count(*) >= 2 AND count(*) <= ${operators.TextOps.WinnowMaxDf}
+         |), sp AS (
+         |  SELECT DISTINCT doc_id, pos FROM f JOIN keys USING (fp, gram)
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN max(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |         OR pos > max(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM sp
+         |), grp AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM isl
+         |)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(max(pos) + ${k - 1} AS BIGINT) AS span_end,
+         |       CAST(max(pos) + ${k - 1} - min(pos) + 1 AS BIGINT) AS span_len
+         |FROM grp GROUP BY doc_id, island""".stripMargin
+    },
     "q_dedup_exact" ->
       s"""SELECT md5(regexp_replace(trim(lower(text)), '$Ws', ' ', 'g')) AS h,
          |       min(doc_id) AS keep_id, count(*) AS copies
@@ -633,6 +651,17 @@ object SparkEntry {
     // components of the J >= 0.8 pair graph: min reachable id per node
     // via a recursive transitive closure (tiny graph — pairs only)
     "q_dedup_cc" -> ccOracle,
+    // online first-arrival-wins near-dup filter ≡ batch semantics
+    // (band rows are per-doc pure functions, so chunking is invisible):
+    // dup_of = smallest J≥0.8 partner below me, NULL = keep
+    "q_stream_neardup" ->
+      s"""WITH p AS (
+         |  SELECT da, db FROM (${jaccardOracle(0.8)})
+         |), d AS (
+         |  SELECT db AS doc_id, min(da) AS dup_of FROM p GROUP BY db
+         |)
+         |SELECT doc_id, d.dup_of, d.dup_of IS NULL AS keep
+         |FROM documents LEFT JOIN d USING (doc_id)""".stripMargin,
     // incremental append-then-dedup ≡ one-shot dedup of the full corpus
     // (band rows are per-doc pure functions — see Dedup.dedupAppend),
     // so the oracle is q_dedup_cc's, verbatim
@@ -1482,6 +1511,12 @@ object SparkEntry {
     // fixed-point SemDeDup replayed exactly (Lloyd chain + recursive
     // greedy leader scan, all-integer τ test) — was no_oracle until r8
     "q_dedup_semantic" -> semanticOracle(operators.Clustering.Iters),
+    // fixed-point power iteration unrolled as chained CTEs (the
+    // kmeansOracle convention): per round, the sign-safe rounded dot
+    // downscale, the transpose sum, and the max-norm rescale
+    "q_pca_power" -> pcaOracle(operators.Clustering.PcaIters),
+    // same unrolled chain, consumed: the per-vector rounded projection
+    "q_pca_project" -> pcaOracle(operators.Clustering.PcaIters, project = true),
     // BPE learn/encode replayed exactly (rounds as chained CTEs, greedy
     // merge via separator-encoded replace) — was no_oracle until r8
     "q_bpe" -> bpeOracle(8),
@@ -2647,6 +2682,91 @@ object SparkEntry {
          |       coalesce(e.n_tokens, 0) AS n_tokens,
          |       coalesce(e.token_ids, '') AS token_ids
          |FROM documents d LEFT JOIN encd e USING (doc_id)""".stripMargin
+
+
+  /** Oracle for q_bm25 AND q_bm25_append (`TextOps.bm25` /
+    * `bm25Appended`): same tokenization, df/dl/N/T from the corpus,
+    * the single integer division per (doc, term) — `//` ≡ Spark's div
+    * on the non-negative operands. The appended artifacts hold exactly
+    * the one-shot row sets (per-doc pure posting/dl rows over disjoint
+    * doc slices), so both forms share this one truth. */
+  private def oracleSqlBm25: String = {
+      val (t1, t2) = graft.operators.TextOps.LookupTerms
+      val k = graft.operators.TextOps.SearchK
+      val sc = graft.operators.TextOps.Bm25Scale
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS word
+         |  FROM documents
+         |), dl AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id
+         |), par AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM t) AS tt
+         |), d AS (
+         |  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t
+         |  WHERE word IN ('$t1', '$t2') GROUP BY 1, 2
+         |), sc AS (
+         |  SELECT d.doc_id,
+         |    CAST(($sc * (2 * n - 2 * (count(*) OVER (PARTITION BY word)) + 1) * 22 * tf * tt) //
+         |      ((2 * (count(*) OVER (PARTITION BY word)) + 1) * (10 * tt * tf + 3 * tt + 9 * dl.dl * n)) AS BIGINT) AS s
+         |  FROM d JOIN dl ON d.doc_id = dl.doc_id, par
+         |)
+         |SELECT doc_id, CAST(sum(s) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS terms_hit
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+    }
+
+  /** Oracle for q_pca_power (`Clustering.pcaPowerFixed`): the power
+    * iteration unrolled — per round, s_i = roundDiv(⟨x_i, v⟩, F)
+    * (sign-safe CASE, `//` ≡ div on the non-negative operands), the
+    * transpose sum w_d = Σ x_id·s_i, and the max-norm rescale
+    * v'_d = roundDiv(w_d, max(1, roundDiv(max|w|, F))). All BIGINT. */
+  private def pcaOracle(iters: Int, project: Boolean = false): String = {
+    val f = 1000000L
+    def rdiv(e: String, n: String): String =
+      s"CASE WHEN $e >= 0 THEN (2 * ($e) + $n) // (2 * ($n)) " +
+        s"ELSE -((2 * -($e) + $n) // (2 * ($n))) END"
+    val rounds = (1 to iters).map { t =>
+      // MATERIALIZED per round: w$t is referenced twice (md + rescale)
+      // and DuckDB's CTE inlining would otherwise double the evaluated
+      // chain every round — 2^iters blowup (measured: 8 rounds never
+      // finish un-materialized, milliseconds materialized)
+      s"""s$t AS MATERIALIZED (
+         |  SELECT x.vec_id, ${rdiv(s"sum(x.xi * v.c)", f.toString)} AS s
+         |  FROM x JOIN v${t - 1} v ON x.dim = v.dim GROUP BY x.vec_id
+         |), w$t AS MATERIALIZED (
+         |  SELECT x.dim, sum(x.xi * s.s) AS w
+         |  FROM x JOIN s$t s ON x.vec_id = s.vec_id GROUP BY x.dim
+         |), md$t AS (
+         |  SELECT GREATEST(CAST(1 AS BIGINT),
+         |    (2 * max(abs(w)) + $f) // ${2 * f}) AS md FROM w$t
+         |), v$t AS MATERIALIZED (
+         |  SELECT w.dim, ${rdiv("w.w", "md.md")} AS c FROM w$t w, md$t md
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           v -> CAST(round(CAST(v AS DOUBLE) * $f) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |), x AS MATERIALIZED (
+       |  SELECT vec_id, CAST(u.i AS INT) AS dim, qe[u.i] AS xi
+       |  FROM q, unnest(range(1, len(qe) + 1)) AS u(i)
+       |), v0 AS (
+       |  SELECT dim, CAST($f AS BIGINT) AS c FROM (SELECT DISTINCT dim FROM x)
+       |),
+       |$rounds
+       |${
+        // CAST: DuckDB sum(BIGINT) is HUGEINT and it propagates through
+        // the CASE arithmetic — pandas would surface float64 columns
+        if (project)
+          s"""SELECT x.vec_id, CAST(${rdiv(s"sum(x.xi * v.c)", f.toString)} AS BIGINT) AS proj
+             |FROM x JOIN v$iters v ON x.dim = v.dim GROUP BY x.vec_id""".stripMargin
+        else
+          s"SELECT CAST(dim - 1 AS BIGINT) AS dim, CAST(c AS BIGINT) AS c FROM v$iters ORDER BY dim"
+      }""".stripMargin
+  }
 
   /** Shared winnow-selection CTEs (q_winnow / q_winnow_dups —
     * `TextOps.winnow` family): per-position 8-char-gram polynomial

@@ -257,4 +257,86 @@ object Clustering {
       .groupBy("true_label", "pred_label")
       .agg(count(lit(1)).as("n"))
   }
+
+  // ---- q_pca_power: the FIRST PRINCIPAL DIRECTION of the embedding
+  // corpus by fixed-point power iteration — the linear-algebra operator
+  // class (matvec as aggregation) beside the Lloyd loop. v_{t+1} ∝
+  // Xᵀ(X·v_t): one pass computes every s_i = ⟨x_i, v⟩ (64 codegen'd
+  // multiply-adds, whole-stage), the transpose pass sums x_id·s_i per
+  // dimension (posexplode + partial/final sum — the kmeans update
+  // shape), and the driver renormalizes 64 longs. Renormalization is
+  // MAX-norm, not L2: power iteration converges under any positive
+  // rescaling, and max-norm needs no sqrt — every step stays exact
+  // integer, so the DuckDB oracle unrolls the loop as chained CTEs and
+  // hash-matches bit-for-bit (the q_kmeans convention).
+  //
+  // Scale bounds (documented, like the Lloyd sums): s_i ≤ dims·X·F
+  // (X = max |component| micro-units, F = FpScale) ≈ 3e14, downscaled
+  // by F before the transpose so per-dim sums stay ≤ n·X·s' ≈ 8e18 at
+  // n = 5e3 — past ~10⁴ vectors shift the s-downscale one decade
+  // (range traded for precision, one constant).
+
+  /** Power-iteration rounds (same count as the Lloyd loop). */
+  val PcaIters = 8
+
+  private val pcaCache =
+    new scala.collection.concurrent.TrieMap[(String, Int, String), Array[Long]]()
+
+  def pcaPowerFixed(spark: SparkSession, dir: String,
+                    iters: Int = PcaIters): Array[Long] =
+    pcaCache.getOrElseUpdate((dir, iters, graft.Fs.tableFingerprint(dir, "embeddings")),
+      pcaPowerFixed(qvecs(spark, dir), iters))
+
+  /** df form: expects (vec_id, e: Array[Long] micro-units). Driver
+    * state is ONE 64-long vector per round. */
+  def pcaPowerFixed(vectors: DataFrame, iters: Int): Array[Long] = {
+    val v = vectors.cache()
+    val dims = v.select(size(col("e"))).head().getInt(0)
+    var c = Array.fill(dims)(FpScale.toLong) // deterministic all-ones init
+    val f = FpScale.toLong
+    for (_ <- 1 to iters) {
+      // s_i = roundDiv(⟨x_i, v⟩, F): 64 codegen multiply-adds per row,
+      // the sign-safe rounding CASE mirrored verbatim by the oracle
+      val dot = (0 until dims).map(d => col("e")(d) * lit(c(d))).reduce(_ + _)
+      val w = v.withColumn("dotv", dot)
+        .withColumn("s", expr(s"CASE WHEN dotv >= 0 THEN (2 * dotv + $f) div ${2 * f}" +
+          s" ELSE -((2 * -dotv + $f) div ${2 * f}) END"))
+        .select(posexplode(col("e")), col("s"))
+        .groupBy("pos").agg(sum(col("col") * col("s")).as("w"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val wArr = (0 until dims).map(d => w.getOrElse(d, 0L)).toArray
+      val m = math.max(1L, wArr.map(math.abs).max)
+      val md = math.max(1L, roundDiv(m, FpScale.toLong))
+      c = wArr.map(roundDiv(_, md))
+    }
+    v.unpersist()
+    c
+  }
+
+  /** q_pca_power: the learned direction as (dim, c) rows — 64-row
+    * output, the bounded artifact a feature pipeline persists. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val c = pcaPowerFixed(spark, dir)
+    val s = spark
+    import s.implicits._
+    c.zipWithIndex.map { case (x, d) => (d.toLong, x) }.toSeq
+      .toDF("dim", "c").orderBy("dim")
+  }
+
+  /** q_pca_project: every vector's scalar coordinate along the learned
+    * direction — the model artifact IN USE (dimensionality reduction /
+    * drift scoring / stratified sampling key). One codegen pass: 64
+    * multiply-adds + the sign-safe rounded downscale per row; the
+    * direction is [[pcaPowerFixed]]'s memoized 64 longs, broadcast as
+    * literals. proj is micro-unit scale (⟨x, v⟩ / F). */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val c = pcaPowerFixed(spark, dir)
+    val f = FpScale.toLong
+    val dot = c.indices.map(d => col("e")(d) * lit(c(d))).reduce(_ + _)
+    qvecs(spark, dir)
+      .withColumn("dotv", dot)
+      .select(col("vec_id"),
+        expr(s"CASE WHEN dotv >= 0 THEN (2 * dotv + $f) div ${2 * f}" +
+          s" ELSE -((2 * -dotv + $f) div ${2 * f}) END").as("proj"))
+  }
 }

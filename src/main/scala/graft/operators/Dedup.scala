@@ -74,7 +74,7 @@ object Dedup {
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     shingles(Tables(spark, dir, "documents"))
 
-  private def shingles(docs: DataFrame): DataFrame =
+  private[graft] def shingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("ts", expr(TextOps.TokensSql))
       .where(size(col("ts")) >= 3)
@@ -165,7 +165,7 @@ object Dedup {
   // banded as 32 bands × 4 rows. Seeded deterministically.
   private val MinhashP = 2000000011L
   private val NumPerm = 128
-  private val Bands = 32
+  private[graft] val Bands = 32
   private val (permA, permB) = {
     val rnd = new scala.util.Random(42)
     (Array.fill(NumPerm)(1L + rnd.nextLong(MinhashP - 1)),
@@ -208,7 +208,7 @@ object Dedup {
     *
     * NOT cached — see jaccardPairs: the cache's size stats break AQE's
     * broadcast planning and measure ~4× slower than recomputing. */
-  private def sigBands(docs: DataFrame): DataFrame = {
+  private[graft] def sigBands(docs: DataFrame): DataFrame = {
     val sh = shingles(docs)
       // shingle hash reduced mod P (so a·x+b stays in signed-64 range)
       .withColumn("sx", pmod(col("shingle"), lit(MinhashP)))
@@ -224,7 +224,7 @@ object Dedup {
 
   /** Candidate pairs from one band table: same (band, bh) bucket →
     * candidate, each unordered pair once. */
-  private def lshCandidates(bands: DataFrame): DataFrame =
+  private[graft] def lshCandidates(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -288,7 +288,7 @@ object Dedup {
     * keeps every candidate's shingle set complete, so sizes,
     * intersections, and the output are identical to `verifyCandidates`
     * over the same documents. */
-  private def verifyCandidatesIndexed(sh: DataFrame, cands: DataFrame,
+  private[graft] def verifyCandidatesIndexed(sh: DataFrame, cands: DataFrame,
                                       tau: Double,
                                       materializePruned: Boolean = false): DataFrame = {
     val candIds = cands.select(col("da").as("doc_id"))

@@ -794,6 +794,57 @@ object TextOps {
       .agg(countDistinct(col("a.gram")).as("shared_grams"))
   }
 
+  /** q_winnow_spans: maximal DUPLICATED-TEXT REGIONS per document —
+    * the actionable output of substring dedup (Lee et al. 2022 cut
+    * exactly these spans from the training set). A position is
+    * "duplicated" when its selected gram (hash AND text — verified,
+    * collision-proof) appears in ≥ 2 documents after the
+    * [[WinnowMaxDf]] boilerplate cap; overlapping/adjacent K-char gram
+    * intervals merge into maximal spans via the classic gaps-and-
+    * islands window (running max of span ends over preceding rows →
+    * new-island flag → running island id), all integer and replayed
+    * exactly by the DuckDB oracle. Output (doc_id, span_start,
+    * span_end, span_len), 1-based inclusive character positions.
+    *
+    * Scale shape: everything is bounded by the fixed-density winnow
+    * sketch — the shared-key semi-join prunes to duplicated positions
+    * BEFORE any window runs, and the islands window partitions by
+    * doc_id (per-doc row counts, never corpus-wide ordering). */
+  def winnowSpans(spark: SparkSession, dir: String): DataFrame =
+    winnowSpans(Tables(spark, dir, "documents"))
+
+  def winnowSpans(docs: DataFrame): DataFrame = {
+    val k = graft.functions.WinnowFp.K
+    val f = docs
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(graft.functions.WinnowFp.of(col("t"))).as("enc"))
+      .select(col("doc_id"),
+        expr(s"enc div ${graft.functions.WinnowFp.Enc}").as("pos"),
+        expr(s"enc % ${graft.functions.WinnowFp.Enc}").as("fp"),
+        expr(s"substring(t, cast(enc div ${graft.functions.WinnowFp.Enc} as int), $k)").as("gram"))
+    val sharedKeys = f.select(col("doc_id"), col("fp"), col("gram")).distinct()
+      .groupBy("fp", "gram").count()
+      .where(col("count") >= 2 && col("count") <= WinnowMaxDf)
+      .select("fp", "gram")
+    val sp = f.join(sharedKeys, Seq("fp", "gram"), "left_semi")
+      .select(col("doc_id"), col("pos")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sp
+      .withColumn("prev_end", max(col("pos") + lit(k - 1)).over(wPrev))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1).cast(LongType)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
   /** Per-term postings cap for [[invertedIndex]]. */
   val PostingsCap = 32
 
@@ -1104,6 +1155,52 @@ object TextOps {
         .join(broadcast(posts.withColumn("df", count(lit(1)).over(w))), "doc_id"),
       nDocs, totTok, k)
   }
+
+  /** q_bm25_append: BM25 served from the APPEND-MAINTAINED artifacts —
+    * [[stagedAppendedPostings]] (base staged once, delta appended into
+    * the same bucket dirs) plus a dl sidecar maintained the same way
+    * (doc-length rows are per-doc pure functions, so disjoint doc
+    * slices append exactly). Posting and dl row sets equal the
+    * one-shot artifacts' row for row, so the ranking — and the DuckDB
+    * oracle — is q_bm25's verbatim; what changes is the MAINTENANCE
+    * cost: an increment bills |delta| tokenization + delta-sized
+    * writes, never a base rewrite. */
+  def bm25Appended(spark: SparkSession, dir: String): DataFrame = {
+    val (root, nDocs) = stagedAppendedPostings(spark, dir)
+    val (dlRoot, totTok) = stagedAppendedDocLens(spark, dir)
+    val (t1, t2) = LookupTerms
+    val posts = spark.read.parquet(root)
+      .where(col("bucket").isin(termBucket(t1), termBucket(t2)) &&
+        col("word").isin(t1, t2))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("word")
+    bm25Rank(
+      spark.read.parquet(dlRoot)
+        .join(broadcast(posts.withColumn("df", count(lit(1)).over(w))), "doc_id"),
+      nDocs, totTok, SearchK)
+  }
+
+  private val docLenAppendCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Long)]()
+
+  def clearDocLenAppendCache(): Unit = docLenAppendCache.clear()
+
+  /** The dl sidecar maintained base + append (disjoint doc slices →
+    * disjoint exact dl rows; same cut as the postings append). */
+  private[graft] def stagedAppendedDocLens(spark: SparkSession, dir: String): (String, Long) =
+    Staging.stage(docLenAppendCache, dir, "documents", "graft-dlappend-") { root =>
+      val docs = Tables(spark, dir, "documents")
+      val n = docs.count()
+      val cut = n - math.max(1L, n / 10)
+      def dls(slice: DataFrame): DataFrame = slice
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      dls(docs.where(col("doc_id") < cut))
+        .write.mode("overwrite").parquet(root)
+      dls(docs.where(col("doc_id") >= cut))
+        .write.mode("append").parquet(root)
+      spark.read.parquet(root).agg(sum("dl")).head().getLong(0)
+    }
 
   /** The BM25 ranking tail over (doc_id, tf, df, dl) rows — shared by
     * the artifact-served form and the direct semantics reference. */

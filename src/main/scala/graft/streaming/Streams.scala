@@ -799,6 +799,99 @@ object Streams {
       root
     })
 
+  /** q_stream_neardup: ONLINE near-duplicate detection over the
+    * arriving crawl — each micro-batch of documents is checked against
+    * everything seen so far (and against itself) with the SAME
+    * MinHash-band machinery the batch dedup family trusts, then its
+    * band rows and shingle rows are appended to the persisted index so
+    * the next batch probes an index that includes this one. Per doc:
+    * `dup_of` = the smallest earlier-arriving doc whose verified
+    * Jaccard ≥ 0.8, NULL (keep) if none — "first arrival wins", the
+    * online filter a crawl-ingest pipeline actually runs.
+    *
+    * Batch-equivalence: band rows are per-doc pure functions
+    * (dedupAppend's property), so the union of per-batch band tables
+    * equals the one-shot band table, the streamed candidate set equals
+    * the one-shot candidate set regardless of chunking, and the final
+    * result is exactly "min J≥0.8 partner below me, else NULL" over
+    * the whole corpus — the DuckDB oracle is the exhaustive-pairs CTE
+    * with a left join, no stream replay needed.
+    *
+    * Scale shape per batch: |batch| shingling + signatures; the index
+    * probe is [[graft.operators.Dedup.crossCandidates]] (batch side
+    * broadcast under the size gate, index streamed map-side, never
+    * shuffled); verification is candidate-doc-bound against the
+    * PERSISTED shingle index ([[graft.operators.Dedup
+    * .verifyCandidatesIndexed]] — no corpus re-shingle, the VERDICT r7
+    * fix applied online); state writes are batch-id-named overwrites
+    * (at-least-once redelivery repairs by idempotence, the
+    * q_stream_upsert convention). */
+  def streamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val feed = stagedDocFeed(spark, dir)
+    val stateRoot = Files.createTempDirectory("graft-sndstate-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => graft.Fs.rmRf(stateRoot)))
+    val bandsDir = new File(stateRoot, "bands")
+    val shDir = new File(stateRoot, "shingles")
+    val resDir = new File(stateRoot, "res")
+    val ckpt = new File(stateRoot, "ckpt").getAbsolutePath
+    def parts(d: File): Array[String] =
+      if (d.exists()) d.listFiles().filter(_.isDirectory).map(_.getAbsolutePath)
+      else Array.empty
+    val q = spark.readStream.schema(DocSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // the batch feeds signatures, shingles, and the result join —
+        // pin it once instead of re-reading the feed file per consumer
+        val b = batch.toDF().localCheckpoint()
+        val nBatch = b.count()
+        val batchBands = Dedup.sigBands(b).localCheckpoint()
+        val batchSh = Dedup.shingles(b)
+        // candidates: against the persisted index (cross) + within-batch
+        // (self) — disjoint pair spaces, no dedupe needed
+        val priorBands = parts(bandsDir)
+        val cands =
+          (if (priorBands.nonEmpty)
+             Dedup.crossCandidates(spark.read.parquet(priorBands: _*),
+               batchBands, nBatch * Dedup.Bands)
+           else spark.emptyDataset[(Long, Long)](
+             org.apache.spark.sql.Encoders.product[(Long, Long)])
+             .toDF("da", "db"))
+          .unionAll(Dedup.lshCandidates(batchBands))
+        val priorSh = parts(shDir)
+        val allSh =
+          if (priorSh.nonEmpty) spark.read.parquet(priorSh: _*).unionByName(batchSh)
+          else batchSh
+        val pairs = Dedup.verifyCandidatesIndexed(allSh, cands, 0.8,
+          materializePruned = true)
+        val dup = pairs.groupBy(col("db").as("doc_id"))
+          .agg(min(col("da")).as("dup_of"))
+        b.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of"),
+            col("dup_of").isNull.as("keep"))
+          .write.mode("overwrite")
+          .parquet(new File(resDir, s"batch-$batchId").getAbsolutePath)
+        // index growth AFTER the probe: batch-id-named overwrites
+        batchBands.write.mode("overwrite")
+          .parquet(new File(bandsDir, s"batch-$batchId").getAbsolutePath)
+        batchSh.write.mode("overwrite")
+          .parquet(new File(shDir, s"batch-$batchId").getAbsolutePath)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val res = parts(resDir)
+    if (res.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("dup_of", LongType),
+          StructField("keep", org.apache.spark.sql.types.BooleanType))))
+    else spark.read.parquet(res: _*)
+  }
+
   /** q_stream_wordcount: each micro-batch folds its word partials into
     * the persisted vocabulary state — state_N = fold(state_{N−1},
     * partials(batch_N)), written to a BATCH-ID-NAMED directory so

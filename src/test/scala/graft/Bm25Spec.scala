@@ -24,6 +24,20 @@ class Bm25Spec extends SparkSuiteBase {
     }
   }
 
+  test("q_bm25_append: the append-maintained artifacts rank identically to the one-shot form") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val appended = TextOps.bm25Appended(spark, sf).collect().map(key)
+    val oneShot = TextOps.bm25(spark, sf).collect().map(key)
+    assert(appended.toSeq === oneShot.toSeq,
+      "per-doc pure posting/dl rows over disjoint slices must reproduce the one-shot ranking")
+    // the dl sidecar really was maintained by append (≥ 2 file groups)
+    val (dlRoot, _) = TextOps.stagedAppendedDocLens(spark, sf)
+    val parts = new java.io.File(dlRoot).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts >= 2, s"expected base+delta part files, got $parts")
+  }
+
   test("term-frequency saturation: the 50th occurrence is not 50× evidence") {
     import spark.implicits._
     // same doc length, tf 1 vs 50 of the query term; filler is neutral

@@ -45,4 +45,40 @@ class ClusteringSpec extends SparkSuiteBase {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(again === rows)
   }
+
+  test("q_pca_power recovers a planted principal direction (fixed-point power iteration)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // anisotropic corpus: points = t·d + small noise, d a fixed unit-ish
+    // direction — the top principal component must align with d
+    val rnd = new scala.util.Random(3)
+    val dim = 64
+    val dRaw = Array.fill(dim)(rnd.nextGaussian())
+    val dn = math.sqrt(dRaw.map(x => x * x).sum)
+    val d = dRaw.map(_ / dn)
+    val rows = (0 until 400).map { i =>
+      val t = 3.0 * rnd.nextGaussian()
+      (i.toLong, d.map(_ * t).zip(Array.fill(dim)(0.05 * rnd.nextGaussian())).map(p => p._1 + p._2))
+    }
+    val v = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x * lit(Clustering.FpScale)).cast("long")).as("e"))
+    val c = Clustering.pcaPowerFixed(v, Clustering.PcaIters).map(_.toDouble)
+    val cn = math.sqrt(c.map(x => x * x).sum)
+    val cos = math.abs(c.zip(d).map(p => p._1 * p._2).sum / cn)
+    info(f"planted-direction alignment |cos| = $cos%.4f")
+    assert(cos > 0.95, f"power iteration must align with the planted direction, got $cos%.4f")
+    // max-norm convention: the returned vector is scaled to max |c| = FpScale
+    assert(c.map(math.abs).max <= Clustering.FpScale * 1.001)
+    assert(c.map(math.abs).max >= Clustering.FpScale * 0.5)
+  }
+
+  test("q_pca_power on the fixture: 64 deterministic rows, memoized model") {
+    val out = Clustering.pcaPower(spark, sf).collect()
+    assert(out.length === 64)
+    assert(out.map(_.getLong(0)).toSeq === (0L until 64L))
+    val again = Clustering.pcaPower(spark, sf).collect()
+    assert(out.map(_.getLong(1)).toSeq === again.map(_.getLong(1)).toSeq)
+  }
 }

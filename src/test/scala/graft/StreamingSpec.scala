@@ -575,6 +575,27 @@ class StreamingSpec extends SparkSuiteBase {
       "per-micro-batch state folds must land on the full corpus count")
   }
 
+  test("streamed near-dup filter ≡ batch first-arrival-wins over the exhaustive pair set") {
+    val streamed = graft.streaming.Streams.streamNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+      .toSet
+    // batch truth: exhaustive verified J >= 0.8 pairs, dup_of = min
+    // earlier partner — chunking must be invisible (per-doc band purity)
+    val pairs = graft.operators.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val minPartner = pairs.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val batch = docs.map { id =>
+      (id, minPartner.get(id), !minPartner.contains(id))
+    }.toSet
+    assert(streamed === batch,
+      "online filter must equal the batch pair-graph semantics")
+    // the filter actually fires on the fixture (it contains near-dups)
+    assert(streamed.exists(!_._3), "expected at least one dropped doc")
+  }
+
   test("streamed word-count on an empty corpus: empty result WITH schema, no crash") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-emptycorpus-")

@@ -92,6 +92,47 @@ class WinnowSpec extends SparkSuiteBase {
       "doc 3 shares no 35-char substring and must not pair")
   }
 
+  test("q_winnow_spans: shared regions merge into maximal per-doc spans") {
+    import spark.implicits._
+    val shared = "zqxjk wvbnm pfzqx jkwvb nmpfz qxjkw extra tail padding words" // ≥ 35 chars
+    val docs = Seq(
+      (1L, s"leading unique words then ${shared} and a unique ending"),
+      (2L, s"other preface text here ${shared} different close"),
+      (3L, "entirely unshared content with no duplicated phrases at all")).toDF("doc_id", "text")
+    val spans = TextOps.winnowSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs 1 and 2 each get at least one span; doc 3 none
+    assert(spans.exists(_._1 == 1L) && spans.exists(_._1 == 2L))
+    assert(!spans.exists(_._1 == 3L), s"unique doc must have no spans: ${spans.mkString(",")}")
+    // the doc-1 span set covers the shared text's selected grams as ONE
+    // contiguous island (the shared block is contiguous in the doc)
+    val d1 = spans.filter(_._1 == 1L)
+    assert(d1.length === 1, s"shared block must merge to one span: ${d1.mkString(",")}")
+    val t1 = s"leading unique words then ${shared} and a unique ending".toLowerCase
+    val (start, end) = (d1.head._2.toInt, d1.head._3.toInt)
+    val sharedStart = t1.indexOf(shared.toLowerCase) + 1
+    assert(start >= sharedStart && end <= sharedStart + shared.length - 1 + WinnowFp.K,
+      s"span [$start,$end] must sit inside the shared block [${sharedStart},${sharedStart + shared.length - 1}]")
+    spans.foreach { case (_, s0, e0, l0) => assert(l0 === e0 - s0 + 1 && l0 >= WinnowFp.K) }
+  }
+
+  test("q_winnow_spans on the fixture: well-formed, non-overlapping per doc") {
+    val spans = TextOps.winnowSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty)
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3 + 1, s"spans must be maximal: $a, $b")
+        case _ =>
+      }
+    }
+    spans.foreach { case (_, s0, e0, l0) =>
+      assert(s0 >= 1 && l0 === e0 - s0 + 1 && l0 >= WinnowFp.K)
+    }
+    info(s"fixture duplicated spans: ${spans.length}")
+  }
+
   test("q_winnow_dups on the fixture: pairs verified, symmetric-free, df-capped") {
     val dups = TextOps.winnowDups(spark, sf).collect()
     dups.foreach { r =>
