@@ -674,8 +674,21 @@ object Similarity {
     val cdf = centsDf(spark, cents)
     val enc = residuals(v, cdf, cents)
       .select(col("vec_id"), col("cid"), pqCodesCol(books, "rq").as("codes"))
-    // queries: one row per probed list, carrying that list's residual LUT
-    val q = v.where(QueryVecs)
+    val q = ivfpqProbeLuts(v, cdf, cents, books, probes)
+    val scored = broadcast(q).join(enc,
+        col("probe") === col("cid") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), pqAdcCol(books).as("pqd2"))
+    pqRerank(v, scored, k)
+  }
+
+  /** Query batch for the IVFPQ forms: one row per probed list carrying
+    * that list's residual LUT — ONE definition, so the live and
+    * indexed searches (whose bit-identity the shared oracle and the
+    * staged≡live spec rely on) cannot drift apart. */
+  private def ivfpqProbeLuts(v: DataFrame, cdf: DataFrame,
+      cents: Array[Array[Long]], books: Array[Array[Array[Long]]],
+      probes: Int): DataFrame =
+    v.where(QueryVecs)
       .withColumn("ds", array_sort(array(distStructsQ(cents): _*)))
       .withColumn("cid", explode(expr(s"transform(slice(ds, 1, $probes), s -> s.cid)")))
       .drop("ds")
@@ -683,11 +696,6 @@ object Similarity {
       .withColumn("rq", expr("zip_with(eq, cent, (a, b) -> a - b)"))
       .select(col("vec_id").as("qid"), col("cid").as("probe"),
         pqLutCol(books, "rq").as("lut"))
-    val scored = broadcast(q).join(enc,
-        col("probe") === col("cid") && col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), pqAdcCol(books).as("pqd2"))
-    pqRerank(v, scored, k)
-  }
 
   private val ivfpqIndexCache = new scala.collection.concurrent.TrieMap[
     (String, String), (String, Array[Array[Long]], Array[Array[Array[Long]]])]()
@@ -731,17 +739,9 @@ object Similarity {
     val (path, cents, books) = stagedIvfpqIndex(spark, dir)
     val probes = if (nProbe > 0) nProbe else ivfNProbe(cents.length)
     val v = vecsQ(spark, dir)
-    val cdf = centsDf(spark, cents)
     // query batch: probe lists + one residual LUT per probed list —
     // derived from the pushed-filter vec_id < 10 read alone
-    val q = v.where(QueryVecs)
-      .withColumn("ds", array_sort(array(distStructsQ(cents): _*)))
-      .withColumn("cid", explode(expr(s"transform(slice(ds, 1, $probes), s -> s.cid)")))
-      .drop("ds")
-      .join(broadcast(cdf), "cid")
-      .withColumn("rq", expr("zip_with(eq, cent, (a, b) -> a - b)"))
-      .select(col("vec_id").as("qid"), col("cid").as("probe"),
-        pqLutCol(books, "rq").as("lut"))
+    val q = ivfpqProbeLuts(v, centsDf(spark, cents), cents, books, probes)
     val probeCids = q.select(col("probe")).distinct().collect()
       .map(_.getInt(0).asInstanceOf[AnyRef])
     val enc = spark.read.parquet(path)

@@ -753,6 +753,20 @@ object TextOps {
         expr(s"enc div ${graft.functions.WinnowFp.Enc}").as("pos"),
         expr(s"enc % ${graft.functions.WinnowFp.Enc}").as("fp"))
 
+  /** ONE decoded selection table (doc_id, pos, fp, gram) for every
+    * winnow consumer — the pos·2³⁰+fp decode and the gram extraction
+    * exist exactly once beside their oracle mirrors. */
+  private def winnowDecoded(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(graft.functions.WinnowFp.of(col("t"))).as("enc"))
+      .select(col("doc_id"),
+        expr(s"enc div ${graft.functions.WinnowFp.Enc}").as("pos"),
+        expr(s"enc % ${graft.functions.WinnowFp.Enc}").as("fp"),
+        expr(s"substring(t, cast(enc div ${graft.functions.WinnowFp.Enc} as int), " +
+          s"${graft.functions.WinnowFp.K})").as("gram"))
+
   /** Document-frequency cap for [[winnowDups]]: a fingerprint selected
     * in more than this many documents is boilerplate (shared template
     * text), and every boilerplate gram contributes df² candidate
@@ -774,15 +788,7 @@ object TextOps {
     winnowDups(Tables(spark, dir, "documents"))
 
   def winnowDups(docs: DataFrame): DataFrame = {
-    val k = graft.functions.WinnowFp.K
-    val fd = docs
-      .select(col("doc_id"), lower(col("text")).as("t"))
-      .select(col("doc_id"), col("t"),
-        explode(graft.functions.WinnowFp.of(col("t"))).as("enc"))
-      .select(col("doc_id"),
-        expr(s"enc % ${graft.functions.WinnowFp.Enc}").as("fp"),
-        expr(s"substring(t, cast(enc div ${graft.functions.WinnowFp.Enc} as int), $k)").as("gram"))
-      .distinct()
+    val fd = winnowDecoded(docs).select("doc_id", "fp", "gram").distinct()
     val rare = fd.groupBy("fp", "gram").count()
       .where(col("count") <= WinnowMaxDf).select("fp", "gram")
     val fdr = fd.join(rare, Seq("fp", "gram"), "left_semi")
@@ -815,14 +821,7 @@ object TextOps {
 
   def winnowSpans(docs: DataFrame): DataFrame = {
     val k = graft.functions.WinnowFp.K
-    val f = docs
-      .select(col("doc_id"), lower(col("text")).as("t"))
-      .select(col("doc_id"), col("t"),
-        explode(graft.functions.WinnowFp.of(col("t"))).as("enc"))
-      .select(col("doc_id"),
-        expr(s"enc div ${graft.functions.WinnowFp.Enc}").as("pos"),
-        expr(s"enc % ${graft.functions.WinnowFp.Enc}").as("fp"),
-        expr(s"substring(t, cast(enc div ${graft.functions.WinnowFp.Enc} as int), $k)").as("gram"))
+    val f = winnowDecoded(docs)
     val sharedKeys = f.select(col("doc_id"), col("fp"), col("gram")).distinct()
       .groupBy("fp", "gram").count()
       .where(col("count") >= 2 && col("count") <= WinnowMaxDf)
@@ -1089,18 +1088,22 @@ object TextOps {
 
   def clearDocLenCache(): Unit = docLenCache.clear()
 
-  /** Doc-length sidecar for [[bm25]]: (doc_id, dl) under the SAME
-    * tokenization as the postings rows (so Σ tf per doc ≡ dl exactly),
-    * staged beside the index with the corpus token total T. One small
-    * table — |docs| rows, two ints — the standard companion artifact
-    * every BM25 deployment persists (Lucene's norms file). */
+  /** Doc-length sidecar for [[bm25]]: (doc_id, dl) with dl ≡ Σ tf per
+    * doc, staged beside the index with the corpus token total T. One
+    * small table — |docs| rows, two ints — the standard companion
+    * artifact every BM25 deployment persists (Lucene's norms file).
+    * DERIVED from the staged postings artifact, not a second corpus
+    * tokenization: the postings rows already hold every (word, doc)
+    * count, so aggregating the small (word, doc_id, tf) table gives
+    * the identical sidecar at a fraction of the cost AND makes
+    * tokenizer drift between postings and dl impossible by
+    * construction. */
   private[graft] def stagedDocLens(spark: SparkSession, dir: String): (String, Long) =
     Staging.stage(docLenCache, dir, "documents", "graft-doclens-") { root =>
-      val dls = Tables(spark, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        .where(length(col("word")) > 0)
-        .groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      dls.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+      val (postRoot, _) = stagedPostings(spark, dir)
+      spark.read.parquet(postRoot)
+        .groupBy("doc_id").agg(sum("tf").as("dl"))
+        .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(root)
       spark.read.parquet(root).agg(sum("dl")).head().getLong(0)
     }
@@ -1146,6 +1149,14 @@ object TextOps {
       k: Int): DataFrame = {
     val (root, nDocs) = stagedPostings(spark, dir)
     val (dlRoot, totTok) = stagedDocLens(spark, dir)
+    bm25Serve(spark, root, dlRoot, nDocs, totTok, t1, t2, k)
+  }
+
+  /** ONE serve path for both artifact pairs (one-shot and appended) —
+    * the pruned postings read, per-term df window, broadcast dl join,
+    * and ranking tail cannot drift between the two forms. */
+  private def bm25Serve(spark: SparkSession, root: String, dlRoot: String,
+      nDocs: Long, totTok: Long, t1: String, t2: String, k: Int): DataFrame = {
     val posts = spark.read.parquet(root)
       .where(col("bucket").isin(termBucket(t1), termBucket(t2)) &&
         col("word").isin(t1, t2))
@@ -1168,15 +1179,8 @@ object TextOps {
   def bm25Appended(spark: SparkSession, dir: String): DataFrame = {
     val (root, nDocs) = stagedAppendedPostings(spark, dir)
     val (dlRoot, totTok) = stagedAppendedDocLens(spark, dir)
-    val (t1, t2) = LookupTerms
-    val posts = spark.read.parquet(root)
-      .where(col("bucket").isin(termBucket(t1), termBucket(t2)) &&
-        col("word").isin(t1, t2))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("word")
-    bm25Rank(
-      spark.read.parquet(dlRoot)
-        .join(broadcast(posts.withColumn("df", count(lit(1)).over(w))), "doc_id"),
-      nDocs, totTok, SearchK)
+    bm25Serve(spark, root, dlRoot, nDocs, totTok,
+      LookupTerms._1, LookupTerms._2, SearchK)
   }
 
   private val docLenAppendCache =
@@ -1185,16 +1189,17 @@ object TextOps {
   def clearDocLenAppendCache(): Unit = docLenAppendCache.clear()
 
   /** The dl sidecar maintained base + append (disjoint doc slices →
-    * disjoint exact dl rows; same cut as the postings append). */
+    * disjoint exact dl rows; same cut as the postings append). Each
+    * slice's dl rows aggregate that slice's [[postingRows]] — the ONE
+    * tokenization path the postings artifact itself uses, so the two
+    * appended artifacts cannot disagree on a token. */
   private[graft] def stagedAppendedDocLens(spark: SparkSession, dir: String): (String, Long) =
     Staging.stage(docLenAppendCache, dir, "documents", "graft-dlappend-") { root =>
       val docs = Tables(spark, dir, "documents")
       val n = docs.count()
       val cut = n - math.max(1L, n / 10)
-      def dls(slice: DataFrame): DataFrame = slice
-        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-        .where(length(col("word")) > 0)
-        .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      def dls(slice: DataFrame): DataFrame =
+        postingRows(slice).groupBy("doc_id").agg(sum("tf").as("dl"))
       dls(docs.where(col("doc_id") < cut))
         .write.mode("overwrite").parquet(root)
       dls(docs.where(col("doc_id") >= cut))

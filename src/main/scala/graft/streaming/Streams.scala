@@ -831,58 +831,19 @@ object Streams {
     val feed = stagedDocFeed(spark, dir)
     val stateRoot = Files.createTempDirectory("graft-sndstate-").toFile
     Runtime.getRuntime.addShutdownHook(new Thread(() => graft.Fs.rmRf(stateRoot)))
-    val bandsDir = new File(stateRoot, "bands")
-    val shDir = new File(stateRoot, "shingles")
     val resDir = new File(stateRoot, "res")
     val ckpt = new File(stateRoot, "ckpt").getAbsolutePath
-    def parts(d: File): Array[String] =
-      if (d.exists()) d.listFiles().filter(_.isDirectory).map(_.getAbsolutePath)
-      else Array.empty
     val q = spark.readStream.schema(DocSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed.getAbsolutePath)
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // the batch feeds signatures, shingles, and the result join —
-        // pin it once instead of re-reading the feed file per consumer
-        val b = batch.toDF().localCheckpoint()
-        val nBatch = b.count()
-        val batchBands = Dedup.sigBands(b).localCheckpoint()
-        val batchSh = Dedup.shingles(b)
-        // candidates: against the persisted index (cross) + within-batch
-        // (self) — disjoint pair spaces, no dedupe needed
-        val priorBands = parts(bandsDir)
-        val cands =
-          (if (priorBands.nonEmpty)
-             Dedup.crossCandidates(spark.read.parquet(priorBands: _*),
-               batchBands, nBatch * Dedup.Bands)
-           else spark.emptyDataset[(Long, Long)](
-             org.apache.spark.sql.Encoders.product[(Long, Long)])
-             .toDF("da", "db"))
-          .unionAll(Dedup.lshCandidates(batchBands))
-        val priorSh = parts(shDir)
-        val allSh =
-          if (priorSh.nonEmpty) spark.read.parquet(priorSh: _*).unionByName(batchSh)
-          else batchSh
-        val pairs = Dedup.verifyCandidatesIndexed(allSh, cands, 0.8,
-          materializePruned = true)
-        val dup = pairs.groupBy(col("db").as("doc_id"))
-          .agg(min(col("da")).as("dup_of"))
-        b.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("dup_of"),
-            col("dup_of").isNull.as("keep"))
-          .write.mode("overwrite")
-          .parquet(new File(resDir, s"batch-$batchId").getAbsolutePath)
-        // index growth AFTER the probe: batch-id-named overwrites
-        batchBands.write.mode("overwrite")
-          .parquet(new File(bandsDir, s"batch-$batchId").getAbsolutePath)
-        batchSh.write.mode("overwrite")
-          .parquet(new File(shDir, s"batch-$batchId").getAbsolutePath)
+        nearDupBatch(spark, stateRoot, batch.toDF(), batchId)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    val res = parts(resDir)
+    val res = batchParts(resDir)
     if (res.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -890,6 +851,69 @@ object Streams {
           StructField("dup_of", LongType),
           StructField("keep", org.apache.spark.sql.types.BooleanType))))
     else spark.read.parquet(res: _*)
+  }
+
+  /** Batch-N directory listing, strictly below `below`: an
+    * at-least-once REPLAY of batch N must probe exactly the pre-N
+    * state — its own batch-N directories may already exist from the
+    * crashed first attempt, and including them would emit every
+    * within-batch pair twice and double-count this batch's shingle
+    * rows in the Jaccard verify (inflated, wrong dup decisions). */
+  private def batchParts(d: File, below: Long = Long.MaxValue): Array[String] =
+    if (d.exists())
+      d.listFiles().filter { f =>
+        val n = f.getName.stripPrefix("batch-")
+        f.isDirectory && n.nonEmpty && n.forall(_.isDigit) && n.toLong < below
+      }.map(_.getAbsolutePath)
+    else Array.empty
+
+  /** One micro-batch of the online near-dup filter, extracted so the
+    * replay-idempotence contract is a TESTABLE pure function of
+    * (pre-batchId state under `stateRoot`, `batch`): probe prior
+    * index, verify candidates, write the batch verdicts and the
+    * batch's own index rows — all to batch-id-named directories whose
+    * overwrite repairs at-least-once redelivery. */
+  private[graft] def nearDupBatch(spark: SparkSession, stateRoot: File,
+      b0: DataFrame, batchId: Long): Unit = {
+    import graft.operators.Dedup
+    val bandsDir = new File(stateRoot, "bands")
+    val shDir = new File(stateRoot, "shingles")
+    val resDir = new File(stateRoot, "res")
+    // the batch feeds signatures, shingles, and the result join —
+    // pin it once instead of re-reading the feed file per consumer
+    val b = b0.localCheckpoint()
+    val nBatch = b.count()
+    val batchBands = Dedup.sigBands(b).localCheckpoint()
+    val batchSh = Dedup.shingles(b)
+    // candidates: against the persisted index (cross) + within-batch
+    // (self) — disjoint pair spaces, no dedupe needed
+    val priorBands = batchParts(bandsDir, batchId)
+    val cands =
+      (if (priorBands.nonEmpty)
+         Dedup.crossCandidates(spark.read.parquet(priorBands: _*),
+           batchBands, nBatch * Dedup.Bands)
+       else spark.emptyDataset[(Long, Long)](
+         org.apache.spark.sql.Encoders.product[(Long, Long)])
+         .toDF("da", "db"))
+      .unionAll(Dedup.lshCandidates(batchBands))
+    val priorSh = batchParts(shDir, batchId)
+    val allSh =
+      if (priorSh.nonEmpty) spark.read.parquet(priorSh: _*).unionByName(batchSh)
+      else batchSh
+    val pairs = Dedup.verifyCandidatesIndexed(allSh, cands, 0.8,
+      materializePruned = true)
+    val dup = pairs.groupBy(col("db").as("doc_id"))
+      .agg(min(col("da")).as("dup_of"))
+    b.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .write.mode("overwrite")
+      .parquet(new File(resDir, s"batch-$batchId").getAbsolutePath)
+    // index growth AFTER the probe: batch-id-named overwrites
+    batchBands.write.mode("overwrite")
+      .parquet(new File(bandsDir, s"batch-$batchId").getAbsolutePath)
+    batchSh.write.mode("overwrite")
+      .parquet(new File(shDir, s"batch-$batchId").getAbsolutePath)
   }
 
   /** q_stream_wordcount: each micro-batch folds its word partials into

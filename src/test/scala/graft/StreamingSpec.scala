@@ -596,6 +596,35 @@ class StreamingSpec extends SparkSuiteBase {
     assert(streamed.exists(!_._3), "expected at least one dropped doc")
   }
 
+  test("near-dup batch body is replay-idempotent: a redelivered batch reproduces its first verdicts") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val n = docs.count()
+    val per = math.max(1L, n / 3)
+    def slice(i: Int) = docs.where(
+      col("doc_id") >= i * per && (if (i == 2) col("doc_id") >= i * per
+                                   else col("doc_id") < (i + 1) * per))
+    def readRes(root: java.io.File, b: Int) =
+      spark.read.parquet(new java.io.File(root, s"res/batch-$b").getAbsolutePath)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // clean run: batches 0, 1, 2
+    val clean = java.nio.file.Files.createTempDirectory("graft-sndclean-").toFile
+    (0 to 2).foreach(i => graft.streaming.Streams.nearDupBatch(spark, clean, slice(i), i))
+    // redelivered run: batch 1 crashes AFTER its state writes landed and
+    // is delivered again (at-least-once) before batch 2 proceeds
+    val redel = java.nio.file.Files.createTempDirectory("graft-sndredel-").toFile
+    graft.streaming.Streams.nearDupBatch(spark, redel, slice(0), 0)
+    graft.streaming.Streams.nearDupBatch(spark, redel, slice(1), 1)
+    graft.streaming.Streams.nearDupBatch(spark, redel, slice(1), 1) // replay
+    graft.streaming.Streams.nearDupBatch(spark, redel, slice(2), 2)
+    (0 to 2).foreach { b =>
+      assert(readRes(redel, b) === readRes(clean, b),
+        s"batch $b verdicts must be unaffected by the batch-1 redelivery")
+    }
+    graft.Fs.rmRf(clean); graft.Fs.rmRf(redel)
+  }
+
   test("streamed word-count on an empty corpus: empty result WITH schema, no crash") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-emptycorpus-")
