@@ -198,11 +198,17 @@ object Bench {
         // path (the per-query-batch cost a deployment actually pays)
         val bIvfpqIdx = timed(graft.operators.Similarity.stagedIvfpqIndex(spark, sfDir))
         val sIvfpqIdx = timed(force(SparkEntry.queries("q_simsearch_ivfpq_indexed")(spark, sfDir)))
+        // incremental build bills base-model fit + base encode + delta
+        // append; search is the same pruned serve path
+        val bIvfpqApp = timed(graft.operators.Similarity.stagedAppendedIvfpqIndex(spark, sfDir))
+        val sIvfpqApp = timed(force(SparkEntry.queries("q_simsearch_ivfpq_append")(spark, sfDir)))
         Seq("pq_build_sec" -> bPq, "pq_search_sec" -> sPq,
           "pq_index_build_sec" -> bPqIdx, "pq_index_search_sec" -> sPqIdx,
           "ivfpq_build_sec" -> bIvfpq, "ivfpq_search_sec" -> sIvfpq,
           "ivfpq_index_build_sec" -> bIvfpqIdx,
-          "ivfpq_index_search_sec" -> sIvfpqIdx) ++
+          "ivfpq_index_search_sec" -> sIvfpqIdx,
+          "ivfpq_append_build_sec" -> bIvfpqApp,
+          "ivfpq_append_search_sec" -> sIvfpqApp) ++
           recall("q_simsearch_pq") ++ recall("q_simsearch_ivfpq") ++
           recall("q_simsearch_sq")
       } catch { case NonFatal(e) =>

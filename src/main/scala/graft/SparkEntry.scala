@@ -74,6 +74,7 @@ object SparkEntry {
     "q_simsearch_pq"    -> ((s, d) => Similarity.pqTopK(s, d)),
     "q_simsearch_ivfpq" -> ((s, d) => Similarity.ivfpqTopK(s, d)),
     "q_simsearch_ivfpq_indexed" -> ((s, d) => Similarity.ivfpqTopKIndexed(s, d)),
+    "q_simsearch_ivfpq_append" -> ((s, d) => Similarity.ivfpqTopKAppended(s, d)),
     "q_simsearch_pq_indexed" -> ((s, d) => Similarity.pqTopKIndexed(s, d)),
     "q_simsearch_sq"    -> ((s, d) => Similarity.sqTopK(s, d)),
     "q_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
@@ -1541,6 +1542,12 @@ object SparkEntry {
     // partition pruning changes WHAT IS READ, not what is computed)
     "q_simsearch_ivfpq_indexed" ->
       ivfpqOracle(operators.Clustering.Iters, operators.Similarity.PqIters),
+    // incremental form: the WHOLE model (coarse + residual books) fits
+    // on the base slice only; assignment/encode/search replay over the
+    // full corpus under that frozen model
+    "q_simsearch_ivfpq_append" ->
+      ivfpqOracle(operators.Clustering.Iters, operators.Similarity.PqIters,
+        base = true),
     // SQ8 replayed exactly: per-dim min/max "model", affine 8-bit
     // codes, integer decode, d2 shortlist, exact-cosine re-rank —
     // every division has non-negative operands (trunc ≡ floor)
@@ -3007,22 +3014,34 @@ object SparkEntry {
     * derived k from kpar, base-slice fit source for the append
     * variant) — but mirrors the same assign/update CTE text. */
   private def lloydSubspaceSql(p: String, src: String, s: Int, iters: Int,
-                               kc: Int, d: Int): String = {
+                               kc: Int, d: Int,
+                               fitSrc: String = null,
+                               initFrom: String = "embeddings"): String = {
+    // fit rows (iterations + init) may come from a RESTRICTED source
+    // (the append variant fits on the base slice only) while the
+    // encode tail always covers the full src
+    val fitRef = if (fitSrc == null) s"${p}xs$s" else s"${p}fxs$s"
+    val fitCte =
+      if (fitSrc == null) ""
+      else
+        s"""${p}fxs$s AS MATERIALIZED (
+           |  SELECT vec_id, dim, xi FROM $fitSrc WHERE dim > ${s * d} AND dim <= ${(s + 1) * d}
+           |), """.stripMargin
     val head =
       s"""${p}xs$s AS MATERIALIZED (
          |  SELECT vec_id, dim, xi FROM $src WHERE dim > ${s * d} AND dim <= ${(s + 1) * d}
-         |), ${p}c${s}_0 AS (
+         |), ${fitCte}${p}c${s}_0 AS (
          |  SELECT dense_rank() OVER (ORDER BY sv.vec_id) - 1 AS cid, x.dim, x.xi AS c
          |  FROM (SELECT vec_id FROM
          |          (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
-         |           FROM embeddings)
+         |           FROM $initFrom)
          |        WHERE rn <= $kc) sv
-         |  JOIN ${p}xs$s x ON x.vec_id = sv.vec_id
+         |  JOIN $fitRef x ON x.vec_id = sv.vec_id
          |)""".stripMargin
     val its = (1 to iters).map { i =>
       s"""${p}a${s}_$i AS (
          |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
-         |  FROM ${p}xs$s x JOIN ${p}c${s}_${i - 1} c ON x.dim = c.dim
+         |  FROM $fitRef x JOIN ${p}c${s}_${i - 1} c ON x.dim = c.dim
          |  GROUP BY x.vec_id, c.cid
          |), ${p}b${s}_$i AS (
          |  SELECT vec_id, cid FROM (
@@ -3035,7 +3054,7 @@ object SparkEntry {
          |         THEN (2 * CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*))
          |         ELSE -((2 * -CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*)))
          |    END AS c
-         |  FROM ${p}b${s}_$i b JOIN ${p}xs$s x ON x.vec_id = b.vec_id
+         |  FROM ${p}b${s}_$i b JOIN $fitRef x ON x.vec_id = b.vec_id
          |  GROUP BY b.cid, x.dim
          |), ${p}c${s}_$i AS (
          |  SELECT pp.cid, pp.dim, coalesce(mm.c, pp.c) AS c
@@ -3119,16 +3138,24 @@ object SparkEntry {
     * pqOracle pattern over residual dims), corpus codes (rea/reb),
     * per-probed-list query residuals + LUTs (xqr/lu…), integer ADC
     * scoring restricted to probed lists, shortlist, cosine re-rank. */
-  private def ivfpqOracle(ivfIters: Int, pqIters: Int): String = {
+  private def ivfpqOracle(ivfIters: Int, pqIters: Int,
+                          base: Boolean = false): String = {
     val m = operators.Similarity.PqM
     val d = operators.Similarity.PqD
     val kc = operators.Similarity.PqK
     val shortN = operators.Similarity.pqShortlist(10)
-    // coarse-quantizer Lloyd chain (same CTE text as ivfOracle, non-base)
-    def assignCte(i: Int, cfrom: String): String =
+    // fit rows come from the base slice for the append variant (the
+    // model predates the delta); the full-corpus assignment, residuals
+    // and encode tails are unchanged — the ivfOracle base convention
+    val fx = if (base) "bx" else "x"
+    val initSrc =
+      if (base) "(SELECT vec_id FROM embeddings, cutpar WHERE vec_id < cut)"
+      else "embeddings"
+    // coarse-quantizer Lloyd chain (same CTE text as ivfOracle)
+    def assignCte(i: Int, cfrom: String, xfrom: String): String =
       s"""a$i AS (
          |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
-         |  FROM x JOIN $cfrom c ON x.dim = c.dim
+         |  FROM $xfrom x JOIN $cfrom c ON x.dim = c.dim
          |  GROUP BY x.vec_id, c.cid
          |), b$i AS (
          |  SELECT vec_id, cid FROM (
@@ -3137,14 +3164,14 @@ object SparkEntry {
          |    FROM a$i) WHERE rn = 1
          |)""".stripMargin
     val coarse = (1 to ivfIters).map { i =>
-      assignCte(i, s"c${i - 1}") + s""",
+      assignCte(i, s"c${i - 1}", fx) + s""",
          |m$i AS (
          |  SELECT b.cid, x.dim,
          |    CASE WHEN sum(x.xi) >= 0
          |         THEN (2 * CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*))
          |         ELSE -((2 * -CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*)))
          |    END AS c
-         |  FROM b$i b JOIN x ON x.vec_id = b.vec_id
+         |  FROM b$i b JOIN $fx x ON x.vec_id = b.vec_id
          |  GROUP BY b.cid, x.dim
          |), c$i AS (
          |  SELECT p.cid, p.dim, coalesce(mm.c, p.c) AS c
@@ -3157,7 +3184,8 @@ object SparkEntry {
     // list query LUT — the one piece flat PQ does not have (the query
     // residual differs per probed list, so lu comes from xqr, not rea)
     def rchain(s: Int): String =
-      lloydSubspaceSql("r", "xr", s, pqIters, kc, d) + s""",
+      lloydSubspaceSql("r", "xr", s, pqIters, kc, d,
+        fitSrc = if (base) "bxr" else null, initFrom = initSrc) + s""",
          |lu$s AS (
          |  SELECT q.qid, q.cid AS probe, c.cid AS code,
          |         CAST(sum((q.xi - c.c) * (q.xi - c.c)) AS BIGINT) AS d2
@@ -3180,7 +3208,10 @@ object SparkEntry {
        |), x AS MATERIALIZED (
        |  SELECT vec_id, CAST(u.i AS INT) AS dim, qe[u.i] AS xi
        |  FROM q, unnest(range(1, len(qe) + 1)) AS u(i)
-       |), n AS MATERIALIZED (
+       |), ${if (base) """cutpar AS (
+       |  SELECT count(*) - GREATEST(1, count(*) // 10) AS cut FROM embeddings
+       |), bx AS MATERIALIZED (SELECT x.* FROM x, cutpar WHERE x.vec_id < cut),
+       |""".stripMargin else ""}n AS MATERIALIZED (
        |  SELECT vec_id, e,
        |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
        |         (a, p) -> a + p)) AS nrm
@@ -3194,19 +3225,20 @@ object SparkEntry {
        |  SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cid, x.dim, x.xi AS c
        |  FROM (SELECT vec_id FROM
        |          (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
-       |           FROM embeddings), kpar
+       |           FROM $initSrc), kpar
        |        WHERE rn <= k) s
        |  JOIN x ON x.vec_id = s.vec_id
        |),
        |${coarse.mkString(",\n")},
        |cfin AS MATERIALIZED (SELECT cid, dim, c FROM c$ivfIters),
-       |${assignCte(fin, "cfin")},
+       |${assignCte(fin, "cfin", "x")},
        |asg AS MATERIALIZED (SELECT vec_id, cid FROM b$fin),
        |xr AS MATERIALIZED (
        |  SELECT x.vec_id, x.dim, x.xi - c.c AS xi
        |  FROM x JOIN asg a ON a.vec_id = x.vec_id
        |  JOIN cfin c ON c.cid = a.cid AND c.dim = x.dim
-       |),
+       |),${if (base) """
+       |bxr AS MATERIALIZED (SELECT xr.* FROM xr, cutpar WHERE xr.vec_id < cut),""".stripMargin else ""}
        |qd AS (
        |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
        |  FROM x JOIN cfin c ON x.dim = c.dim

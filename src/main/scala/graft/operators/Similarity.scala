@@ -260,7 +260,7 @@ object Similarity {
     * file listing would hit FileNotFoundException on evaluation. */
   def clearIndexCache(): Unit = {
     indexCache.clear(); appendCache.clear(); pqIndexCache.clear()
-    ivfpqIndexCache.clear()
+    ivfpqIndexCache.clear(); ivfpqAppendCache.clear()
   }
 
   /** Drop the memoized PQ / IVFPQ models (codebooks + centroids) —
@@ -737,15 +737,96 @@ object Similarity {
   def ivfpqTopKIndexed(spark: SparkSession, dir: String, k: Int = 10,
                        nProbe: Int = 0): DataFrame = {
     val (path, cents, books) = stagedIvfpqIndex(spark, dir)
+    ivfpqServe(spark, dir, path, cents, books, k, nProbe)
+  }
+
+  /** ONE serve path over a persisted IVFPQ codes index — shared by the
+    * one-shot staged index and the appended index, so the two cannot
+    * drift. The probed cids are a static PartitionFilter; the query
+    * batch derives from the pushed-filter vec_id < 10 read alone. */
+  private def ivfpqServe(spark: SparkSession, dir: String, path: String,
+      cents: Array[Array[Long]], books: Array[Array[Array[Long]]],
+      k: Int, nProbe: Int): DataFrame = {
     val probes = if (nProbe > 0) nProbe else ivfNProbe(cents.length)
     val v = vecsQ(spark, dir)
-    // query batch: probe lists + one residual LUT per probed list —
-    // derived from the pushed-filter vec_id < 10 read alone
     val q = ivfpqProbeLuts(v, centsDf(spark, cents), cents, books, probes)
     val probeCids = q.select(col("probe")).distinct().collect()
       .map(_.getInt(0).asInstanceOf[AnyRef])
     val enc = spark.read.parquet(path)
       .where(col("cid").isin(probeCids: _*)) // static PartitionFilters
+    val scored = broadcast(q).join(enc,
+        col("probe") === col("cid") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), pqAdcCol(books).as("pqd2"))
+    pqRerank(v, scored, k)
+  }
+
+  private val ivfpqAppendCache = new scala.collection.concurrent.TrieMap[
+    (String, String), (String, Array[Array[Long]], Array[Array[Array[Long]]])]()
+
+  /** INCREMENTAL IVFPQ index maintenance (the [[ivfTopKAppended]]
+    * story composed with PQ): the whole model — coarse quantizer AND
+    * residual codebooks — is trained on the BASE corpus only (the
+    * first ~90% of vectors; the model genuinely never sees the delta,
+    * as in a real pipeline where the model predates the batch), the
+    * base codes are staged, and the late batch is ENCODED UNDER THE
+    * FROZEN MODEL and appended into its cid= directories — base
+    * partitions never rewritten, append cost |delta| × (K distance
+    * kernels + M code argmins). Searches over the appended index are
+    * BIT-IDENTICAL to a live full-corpus IVFPQ search under the same
+    * frozen model (same cents ⇒ same assignment, same books ⇒ same
+    * codes; spec-asserted via [[ivfpqTopKWithModel]]), and the DuckDB
+    * oracle replays the base-only fits. A batch past
+    * [[AppendRefreshFraction]] takes the REBUILD path (fresh
+    * full-corpus model), the [[stagedAppendedIndex]] convention. */
+  private[graft] def stagedAppendedIvfpqIndex(spark: SparkSession, dir: String): (String, Array[Array[Long]], Array[Array[Array[Long]]]) =
+    ivfpqAppendCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
+      val n = corpusSize(spark, dir)
+      val cut = n - math.max(1L, n / 10)
+      val v = vecsQ(spark, dir)
+      val base = v.where(col("vec_id") < cut)
+      val baseRows = base.count()
+      val fitSrc =
+        if (appendNeedsRefresh(baseRows, n - baseRows)) v else base
+      val cents = Clustering.fitFixed(
+        fitSrc.select(col("vec_id"), col("eq").as("e")),
+        Clustering.Iters, ivfK(n))
+      val cdf = centsDf(spark, cents)
+      val resid = residuals(fitSrc, cdf, cents)
+        .select(col("vec_id"), col("rq")).localCheckpoint()
+      val books = fitSubspaceBooks(resid, "rq")
+      def enc(slice: DataFrame): DataFrame =
+        residuals(slice, cdf, cents)
+          .select(col("vec_id"), col("cid"), pqCodesCol(books, "rq").as("codes"))
+      val root = new java.io.File(stableRoot(dir), "ivfpq_index_inc")
+      graft.sources.Sinks.writePartitioned(
+        enc(base), root.getAbsolutePath, Seq("cid"), Seq("vec_id"))
+      enc(v.where(col("vec_id") >= cut))
+        .write.mode("append").partitionBy("cid")
+        .parquet(root.getAbsolutePath)
+      (root.getAbsolutePath, cents, books)
+    })
+
+  /** q_simsearch_ivfpq_append: search over the incrementally
+    * maintained IVFPQ index ([[stagedAppendedIvfpqIndex]]), served by
+    * the same pruned path as the one-shot index. */
+  def ivfpqTopKAppended(spark: SparkSession, dir: String, k: Int = 10,
+                        nProbe: Int = 0): DataFrame = {
+    val (path, cents, books) = stagedAppendedIvfpqIndex(spark, dir)
+    ivfpqServe(spark, dir, path, cents, books, k, nProbe)
+  }
+
+  /** Test seam: live (unstaged) IVFPQ search under an externally
+    * supplied frozen model — what the appended index must agree with
+    * bit-for-bit. */
+  private[graft] def ivfpqTopKWithModel(spark: SparkSession, dir: String,
+      cents: Array[Array[Long]], books: Array[Array[Array[Long]]],
+      k: Int = 10, nProbe: Int = 0): DataFrame = {
+    val probes = if (nProbe > 0) nProbe else ivfNProbe(cents.length)
+    val v = vecsQ(spark, dir)
+    val cdf = centsDf(spark, cents)
+    val enc = residuals(v, cdf, cents)
+      .select(col("vec_id"), col("cid"), pqCodesCol(books, "rq").as("codes"))
+    val q = ivfpqProbeLuts(v, cdf, cents, books, probes)
     val scored = broadcast(q).join(enc,
         col("probe") === col("cid") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), pqAdcCol(books).as("pqd2"))

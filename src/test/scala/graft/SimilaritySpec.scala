@@ -216,6 +216,26 @@ class SimilaritySpec extends SparkSuiteBase {
       s"per-search corpus encode still present (${unfiltered.size} unfiltered raw scans):\n$plan")
   }
 
+  test("appended IVFPQ index ≡ live search under the frozen base-trained model") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(3))
+    val appended = Similarity.ivfpqTopKAppended(spark, sf).collect().map(key).toSet
+    // the model (coarse + books) never saw the delta; a live
+    // full-corpus IVFPQ search under the SAME frozen model is the
+    // ground truth the appended index must hit bit-for-bit
+    val (_, cents, books) = Similarity.stagedAppendedIvfpqIndex(spark, sf)
+    val live = Similarity.ivfpqTopKWithModel(spark, sf, cents, books)
+      .collect().map(key).toSet
+    assert(appended === live)
+    // the delta really landed as extra files inside existing cid= dirs
+    val (path, _, _) = Similarity.stagedAppendedIvfpqIndex(spark, sf)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(dirs.nonEmpty)
+    assert(dirs.exists(_.listFiles().count(_.getName.endsWith(".parquet")) > 1),
+      "no cid partition holds an appended file")
+  }
+
   test("IVF recall holds at a SECOND corpus size with derived parameters") {
     val big = "/root/testdata/sf0.1"
     val kSmall = Similarity.ivfK(Similarity.corpusSize(spark, sf))
