@@ -198,17 +198,11 @@ object Bench {
         // path (the per-query-batch cost a deployment actually pays)
         val bIvfpqIdx = timed(graft.operators.Similarity.stagedIvfpqIndex(spark, sfDir))
         val sIvfpqIdx = timed(force(SparkEntry.queries("q_simsearch_ivfpq_indexed")(spark, sfDir)))
-        // incremental build bills base-model fit + base encode + delta
-        // append; search is the same pruned serve path
-        val bIvfpqApp = timed(graft.operators.Similarity.stagedAppendedIvfpqIndex(spark, sfDir))
-        val sIvfpqApp = timed(force(SparkEntry.queries("q_simsearch_ivfpq_append")(spark, sfDir)))
         Seq("pq_build_sec" -> bPq, "pq_search_sec" -> sPq,
           "pq_index_build_sec" -> bPqIdx, "pq_index_search_sec" -> sPqIdx,
           "ivfpq_build_sec" -> bIvfpq, "ivfpq_search_sec" -> sIvfpq,
           "ivfpq_index_build_sec" -> bIvfpqIdx,
-          "ivfpq_index_search_sec" -> sIvfpqIdx,
-          "ivfpq_append_build_sec" -> bIvfpqApp,
-          "ivfpq_append_search_sec" -> sIvfpqApp) ++
+          "ivfpq_index_search_sec" -> sIvfpqIdx) ++
           recall("q_simsearch_pq") ++ recall("q_simsearch_ivfpq") ++
           recall("q_simsearch_sq")
       } catch { case NonFatal(e) =>
@@ -218,6 +212,21 @@ object Bench {
           graft.operators.Similarity.ivfK(
             graft.operators.Similarity.corpusSize(spark, sfDir)))
         catch { case NonFatal(_) => () }
+        Seq.empty
+      }
+
+    // Incremental IVFPQ build/search — its OWN try so a failure here
+    // cannot discard the eight PQ/IVFPQ metrics measured above (the
+    // append path uses an independent base-fit model; build bills
+    // base-model fit + base encode + delta append, search the pruned
+    // serve path).
+    val ivfpqAppendLifecycle: Seq[(String, Double)] =
+      try {
+        val bApp = timed(graft.operators.Similarity.stagedAppendedIvfpqIndex(spark, sfDir))
+        val sApp = timed(force(SparkEntry.queries("q_simsearch_ivfpq_append")(spark, sfDir)))
+        Seq("ivfpq_append_build_sec" -> bApp, "ivfpq_append_search_sec" -> sApp)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] ivfpq append lifecycle failed: ${e.getMessage}")
         Seq.empty
       }
 
@@ -360,7 +369,7 @@ object Bench {
     // a tail capture of any length that includes the final line parses.
     // Both lines are also mirrored to bench_last.json in the CWD.
     val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"matrix_rerun_threshold_sec":$RerunThresholdSec,"matrix_rerun_n":$mReruns,"sf":"$sfDir"}"""
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ ivfpqAppendLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
       try { w.println(matrixLine); w.println(headlineLine) } finally w.close()

@@ -668,17 +668,11 @@ object Similarity {
     * replays the search bit-for-bit. */
   def ivfpqTopK(spark: SparkSession, dir: String, k: Int = 10,
                 nProbe: Int = 0): DataFrame = {
+    // ONE live-search body ([[ivfpqTopKWithModel]]) under the memoized
+    // model — the appended-index bit-identity spec and this query's
+    // oracle therefore pin the SAME code path
     val (cents, books) = ivfpqModel(spark, dir)
-    val probes = if (nProbe > 0) nProbe else ivfNProbe(cents.length)
-    val v = vecsQ(spark, dir)
-    val cdf = centsDf(spark, cents)
-    val enc = residuals(v, cdf, cents)
-      .select(col("vec_id"), col("cid"), pqCodesCol(books, "rq").as("codes"))
-    val q = ivfpqProbeLuts(v, cdf, cents, books, probes)
-    val scored = broadcast(q).join(enc,
-        col("probe") === col("cid") && col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), pqAdcCol(books).as("pqd2"))
-    pqRerank(v, scored, k)
+    ivfpqTopKWithModel(spark, dir, cents, books, k, nProbe)
   }
 
   /** Query batch for the IVFPQ forms: one row per probed list carrying
@@ -785,24 +779,36 @@ object Similarity {
       val v = vecsQ(spark, dir)
       val base = v.where(col("vec_id") < cut)
       val baseRows = base.count()
-      val fitSrc =
-        if (appendNeedsRefresh(baseRows, n - baseRows)) v else base
+      // refresh branch: mirrors the stagedAppendedIndex convention —
+      // past the fraction the index REBUILDS under a full-corpus model
+      // (one-shot write, no append). The oracle always replays the
+      // base-only fit; with the ~10% arrival cut this branch is
+      // reachable only on a degenerate ≤1-row corpus (cut = 0), where
+      // the operator contract, not the oracle, governs — the same
+      // documented convention as ivf_append.
+      val refresh = appendNeedsRefresh(baseRows, n - baseRows)
+      val fitSrc = if (refresh) v else base
       val cents = Clustering.fitFixed(
         fitSrc.select(col("vec_id"), col("eq").as("e")),
         Clustering.Iters, ivfK(n))
       val cdf = centsDf(spark, cents)
+      // keep cid beside the residual: the SAME checkpointed table feeds
+      // the 8 codebook fits AND the base encode — the coarse assignment
+      // (K distance kernels over ~90% of the corpus) runs once, not
+      // twice per build
       val resid = residuals(fitSrc, cdf, cents)
-        .select(col("vec_id"), col("rq")).localCheckpoint()
-      val books = fitSubspaceBooks(resid, "rq")
-      def enc(slice: DataFrame): DataFrame =
-        residuals(slice, cdf, cents)
-          .select(col("vec_id"), col("cid"), pqCodesCol(books, "rq").as("codes"))
+        .select(col("vec_id"), col("cid"), col("rq")).localCheckpoint()
+      val books = fitSubspaceBooks(resid.select(col("vec_id"), col("rq")), "rq")
+      val fitEnc = resid
+        .select(col("vec_id"), col("cid"), pqCodesCol(books, "rq").as("codes"))
       val root = new java.io.File(stableRoot(dir), "ivfpq_index_inc")
       graft.sources.Sinks.writePartitioned(
-        enc(base), root.getAbsolutePath, Seq("cid"), Seq("vec_id"))
-      enc(v.where(col("vec_id") >= cut))
-        .write.mode("append").partitionBy("cid")
-        .parquet(root.getAbsolutePath)
+        fitEnc, root.getAbsolutePath, Seq("cid"), Seq("vec_id"))
+      if (!refresh)
+        residuals(v.where(col("vec_id") >= cut), cdf, cents)
+          .select(col("vec_id"), col("cid"), pqCodesCol(books, "rq").as("codes"))
+          .write.mode("append").partitionBy("cid")
+          .parquet(root.getAbsolutePath)
       (root.getAbsolutePath, cents, books)
     })
 
