@@ -58,6 +58,7 @@ object SparkEntry {
     "q_winnow"          -> ((s, d) => TextOps.winnow(s, d)),
     "q_winnow_dups"     -> ((s, d) => TextOps.winnowDups(s, d)),
     "q_winnow_spans"    -> ((s, d) => TextOps.winnowSpans(s, d)),
+    "q_winnow_stats"    -> ((s, d) => TextOps.winnowStats(s, d)),
     "q_dedup_exact"     -> ((s, d) => Dedup.exactGroups(s, d)),
     "q_dedup_ngram"     -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -611,38 +612,23 @@ object SparkEntry {
     // duplicated-region spans: shared verified grams → per-doc
     // gaps-and-islands interval merge, the same window forms in both
     // engines (running max over preceding rows, running sum island id)
-    "q_winnow_spans" -> {
-      val k = functions.WinnowFp.K
-      s"""$winnowSelCte, f AS (
-         |  SELECT doc_id, CAST(u.enc // ${functions.WinnowFp.Enc} AS BIGINT) AS pos,
-         |         u.enc % ${functions.WinnowFp.Enc} AS fp,
-         |         substr(t, CAST(u.enc // ${functions.WinnowFp.Enc} AS INTEGER), $k) AS gram
-         |  FROM sel, unnest(encs) AS u(enc)
-         |), keys AS (
-         |  SELECT fp, gram FROM (SELECT DISTINCT doc_id, fp, gram FROM f)
-         |  GROUP BY fp, gram
-         |  HAVING count(*) >= 2 AND count(*) <= ${operators.TextOps.WinnowMaxDf}
-         |), sp AS (
-         |  SELECT DISTINCT doc_id, pos FROM f JOIN keys USING (fp, gram)
-         |), isl AS (
-         |  SELECT doc_id, pos,
-         |    CASE WHEN max(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-         |         OR pos > max(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-         |         THEN 1 ELSE 0 END AS brk
-         |  FROM sp
-         |), grp AS (
-         |  SELECT doc_id, pos,
-         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |  FROM isl
+    "q_winnow_spans" -> winnowSpansOracle,
+    // per-doc duplication coverage: the spans oracle aggregated, left
+    // joined onto codepoint lengths; one double division, same order
+    "q_winnow_stats" ->
+      s"""WITH spans AS (
+         |${winnowSpansOracle.linesIterator.map("  " + _).mkString("\n")}
+         |), agg AS (
+         |  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_chars
+         |  FROM spans GROUP BY doc_id
          |)
-         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         |       CAST(max(pos) + ${k - 1} AS BIGINT) AS span_end,
-         |       CAST(max(pos) + ${k - 1} - min(pos) + 1 AS BIGINT) AS span_len
-         |FROM grp GROUP BY doc_id, island""".stripMargin
-    },
+         |SELECT d.doc_id, CAST(length(lower(d.text)) AS BIGINT) AS n,
+         |       COALESCE(a.dup_chars, 0) AS dup_chars,
+         |       CASE WHEN length(lower(d.text)) > 0
+         |            THEN CAST(COALESCE(a.dup_chars, 0) AS DOUBLE)
+         |                 / CAST(length(lower(d.text)) AS BIGINT)
+         |            ELSE 0.0 END AS dup_frac
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT md5(regexp_replace(trim(lower(text)), '$Ws', ' ', 'g')) AS h,
          |       min(doc_id) AS keep_id, count(*) AS copies
@@ -2774,6 +2760,43 @@ object SparkEntry {
           s"SELECT CAST(dim - 1 AS BIGINT) AS dim, CAST(c AS BIGINT) AS c FROM v$iters ORDER BY dim"
       }""".stripMargin
   }
+
+
+  /** Oracle for q_winnow_spans (`TextOps.winnowSpans`) — also embedded
+    * as a subquery by the q_winnow_stats oracle (oracleSql is a def:
+    * entries must not call back into the map during construction). */
+  private def winnowSpansOracle: String = {
+      val k = functions.WinnowFp.K
+      s"""$winnowSelCte, f AS (
+         |  SELECT doc_id, CAST(u.enc // ${functions.WinnowFp.Enc} AS BIGINT) AS pos,
+         |         u.enc % ${functions.WinnowFp.Enc} AS fp,
+         |         substr(t, CAST(u.enc // ${functions.WinnowFp.Enc} AS INTEGER), $k) AS gram
+         |  FROM sel, unnest(encs) AS u(enc)
+         |), keys AS (
+         |  SELECT fp, gram FROM (SELECT DISTINCT doc_id, fp, gram FROM f)
+         |  GROUP BY fp, gram
+         |  HAVING count(*) >= 2 AND count(*) <= ${operators.TextOps.WinnowMaxDf}
+         |), sp AS (
+         |  SELECT DISTINCT doc_id, pos FROM f JOIN keys USING (fp, gram)
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN max(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |         OR pos > max(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM sp
+         |), grp AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM isl
+         |)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(max(pos) + ${k - 1} AS BIGINT) AS span_end,
+         |       CAST(max(pos) + ${k - 1} - min(pos) + 1 AS BIGINT) AS span_len
+         |FROM grp GROUP BY doc_id, island""".stripMargin
+    }
 
   /** Shared winnow-selection CTEs (q_winnow / q_winnow_dups —
     * `TextOps.winnow` family): per-position 8-char-gram polynomial

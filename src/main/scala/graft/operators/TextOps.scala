@@ -844,6 +844,30 @@ object TextOps {
         (col("span_end") - col("span_start") + 1L).as("span_len"))
   }
 
+  /** q_winnow_stats: the MEASUREMENT face of substring dedup — per
+    * document, how much of it is duplicated text: total characters,
+    * characters covered by duplicated-region spans ([[winnowSpans]] —
+    * maximal, non-overlapping, so the sum is exact coverage), and the
+    * duplicated fraction. The number a curation pipeline thresholds on
+    * ("drop docs that are > 60% boilerplate") and tracks across crawl
+    * snapshots. One double division per doc (int / int, same operand
+    * order in the oracle → bit parity). */
+  def winnowStats(spark: SparkSession, dir: String): DataFrame =
+    winnowStats(Tables(spark, dir, "documents"))
+
+  def winnowStats(docs: DataFrame): DataFrame = {
+    val spans = winnowSpans(docs)
+      .groupBy("doc_id").agg(sum("span_len").as("dup_chars"))
+    docs
+      .select(col("doc_id"), length(lower(col("text"))).cast(LongType).as("n"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        when(col("n") > 0,
+          coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   /** Per-term postings cap for [[invertedIndex]]. */
   val PostingsCap = 32
 

@@ -133,6 +133,21 @@ class WinnowSpec extends SparkSuiteBase {
     info(s"fixture duplicated spans: ${spans.length}")
   }
 
+  test("q_winnow_stats: dup coverage consistent with spans; every doc reported") {
+    val stats = TextOps.winnowStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val nDocs = graft.sources.Tables(spark, sf, "documents").count()
+    assert(stats.size === nDocs, "one row per document, span-free docs included")
+    val spanSum = TextOps.winnowSpans(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum).toMap
+    stats.foreach { case (id, (n, dup, frac)) =>
+      assert(dup === spanSum.getOrElse(id, 0L), s"doc $id coverage mismatch")
+      assert(dup <= n, s"doc $id coverage exceeds length")
+      if (n > 0) assert(math.abs(frac - dup.toDouble / n) < 1e-12)
+    }
+    assert(stats.values.exists(_._2 > 0), "fixture contains duplicated regions")
+  }
+
   test("q_winnow_dups on the fixture: pairs verified, symmetric-free, df-capped") {
     val dups = TextOps.winnowDups(spark, sf).collect()
     dups.foreach { r =>
