@@ -204,7 +204,7 @@ object Bench {
           "ivfpq_index_build_sec" -> bIvfpqIdx,
           "ivfpq_index_search_sec" -> sIvfpqIdx) ++
           recall("q_simsearch_pq") ++ recall("q_simsearch_ivfpq") ++
-          recall("q_simsearch_sq")
+          recall("q_simsearch_sq") ++ recall("q_simsearch_lsh")
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] pq lifecycle split failed: ${e.getMessage}")
         try graft.operators.Clustering.fitFixed(spark, sfDir,
