@@ -128,6 +128,30 @@ object Bench {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // Lifecycle basis (VERDICT r9 #1): the build/search splits get the
+    // SAME min-of-N estimator as the headline — a single `timed(...)`
+    // on a host with a 2-3× noise band cannot distinguish a stall from
+    // a regression (r9's 11.4 s pq_search / 15.8 s ivfpq_append_build
+    // were exactly that ambiguity). `pre` runs before EACH timed run:
+    // for a BUILD metric it is that artifact's own cache clear (so both
+    // runs do the full cold build — per-artifact clears, not the
+    // aggregate ones, so sibling artifacts stay warm for the matrix);
+    // for a SEARCH metric it is a no-op (both runs probe the warm
+    // artifact — the amortized steady state). No separate warmup: by
+    // the time the lifecycle blocks run, the headline loop has fully
+    // warmed JIT/codegen/footer caches, and a build's first run IS the
+    // measurement target, not a throwaway.
+    val LifecycleRuns = 2
+    def timedN(pre: => Unit)(f: => Unit): Double = {
+      var best = Double.MaxValue
+      var r = 0
+      while (r < LifecycleRuns) {
+        pre
+        best = math.min(best, timed(f))
+        r += 1
+      }
+      best
+    }
     // per-round ANN quality guard (VERDICT r7 #4): recall@10 of every
     // ANN path vs the exact brute-force result, measured on every bench
     // run so a quantizer/probe-sizing change that silently degrades
@@ -155,12 +179,14 @@ object Bench {
         } catch { case NonFatal(_) => -1.0 }))
     val ivfLifecycle: Seq[(String, Double)] =
       try {
-        graft.operators.Clustering.clearFitCache()
-        graft.operators.Similarity.clearIndexCache()
-        val bIdx = timed(graft.operators.Similarity.stagedIvfIndex(spark, sfDir))
-        val sIdx = timed(force(SparkEntry.queries("q_simsearch_ivf_indexed")(spark, sfDir)))
-        val bApp = timed(graft.operators.Similarity.stagedAppendedIndex(spark, sfDir))
-        val sApp = timed(force(SparkEntry.queries("q_simsearch_ivf_append")(spark, sfDir)))
+        val bIdx = timedN({
+          graft.operators.Clustering.clearFitCache()
+          graft.operators.Similarity.clearIvfIndexCache()
+        })(graft.operators.Similarity.stagedIvfIndex(spark, sfDir))
+        val sIdx = timedN(())(force(SparkEntry.queries("q_simsearch_ivf_indexed")(spark, sfDir)))
+        val bApp = timedN(graft.operators.Similarity.clearIvfAppendCache())(
+          graft.operators.Similarity.stagedAppendedIndex(spark, sfDir))
+        val sApp = timedN(())(force(SparkEntry.queries("q_simsearch_ivf_append")(spark, sfDir)))
         Seq("ivf_indexed_build_sec" -> bIdx, "ivf_indexed_search_sec" -> sIdx,
           "ivf_append_build_sec" -> bApp, "ivf_append_search_sec" -> sApp) ++
           recall("q_simsearch_ivf_indexed").map { case (_, v) => "ivf_recall_at_10" -> v } ++
@@ -179,30 +205,29 @@ object Bench {
     // Recall rows guard quantizer changes the same way the ivf rows do.
     val pqLifecycle: Seq[(String, Double)] =
       try {
-        graft.operators.Similarity.clearPqCache()
-        val bPq = timed(graft.operators.Similarity.pqCodebooks(spark, sfDir))
-        val sPq = timed(force(SparkEntry.queries("q_simsearch_pq")(spark, sfDir)))
+        val bPq = timedN(graft.operators.Similarity.clearPqCache())(
+          graft.operators.Similarity.pqCodebooks(spark, sfDir))
+        val sPq = timedN(())(force(SparkEntry.queries("q_simsearch_pq")(spark, sfDir)))
         // codes-table staging rides the warm codebooks: bills encode+write
-        val bPqIdx = timed(graft.operators.Similarity.stagedPqIndex(spark, sfDir))
-        val sPqIdx = timed(force(SparkEntry.queries("q_simsearch_pq_indexed")(spark, sfDir)))
+        val bPqIdx = timedN(graft.operators.Similarity.clearPqIndexCache())(
+          graft.operators.Similarity.stagedPqIndex(spark, sfDir))
+        val sPqIdx = timedN(())(force(SparkEntry.queries("q_simsearch_pq_indexed")(spark, sfDir)))
         // the coarse fit is cleared ONLY here, immediately before the
-        // build that re-warms it, so ivfpq build bills fit+codebooks;
-        // the catch below restores the memo if this step aborts (the
-        // ivf lifecycle above left it warm on purpose — the matrix
-        // ivf rows must not silently change basis on this failure path)
-        graft.operators.Clustering.clearFitCache()
-        val bIvfpq = timed(graft.operators.Similarity.ivfpqModel(spark, sfDir))
-        val sIvfpq = timed(force(SparkEntry.queries("q_simsearch_ivfpq")(spark, sfDir)))
-        // staged codes index rides the warm model: build bills the
-        // one-time encode+partitioned-write, search the pruned serve
-        // path (the per-query-batch cost a deployment actually pays)
-        val bIvfpqIdx = timed(graft.operators.Similarity.stagedIvfpqIndex(spark, sfDir))
-        val sIvfpqIdx = timed(force(SparkEntry.queries("q_simsearch_ivfpq_indexed")(spark, sfDir)))
+        // build that re-warms it, so ivfpq build bills fit+codebooks
+        // on BOTH runs; the catch below restores the memo if this step
+        // aborts (the ivf lifecycle above left it warm on purpose —
+        // the matrix ivf rows must not silently change basis on this
+        // failure path). NOTE clearPqCache would also clear the flat-PQ
+        // books measured above — the per-artifact clearIvfpqModelCache
+        // keeps them warm, the contract the matrix pq rows rely on.
+        val bIvfpq = timedN({
+          graft.operators.Clustering.clearFitCache()
+          graft.operators.Similarity.clearIvfpqModelCache()
+        })(graft.operators.Similarity.ivfpqModel(spark, sfDir))
+        val sIvfpq = timedN(())(force(SparkEntry.queries("q_simsearch_ivfpq")(spark, sfDir)))
         Seq("pq_build_sec" -> bPq, "pq_search_sec" -> sPq,
           "pq_index_build_sec" -> bPqIdx, "pq_index_search_sec" -> sPqIdx,
-          "ivfpq_build_sec" -> bIvfpq, "ivfpq_search_sec" -> sIvfpq,
-          "ivfpq_index_build_sec" -> bIvfpqIdx,
-          "ivfpq_index_search_sec" -> sIvfpqIdx) ++
+          "ivfpq_build_sec" -> bIvfpq, "ivfpq_search_sec" -> sIvfpq) ++
           recall("q_simsearch_pq") ++ recall("q_simsearch_ivfpq") ++
           recall("q_simsearch_sq") ++ recall("q_simsearch_lsh")
       } catch { case NonFatal(e) =>
@@ -215,6 +240,24 @@ object Bench {
         Seq.empty
       }
 
+    // Staged-IVFPQ index build/search in its OWN try (ADVICE r9): a
+    // failure in the staged-index path must not discard the six
+    // PQ/IVFPQ metrics already measured above. Rides the warm ivfpq
+    // model: build bills the one-time encode+partitioned-write, search
+    // the pruned serve path (the per-query-batch cost a deployment
+    // actually pays).
+    val ivfpqIndexLifecycle: Seq[(String, Double)] =
+      try {
+        val bIvfpqIdx = timedN(graft.operators.Similarity.clearIvfpqIndexCache())(
+          graft.operators.Similarity.stagedIvfpqIndex(spark, sfDir))
+        val sIvfpqIdx = timedN(())(force(SparkEntry.queries("q_simsearch_ivfpq_indexed")(spark, sfDir)))
+        Seq("ivfpq_index_build_sec" -> bIvfpqIdx,
+          "ivfpq_index_search_sec" -> sIvfpqIdx)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] ivfpq staged-index lifecycle failed: ${e.getMessage}")
+        Seq.empty
+      }
+
     // Incremental IVFPQ build/search — its OWN try so a failure here
     // cannot discard the eight PQ/IVFPQ metrics measured above (the
     // append path uses an independent base-fit model; build bills
@@ -222,11 +265,31 @@ object Bench {
     // serve path).
     val ivfpqAppendLifecycle: Seq[(String, Double)] =
       try {
-        val bApp = timed(graft.operators.Similarity.stagedAppendedIvfpqIndex(spark, sfDir))
-        val sApp = timed(force(SparkEntry.queries("q_simsearch_ivfpq_append")(spark, sfDir)))
+        val bApp = timedN(graft.operators.Similarity.clearIvfpqAppendCache())(
+          graft.operators.Similarity.stagedAppendedIvfpqIndex(spark, sfDir))
+        val sApp = timedN(())(force(SparkEntry.queries("q_simsearch_ivfpq_append")(spark, sfDir)))
         Seq("ivfpq_append_build_sec" -> bApp, "ivfpq_append_search_sec" -> sApp)
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] ivfpq append lifecycle failed: ${e.getMessage}")
+        Seq.empty
+      }
+
+    // Staged/appended LSH index lifecycle (round 10, its own try):
+    // build = the one-time corpus signature pass + partitioned write;
+    // search = query-batch signatures + pruned bucket-group reads +
+    // candidate scoring (no corpus signature pass — the staging win).
+    val lshLifecycle: Seq[(String, Double)] =
+      try {
+        val bIdx = timedN(graft.operators.Similarity.clearLshIndexCache())(
+          graft.operators.Similarity.stagedLshIndex(spark, sfDir))
+        val sIdx = timedN(())(force(SparkEntry.queries("q_simsearch_lsh_indexed")(spark, sfDir)))
+        val bApp = timedN(graft.operators.Similarity.clearLshAppendCache())(
+          graft.operators.Similarity.stagedAppendedLshIndex(spark, sfDir))
+        val sApp = timedN(())(force(SparkEntry.queries("q_simsearch_lsh_append")(spark, sfDir)))
+        Seq("lsh_index_build_sec" -> bIdx, "lsh_index_search_sec" -> sIdx,
+          "lsh_append_build_sec" -> bApp, "lsh_append_search_sec" -> sApp)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] lsh lifecycle failed: ${e.getMessage}")
         Seq.empty
       }
 
@@ -238,10 +301,11 @@ object Bench {
     // matrix row below measures the incremental path, not staging.
     val dedupLifecycle: Seq[(String, Double)] =
       try {
-        graft.operators.Dedup.clearBandIndexCache()
-        graft.operators.Dedup.clearComponentCache()
-        val bBand = timed(graft.operators.Dedup.stagedBandIndex(spark, sfDir))
-        val sInc = timed(force(SparkEntry.queries("q_dedup_append")(spark, sfDir)))
+        val bBand = timedN({
+          graft.operators.Dedup.clearBandIndexCache()
+          graft.operators.Dedup.clearComponentCache()
+        })(graft.operators.Dedup.stagedBandIndex(spark, sfDir))
+        val sInc = timedN(())(force(SparkEntry.queries("q_dedup_append")(spark, sfDir)))
         Seq("dedup_append_build_sec" -> bBand, "dedup_append_inc_sec" -> sInc)
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] dedup lifecycle split failed: ${e.getMessage}")
@@ -255,9 +319,9 @@ object Bench {
     // matrix row, same contract as the other staged artifacts.
     val incrLifecycle: Seq[(String, Double)] =
       try {
-        graft.operators.Incremental.clearAggStateCache()
-        val bState = timed(graft.operators.Incremental.stagedAggState(spark, sfDir))
-        val sMerge = timed(force(SparkEntry.queries("q_incr_agg")(spark, sfDir)))
+        val bState = timedN(graft.operators.Incremental.clearAggStateCache())(
+          graft.operators.Incremental.stagedAggState(spark, sfDir))
+        val sMerge = timedN(())(force(SparkEntry.queries("q_incr_agg")(spark, sfDir)))
         Seq("incr_agg_build_sec" -> bState, "incr_agg_merge_sec" -> sMerge)
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] incr-agg lifecycle split failed: ${e.getMessage}")
@@ -271,17 +335,17 @@ object Bench {
     // per-query pruned lookup.
     val idxLifecycle: Seq[(String, Double)] =
       (try {
-        graft.operators.Incremental.clearIndexStateCache()
-        val bIdx = timed(graft.operators.Incremental.stagedIndexState(spark, sfDir))
-        val sIdx = timed(force(SparkEntry.queries("q_incr_inverted")(spark, sfDir)))
+        val bIdx = timedN(graft.operators.Incremental.clearIndexStateCache())(
+          graft.operators.Incremental.stagedIndexState(spark, sfDir))
+        val sIdx = timedN(())(force(SparkEntry.queries("q_incr_inverted")(spark, sfDir)))
         Seq("incr_idx_build_sec" -> bIdx, "incr_idx_merge_sec" -> sIdx)
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] incr-index lifecycle split failed: ${e.getMessage}")
         Seq.empty
       }) ++ (try {
-        graft.operators.TextOps.clearPostingsCache()
-        val bPost = timed(graft.operators.TextOps.stagedPostings(spark, sfDir))
-        val sLook = timed(force(SparkEntry.queries("q_index_lookup")(spark, sfDir)))
+        val bPost = timedN(graft.operators.TextOps.clearPostingsCache())(
+          graft.operators.TextOps.stagedPostings(spark, sfDir))
+        val sLook = timedN(())(force(SparkEntry.queries("q_index_lookup")(spark, sfDir)))
         Seq("postings_build_sec" -> bPost, "index_lookup_sec" -> sLook)
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] postings lifecycle split failed: ${e.getMessage}")
@@ -369,7 +433,7 @@ object Bench {
     // a tail capture of any length that includes the final line parses.
     // Both lines are also mirrored to bench_last.json in the CWD.
     val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"matrix_rerun_threshold_sec":$RerunThresholdSec,"matrix_rerun_n":$mReruns,"sf":"$sfDir"}"""
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ ivfpqAppendLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","lifecycle_runs":$LifecycleRuns,"lifecycle_agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ ivfpqIndexLifecycle ++ ivfpqAppendLifecycle)},"lsh_lifecycle":${obj(lshLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
       try { w.println(matrixLine); w.println(headlineLine) } finally w.close()

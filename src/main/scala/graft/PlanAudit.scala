@@ -16,11 +16,11 @@ object PlanAudit {
       // driver-collect at build time (per-language ledger / quantizer fit)
       "q_mix_temperature", "q_kmeans", "q_simsearch_ivf", "q_pagerank",
       "q_dedup_semantic", "q_knn_join_blocked",
-      // the power-iteration fit runs at build time AND the output is a
+      // the power-iteration fits run at build time AND the output is a
       // 64-row LocalTableScan — nothing to audit (q_pca_project stays:
       // the memoized fit stages once, then its plan is the static
       // codegen projection scan, the q_simsearch_pq_indexed argument)
-      "q_pca_power",
+      "q_pca_power", "q_pca_deflate",
       // codebook fits run at plan-build time (q_simsearch_pq_indexed is
       // NOT skipped: it stages once, then its plan is the static
       // codes-table scan the persisted-PQ design exists for)

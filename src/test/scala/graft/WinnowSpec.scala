@@ -31,7 +31,9 @@ class WinnowSpec extends SparkSuiteBase {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
     val crafted = Seq(
-      "", "short", "exactly8", "exactly8!", // below/at/above one gram
+      "", "short",
+      "abcdefghijklmnopqrst",               // exactly K = 20 chars: one gram
+      "abcdefghijklmnopqrstu",              // K + 1 chars: two grams, one window
       "aaaaaaaaaaaaaaaaaaaa",               // all-equal hashes → rightmost ties
       "The quick brown fox jumps over the lazy dog",
       "abcabcabcabcabcabcabc")              // periodic text
@@ -155,5 +157,82 @@ class WinnowSpec extends SparkSuiteBase {
       assert(r.getLong(2) >= 1)
     }
     info(s"fixture dup pairs: ${dups.length}")
+  }
+
+  test("q_winnow_cut: keep-first-occurrence — the earliest doc keeps its text, later copies lose the block") {
+    import spark.implicits._
+    val shared = "zqxjk wvbnm pfzqx jkwvb nmpfz qxjkw extra tail padding words" // ≥ 35 chars
+    val docs = Seq(
+      (1L, s"leading unique words then ${shared} and a unique ending"),
+      (2L, s"other preface text here ${shared} different close"),
+      (3L, "entirely unshared content with no duplicated phrases at all")).toDF("doc_id", "text")
+    val cut = TextOps.winnowCut(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(cut.size === 3, "one row per document")
+    // doc 1 is the min doc_id on every shared gram: loses nothing
+    val t1 = s"leading unique words then ${shared} and a unique ending".toLowerCase
+    assert(cut(1L)._1 === 0L && cut(1L)._3 === t1, "first occurrence must keep its text")
+    // doc 2 loses the duplicated region (and only a region: clean_len + removed = n)
+    val t2 = s"other preface text here ${shared} different close".toLowerCase
+    val (rem2, len2, clean2) = cut(2L)
+    assert(rem2 > 0L, "second occurrence must lose the shared block")
+    assert(len2 === t2.length - rem2)
+    assert(clean2.length.toLong === len2)
+    assert(!clean2.contains(shared.toLowerCase), "shared block must be excised")
+    // the cut text is the original minus contiguous regions: a subsequence
+    def isSubseq(s: String, of: String): Boolean = {
+      var i = 0
+      of.foreach { c => if (i < s.length && s(i) == c) i += 1 }
+      i == s.length
+    }
+    assert(isSubseq(clean2, t2))
+    // doc 3 shares nothing: untouched
+    assert(cut(3L)._1 === 0L &&
+      cut(3L)._3 === "entirely unshared content with no duplicated phrases at all")
+  }
+
+  test("q_winnow_cut on the fixture: reconciles with q_winnow_stats coverage") {
+    val stats = TextOps.winnowStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cut = TextOps.winnowCut(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(cut.size === stats.size, "both faces report every document")
+    cut.foreach { case (id, (removed, cleanLen, text)) =>
+      val (n, dupChars) = stats(id)
+      // cut positions are a SUBSET of duplicated positions (keeper
+      // occurrences stay), so removal never exceeds measured coverage
+      assert(removed <= dupChars, s"doc $id removed $removed > dup_chars $dupChars")
+      assert(cleanLen === n - removed, s"doc $id length bookkeeping")
+      assert(text.length.toLong === cleanLen)
+      if (dupChars == 0) assert(removed === 0L, s"doc $id has no duplicated text")
+    }
+    val totRemoved = cut.values.map(_._1).sum
+    val totDup = stats.values.map(_._2).sum
+    assert(totRemoved > 0, "fixture contains non-first duplicated regions")
+    assert(totRemoved < totDup, "keep-first must keep at least one copy somewhere")
+    info(s"fixture: removed $totRemoved of $totDup duplicated chars (keep-first)")
+  }
+
+  test("q_winnow_spans / q_winnow_cut plans: distinct and islands window share ONE doc_id exchange") {
+    // the old shape shuffled (doc_id, pos) for the distinct and then
+    // doc_id again for the window; the explicit repartition makes the
+    // distinct reuse the window's doc_id exchange (subset partitioning
+    // satisfies the grouping's ClusteredDistribution)
+    def exchanges(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val plan = df.queryExecution.executedPlan.toString
+      // doc_id-ONLY partitionings (next token is the partition count);
+      // the (doc_id, fp, gram) distinct upstream is a different key
+      ("hashpartitioning\\(doc_id[^)]*,\\s*pos".r.findAllIn(plan).length,
+        "hashpartitioning\\(doc_id#\\d+L?, \\d+\\)".r.findAllIn(plan).length)
+    }
+    val (sp, sd) = exchanges(TextOps.winnowSpans(spark, sf))
+    assert(sp === 0, "(doc_id, pos) exchange survived in winnowSpans")
+    assert(sd === 1, s"winnowSpans wants exactly one doc_id exchange, got $sd")
+    // winnowCut additionally joins the documents table on doc_id — that
+    // side's exchange is legitimate at scale (never broadcast a
+    // corpus-sized span table), so the bound is ≤ 2, not 1
+    val (cp, cd) = exchanges(TextOps.winnowCut(spark, sf))
+    assert(cp === 0, "(doc_id, pos) exchange survived in winnowCut")
+    assert(cd >= 1 && cd <= 2, s"winnowCut doc_id exchanges out of band: $cd")
   }
 }
