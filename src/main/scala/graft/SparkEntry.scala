@@ -104,6 +104,8 @@ object SparkEntry {
     "q_pca_power"       -> ((s, d) => Clustering.pcaPower(s, d)),
     "q_pca_project"     -> ((s, d) => Clustering.pcaProject(s, d)),
     "q_pca_deflate"     -> ((s, d) => Clustering.pcaDeflate(s, d)),
+    "q_linreg"          -> ((s, d) => Regression.linreg(s, d)),
+    "q_linreg_predict"  -> ((s, d) => Regression.linregPredict(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
     "q_udaf_typed"      -> ((s, d) => MapReduceOps.typedAgg(s, d)),
     "q_udtf_explode"    -> ((s, d) => MapReduceOps.bigramCounts(s, d)),
@@ -1515,6 +1517,11 @@ object SparkEntry {
     // chain → exact-integer projection removal → the chain again on
     // the deflated corpus (both chains from the ONE pcaChainSql source)
     "q_pca_deflate" -> pcaDeflateOracle(operators.Clustering.PcaIters),
+    // normal-equation sums + integer Cramer solve replayed (HUGEINT ≡
+    // the driver's BigInt exactly; any correct 3×3 determinant
+    // expansion is the same integer, so formula order cannot drift)
+    "q_linreg" -> linregOracle(predict = false),
+    "q_linreg_predict" -> linregOracle(predict = true),
     // BPE learn/encode replayed exactly (rounds as chained CTEs, greedy
     // merge via separator-encoded replace) — was no_oracle until r8
     "q_bpe" -> bpeOracle(8),
@@ -2819,6 +2826,59 @@ object SparkEntry {
       s"SELECT CAST(dim - 1 AS BIGINT) AS dim, CAST(c AS BIGINT) AS c FROM vb$iters ORDER BY dim"
   }
 
+
+  /** Oracle for q_linreg / q_linreg_predict (`Regression`): the
+    * normal-equation sufficient statistics (DuckDB sums promote to
+    * HUGEINT ≡ the driver's BigInt), explicit 3×3 Cramer determinants,
+    * and the family's sign-safe round-half-away division against
+    * |det| with det's sign folded into the numerator — every value
+    * exact integer, so the fit and the per-doc predictions
+    * hash-match. */
+  private def linregOracle(predict: Boolean): String = {
+    val f = operators.Regression.F
+    def rdiv(e: String, n: String): String =
+      s"CASE WHEN $e >= 0 THEN (2 * ($e) + $n) // (2 * ($n)) " +
+        s"ELSE -((2 * -($e) + $n) // (2 * ($n))) END"
+    val head =
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS x1,
+         |         CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS x2,
+         |         CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS y
+         |  FROM documents
+         |), s AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |         sum(x1) AS sx1, sum(x2) AS sx2,
+         |         sum(x1 * x1) AS sx11, sum(x1 * x2) AS sx12, sum(x2 * x2) AS sx22,
+         |         sum(y) AS sy, sum(x1 * y) AS sx1y, sum(x2 * y) AS sx2y
+         |  FROM f
+         |), d AS (
+         |  SELECT
+         |    n   * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1  * sx22 - sx12 * sx2)  + sx2 * (sx1  * sx12 - sx11 * sx2) AS det,
+         |    sy  * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y) AS d0,
+         |    n   * (sx1y * sx22 - sx12 * sx2y) - sy  * (sx1  * sx22 - sx12 * sx2)  + sx2 * (sx1  * sx2y - sx1y * sx2) AS d1,
+         |    n   * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1  * sx2y - sx1y * sx2)  + sy  * (sx1  * sx12 - sx11 * sx2) AS d2
+         |  FROM s
+         |), bb AS (
+         |  SELECT
+         |    ${rdiv(s"$f * d0 * (CASE WHEN det < 0 THEN -1 ELSE 1 END)", "abs(det)")} AS b0,
+         |    ${rdiv(s"$f * d1 * (CASE WHEN det < 0 THEN -1 ELSE 1 END)", "abs(det)")} AS b1,
+         |    ${rdiv(s"$f * d2 * (CASE WHEN det < 0 THEN -1 ELSE 1 END)", "abs(det)")} AS b2
+         |  FROM d
+         |)""".stripMargin
+    if (predict)
+      head + s"""
+         |SELECT f.doc_id, f.y,
+         |       CAST(bb.b0 + bb.b1 * f.x1 + bb.b2 * f.x2 AS BIGINT) AS yhat_fp,
+         |       CAST(f.y * $f - (bb.b0 + bb.b1 * f.x1 + bb.b2 * f.x2) AS BIGINT) AS resid_fp
+         |FROM f, bb""".stripMargin
+    else
+      head + s"""
+         |SELECT CAST(j AS BIGINT) AS j, CAST(b AS BIGINT) AS beta_fp FROM (
+         |  SELECT 0 AS j, b0 AS b FROM bb
+         |  UNION ALL SELECT 1, b1 FROM bb
+         |  UNION ALL SELECT 2, b2 FROM bb
+         |)""".stripMargin
+  }
 
   /** Oracle for q_winnow_spans (`TextOps.winnowSpans`) — also embedded
     * as a subquery by the q_winnow_stats oracle (oracleSql is a def:

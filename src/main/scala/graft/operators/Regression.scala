@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Fixed-point LINEAR REGRESSION via sufficient statistics — the
+  * classic "supervised learning as one aggregation" shape (Dean &
+  * Ghemawat, OSDI 2004 §4 lists machine learning over sufficient
+  * statistics among the canonical MapReduce applications; the same
+  * pattern every Spark MLlib linear fit uses underneath): ONE
+  * partial/final aggregation pass computes the 9 normal-equation sums
+  * (XᵀX, Xᵀy for 2 features + intercept), the driver solves the 3×3
+  * system EXACTLY by integer Cramer's rule in BigInt, and the learned
+  * coefficients replay bit-for-bit in DuckDB (HUGEINT arithmetic ≡
+  * BigInt; same sign-safe round-half-away division as the kmeans/PCA
+  * family).
+  *
+  * The catalog task: predict a document's whitespace token count from
+  * (n_chars, letter-'e' count) — the tokens-per-char shape a curation
+  * pipeline fits to flag tokenizer drift / anomalous documents.
+  *
+  * Scale shape: the data pass is ONE codegen scan → 9-long partial
+  * aggregate per partition → one final row to the driver (bounded
+  * state, the k-centroid pattern); prediction is a codegen projection
+  * with the 3 coefficients inlined as literals. Sum bounds: each sum
+  * ≤ n·max(x)² — past ~9e18 (n ≈ 1e11 docs at 1e4 chars) the same
+  * pass runs on DECIMAL sums, the documented Lloyd-sum convention. */
+object Regression {
+
+  /** Coefficient scale (micro-units, the q_kmeans FpScale convention). */
+  val F = 1000000L
+
+  /** Feature/label rows: x1 = n_chars, x2 = letter-'e' count, y = token
+    * count (a GENUINELY noisy linear relationship — unlike a space
+    * count, which this corpus ties to the label exactly) — integer string ops with exact DuckDB twins. */
+  private def feats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("n_chars").cast("long").as("x1"),
+      (length(col("text")) - length(replace(col("text"), lit("e"), lit(""))))
+        .cast("long").as("x2"),
+      size(filter(split(col("text"), " "), w => length(w) > 0))
+        .cast("long").as("y"))
+
+  /** round-half-away-from-zero(s / n) in BigInt (n > 0) — the
+    * roundDiv CASE the whole fixed-point family uses, evaluated
+    * exactly so the driver solve matches DuckDB's HUGEINT replay. */
+  private def roundDivB(s: BigInt, n: BigInt): BigInt =
+    if (s >= 0) (2 * s + n) / (2 * n) else -((2 * -s + n) / (2 * n))
+
+  private val fitCache =
+    new scala.collection.concurrent.TrieMap[(String, String), Array[Long]]()
+
+  def clearFitCache(): Unit = fitCache.clear()
+
+  /** The fit: one aggregation pass → BigInt Cramer solve → 3 exact
+    * micro-unit coefficients (β₀ + β₁·x1 + β₂·x2). */
+  def fitFixed(spark: SparkSession, dir: String): Array[Long] =
+    fitCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "documents")),
+      fitFixed(feats(Tables(spark, dir, "documents"))))
+
+  /** df form: expects (x1, x2, y) long columns. */
+  private[graft] def fitFixed(f: DataFrame): Array[Long] = {
+    val r = f.agg(
+      count(lit(1)).as("n"),
+      sum("x1").as("sx1"), sum("x2").as("sx2"),
+      sum(col("x1") * col("x1")).as("sx11"),
+      sum(col("x1") * col("x2")).as("sx12"),
+      sum(col("x2") * col("x2")).as("sx22"),
+      sum("y").as("sy"),
+      sum(col("x1") * col("y")).as("sx1y"),
+      sum(col("x2") * col("y")).as("sx2y")).head()
+    val Seq(n, sx1, sx2, sx11, sx12, sx22, sy, sx1y, sx2y) =
+      (0 until 9).map(i => BigInt(r.getLong(i)))
+    // A = [[n, sx1, sx2], [sx1, sx11, sx12], [sx2, sx12, sx22]], b = [sy, sx1y, sx2y]
+    def det3(a: Array[Array[BigInt]]): BigInt =
+      a(0)(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
+        a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
+        a(0)(2) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
+    val a = Array(Array(n, sx1, sx2), Array(sx1, sx11, sx12), Array(sx2, sx12, sx22))
+    val b = Array(sy, sx1y, sx2y)
+    val det = det3(a)
+    require(det != 0, "degenerate design matrix (collinear features): no unique least-squares fit")
+    // Cramer: β_j = det(A with column j := b) / det(A), scaled to F —
+    // sign-safe rounding against |det| with the sign re-applied, so
+    // the result is round-half-away of the true rational either way
+    (0 until 3).map { j =>
+      val aj = a.map(_.clone())
+      (0 until 3).foreach(i => aj(i)(j) = b(i))
+      val num = F * det3(aj) * det.signum
+      val beta = roundDivB(num, det.abs)
+      assert(beta.isValidLong, s"coefficient $j out of Long range: $beta")
+      beta.toLong
+    }.toArray
+  }
+
+  /** q_linreg: the learned coefficients as (j, beta_fp) rows — the
+    * 3-row model artifact (the q_pca_power output convention). */
+  def linreg(spark: SparkSession, dir: String): DataFrame = {
+    val betas = fitFixed(spark, dir)
+    val s = spark
+    import s.implicits._
+    betas.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toSeq
+      .toDF("j", "beta_fp").orderBy("j")
+  }
+
+  /** q_linreg_predict: the model IN USE — per doc, the exact
+    * micro-unit prediction ŷ_fp = β₀ + β₁·x1 + β₂·x2 (no division —
+    * exact integers end to end) and the residual y·F − ŷ_fp, the
+    * anomaly score a curation pipeline thresholds on. One codegen
+    * pass, coefficients inlined as literals. */
+  def linregPredict(spark: SparkSession, dir: String): DataFrame = {
+    val b = fitFixed(spark, dir)
+    feats(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("y"),
+        (lit(b(0)) + lit(b(1)) * col("x1") + lit(b(2)) * col("x2")).as("yhat_fp"))
+      .withColumn("resid_fp", col("y") * lit(F) - col("yhat_fp"))
+  }
+}
