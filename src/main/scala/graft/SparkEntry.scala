@@ -72,6 +72,7 @@ object SparkEntry {
     "q_simsearch_lsh"   -> ((s, d) => Similarity.lshTopK(s, d)),
     "q_simsearch_lsh_indexed" -> ((s, d) => Similarity.lshTopKIndexed(s, d)),
     "q_simsearch_lsh_append"  -> ((s, d) => Similarity.lshTopKAppended(s, d)),
+    "q_simsearch_mmr"   -> ((s, d) => Similarity.mmrTopK(s, d)),
     "q_simsearch_ivf_indexed" -> ((s, d) => Similarity.ivfTopKIndexed(s, d)),
     "q_simsearch_ivf_append" -> ((s, d) => Similarity.ivfTopKAppended(s, d)),
     "q_simsearch_ivf"   -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -1535,6 +1536,10 @@ object SparkEntry {
     // three share the ONE oracle replay
     "q_simsearch_lsh_indexed" -> lshOracle,
     "q_simsearch_lsh_append" -> lshOracle,
+    // greedy MMR unrolled as chained CTEs; λ = 1/2 (power of two) so
+    // the float blend is bit-identical across engines
+    "q_simsearch_mmr" ->
+      mmrOracle(operators.Similarity.MmrC, operators.Similarity.MmrK),
     // fixed-point IVF replayed exactly (Lloyd chain quantizer, integer
     // probe ranking, fold-parity cosine) — was no_oracle until r8; the
     // indexed form shares the oracle by staged≡live identity, the
@@ -2826,6 +2831,79 @@ object SparkEntry {
       s"SELECT CAST(dim - 1 AS BIGINT) AS dim, CAST(c AS BIGINT) AS c FROM vb$iters ORDER BY dim"
   }
 
+
+  /** Oracle for q_simsearch_mmr (`Similarity.mmrTopK`): the greedy
+    * MMR selection unrolled as chained CTEs (the Lloyd-chain
+    * convention — aggregates are not allowed inside a recursive CTE's
+    * recursive term, so the k−1 dependent steps unroll). Candidates
+    * are the exact brute-force top-C (the proven list_reduce scoring),
+    * pairwise candidate sims come from one MATERIALIZED table, step t
+    * scores remaining candidates 0.5·sim − 0.5·max(sim to the
+    * accumulated selection) — λ = 1/2 is a power of two, so both
+    * engines' float ops are identical — and every argmax tie-breaks
+    * ascending vec_id. Rank 1 carries the raw query sim (the empty-set
+    * MMR), mirroring the operator. */
+  private def mmrOracle(c: Int, k: Int): String = {
+    val steps = (2 to k).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT cd.qid, cd.vec_id, 0.5 * cd.sim - 0.5 * max(p.s) AS score
+         |  FROM cand cd
+         |  JOIN ps p ON p.qid = cd.qid AND p.i = cd.vec_id
+         |  JOIN acc${t - 1} a ON a.qid = p.qid AND a.vec_id = p.j
+         |  WHERE NOT EXISTS (SELECT 1 FROM acc${t - 1} x
+         |                    WHERE x.qid = cd.qid AND x.vec_id = cd.vec_id)
+         |  GROUP BY cd.qid, cd.vec_id, cd.sim
+         |), sel$t AS MATERIALIZED (
+         |  SELECT qid, vec_id, score, $t AS rank FROM (
+         |    SELECT qid, vec_id, score,
+         |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+         |    FROM s$t) WHERE rn = 1
+         |), acc$t AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM acc${t - 1}
+         |  UNION ALL SELECT qid, vec_id FROM sel$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k).map(t => s"SELECT * FROM sel$t").mkString("\n  UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), n AS MATERIALIZED (
+       |  SELECT vec_id, e,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+       |         (a, p) -> a + p)) AS nrm
+       |  FROM v
+       |), sc AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])),
+       |      (acc, p) -> acc + p) / (q.nrm * c.nrm) AS sim
+       |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+       |), cand AS MATERIALIZED (
+       |  SELECT qid, vec_id, sim FROM (
+       |    SELECT qid, vec_id, sim,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+       |    FROM sc) WHERE rn <= $c
+       |), ps AS MATERIALIZED (
+       |  SELECT a.qid, a.vec_id AS i, b.vec_id AS j,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, len(na.e) + 1), x -> na.e[x] * nb.e[x])),
+       |      (acc, p) -> acc + p) / (na.nrm * nb.nrm) AS s
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id != b.vec_id
+       |  JOIN n na ON na.vec_id = a.vec_id
+       |  JOIN n nb ON nb.vec_id = b.vec_id
+       |), sel1 AS MATERIALIZED (
+       |  SELECT qid, vec_id, sim AS score, 1 AS rank FROM (
+       |    SELECT qid, vec_id, sim,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn = 1
+       |), acc1 AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM sel1
+       |),
+       |$steps
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score FROM (
+       |  $unionAll
+       |)""".stripMargin
+  }
 
   /** Oracle for q_linreg / q_linreg_predict (`Regression`): the
     * normal-equation sufficient statistics (DuckDB sums promote to

@@ -111,6 +111,83 @@ object Similarity {
       .where(col("rn") <= k)
   }
 
+  // ---- MMR diversity re-rank (q_simsearch_mmr): retrieval's dedup
+  // step — plain top-k returns near-duplicate neighbors (a training-
+  // data retrieval that surfaces 10 copies of the same boilerplate is
+  // worse than 10 diverse matches). Maximal Marginal Relevance
+  // (Carbonell & Goldstein, SIGIR 1998) greedily picks
+  //   argmax λ·sim(q, d) − (1 − λ)·max_{s ∈ selected} sim(d, s)
+  // λ = 1/2 EXACTLY (both terms scale by 0.5 — a power of two, so
+  // every float multiply is exact and the DuckDB replay is
+  // bit-identical; a 0.7 would round differently per engine).
+  //
+  // Scale shape: candidates per query are the bounded top-[[MmrC]]
+  // shortlist; the greedy loop is INHERENTLY sequential per query, so
+  // it runs executor-side in a typed flatMapGroups over the
+  // (qid → candidates) groups — each group is ≤ MmrC vectors, no
+  // driver collect, queries parallelize across executors. The catalog
+  // form draws candidates from the exact brute-force top-C so the
+  // oracle replays end-to-end; a deployment swaps in any ANN
+  // shortlist (IVF/PQ/LSH above) without touching the re-rank.
+
+  /** Candidate-shortlist width feeding the greedy MMR selection. */
+  val MmrC = 30
+  /** Final diversity-ranked size. */
+  val MmrK = 10
+
+  def mmrTopK(spark: SparkSession, dir: String, c: Int = MmrC,
+              k: Int = MmrK): DataFrame = {
+    import spark.implicits._
+    val cand = bruteForceTopK(spark, dir, c)
+      .select(col("qid"), col("vec_id"), col("sim"))
+    val withVec = cand.join(vecs(spark, dir), "vec_id")
+      .select(col("qid"), col("vec_id"), col("sim"), col("e"), col("nrm"))
+      .as[(Long, Long, Double, Seq[Double], Double)]
+    withVec.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // deterministic base order: ascending vec_id (ties in every
+        // argmax below resolve to the LOWEST vec_id, oracle-mirrored)
+        val cs = it.toArray.sortBy(_._2)
+        def dot(a: Seq[Double], b: Seq[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 } // left fold ≡ list_reduce
+          s
+        }
+        val n = cs.length
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val maxSel = Array.fill(n)(Double.NegativeInfinity)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        var rank = 1L
+        while (rank <= math.min(k, n)) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!selected.contains(i)) {
+              val score =
+                if (selected.isEmpty) cs(i)._3
+                else 0.5 * cs(i)._3 - 0.5 * maxSel(i)
+              if (score > bestScore) { bestScore = score; best = i }
+            }
+            i += 1
+          }
+          selected += best
+          out += ((qid, rank, cs(best)._2, bestScore))
+          var j = 0
+          while (j < n) { // refresh each candidate's max-sim-to-selected
+            if (!selected.contains(j)) {
+              val s = dot(cs(j)._4, cs(best)._4) / (cs(j)._5 * cs(best)._5)
+              if (s > maxSel(j)) maxSel(j) = s
+            }
+            j += 1
+          }
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("qid", "rank", "vec_id", "score")
+  }
+
   // ---- quantizer sizing (IMPLEMENTED, not prose): both ANN structures
   // derive their parameters from the corpus size n, so the same code is
   // correctly sized at sf0.001 and at 100 TB. The row count is one

@@ -142,6 +142,52 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(multiFile > 0, "no (t, bgrp) partition holds an appended file")
   }
 
+  test("MMR re-rank: top-1 anchored, selections from the shortlist, scores non-increasing, measurably diverser") {
+    val mmr = Similarity.mmrTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val brute = Similarity.bruteForceTopK(spark, sf, Similarity.MmrC).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getDouble(2)))
+    val cands = brute.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val byQ = mmr.groupBy(_._1)
+    assert(byQ.size === 10, "one ranking per query vector")
+    // pairwise cosine helper over the raw embeddings
+    val vs = graft.sources.Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vs(a), vs(b))
+      var s = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); sa += x(i) * x(i); sb += y(i) * y(i); i += 1 }
+      s / math.sqrt(sa * sb)
+    }
+    def meanPair(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.length) yield cos(ids(i), ids(j))
+      ps.sum / ps.length
+    }
+    var diverser = 0
+    byQ.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to Similarity.MmrK), s"query $qid ranks")
+      assert(sorted.map(_._3).distinct.length === Similarity.MmrK, s"query $qid dups")
+      assert(sorted.forall(r => cands(qid).contains(r._3)),
+        s"query $qid selected outside the top-C shortlist")
+      // greedy argmax #1 IS the plain top-1
+      val top1 = brute.filter(r => r._1 == qid && r._2 == 1L).head._3
+      assert(sorted.head._3 === top1, s"query $qid rank-1 must be the exact top-1")
+      // from rank 2 the blended score is provably non-increasing
+      sorted.drop(1).sliding(2).foreach {
+        case Array(a, b) => assert(b._4 <= a._4 + 1e-12, s"query $qid score order")
+        case _ =>
+      }
+      // the point of the operator: a less self-similar result set than
+      // plain top-k (counted, not per-query asserted — a query whose
+      // top-k is already diverse legitimately ties)
+      val plainK = brute.filter(r => r._1 == qid && r._2 <= Similarity.MmrK).map(_._3).toSeq
+      if (meanPair(sorted.map(_._3).toSeq) <= meanPair(plainK) + 1e-12) diverser += 1
+    }
+    info(s"MMR set no-less-diverse than plain top-k on $diverser/10 queries")
+    assert(diverser >= 7, s"MMR failed to diversify: only $diverser/10 queries improved")
+  }
+
   test("quantizer sizing derives from corpus cardinality (code, not prose)") {
     assert(Similarity.ivfK(100) === 10)
     assert(Similarity.ivfK(1000000) === 1000)

@@ -213,6 +213,36 @@ class WinnowSpec extends SparkSuiteBase {
     info(s"fixture: removed $totRemoved of $totDup duplicated chars (keep-first)")
   }
 
+  test("q_winnow_cut edge cases: empty doc, sub-gram doc, fully-duplicated doc, three-way copies") {
+    import spark.implicits._
+    val block = "zqxjk wvbnm pfzqx jkwvb nmpfz qxjkw pads" // 40 chars ≥ 35
+    val docs = Seq(
+      (1L, ""),                      // empty: untouched, zero removed
+      (2L, "tiny"),                  // shorter than one K-gram: no selection possible
+      (3L, block),                   // first occurrence: keeps everything
+      (4L, block),                   // identical copy: fully excised
+      (5L, block)                    // third copy: also fully excised
+    ).toDF("doc_id", "text")
+    val cut = TextOps.winnowCut(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(cut.size === 5, "every document reported, including selection-free ones")
+    assert(cut(1L) === ((0L, 0L, "")))
+    assert(cut(2L) === ((0L, 4L, "tiny")))
+    assert(cut(3L)._1 === 0L && cut(3L)._3 === block.toLowerCase,
+      "keeper copy must survive intact")
+    for (id <- Seq(4L, 5L)) {
+      val (removed, cleanLen, text) = cut(id)
+      // the whole doc is one duplicated region (every selected gram is
+      // shared with doc 3): clean text may keep at most the sub-span
+      // tails the fixed-density sketch does not cover
+      assert(removed > 0L, s"doc $id kept a full duplicate")
+      assert(cleanLen === block.length - removed)
+      assert(text.length.toLong === cleanLen)
+      assert(!text.contains(block.toLowerCase.substring(0, WinnowFp.K)),
+        s"doc $id still contains a duplicated gram")
+    }
+  }
+
   test("q_winnow_spans / q_winnow_cut plans: distinct and islands window share ONE doc_id exchange") {
     // the old shape shuffled (doc_id, pos) for the distinct and then
     // doc_id again for the window; the explicit repartition makes the
