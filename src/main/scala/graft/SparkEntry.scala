@@ -161,6 +161,7 @@ object SparkEntry {
     "q_dpp"             -> ((s, d) => graft.sources.Sinks.dppJoin(s, d)),
     "q_schema_evolution" -> ((s, d) => graft.sources.FileFormats.schemaEvolution(s, d)),
     "q_row_ids"         -> ((s, d) => Pipeline.globalRowIds(s, d)),
+    "q_shuffle"         -> ((s, d) => Pipeline.shuffle(s, d)),
     "q_funnel"          -> ((s, d) => Events.funnel(s, d)),
     "q_ohlc"            -> ((s, d) => Events.ohlcBars(s, d)),
     "q_expectations"    -> ((s, d) => Relational.expectations(s, d)),
@@ -1705,6 +1706,33 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rid
         |FROM documents""".stripMargin,
+    // deterministic corpus shuffle: the q_udf_fnv byte fold applied
+    // TWICE (id's decimal string, then the first hash's decimal
+    // string — diffusing FNV's last-byte linearity on sequential
+    // ids), ranked by the collision-proof composite key
+    "q_shuffle" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         ${utf8BytesSql("CAST(doc_id AS VARCHAR)")} AS bs
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    CAST(list_reduce(list_prepend(CAST(2166136261 AS BIGINT), bs),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS BIGINT) AS h1
+         |  FROM f
+         |), g2 AS (
+         |  SELECT doc_id,
+         |         ${utf8BytesSql("CAST(h1 AS VARCHAR)")} AS bs
+         |  FROM g
+         |), g3 AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT), bs),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+         |  FROM g2
+         |)
+         |SELECT doc_id, CAST(h AS BIGINT) AS h,
+         |       CAST(row_number() OVER (ORDER BY h * 2147483648 + doc_id) AS BIGINT) AS shuffle_pos
+         |FROM g3""".stripMargin,
     // ordered min-timestamp chaining; µs truncation on both engines
     "q_funnel" ->
       """WITH e AS (

@@ -423,6 +423,30 @@ object Pipeline {
       .drop("bkt", "off")
   }
 
+  /** q_shuffle: deterministic GLOBAL permutation of the corpus — the
+    * "shuffle the training data" step every epoch pipeline needs, as a
+    * reproducible function of the data rather than an RNG: order by
+    * (h, doc_id) with h = fnv32a(fnv32a(doc_id) as decimal string).
+    * The DOUBLE hash matters: one FNV-1a pass over sequential decimal
+    * ids is linear in the last byte (h(i+1) − h(i) is a small multiple
+    * of the 16777619 prime — measured ~7% of consecutive ids stayed
+    * rank-adjacent), while re-hashing the first hash's decimal digits
+    * diffuses those structured differences across the whole string.
+    * Appending doc_id to the sort key keeps the permutation total even
+    * under 32-bit collisions (h < 2³², doc_id < 2³¹ ⇒ h·2³¹ + doc_id
+    * is collision-free in one BIGINT). The global rank rides
+    * [[globalRowIds]]' two-pass range-partitioned decomposition — no
+    * SinglePartition sort at any corpus size. */
+  def shuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Fnv32a.fnv32a(
+          graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string"))
+            .cast("string")).as("h"))
+      .withColumn("skey", col("h") * lit(2147483648L) + col("doc_id"))
+      .transform(globalRowIds(_, "skey", 32))
+      .select(col("doc_id"), col("h"), col("rid").as("shuffle_pos"))
+
   /** q_decontaminate: benchmark decontamination — remove from the
     * training corpus every document that shares ANY `n`-token shingle
     * with a held-out benchmark set (here: docs whose id ≡ 0 mod

@@ -88,6 +88,32 @@ class PipelineSpec extends SparkSuiteBase {
       s"two-pass form must not funnel into one partition:\n$plan")
   }
 
+  test("q_shuffle: a total deterministic permutation that scatters id locality; no SinglePartition sort") {
+    val rows = Pipeline.shuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.sources.Tables(spark, sf, "documents").count()
+    // a permutation: every doc exactly once, positions exactly 1..n
+    assert(rows.length.toLong === n)
+    assert(rows.map(_._3).sorted.toSeq === (1L to n))
+    assert(rows.map(_._1).distinct.length.toLong === n)
+    // deterministic across runs
+    val again = Pipeline.shuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // locality scattering: consecutive doc_ids almost never stay
+    // adjacent after the hash ordering (they would ALL be adjacent in
+    // an id-ordered "shuffle")
+    val pos = rows.map(r => r._1 -> r._3).toMap
+    val adjacent = (0L until n - 1).count(i =>
+      pos.contains(i) && pos.contains(i + 1) && math.abs(pos(i) - pos(i + 1)) == 1L)
+    assert(adjacent.toDouble / n < 0.02,
+      s"$adjacent/$n consecutive ids stayed adjacent — not shuffled")
+    // rank must ride the two-pass decomposition, never one sorted task
+    val plan = Pipeline.shuffle(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"shuffle must not funnel into one partition:\n$plan")
+  }
+
   test("decontaminate: shared 4-gram removes a train doc; benchmark docs excluded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
