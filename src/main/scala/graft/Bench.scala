@@ -293,6 +293,25 @@ object Bench {
         Seq.empty
       }
 
+    // Staged/appended winnow substring index (round 10, its own try):
+    // build = the one-time corpus fingerprint pass + partitioned
+    // write; serve = the dup-pair query over the artifact (no corpus
+    // fingerprint pass, no documents scan — the staging win).
+    val winnowLifecycle: Seq[(String, Double)] =
+      try {
+        val bIdx = timedN(graft.operators.TextOps.clearWinnowIndexCache())(
+          graft.operators.TextOps.stagedWinnowIndex(spark, sfDir))
+        val sIdx = timedN(())(force(SparkEntry.queries("q_winnow_dups_indexed")(spark, sfDir)))
+        val bApp = timedN(graft.operators.TextOps.clearWinnowAppendCache())(
+          graft.operators.TextOps.stagedAppendedWinnowIndex(spark, sfDir))
+        val sApp = timedN(())(force(SparkEntry.queries("q_winnow_dups_append")(spark, sfDir)))
+        Seq("winnow_index_build_sec" -> bIdx, "winnow_index_search_sec" -> sIdx,
+          "winnow_append_build_sec" -> bApp, "winnow_append_search_sec" -> sApp)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] winnow lifecycle failed: ${e.getMessage}")
+        Seq.empty
+      }
+
     // Dedup band-index lifecycle split (the q_dedup_append analogue of
     // the ivf split above): build = one-time base band/shingle/pair
     // staging from cold caches; inc = the incremental batch path over
@@ -433,7 +452,7 @@ object Bench {
     // a tail capture of any length that includes the final line parses.
     // Both lines are also mirrored to bench_last.json in the CWD.
     val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"matrix_rerun_threshold_sec":$RerunThresholdSec,"matrix_rerun_n":$mReruns,"sf":"$sfDir"}"""
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","lifecycle_runs":$LifecycleRuns,"lifecycle_agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ ivfpqIndexLifecycle ++ ivfpqAppendLifecycle)},"lsh_lifecycle":${obj(lshLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","lifecycle_runs":$LifecycleRuns,"lifecycle_agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ ivfpqIndexLifecycle ++ ivfpqAppendLifecycle)},"lsh_lifecycle":${obj(lshLifecycle)},"winnow_lifecycle":${obj(winnowLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
       try { w.println(matrixLine); w.println(headlineLine) } finally w.close()

@@ -57,6 +57,8 @@ object SparkEntry {
     "q_fingerprint"     -> ((s, d) => TextOps.fingerprint(s, d)),
     "q_winnow"          -> ((s, d) => TextOps.winnow(s, d)),
     "q_winnow_dups"     -> ((s, d) => TextOps.winnowDups(s, d)),
+    "q_winnow_dups_indexed" -> ((s, d) => TextOps.winnowDupsIndexed(s, d)),
+    "q_winnow_dups_append"  -> ((s, d) => TextOps.winnowDupsAppended(s, d)),
     "q_winnow_spans"    -> ((s, d) => TextOps.winnowSpans(s, d)),
     "q_winnow_stats"    -> ((s, d) => TextOps.winnowStats(s, d)),
     "q_winnow_cut"      -> ((s, d) => TextOps.winnowCut(s, d)),
@@ -601,22 +603,13 @@ object SparkEntry {
          |SELECT doc_id, CAST(u.enc // ${functions.WinnowFp.Enc} AS BIGINT) AS pos,
          |       CAST(u.enc % ${functions.WinnowFp.Enc} AS BIGINT) AS fp
          |FROM sel, unnest(encs) AS u(enc)""".stripMargin,
-    "q_winnow_dups" ->
-      s"""$winnowSelCte, fd AS (
-         |  SELECT DISTINCT doc_id, u.enc % ${functions.WinnowFp.Enc} AS fp,
-         |         substr(t, CAST(u.enc // ${functions.WinnowFp.Enc} AS INTEGER), ${functions.WinnowFp.K}) AS gram
-         |  FROM sel, unnest(encs) AS u(enc)
-         |), rare AS (
-         |  SELECT fp, gram FROM fd GROUP BY fp, gram
-         |  HAVING count(*) <= ${operators.TextOps.WinnowMaxDf}
-         |), fdr AS (
-         |  SELECT fd.* FROM fd JOIN rare USING (fp, gram)
-         |)
-         |SELECT a.doc_id AS da, b.doc_id AS db,
-         |       CAST(count(DISTINCT a.gram) AS BIGINT) AS shared_grams
-         |FROM fdr a JOIN fdr b
-         |  ON a.fp = b.fp AND a.gram = b.gram AND a.doc_id < b.doc_id
-         |GROUP BY da, db""".stripMargin,
+    "q_winnow_dups" -> winnowDupsOracle,
+    // the staged/appended serves are bit-identical (integer fp and the
+    // gram string round-trip parquet exactly; the per-doc selection is
+    // a pure function, so appended rows ≡ one-shot rows) — all three
+    // forms share the ONE oracle replay
+    "q_winnow_dups_indexed" -> winnowDupsOracle,
+    "q_winnow_dups_append" -> winnowDupsOracle,
     // duplicated-region spans: shared verified grams → per-doc
     // gaps-and-islands interval merge, the same window forms in both
     // engines (running max over preceding rows, running sum island id)
@@ -2985,6 +2978,26 @@ object SparkEntry {
          |  UNION ALL SELECT 2, b2 FROM bb
          |)""".stripMargin
   }
+
+  /** Oracle for q_winnow_dups (+ the _indexed and _append serves —
+    * bit-identical searches, one replay): verified shared grams under
+    * the df cap, pair-joined and counted. */
+  private def winnowDupsOracle: String =
+    s"""$winnowSelCte, fd AS (
+       |  SELECT DISTINCT doc_id, u.enc % ${functions.WinnowFp.Enc} AS fp,
+       |         substr(t, CAST(u.enc // ${functions.WinnowFp.Enc} AS INTEGER), ${functions.WinnowFp.K}) AS gram
+       |  FROM sel, unnest(encs) AS u(enc)
+       |), rare AS (
+       |  SELECT fp, gram FROM fd GROUP BY fp, gram
+       |  HAVING count(*) <= ${operators.TextOps.WinnowMaxDf}
+       |), fdr AS (
+       |  SELECT fd.* FROM fd JOIN rare USING (fp, gram)
+       |)
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       |       CAST(count(DISTINCT a.gram) AS BIGINT) AS shared_grams
+       |FROM fdr a JOIN fdr b
+       |  ON a.fp = b.fp AND a.gram = b.gram AND a.doc_id < b.doc_id
+       |GROUP BY da, db""".stripMargin
 
   /** Oracle for q_winnow_spans (`TextOps.winnowSpans`) — also embedded
     * as a subquery by the q_winnow_stats oracle (oracleSql is a def:

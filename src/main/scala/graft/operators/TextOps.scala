@@ -851,8 +851,13 @@ object TextOps {
   def winnowDups(spark: SparkSession, dir: String): DataFrame =
     winnowDups(Tables(spark, dir, "documents"))
 
-  def winnowDups(docs: DataFrame): DataFrame = {
-    val fd = winnowDecoded(docs).select("doc_id", "fp", "gram").distinct()
+  def winnowDups(docs: DataFrame): DataFrame =
+    winnowDupsBody(winnowDecoded(docs).select("doc_id", "fp", "gram"))
+
+  /** The dup-pair tail over (doc_id, fp, gram) selection rows — ONE
+    * body for the live, indexed and appended forms. */
+  private def winnowDupsBody(sel: DataFrame): DataFrame = {
+    val fd = sel.select("doc_id", "fp", "gram").distinct()
     val rare = fd.groupBy("fp", "gram").count()
       .where(col("count") <= WinnowMaxDf).select("fp", "gram")
     val fdr = fd.join(rare, Seq("fp", "gram"), "left_semi")
@@ -862,6 +867,70 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(countDistinct(col("a.gram")).as("shared_grams"))
+  }
+
+  // ---- staged / appended winnow index (q_winnow_dups_indexed/_append):
+  // the append-maintained-artifact pattern extended to SUBSTRING
+  // granularity (the 4th index family beside inverted postings, the
+  // MinHash band index and the ANN indices). The persisted artifact is
+  // the decoded selection table (doc_id, pos, fp, gram) in
+  // fgrp = fp pmod 64 partition dirs; serving the dup-pair query from
+  // it removes the expensive part of every serve — the codegen O(n)
+  // winnow fingerprint pass over the corpus text — and the serve plan
+  // never scans the documents table at all (the verified gram TEXT is
+  // a stored column). Like LSH (and unlike IVF/PQ), the fingerprint
+  // function is data-independent, so delta rows ≡ one-shot rows and
+  // appended-index serves are bit-identical to live runs — no
+  // frozen-model caveat.
+
+  private val winnowIndexCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Long)]()
+  private val winnowAppendCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Long)]()
+  def clearWinnowIndexCache(): Unit = winnowIndexCache.clear()
+  def clearWinnowAppendCache(): Unit = winnowAppendCache.clear()
+
+  private def winnowIndexRows(docs: DataFrame): DataFrame =
+    winnowDecoded(docs)
+      .withColumn("fgrp", pmod(col("fp"), lit(64L)))
+
+  private[graft] def stagedWinnowIndex(spark: SparkSession, dir: String): (String, Long) =
+    Staging.stage(winnowIndexCache, dir, "documents", "graft-winnowidx-") { root =>
+      graft.sources.Sinks.writePartitioned(
+        winnowIndexRows(Tables(spark, dir, "documents")),
+        root, Seq("fgrp"), Seq("fp", "doc_id"))
+      spark.read.parquet(root).count()
+    }
+
+  /** Base staged once, the late decile's selection rows appended into
+    * the same fgrp dirs (per-doc pure function ⇒ row sets equal the
+    * one-shot artifact's). */
+  private[graft] def stagedAppendedWinnowIndex(spark: SparkSession, dir: String): (String, Long) =
+    Staging.stage(winnowAppendCache, dir, "documents", "graft-winnowinc-") { root =>
+      val docs = Tables(spark, dir, "documents")
+      val n = docs.count()
+      val cut = n - math.max(1L, n / 10)
+      graft.sources.Sinks.writePartitioned(
+        winnowIndexRows(docs.where(col("doc_id") < cut)),
+        root, Seq("fgrp"), Seq("fp", "doc_id"))
+      winnowIndexRows(docs.where(col("doc_id") >= cut))
+        .write.mode("append").partitionBy("fgrp").parquet(root)
+      spark.read.parquet(root).count()
+    }
+
+  /** North-star q_winnow_dups_indexed: dup pairs served from the
+    * persisted selection artifact — ≡ live [[winnowDups]] bit-for-bit
+    * (integer fp and the gram string round-trip parquet exactly). */
+  def winnowDupsIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _) = stagedWinnowIndex(spark, dir)
+    winnowDupsBody(spark.read.parquet(root))
+  }
+
+  /** North-star q_winnow_dups_append: served from the append-
+    * maintained artifact; ≡ live by construction (see block comment). */
+  def winnowDupsAppended(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _) = stagedAppendedWinnowIndex(spark, dir)
+    winnowDupsBody(spark.read.parquet(root))
   }
 
   /** q_winnow_spans: maximal DUPLICATED-TEXT REGIONS per document —

@@ -213,6 +213,30 @@ class WinnowSpec extends SparkSuiteBase {
     info(s"fixture: removed $totRemoved of $totDup duplicated chars (keep-first)")
   }
 
+  test("indexed/appended winnow serves ≡ live q_winnow_dups; serve plan never touches documents") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val live = TextOps.winnowDups(spark, sf).collect().map(key).toSet
+    val idx = TextOps.winnowDupsIndexed(spark, sf)
+    assert(idx.collect().map(key).toSet === live)
+    // the gram TEXT is a stored artifact column, so the serve reads
+    // ONLY the index — the codegen fingerprint pass over the corpus
+    // and the documents scan both vanish from the plan
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-winnowidx-"), s"expected the staged index scan in:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"indexed serve must not scan the documents table:\n$plan")
+    // append-maintained: the fingerprint is a per-doc pure function,
+    // so the appended artifact serves the SAME pairs bit-for-bit
+    val app = TextOps.winnowDupsAppended(spark, sf)
+    assert(app.collect().map(key).toSet === live)
+    val (root, _) = TextOps.stagedAppendedWinnowIndex(spark, sf)
+    val fgrpDirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("fgrp="))
+    assert(fgrpDirs.nonEmpty)
+    assert(fgrpDirs.count(_.listFiles().count(_.getName.endsWith(".parquet")) > 1) > 0,
+      "no fgrp partition holds an appended file")
+  }
+
   test("q_winnow_cut edge cases: empty doc, sub-gram doc, fully-duplicated doc, three-way copies") {
     import spark.implicits._
     val block = "zqxjk wvbnm pfzqx jkwvb nmpfz qxjkw pads" // 40 chars ≥ 35
