@@ -21,9 +21,9 @@ object PlanAudit {
       // the memoized fit stages once, then its plan is the static
       // codegen projection scan, the q_simsearch_pq_indexed argument)
       "q_pca_power", "q_pca_deflate",
-      // normal-equation fit at build time, 3-row LocalTableScan output
+      // normal-equation fits at build time, 3-row LocalTableScan output
       // (q_linreg_predict stays: the static codegen prediction scan)
-      "q_linreg",
+      "q_linreg", "q_linreg_append",
       // codebook fits run at plan-build time (q_simsearch_pq_indexed is
       // NOT skipped: it stages once, then its plan is the static
       // codes-table scan the persisted-PQ design exists for)

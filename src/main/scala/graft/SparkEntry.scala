@@ -109,6 +109,7 @@ object SparkEntry {
     "q_pca_deflate"     -> ((s, d) => Clustering.pcaDeflate(s, d)),
     "q_linreg"          -> ((s, d) => Regression.linreg(s, d)),
     "q_linreg_predict"  -> ((s, d) => Regression.linregPredict(s, d)),
+    "q_linreg_append"   -> ((s, d) => Regression.linregAppended(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
     "q_udaf_typed"      -> ((s, d) => MapReduceOps.typedAgg(s, d)),
     "q_udtf_explode"    -> ((s, d) => MapReduceOps.bigramCounts(s, d)),
@@ -1517,6 +1518,9 @@ object SparkEntry {
     // expansion is the same integer, so formula order cannot drift)
     "q_linreg" -> linregOracle(predict = false),
     "q_linreg_predict" -> linregOracle(predict = true),
+    // sums of disjoint slices add exactly, so the appended fit IS the
+    // one-shot fit — one shared oracle
+    "q_linreg_append" -> linregOracle(predict = false),
     // BPE learn/encode replayed exactly (rounds as chained CTEs, greedy
     // merge via separator-encoded replace) — was no_oracle until r8
     "q_bpe" -> bpeOracle(8),

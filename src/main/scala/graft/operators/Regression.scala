@@ -60,9 +60,11 @@ object Regression {
     fitCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "documents")),
       fitFixed(feats(Tables(spark, dir, "documents"))))
 
-  /** df form: expects (x1, x2, y) long columns. */
-  private[graft] def fitFixed(f: DataFrame): Array[Long] = {
-    val r = f.agg(
+  /** The 9 normal-equation sums as one aggregated row — the
+    * SUFFICIENT STATISTICS of the fit, and the whole reason the
+    * incremental form below is exact: sums of disjoint slices ADD. */
+  private def sums(f: DataFrame): DataFrame =
+    f.agg(
       count(lit(1)).as("n"),
       sum("x1").as("sx1"), sum("x2").as("sx2"),
       sum(col("x1") * col("x1")).as("sx11"),
@@ -70,7 +72,13 @@ object Regression {
       sum(col("x2") * col("x2")).as("sx22"),
       sum("y").as("sy"),
       sum(col("x1") * col("y")).as("sx1y"),
-      sum(col("x2") * col("y")).as("sx2y")).head()
+      sum(col("x2") * col("y")).as("sx2y"))
+
+  /** df form: expects (x1, x2, y) long columns. */
+  private[graft] def fitFixed(f: DataFrame): Array[Long] =
+    solve(sums(f).head())
+
+  private def solve(r: org.apache.spark.sql.Row): Array[Long] = {
     val Seq(n, sx1, sx2, sx11, sx12, sx22, sy, sx1y, sx2y) =
       (0 until 9).map(i => BigInt(r.getLong(i)))
     // A = [[n, sx1, sx2], [sx1, sx11, sx12], [sx2, sx12, sx22]], b = [sy, sx1y, sx2y]
@@ -97,12 +105,60 @@ object Regression {
 
   /** q_linreg: the learned coefficients as (j, beta_fp) rows — the
     * 3-row model artifact (the q_pca_power output convention). */
-  def linreg(spark: SparkSession, dir: String): DataFrame = {
-    val betas = fitFixed(spark, dir)
+  def linreg(spark: SparkSession, dir: String): DataFrame =
+    betaRows(spark, fitFixed(spark, dir))
+
+  private def betaRows(spark: SparkSession, betas: Array[Long]): DataFrame = {
     val s = spark
     import s.implicits._
     betas.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toSeq
       .toDF("j", "beta_fp").orderBy("j")
+  }
+
+  // ---- q_linreg_append: MODEL REFRESH WITHOUT A FULL PASS — the
+  // payoff of fitting via sufficient statistics. The base slice's 9
+  // sums are staged once; an arriving batch contributes its own 9
+  // sums (one |delta|-sized scan), and because sums of disjoint
+  // slices ADD in exact integers, the merged statistics — and
+  // therefore the Cramer solve — are BIT-IDENTICAL to a from-scratch
+  // full-corpus fit. No frozen-model caveat, no approximation: this
+  // is the strongest form of incremental maintenance an operator can
+  // have, and it is exactly why large-scale pipelines keep linear
+  // models' XᵀX/Xᵀy around instead of the fitted coefficients alone.
+
+  private val stateCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Long)]()
+
+  def clearLinregStateCache(): Unit = stateCache.clear()
+
+  /** Base-slice sufficient statistics staged as a 1-row parquet;
+    * returns (root, id cutoff). */
+  private[graft] def stagedSumsState(spark: SparkSession, dir: String): (String, Long) =
+    Staging.stage(stateCache, dir, "documents", "graft-linregstate-") { root =>
+      val docs = Tables(spark, dir, "documents")
+      val n = docs.count()
+      val cut = n - math.max(1L, n / 10)
+      sums(feats(docs.where(col("doc_id") < cut)))
+        .write.mode("overwrite").parquet(s"$root/state")
+      cut
+    }
+
+  /** q_linreg_append: coefficients from staged-state ∪ delta sums —
+    * ≡ the one-shot q_linreg bit-for-bit (exact integer addition of
+    * disjoint slices' statistics), so the two share one oracle. The
+    * refresh bills ONE pushed-filter delta scan plus a 9-column add. */
+  def linregAppended(spark: SparkSession, dir: String): DataFrame = {
+    val (root, cut) = stagedSumsState(spark, dir)
+    val delta = sums(feats(
+      Tables(spark, dir, "documents").where(col("doc_id") >= cut)))
+    val merged = spark.read.parquet(s"$root/state")
+      .unionByName(delta)
+      .agg(sum("n").as("n"),
+        sum("sx1").as("sx1"), sum("sx2").as("sx2"),
+        sum("sx11").as("sx11"), sum("sx12").as("sx12"), sum("sx22").as("sx22"),
+        sum("sy").as("sy"), sum("sx1y").as("sx1y"), sum("sx2y").as("sx2y"))
+      .head()
+    betaRows(spark, solve(merged))
   }
 
   /** q_linreg_predict: the model IN USE — per doc, the exact

@@ -78,6 +78,19 @@ class RegressionSpec extends SparkSuiteBase {
     }
   }
 
+  test("appended fit ≡ one-shot fit bit-for-bit (sufficient statistics add exactly)") {
+    val oneShot = graft.operators.Regression.linreg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val appended = graft.operators.Regression.linregAppended(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(appended === oneShot)
+    // the staged state really is a 1-row sums parquet (9 columns)
+    val (root, cut) = graft.operators.Regression.stagedSumsState(spark, sf)
+    val state = spark.read.parquet(s"$root/state")
+    assert(state.count() === 1L && state.columns.length === 9)
+    assert(cut > 0L)
+  }
+
   test("q_linreg is deterministic and memoized across calls") {
     val a = graft.operators.Regression.linreg(spark, sf).collect().map(_.getLong(1)).toSeq
     val b = graft.operators.Regression.linreg(spark, sf).collect().map(_.getLong(1)).toSeq
