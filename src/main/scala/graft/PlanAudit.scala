@@ -20,7 +20,7 @@ object PlanAudit {
       // 64-row LocalTableScan — nothing to audit (q_pca_project stays:
       // the memoized fit stages once, then its plan is the static
       // codegen projection scan, the q_simsearch_pq_indexed argument)
-      "q_pca_power", "q_pca_deflate",
+      "q_pca_power", "q_pca_deflate", "q_pca_topk",
       // normal-equation fits at build time, 3-row LocalTableScan output
       // (q_linreg_predict stays: the static codegen prediction scan)
       "q_linreg", "q_linreg_append",

@@ -107,6 +107,7 @@ object SparkEntry {
     "q_pca_power"       -> ((s, d) => Clustering.pcaPower(s, d)),
     "q_pca_project"     -> ((s, d) => Clustering.pcaProject(s, d)),
     "q_pca_deflate"     -> ((s, d) => Clustering.pcaDeflate(s, d)),
+    "q_pca_topk"        -> ((s, d) => Clustering.pcaTopK(s, d)),
     "q_linreg"          -> ((s, d) => Regression.linreg(s, d)),
     "q_linreg_predict"  -> ((s, d) => Regression.linregPredict(s, d)),
     "q_linreg_append"   -> ((s, d) => Regression.linregAppended(s, d)),
@@ -1513,6 +1514,9 @@ object SparkEntry {
     // chain → exact-integer projection removal → the chain again on
     // the deflated corpus (both chains from the ONE pcaChainSql source)
     "q_pca_deflate" -> pcaDeflateOracle(operators.Clustering.PcaIters),
+    // the deflation LOOPED: chain → deflate → chain → deflate → chain
+    "q_pca_topk" -> pcaTopKOracle(operators.Clustering.PcaIters,
+      operators.Clustering.PcaK),
     // normal-equation sums + integer Cramer solve replayed (HUGEINT ≡
     // the driver's BigInt exactly; any correct 3×3 determinant
     // expansion is the same integer, so formula order cannot drift)
@@ -2832,28 +2836,58 @@ object SparkEntry {
     }
   }
 
-  /** Oracle for q_pca_deflate (`Clustering.pcaDeflateFixed`): the
-    * power chain run to v$iters, the exact-integer projection removal
-    * — s = roundDiv(⟨x, v⟩, F) (the pcaProject scalar), vvf =
-    * max(1, roundDiv(⟨v,v⟩, F)), x′ = x − roundDiv(s·v_d, vvf) — then
-    * the IDENTICAL chain (prefix "b") on the deflated x2. Both chains
-    * come from [[pcaChainSql]], so deflation cannot drift from the
-    * first-component replay. All integer; hash-exact. */
-  private def pcaDeflateOracle(iters: Int): String = {
+  /** Deflation CTEs: exact-integer projection removal of the chain
+    * `chainPfx`'s final direction from `src`, emitting the deflated
+    * corpus `out` — s = roundDiv(⟨x, v⟩, F) (the pcaProject scalar),
+    * vvf = max(1, roundDiv(⟨v,v⟩, F)), x′ = x − roundDiv(s·v_d, vvf).
+    * The ONE deflation source for pcaDeflateOracle and pcaTopKOracle. */
+  private def pcaDeflCtes(src: String, chainPfx: String, out: String,
+                          iters: Int): String = {
     val f = PcaF
-    pcaHeadSql + pcaChainSql("x", "", iters) + s""",
-       |vv AS (SELECT sum(c * c) AS vv FROM v$iters),
-       |vvf AS (SELECT GREATEST(CAST(1 AS BIGINT), (2 * vv + $f) // ${2 * f}) AS vvf FROM vv),
-       |sx AS MATERIALIZED (
+    s""",
+       |vv$out AS (SELECT sum(c * c) AS vv FROM v$chainPfx$iters),
+       |vvf$out AS (SELECT GREATEST(CAST(1 AS BIGINT), (2 * vv + $f) // ${2 * f}) AS vvf FROM vv$out),
+       |sx$out AS MATERIALIZED (
        |  SELECT x.vec_id, ${pcaRdiv(s"sum(x.xi * v.c)", f.toString)} AS s
-       |  FROM x JOIN v$iters v ON x.dim = v.dim GROUP BY x.vec_id
+       |  FROM $src x JOIN v$chainPfx$iters v ON x.dim = v.dim GROUP BY x.vec_id
        |),
-       |x2 AS MATERIALIZED (
-       |  SELECT x.vec_id, x.dim, x.xi - ${pcaRdiv("sx.s * v.c", "vvf.vvf")} AS xi
-       |  FROM x JOIN sx ON sx.vec_id = x.vec_id
-       |  JOIN v$iters v ON v.dim = x.dim, vvf
-       |)""".stripMargin + pcaChainSql("x2", "b", iters) + "\n" +
+       |$out AS MATERIALIZED (
+       |  SELECT x.vec_id, x.dim, x.xi - ${pcaRdiv(s"sx$out.s * v.c", s"vvf$out.vvf")} AS xi
+       |  FROM $src x JOIN sx$out ON sx$out.vec_id = x.vec_id
+       |  JOIN v$chainPfx$iters v ON v.dim = x.dim, vvf$out
+       |)""".stripMargin
+  }
+
+  /** Oracle for q_pca_deflate (`Clustering.pcaDeflateFixed`): the
+    * power chain run to v$iters, [[pcaDeflCtes]]' projection removal,
+    * then the IDENTICAL chain (prefix "b") on the deflated x2 — both
+    * chains from [[pcaChainSql]], so deflation cannot drift from the
+    * first-component replay. All integer; hash-exact. */
+  private def pcaDeflateOracle(iters: Int): String =
+    pcaHeadSql + pcaChainSql("x", "", iters) +
+      pcaDeflCtes("x", "", "x2", iters) + pcaChainSql("x2", "b", iters) + "\n" +
       s"SELECT CAST(dim - 1 AS BIGINT) AS dim, CAST(c AS BIGINT) AS c FROM vb$iters ORDER BY dim"
+
+  /** Oracle for q_pca_topk (`Clustering.pcaTopKFixed`): chain →
+    * deflate → chain → deflate → chain, all from the same two
+    * builders; component j is learned on the corpus with components
+    * 1..j−1 removed. */
+  private def pcaTopKOracle(iters: Int, k: Int): String = {
+    val pfx = Seq("", "b", "c", "d", "e").take(k)
+    val srcs = Seq("x", "x2", "x3", "x4", "x5").take(k)
+    var sql = pcaHeadSql
+    for (j <- 0 until k) {
+      sql += pcaChainSql(srcs(j), pfx(j), iters)
+      if (j < k - 1) sql += pcaDeflCtes(srcs(j), pfx(j), srcs(j + 1), iters)
+    }
+    val sel = (0 until k).map(j =>
+      s"SELECT $j AS comp, dim, c FROM v${pfx(j)}$iters").mkString("\n  UNION ALL ")
+    sql + "\n" +
+      s"""SELECT CAST(comp AS BIGINT) AS comp, CAST(dim - 1 AS BIGINT) AS dim,
+         |       CAST(c AS BIGINT) AS c
+         |FROM (
+         |  $sel
+         |)""".stripMargin
   }
 
 

@@ -398,4 +398,42 @@ object Clustering {
     c.zipWithIndex.map { case (x, d) => (d.toLong, x) }.toSeq
       .toDF("dim", "c").orderBy("dim")
   }
+
+  /** Components returned by [[pcaTopK]]. */
+  val PcaK = 3
+
+  private val pcaTopKCache =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int, String), Array[Array[Long]]]()
+
+  /** q_pca_topk: the deflation step LOOPED — the top-k principal
+    * directions by chain → deflate → chain → deflate → chain. Each
+    * deflation is the exact-integer projection removal of
+    * [[pcaDeflatedVecs]] against the latest learned direction, applied
+    * to the ALREADY-deflated corpus, so direction j is learned on a
+    * corpus with components 1..j−1 removed — the classic deflated
+    * power method, every step integer and oracle-unrollable. By
+    * construction component 2 of this loop IS [[pcaDeflateFixed]]'s
+    * output (spec-asserted). Output (comp, dim, c): k·dims rows, the
+    * bounded multi-component model artifact. */
+  def pcaTopKFixed(spark: SparkSession, dir: String, k: Int = PcaK,
+                   iters: Int = PcaIters): Array[Array[Long]] =
+    pcaTopKCache.getOrElseUpdate((dir, k, iters, graft.Fs.tableFingerprint(dir, "embeddings")), {
+      val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      var vs = qvecs(spark, dir)
+      for (c <- 0 until k) {
+        val cc = pcaPowerFixed(vs, iters)
+        comps += cc
+        if (c < k - 1) vs = pcaDeflatedVecs(vs, cc)
+      }
+      comps.toArray
+    })
+
+  def pcaTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cs = pcaTopKFixed(spark, dir)
+    val s = spark
+    import s.implicits._
+    cs.zipWithIndex.flatMap { case (c, j) =>
+      c.zipWithIndex.map { case (x, d) => (j.toLong, d.toLong, x) }
+    }.toSeq.toDF("comp", "dim", "c").orderBy("comp", "dim")
+  }
 }

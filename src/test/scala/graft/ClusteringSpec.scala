@@ -125,6 +125,69 @@ class ClusteringSpec extends SparkSuiteBase {
     assert(cos21 < 0.1, f"deflation must annihilate the first direction, got $cos21%.4f")
   }
 
+  test("q_pca_topk recovers THREE planted orthogonal directions; component 2 ≡ q_pca_deflate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val dim = 64
+    def unit(raw: Array[Double]): Array[Double] = {
+      val n = math.sqrt(raw.map(x => x * x).sum); raw.map(_ / n)
+    }
+    // Gram-Schmidt three mutually orthogonal directions
+    val ds = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    while (ds.length < 3) {
+      var r = Array.fill(dim)(rnd.nextGaussian())
+      ds.foreach { u =>
+        val p = r.zip(u).map(x => x._1 * x._2).sum
+        r = r.zip(u).map { case (x, uu) => x - p * uu }
+      }
+      ds += unit(r)
+    }
+    val sd = Seq(5.0, 2.5, 1.2)
+    val rows = (0 until 500).map { i =>
+      val t = sd.map(_ * rnd.nextGaussian())
+      val noise = Array.fill(dim)(0.02 * rnd.nextGaussian())
+      (i.toLong, (0 until dim).map(j =>
+        t(0) * ds(0)(j) + t(1) * ds(1)(j) + t(2) * ds(2)(j) + noise(j)).toArray)
+    }
+    val v = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x * lit(Clustering.FpScale)).cast("long")).as("e"))
+    def cosWith(c: Array[Long], d: Array[Double]): Double = {
+      val cd = c.map(_.toDouble)
+      val cn = math.sqrt(cd.map(x => x * x).sum)
+      math.abs(cd.zip(d).map(p => p._1 * p._2).sum / cn)
+    }
+    // the loop on the synthetic df (mirrors pcaTopKFixed's catalog form)
+    var vs = v
+    val comps = (0 until 3).map { j =>
+      val c = Clustering.pcaPowerFixed(vs, Clustering.PcaIters)
+      if (j < 2) vs = Clustering.pcaDeflatedVecs(vs, c)
+      c
+    }
+    comps.zipWithIndex.foreach { case (c, j) =>
+      val cj = cosWith(c, ds(j))
+      info(f"|cos(c$j, d$j)| = $cj%.4f")
+      assert(cj > 0.98, f"component $j misaligned: $cj%.4f")
+      // annihilated against every EARLIER direction
+      (0 until j).foreach { i =>
+        val ci = cosWith(c, ds(i))
+        assert(ci < 0.15, f"component $j retains direction $i: $ci%.4f")
+      }
+    }
+    // catalog form: 3·64 rows; component 2 must equal q_pca_deflate
+    val out = Clustering.pcaTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 3 * 64)
+    val comp1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    val deflate = Clustering.pcaDeflate(spark, sf).collect().map(_.getLong(1)).toSeq
+    assert(comp1 === deflate, "loop component 2 must equal the single-deflation operator")
+    val comp0 = out.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq
+    val power = Clustering.pcaPower(spark, sf).collect().map(_.getLong(1)).toSeq
+    assert(comp0 === power, "loop component 1 must equal q_pca_power")
+  }
+
   test("q_pca_deflate on the fixture: 64 deterministic rows, distinct from the first component") {
     val first = Clustering.pcaPower(spark, sf).collect().map(_.getLong(1)).toSeq
     val out = Clustering.pcaDeflate(spark, sf).collect()
