@@ -136,11 +136,17 @@ object Similarity {
   val MmrK = 10
 
   def mmrTopK(spark: SparkSession, dir: String, c: Int = MmrC,
-              k: Int = MmrK): DataFrame = {
+              k: Int = MmrK): DataFrame =
+    mmrTopK(Tables(spark, dir, "embeddings"), QueryVecs, c, k)
+
+  /** df form: expects (vec_id, embedding); candidates come from the
+    * exact brute-force top-`c` of the same frame. */
+  def mmrTopK(emb: DataFrame, isQuery: Column, c: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val cand = bruteForceTopK(spark, dir, c)
+    val cand = bruteForceTopK(emb, isQuery, c)
       .select(col("qid"), col("vec_id"), col("sim"))
-    val withVec = cand.join(vecs(spark, dir), "vec_id")
+    val withVec = cand.join(vecs(emb), "vec_id")
       .select(col("qid"), col("vec_id"), col("sim"), col("e"), col("nrm"))
       .as[(Long, Long, Double, Seq[Double], Double)]
     withVec.groupByKey(_._1)

@@ -188,6 +188,63 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(diverser >= 7, s"MMR failed to diversify: only $diverser/10 queries improved")
   }
 
+  test("MMR ≡ an independent driver-side greedy reference on seeded random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (seed <- Seq(1, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 80
+      val dim = 16
+      val emb = (0 until n).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      val df = emb.toDF("vec_id", "embedding")
+      // reference candidates: the same exact top-12 the operator uses
+      val cand = Similarity.bruteForceTopK(df, col("vec_id") < 5, k = 12)
+        .select(col("qid"), col("vec_id"), col("sim"))
+      // reference: plain-Scala greedy over an eagerly computed pairwise
+      // matrix (different program shape from the operator's lazy loop)
+      val vs = emb.map { case (id, a) => id -> a.map(_.toDouble) }.toMap
+      def cos(a: Long, b: Long): Double = {
+        val (x, y) = (vs(a), vs(b))
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }
+        var sa = 0.0; var sb = 0.0; i = 0
+        while (i < x.length) { sa += x(i) * x(i); sb += y(i) * y(i); i += 1 }
+        s / (math.sqrt(sa) * math.sqrt(sb))
+      }
+      val candRows = cand.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val expect = candRows.groupBy(_._1).flatMap { case (qid, rows) =>
+        val cs = rows.sortBy(_._2)
+        val sims = cs.map(_._3)
+        val ids = cs.map(_._2)
+        val m = Array.tabulate(ids.length, ids.length)((i, j) => cos(ids(i), ids(j)))
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+        (1 to math.min(8, ids.length)).map { rank =>
+          val scores = ids.indices.map { i =>
+            if (sel.contains(i)) Double.NegativeInfinity
+            else if (sel.isEmpty) sims(i)
+            else 0.5 * sims(i) - 0.5 * sel.map(m(i)(_)).max
+          }
+          val best = scores.indices.maxBy(i => (scores(i), -ids(i).toDouble))
+          sel += best
+          (qid, rank.toLong, ids(best), scores(best))
+        }
+      }.toSet
+      // the OPERATOR's df form over the synthetic frame
+      val got = Similarity.mmrTopK(df, col("vec_id") < 5, c = 12, k = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // ids and ranks must agree exactly; scores to double precision
+      def keys(s: Set[(Long, Long, Long, Double)]) = s.map(t => (t._1, t._2, t._3))
+      assert(keys(got) === keys(expect), s"seed $seed selection diverged")
+      val eScore = expect.map(t => (t._1, t._2) -> t._4).toMap
+      got.foreach { case (q, r, _, sc) =>
+        assert(math.abs(sc - eScore((q, r))) < 1e-9, s"seed $seed score ($q, $r)")
+      }
+    }
+  }
+
   test("quantizer sizing derives from corpus cardinality (code, not prose)") {
     assert(Similarity.ivfK(100) === 10)
     assert(Similarity.ivfK(1000000) === 1000)
