@@ -75,6 +75,8 @@ object SparkEntry {
     "q_simsearch_lsh_indexed" -> ((s, d) => Similarity.lshTopKIndexed(s, d)),
     "q_simsearch_lsh_append"  -> ((s, d) => Similarity.lshTopKAppended(s, d)),
     "q_simsearch_mmr"   -> ((s, d) => Similarity.mmrTopK(s, d)),
+    "q_simsearch_filtered" -> ((s, d) => Similarity.filteredTopK(s, d)),
+    "q_simsearch_ivf_filtered" -> ((s, d) => Similarity.ivfFilteredTopK(s, d)),
     "q_simsearch_ivf_indexed" -> ((s, d) => Similarity.ivfTopKIndexed(s, d)),
     "q_simsearch_ivf_append" -> ((s, d) => Similarity.ivfTopKAppended(s, d)),
     "q_simsearch_ivf"   -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -1542,6 +1544,34 @@ object SparkEntry {
     // the float blend is bit-identical across engines
     "q_simsearch_mmr" ->
       mmrOracle(operators.Similarity.MmrC, operators.Similarity.MmrK),
+    // filtered ANN: the brute oracle with candidates semi-restricted
+    // to English docs (pre-filtering — k true matches guaranteed)
+    "q_simsearch_filtered" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, e,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+        |         (a, p) -> a + p)) AS nrm
+        |  FROM v
+        |), s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])),
+        |      (acc, p) -> acc + p) / (q.nrm * c.nrm) AS sim
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+        |    AND c.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+        |), r AS (
+        |  SELECT qid, vec_id, sim,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+        |  FROM s
+        |)
+        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin,
+    // the IVF search with the same candidate restriction in the scoring join
+    "q_simsearch_ivf_filtered" -> ivfOracle(operators.Clustering.Iters,
+      base = false, candFilter =
+        "\n  AND a.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
     // fixed-point IVF replayed exactly (Lloyd chain quantizer, integer
     // probe ranking, fold-parity cosine) — was no_oracle until r8; the
     // indexed form shares the oracle by staged≡live identity, the
@@ -3374,7 +3404,8 @@ object SparkEntry {
 
   private def ivfOracle(iters: Int, base: Boolean, allQ: Boolean = false,
                         k: Int = 10,
-                        probeFraction: Double = 0.15): String = {
+                        probeFraction: Double = 0.15,
+                        candFilter: String = ""): String = {
     coarseChainSql(iters, base, probeFraction, allQ) +
       s""",
          |s AS (
@@ -3382,7 +3413,7 @@ object SparkEntry {
          |    list_reduce(list_prepend(0.0,
          |      list_transform(range(1, len(qn.e) + 1), i -> qn.e[i] * cn.e[i])),
          |      (acc, p) -> acc + p) / (qn.nrm * cn.nrm) AS sim
-         |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.vec_id
+         |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.vec_id != pr.vec_id$candFilter
          |  JOIN n qn ON qn.vec_id = pr.vec_id
          |  JOIN n cn ON cn.vec_id = a.vec_id
          |), r AS (

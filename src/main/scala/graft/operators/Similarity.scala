@@ -301,17 +301,72 @@ object Similarity {
         Clustering.Iters, lists))
   }
 
+  // ---- FILTERED ANN (q_simsearch_filtered / q_simsearch_ivf_filtered):
+  // predicate + vector search in one query — "nearest English documents"
+  // — the staple every production vector store grew (Vespa/Qdrant-style
+  // filtered search). Semantics here are PRE-FILTERING: the candidate
+  // corpus is restricted by a semi-join BEFORE scoring/top-k, so the
+  // result always carries k true matches (post-filtering an unfiltered
+  // top-k can starve — all k neighbors fail the predicate). The metadata
+  // side stays a separate table joined on vec_id = doc_id: the scan is
+  // column-pruned to (doc_id, lang) and the semi-join is the standard
+  // shuffle-or-broadcast the optimizer already picks; at 100 TB the
+  // filter never widens the vector rows. The IVF form composes the
+  // filter with the probed-list search — same memoized quantizer, same
+  // probe math as q_simsearch_ivf, candidates = probed ∩ allowed.
+
+  /** The catalog predicate: documents whose lang = 'en' (doc_id ≡
+    * vec_id row-for-row in the fixture corpus). */
+  private def allowedIds(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").where(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+
+  /** North-star q_simsearch_filtered: exact filtered top-k — queries
+    * unrestricted, candidates pre-filtered. */
+  def filteredTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val v = vecs(spark, dir)
+    val q = v.where(QueryVecs)
+    val c = v.join(allowedIds(spark, dir), Seq("vec_id"), "left_semi")
+    val scored = broadcast(q).as("q").join(c.as("c"),
+        col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vec_id"),
+        cosCol.as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= k)
+  }
+
+  /** North-star q_simsearch_ivf_filtered: the IVF search with the
+    * candidate lists pre-filtered — same quantizer/probe math as
+    * q_simsearch_ivf, so the filter composes with (not replaces) the
+    * approximate search; recall caveat: with a selective predicate the
+    * probed lists hold fewer allowed members, the standard
+    * filtered-ANN trade (production engines widen nProbe as
+    * selectivity drops — here the probe count is the explicit knob). */
+  def ivfFilteredTopK(spark: SparkSession, dir: String, k: Int = 10,
+                      nProbe: Int = 0): DataFrame = {
+    val lists = ivfK(corpusSize(spark, dir))
+    val probes = if (nProbe > 0) nProbe else ivfNProbe(lists)
+    ivfBodyQ(vecsQ(spark, dir), QueryVecs, k, probes,
+      ivfCentsFixed(spark, dir, lists),
+      corpusFilter = Some(allowedIds(spark, dir)))
+  }
+
   /** Quantized-quantizer search body: list assignment and probe
     * ranking on `eq` (exact BIGINT d2, ties to the lower cid via
     * struct order), cosine scoring on the original doubles (the
     * list_reduce-parity kernel proven by q_simsearch's oracle). */
   private def ivfBodyQ(v: DataFrame, isQuery: Column, k: Int, probes: Int,
-                       cents: Array[Array[Long]]): DataFrame = {
+                       cents: Array[Array[Long]],
+                       corpusFilter: Option[DataFrame] = None): DataFrame = {
     val ds = distStructsQ(cents)
     def withDists(df: DataFrame): DataFrame =
       df.withColumn("ds", array_sort(array(ds: _*)))
-    val cv = withDists(v)
+    val cv0 = withDists(v)
       .withColumn("cid", col("ds")(0).getField("cid")).drop("ds", "eq")
+    // filtered-ANN pre-filter: candidates semi-joined to the allowed id
+    // set BEFORE scoring (queries stay unrestricted)
+    val cv = corpusFilter.fold(cv0)(f => cv0.join(f, Seq("vec_id"), "left_semi"))
     val q = withDists(v.where(isQuery))
       .withColumn("probe", explode(expr(s"transform(slice(ds, 1, $probes), s -> s.cid)")))
       .drop("ds", "eq")

@@ -188,6 +188,32 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(diverser >= 7, s"MMR failed to diversify: only $diverser/10 queries improved")
   }
 
+  test("filtered ANN: pre-filtered candidates only; exact form ≡ reference; IVF form holds recall") {
+    import org.apache.spark.sql.functions.col
+    val en = graft.sources.Tables(spark, sf, "documents")
+      .where(col("lang") === "en").collect().map(_.getLong(0)).toSet
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = Similarity.filteredTopK(spark, sf).collect()
+    // every candidate passes the predicate; 10 per query (enough en docs)
+    exact.foreach(r => assert(en.contains(r.getLong(1)), s"non-en candidate $r"))
+    assert(exact.groupBy(_.getLong(0)).forall(_._2.length == 10))
+    // reference: unfiltered brute force with k = corpus, then filter + re-rank
+    val reference = Similarity.bruteForceTopK(spark, sf, k = 100000).collect()
+      .filter(r => en.contains(r.getLong(1)))
+      .groupBy(_.getLong(0)).iterator.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(10)
+          .map(r => (qid, r.getLong(1)))
+      }.toSet
+    assert(exact.map(key).toSet === reference)
+    // the IVF composition: approximate, but most filtered neighbors
+    // should come from the probed lists at the standard probe fraction
+    val ivf = Similarity.ivfFilteredTopK(spark, sf).collect()
+    ivf.foreach(r => assert(en.contains(r.getLong(1)), s"non-en IVF candidate $r"))
+    val recall = ivf.map(key).count(reference.contains).toDouble / reference.size
+    info(f"filtered-IVF recall vs exact filtered: $recall%.2f")
+    assert(recall > 0.5, f"filtered-IVF recall $recall%.2f unexpectedly low")
+  }
+
   test("MMR ≡ an independent driver-side greedy reference on seeded random corpora") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
