@@ -113,6 +113,7 @@ object SparkEntry {
     "q_linreg"          -> ((s, d) => Regression.linreg(s, d)),
     "q_linreg_predict"  -> ((s, d) => Regression.linregPredict(s, d)),
     "q_linreg_append"   -> ((s, d) => Regression.linregAppended(s, d)),
+    "q_stream_linreg"   -> ((s, d) => streaming.Streams.streamLinreg(s, d)),
     "q_udf_fnv"         -> ((s, d) => MapReduceOps.fnvBuckets(s, d)),
     "q_udaf_typed"      -> ((s, d) => MapReduceOps.typedAgg(s, d)),
     "q_udtf_explode"    -> ((s, d) => MapReduceOps.bigramCounts(s, d)),
@@ -1527,6 +1528,9 @@ object SparkEntry {
     // sums of disjoint slices add exactly, so the appended fit IS the
     // one-shot fit — one shared oracle
     "q_linreg_append" -> linregOracle(predict = false),
+    // ... and so is the STREAMED fold (state_N = state_{N−1} + batch
+    // statistics — associative integer sums make chunking invisible)
+    "q_stream_linreg" -> linregOracle(predict = false),
     // BPE learn/encode replayed exactly (rounds as chained CTEs, greedy
     // merge via separator-encoded replace) — was no_oracle until r8
     "q_bpe" -> bpeOracle(8),

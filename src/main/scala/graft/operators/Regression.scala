@@ -78,6 +78,22 @@ object Regression {
   private[graft] def fitFixed(f: DataFrame): Array[Long] =
     solve(sums(f).head())
 
+  /** Per-batch sufficient statistics of an arbitrary documents frame —
+    * the increment a streaming fold banks (9 columns, 1 row). */
+  private[graft] def suffStats(docs: DataFrame): DataFrame = sums(feats(docs))
+
+  /** Re-aggregate stacked statistics rows (state ∪ increment) — exact
+    * integer addition, shared by the append and streaming folds. */
+  private[graft] def addStats(stacked: DataFrame): DataFrame =
+    stacked.agg(sum("n").as("n"),
+      sum("sx1").as("sx1"), sum("sx2").as("sx2"),
+      sum("sx11").as("sx11"), sum("sx12").as("sx12"), sum("sx22").as("sx22"),
+      sum("sy").as("sy"), sum("sx1y").as("sx1y"), sum("sx2y").as("sx2y"))
+
+  private[graft] def solveRow(spark: SparkSession,
+                              r: org.apache.spark.sql.Row): DataFrame =
+    betaRows(spark, solve(r))
+
   private def solve(r: org.apache.spark.sql.Row): Array[Long] = {
     val Seq(n, sx1, sx2, sx11, sx12, sx22, sy, sx1y, sx2y) =
       (0 until 9).map(i => BigInt(r.getLong(i)))
@@ -151,13 +167,8 @@ object Regression {
     val (root, cut) = stagedSumsState(spark, dir)
     val delta = sums(feats(
       Tables(spark, dir, "documents").where(col("doc_id") >= cut)))
-    val merged = spark.read.parquet(s"$root/state")
-      .unionByName(delta)
-      .agg(sum("n").as("n"),
-        sum("sx1").as("sx1"), sum("sx2").as("sx2"),
-        sum("sx11").as("sx11"), sum("sx12").as("sx12"), sum("sx22").as("sx22"),
-        sum("sy").as("sy"), sum("sx1y").as("sx1y"), sum("sx2y").as("sx2y"))
-      .head()
+    val merged = addStats(
+      spark.read.parquet(s"$root/state").unionByName(delta)).head()
     betaRows(spark, solve(merged))
   }
 

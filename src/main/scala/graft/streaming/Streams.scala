@@ -961,4 +961,51 @@ object Streams {
       spark.read.parquet(new File(stateRoot, s"state-$last").getAbsolutePath)
         .orderBy("word")
   }
+
+  /** q_stream_linreg: the sufficient-statistics fold STREAMED — each
+    * micro-batch contributes its 9 normal-equation sums and the
+    * persisted 1-row state adds them (state_N = state_{N−1} +
+    * stats(batch_N), batch-id-named overwrite idempotence, the
+    * q_stream_wordcount convention). Because the statistics are exact
+    * associative integer sums, the final state equals the full-corpus
+    * statistics regardless of chunking, and the Cramer solve over it
+    * IS the batch q_linreg bit-for-bit (shared oracle) — the
+    * streaming face of the q_linreg_append refresh: a model kept
+    * CURRENT against an arriving corpus with per-batch cost |batch| +
+    * one 9-column add, no retraining pass anywhere. */
+  def streamLinreg(spark: SparkSession, dir: String): DataFrame = {
+    val feed = stagedDocFeed(spark, dir)
+    val stateRoot = Files.createTempDirectory("graft-slrstate-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => graft.Fs.rmRf(stateRoot)))
+    val ckpt = new File(stateRoot, "ckpt").getAbsolutePath
+    @volatile var last = -1L
+    val q = spark.readStream.schema(DocSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val cur = graft.operators.Regression.suffStats(batch.toDF())
+        val prev = new File(stateRoot, s"state-${batchId - 1}")
+        val merged =
+          if (prev.exists())
+            graft.operators.Regression.addStats(
+              spark.read.parquet(prev.getAbsolutePath).unionByName(cur))
+          else cur
+        merged.write.mode("overwrite")
+          .parquet(new File(stateRoot, s"state-$batchId").getAbsolutePath)
+        last = math.max(last, batchId)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    if (last < 0)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("j", LongType),
+          StructField("beta_fp", LongType))))
+    else
+      graft.operators.Regression.solveRow(spark,
+        spark.read.parquet(
+          new File(stateRoot, s"state-$last").getAbsolutePath).head())
+  }
 }

@@ -91,6 +91,14 @@ class RegressionSpec extends SparkSuiteBase {
     assert(cut > 0L)
   }
 
+  test("streamed fold ≡ batch fit bit-for-bit (chunking invisible to associative statistics)") {
+    val batchFit = graft.operators.Regression.linreg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val streamed = graft.streaming.Streams.streamLinreg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed === batchFit)
+  }
+
   test("q_linreg is deterministic and memoized across calls") {
     val a = graft.operators.Regression.linreg(spark, sf).collect().map(_.getLong(1)).toSeq
     val b = graft.operators.Regression.linreg(spark, sf).collect().map(_.getLong(1)).toSeq
