@@ -29,8 +29,10 @@ object PlanAudit {
       // NOT skipped: it stages once, then its plan is the static
       // codes-table scan the persisted-PQ design exists for)
       "q_simsearch_pq", "q_simsearch_ivfpq")
+    // optional args: audit only the named queries (local iteration)
+    val only = args.toSet
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!skip(name)) {
+      if (!skip(name) && (only.isEmpty || only(name))) {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
         val lines = plan.linesIterator.filter(l =>
           l.contains("Scan parquet") || l.contains("PushedFilters") ||

@@ -110,6 +110,7 @@ object SparkEntry {
     "q_pca_project"     -> ((s, d) => Clustering.pcaProject(s, d)),
     "q_pca_deflate"     -> ((s, d) => Clustering.pcaDeflate(s, d)),
     "q_pca_topk"        -> ((s, d) => Clustering.pcaTopK(s, d)),
+    "q_jl_project"      -> ((s, d) => Clustering.jlProject(s, d)),
     "q_linreg"          -> ((s, d) => Regression.linreg(s, d)),
     "q_linreg_predict"  -> ((s, d) => Regression.linregPredict(s, d)),
     "q_linreg_append"   -> ((s, d) => Regression.linregAppended(s, d)),
@@ -215,6 +216,7 @@ object SparkEntry {
     "q_degree_dist"     -> ((s, d) => Graphs.degreeDist(s, d)),
     "q_stream_topevent" -> ((s, d) => graft.streaming.Streams.topEvent(s, d)),
     "q_snapshot_diff"   -> ((s, d) => Relational.snapshotDiff(s, d)),
+    "q_merge"           -> ((s, d) => Relational.mergeUpsert(s, d)),
     "q_embed_centroid"  -> ((s, d) => Clustering.labelCentroids(s, d)),
     "q_nearest_centroid" -> ((s, d) => Clustering.nearestCentroid(s, d)),
     "q_gini"            -> ((s, d) => Relational.giniByGroup(s, d)),
@@ -1520,6 +1522,9 @@ object SparkEntry {
     // the deflation LOOPED: chain → deflate → chain → deflate → chain
     "q_pca_topk" -> pcaTopKOracle(operators.Clustering.PcaIters,
       operators.Clustering.PcaK),
+    // data-independent JL map: the first JlDims seeded planes inlined
+    // as exact double literals, same left-fold ⇒ raw-double bit parity
+    "q_jl_project" -> jlOracle,
     // normal-equation sums + integer Cramer solve replayed (HUGEINT ≡
     // the driver's BigInt exactly; any correct 3×3 determinant
     // expansion is the same integer, so formula order cannot drift)
@@ -2185,6 +2190,34 @@ object SparkEntry {
         |            ELSE 'unchanged' END AS change,
         |       p1, p2
         |FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key""".stripMargin,
+    // three-clause MERGE replay: same 90-day feed cut, same erasure
+    // slice, same full-outer CASE — exact BIGINT cents throughout
+    "q_merge" ->
+      """WITH cut AS (
+        |  SELECT max(o_orderdate) - INTERVAL 90 DAY AS c FROM orders
+        |), feed AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+        |         CASE WHEN o_custkey % 11 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders, cut WHERE o_orderdate >= cut.c
+        |  GROUP BY o_custkey
+        |), base AS (
+        |  SELECT c_custkey, c_name,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |  FROM customer WHERE c_custkey % 13 <> 5
+        |)
+        |SELECT COALESCE(b.c_custkey, f.c_custkey) AS c_custkey,
+        |       CASE WHEN b.c_custkey IS NULL
+        |            THEN 'new:' || CAST(f.c_custkey AS VARCHAR)
+        |            ELSE b.c_name END AS c_name,
+        |       CASE WHEN b.c_custkey IS NULL THEN f.spend_cents
+        |            WHEN f.c_custkey IS NULL THEN b.acctbal_cents
+        |            ELSE b.acctbal_cents + f.spend_cents END AS acctbal_cents,
+        |       CASE WHEN b.c_custkey IS NULL THEN 'insert'
+        |            WHEN f.c_custkey IS NULL THEN 'keep'
+        |            ELSE 'update' END AS action
+        |FROM base b FULL OUTER JOIN feed f ON b.c_custkey = f.c_custkey
+        |WHERE NOT (f.c_custkey IS NOT NULL AND f.op = 'D')""".stripMargin,
     "q_embed_centroid" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
         |       count(*) AS n,
@@ -3238,6 +3271,37 @@ object SparkEntry {
     * mirrored via log2 (Scala uses ln x / ln 2): the two can disagree
     * only when n/32 sits within 1 ulp of a power of two — not a
     * corpus cardinality the harness uses. */
+  /** Exact-round-trip double literal for DuckDB: a bare decimal
+    * literal is parsed through a wide-DECIMAL intermediate whose
+    * cast to DOUBLE double-rounds (measured: 16/48 plane coefficients
+    * land 1 ulp off), while a string cast is a correctly-rounded
+    * strtod — so inlined doubles that feed HASH-COMPARED output must
+    * use this form. (The lshOracle planes survive bare literals only
+    * because a 1-ulp dot perturbation can't flip a sign at any
+    * realistic margin.) */
+  private def dlit(x: Double): String = s"CAST('$x' AS DOUBLE)"
+
+  /** Oracle for q_jl_project: the first JlDims pool planes inlined as
+    * exact round-trip double literals, the dot replayed with the
+    * identical left fold — raw doubles hash-match bit-for-bit. */
+  private def jlOracle: String = {
+    val planeRows = operators.Similarity.planes
+      .take(operators.Clustering.JlDims).zipWithIndex
+      .map { case (p, j) => s"($j, [${p.map(dlit).mkString(", ")}])" }
+      .mkString(",\n      ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), pl(dim, p) AS (VALUES
+       |      $planeRows
+       |)
+       |SELECT v.vec_id, CAST(pl.dim AS BIGINT) AS dim,
+       |  list_reduce(list_prepend(0.0,
+       |    list_transform(range(1, len(v.e) + 1), j -> pl.p[j] * v.e[j])),
+       |    (a, x) -> a + x) AS y
+       |FROM v, pl""".stripMargin
+  }
+
   private def lshOracle: String = {
     val planeRows = operators.Similarity.planes.zipWithIndex.map { case (p, i) =>
       s"($i, [${p.map(_.toString).mkString(", ")}])"

@@ -436,4 +436,43 @@ object Clustering {
       c.zipWithIndex.map { case (x, d) => (j.toLong, d.toLong, x) }
     }.toSeq.toDF("comp", "dim", "c").orderBy("comp", "dim")
   }
+
+  /** Output dimensionality of [[jlProject]]. */
+  val JlDims = 16
+
+  /** q_jl_project: Johnson–Lindenstrauss random projection — the
+    * DATA-INDEPENDENT dimensionality reduction beside the learned PCA
+    * family: y_j = ⟨g_j, x⟩ for [[JlDims]] fixed Gaussian directions
+    * (Indyk & Motwani, STOC 1998; the dense-Gaussian JL map), drawn
+    * from [[Similarity.planes]]' seeded pool — ONE plane convention
+    * across LSH bucketing and JL projection, so the two can't drift
+    * and the oracle replays both the same way (inlined exact double
+    * literals, identical left-fold order ⇒ bit parity).
+    *
+    * Why beside PCA: PCA needs a fitted model (a driver round per
+    * power iteration) and captures variance; JL needs NO pass over the
+    * data, preserves pairwise distances within (1 ± ε) whp (spec
+    * measures the distortion), and is the standard first move at
+    * 100 TB — shrink 64-d to 16-d in the scan projection itself
+    * (16 codegen'd dot kernels, no shuffle, no state), e.g. to feed
+    * the blocked-kNN grid or cut ANN memory 4×. Scaling by 1/√d is
+    * left to the consumer (a constant — distances all scale together).
+    *
+    * Output long-form (vec_id, dim ∈ [0, d), y) — the per-dimension
+    * rows the oracle hash-compares. */
+  def jlProject(spark: SparkSession, dir: String): DataFrame =
+    jlProject(Tables(spark, dir, "embeddings"), JlDims)
+
+  /** df form: expects (vec_id: Long, embedding: Array[Float|Double]);
+    * `d` ≤ the seeded pool size (48). */
+  def jlProject(emb: DataFrame, d: Int): DataFrame = {
+    require(d <= Similarity.planes.length, s"d=$d exceeds the plane pool")
+    val ycols = (0 until d).map { j =>
+      graft.functions.VectorExprs.dot(lit(Similarity.planes(j)), col("e"))
+    }
+    emb.withColumn("e", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), posexplode(array(ycols: _*)))
+      .select(col("vec_id"), col("pos").cast(LongType).as("dim"),
+        col("col").as("y"))
+  }
 }

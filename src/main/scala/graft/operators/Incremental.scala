@@ -45,14 +45,12 @@ object Incremental {
 
   def clearAggStateCache(): Unit = stateCache.clear()
 
-  /** The shared event-time cut over orders (max date − [[DeltaDays]]),
-    * one driver row — stagedAggState and stagedTopkState must use the
-    * SAME arrival convention, so it is defined once. */
-  private def ordersCut(spark: SparkSession, dir: String): java.sql.Timestamp = {
-    val maxD = Tables(spark, dir, "orders")
-      .agg(max("o_orderdate")).head().getTimestamp(0) // 1 driver row
-    java.sql.Timestamp.valueOf(maxD.toLocalDateTime.minusDays(DeltaDays.toLong))
-  }
+  /** The shared event-time cut over orders (max date − [[DeltaDays]]) —
+    * stagedAggState, stagedTopkState and Relational.mergeUpsert must
+    * use the SAME arrival convention, so it is defined once
+    * ([[Relational.ordersDeltaCut]]). */
+  private def ordersCut(spark: SparkSession, dir: String): java.sql.Timestamp =
+    Relational.ordersDeltaCut(spark, dir)
 
   /** The TopKByScore udaf wiring, shared by the state build and the
     * fold path so the two cannot drift. */

@@ -637,6 +637,87 @@ object Relational {
           .otherwise("unchanged").as("change"),
         col("p1"), col("p2"))
 
+  /** q_merge: the batch three-clause MERGE (WHEN MATCHED UPDATE /
+    * WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT) — the lakehouse
+    * primitive Delta/Iceberg expose as `MERGE INTO`, expressed as its
+    * underlying relational plan since those table formats aren't in
+    * this environment (SURVEY §4.0): ONE full-outer join on the key
+    * plus a row-wise CASE, which is exactly the shuffle shape a Delta
+    * MERGE plans. Completes the lakehouse family next to `cdcCompact`
+    * (latest-value view), `scd2` (history), `snapshotDiff` (audit) and
+    * `Streams.upsert` (the streaming twin).
+    *
+    * Fixture wiring: the target is an earlier customer snapshot
+    * (missing the `% 13 == 5` slice — customers registered since the
+    * snapshot); the source feed is the last-[[Incremental.DeltaDays]]-
+    * days orders rolled up per customer (n_orders + exact cent spend —
+    * partial/final agg, so a customer's billion order rows shuffle as
+    * partials). The feed's op column (a real feed carries it from
+    * upstream CDC; here the `% 11 == 0` slice stands in for an
+    * erasure-request list) drives the clauses: matched 'U' rows add
+    * the period spend to the balance, matched 'D' rows drop, unmatched
+    * feed rows insert (a delete for an absent key is a no-op), target
+    * rows the feed doesn't touch pass through.
+    *
+    * 100 TB story: a full-outer join must keep both sides, so there is
+    * no broadcast variant — the plan is the shuffle-on-key merge every
+    * table format runs; with a bucketed target it degrades to a
+    * co-partitioned zipper with only the (much smaller) feed shuffled,
+    * and AQE's skew split covers hot keys. The source side enters as
+    * per-key partials, never raw facts. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cut = ordersDeltaCut(spark, dir)
+    val feed = Tables(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit(cut))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("spend_cents"))
+      .withColumn("op",
+        when(col("c_custkey") % 11 === 0L, lit("D")).otherwise(lit("U")))
+    val base = Tables(spark, dir, "customer")
+      .where(col("c_custkey") % 13 =!= 5L)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+    mergeUpsert(base, feed)
+  }
+
+  /** The shared recent-orders event-time cut (max(o_orderdate) −
+    * [[Incremental.DeltaDays]]) — the same arrival convention the
+    * incremental-state operators use, so "the append window" means one
+    * thing across the lakehouse/incremental families. One driver row. */
+  private[operators] def ordersDeltaCut(spark: SparkSession, dir: String): java.sql.Timestamp = {
+    val maxD = Tables(spark, dir, "orders")
+      .agg(max("o_orderdate")).head().getTimestamp(0) // 1 driver row
+    java.sql.Timestamp.valueOf(
+      maxD.toLocalDateTime.minusDays(Incremental.DeltaDays.toLong))
+  }
+
+  /** df form: target = (c_custkey, c_name, acctbal_cents), source =
+    * (c_custkey, n_orders, spend_cents, op ∈ {'U','D'}); keys unique
+    * per side. Presence is tracked with explicit marker columns (the
+    * [[snapshotDiff]] convention) so a legitimate NULL value can never
+    * masquerade as absence. */
+  def mergeUpsert(target: DataFrame, source: DataFrame): DataFrame =
+    target.withColumn("_int", lit(true))
+      .join(source.withColumn("_ins", lit(true)), Seq("c_custkey"), "full_outer")
+      .where(
+        // WHEN MATCHED AND op = 'D' THEN DELETE (and absent-key deletes
+        // are no-ops) — everything else survives to the CASE below.
+        // Spelled null-first: on source-absent rows op is NULL, and
+        // !(NULL && …) is NULL, which WHERE would silently drop
+        col("_ins").isNull || col("op") =!= "D")
+      .select(
+        col("c_custkey"),
+        when(col("_int").isNull, concat(lit("new:"), col("c_custkey").cast("string")))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("_int").isNull, col("spend_cents"))            // INSERT
+          .when(col("_ins").isNull, col("acctbal_cents"))       // no-touch
+          .otherwise(col("acctbal_cents") + col("spend_cents")) // UPDATE
+          .as("acctbal_cents"),
+        when(col("_int").isNull, lit("insert"))
+          .when(col("_ins").isNull, lit("keep"))
+          .otherwise(lit("update")).as("action"))
+
   /** q_histogram_eq: EQUI-DEPTH histogram (deciles of o_totalprice) —
     * the profiling complement of q_histogram's fixed-width buckets:
     * every bucket holds the same row count, so bucket boundaries ARE

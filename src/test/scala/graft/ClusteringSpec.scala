@@ -188,6 +188,41 @@ class ClusteringSpec extends SparkSuiteBase {
     assert(comp0 === power, "loop component 1 must equal q_pca_power")
   }
 
+  test("q_jl_project: JL distance preservation within the d=16 band; deterministic long form") {
+    import org.apache.spark.sql.functions.col
+    val d = Clustering.JlDims
+    // original 64-d and projected 16-d vectors for the first 30 ids
+    val orig = graft.sources.Tables(spark, sf, "embeddings")
+      .where(col("vec_id") < 30)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val proj = Clustering.jlProject(spark, sf)
+      .where(col("vec_id") < 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3) }
+    assert(proj.values.forall(_.length === d))
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ids = orig.keys.toSeq.sorted
+    val distortions = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      dx = dist(orig(ids(i)), orig(ids(j)))
+      if dx > 1e-12
+      dy = dist(proj(ids(i)), proj(ids(j))) / math.sqrt(d.toDouble)
+    } yield math.abs(dy / dx - 1.0)
+    val sorted = distortions.sorted
+    val median = sorted(sorted.size / 2)
+    val p90 = sorted((sorted.size * 9) / 10)
+    info(f"pairwise distance distortion: median $median%.3f  p90 $p90%.3f (${sorted.size} pairs)")
+    // Gaussian JL at d=16: per-distance std ≈ 1/√(2d) ≈ 0.18
+    assert(median < 0.30, f"median distortion $median%.3f")
+    assert(p90 < 0.60, f"p90 distortion $p90%.3f")
+    // long form: exactly d rows per vector, bit-deterministic
+    val n = graft.sources.Tables(spark, sf, "embeddings").count()
+    assert(Clustering.jlProject(spark, sf).count() === n * d)
+  }
+
   test("q_pca_deflate on the fixture: 64 deterministic rows, distinct from the first component") {
     val first = Clustering.pcaPower(spark, sf).collect().map(_.getLong(1)).toSeq
     val out = Clustering.pcaDeflate(spark, sf).collect()

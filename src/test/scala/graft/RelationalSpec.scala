@@ -508,6 +508,32 @@ class RelationalSpec extends SparkSuiteBase {
     assert(decl.select("key").distinct().count() === decl.count())
   }
 
+  test("mergeUpsert: all three clauses fire; absent-key delete is a no-op") {
+    import spark.implicits._
+    val target = Seq((1L, "alice", 100L), (2L, "bob", 200L), (3L, "carol", 300L))
+      .toDF("c_custkey", "c_name", "acctbal_cents")
+    val source = Seq(
+      (2L, 50L, "U"),   // matched update
+      (3L, 0L, "D"),    // matched delete
+      (4L, 70L, "U"),   // unmatched insert
+      (5L, 0L, "D"))    // absent-key delete: no-op, must NOT insert
+      .toDF("c_custkey", "spend_cents", "op")
+    val got = Relational.mergeUpsert(target, source).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === Map(
+      1L -> (("alice", 100L, "keep")),
+      2L -> (("bob", 250L, "update")),
+      4L -> (("new:4", 70L, "insert"))))
+    // declared form: key-set law — result keys = (target \ deleted) ∪ inserted,
+    // each exactly once; actions partition the result
+    val decl = Relational.mergeUpsert(spark, sf)
+    assert(decl.select("c_custkey").distinct().count() === decl.count())
+    val acts = decl.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("keep", "update", "insert").subsetOf(acts.keySet), acts.toString)
+  }
+
   test("labelCentroids: counts constant per label; means match a driver recomputation") {
     import org.apache.spark.sql.functions.col
     val got = graft.operators.Clustering.labelCentroids(spark, sf).collect()
