@@ -89,6 +89,9 @@ object SparkEntry {
     "q_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
     "q_knn_join_blocked" -> ((s, d) => Similarity.knnJoinBlocked(s, d)),
     "q_knn_graph"       -> ((s, d) => Similarity.knnGraph(s, d)),
+    "q_knn_classify"    -> ((s, d) => Similarity.knnClassify(s, d)),
+    "q_auc"             -> ((s, d) => Evaluation.aucByType(s, d)),
+    "q_chi2"            -> ((s, d) => TextOps.chi2Terms(s, d)),
     "q_incr_agg"        -> ((s, d) => Incremental.incrAgg(s, d)),
     "q_incr_wordcount"  -> ((s, d) => Incremental.incrWordCount(s, d)),
     "q_incr_distinct"   -> ((s, d) => Incremental.incrDistinct(s, d)),
@@ -1675,6 +1678,108 @@ object SparkEntry {
          |)
          |SELECT emb.vec_id, coalesce(c.comp, emb.vec_id) AS comp
          |FROM embeddings emb LEFT JOIN cmp c ON c.node = emb.vec_id""".stripMargin,
+    // leave-one-out kNN majority vote replayed on top of the knn CTE:
+    // same tie-broken top-5, neighbor labels vote, (votes desc, label
+    // asc) picks — the whole chain is integer-deterministic
+    "q_knn_classify" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+         |         (a, p) -> a + p)) AS nrm
+         |  FROM v
+         |), s AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])),
+         |      (acc, p) -> acc + p) / (q.nrm * c.nrm) AS sim
+         |  FROM n q JOIN n c ON q.vec_id != c.vec_id
+         |), r AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s
+         |), knn AS (
+         |  SELECT qid, vec_id FROM r WHERE rn <= ${operators.Similarity.KnnK}
+         |), votes AS (
+         |  SELECT k.qid, e.label AS nlabel, CAST(count(*) AS BIGINT) AS votes
+         |  FROM knn k JOIN embeddings e ON e.vec_id = k.vec_id
+         |  GROUP BY 1, 2
+         |), pred AS (
+         |  SELECT qid, nlabel, votes FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY votes DESC, nlabel) AS pr
+         |    FROM votes)
+         |  WHERE pr = 1
+         |)
+         |SELECT e.vec_id, e.label, p.nlabel AS predicted, p.votes,
+         |       e.label = p.nlabel AS correct
+         |FROM embeddings e JOIN pred p ON p.qid = e.vec_id""".stripMargin,
+    // exact midrank Mann–Whitney replay: cents-discretized score
+    // multiplicities, prefix-sum min-ranks, one BIGINT→DOUBLE division
+    "q_auc" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |), pv AS (
+        |  SELECT cents, event_type, CAST(count(*) AS BIGINT) AS c_vt
+        |  FROM e GROUP BY 1, 2
+        |), cv AS (
+        |  SELECT cents, CAST(sum(c_vt) AS BIGINT) AS c_v FROM pv GROUP BY 1
+        |), r AS (
+        |  SELECT cents, c_v,
+        |    1 + CAST(coalesce(sum(c_v) OVER (ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS minrank
+        |  FROM cv
+        |), s AS (
+        |  SELECT pv.event_type,
+        |    CAST(sum(pv.c_vt * (2 * r.minrank + r.c_v - 1)) AS BIGINT) AS twoS,
+        |    CAST(sum(pv.c_vt) AS BIGINT) AS n_pos
+        |  FROM pv JOIN r USING (cents) GROUP BY 1
+        |), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+        |SELECT event_type, n_pos, n - n_pos AS n_neg,
+        |       CAST(twoS - n_pos * (n_pos + 1) AS DOUBLE) /
+        |       CAST(2 * n_pos * (n - n_pos) AS DOUBLE) AS auc
+        |FROM s, t WHERE n_pos > 0 AND n_pos < n""".stripMargin,
+    // χ² replay: presence counts per (term, lang), the pinned
+    // numerator/denominator cast-and-divide order, positive association
+    "q_chi2" ->
+      s"""WITH td AS (
+         |  SELECT DISTINCT doc_id, lang, term FROM (
+         |    SELECT doc_id, lang,
+         |      unnest(list_filter(string_split_regex(lower(text), '$Ws'),
+         |                         x -> x != '')) AS term
+         |    FROM documents)
+         |), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |byl AS (
+         |  SELECT term, lang, CAST(count(*) AS BIGINT) AS a
+         |  FROM td GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY 1
+         |), nl AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+         |  FROM documents GROUP BY 1
+         |), cells AS (
+         |  SELECT byl.lang, byl.term, byl.a, dfreq.df, nl.n_lang, t.n,
+         |         dfreq.df - byl.a AS b, nl.n_lang - byl.a AS c,
+         |         t.n - nl.n_lang - (dfreq.df - byl.a) AS d
+         |  FROM byl JOIN dfreq USING (term) JOIN nl USING (lang), t
+         |  WHERE dfreq.df >= ${operators.TextOps.Chi2MinDf} AND dfreq.df < t.n
+         |), scored AS (
+         |  SELECT lang, term, a, df,
+         |    CAST(n AS DOUBLE) *
+         |      CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE) /
+         |      CAST(df * (n - df) AS DOUBLE) /
+         |      CAST(n_lang * (n - n_lang) AS DOUBLE) AS chi2
+         |  FROM cells WHERE a * d - b * c > 0
+         |)
+         |SELECT lang, term, a, df, chi2, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+         |              ORDER BY chi2 DESC, term) AS BIGINT) AS rn
+         |  FROM scored)
+         |WHERE rn <= ${operators.TextOps.Chi2TopK}""".stripMargin,
     // aggregated top-N-per-group (the TopKByScore partial-agg form of
     // q_window_rank's question) — oracle keeps the window since DuckDB
     // has no bounded-top-k aggregate; ties break (price DESC, key ASC)

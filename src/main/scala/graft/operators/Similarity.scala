@@ -1373,6 +1373,53 @@ object Similarity {
         coalesce(col("comp"), col("vec_id")).as("comp"))
   }
 
+  /** q_knn_classify: leave-one-out kNN majority-vote classification of
+    * every corpus vector against the `label` column — the standard
+    * label-quality / weak-supervision audit (does the embedding space
+    * agree with the labels?) and the simplest classifier a labeled
+    * embedding table supports. Pure composition: [[knnJoin]] supplies
+    * each vector's k neighbors (its oracle already pins the tie-broken
+    * top-k), neighbor labels vote, ties break (votes desc, label asc)
+    * — a total order, so the prediction is deterministic and the
+    * DuckDB oracle replays the whole chain.
+    *
+    * Shape at scale: everything after the kNN join is bounded by the
+    * n·k edge list — one (qid, label) partial/final count, a
+    * per-qid window over ≤ |labels| vote rows, one broadcast-sized
+    * join back to the labels. The join itself is the scale knob:
+    * the declared form rides the exact grid join (the oracle pins the
+    * full pipeline); at 100 TB swap in [[knnJoinBlocked]] — the
+    * classifier body is identical either way (spec-checked). */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = KnnK,
+                  blocked: Boolean = false): DataFrame = {
+    val lab = Tables(spark, dir, "embeddings").select("vec_id", "label")
+    val knnDf = if (blocked) knnJoinBlocked(spark, dir, k)
+                else knnJoin(spark, dir, k)
+    knnClassifyBody(lab, knnDf)
+  }
+
+  /** df form over the exact join: expects (vec_id, embedding, label). */
+  def knnClassify(emb: DataFrame, k: Int): DataFrame =
+    knnClassifyBody(emb.select("vec_id", "label"), knnJoin(emb, k))
+
+  private def knnClassifyBody(lab: DataFrame, knnDf: DataFrame): DataFrame = {
+    val votes = knnDf
+      .join(lab.select(col("vec_id").as("nid"), col("label").as("nlabel")),
+        col("vec_id") === col("nid"))
+      .groupBy("qid", "nlabel")
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("votes").desc, col("nlabel").asc)
+    val pred = votes
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("qid").as("vec_id"), col("nlabel").as("predicted"),
+        col("votes"))
+    lab.join(pred, "vec_id")
+      .select(col("vec_id"), col("label"), col("predicted"), col("votes"),
+        (col("label") === col("predicted")).as("correct"))
+  }
+
   /** Multi-table LSH search body. Shape at scale:
     *  1. corpus pass computes the L per-table buckets per vector ONCE
     *     (codegen'd sign bits), then unpivots to a SLIM (vec_id, t,

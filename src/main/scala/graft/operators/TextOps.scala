@@ -257,6 +257,74 @@ object TextOps {
       .select("doc_id", "term", "tf", "df", "score", "rnk")
   }
 
+  /** Result width and noise floor for [[chi2Terms]]. */
+  val Chi2TopK = 20
+  val Chi2MinDf = 5
+
+  /** q_chi2: χ² feature selection — the top characteristic terms per
+    * language by the chi-squared statistic of the term-presence ×
+    * language contingency table (the standard feature-selection
+    * ranking; Yang & Pedersen, ICML 1997). For term t and language l
+    * with document counts a = df(t, l), b = df(t) − a,
+    * c = n_l − a, d = N − n_l − b:
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * restricted to POSITIVE association (ad > bc — a term that marks
+    * the language by absence scores high too, but isn't a "top term
+    * for l"), df within [[Chi2MinDf]] .. N−1 (singleton terms are
+    * noise; a term in every document carries no signal and zeroes the
+    * (c+d) factor).
+    *
+    * Exactness: a,b,c,d are exact BIGINT document counts (presence via
+    * per-doc distinct, [[tokens]] convention). The statistic is
+    * evaluated in ONE pinned order both engines share — numerator and
+    * denominator factors formed in BIGINT, each cast to DOUBLE, then
+    * left-associated multiply/divide (every step correctly rounded ⇒
+    * bit parity). BIGINT factor bounds: (ad−bc)² ≤ N⁴/16 and
+    * df·(N−df) ≤ N²/4, exact to N ≈ 55 000 docs in BIGINT and to
+    * N ≈ 9·10⁷ as doubles; past that the RANKING survives (χ² errors
+    * are relative-ulp) but bit-parity weakens — same documented band
+    * as the BM25 integer ranking.
+    *
+    * Shape at scale: explode → per-doc distinct (shuffle on (doc, term)
+    * partials) → two vocabulary-grain aggregates; the per-language doc
+    * totals are a |langs|-row broadcast. The top-k window partitions on
+    * lang over vocabulary-sized input — never the corpus. */
+  def chi2Terms(spark: SparkSession, dir: String): DataFrame =
+    chi2Terms(Tables(spark, dir, "documents"), Chi2TopK, Chi2MinDf)
+
+  /** df form: expects (doc_id: Long, lang: String, text: String). */
+  def chi2Terms(docs: DataFrame, k: Int, minDf: Int): DataFrame = {
+    val n = docs.count() // one driver scalar (the tfidf convention)
+    val td = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct() // presence, not tf
+    val byLang = td.groupBy("term", "lang").agg(count(lit(1)).as("a"))
+    val dfreq = td.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf && col("df") < n)
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val num = col("a") * col("d") - col("b") * col("c")
+    val chi2 = lit(n.toDouble) *
+      num.cast("double") * num.cast("double") /
+      (col("df") * (lit(n) - col("df"))).cast("double") /
+      (col("n_lang") * (lit(n) - col("n_lang"))).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("chi2").desc, col("term").asc)
+    byLang
+      .join(dfreq, "term")
+      .join(broadcast(nl), "lang")
+      .withColumn("b", col("df") - col("a"))
+      .withColumn("c", col("n_lang") - col("a"))
+      .withColumn("d", lit(n) - col("n_lang") - col("b"))
+      .where(num > 0) // positive association only
+      .withColumn("chi2", chi2)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= k)
+      .select("lang", "term", "a", "df", "chi2", "rn")
+  }
+
   /** q_topk_sketch: heavy-hitter tokens via the Misra–Gries sketch
     * (`functions.TopKSketch`) — the bounded-memory scale path for the
     * wordcount family when the KEY SPACE explodes (URLs, n-grams,
