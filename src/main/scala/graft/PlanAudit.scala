@@ -13,7 +13,9 @@ object PlanAudit {
       "q_stream_outer", "q_stream_topevent", "q_stream_spend",
       "q_stream_typecounts", "q_stream_recent", "q_stream_usersession",
       "q_stream_ohlc", "q_stream_wordcount", "q_stream_neardup",
-      "q_stream_linreg",
+      "q_stream_linreg", "q_stream_anomaly",
+      // the HCC component loop runs driver rounds at build time
+      "q_dbscan",
       // driver-collect at build time (per-language ledger / quantizer fit)
       "q_mix_temperature", "q_kmeans", "q_simsearch_ivf", "q_pagerank",
       "q_dedup_semantic", "q_knn_join_blocked",

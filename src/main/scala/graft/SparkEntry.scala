@@ -91,6 +91,12 @@ object SparkEntry {
     "q_knn_graph"       -> ((s, d) => Similarity.knnGraph(s, d)),
     "q_knn_classify"    -> ((s, d) => Similarity.knnClassify(s, d)),
     "q_auc"             -> ((s, d) => Evaluation.aucByType(s, d)),
+    "q_ndcg"            -> ((s, d) => Evaluation.ndcgAtK(s, d)),
+    "q_confusion"       -> ((s, d) => Evaluation.confusion(s, d)),
+    "q_ssjoin"          -> ((s, d) => Dedup.ssjoin(s, d)),
+    "q_dbscan"          -> ((s, d) => Clustering.dbscan(s, d)),
+    "q_anomaly"         -> ((s, d) => Events.anomalies(s, d)),
+    "q_stream_anomaly"  -> ((s, d) => streaming.Streams.streamAnomaly(s, d)),
     "q_chi2"            -> ((s, d) => TextOps.chi2Terms(s, d)),
     "q_incr_agg"        -> ((s, d) => Incremental.incrAgg(s, d)),
     "q_incr_wordcount"  -> ((s, d) => Incremental.incrWordCount(s, d)),
@@ -650,6 +656,32 @@ object SparkEntry {
          |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_ngram" -> jaccardOracle(0.5),
     "q_dedup_minhash" -> jaccardOracle(0.8),
+    // exact prefix-filtered set-similarity join: the oracle is the
+    // BRUTE-FORCE inverted-index join with the integer acceptance
+    // predicate — deliberately NOT a replay of the prefix filter, so a
+    // green row proves the filter lossless end-to-end (candidates ⊇
+    // truth) as well as the verification exact. Shingle text here vs
+    // 64-bit shingle hashes in the engine: sizes and intersections
+    // agree up to the same ~2⁻⁶⁴ birthday term the whole dedup family
+    // documents.
+    "q_ssjoin" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+         |  FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+         |  WHERE len(ts) >= 3
+         |), sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+         |iv AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT da, db, inter, x.n AS na, y.n AS nb,
+         |       (1000000 * inter) // (x.n + y.n - inter) AS jacc_micro
+         |FROM iv JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+         |WHERE 9 * inter >= 4 * (x.n + y.n)""".stripMargin,
     // components of the J >= 0.8 pair graph: min reachable id per node
     // via a recursive transitive closure (tiny graph — pairs only)
     "q_dedup_cc" -> ccOracle,
@@ -1743,6 +1775,187 @@ object SparkEntry {
         |       CAST(twoS - n_pos * (n_pos + 1) AS DOUBLE) /
         |       CAST(2 * n_pos * (n - n_pos) AS DOUBLE) AS auc
         |FROM s, t WHERE n_pos > 0 AND n_pos < n""".stripMargin,
+    // NDCG@10 replay on the knn CTE: binary label-match gains, the
+    // SAME pinned micro-unit discount literals (VALUES tables — no
+    // libm in either engine), IDCG via the exclusive prefix-sum
+    // lookup at min(R, 10), one integer division
+    "q_ndcg" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+         |         (a, p) -> a + p)) AS nrm
+         |  FROM v
+         |), s AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])),
+         |      (acc, p) -> acc + p) / (q.nrm * c.nrm) AS sim
+         |  FROM n q JOIN n c ON q.vec_id != c.vec_id
+         |), r AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s
+         |), knn AS (
+         |  SELECT qid, vec_id, rn FROM r WHERE rn <= ${operators.Evaluation.NdcgK}
+         |), w(rn, wu) AS (VALUES
+         |  ${operators.Evaluation.NdcgW.zipWithIndex
+               .map { case (u, i) => s"(${i + 1}, CAST($u AS BIGINT))" }
+               .mkString(", ")}
+         |), cw(j, cu) AS (VALUES
+         |  ${operators.Evaluation.NdcgCum.zipWithIndex
+               .map { case (u, j) => s"($j, CAST($u AS BIGINT))" }
+               .mkString(", ")}
+         |), rel AS (
+         |  SELECT label, CAST(count(*) - 1 AS BIGINT) AS r_rel
+         |  FROM embeddings GROUP BY 1
+         |), dcg AS (
+         |  SELECT k.qid,
+         |    CAST(sum(CASE WHEN ne.label = qe.label THEN w.wu ELSE 0 END)
+         |         AS BIGINT) AS dcg_u
+         |  FROM knn k
+         |  JOIN embeddings qe ON qe.vec_id = k.qid
+         |  JOIN embeddings ne ON ne.vec_id = k.vec_id
+         |  JOIN w ON w.rn = k.rn
+         |  GROUP BY 1
+         |)
+         |SELECT e.vec_id, e.label, d.dcg_u, cw.cu AS idcg_u,
+         |  CASE WHEN cw.cu = 0 THEN 0
+         |       ELSE (1000000 * d.dcg_u) // cw.cu END AS ndcg_micro
+         |FROM embeddings e
+         |JOIN dcg d ON d.qid = e.vec_id
+         |JOIN rel ON rel.label = e.label
+         |JOIN cw ON cw.j = least(rel.r_rel, ${operators.Evaluation.NdcgK})""".stripMargin,
+    // per-class confusion summary replayed on the knn-classify chain:
+    // BIGINT cell sums, the same CASE-guarded integer micro divisions
+    "q_confusion" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+         |         (a, p) -> a + p)) AS nrm
+         |  FROM v
+         |), s AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])),
+         |      (acc, p) -> acc + p) / (q.nrm * c.nrm) AS sim
+         |  FROM n q JOIN n c ON q.vec_id != c.vec_id
+         |), r AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s
+         |), knn AS (
+         |  SELECT qid, vec_id FROM r WHERE rn <= ${operators.Similarity.KnnK}
+         |), votes AS (
+         |  SELECT k.qid, e.label AS nlabel, CAST(count(*) AS BIGINT) AS votes
+         |  FROM knn k JOIN embeddings e ON e.vec_id = k.vec_id
+         |  GROUP BY 1, 2
+         |), pred AS (
+         |  SELECT qid, nlabel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY votes DESC, nlabel) AS pr
+         |    FROM votes)
+         |  WHERE pr = 1
+         |), cells AS (
+         |  SELECT e.label, p.nlabel AS predicted, CAST(count(*) AS BIGINT) AS c
+         |  FROM embeddings e JOIN pred p ON p.qid = e.vec_id
+         |  GROUP BY 1, 2
+         |), act AS (
+         |  SELECT label, CAST(sum(c) AS BIGINT) AS support FROM cells GROUP BY 1
+         |), prd AS (
+         |  SELECT predicted AS label, CAST(sum(c) AS BIGINT) AS n_pred
+         |  FROM cells GROUP BY 1
+         |), tpc AS (
+         |  SELECT label, c AS tp FROM cells WHERE label = predicted
+         |), m AS (
+         |  SELECT coalesce(a.label, q.label) AS label,
+         |    CAST(coalesce(t.tp, 0) AS BIGINT) AS tp,
+         |    CAST(coalesce(q.n_pred, 0) - coalesce(t.tp, 0) AS BIGINT) AS fp,
+         |    CAST(coalesce(a.support, 0) - coalesce(t.tp, 0) AS BIGINT) AS fn,
+         |    CAST(coalesce(a.support, 0) AS BIGINT) AS support
+         |  FROM act a FULL OUTER JOIN prd q ON a.label = q.label
+         |  LEFT JOIN tpc t ON t.label = coalesce(a.label, q.label)
+         |)
+         |SELECT label, tp, fp, fn, support,
+         |  CASE WHEN tp + fp = 0 THEN 0
+         |       ELSE (1000000 * tp) // (tp + fp) END AS precision_micro,
+         |  CASE WHEN support = 0 THEN 0
+         |       ELSE (1000000 * tp) // (tp + fn) END AS recall_micro,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+         |       ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS f1_micro
+         |FROM m""".stripMargin,
+    // prospective 3σ detector: per-type strictly-prior window sums in
+    // exact cents, the z² > 9 test cleared of divisions, squares in
+    // HUGEINT (DECIMAL(38,0) on the Spark side — exact integers both
+    // ways, so the boolean is bit-stable)
+    "q_anomaly" -> anomalyOracle,
+    // streamed ≡ batch exactly (strict ts-split feed + shared integer
+    // flag predicate) — one truth for both forms
+    "q_stream_anomaly" -> anomalyOracle,
+    // DBSCAN replay: ε-pairs (the knn CTE's cosine), degrees, cores,
+    // recursive closure over core-core edges (ccOracle's pattern),
+    // border = min core-neighbor cluster, noise −1
+    "q_dbscan" ->
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+         |         (a, p) -> a + p)) AS nrm
+         |  FROM v
+         |), p AS (
+         |  SELECT q.vec_id AS va, c.vec_id AS vb
+         |  FROM n q JOIN n c ON q.vec_id < c.vec_id
+         |  WHERE list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])),
+         |      (acc, x) -> acc + x) / (q.nrm * c.nrm)
+         |    >= ${operators.Clustering.DbscanEps}
+         |), ed AS (
+         |  SELECT va, vb FROM p UNION ALL SELECT vb, va FROM p
+         |), core AS (
+         |  SELECT emb.vec_id,
+         |    coalesce(d.nbrs, 0) + 1 >= ${operators.Clustering.DbscanMinPts}
+         |      AS is_core
+         |  FROM embeddings emb LEFT JOIN (
+         |    SELECT va AS vec_id, CAST(count(*) AS BIGINT) AS nbrs
+         |    FROM ed GROUP BY 1) d USING (vec_id)
+         |), ce AS (
+         |  SELECT p.va, p.vb FROM p
+         |  JOIN core a ON a.vec_id = p.va AND a.is_core
+         |  JOIN core b ON b.vec_id = p.vb AND b.is_core
+         |), cedges AS (
+         |  SELECT va AS u, vb AS w FROM ce UNION ALL SELECT vb, va FROM ce
+         |), reach AS (
+         |  SELECT DISTINCT u AS node, u AS r FROM cedges
+         |  UNION
+         |  SELECT e.u AS node, t.r FROM cedges e JOIN reach t ON e.w = t.node
+         |), cmp AS (
+         |  SELECT node, min(r) AS comp FROM reach GROUP BY node
+         |), corecomp AS (
+         |  SELECT c.vec_id, coalesce(m.comp, c.vec_id) AS cluster
+         |  FROM core c LEFT JOIN cmp m ON m.node = c.vec_id
+         |  WHERE c.is_core
+         |), border AS (
+         |  SELECT e.va AS vec_id, min(cc.cluster) AS bcluster
+         |  FROM ed e JOIN corecomp cc ON cc.vec_id = e.vb
+         |  GROUP BY 1
+         |)
+         |SELECT c.vec_id,
+         |  CASE WHEN c.is_core THEN 'core'
+         |       WHEN b.bcluster IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  CAST(coalesce(cc.cluster,
+         |    CASE WHEN NOT c.is_core THEN b.bcluster END, -1) AS BIGINT)
+         |    AS cluster
+         |FROM core c
+         |LEFT JOIN corecomp cc ON cc.vec_id = c.vec_id
+         |LEFT JOIN border b ON b.vec_id = c.vec_id""".stripMargin,
     // χ² replay: presence counts per (term, lang), the pinned
     // numerator/denominator cast-and-divide order, positive association
     "q_chi2" ->
@@ -3832,6 +4045,33 @@ object SparkEntry {
   /** Exhaustive 3-token-shingle Jaccard pairs at/above tau — oracle for
     * both the inverted-index (q_dedup_ngram) and the MinHash-LSH
     * (q_dedup_minhash) engines; see Dedup for the recall argument. */
+  /** Shared truth for q_anomaly and q_stream_anomaly (the streamed fold
+    * reproduces the batch window exactly — strict ts-split feed, shared
+    * integer flag predicate). Ordering uses the µs-truncated timestamp
+    * (the engine's ts convention: DuckDB reads the fixture at ns). */
+  private def anomalyOracle: String =
+    s"""WITH e AS (
+       |  SELECT event_id, date_trunc('microseconds', ts) AS ts, event_type,
+       |         CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE value IS NOT NULL
+       |), p AS (
+       |  SELECT event_id, event_type, cents,
+       |    CAST(count(cents) OVER w AS BIGINT) AS n_prior,
+       |    CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS s,
+       |    CAST(coalesce(sum(cents * cents) OVER w, 0) AS BIGINT) AS s2
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT event_id, event_type, cents, n_prior,
+       |  n_prior >= ${operators.Events.AnomMinPrior} AND
+       |  (CAST(n_prior AS HUGEINT) * cents - s) *
+       |    (CAST(n_prior AS HUGEINT) * cents - s)
+       |  > ${operators.Events.AnomZSq} *
+       |    (CAST(n_prior AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s)
+       |    AS is_anomaly
+       |FROM p""".stripMargin
+
   private def jaccardOracle(tau: Double): String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts

@@ -475,4 +475,92 @@ object Clustering {
       .select(col("vec_id"), col("pos").cast(LongType).as("dim"),
         col("col").as("y"))
   }
+
+  // ---------------------------------------------------------------------
+  // q_dbscan: density-based clustering
+  // ---------------------------------------------------------------------
+
+  /** Neighborhood predicate: cosine ≥ eps. 0.35 sits in the fixture's
+    * planted-near-dup tail ABOVE the percolation threshold (at 0.3 the
+    * ε-graph's avg degree ~3.7 merges everything into one giant
+    * component; at 0.35 the sf0.01 corpus splits into 38 clusters with
+    * 142 core / 122 border / 236 noise — the regime DBSCAN exists
+    * for). */
+  val DbscanEps = 0.35
+
+  /** Minimum ε-neighborhood size INCLUDING the point itself (the KDD
+    * paper's |N_ε(p)| ≥ minPts convention). */
+  val DbscanMinPts = 3
+
+  /** q_dbscan: DBSCAN over the embedding space (Ester, Kriegel, Sander
+    * & Xu, KDD 1996) with cosine similarity ≥ [[DbscanEps]] as the
+    * neighborhood predicate — the density-based complement of the
+    * K-Means family: clusters of arbitrary shape, an explicit NOISE
+    * verdict, no k chosen up front. On a training corpus this is the
+    * "find the organic near-dup blobs and the isolated junk" pass.
+    *
+    * Made deterministic (classic DBSCAN's border assignment is
+    * scan-order-dependent): clusters are connected components of the
+    * CORE-CORE ε-graph labeled by min core vec_id ([[Dedup.dupComponents]]
+    * — the HCC loop the dedup family trusts), and a border point joins
+    * the MINIMUM cluster label among its core neighbors. Every decision
+    * is then a pure function of the ε-graph, so the DuckDB oracle
+    * replays the whole chain (pairs → degrees → cores → recursive
+    * closure → border min-join).
+    *
+    * Shape at scale: the ε-edge list comes from the exact 2-D block
+    * grid join ([[Dedup.embedNearDupGrid]] — B² bounded cells, 2·n·B
+    * shuffle rows, no broadcast of the corpus); everything after is
+    * bounded by the EDGE list: one degree count, two semi-joins, the
+    * log-round component loop, one border min-aggregate. At 100 TB the
+    * edge generation is the knob — swap in the IVF-blocked pair finder
+    * ([[Dedup.embedNearDupBlocked]]) exactly as the kNN family does;
+    * the clustering body is identical. */
+  def dbscan(spark: SparkSession, dir: String): DataFrame =
+    dbscanBody(Similarity.vecs(spark, dir))
+
+  /** df form: expects (vec_id: Long, embedding: Array[Float|Double]). */
+  def dbscan(emb: DataFrame, eps: Double = DbscanEps,
+             minPts: Int = DbscanMinPts): DataFrame =
+    dbscanBody(Similarity.vecs(emb), eps, minPts)
+
+  private def dbscanBody(v: DataFrame, eps: Double = DbscanEps,
+                         minPts: Int = DbscanMinPts): DataFrame = {
+    val pairs = Dedup.embedNearDupGrid(v, blocks = 8, tau = eps)
+      .select("va", "vb")
+    val edges = pairs.unionAll(
+      pairs.select(col("vb").as("va"), col("va").as("vb")))
+    // |N_ε(p)| = undirected neighbors + the point itself
+    val deg = edges.groupBy(col("va").as("vec_id"))
+      .agg(count(lit(1)).as("nbrs"))
+    val core = v.select("vec_id")
+      .join(deg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        (coalesce(col("nbrs"), lit(0L)) + 1L >= minPts.toLong).as("is_core"))
+    val coreIds = core.where(col("is_core")).select("vec_id")
+    val coreEdges = pairs
+      .join(coreIds.select(col("vec_id").as("va")), Seq("va"), "left_semi")
+      .join(coreIds.select(col("vec_id").as("vb")), Seq("vb"), "left_semi")
+    val comps = Dedup.dupComponents(
+      coreEdges.select(col("va").as("da"), col("vb").as("db")))
+    // a core point with no core neighbor is still a (singleton) cluster
+    val coreComp = coreIds
+      .join(comps.select(col("doc_id").as("vec_id"), col("comp")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("cluster"))
+    // border: non-core with ≥ 1 core ε-neighbor → min neighbor cluster
+    val borderAssign = edges
+      .join(coreComp.select(col("vec_id").as("vb"), col("cluster")), "vb")
+      .groupBy(col("va").as("vec_id")).agg(min("cluster").as("bcluster"))
+    core
+      .join(coreComp, Seq("vec_id"), "left")
+      .join(borderAssign, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("is_core"), lit("core"))
+          .when(col("bcluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("cluster"),
+          when(!col("is_core"), col("bcluster")),
+          lit(-1L)).as("cluster"))
+  }
 }

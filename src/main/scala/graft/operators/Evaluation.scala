@@ -102,6 +102,115 @@ object Evaluation {
     (ranked, acc)
   }
 
+  /** Cutoff for the ranking-quality metrics. */
+  val NdcgK = 10
+
+  /** 1/log₂(i+1) discount at ranks 1..10, in micro-units, as pinned
+    * BIGINT literals shared verbatim with the DuckDB oracle — the
+    * only way a log-scaled metric can be bit-exact across engines
+    * (neither engine's libm is called; the gain sums are integer). */
+  val NdcgW: Seq[Long] = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** Exclusive prefix sums of [[NdcgW]]: `NdcgCum(j)` = ideal DCG of j
+    * relevant results, so `NdcgCum(min(R, k))` is the IDCG of a query
+    * with R relevant corpus vectors. Index 0 = 0 covers R = 0. */
+  val NdcgCum: Seq[Long] = NdcgW.scanLeft(0L)(_ + _)
+
+  /** q_ndcg: NDCG@10 of the embedding space against the labels — the
+    * standard ranking-quality audit (Järvelin & Kekäläinen, TOIS 2002)
+    * run leave-one-out over the corpus: every vector queries the exact
+    * cosine top-10 ([[Similarity.knnJoin]], whose oracle already pins
+    * the tie-broken ranking), a neighbor is relevant iff it carries
+    * the query's label, and NDCG@10 = DCG/IDCG with the binary-gain
+    * log discount. Where [[Similarity.knnClassify]] asks "does the
+    * top-k VOTE right?", this grades the whole ranked list —
+    * position-weighted, the retrieval-eval view of the same space.
+    *
+    * Exactness: discounts are the pinned micro-unit literals [[NdcgW]]
+    * (no libm), DCG is a BIGINT sum of ≤ k of them, IDCG is the
+    * prefix-sum lookup `NdcgCum(min(R,k))` with R = |label class| − 1
+    * (leave-one-out), and the reported ndcg_micro = (10⁶·DCG) div IDCG
+    * — one exact integer division, 0 for singleton labels (R = 0).
+    *
+    * Shape at scale: everything past the kNN join is bounded by the
+    * n·k edge list — one broadcast label join, one (qid) partial/final
+    * sum, a |labels|-row broadcast for R. The join is the scale knob
+    * exactly as in knnClassify: swap in [[Similarity.knnJoinBlocked]]
+    * at 100 TB, the metric body is identical. */
+  def ndcgAtK(spark: SparkSession, dir: String): DataFrame =
+    ndcgBody(Tables(spark, dir, "embeddings").select("vec_id", "label"),
+      Similarity.knnJoin(spark, dir, k = NdcgK))
+
+  /** df form over the exact join: expects (vec_id, embedding, label). */
+  def ndcgAtK(emb: DataFrame, k: Int = NdcgK): DataFrame =
+    ndcgBody(emb.select("vec_id", "label"), Similarity.knnJoin(emb, k))
+
+  private def ndcgBody(lab: DataFrame, knnDf: DataFrame): DataFrame = {
+    val wLit = typedlit(NdcgW)
+    val cumLit = typedlit(NdcgCum)
+    // R per label: corpus class size minus the query itself
+    val rel = lab.groupBy("label")
+      .agg((count(lit(1)) - 1L).as("r_rel"))
+    val gains = knnDf
+      .join(lab.select(col("vec_id").as("nid"), col("label").as("nlabel")),
+        col("vec_id") === col("nid"))
+      .select(col("qid"), col("rn"), col("nlabel"))
+    val dcg = lab.select(col("vec_id").as("qid"), col("label"))
+      .join(gains, "qid")
+      .groupBy("qid", "label")
+      .agg(sum(when(col("nlabel") === col("label"),
+        element_at(wLit, col("rn").cast("int"))).otherwise(0L)).as("dcg_u"))
+    dcg.join(broadcast(rel), "label")
+      .select(col("qid").as("vec_id"), col("label"), col("dcg_u"),
+        element_at(cumLit,
+          (least(col("r_rel"), lit(NdcgK.toLong)) + 1L).cast("int"))
+          .as("idcg_u"))
+      .withColumn("ndcg_micro",
+        when(col("idcg_u") === 0L, 0L)
+          .otherwise(expr("(1000000 * dcg_u) div idcg_u")))
+  }
+
+  /** q_confusion: per-class precision/recall/F1 of the leave-one-out
+    * kNN classifier ([[Similarity.knnClassify]]) — the confusion-matrix
+    * summary every classifier eval starts with, kept EXACT: tp/fp/fn
+    * are BIGINT cell sums of the |classes|² confusion matrix, and each
+    * ratio is one integer micro-unit division ((10⁶·tp) div (tp+fp),
+    * (10⁶·tp) div (tp+fn), (2·10⁶·tp) div (2tp+fp+fn)) — no float in
+    * any decision, never-predicted classes report 0 precision by the
+    * CASE guard rather than a division error.
+    *
+    * Shape at scale: past the classifier, everything aggregates the
+    * n-row (label, predicted) stream to |classes|² cells partial/final,
+    * then |classes|-row joins — driver-free and broadcast-sized. */
+  def confusion(spark: SparkSession, dir: String): DataFrame =
+    confusionBody(Similarity.knnClassify(spark, dir))
+
+  /** df form: expects (label, predicted) prediction rows. */
+  def confusionBody(pred: DataFrame): DataFrame = {
+    val cells = pred.groupBy("label", "predicted").agg(count(lit(1)).as("c"))
+    val act = cells.groupBy("label").agg(sum("c").as("support"))
+    val prd = cells.groupBy(col("predicted").as("label"))
+      .agg(sum("c").as("n_pred"))
+    val tp = cells.where(col("label") === col("predicted"))
+      .select(col("label"), col("c").as("tp"))
+    act.join(prd, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("support") - col("tp"))
+      .select(col("label"), col("tp"), col("fp"), col("fn"), col("support"),
+        when(col("n_pred") === 0L, 0L)
+          .otherwise(expr("(1000000 * tp) div (tp + fp)")).as("precision_micro"),
+        when(col("support") === 0L, 0L)
+          .otherwise(expr("(1000000 * tp) div (tp + fn)")).as("recall_micro"),
+        when(col("tp") + col("fp") + col("fn") === 0L, 0L)
+          .otherwise(expr("(2000000 * tp) div (2 * tp + fp + fn)")).as("f1_micro"))
+  }
+
   private def emptyAuc(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),

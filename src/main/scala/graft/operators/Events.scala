@@ -145,4 +145,74 @@ object Events {
         // so parity cannot flake when a bar's double sum straddles a
         // half-cent rounding boundary (same convention as kmeans/mad)
         (sum(round(col("value") * 100).cast("long")) / 100.0).as("volume"))
+
+  /** Anomalies need this many PRIOR observations before any flag can
+    * fire (the classic small-sample guard — prospective z-scores on a
+    * handful of points are noise). */
+  val AnomMinPrior = 30
+
+  /** |z| threshold, squared (3σ → 9). */
+  val AnomZSq = 9
+
+  /** q_anomaly: prospective 3σ outlier detection per event type — each
+    * event is judged against the running mean/variance of STRICTLY
+    * EARLIER events of its type (the online monitoring semantics: a
+    * detector deployed at time t knows only the past; judging against
+    * full-corpus statistics would leak the future into every verdict,
+    * and a level shift would flag the entire pre-shift history instead
+    * of the first shifted points).
+    *
+    * All-integer decision: values are exact cents (the engine's money
+    * convention), prior state is (n, S = Σx, S2 = Σx²) — associative
+    * BIGINT sums — and the flag is
+    *   n ≥ [[AnomMinPrior]]  AND  (n·x − S)² > [[AnomZSq]]·(n·S2 − S²)
+    * (the z² > 9 test cleared of its two divisions). The squares are
+    * evaluated in DECIMAL(38,0) (HUGEINT on the oracle side): exact
+    * integers on both engines, so the boolean is bit-stable. BIGINT
+    * would overflow at (n·x)² once n·x > 3·10⁹ (≈ 10⁵ events/type at
+    * these cent magnitudes) — the 128-bit path is exact to n·x < 10¹⁹,
+    * past any realistic per-type volume.
+    *
+    * Shape at scale: one shuffle to (event_type) — the prefix scan is
+    * a per-type window in (ts, event_id) order. Types parallelize;
+    * within a type the scan is inherently sequential (each verdict
+    * depends on every prior event). A 10⁹-row single type would make
+    * its partition the straggler: that case is exactly
+    * [[graft.streaming.Streams.streamAnomaly]] — the same fold carried
+    * as O(1) state per type across micro-batches, never re-sorted. */
+  def anomalies(spark: SparkSession, dir: String): DataFrame =
+    anomalies(Tables(spark, dir, "events"))
+
+  /** df form: expects (event_id, ts, event_type, value); NULL values
+    * carry no cents and are excluded. */
+  def anomalies(events: DataFrame): DataFrame = {
+    val e = events.where(col("value").isNotNull)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    e.withColumn("n_prior", count(col("cents")).over(w))
+      .withColumn("s", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .withColumn("s2",
+        coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+      .select(col("event_id"), col("event_type"), col("cents"), col("n_prior"),
+        anomalyFlag(col("n_prior"), col("cents"), col("s"), col("s2"))
+          .as("is_anomaly"))
+  }
+
+  /** The shared flag predicate over exact-integer prior state —
+    * DECIMAL(38,0) squares (see [[anomalies]]); used by both the batch
+    * window form and the streaming per-batch fold so the two can never
+    * drift. */
+  private[graft] def anomalyFlag(n: org.apache.spark.sql.Column,
+                                 x: org.apache.spark.sql.Column,
+                                 s: org.apache.spark.sql.Column,
+                                 s2: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = "decimal(38,0)"
+    val dev = (n.cast(d) * x.cast(d)) - s.cast(d)
+    val varN2 = (n.cast(d) * s2.cast(d)) - (s.cast(d) * s.cast(d))
+    (n >= AnomMinPrior.toLong) && (dev * dev > lit(AnomZSq).cast(d) * varN2)
+  }
 }

@@ -962,6 +962,93 @@ object Streams {
         .orderBy("word")
   }
 
+  /** q_stream_anomaly: the prospective 3σ detector
+    * ([[graft.operators.Events.anomalies]]) run ONLINE — per-type
+    * (n, S, S2) state carried across micro-batches, each batch judged
+    * against state + its own intra-batch prefix and then folded in
+    * (batch-id-named overwrite idempotence, the q_stream_wordcount
+    * convention). The batch form's per-type window scan is inherently
+    * sequential over the type's whole history; this is the shape that
+    * replaces it at scale — per-batch cost is |batch| + a |types|-row
+    * state add, and history is never re-scanned or re-sorted.
+    *
+    * Streamed ≡ batch EXACTLY, not just in the limit: the feed chunks
+    * on the event-time midpoint (strict ts split) and the intra-batch
+    * prefix window orders by the same (ts, event_id) total order, so
+    * (state + batch prefix) at each row equals the full-history prefix
+    * — and the flag predicate is the SHARED
+    * [[graft.operators.Events.anomalyFlag]] over exact integer sums.
+    * Oracle: q_anomaly's, verbatim. */
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val feed = staged(spark, dir, withDupes = false)
+    val stateRoot = Files.createTempDirectory("graft-sanom-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => graft.Fs.rmRf(stateRoot)))
+    val ckpt = new File(stateRoot, "ckpt").getAbsolutePath
+    @volatile var last = -1L
+    val q = spark.readStream.schema(EvSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ev = batch.toDF()
+          .where(col("event_type") =!= Sentinel && col("value").isNotNull)
+          .select(col("event_id"), col("ts"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val pfx = ev
+          .withColumn("bn", count(col("cents")).over(w))
+          .withColumn("bs", coalesce(sum(col("cents")).over(w), lit(0L)))
+          .withColumn("bs2",
+            coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+        val prev = new File(stateRoot, s"state-${batchId - 1}")
+        val withState =
+          if (prev.exists())
+            pfx.join(spark.read.parquet(prev.getAbsolutePath),
+                Seq("event_type"), "left")
+              .select(pfx.columns.map(col) :+
+                (col("bn") + coalesce(col("pn"), lit(0L))).as("n") :+
+                (col("bs") + coalesce(col("ps"), lit(0L))).as("s") :+
+                (col("bs2") + coalesce(col("ps2"), lit(0L))).as("s2"): _*)
+          else pfx.withColumn("n", col("bn")).withColumn("s", col("bs"))
+            .withColumn("s2", col("bs2"))
+        withState.select(col("event_id"), col("event_type"), col("cents"),
+            col("n").as("n_prior"),
+            graft.operators.Events.anomalyFlag(
+              col("n"), col("cents"), col("s"), col("s2")).as("is_anomaly"))
+          .repartition(1).write.mode("overwrite")
+          .parquet(new File(stateRoot, s"flags-$batchId").getAbsolutePath)
+        // fold the WHOLE batch into the carried per-type state
+        val tot = ev.groupBy("event_type").agg(
+          count(col("cents")).as("pn"), sum(col("cents")).as("ps"),
+          sum(col("cents") * col("cents")).as("ps2"))
+        val merged =
+          if (prev.exists())
+            spark.read.parquet(prev.getAbsolutePath).unionByName(tot)
+              .groupBy("event_type").agg(sum("pn").as("pn"),
+                sum("ps").as("ps"), sum("ps2").as("ps2"))
+          else tot
+        merged.write.mode("overwrite")
+          .parquet(new File(stateRoot, s"state-$batchId").getAbsolutePath)
+        last = math.max(last, batchId)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    if (last < 0)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("cents", LongType), StructField("n_prior", LongType),
+          StructField("is_anomaly", BooleanType))))
+    else
+      spark.read.parquet((0L to last).map(b =>
+        new File(stateRoot, s"flags-$b").getAbsolutePath): _*)
+  }
+
   /** q_stream_linreg: the sufficient-statistics fold STREAMED — each
     * micro-batch contributes its 9 normal-equation sums and the
     * persisted 1-row state adds them (state_N = state_{N−1} +

@@ -233,4 +233,97 @@ class ClusteringSpec extends SparkSuiteBase {
     val again = Clustering.pcaDeflate(spark, sf).collect()
     assert(out.map(_.getLong(1)).toSeq === again.map(_.getLong(1)).toSeq)
   }
+
+  test("dbscan crafted geometry: hub-spoke cluster, clique cluster, border and noise verdicts") {
+    import spark.implicits._
+    // hub h sees 3 spokes at 60 deg (cos 0.5 >= eps) -> |N|=4 core; the
+    // spokes see only h (pairwise cos 0.25 < eps) -> |N|=2 border; a
+    // 4-clique of near-identical vectors is all-core; one orthogonal-ish
+    // vector (cos <= 0 to everything) is noise.
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),            // hub
+      (2L, Array(0.5f, 0.866f, 0f, 0f)),      // spoke
+      (3L, Array(0.5f, 0f, 0.866f, 0f)),      // spoke
+      (4L, Array(0.5f, 0f, 0f, 0.866f)),      // spoke
+      (10L, Array(0.001f, -1f, -1f, -1f)),    // clique (cos ~ 1 pairwise,
+      (11L, Array(0.002f, -1f, -1f, -1f)),    //   cos to spokes ~ -0.5,
+      (12L, Array(0.003f, -1f, -1f, -1f)),    //   to hub ~ 0)
+      (13L, Array(0.004f, -1f, -1f, -1f)),
+      (99L, Array(-1f, 0.3f, 0f, 0f)))        // noise (cos < 0.35 to all)
+      .toDF("vec_id", "embedding")
+    val out = Clustering.dbscan(emb, eps = 0.35, minPts = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("core", 1L)))
+    Seq(2L, 3L, 4L).foreach(s => assert(out(s) === (("border", 1L)), s"spoke $s"))
+    Seq(10L, 11L, 12L, 13L).foreach(f => assert(out(f) === (("core", 10L)), s"clique $f"))
+    assert(out(99L) === (("noise", -1L)))
+  }
+
+  test("dbscan equals a plain-Scala reference on seeded random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(733)
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(20)
+      val vecs = (0 until n).map { i =>
+        // a few dense blobs + uniform background so all three roles occur
+        val blob = rnd.nextInt(4)
+        val base = Array.tabulate(6)(d => if (d == blob) 1.0f else 0f)
+        (i.toLong, base.map(_ + (rnd.nextFloat() - 0.5f) *
+          (if (rnd.nextBoolean()) 0.4f else 2.0f)))
+      }
+      val eps = 0.75; val minPts = 3
+      // reference: exact double cosine, same min-label component rule
+      val e = vecs.map { case (id, v) => (id, v.map(_.toDouble)) }
+      def cos(a: Array[Double], b: Array[Double]) = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val adj = e.map { case (id, v) =>
+        id -> e.filter { case (j, w) => j != id && cos(v, w) >= eps }.map(_._1).toSet
+      }.toMap
+      val core = e.map(_._1).filter(id => adj(id).size + 1 >= minPts).toSet
+      // min-label closure over core-core edges
+      var lbl = core.map(c => c -> c).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        for (c <- core; d <- adj(c) if core(d) && lbl(d) < lbl(c)) {
+          lbl += c -> lbl(d); changed = true
+        }
+      }
+      val expect = e.map(_._1).map { id =>
+        if (core(id)) id -> (("core", lbl(id)))
+        else {
+          val coreNbr = adj(id).filter(core)
+          if (coreNbr.nonEmpty) id -> (("border", coreNbr.map(lbl).min))
+          else id -> (("noise", -1L))
+        }
+      }.toMap
+      val got = Clustering.dbscan(vecs.toDF("vec_id", "embedding"),
+          eps = eps, minPts = minPts).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got === expect, s"trial $trial")
+    }
+  }
+
+  test("q_dbscan declared form: roles partition the corpus, min-label clusters, noise is -1") {
+    val out = Clustering.dbscan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = graft.sources.Tables(spark, sf, "embeddings").count()
+    assert(out.length.toLong === n)
+    val byRole = out.groupBy(_._2)
+    assert(byRole.keySet.subsetOf(Set("core", "border", "noise")))
+    out.foreach { case (id, role, cl) =>
+      if (role == "noise") assert(cl === -1L, s"vec $id")
+      else assert(cl >= 0L, s"vec $id cluster $cl")
+      // min-label: a core member can never sit below its own cluster id
+      if (role == "core") assert(cl <= id, s"core $id cluster $cl")
+    }
+    // every core point's cluster is the min vec_id of its component ->
+    // cluster label itself must be a core vec_id
+    val coreIds = byRole.getOrElse("core", Array.empty).map(_._1).toSet
+    out.filter(_._2 != "noise").foreach { case (id, _, cl) =>
+      assert(coreIds(cl), s"cluster label $cl of $id is not a core point")
+    }
+  }
 }

@@ -25,6 +25,69 @@ class DedupSpec extends SparkSuiteBase {
     assert(lsh === exact)
   }
 
+  test("ssjoin equals exhaustive Jaccard pairs at 0.8 and emits exact integers (sf0.001)") {
+    val got = Dedup.ssjoin(spark, sf).collect()
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .where(col("jac") >= 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs === exact)
+    got.foreach { r =>
+      val (inter, na, nb, jm) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(9L * inter >= 4L * (na + nb), s"pair ${(r.getLong(0), r.getLong(1))}")
+      assert(inter <= math.min(na, nb))
+      assert(jm === 1000000L * inter / (na + nb - inter))
+    }
+  }
+
+  test("ssjoin boundary: J exactly 4/5 is kept, just below is dropped") {
+    import spark.implicits._
+    // A: tokens w1..w11 → 9 distinct shingles. B changes only the last
+    // token → 8 shared, union 10, J = 0.8 exactly (kept). C changes the
+    // last two → 7 shared, union 11, J = 7/11 < 0.8 (dropped).
+    val w = (1 to 11).map(i => s"w$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")),
+      (2L, (w.init :+ "xx").mkString(" ")),
+      (3L, (w.dropRight(2) ++ Seq("yy", "zz")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.ssjoin(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((8L, 9L, 9L)))
+    assert(r.getLong(5) === 800000L)
+  }
+
+  test("ssjoin prefix filter is lossless on random mutated corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(881)
+    for (trial <- 1 to 3) {
+      // base docs from a small vocabulary, plus planted near-dups made
+      // by light token mutation — a mix of J ≈ 1, borderline, and low
+      // long enough that a 1-token mutation stays above J = 0.8
+      // ((n−3)/(n+3) ≥ 4/5 needs n ≥ 27 shingles), short ones fall below
+      val vocab = Vector.tabulate(40)(i => s"t$i")
+      val base = (1 to 12).map { d =>
+        (d.toLong, Seq.fill(30 + rnd.nextInt(20))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val mutated = base.take(6).map { case (d, text) =>
+        val ts = text.split(" ").toSeq
+        val i = rnd.nextInt(ts.size)
+        (100L + d, ts.updated(i, vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val exactDup = base.slice(6, 8).map { case (d, text) => (200L + d, text) }
+      val docs = (base ++ mutated ++ exactDup).toDF("doc_id", "text")
+      val got = Dedup.ssjoin(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ref = Dedup.ngramJaccard(docs).where(col("jac") >= 0.8).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === ref, s"trial $trial")
+    }
+  }
+
   test("MinHashAggregator: partial+final merge ≡ single-pass fold") {
     val p = 2000000011L
     val pa = Array.tabulate(16)(i => 3L + 7L * i)

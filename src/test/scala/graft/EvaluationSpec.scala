@@ -5,6 +5,105 @@ import org.apache.spark.sql.functions.col
 
 class EvaluationSpec extends SparkSuiteBase {
 
+  test("ndcgAtK: separated clusters score 1.0, a singleton label scores 0") {
+    import spark.implicits._
+    // two tight 12-vector clusters on orthogonal axes (every top-10
+    // neighbor shares the query's label, R = 11 ≥ 10 → NDCG exactly 1)
+    // plus one singleton label on a third axis (R = 0 → IDCG 0 → 0).
+    val emb =
+      ((0 until 12).map(i => (i.toLong,
+          Array(1f, 0f, 0f, 0.01f * i), 1)) ++
+       (0 until 12).map(i => (100L + i,
+          Array(0f, 1f, 0f, 0.01f * i), 2)) ++
+       Seq((900L, Array(0f, 0f, 1f, 0f), 3)))
+        .toDF("vec_id", "embedding", "label")
+    val out = Evaluation.ndcgAtK(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.size === 25)
+    out.foreach { case (id, (dcg, idcg, ndcg)) =>
+      if (id == 900L) {
+        assert(dcg === 0L && idcg === 0L && ndcg === 0L)
+      } else {
+        assert(dcg === Evaluation.NdcgCum.last, s"vec $id dcg $dcg")
+        assert(idcg === Evaluation.NdcgCum.last)
+        assert(ndcg === 1000000L, s"vec $id ndcg $ndcg")
+      }
+    }
+  }
+
+  test("ndcgAtK: known mixed ranking reproduces the hand-computed DCG") {
+    import spark.implicits._
+    // query 0 (label 1): one same-label partner at rank 1 (cos ≈ .995),
+    // ten label-2 vectors at ranks 2-11 (cos ≈ .447) push the second
+    // label-1 partner (cos ≈ .316) OUT of the top-10 — so DCG = w1
+    // alone while R = 2 keeps IDCG = cum(2): NDCG is a strict,
+    // hand-checkable fraction exercising the integer division.
+    val emb =
+      (Seq((0L, Array(1f, 0f, 0f, 0f), 1),
+           (1L, Array(1f, 0.1f, 0f, 0f), 1),
+           (2L, Array(1f, 3f, 0f, 0f), 1)) ++
+       (0 until 10).map(i => (10L + i,
+          Array(0.5f, 0f, 1f, 0.01f * i), 2)))
+        .toDF("vec_id", "embedding", "label")
+    val row0 = Evaluation.ndcgAtK(emb).where(col("vec_id") === 0L).head()
+    val expDcg = Evaluation.NdcgW(0)
+    assert(row0.getLong(2) === expDcg)
+    assert(row0.getLong(3) === Evaluation.NdcgCum(2))
+    assert(row0.getLong(4) === 1000000L * expDcg / Evaluation.NdcgCum(2))
+    assert(row0.getLong(4) === 613147L) // 10¹² div 1630930
+  }
+
+  test("ndcgAtK declared form: one row per vector, 0 ≤ dcg ≤ idcg ≤ cum(10)") {
+    val out = Evaluation.ndcgAtK(spark, sf).collect()
+    val n = graft.sources.Tables(spark, sf, "embeddings").count()
+    assert(out.length.toLong === n)
+    out.foreach { r =>
+      val (dcg, idcg, ndcg) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dcg >= 0L && dcg <= idcg, s"vec ${r.getLong(0)}: $dcg > $idcg")
+      assert(idcg <= Evaluation.NdcgCum.last)
+      assert(ndcg >= 0L && ndcg <= 1000000L)
+      assert(ndcg === (if (idcg == 0L) 0L else 1000000L * dcg / idcg))
+    }
+  }
+
+  test("confusionBody: hand-computed confusion matrix with a never-predicted class") {
+    import spark.implicits._
+    val pred = Seq(
+      (1, 1), (1, 1), (1, 2),   // class 1: 2 right, 1 predicted as 2
+      (2, 2), (2, 1),           // class 2: 1 right, 1 predicted as 1
+      (3, 3),                   // class 3: perfect
+      (4, 1))                   // class 4: never predicted
+      .toDF("label", "predicted")
+    val out = Evaluation.confusionBody(pred).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // class 1: tp=2, fp=2 ((2,1),(4,1)), fn=1, support=3
+    assert(out(1) === ((2L, 2L, 1L, 3L,
+      2000000L / 4, 2000000L / 3, 4000000L / 7)))
+    // class 2: tp=1, fp=1, fn=1, support=2
+    assert(out(2) === ((1L, 1L, 1L, 2L, 500000L, 500000L, 500000L)))
+    // class 3: perfect
+    assert(out(3) === ((1L, 0L, 0L, 1L, 1000000L, 1000000L, 1000000L)))
+    // class 4: tp=0, never predicted → guarded zeros, fn=support=1
+    assert(out(4) === ((0L, 0L, 1L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("confusion declared form: supports partition the corpus, fp/fn ≥ 0") {
+    val out = Evaluation.confusion(spark, sf).collect()
+    val n = graft.sources.Tables(spark, sf, "embeddings").count()
+    assert(out.map(_.getLong(4)).sum === n)
+    // Σfp = Σfn = total misclassified (each error is one class's fp
+    // and another's fn)
+    assert(out.map(_.getLong(2)).sum === out.map(_.getLong(3)).sum)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(2) >= 0L && r.getLong(3) >= 0L)
+      assert(r.getLong(1) + r.getLong(3) === r.getLong(4)) // tp + fn = support
+      Seq(5, 6, 7).foreach(i =>
+        assert(r.getLong(i) >= 0L && r.getLong(i) <= 1000000L))
+    }
+  }
+
   private def aucOf(rows: Seq[(String, Double)]): Map[String, Double] = {
     import spark.implicits._
     Evaluation.aucByType(rows.toDF("event_type", "value"))

@@ -129,4 +129,58 @@ class EventsSpec extends SparkSuiteBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(orphans === Map("fk" -> 1L))
   }
+
+  test("anomalies: a level spike after a calm history flags; early spikes are guarded") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // 40 calm ticks at 10.00 +- 0.02, then one 15.00 spike, then calm.
+    // Prior variance is tiny -> the spike's z^2 >> 9. The same 15.00 at
+    // position 3 (n_prior < 30) must NOT flag (the small-sample guard).
+    val rows =
+      (0 until 3).map(i => (i.toLong, ts(i), "a", 10.0 + 0.01 * (i % 3))) ++
+      Seq((3L, ts(3), "a", 15.0)) ++
+      (4 until 45).map(i => (i.toLong, ts(i), "a", 10.0 + 0.01 * (i % 3))) ++
+      Seq((45L, ts(45), "a", 15.0), (46L, ts(46), "a", 10.01))
+    val out = Events.anomalies(rows.toDF("event_id", "ts", "event_type", "value"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(3L) === false, "guarded: only 3 priors")
+    assert(out(45L) === true, "spike after 45 calm priors must flag")
+    assert(out(46L) === false, "calm tick after the spike stays quiet")
+    assert((0 until 3).forall(i => !out(i.toLong)))
+  }
+
+  test("anomalies: strictly-prior semantics — a level shift flags at the shift, not before") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // 40 ticks at 10.00 then 40 at 50.00: judged prospectively, the
+    // FIRST shifted tick flags; judged against full-corpus stats
+    // (the leaky formulation) the calm prefix would flag instead.
+    val rows = (0 until 40).map(i => (i.toLong, ts(i), "s", 10.0)) ++
+      (40 until 80).map(i => (i.toLong, ts(i), "s", 50.0))
+    val out = Events.anomalies(rows.toDF("event_id", "ts", "event_type", "value"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(40L) === true, "first shifted tick")
+    assert((0 until 40).forall(i => !out(i.toLong)), "calm prefix never flags")
+  }
+
+  test("anomalies: all-constant history never divides by zero or flags") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val rows = (0 until 50).map(i => (i.toLong, ts(i), "c", 7.0))
+    val out = Events.anomalies(rows.toDF("event_id", "ts", "event_type", "value"))
+      .collect()
+    assert(out.length === 50)
+    assert(out.forall(!_.getBoolean(4)))
+  }
+
+  test("q_anomaly declared form: every event judged, flags only past the guard") {
+    val out = Events.anomalies(spark, sf).collect()
+    val n = graft.sources.Tables(spark, sf, "events")
+      .where(org.apache.spark.sql.functions.col("value").isNotNull).count()
+    assert(out.length.toLong === n)
+    out.foreach { r =>
+      if (r.getLong(3) < Events.AnomMinPrior) assert(!r.getBoolean(4))
+    }
+    assert(out.exists(_.getBoolean(4)), "heavy-tailed fixture should flag some")
+  }
 }

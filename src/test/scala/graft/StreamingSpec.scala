@@ -636,4 +636,18 @@ class StreamingSpec extends SparkSuiteBase {
     assert(out.columns.toSeq === Seq("word", "cnt"))
     assert(out.count() === 0)
   }
+
+  test("streamed anomaly detector ≡ the batch prospective window, row for row") {
+    // strict ts-split feed + shared integer flag predicate -> the
+    // per-batch (state + intra-batch prefix) fold must reproduce the
+    // batch window EXACTLY, including every boolean verdict
+    val streamed = graft.streaming.Streams.streamAnomaly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val batch = graft.operators.Events.anomalies(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
