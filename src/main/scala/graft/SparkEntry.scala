@@ -97,6 +97,8 @@ object SparkEntry {
     "q_dbscan"          -> ((s, d) => Clustering.dbscan(s, d)),
     "q_anomaly"         -> ((s, d) => Events.anomalies(s, d)),
     "q_stream_anomaly"  -> ((s, d) => streaming.Streams.streamAnomaly(s, d)),
+    "q_kmv_distinct"    -> ((s, d) => Sketches.kmvDistinct(s, d)),
+    "q_kmv_ops"         -> ((s, d) => Sketches.kmvOps(s, d)),
     "q_chi2"            -> ((s, d) => TextOps.chi2Terms(s, d)),
     "q_incr_agg"        -> ((s, d) => Incremental.incrAgg(s, d)),
     "q_incr_wordcount"  -> ((s, d) => Incremental.incrWordCount(s, d)),
@@ -1889,6 +1891,60 @@ object SparkEntry {
          |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0
          |       ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS f1_micro
          |FROM m""".stripMargin,
+    // KMV replay: distinct 60-bit user hashes per type, the K smallest
+    // (row_number window), k-th-minimum estimate in HUGEINT — a
+    // hash-exact oracle over an approximation algorithm (the sketch is
+    // a pure function of the value set under the seedless hash)
+    "q_kmv_distinct" ->
+      s"""WITH $kmvSketchCtes,
+         |t AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch,
+         |         max(h) AS kth_hash
+         |  FROM s GROUP BY 1
+         |)
+         |SELECT event_type, n_sketch, kth_hash,
+         |  CASE WHEN n_sketch < ${operators.Sketches.KmvK} THEN n_sketch
+         |       ELSE CAST(CAST('${operators.Sketches.KmvNum}' AS HUGEINT)
+         |                 // kth_hash AS BIGINT) END AS est_distinct
+         |FROM t""".stripMargin,
+    // the closure property replayed: union sketch = K smallest of the
+    // two sketches' value sets, intersection via the match ratio
+    "q_kmv_ops" ->
+      s"""WITH $kmvSketchCtes,
+         |ty AS (SELECT DISTINCT event_type FROM events),
+         |p AS (
+         |  SELECT a.event_type AS ta, b.event_type AS tb
+         |  FROM ty a JOIN ty b ON a.event_type < b.event_type
+         |), uv AS (
+         |  SELECT p.ta, p.tb, s.h FROM p
+         |  JOIN s ON s.event_type IN (p.ta, p.tb)
+         |  GROUP BY 1, 2, 3
+         |), ur AS (
+         |  SELECT ta, tb, h,
+         |         row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+         |  FROM uv
+         |), u AS (SELECT ta, tb, h FROM ur WHERE rn <= ${operators.Sketches.KmvK}),
+         |m0 AS (
+         |  SELECT u.ta, u.tb, u.h,
+         |    (sa.h IS NOT NULL AND sb.h IS NOT NULL) AS inboth
+         |  FROM u
+         |  LEFT JOIN s sa ON sa.event_type = u.ta AND sa.h = u.h
+         |  LEFT JOIN s sb ON sb.event_type = u.tb AND sb.h = u.h
+         |), m AS (
+         |  SELECT ta, tb, CAST(count(*) AS BIGINT) AS k_eff, max(h) AS kth,
+         |    CAST(sum(CASE WHEN inboth THEN 1 ELSE 0 END) AS BIGINT) AS matches
+         |  FROM m0 GROUP BY 1, 2
+         |), e AS (
+         |  SELECT ta, tb, k_eff, matches,
+         |    CASE WHEN k_eff < ${operators.Sketches.KmvK} THEN k_eff
+         |         ELSE CAST(CAST('${operators.Sketches.KmvNum}' AS HUGEINT)
+         |                   // kth AS BIGINT) END AS est_union
+         |  FROM m
+         |)
+         |SELECT ta, tb, k_eff, matches, est_union,
+         |  CASE WHEN k_eff = 0 THEN 0
+         |       ELSE (matches * est_union) // k_eff END AS est_inter
+         |FROM e""".stripMargin,
     // prospective 3σ detector: per-type strictly-prior window sums in
     // exact cents, the z² > 9 test cleared of divisions, squares in
     // HUGEINT (DECIMAL(38,0) on the Spark side — exact integers both
@@ -4045,6 +4101,26 @@ object SparkEntry {
   /** Exhaustive 3-token-shingle Jaccard pairs at/above tau — oracle for
     * both the inverted-index (q_dedup_ngram) and the MinHash-LSH
     * (q_dedup_minhash) engines; see Dedup for the recall argument. */
+  /** The 60-bit md5 user-hash fold (engine side: conv(md5-prefix)) and
+    * per-type KMV sketch rows, shared by both KMV oracles. Hash-exact
+    * replay of an APPROXIMATION algorithm: the sketch is a pure
+    * function of the value set under a seedless hash. */
+  private def kmvSketchCtes: String =
+    s"""h AS (
+       |  SELECT DISTINCT event_type,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 16),
+       |        i -> CAST(strpos('0123456789abcdef',
+       |               substr(md5(CAST(user_id AS VARCHAR)),
+       |                      CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+       |      (a, x) -> a * 16 + x) AS h
+       |  FROM events
+       |), r AS (
+       |  SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM h
+       |), s AS (SELECT event_type, h FROM r WHERE rn <= ${operators.Sketches.KmvK})""".stripMargin
+
   /** Shared truth for q_anomaly and q_stream_anomaly (the streamed fold
     * reproduces the batch window exactly — strict ts-split feed, shared
     * integer flag predicate). Ordering uses the µs-truncated timestamp
