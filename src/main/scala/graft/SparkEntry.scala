@@ -103,6 +103,7 @@ object SparkEntry {
     "q_incr_agg"        -> ((s, d) => Incremental.incrAgg(s, d)),
     "q_incr_wordcount"  -> ((s, d) => Incremental.incrWordCount(s, d)),
     "q_incr_distinct"   -> ((s, d) => Incremental.incrDistinct(s, d)),
+    "q_incr_join"       -> ((s, d) => Incremental.incrJoin(s, d)),
     "q_inverted_index"  -> ((s, d) => TextOps.invertedIndex(s, d)),
     "q_cms_topk"        -> ((s, d) => TextOps.cmsTopTokens(s, d)),
     "q_incr_inverted"   -> ((s, d) => Incremental.incrInverted(s, d)),
@@ -276,6 +277,15 @@ object SparkEntry {
     // shares the one-shot sketch's oracle verbatim; the state/delta
     // split is spec-asserted on the plan (IncrementalSpec)
     "q_incr_distinct" -> hllOracle,
+    // maintained join view == the full aggregated join (BIGINT cent
+    // partials are associative across the three delta terms)
+    "q_incr_join" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_lines
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     // inverted index: bounded ascending-id postings — the TopKByScore
     // buffer at score = −doc_id ≡ sorted-ascending first-cap slice
     "q_inverted_index" -> invertedOracle,

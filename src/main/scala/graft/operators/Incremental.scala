@@ -60,7 +60,7 @@ object Incremental {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
 
   private def allCaches: Seq[scala.collection.concurrent.TrieMap[_, _]] =
-    Seq(stateCache, wcCache, idxCache, hllCache, topkCache)
+    Seq(stateCache, wcCache, idxCache, hllCache, topkCache, joinCache)
 
   /** Clear every incremental state memo (bench rerun honesty). */
   def clearAllStateCaches(): Unit = allCaches.foreach(_.clear())
@@ -349,5 +349,97 @@ object Incremental {
     merged(spark, s"$root/state", deltaRows(spark, dir, cut))
       .write.mode("overwrite").parquet(next)
     next
+  }
+
+  // ---- incremental JOIN-view maintenance: the delta-join identity.
+  // The rollups above maintain single-table aggregates; the classic
+  // materialized view is an AGGREGATED JOIN, and its refresh is the
+  // three-term delta expansion
+  //   Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+  // (Blakeley-Larson-Tompa, "Efficiently updating materialized
+  // views", SIGMOD 1986). Both inputs here genuinely append on
+  // INDEPENDENT clocks — orders by o_orderdate, lineitems by
+  // l_shipdate (an old order's line can ship late) — so all three
+  // terms are non-empty and none can be elided by an arrival
+  // convention.
+
+  private val joinCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, (java.sql.Timestamp, java.sql.Timestamp))]()
+
+  def clearJoinStateCache(): Unit = joinCache.clear()
+
+  /** Monthly revenue partials over any (orders-slice ⋈ lineitem-slice):
+    * exact revenue cents per line (the pinned
+    * round(price·(1−disc)·100) double chain both engines share) +
+    * line counts, at month grain. ONE definition feeds the state
+    * build and all three delta terms. */
+  private def joinPartials(ords: DataFrame, lines: DataFrame): DataFrame =
+    ords.join(lines, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(
+        sum(expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+
+  private def ordCols(df: DataFrame): DataFrame =
+    df.select("o_orderkey", "o_orderdate")
+  private def lineCols(df: DataFrame): DataFrame =
+    df.select("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+
+  /** The lineitem arrival cut (max l_shipdate − [[DeltaDays]]) — the
+    * SECOND clock, independent of [[Relational.ordersDeltaCut]]. */
+  private[graft] def lineitemDeltaCut(spark: SparkSession, dir: String): java.sql.Timestamp = {
+    val maxD = Tables(spark, dir, "lineitem")
+      .agg(max("l_shipdate")).head().getTimestamp(0) // 1 driver row
+    java.sql.Timestamp.valueOf(
+      maxD.toLocalDateTime.minusDays(DeltaDays.toLong))
+  }
+
+  /** Staged view state: partials over BASE ⋈ BASE (both sides strictly
+    * before their cuts) — the one full join, paid once per corpus
+    * version. */
+  private[graft] def stagedJoinState(spark: SparkSession, dir: String): (String, (java.sql.Timestamp, java.sql.Timestamp)) =
+    Staging.stage(joinCache, dir, "orders", "graft-joinstate-") { root =>
+      val cutO = Relational.ordersDeltaCut(spark, dir)
+      val cutL = lineitemDeltaCut(spark, dir)
+      val baseO = ordCols(Tables(spark, dir, "orders")
+        .where(col("o_orderdate") < lit(cutO)))
+      val baseL = lineCols(Tables(spark, dir, "lineitem")
+        .where(col("l_shipdate") < lit(cutL)))
+      joinPartials(baseO, baseL).write.mode("overwrite").parquet(s"$root/state")
+      (cutO, cutL)
+    }
+
+  /** q_incr_join: the maintained join view — persisted BASE⋈BASE
+    * partials ∪ the three delta terms, re-aggregated; ≡ the full
+    * orders⋈lineitem monthly-revenue rollup bit-for-bit (BIGINT cent
+    * partials are associative), which is what the oracle checks.
+    *
+    * The PLAN is the operator's point: each cross term joins a BASE
+    * scan against a BROADCAST delta (ΔA into the lineitem scan, ΔB
+    * into the orders scan, Δ⋈Δ wholly delta-sized), so base facts are
+    * scanned with pushed date predicates but NEVER shuffled, and no
+    * base⋈base work recurs — refresh cost is the two base scans +
+    * O(|Δ|) join work, vs the full join the recompute pays. Past
+    * broadcast size the deltas fall back to shuffle-hash joins of
+    * delta-row volume: still never a base⋈base shuffle. (At 100 TB
+    * one also buckets both base tables on the join key — then the
+    * base scans themselves prune to the delta's buckets.) */
+  def incrJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (root, (cutO, cutL)) = stagedJoinState(spark, dir)
+    val ords = Tables(spark, dir, "orders")
+    val lines = Tables(spark, dir, "lineitem")
+    val baseO = ordCols(ords.where(col("o_orderdate") < lit(cutO)))
+    val baseL = lineCols(lines.where(col("l_shipdate") < lit(cutL)))
+    val dO = ordCols(ords.where(col("o_orderdate") >= lit(cutO)))
+    val dL = lineCols(lines.where(col("l_shipdate") >= lit(cutL)))
+    spark.read.parquet(s"$root/state")
+      .unionByName(joinPartials(broadcast(dO), baseL))
+      .unionByName(joinPartials(baseO, broadcast(dL)))
+      .unionByName(joinPartials(broadcast(dO), dL))
+      .groupBy("month")
+      .agg(sum("revenue_cents").as("revenue_cents"),
+        sum("n_lines").as("n_lines"))
   }
 }

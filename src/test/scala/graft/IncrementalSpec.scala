@@ -230,4 +230,57 @@ class IncrementalSpec extends SparkSuiteBase {
     assert(ordersScans === 1,
       s"expected exactly one (delta) orders scan, found $ordersScans:\n$plan")
   }
+
+  test("incremental join view ≡ the full aggregated join bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Incremental.incrJoin(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    val full = graft.sources.Tables(spark, sf, "orders")
+      .join(graft.sources.Tables(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(sum(expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+        .as("rc"), count(lit(1)).as("nl"))
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === full)
+  }
+
+  test("join-view delta expansion: all three cross terms are genuinely non-empty") {
+    import org.apache.spark.sql.functions._
+    // the two clocks are independent — an old order shipping late and a
+    // new order shipping at once must both exist, or the three-term
+    // identity degenerates to a one-sided append
+    val o = graft.sources.Tables(spark, sf, "orders")
+    val l = graft.sources.Tables(spark, sf, "lineitem")
+    // the same 90-day arrival convention the operators use
+    val cutO = java.sql.Timestamp.valueOf(
+      o.agg(max("o_orderdate")).head().getTimestamp(0)
+        .toLocalDateTime.minusDays(graft.operators.Incremental.DeltaDays.toLong))
+    val cutL = graft.operators.Incremental.lineitemDeltaCut(spark, sf)
+    def cnt(ords: org.apache.spark.sql.DataFrame,
+            lines: org.apache.spark.sql.DataFrame): Long =
+      ords.join(lines, col("o_orderkey") === col("l_orderkey")).count()
+    val dAB = cnt(o.where(col("o_orderdate") >= lit(cutO)),
+      l.where(col("l_shipdate") < lit(cutL)))
+    val AdB = cnt(o.where(col("o_orderdate") < lit(cutO)),
+      l.where(col("l_shipdate") >= lit(cutL)))
+    val dAdB = cnt(o.where(col("o_orderdate") >= lit(cutO)),
+      l.where(col("l_shipdate") >= lit(cutL)))
+    assert(dAB > 0L, "new orders with already-shipped lines")
+    assert(AdB > 0L, "old orders with late-shipping lines")
+    assert(dAdB > 0L, "new orders shipping within the window")
+  }
+
+  test("incremental join view: base facts broadcast-join the deltas, never a base⋈base shuffle") {
+    val plan = graft.operators.Incremental.incrJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    // three delta terms → three broadcast joins; no sort-merge join
+    // (a base⋈base join would be one at these sizes)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 3, plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), "base-sized join leaked in")
+    // both base scans carry their pushed date predicates
+    assert(plan.contains("o_orderdate") && plan.contains("l_shipdate"))
+    assert(plan.contains("PushedFilters"))
+  }
 }
