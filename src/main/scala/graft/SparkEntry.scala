@@ -99,6 +99,7 @@ object SparkEntry {
     "q_stream_anomaly"  -> ((s, d) => streaming.Streams.streamAnomaly(s, d)),
     "q_kmv_distinct"    -> ((s, d) => Sketches.kmvDistinct(s, d)),
     "q_kmv_ops"         -> ((s, d) => Sketches.kmvOps(s, d)),
+    "q_stream_kmv"      -> ((s, d) => streaming.Streams.streamKmv(s, d)),
     "q_chi2"            -> ((s, d) => TextOps.chi2Terms(s, d)),
     "q_incr_agg"        -> ((s, d) => Incremental.incrAgg(s, d)),
     "q_incr_wordcount"  -> ((s, d) => Incremental.incrWordCount(s, d)),
@@ -1905,18 +1906,10 @@ object SparkEntry {
     // (row_number window), k-th-minimum estimate in HUGEINT — a
     // hash-exact oracle over an approximation algorithm (the sketch is
     // a pure function of the value set under the seedless hash)
-    "q_kmv_distinct" ->
-      s"""WITH $kmvSketchCtes,
-         |t AS (
-         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch,
-         |         max(h) AS kth_hash
-         |  FROM s GROUP BY 1
-         |)
-         |SELECT event_type, n_sketch, kth_hash,
-         |  CASE WHEN n_sketch < ${operators.Sketches.KmvK} THEN n_sketch
-         |       ELSE CAST(CAST('${operators.Sketches.KmvNum}' AS HUGEINT)
-         |                 // kth_hash AS BIGINT) END AS est_distinct
-         |FROM t""".stripMargin,
+    "q_kmv_distinct" -> kmvDistinctOracle,
+    // streamed sketch == batch sketch exactly (min-k is associative
+    // and idempotent) — one truth for both forms
+    "q_stream_kmv" -> kmvDistinctOracle,
     // the closure property replayed: union sketch = K smallest of the
     // two sketches' value sets, intersection via the match ratio
     "q_kmv_ops" ->
@@ -4130,6 +4123,21 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
        |  FROM h
        |), s AS (SELECT event_type, h FROM r WHERE rn <= ${operators.Sketches.KmvK})""".stripMargin
+
+  /** Shared truth for q_kmv_distinct and q_stream_kmv (min-k of a set
+    * is associative and idempotent — chunking is invisible). */
+  private def kmvDistinctOracle: String =
+    s"""WITH $kmvSketchCtes,
+       |t AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch,
+       |         max(h) AS kth_hash
+       |  FROM s GROUP BY 1
+       |)
+       |SELECT event_type, n_sketch, kth_hash,
+       |  CASE WHEN n_sketch < ${operators.Sketches.KmvK} THEN n_sketch
+       |       ELSE CAST(CAST('${operators.Sketches.KmvNum}' AS HUGEINT)
+       |                 // kth_hash AS BIGINT) END AS est_distinct
+       |FROM t""".stripMargin
 
   /** Shared truth for q_anomaly and q_stream_anomaly (the streamed fold
     * reproduces the batch window exactly — strict ts-split feed, shared

@@ -64,14 +64,32 @@ object Sketches {
 
   /** df form: expects (event_type: String, user_id: Long). */
   def kmvDistinct(events: DataFrame): DataFrame =
-    kmvSketches(events)
-      .select(col("event_type"),
+    kmvProject(kmvSketches(events))
+
+  /** The estimate projection over (event_type, sketch) rows — shared
+    * by the batch form and [[graft.streaming.Streams.streamKmv]]'s
+    * final-state read, so the estimator cannot drift between them. */
+  private[graft] def kmvProject(sk: DataFrame): DataFrame =
+    sk.select(col("event_type"),
         size(col("sketch")).cast("long").as("n_sketch"),
         element_at(col("sketch"), size(col("sketch"))).as("kth_hash"))
       .withColumn("est_distinct",
         when(col("n_sketch") < KmvK.toLong, col("n_sketch"))
           .otherwise(expr(
             s"cast(cast('$KmvNum' as decimal(38,0)) div kth_hash as bigint)")))
+
+  /** Sketch-merge fold over (event_type, sketch) rows from ANY mix of
+    * partial sketches: explode back to values and re-run the same
+    * bounded aggregator — min-k is associative and idempotent, so any
+    * grouping of the input stream (micro-batches, overlapping replays)
+    * lands on the identical sketch. */
+  private[graft] def mergeSketches(sk: DataFrame): DataFrame = {
+    val mk = udaf(new graft.functions.MinKDistinctLongs(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    sk.select(col("event_type"), explode(col("sketch")).as("h"))
+      .groupBy("event_type")
+      .agg(mk(col("h")).as("sketch"))
+  }
 
   /** q_kmv_ops: the closure property in action — per PAIR of event
     * types, the union and intersection of their user populations

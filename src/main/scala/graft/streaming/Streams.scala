@@ -1049,6 +1049,61 @@ object Streams {
         new File(stateRoot, s"flags-$b").getAbsolutePath): _*)
   }
 
+  /** q_stream_kmv: per-type distinct-user cardinality maintained
+    * ONLINE — the KMV sketch ([[graft.operators.Sketches]]) as
+    * streaming state: each micro-batch is sketched, merged into the
+    * persisted ≤ K-long per-type state (batch-id-named overwrite
+    * idempotence), and the final state projects the same estimate the
+    * batch form computes. Per-batch cost is |batch| + a |types|·K
+    * merge; the value domain is never stored or re-scanned — the
+    * sketch IS the state, which is the entire point of KMV at stream
+    * scale.
+    *
+    * Streamed ≡ batch EXACTLY (not approximately): min-k of a set is
+    * associative and IDEMPOTENT, so any chunking — including
+    * at-least-once re-delivery of a whole batch — lands on the
+    * identical sketch, and the shared projection emits the identical
+    * estimate. Oracle: q_kmv_distinct's, verbatim. */
+  def streamKmv(spark: SparkSession, dir: String): DataFrame = {
+    val feed = staged(spark, dir, withDupes = false)
+    val stateRoot = Files.createTempDirectory("graft-skmv-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => graft.Fs.rmRf(stateRoot)))
+    val ckpt = new File(stateRoot, "ckpt").getAbsolutePath
+    @volatile var last = -1L
+    val q = spark.readStream.schema(EvSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ev = batch.toDF().where(col("event_type") =!= Sentinel)
+          .select(col("event_type"), col("user_id"))
+        val cur = graft.operators.Sketches.kmvSketches(ev)
+        val prev = new File(stateRoot, s"state-${batchId - 1}")
+        val merged =
+          if (prev.exists())
+            graft.operators.Sketches.mergeSketches(
+              spark.read.parquet(prev.getAbsolutePath).unionByName(cur))
+          else cur
+        merged.write.mode("overwrite")
+          .parquet(new File(stateRoot, s"state-$batchId").getAbsolutePath)
+        last = math.max(last, batchId)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    if (last < 0)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("event_type", StringType),
+          StructField("n_sketch", LongType),
+          StructField("kth_hash", LongType),
+          StructField("est_distinct", LongType))))
+    else
+      graft.operators.Sketches.kmvProject(
+        spark.read.parquet(
+          new File(stateRoot, s"state-$last").getAbsolutePath))
+  }
+
   /** q_stream_linreg: the sufficient-statistics fold STREAMED — each
     * micro-batch contributes its 9 normal-equation sums and the
     * persisted 1-row state adds them (state_N = state_{N−1} +

@@ -96,4 +96,24 @@ class SketchesSpec extends SparkSuiteBase {
       assert(math.abs(est - ex).toDouble / ex <= 0.30, s"$t: est $est exact $ex")
     }
   }
+
+  test("mergeSketches: re-folding partial sketches (even overlapping) lands on the one-shot sketch") {
+    import spark.implicits._
+    val ev = (1 to 300).map(i => ("t", i.toLong)).toDF("event_type", "user_id")
+    val oneShot = Sketches.kmvDistinct(ev).collect().head
+    // sketch two overlapping halves separately, then merge the sketches
+    val h1 = Sketches.kmvDistinct(ev.where($"user_id" <= 200))
+    val h2 = Sketches.kmvDistinct(ev.where($"user_id" >= 150))
+    // rebuild (event_type, sketch) rows from the halves via kmvSketches
+    val s1 = graft.operators.Sketches.kmvSketches(ev.where($"user_id" <= 200))
+    val s2 = graft.operators.Sketches.kmvSketches(ev.where($"user_id" >= 150))
+    val merged = graft.operators.Sketches.kmvProject(
+      graft.operators.Sketches.mergeSketches(s1.unionByName(s2))).collect().head
+    assert(merged.getLong(1) === oneShot.getLong(1))
+    assert(merged.getLong(2) === oneShot.getLong(2))
+    assert(merged.getLong(3) === oneShot.getLong(3))
+    // and the halves alone differ from the whole (the merge did work)
+    assert((h1.collect().head.getLong(2) != oneShot.getLong(2)) ||
+      (h2.collect().head.getLong(2) != oneShot.getLong(2)))
+  }
 }

@@ -650,4 +650,13 @@ class StreamingSpec extends SparkSuiteBase {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streamed KMV sketch ≡ the batch sketch, estimate and all") {
+    val streamed = graft.streaming.Streams.streamKmv(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.operators.Sketches.kmvDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
