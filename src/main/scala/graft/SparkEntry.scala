@@ -100,6 +100,7 @@ object SparkEntry {
     "q_kmv_distinct"    -> ((s, d) => Sketches.kmvDistinct(s, d)),
     "q_kmv_ops"         -> ((s, d) => Sketches.kmvOps(s, d)),
     "q_stream_kmv"      -> ((s, d) => streaming.Streams.streamKmv(s, d)),
+    "q_hybrid_rrf"      -> ((s, d) => TextOps.hybridRrf(s, d)),
     "q_chi2"            -> ((s, d) => TextOps.chi2Terms(s, d)),
     "q_incr_agg"        -> ((s, d) => Incremental.incrAgg(s, d)),
     "q_incr_wordcount"  -> ((s, d) => Incremental.incrWordCount(s, d)),
@@ -328,6 +329,9 @@ object SparkEntry {
     // corpus, the single integer division per (doc, term) — `//` ≡
     // Spark's div on the non-negative operands
     "q_bm25" -> oracleSqlBm25,
+    // lexical ∪ semantic lists fused by integer RRF — the BM25 chain
+    // and the single-query cosine chain composed, one truth
+    "q_hybrid_rrf" -> oracleSqlHybridRrf,
     // appended artifacts hold exactly the one-shot row sets (per-doc
     // pure posting/dl rows over disjoint slices) -> q_bm25's oracle
     "q_bm25_append" -> oracleSqlBm25,
@@ -3185,6 +3189,73 @@ object SparkEntry {
     * on the non-negative operands. The appended artifacts hold exactly
     * the one-shot row sets (per-doc pure posting/dl rows over disjoint
     * doc slices), so both forms share this one truth. */
+  /** Oracle for q_hybrid_rrf: the BM25 chain (same arithmetic as
+    * [[oracleSqlBm25]], ranked to SearchK instead of limited), the
+    * single-query cosine chain (same kernel as the knn CTEs), and the
+    * pinned integer RRF fusion 10⁶ div (60 + rank) with the 0 sentinel
+    * for absent-from-list. */
+  private def oracleSqlHybridRrf: String = {
+    val (t1, t2) = graft.operators.TextOps.LookupTerms
+    val kList = graft.operators.TextOps.SearchK
+    val scl = graft.operators.TextOps.Bm25Scale
+    val c = graft.operators.TextOps.RrfC
+    val kOut = graft.operators.TextOps.HybridK
+    val qv = graft.operators.TextOps.HybridQueryVec
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS word
+       |  FROM documents
+       |), dl AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id
+       |), par AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM t) AS tt
+       |), d AS (
+       |  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t
+       |  WHERE word IN ('$t1', '$t2') GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT d.doc_id,
+       |    CAST(($scl * (2 * n - 2 * (count(*) OVER (PARTITION BY word)) + 1) * 22 * tf * tt) //
+       |      ((2 * (count(*) OVER (PARTITION BY word)) + 1) * (10 * tt * tf + 3 * tt + 9 * dl.dl * n)) AS BIGINT) AS s
+       |  FROM d JOIN dl ON d.doc_id = dl.doc_id, par
+       |), bs AS (
+       |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY doc_id
+       |), brank AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank
+       |  FROM bs QUALIFY bm25_rank <= $kList
+       |), v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings
+       |), nv AS (
+       |  SELECT vec_id, e,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+       |         (a, p) -> a + p)) AS nrm
+       |  FROM v
+       |), cs AS (
+       |  SELECT c.vec_id AS doc_id,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])),
+       |      (acc, p) -> acc + p) / (q.nrm * c.nrm) AS cos
+       |  FROM nv q JOIN nv c ON q.vec_id = $qv AND c.vec_id != $qv
+       |), crank AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS cos_rank
+       |  FROM cs QUALIFY cos_rank <= $kList
+       |), fused AS (
+       |  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+       |    coalesce(b.bm25_rank, 0) AS bm25_rank,
+       |    coalesce(c.cos_rank, 0) AS cos_rank
+       |  FROM brank b FULL OUTER JOIN crank c ON b.doc_id = c.doc_id
+       |)
+       |SELECT doc_id, bm25_rank, cos_rank,
+       |  (CASE WHEN bm25_rank = 0 THEN 0 ELSE 1000000 // ($c + bm25_rank) END +
+       |   CASE WHEN cos_rank = 0 THEN 0 ELSE 1000000 // ($c + cos_rank) END)
+       |    AS rrf_micro
+       |FROM fused
+       |ORDER BY rrf_micro DESC, doc_id LIMIT $kOut""".stripMargin
+  }
+
   private def oracleSqlBm25: String = {
       val (t1, t2) = graft.operators.TextOps.LookupTerms
       val k = graft.operators.TextOps.SearchK

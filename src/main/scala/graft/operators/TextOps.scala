@@ -1586,6 +1586,72 @@ object TextOps {
       nDocs, totTok, k)
   }
 
+  // ---------------------------------------------------------------------
+  // q_hybrid_rrf: hybrid retrieval — BM25 ∪ vector search fused by RRF
+  // ---------------------------------------------------------------------
+
+  /** RRF dampening constant (the k = 60 of Cormack, Clarke &
+    * Buettcher, "Reciprocal rank fusion outperforms Condorcet and
+    * individual rank learning methods", SIGIR 2009). */
+  val RrfC = 60
+
+  /** Fused results returned. */
+  val HybridK = 10
+
+  /** The hybrid query's vector half: document 0's embedding (doc_id
+    * and vec_id align row-for-row in the corpus) — "documents
+    * matching ⟨scan, merge⟩ AND similar to document 0". */
+  val HybridQueryVec = 0L
+
+  /** q_hybrid_rrf: hybrid retrieval — the staple of every modern
+    * search stack: a LEXICAL ranked list (BM25 over the staged
+    * postings, [[bm25]]) and a SEMANTIC ranked list (exact cosine
+    * against the query embedding) fused by Reciprocal Rank Fusion,
+    *   rrf(d) = Σ_lists 1/(C + rank_d),
+    * which needs NO score calibration between the lists — only ranks —
+    * the reason RRF won over score-blending (Cormack et al. 2009).
+    *
+    * Exactness: each contribution is the pinned integer
+    * 10⁶ div (C + rank) (documented micro-unit floor of the real-valued
+    * RRF — both engines compute the identical BIGINT, and with C = 60
+    * and ≤ 25-deep lists all contributions are distinct), absent-from-
+    * list contributes 0 (rank sentinel 0 in the output), and the final
+    * order (rrf_micro DESC, doc_id) is total.
+    *
+    * Shape at scale: the BM25 side is the pruned-postings serve path
+    * (never a corpus scan); the vector side is one broadcast query row
+    * against the embeddings scan with a TakeOrderedAndProject top-k;
+    * fusion itself joins two ≤ [[SearchK]]-row lists — driver-free,
+    * bounded by the shortlists. The per-list windows rank ≤ SearchK
+    * rows (post-limit), so their SinglePartition is a constant-size
+    * tail, not a corpus sort. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val text = bm25(spark, dir, LookupTerms._1, LookupTerms._2, SearchK)
+      .select(col("doc_id"), row_number().over(byScore).cast(LongType).as("bm25_rank"))
+    val v = Similarity.vecs(spark, dir)
+    val q = v.where(col("vec_id") === HybridQueryVec)
+      .select(col("e").as("qe"), col("nrm").as("qnrm"))
+    val byCos = Window.orderBy(col("cos").desc, col("doc_id").asc)
+    val vec = v.where(col("vec_id") =!= HybridQueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        (graft.functions.VectorExprs.dot(col("e"), col("qe")) /
+          (col("nrm") * col("qnrm"))).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(SearchK)
+      .select(col("doc_id"), row_number().over(byCos).cast(LongType).as("cos_rank"))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("cos_rank"), lit(0L)).as("cos_rank"))
+      .withColumn("rrf_micro",
+        expr(s"if(bm25_rank = 0, 0L, 1000000L div (${RrfC}L + bm25_rank))") +
+          expr(s"if(cos_rank = 0, 0L, 1000000L div (${RrfC}L + cos_rank))"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      .limit(HybridK)
+  }
+
   /** Direct corpus-scan form of [[indexLookup]] (no index) — the
     * semantics reference: the spec asserts lookup ≡ this, and the
     * DuckDB oracle is this query in SQL. */

@@ -90,4 +90,28 @@ class Bm25Spec extends SparkSuiteBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be TakeOrderedAndProject, not a full sort:\n$plan")
   }
+
+  test("hybridRrf: integer fusion law, rank sentinels, and the both-lists dominance guarantee") {
+    val out = graft.operators.TextOps.hybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === graft.operators.TextOps.HybridK)
+    val c = graft.operators.TextOps.RrfC
+    out.foreach { case (id, br, cr, rrf) =>
+      assert(br >= 0L && br <= graft.operators.TextOps.SearchK, s"doc $id")
+      assert(cr >= 0L && cr <= graft.operators.TextOps.SearchK, s"doc $id")
+      assert(br > 0L || cr > 0L, s"doc $id in neither list")
+      val exp = (if (br == 0L) 0L else 1000000L / (c + br)) +
+        (if (cr == 0L) 0L else 1000000L / (c + cr))
+      assert(rrf === exp, s"doc $id fusion law")
+    }
+    // with C = 60 and 25-deep lists, ANY doc in both lists beats ANY
+    // single-list doc: 2·(10⁶ div 85) = 23528 > 10⁶ div 61 = 16393 —
+    // the no-calibration guarantee that makes RRF the fusion default
+    val both = out.filter(t => t._2 > 0L && t._3 > 0L).map(_._4)
+    val single = out.filter(t => t._2 == 0L || t._3 == 0L).map(_._4)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.min > single.max)
+    // descending total order
+    assert(out.map(_._4).toSeq === out.map(_._4).sortBy(-_).toSeq)
+  }
 }
