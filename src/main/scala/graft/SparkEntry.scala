@@ -101,6 +101,8 @@ object SparkEntry {
     "q_kmv_ops"         -> ((s, d) => Sketches.kmvOps(s, d)),
     "q_stream_kmv"      -> ((s, d) => streaming.Streams.streamKmv(s, d)),
     "q_hybrid_rrf"      -> ((s, d) => TextOps.hybridRrf(s, d)),
+    "q_bootstrap"       -> ((s, d) => Evaluation.bootstrapMeans(s, d)),
+    "q_ab_test"         -> ((s, d) => Evaluation.abTest(s, d)),
     "q_chi2"            -> ((s, d) => TextOps.chi2Terms(s, d)),
     "q_incr_agg"        -> ((s, d) => Incremental.incrAgg(s, d)),
     "q_incr_wordcount"  -> ((s, d) => Incremental.incrWordCount(s, d)),
@@ -1952,6 +1954,58 @@ object SparkEntry {
          |  CASE WHEN k_eff = 0 THEN 0
          |       ELSE (matches * est_union) // k_eff END AS est_inter
          |FROM e""".stripMargin,
+    // Poisson-bootstrap replay: the same md5 draw, the same pinned
+    // inverse-CDF thresholds, BIGINT mass sums, one integer division
+    "q_bootstrap" ->
+      s"""WITH e AS (
+         |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL
+         |), x AS (
+         |  SELECT r, cents,
+         |    CAST(len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999], c -> c <=
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 16),
+         |        i -> CAST(strpos('0123456789abcdef',
+         |               substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)),
+         |                      CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+         |      (a, x) -> a * 16 + x) % 1000000)) AS BIGINT) AS m
+         |  FROM e, unnest(range(0, ${operators.Evaluation.BootR})) AS u(r)
+         |), g AS (
+         |  SELECT CAST(r AS BIGINT) AS resample,
+         |         CAST(sum(m) AS BIGINT) AS n_eff,
+         |         CAST(sum(m * cents) AS BIGINT) AS sum_cents
+         |  FROM x GROUP BY 1
+         |)
+         |SELECT resample, n_eff, sum_cents,
+         |  CASE WHEN n_eff = 0 THEN 0
+         |       ELSE (1000000 * sum_cents) // n_eff END AS mean_microcents
+         |FROM g""".stripMargin,
+    // Welch t replay: exact BIGINT moments, then the identical pinned
+    // double chain (divisions and sqrt are IEEE correctly-rounded)
+    "q_ab_test" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS s,
+        |         CAST(sum(cents * cents) AS BIGINT) AS s2
+        |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |        FROM events WHERE value IS NOT NULL)
+        |  GROUP BY 1 HAVING count(*) >= 2
+        |), j AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |         a.n AS na, b.n AS nb, a.s AS sa, b.s AS sb,
+        |         a.s2 AS s2a, b.s2 AS s2b
+        |  FROM m a JOIN m b ON a.event_type < b.event_type
+        |), d AS (
+        |  SELECT ta, tb, na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+        |    (CAST(s2a AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS var_a,
+        |    (CAST(s2b AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS var_b
+        |  FROM j
+        |)
+        |SELECT ta, tb, na, nb, mean_a, mean_b,
+        |  (mean_a - mean_b) / sqrt(var_a / CAST(na AS DOUBLE) + var_b / CAST(nb AS DOUBLE)) AS t_stat
+        |FROM d""".stripMargin,
     // prospective 3σ detector: per-type strictly-prior window sums in
     // exact cents, the z² > 9 test cleared of divisions, squares in
     // HUGEINT (DECIMAL(38,0) on the Spark side — exact integers both

@@ -211,6 +211,108 @@ object Evaluation {
           .otherwise(expr("(2000000 * tp) div (2 * tp + fp + fn)")).as("f1_micro"))
   }
 
+  /** Resample count for the Poisson bootstrap. */
+  val BootR = 32
+
+  /** Cumulative Poisson(1) probabilities in micro-units, pinned as the
+    * shared literals (e⁻¹·Σ1/k!): a row's multiplicity in resample r is
+    * the count of thresholds ≤ its 6-digit hash draw — the
+    * inverse-CDF lookup, capped at 9 (residual mass 10⁻⁶). */
+  val BootCum: Seq[Long] = Seq(367879L, 735759L, 919699L, 981012L,
+    996340L, 999406L, 999917L, 999990L, 999999L)
+
+  /** q_bootstrap: Poisson bootstrap of the mean event value — THE
+    * resampling method that works at data-parallel scale (Chamandy,
+    * Muralidharan, Najmi & Naidu, "Estimating uncertainty for massive
+    * data streams", Google 2012; the classical bootstrap's
+    * sample-n-with-replacement needs global coordination, the Poisson
+    * approximation gives every row an independent multiplicity ~
+    * Poisson(1) per resample — one streaming pass, map-side partials).
+    *
+    * Made DETERMINISTIC: the multiplicity draw is the engine's
+    * seedless md5 60-bit fold of (event_id, resample) reduced to a
+    * 6-digit draw, inverse-CDF'd through the pinned [[BootCum]]
+    * literals — a pure function of the row and resample index, so the
+    * DuckDB oracle replays all [[BootR]] resamples bit-for-bit
+    * (hash-exact replay of a randomized algorithm, the KMV
+    * discipline applied to resampling).
+    *
+    * Exactness: per resample, n_eff = Σm and sum_cents = Σ m·cents are
+    * BIGINT; the reported mean is micro-cents by integer division.
+    * Shape at scale: one events pass, the 32 (r, m) pairs explode
+    * AFTER the scan into a partial/final (r) aggregation — the shuffle
+    * carries 32 rows per map partition, never the resampled data
+    * (nothing is ever copied [[BootR]] times). */
+  def bootstrapMeans(spark: SparkSession, dir: String): DataFrame =
+    bootstrapMeans(Tables(spark, dir, "events"))
+
+  /** df form: expects (event_id: Long, value: Double); NULL values
+    * carry no mass. */
+  def bootstrapMeans(events: DataFrame): DataFrame = {
+    val cumLit = typedlit(BootCum)
+    val e = events.where(col("value").isNotNull)
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("ms", expr(
+        s"""transform(sequence(0, ${BootR - 1}), r ->
+           |  size(filter(${BootCum.mkString("array(", "L, ", "L)")}, c ->
+           |    c <= pmod(cast(conv(substring(md5(concat(cast(event_id as string),
+           |      ':', cast(r as string))), 1, 15), 16, 10) as bigint), 1000000))))
+           |""".stripMargin))
+    e.select(col("cents"), posexplode(col("ms")).as(Seq("r", "m")))
+      .groupBy(col("r").cast("long").as("resample"))
+      .agg(sum(col("m").cast("long")).as("n_eff"),
+        sum(col("m").cast("long") * col("cents")).as("sum_cents"))
+      .withColumn("mean_microcents",
+        when(col("n_eff") === 0L, 0L)
+          .otherwise(expr("(1000000 * sum_cents) div n_eff")))
+  }
+
+  /** q_ab_test: Welch's two-sample t statistic on event value for
+    * every pair of event types — the experiment-analysis primitive
+    * (Welch, Biometrika 1947; unequal variances, unequal n). Moments
+    * are exact BIGINT cent sums folded partial/final; the statistic is
+    * then a HANDFUL of double ops in ONE pinned order (means, sample
+    * variances, the pooled standard error, one division) — divisions
+    * and sqrt are IEEE correctly-rounded, so both engines produce the
+    * identical double and the oracle hash-matches (the q_auc
+    * discipline extended through a sqrt).
+    *
+    * Output per (ta < tb): counts, means (cents, exact-integer-derived
+    * doubles), and t — sign convention mean(ta) − mean(tb). Pairs need
+    * n ≥ 2 on both sides (sample variance exists). Shape at scale: one
+    * events pass to |types| moment rows, then a |types|²/2 broadcast
+    * self-join — driver-free. */
+  def abTest(spark: SparkSession, dir: String): DataFrame =
+    abTest(Tables(spark, dir, "events"))
+
+  /** df form: expects (event_type: String, value: Double). */
+  def abTest(events: DataFrame): DataFrame = {
+    val m = events.where(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("cents") * col("cents")).as("s2"))
+      .where(col("n") >= 2L)
+    val a = m.select(col("event_type").as("ta"), col("n").as("na"),
+      col("s").as("sa"), col("s2").as("s2a"))
+    val b = m.select(col("event_type").as("tb"), col("n").as("nb"),
+      col("s").as("sb"), col("s2").as("s2b"))
+    a.join(b, col("ta") < col("tb"))
+      // pinned double chain — identical text in the oracle
+      .withColumn("mean_a", expr("cast(sa as double) / cast(na as double)"))
+      .withColumn("mean_b", expr("cast(sb as double) / cast(nb as double)"))
+      .withColumn("var_a", expr(
+        "(cast(s2a as double) - cast(sa as double) * cast(sa as double) / cast(na as double)) / cast(na - 1 as double)"))
+      .withColumn("var_b", expr(
+        "(cast(s2b as double) - cast(sb as double) * cast(sb as double) / cast(nb as double)) / cast(nb - 1 as double)"))
+      .withColumn("t_stat", expr(
+        "(mean_a - mean_b) / sqrt(var_a / cast(na as double) + var_b / cast(nb as double))"))
+      .select(col("ta"), col("tb"), col("na"), col("nb"),
+        col("mean_a"), col("mean_b"), col("t_stat"))
+  }
+
   private def emptyAuc(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),

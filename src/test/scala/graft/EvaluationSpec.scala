@@ -195,4 +195,58 @@ class EvaluationSpec extends SparkSuiteBase {
       assert(t._3 >= 1L && t._3 <= t._4 && t._4 >= TextOps.Chi2MinDf)
     }
   }
+
+  test("bootstrapMeans: deterministic resamples, Poisson mass near n, means near the true mean") {
+    import spark.implicits._
+    val n = 2000
+    val ev = (1 to n).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("event_id", "value")
+    val out = Evaluation.bootstrapMeans(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(out.map(_._1).sorted.toSeq === (0L until Evaluation.BootR.toLong))
+    // Σm per resample is Poisson(n): within 5σ = 5√n of n
+    out.foreach { case (r, (nEff, _, _)) =>
+      assert(math.abs(nEff - n) <= 5 * math.sqrt(n).toLong + 1, s"resample $r: $nEff")
+    }
+    // true mean = 49.5... cents → 4950.25? mean of (i % 100)*100 cents
+    val trueMicro = ev.agg(org.apache.spark.sql.functions.avg(
+      org.apache.spark.sql.functions.round($"value" * 100))).head().getDouble(0) * 1e6 / 1e0
+    val means = out.map(_._2._3.toDouble)
+    val grand = means.sum / means.length
+    assert(math.abs(grand - trueMicro) / trueMicro < 0.02,
+      s"grand mean $grand vs $trueMicro")
+    // pure function of (row, resample): a second run is bit-identical
+    val again = Evaluation.bootstrapMeans(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("abTest: hand-computed Welch t on crafted groups; sign follows mean(ta) − mean(tb)") {
+    import spark.implicits._
+    // a: cents {900, 1000, 1100, 1000} → mean 1000, var 20000/3
+    // b: cents {500, 500, 700, 700}   → mean 600,  var 40000/3
+    // t = 400 / √((20000/3)/4 + (40000/3)/4) = 400/√5000 = 5.656854…
+    val ev = Seq(("a", 9.0), ("a", 10.0), ("a", 11.0), ("a", 10.0),
+      ("b", 5.0), ("b", 5.0), ("b", 7.0), ("b", 7.0))
+      .toDF("event_type", "value")
+    val r = Evaluation.abTest(ev).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "a" && row.getString(1) === "b")
+    assert(row.getDouble(4) === 1000.0 && row.getDouble(5) === 600.0)
+    assert(math.abs(row.getDouble(6) - 400.0 / math.sqrt(5000.0)) < 1e-12)
+    assert(row.getDouble(6) > 0, "sign convention: mean(a) > mean(b) → t > 0")
+  }
+
+  test("q_ab_test declared form: all type pairs, finite t, symmetric-in-magnitude sanity") {
+    val out = Evaluation.abTest(spark, sf).collect()
+    assert(out.length === 10) // C(5,2) pairs
+    out.foreach { r =>
+      assert(!r.getDouble(6).isNaN && !r.getDouble(6).isInfinite)
+      assert(r.getLong(2) >= 2L && r.getLong(3) >= 2L)
+      // value is noise w.r.t. type in the fixture — |t| should be small
+      assert(math.abs(r.getDouble(6)) < 5.0,
+        s"${r.getString(0)} vs ${r.getString(1)}: t=${r.getDouble(6)}")
+    }
+  }
 }
