@@ -89,6 +89,7 @@ object SparkEntry {
     "q_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
     "q_knn_join_blocked" -> ((s, d) => Similarity.knnJoinBlocked(s, d)),
     "q_knn_graph"       -> ((s, d) => Similarity.knnGraph(s, d)),
+    "q_link_predict"    -> ((s, d) => Similarity.linkPredict(s, d)),
     "q_knn_classify"    -> ((s, d) => Similarity.knnClassify(s, d)),
     "q_auc"             -> ((s, d) => Evaluation.aucByType(s, d)),
     "q_ndcg"            -> ((s, d) => Evaluation.ndcgAtK(s, d)),
@@ -1729,6 +1730,49 @@ object SparkEntry {
          |)
          |SELECT emb.vec_id, coalesce(c.comp, emb.vec_id) AS comp
          |FROM embeddings emb LEFT JOIN cmp c ON c.node = emb.vec_id""".stripMargin,
+    // link prediction replay: the knn chain -> mutual edges -> 2-hop
+    // wedges minus existing edges -> integer neighborhood Jaccard
+    "q_link_predict" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+         |         (a, p) -> a + p)) AS nrm
+         |  FROM v
+         |), s AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])),
+         |      (acc, p) -> acc + p) / (q.nrm * c.nrm) AS sim
+         |  FROM n q JOIN n c ON q.vec_id != c.vec_id
+         |), r AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+         |  FROM s
+         |), knn AS (
+         |  SELECT qid AS da, vec_id AS db FROM r WHERE rn <= ${operators.Similarity.KnnK}
+         |), mut AS (
+         |  SELECT k1.da, k1.db FROM knn k1
+         |  JOIN knn k2 ON k1.da = k2.db AND k1.db = k2.da
+         |  WHERE k1.da < k1.db
+         |), ed AS (
+         |  SELECT da, db FROM mut UNION ALL SELECT db, da FROM mut
+         |), deg AS (
+         |  SELECT da AS node, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1
+         |), cand AS (
+         |  SELECT l.da AS da, r2.da AS db, CAST(count(*) AS BIGINT) AS cn
+         |  FROM ed l JOIN ed r2 ON l.db = r2.db AND l.da < r2.da
+         |  GROUP BY 1, 2
+         |), nonadj AS (
+         |  SELECT c.* FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM mut m WHERE m.da = c.da AND m.db = c.db)
+         |)
+         |SELECT c.da, c.db, c.cn,
+         |  (1000000 * c.cn) // (x.deg + y.deg - c.cn) AS jacc_micro
+         |FROM nonadj c
+         |JOIN deg x ON x.node = c.da JOIN deg y ON y.node = c.db""".stripMargin,
     // leave-one-out kNN majority vote replayed on top of the knn CTE:
     // same tie-broken top-5, neighbor labels vote, (votes desc, label
     // asc) picks — the whole chain is integer-deterministic

@@ -1360,11 +1360,52 @@ object Similarity {
   def knnGraph(emb: DataFrame, k: Int): DataFrame =
     knnGraphBody(vecs(emb), knnJoin(emb, k))
 
-  private def knnGraphBody(v: DataFrame, knnDf: DataFrame): DataFrame = {
+  /** The mutual-kNN edge list (da < db) from a kNN join's output —
+    * [[knnGraphBody]]'s edge stage, shared with [[linkPredict]]. */
+  private[graft] def mutualEdges(knnDf: DataFrame): DataFrame = {
     val knn = knnDf.select(col("qid").as("da"), col("vec_id").as("db"))
-    val mutual = knn.where(col("da") < col("db"))
+    knn.where(col("da") < col("db"))
       .join(knn.select(col("db").as("da"), col("da").as("db")),
         Seq("da", "db"), "left_semi")
+  }
+
+  /** q_link_predict: common-neighbor link prediction over the
+    * mutual-kNN graph (Liben-Nowell & Kleinberg, "The link-prediction
+    * problem for social networks", CIKM 2003) — which near-dup /
+    * similarity edges are MISSING: for every non-adjacent pair with at
+    * least one shared neighbor, the common-neighbor count and the
+    * neighborhood-Jaccard score 10⁶·|Γa∩Γb| div (|Γa|+|Γb|−|Γa∩Γb|),
+    * both exact integers.
+    *
+    * Shape at scale: candidates come from the 2-hop wedge join
+    * (edges ⋈ edges on the shared endpoint — Σ deg² wedges, the
+    * standard triangle/wedge bound, never all-pairs), de-adjacencied
+    * by an anti-join against the edge list; degrees are one |E|-row
+    * aggregate. Everything is bounded by the kNN graph (≤ n·k edges),
+    * never the corpus pair space. */
+  def linkPredict(spark: SparkSession, dir: String, k: Int = KnnK): DataFrame =
+    linkPredictBody(mutualEdges(knnJoin(spark, dir, k)))
+
+  /** df form over an explicit undirected (da < db) edge list. */
+  private[graft] def linkPredictBody(mutual: DataFrame): DataFrame = {
+    val ed = mutual.unionAll(
+      mutual.select(col("db").as("da"), col("da").as("db"))) // both directions
+    val deg = ed.groupBy(col("da").as("node")).agg(count(lit(1)).as("deg"))
+    // wedges: x —n— y with x < y, then drop existing edges
+    val cand = ed.as("l").join(ed.as("r"),
+        col("l.db") === col("r.db") && col("l.da") < col("r.da"))
+      .groupBy(col("l.da").as("da"), col("r.da").as("db"))
+      .agg(count(lit(1)).as("cn"))
+      .join(mutual, Seq("da", "db"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("da"), col("deg").as("dega")), "da")
+      .join(deg.select(col("node").as("db"), col("deg").as("degb")), "db")
+      .select(col("da"), col("db"), col("cn"),
+        expr("(1000000 * cn) div (dega + degb - cn)").as("jacc_micro"))
+  }
+
+  private def knnGraphBody(v: DataFrame, knnDf: DataFrame): DataFrame = {
+    val mutual = mutualEdges(knnDf)
     val comps = Dedup.dupComponents(mutual)
       .select(col("doc_id").as("vec_id"), col("comp"))
     v.select(col("vec_id"))

@@ -196,4 +196,33 @@ class KnnJoinSpec extends SparkSuiteBase {
     assert(!plan.contains("BroadcastHashJoin"),
       s"no broadcast side in the all-vector join:\n$plan")
   }
+
+  test("linkPredict crafted: path predicts the closing edge, clique predicts nothing") {
+    import spark.implicits._
+    // path 1—2—3: the only wedge is (1,3) with common neighbor 2;
+    // Jaccard = 1/(1+1−1)... degrees: deg(1)=1, deg(3)=1, cn=1 → 10⁶.
+    // triangle 10-11-12: every 2-hop pair is already an edge → empty.
+    val edges = Seq((1L, 2L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("da", "db")
+    val out = graft.operators.Similarity.linkPredictBody(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 3L, 1L, 1000000L)))
+  }
+
+  test("linkPredict declared form: candidates are non-edges with ≥1 shared neighbor, scores bounded") {
+    val mutual = graft.operators.Similarity.mutualEdges(
+      graft.operators.Similarity.knnJoin(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = graft.operators.Similarity.linkPredict(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, cn, jm) =>
+      assert(a < b)
+      assert(!mutual((a, b)), s"($a,$b) is already an edge")
+      assert(cn >= 1L)
+      assert(jm >= 0L && jm <= 1000000L)
+    }
+    // no duplicate candidate pairs
+    assert(out.map(t => (t._1, t._2)).distinct.length === out.length)
+  }
 }
