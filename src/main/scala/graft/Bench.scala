@@ -80,6 +80,7 @@ object Bench {
     }
     def clearIndexMemos(): Unit = {
       graft.operators.Similarity.clearIndexCache()
+      graft.operators.Similarity.clearKnnCache()
       graft.operators.Dedup.clearBandIndexCache()
       graft.operators.Incremental.clearAllStateCaches()
       graft.operators.TextOps.clearPostingsCache()

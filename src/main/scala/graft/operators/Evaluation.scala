@@ -140,7 +140,7 @@ object Evaluation {
     * at 100 TB, the metric body is identical. */
   def ndcgAtK(spark: SparkSession, dir: String): DataFrame =
     ndcgBody(Tables(spark, dir, "embeddings").select("vec_id", "label"),
-      Similarity.knnJoin(spark, dir, k = NdcgK))
+      Similarity.knnServe(spark, dir, k = NdcgK))
 
   /** df form over the exact join: expects (vec_id, embedding, label). */
   def ndcgAtK(emb: DataFrame, k: Int = NdcgK): DataFrame =
