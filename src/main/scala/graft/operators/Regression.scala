@@ -172,6 +172,75 @@ object Regression {
     betaRows(spark, solve(merged))
   }
 
+  /** q_linreg_grouped: ONE MODEL PER GROUP in a single pass — the
+    * "thousands of models" shape (per-language token-rate fits here):
+    * the same 9 sufficient statistics aggregated BY LANG, then the 3×3
+    * Cramer solve evaluated as COLUMN ARITHMETIC in DECIMAL(38,0) —
+    * no driver loop, no per-group job; a million groups cost one
+    * partial/final aggregation plus a projection. The per-group solve
+    * is the exact same rational as [[linreg]]'s BigInt solve (the
+    * sign-safe round-half-away division, F-scaled), replayed in
+    * HUGEINT by the oracle.
+    *
+    * Exactness band (narrower than the single-model BigInt path, which
+    * is why q_linreg keeps the driver solve): determinant terms are
+    * triple products of sums, so they stay inside the 38-digit
+    * decimals while n_g·max(x)² ≲ 2·10¹² per group (~10⁴–10⁵ docs per
+    * group at these feature magnitudes); past that, rescale features
+    * (chars in hundreds) — the standard conditioning move — or fall
+    * back to per-group BigInt solves over the collected |groups|-row
+    * ledger. Degenerate groups (collinear features, det = 0) are
+    * excluded rather than served. */
+  def linregGrouped(spark: SparkSession, dir: String): DataFrame =
+    linregGrouped(Tables(spark, dir, "documents"))
+
+  /** df form: expects (doc_id, text, n_chars, lang). */
+  def linregGrouped(docs: DataFrame): DataFrame = {
+    val d = "decimal(38,0)"
+    val g = feats(docs.where(col("lang").isNotNull))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).cast(d).as("n"),
+        sum("x1").cast(d).as("sx1"), sum("x2").cast(d).as("sx2"),
+        sum(col("x1") * col("x1")).cast(d).as("sx11"),
+        sum(col("x1") * col("x2")).cast(d).as("sx12"),
+        sum(col("x2") * col("x2")).cast(d).as("sx22"),
+        sum("y").cast(d).as("sy"),
+        sum(col("x1") * col("y")).cast(d).as("sx1y"),
+        sum(col("x2") * col("y")).cast(d).as("sx2y"))
+    // det3 over A = [[n,sx1,sx2],[sx1,sx11,sx12],[sx2,sx12,sx22]] with
+    // column j replaced by b = [sy,sx1y,sx2y] — spelled once as text
+    // shared (modulo CAST dialect) with the oracle
+    def det(c0: (String, String, String), c1: (String, String, String),
+            c2: (String, String, String)): String =
+      s"(${c0._1} * (${c1._2} * ${c2._3} - ${c1._3} * ${c2._2}) - " +
+        s"${c0._2} * (${c1._1} * ${c2._3} - ${c1._3} * ${c2._1}) + " +
+        s"${c0._3} * (${c1._1} * ${c2._2} - ${c1._2} * ${c2._1}))"
+    val a0 = ("n", "sx1", "sx2"); val a1 = ("sx1", "sx11", "sx12")
+    val a2 = ("sx2", "sx12", "sx22")
+    val b  = ("sy", "sx1y", "sx2y")
+    def rep(c: (String, String, String), j: Int, v: String) = j match {
+      case 0 => (v, c._2, c._3); case 1 => (c._1, v, c._3); case _ => (c._1, c._2, v)
+    }
+    val detA = det(a0, a1, a2)
+    def beta(j: Int): String = {
+      val dj = det(rep(a0, j, b._1), rep(a1, j, b._2), rep(a2, j, b._3))
+      // round-half-away of F·detj/det, sign-safe against |det|
+      s"""CASE WHEN ($detA) = 0 THEN NULL ELSE
+         |  (CASE WHEN (cast($F as $d) * ($dj) * (CASE WHEN ($detA) < 0 THEN -1 ELSE 1 END)) >= 0
+         |        THEN (2 * (cast($F as $d) * ($dj) * (CASE WHEN ($detA) < 0 THEN -1 ELSE 1 END)) + abs($detA)) div (2 * abs($detA))
+         |        ELSE -((2 * -(cast($F as $d) * ($dj) * (CASE WHEN ($detA) < 0 THEN -1 ELSE 1 END)) + abs($detA)) div (2 * abs($detA)))
+         |   END) END""".stripMargin
+    }
+    g.select(col("lang") +: (0 until 3).map(j =>
+        expr(beta(j)).cast("long").as(s"b$j")): _*)
+      .where(col("b0").isNotNull)
+      .select(col("lang"), posexplode(array(col("b0"), col("b1"), col("b2"))))
+      .select(col("lang"), col("pos").cast("long").as("j"),
+        col("col").as("beta_fp"))
+  }
+
   /** q_linreg_predict: the model IN USE — per doc, the exact
     * micro-unit prediction ŷ_fp = β₀ + β₁·x1 + β₂·x2 (no division —
     * exact integers end to end) and the residual y·F − ŷ_fp, the
