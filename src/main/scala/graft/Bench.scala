@@ -45,7 +45,14 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val picked = headline.filter(SparkEntry.queries.contains)
+    // SPARK_GRAFT_BENCH_EXTRA: comma-separated extra query names timed
+    // on the same min-of-N basis as the headline — the sf1 scale-proof
+    // run uses it to time the nominated family rows (q_ssjoin,
+    // q_knn_join_blocked) without dragging the full matrix to sf1.
+    val extra = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    val picked = (headline ++ extra).distinct.filter(SparkEntry.queries.contains)
 
     // Steady-state basis (VERDICT r3 #3/#4):
     //  - ONE untimed warmup per query before its timed runs — JIT/codegen
@@ -209,30 +216,49 @@ object Bench {
         val bPq = timedN(graft.operators.Similarity.clearPqCache())(
           graft.operators.Similarity.pqCodebooks(spark, sfDir))
         val sPq = timedN(())(force(SparkEntry.queries("q_simsearch_pq")(spark, sfDir)))
-        // codes-table staging rides the warm codebooks: bills encode+write
+        Seq("pq_build_sec" -> bPq, "pq_search_sec" -> sPq) ++
+          recall("q_simsearch_pq") ++
+          recall("q_simsearch_sq") ++ recall("q_simsearch_lsh")
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] pq lifecycle split failed: ${e.getMessage}")
+        Seq.empty
+      }
+
+    // Staged flat-PQ codes table in its OWN try (ADVICE r10): a
+    // staged-index failure must not discard the pq_build/pq_search
+    // metrics already measured above. Rides the warm codebooks:
+    // build bills encode+partitioned-write only.
+    val pqIndexLifecycle: Seq[(String, Double)] =
+      try {
         val bPqIdx = timedN(graft.operators.Similarity.clearPqIndexCache())(
           graft.operators.Similarity.stagedPqIndex(spark, sfDir))
         val sPqIdx = timedN(())(force(SparkEntry.queries("q_simsearch_pq_indexed")(spark, sfDir)))
-        // the coarse fit is cleared ONLY here, immediately before the
-        // build that re-warms it, so ivfpq build bills fit+codebooks
-        // on BOTH runs; the catch below restores the memo if this step
-        // aborts (the ivf lifecycle above left it warm on purpose —
-        // the matrix ivf rows must not silently change basis on this
-        // failure path). NOTE clearPqCache would also clear the flat-PQ
-        // books measured above — the per-artifact clearIvfpqModelCache
-        // keeps them warm, the contract the matrix pq rows rely on.
+        Seq("pq_index_build_sec" -> bPqIdx, "pq_index_search_sec" -> sPqIdx)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] staged-pq-index lifecycle failed: ${e.getMessage}")
+        Seq.empty
+      }
+
+    // IVFPQ model lifecycle, its OWN try. The coarse fit is cleared
+    // ONLY here, immediately before the build that re-warms it, so
+    // ivfpq build bills fit+codebooks on BOTH runs; the catch restores
+    // the memo if this step aborts (the ivf lifecycle above left it
+    // warm on purpose — the matrix ivf rows must not silently change
+    // basis on this failure path). NOTE clearPqCache would also clear
+    // the flat-PQ books measured above — the per-artifact
+    // clearIvfpqModelCache keeps them warm, the contract the matrix pq
+    // rows rely on.
+    val ivfpqModelLifecycle: Seq[(String, Double)] =
+      try {
         val bIvfpq = timedN({
           graft.operators.Clustering.clearFitCache()
           graft.operators.Similarity.clearIvfpqModelCache()
         })(graft.operators.Similarity.ivfpqModel(spark, sfDir))
         val sIvfpq = timedN(())(force(SparkEntry.queries("q_simsearch_ivfpq")(spark, sfDir)))
-        Seq("pq_build_sec" -> bPq, "pq_search_sec" -> sPq,
-          "pq_index_build_sec" -> bPqIdx, "pq_index_search_sec" -> sPqIdx,
-          "ivfpq_build_sec" -> bIvfpq, "ivfpq_search_sec" -> sIvfpq) ++
-          recall("q_simsearch_pq") ++ recall("q_simsearch_ivfpq") ++
-          recall("q_simsearch_sq") ++ recall("q_simsearch_lsh")
+        Seq("ivfpq_build_sec" -> bIvfpq, "ivfpq_search_sec" -> sIvfpq) ++
+          recall("q_simsearch_ivfpq")
       } catch { case NonFatal(e) =>
-        System.err.println(s"[bench] pq lifecycle split failed: ${e.getMessage}")
+        System.err.println(s"[bench] ivfpq model lifecycle failed: ${e.getMessage}")
         try graft.operators.Clustering.fitFixed(spark, sfDir,
           graft.operators.Clustering.Iters,
           graft.operators.Similarity.ivfK(
@@ -453,7 +479,7 @@ object Bench {
     // a tail capture of any length that includes the final line parses.
     // Both lines are also mirrored to bench_last.json in the CWD.
     val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"matrix_rerun_threshold_sec":$RerunThresholdSec,"matrix_rerun_n":$mReruns,"sf":"$sfDir"}"""
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","lifecycle_runs":$LifecycleRuns,"lifecycle_agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ ivfpqIndexLifecycle ++ ivfpqAppendLifecycle)},"lsh_lifecycle":${obj(lshLifecycle)},"winnow_lifecycle":${obj(winnowLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","lifecycle_runs":$LifecycleRuns,"lifecycle_agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ pqIndexLifecycle ++ ivfpqModelLifecycle ++ ivfpqIndexLifecycle ++ ivfpqAppendLifecycle)},"lsh_lifecycle":${obj(lshLifecycle)},"winnow_lifecycle":${obj(winnowLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
       try { w.println(matrixLine); w.println(headlineLine) } finally w.close()

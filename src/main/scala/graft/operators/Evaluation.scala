@@ -144,9 +144,14 @@ object Evaluation {
 
   /** df form over the exact join: expects (vec_id, embedding, label). */
   def ndcgAtK(emb: DataFrame, k: Int = NdcgK): DataFrame =
-    ndcgBody(emb.select("vec_id", "label"), Similarity.knnJoin(emb, k))
+    ndcgBody(emb.select("vec_id", "label"), Similarity.knnJoin(emb, k), k)
 
-  private def ndcgBody(lab: DataFrame, knnDf: DataFrame): DataFrame = {
+  private def ndcgBody(lab: DataFrame, knnDf: DataFrame,
+      k: Int = NdcgK): DataFrame = {
+    // The pinned discount table covers depths up to NdcgW.length; deeper
+    // k would silently NULL-drop gains past the table, so reject it.
+    require(k >= 1 && k <= NdcgW.length,
+      s"ndcg depth k=$k outside the pinned discount table (1..${NdcgW.length})")
     val wLit = typedlit(NdcgW)
     val cumLit = typedlit(NdcgCum)
     // R per label: corpus class size minus the query itself
@@ -164,7 +169,7 @@ object Evaluation {
     dcg.join(broadcast(rel), "label")
       .select(col("qid").as("vec_id"), col("label"), col("dcg_u"),
         element_at(cumLit,
-          (least(col("r_rel"), lit(NdcgK.toLong)) + 1L).cast("int"))
+          (least(col("r_rel"), lit(k.toLong)) + 1L).cast("int"))
           .as("idcg_u"))
       .withColumn("ndcg_micro",
         when(col("idcg_u") === 0L, 0L)
@@ -249,15 +254,21 @@ object Evaluation {
   /** df form: expects (event_id: Long, value: Double); NULL values
     * carry no mass. */
   def bootstrapMeans(events: DataFrame): DataFrame = {
-    val cumLit = typedlit(BootCum)
+    // The draw is hoisted into its OWN transform column so md5 runs once
+    // per (row, resample) — 32/row. Folding it inside the filter lambda
+    // would re-evaluate it per threshold (9× redundant interpreted md5
+    // per resample — the shape that made this a 76 s matrix row in r10).
     val e = events.where(col("value").isNotNull)
       .select(col("event_id"),
         round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("ms", expr(
+      .withColumn("draws", expr(
         s"""transform(sequence(0, ${BootR - 1}), r ->
-           |  size(filter(${BootCum.mkString("array(", "L, ", "L)")}, c ->
-           |    c <= pmod(cast(conv(substring(md5(concat(cast(event_id as string),
-           |      ':', cast(r as string))), 1, 15), 16, 10) as bigint), 1000000))))
+           |  pmod(cast(conv(substring(md5(concat(cast(event_id as string),
+           |    ':', cast(r as string))), 1, 15), 16, 10) as bigint), 1000000))
+           |""".stripMargin))
+      .withColumn("ms", expr(
+        s"""transform(draws, d ->
+           |  size(filter(${BootCum.mkString("array(", "L, ", "L)")}, c -> c <= d)))
            |""".stripMargin))
     e.select(col("cents"), posexplode(col("ms")).as(Seq("r", "m")))
       .groupBy(col("r").cast("long").as("resample"))

@@ -221,10 +221,16 @@ object Similarity {
   /** Independent hyperplane tables (OR-construction). Each table is an
     * AND of `lshPlanes(n)` sign bits (precision); the OR across tables
     * is the recall amplifier — a true neighbor only needs to share a
-    * (multi-probed) bucket in ONE of them. 4 tables at radius-1
-    * multi-probe measured recall@10 ≈ 0.75 at sf0.1 vs 0.22 for the
-    * single-table scheme, at an IVF-comparable probed fraction. */
-  val LshTables = 4
+    * (multi-probed) bucket in ONE of them. History: 1 table = 0.22
+    * recall@10 at sf0.1; 4 tables at radius-1 multi-probe = 0.73
+    * (per-table hit ≈ 0.28, so 1−0.72⁴); round 11 raises to 6 for a
+    * predicted 1−0.72⁶ ≈ 0.86 at ~1.5× the candidate budget — still an
+    * IVF-comparable probed fraction, and the ONLY knob that lifts the
+    * recall ceiling without touching per-table precision (more bits
+    * would shrink buckets; radius-2 probing would square the probe
+    * count). Tables 0–3 read the identical seeded plane slices as
+    * before (the pool extends; existing slices are unchanged). */
+  val LshTables = 6
   /** Per-table bit budget (pool = LshTables · LshMaxBits planes). */
   val LshMaxBits = 12
   /** Per-table target bucket occupancy. Coarser than the old
@@ -720,11 +726,13 @@ object Similarity {
     // static PartitionFilters — the stagedIvfIndex probed-cid pattern
     val pairs = qp.select(col("t"), col("probe")).distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1)))
+    // foldLeft(lit(false)), not reduce: an empty probe set (no query
+    // vectors in the corpus) must degrade to an empty scan, not throw.
     val pfilter = pairs.groupBy(_._1).map { case (t, ps) =>
       col("t") === lit(t) && col("bgrp").isin(
         ps.map(p => math.floorMod(p._2, LshBucketGroups).asInstanceOf[AnyRef])
           .distinct.toSeq: _*)
-    }.reduce(_ || _)
+    }.foldLeft(lit(false))(_ || _)
     val corpus = spark.read.parquet(path).where(pfilter)
     val cand = broadcast(qp).as("q")
       .join(corpus.as("c"),
