@@ -197,6 +197,9 @@ object SparkEntry {
     "q_group_quantiles" -> ((s, d) => Relational.groupQuantiles(s, d)),
     "q_pagerank"        -> ((s, d) => Graphs.pageRank(s, d)),
     "q_bfs"             -> ((s, d) => Graphs.bfsDistances(s, d)),
+    "q_sssp"            -> ((s, d) => Graphs.ssspDistances(s, d)),
+    "q_ppr"             -> ((s, d) => Graphs.personalizedPageRank(s, d)),
+    "q_label_prop"      -> ((s, d) => Graphs.labelProp(s, d)),
     "q_basket_pairs"    -> ((s, d) => Graphs.basketPairs(s, d)),
     "q_stream_enrich"   -> ((s, d) => graft.streaming.Streams.enrich(s, d)),
     "q_scd2"            -> ((s, d) => Relational.scd2(s, d)),
@@ -206,6 +209,7 @@ object SparkEntry {
     "q_unpivot"         -> ((s, d) => Relational.unpivotMeasures(s, d)),
     "q_kanon"           -> ((s, d) => Relational.kanonymize(s, d)),
     "q_split"           -> ((s, d) => Pipeline.splitTag(s, d)),
+    "q_split_leakage"   -> ((s, d) => Pipeline.splitByCluster(s, d)),
     "q_compact"         -> ((s, d) => graft.sources.Sinks.compactRead(s, d)),
     "q_sequence"        -> ((s, d) => Events.transitions(s, d)),
     "q_join_bloom"      -> ((s, d) => Joins.bloomJoin(s, d)),
@@ -1487,6 +1491,19 @@ object SparkEntry {
     // level-synchronous multi-source BFS unrolled as chained frontier
     // CTEs (the pageRank pattern); hop labels are exact integers
     "q_bfs" -> bfsOracle(4),
+    // personalized PageRank: the pageRank loop with seed-only teleport,
+    // full-node-set left joins so zero-in-mass nodes keep their row
+    "q_ppr" -> pprOracle(5),
+    // frontier Bellman-Ford replayed as FULL relaxation rounds (the
+    // delta-BF ≡ full-relaxation equivalence — see Graphs.ssspDistances);
+    // all-BIGINT distances, MATERIALIZED per-round CTEs (each referenced
+    // twice — the union branch + the relax branch — would otherwise
+    // double the inlined chain per round)
+    "q_sssp" -> ssspOracle(4),
+    // synchronous LPA unrolled round by round: per-round neighbor-label
+    // counts then the (count desc, label asc) argmax via row_number —
+    // the same total order as the Spark min-struct
+    "q_label_prop" -> labelPropOracle(operators.Graphs.LpaRounds),
     // market-basket pair mining: integer counts + micro-unit lift
     // (floor div) — every column exact, support filter mirrors
     // Graphs.BasketMinSupport
@@ -2394,6 +2411,9 @@ object SparkEntry {
          |SELECT doc_id, lang,
          |       CASE WHEN h % 10 = 0 THEN 'val' ELSE 'train' END AS split
          |FROM g""".stripMargin,
+    // cluster-keyed split: CC labels (the q_dedup_cc truth) decide the
+    // hash key, so near-dup clusters land whole on one side
+    "q_split_leakage" -> splitLeakageOracle,
     // oracle reads the ORIGINAL table: the shatter→compact→read cycle
     // must be byte-faithful per row (md5 over the utf-8 text)
     "q_compact" ->
@@ -3024,6 +3044,120 @@ object SparkEntry {
          |)""".stripMargin
     }
     head + ",\n" + its.mkString(",\n") + s"\nSELECT node, dist FROM v$maxHops"
+  }
+
+  /** Oracle for q_ppr: `Graphs.personalizedPageRank`'s loop unrolled —
+    * the pageRankOracle pattern with seed-only teleport and LEFT joins
+    * from the full node set (zero-in-mass non-seeds keep a 0 row).
+    * `sum(r // d)` is HUGEINT in DuckDB and propagates — the final
+    * select CASTs back to BIGINT (the repo-wide rule). */
+  private def pprOracle(iters: Int): String = {
+    val tp = operators.Graphs.Scale * 15L / 100L
+    val head =
+      s"""WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT l_suppkey * 2 + 1, l_partkey * 2 FROM lineitem
+        |), deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM deg),
+        |seeds AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(s_suppkey * 2 + 1 AS BIGINT) AS node,
+        |         CAST($tp AS BIGINT) AS tp
+        |  FROM supplier
+        |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)
+        |), r0 AS MATERIALIZED (
+        |  SELECT n.node,
+        |         CAST(CASE WHEN s.node IS NULL THEN 0
+        |              ELSE ${operators.Graphs.Scale} END AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+        |)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST(COALESCE(s.tp, 0) + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r // d) AS s
+         |    FROM e JOIN deg USING (src) JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |    GROUP BY e.dst
+         |  ) m ON n.node = m.node
+         |  LEFT JOIN seeds s ON n.node = s.node
+         |)""".stripMargin
+    }
+    head + ",\n" + its.mkString(",\n") + s"\nSELECT node, r FROM r$iters"
+  }
+
+  /** Oracle for q_sssp: `Graphs.ssspDistances`' frontier Bellman-Ford
+    * replayed as FULL relaxation rounds — legal because delta-BF after
+    * k rounds ≡ dist_k(v) = min over ≤ k-edge paths (see the operator
+    * Scaladoc). Same edge weights (min l_quantity per directed pair,
+    * BIGINT), same seeds; every distance is exact integer. Each round
+    * CTE is referenced twice (carry + relax), so MATERIALIZED —
+    * without it DuckDB's inlining doubles the chain per round. */
+  private def ssspOracle(rounds: Int): String = {
+    val head =
+      """WITH e AS MATERIALIZED (
+        |  SELECT CAST(l_partkey * 2 AS BIGINT) AS src,
+        |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst,
+        |         min(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT CAST(l_suppkey * 2 + 1 AS BIGINT),
+        |         CAST(l_partkey * 2 AS BIGINT),
+        |         min(CAST(l_quantity AS BIGINT))
+        |  FROM lineitem GROUP BY 1, 2
+        |), d0 AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(s_suppkey * 2 + 1 AS BIGINT) AS node,
+        |         CAST(0 AS BIGINT) AS d
+        |  FROM supplier
+        |  WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)
+        |)""".stripMargin
+    val its = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(d) AS d FROM (
+         |    SELECT node, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d${i - 1}.d + e.w AS d
+         |    FROM e JOIN d${i - 1} ON e.src = d${i - 1}.node
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }
+    head + ",\n" + its.mkString(",\n") +
+      s"\nSELECT node, CAST(d AS BIGINT) AS d FROM d$rounds"
+  }
+
+  /** Oracle for q_label_prop: `Graphs.labelProp`'s synchronous rounds
+    * unrolled — per round a neighbor-label count CTE then the
+    * (count desc, label asc) argmax via row_number, the same total
+    * order as the Spark min-struct. Labels are node ids (BIGINT) —
+    * exact at every round. */
+  private def labelPropOracle(rounds: Int): String = {
+    val head =
+      """WITH lp AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |), und AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+        |), adj AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM und
+        |  UNION ALL SELECT v, u FROM und
+        |), l0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS lbl FROM adj
+        |)""".stripMargin
+    val its = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT a.dst AS node, l.lbl, count(*) AS c
+         |  FROM adj a JOIN l${i - 1} l ON a.src = l.node
+         |  GROUP BY a.dst, l.lbl
+         |), l$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1
+         |)""".stripMargin
+    }
+    head + ",\n" + its.mkString(",\n") +
+      s"\nSELECT node, lbl FROM l$rounds"
   }
 
   /** Oracle for q_kmeans: `Clustering.fitFixed`'s micro-unit integer
@@ -4413,8 +4547,11 @@ object SparkEntry {
        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin
   }
 
-  private def ccOracle: String =
-    s"""WITH RECURSIVE toks AS (
+  /** The shared CC-closure CTE chain (exhaustive J ≥ 0.8 pair graph →
+    * recursive reachability) — the body of [[ccOracle]], also composed
+    * into the q_split_leakage oracle. */
+  private def ccCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
        |  FROM documents
        |), sh AS (
@@ -4437,6 +4574,30 @@ object SparkEntry {
        |  SELECT DISTINCT u AS node, u AS r FROM edges
        |  UNION
        |  SELECT e.u AS node, t.r FROM edges e JOIN reach t ON e.v = t.node
-       |)
+       |)""".stripMargin
+
+  private def ccOracle: String =
+    s"""WITH RECURSIVE $ccCtes
        |SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node""".stripMargin
+
+  /** Oracle for q_split_leakage: the CC labels ([[ccCtes]], the
+    * q_dedup_cc truth) left-joined onto documents, split key =
+    * COALESCE(comp, doc_id), then the q_split FNV bucket rule over the
+    * CLUSTER key — same fold, same modulus. */
+  private def splitLeakageOracle: String =
+    s"""WITH RECURSIVE $ccCtes,
+       |comp AS (SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node),
+       |k AS (
+       |  SELECT d.doc_id, d.lang, COALESCE(c.comp, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)
+       |), g AS (
+       |  SELECT doc_id, lang, cluster,
+       |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+       |      ${utf8BytesSql("CAST(cluster AS VARCHAR)")}),
+       |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+       |  FROM k
+       |)
+       |SELECT doc_id, lang, cluster,
+       |       CASE WHEN h % 10 = 0 THEN 'val' ELSE 'train' END AS split
+       |FROM g""".stripMargin
 }

@@ -73,6 +73,69 @@ object Graphs {
     ranks
   }
 
+  /** q_ppr: PERSONALIZED PageRank — the teleport vector concentrated
+    * on a seed set instead of uniform (Haveliwala, WWW 2002; the
+    * TrustRank/recommendation form of the walk: "importance as seen
+    * FROM these nodes"). Same integer discipline as [[pageRank]]
+    * (micro-unit ranks, floor-div contributions, ·85 div 100 damping),
+    * same graph (part↔supplier bipartite) — only the teleport term
+    * changes: each round adds 0.15·Scale to SEED nodes only, and the
+    * walk-mass sum is taken over ALL nodes via a left join from the
+    * rank table (a non-seed node with no in-mass this round still
+    * exists with its teleport 0). Ranks concentrate around the seeds'
+    * neighborhoods — the q_bfs frontier weighted by random-walk
+    * probability rather than hop count.
+    *
+    * Shape at scale: identical to pageRank — one edge shuffle + one
+    * partial/final agg per round, plus a broadcast seed join; node set
+    * fixed across rounds. Seeds: the min-nation suppliers (the bfs
+    * convention). */
+  def personalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val fwd = li.select((col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct()
+    val sup = Tables(spark, dir, "supplier")
+    val minNation = sup.agg(min(col("s_nationkey")).as("mn"))
+    val seeds = sup.join(broadcast(minNation), col("s_nationkey") === col("mn"))
+      .select((col("s_suppkey") * 2 + 1).cast("long").as("node")).distinct()
+    personalizedPageRank(edges, seeds, 5)
+  }
+
+  /** df form: (src, dst) edges (every node needs an out-edge — the
+    * pageRank dangling-mass caveat) + (node) seeds ⊆ nodes. */
+  def personalizedPageRank(edges: DataFrame, seedsIn: DataFrame,
+      iters: Int): DataFrame = {
+    val e = graft.Engine.cut(edges)
+    val deg = graft.Engine.cut(e.groupBy("src").agg(count(lit(1)).as("d")))
+    val nodes = deg.select(col("src").as("node"))
+    val seeds = graft.Engine.cut(
+      seedsIn.select(col("node")).distinct().withColumn("tp", lit(Scale * 15L / 100L)))
+    // start: all teleport mass on the seeds (the personalized prior)
+    var ranks = nodes.join(seeds, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(expr("tp * 100 div 15"), lit(0L)).as("r"))
+      .transform(graft.Engine.cut(_))
+    for (_ <- 1 to iters) {
+      val mass = e.join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("s"))
+      // left joins from the FULL node set: zero-in-mass nodes keep a
+      // row (their rank is teleport-only — 0 for non-seeds)
+      ranks = nodes
+        .join(mass, Seq("node"), "left")
+        .join(seeds, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("tp"), lit(0L)) +
+            expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+        .transform(graft.Engine.cut(_))
+    }
+    ranks
+  }
+
   /** q_degree_dist: degree distribution of the part co-purchase graph —
     * the first profiling question of any graph workload (is this
     * power-law? where is the hub tail that breaks naive wedge/join
@@ -285,5 +348,134 @@ object Graphs {
       .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("support"),
         expr(s"(support * n_baskets * $LiftMicro) div (ca * cb)").as("lift_micro"))
+  }
+
+  /** q_sssp: single-source (here multi-source) WEIGHTED shortest paths
+    * — [[bfsDistances]]' hop count upgraded to an additive edge cost,
+    * the routing/attribution primitive BFS can't express. Graph: the
+    * part↔supplier bipartite graph with edge weight = min l_quantity
+    * over the pair's lineitem rows (an exact BIGINT — quantities are
+    * integral); seeds: the min-nation suppliers at distance 0.
+    *
+    * FRONTIER Bellman-Ford (delta relaxation): each round relaxes only
+    * from nodes whose distance IMPROVED last round — a node whose
+    * distance is unchanged already propagated that value the round it
+    * last improved, so re-relaxing it is provably redundant (the
+    * classic delta-BF invariant: frontier-BF after k rounds ≡ full
+    * relaxation dist_k(v) = min over ≤ k-edge paths). Round cost is
+    * |frontier|·avg-degree + one min-agg + one anti-join — on a graph
+    * where distances settle early, later rounds touch only the still-
+    * moving fringe, never |V|·|E|. A FIXED round count keeps the plan
+    * static (the pageRank/bfs convention); distances beyond the
+    * horizon are the ≤ rounds-edge optimum, documented semantics.
+    * All-integer distances → bit-exact, so the DuckDB oracle replays
+    * the rounds as chained MATERIALIZED CTEs using FULL relaxation —
+    * the equivalence above is exactly what makes the simpler oracle
+    * form legal. */
+  def ssspDistances(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val fwd = li.groupBy(
+        (col("l_partkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .agg(min(col("l_quantity").cast("long")).as("w"))
+    val edges = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val sup = Tables(spark, dir, "supplier")
+    val minNation = sup.agg(min(col("s_nationkey")).as("mn"))
+    val seeds = sup.join(broadcast(minNation), col("s_nationkey") === col("mn"))
+      .select((col("s_suppkey") * 2 + 1).cast("long").as("node"))
+    ssspDistances(edges, seeds, 4)
+  }
+
+  /** df form: (src, dst, w) directed weighted edges (w ≥ 0 BIGINT;
+    * feed both directions for an undirected graph) + (node) seeds.
+    * Exactly `rounds` relaxation rounds — emitted distances are the
+    * optimum over paths of ≤ `rounds` edges (cap the horizon
+    * explicitly, the bfs convention). */
+  def ssspDistances(edgesIn: DataFrame, seedsIn: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = graft.Engine.cut(edgesIn)
+    var dist = graft.Engine.cut(
+      seedsIn.select(col("node")).distinct().withColumn("d", lit(0L)))
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val relax = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("d") + col("w")).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      val improved = relax
+        .join(dist.withColumnRenamed("d", "old"), Seq("node"), "left")
+        .where(col("old").isNull || col("nd") < col("old"))
+        .select(col("node"), col("nd").as("d"))
+        .transform(graft.Engine.cut(_)) // reused: dist merge + next frontier
+      dist = graft.Engine.cut(
+        dist.join(improved.select("node"), Seq("node"), "left_anti")
+          .unionAll(improved))
+      frontier = improved
+    }
+    dist
+  }
+
+  /** Synchronous label-propagation rounds (fixed, the pageRank/bfs
+    * convention). */
+  val LpaRounds = 4
+
+  /** q_label_prop: community detection by LABEL PROPAGATION (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 2007) over the part co-purchase
+    * graph — the near-linear-time community baseline beside the
+    * similarity-side communities of q_knn_graph (which are connected
+    * components of a mutual-kNN graph; LPA instead lets DENSITY decide:
+    * a node adopts its neighborhood's majority label, so bridges
+    * between dense regions don't merge them the way connectivity does).
+    *
+    * Made DETERMINISTIC (the published algorithm is famously order-
+    * dependent): SYNCHRONOUS rounds (all nodes update from the same
+    * previous-round labels — no update order to pick) and the total
+    * tie-break (count desc, label asc) via one min-struct aggregate;
+    * initial label = own node id. A fixed round count bounds the plan;
+    * oscillation (the known sync-LPA failure on bipartite-ish regions)
+    * is harmless here because the result is defined AS round-
+    * [[LpaRounds]] labels — a pure function of the edge list that the
+    * DuckDB oracle replays round by round.
+    *
+    * Shape at scale: per round ONE edge-list join against the
+    * |V|-row label table, a (node, lbl) partial/final count, and a
+    * per-node min-struct argmax — all keyed shuffles, no windows, no
+    * driver state. The per-order pair expansion is the degree_dist/
+    * triangle one (bounded basket sizes; cap heavy containers
+    * upstream). */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+      .transform(graft.Engine.cut(_))
+    val und = lp.select(col("ok"), col("p").as("u"))
+      .join(lp.select(col("ok"), col("p").as("v")), "ok")
+      .where(col("u") < col("v"))
+      .select("u", "v")
+      .distinct()
+    labelProp(und, LpaRounds)
+  }
+
+  /** df form: deduplicated undirected (u, v) edges, u < v, no
+    * self-loops. Isolated nodes (absent from the edge list) are not
+    * emitted — community of a degree-0 node is itself, trivially. */
+  def labelProp(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    val und = graft.Engine.cut(edgesIn)
+    val adj = graft.Engine.cut(und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst"))))
+    var labels = graft.Engine.cut(
+      adj.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")))
+    for (_ <- 1 to rounds) {
+      labels = adj.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        // argmax with (count desc, label asc) total order as ONE
+        // min-struct partial/final aggregate — no per-node window
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lbl"))
+        .transform(graft.Engine.cut(_))
+    }
+    labels
   }
 }

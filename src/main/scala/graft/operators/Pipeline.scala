@@ -163,6 +163,40 @@ object Pipeline {
       when(graft.functions.Fnv32a.fnv32a(col("doc_id").cast("string"))
         % valMod === 0L, "val").otherwise("train"))
 
+  /** q_split_leakage: the train/val split made NEAR-DUP-LEAK-SAFE —
+    * `splitTag` hashes per DOC, so two near-duplicate documents can
+    * land on opposite sides and the validation loss silently measures
+    * memorization (the contamination failure the dedup literature
+    * warns about — Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better" measures exactly this leak). Fix: hash
+    * per near-dup CLUSTER — the split key is the document's connected-
+    * component label from the trusted `Dedup.dupComponents` closure
+    * (min doc_id of its J ≥ 0.8 cluster), its own id for singletons —
+    * so every cluster lands WHOLE on one side by construction.
+    *
+    * Composition of two oracle-checked pieces (the CC labels and the
+    * FNV bucket rule), so the whole split has an exact DuckDB mirror.
+    * Shape at scale: the label table is |dup docs| rows (orders of
+    * magnitude under the corpus — it broadcasts), one left join + a
+    * codegen hash predicate; same determinism/repartition-stability
+    * properties as every FNV sampler. */
+  def splitByCluster(spark: SparkSession, dir: String,
+      valMod: Int = 10): DataFrame =
+    splitByCluster(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("lang")),
+      Dedup.dupComponents(spark, dir), valMod)
+
+  /** df form: docs (doc_id, lang, …), comp (doc_id, comp) cluster
+    * labels covering at least the non-singleton docs. */
+  def splitByCluster(docs: DataFrame, comp: DataFrame,
+      valMod: Int): DataFrame =
+    docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+      .withColumn("split",
+        when(graft.functions.Fnv32a.fnv32a(col("cluster").cast("string"))
+          % valMod === 0L, "val").otherwise("train"))
+      .select(col("doc_id"), col("lang"), col("cluster"), col("split"))
+
   /** q_sample_group: fixed-size deterministic sample per stratum — the
     * k docs per language with the SMALLEST FNV hash (rate-based
     * sampling, q_sample_stratified, cannot promise "exactly k

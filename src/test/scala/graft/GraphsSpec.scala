@@ -74,6 +74,109 @@ class GraphsSpec extends SparkSuiteBase {
       tri.getAs[Long]("n_wedges"))
   }
 
+  test("personalizedPageRank matches an exact integer reference; mass concentrates at seeds") {
+    import spark.implicits._
+    // hub graph + a far pendant: 1↔3, 2↔3, 3↔4 (seed = 1)
+    val edges = Seq((1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val iters = 5
+    val got = Graphs.personalizedPageRank(edges.toDF("src", "dst"), seeds, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val tp = Graphs.Scale * 15L / 100L
+    var r = deg.keys.map(n => n -> (if (n == 1L) Graphs.Scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = r.keys.map { n =>
+        n -> ((if (n == 1L) tp else 0L) + 85L * contrib.getOrElse(n, 0L) / 100L)
+      }.toMap
+    }
+    assert(got === r)
+    // personalization: the seed and its hub outrank the symmetric far
+    // nodes 2 and 4 (which uniform pageRank would rank equal to 1)
+    assert(got(1L) > got(2L) && got(3L) > got(2L))
+    assert(got(2L) === got(4L), "symmetric non-seeds rank equally")
+    assert(got(2L) > 0L, "walk mass reaches 2-hop nodes")
+  }
+
+  test("sssp: weighted shortest path beats fewer-hop heavier path; horizon capped") {
+    import spark.implicits._
+    // 1→2→3 costs 10+10=20 < direct 1→3 at 50 (BFS would pick the
+    // 1-hop path; weights must override it). Chain 3→4→5→6→7 puts
+    // node 7 at 6 edges from the seed — beyond a 4-round horizon.
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 50L),
+      (3L, 4L, 1L), (4L, 5L, 1L), (5L, 6L, 1L), (6L, 7L, 1L))
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = Graphs.ssspDistances(edges.toDF("src", "dst", "w"), seeds, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 0L)
+    assert(got(2L) === 10L)
+    assert(got(3L) === 20L, "2-hop cost-20 path must beat 1-hop cost-50")
+    assert(got(4L) === 21L && got(5L) === 22L)
+    // within 4 rounds node 6 is only reachable via the ≤4-edge path
+    // 1→3→4→5→6 (cost 53); the cheaper 5-edge route (23) is beyond
+    // the horizon — documented ≤ rounds-edge semantics
+    assert(got(6L) === 53L)
+    assert(!got.contains(7L), "node beyond the round horizon is not emitted")
+  }
+
+  test("sssp ≡ ≤k-edge relaxation reference on a pseudo-random weighted graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 25
+    val edges = (for {
+      u <- 1 to n; v <- 1 to n
+      if u != v && rnd.nextDouble() < 0.15
+    } yield (u.toLong, v.toLong, (rnd.nextInt(9) + 1).toLong)).toVector
+    val rounds = 4
+    // driver-side DP: d_k(v) = min(d_{k-1}(v), min_u d_{k-1}(u) + w)
+    var ref = Map(1L -> 0L)
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.flatMap { case (u, v, w) =>
+        ref.get(u).map(du => v -> (du + w))
+      }.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).min }
+      ref = (ref.keySet ++ relaxed.keySet).map { v =>
+        v -> math.min(ref.getOrElse(v, Long.MaxValue),
+          relaxed.getOrElse(v, Long.MaxValue))
+      }.toMap
+    }
+    val got = Graphs.ssspDistances(edges.toDF("src", "dst", "w"),
+        Seq(Tuple1(1L)).toDF("node"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref, "frontier BF must equal full ≤k-edge relaxation")
+  }
+
+  test("labelProp: two cliques with a bridge keep separate communities") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + K4 {5,6,7,8} + bridge 4-5: density must hold each
+    // clique together; connectivity (a CC view) would merge them.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L),
+      (7L, 8L), (4L, 5L))
+    val got = Graphs.labelProp(edges.toDF("u", "v"), Graphs.LpaRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 8)
+    assert(Set(1L, 2L, 3L, 4L).map(got) === Set(1L),
+      s"clique A must converge to min label 1, got $got")
+    assert(Set(5L, 6L, 7L, 8L).map(got) === Set(5L),
+      s"clique B must converge to its own min label 5, got $got")
+  }
+
+  test("labelProp on the fixture: deterministic, label set ⊆ node set, fewer communities than nodes") {
+    val rows = Graphs.labelProp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nodes = rows.map(_._1).toSet
+    val labels = rows.map(_._2).toSet
+    assert(labels.subsetOf(nodes), "every label is some node's id")
+    assert(labels.size < nodes.size, "propagation must merge SOME nodes")
+    val again = Graphs.labelProp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("pageRank on the fixture graph: total mass conserved within floor losses") {
     val rows = Graphs.pageRank(spark, sf).collect().map(_.getLong(1))
     val n = rows.length.toLong

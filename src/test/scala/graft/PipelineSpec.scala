@@ -45,6 +45,39 @@ class PipelineSpec extends SparkSuiteBase {
     assert(trainIds.forall(tagged(_) == "train") && valIds.forall(tagged(_) == "val"))
   }
 
+  test("splitByCluster: clusters land whole on one side; singletons match splitTag; per-doc hashing WOULD leak") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc ids chosen so that within some cluster the per-doc FNV rule
+    // assigns BOTH sides (asserted below — the leak this operator
+    // exists to prevent), while the cluster key assigns one.
+    val docs = (1L to 60L).map(i => (i, "en")).toDF("doc_id", "lang")
+    // clusters: {1..10} labeled 1, {11..15} labeled 11; 16..60 singletons
+    val comp = ((1L to 10L).map(i => (i, 1L)) ++ (11L to 15L).map(i => (i, 11L)))
+      .toDF("doc_id", "comp")
+    val got = Pipeline.splitByCluster(docs, comp, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got.length === 60)
+    // cluster-atomic: one split side per cluster key
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).toSet.size === 1, s"cluster $c split across sides")
+    }
+    // singletons keep the exact per-doc assignment of q_split — the
+    // two operators agree wherever leaking is impossible
+    val perDoc = Pipeline.splitTag(docs, 10).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    got.filter(r => r._1 == r._2 && r._1 > 15L).foreach { case (id, _, s) =>
+      assert(s === perDoc(id), s"singleton $id diverges from splitTag")
+    }
+    // and the per-doc rule demonstrably leaks on these clusters: some
+    // cluster's members straddle train and val under splitTag
+    val leaked = got.filter(_._1 <= 15L)
+      .groupBy(_._2).exists { case (_, rows) =>
+        rows.map(r => perDoc(r._1)).toSet.size > 1
+      }
+    assert(leaked, "fixture must exhibit the per-doc leak being prevented")
+  }
+
   test("two-phase groupSample ≡ single-window form; exactly min(k, |group|) per stratum") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     for (k <- Seq(1, 5, 100000)) {
