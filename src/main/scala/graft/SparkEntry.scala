@@ -200,6 +200,7 @@ object SparkEntry {
     "q_sssp"            -> ((s, d) => Graphs.ssspDistances(s, d)),
     "q_ppr"             -> ((s, d) => Graphs.personalizedPageRank(s, d)),
     "q_label_prop"      -> ((s, d) => Graphs.labelProp(s, d)),
+    "q_hits"            -> ((s, d) => Graphs.hits(s, d)),
     "q_basket_pairs"    -> ((s, d) => Graphs.basketPairs(s, d)),
     "q_stream_enrich"   -> ((s, d) => graft.streaming.Streams.enrich(s, d)),
     "q_scd2"            -> ((s, d) => Relational.scd2(s, d)),
@@ -1504,6 +1505,7 @@ object SparkEntry {
     // counts then the (count desc, label asc) argmax via row_number —
     // the same total order as the Spark min-struct
     "q_label_prop" -> labelPropOracle(operators.Graphs.LpaRounds),
+    "q_hits" -> hitsOracle(operators.Graphs.HitsRounds),
     // market-basket pair mining: integer counts + micro-unit lift
     // (floor div) — every column exact, support filter mirrors
     // Graphs.BasketMinSupport
@@ -3046,6 +3048,40 @@ object SparkEntry {
     head + ",\n" + its.mkString(",\n") + s"\nSELECT node, dist FROM v$maxHops"
   }
 
+  /** Oracle for q_hits: `Graphs.hits`' mutual-reinforcement loop
+    * unrolled as chained CTEs — same directed supplier→part edges,
+    * same BIGINT max-norm `(s · Scale) // max(s)` per half-round, so
+    * scores are bit-exact. Per-round CTEs are referenced twice (the
+    * scalar max subquery + the normalize scan) → AS MATERIALIZED, or
+    * DuckDB's CTE inlining doubles the evaluated chain per round. */
+  private def hitsOracle(rounds: Int): String = {
+    val sc = operators.Graphs.HitsScale
+    val head =
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
+         |), h0 AS (
+         |  SELECT DISTINCT src AS node, CAST($sc AS BIGINT) AS s FROM e
+         |)""".stripMargin
+    val its = (1 to rounds).map { i =>
+      s"""a${i}r AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(h${i - 1}.s) AS raw
+         |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY e.dst
+         |), a$i AS MATERIALIZED (
+         |  SELECT node, CAST((raw * $sc) // (SELECT max(raw) FROM a${i}r) AS BIGINT) AS s
+         |  FROM a${i}r
+         |), h${i}r AS MATERIALIZED (
+         |  SELECT e.src AS node, sum(a$i.s) AS raw
+         |  FROM e JOIN a$i ON e.dst = a$i.node GROUP BY e.src
+         |), h$i AS MATERIALIZED (
+         |  SELECT node, CAST((raw * $sc) // (SELECT max(raw) FROM h${i}r) AS BIGINT) AS s
+         |  FROM h${i}r
+         |)""".stripMargin
+    }
+    head + ",\n" + its.mkString(",\n") +
+      "\nSELECT 'hub' AS kind, node, s AS score FROM h" + rounds +
+      "\nUNION ALL\nSELECT 'authority' AS kind, node, s AS score FROM a" + rounds
+  }
+
   /** Oracle for q_ppr: `Graphs.personalizedPageRank`'s loop unrolled —
     * the pageRankOracle pattern with seed-only teleport and LEFT joins
     * from the full node set (zero-in-mass non-seeds keep a 0 row).
@@ -3987,6 +4023,7 @@ object SparkEntry {
       s"($i, [${p.map(_.toString).mkString(", ")}])"
     }.mkString(",\n      ")
     val mb = operators.Similarity.LshMaxBits
+    val cap = operators.Similarity.LshBitsCap
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings
@@ -3998,8 +4035,11 @@ object SparkEntry {
        |), pl(i, p) AS (VALUES
        |      $planeRows
        |), np AS (
-       |  SELECT GREATEST(4, LEAST($mb,
-       |    CAST(ceil(log2(GREATEST(1.0, count(*) / ${operators.Similarity.TargetBucket}.0))) AS BIGINT))) AS np
+       |  SELECT GREATEST(4, LEAST($cap,
+       |    CAST(ceil(log2(GREATEST(1.0, count(*) / ${operators.Similarity.TargetBucket}.0))) AS BIGINT))) AS np,
+       |    CASE WHEN count(*) > ${operators.Similarity.TargetBucket.toLong << operators.Similarity.LshBitsCap}
+       |         THEN ${operators.Similarity.LshTablesMax}
+       |         ELSE ${operators.Similarity.LshTablesBase} END AS ntab
        |  FROM embeddings
        |), b AS MATERIALIZED (
        |  SELECT n.vec_id, tb.t,
@@ -4007,8 +4047,9 @@ object SparkEntry {
        |           list_transform(range(1, len(n.e) + 1), j -> pl.p[j] * n.e[j])),
        |           (a, x) -> a + x) > 0
        |         THEN (1 << (pl.i - tb.t * $mb)) ELSE 0 END) AS INT) AS bucket
-       |  FROM n, pl, np, range(0, ${operators.Similarity.LshTables}) tb(t)
-       |  WHERE pl.i >= tb.t * $mb AND pl.i < tb.t * $mb + np.np
+       |  FROM n, pl, np, range(0, ${operators.Similarity.LshTablesMax}) tb(t)
+       |  WHERE tb.t < np.ntab
+       |    AND pl.i >= tb.t * $mb AND pl.i < tb.t * $mb + np.np
        |  GROUP BY n.vec_id, tb.t
        |), q AS (
        |  SELECT b.vec_id, b.t,
@@ -4258,7 +4299,7 @@ object SparkEntry {
     val m = operators.Similarity.PqM
     val d = operators.Similarity.PqD
     val kc = operators.Similarity.PqK
-    val shortN = operators.Similarity.pqShortlist(10)
+    val shortN = s"GREATEST(${operators.Similarity.pqShortlistFloor(10)}, (SELECT COUNT(*) FROM embeddings) // 8)"
     def chain(s: Int): String = lloydSubspaceSql("", "x", s, iters, kc, d)
     val encU = (0 until m)
       .map(s => s"SELECT vec_id, $s AS s, cid FROM eb$s").mkString("\n  UNION ALL ")
@@ -4321,7 +4362,7 @@ object SparkEntry {
     val m = operators.Similarity.PqM
     val d = operators.Similarity.PqD
     val kc = operators.Similarity.PqK
-    val shortN = operators.Similarity.pqShortlist(10)
+    val shortN = s"GREATEST(${operators.Similarity.pqShortlistFloor(10)}, (SELECT COUNT(*) FROM embeddings) // 8)"
     // fit rows come from the base slice for the append variant (the
     // model predates the delta); the full-corpus assignment, residuals
     // and encode tails are unchanged — the coarseChainSql base convention
@@ -4498,7 +4539,7 @@ object SparkEntry {
     * single integer expressions, the approximate d2 is an exact BIGINT
     * sum, and shortlist/re-rank mirror the pqOracle tail. */
   private def sqOracle: String = {
-    val shortN = operators.Similarity.pqShortlist(10)
+    val shortN = s"GREATEST(${operators.Similarity.pqShortlistFloor(10)}, (SELECT COUNT(*) FROM embeddings) // 8)"
     val lv = operators.Similarity.SqLevels
     s"""WITH q AS (
        |  SELECT vec_id,

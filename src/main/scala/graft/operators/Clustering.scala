@@ -146,7 +146,8 @@ object Clustering {
     }.toSeq
 
   private[operators] def assignFixed(v: DataFrame, cs: Array[Array[Long]]): DataFrame =
-    v.withColumn("best", array_min(array(distStructsL(cs): _*)))
+    v.withColumn("best",
+        element_at(graft.functions.VectorExprs.nearestLists(col("e"), cs, 1), 1))
       .select(col("vec_id"), col("e"),
         col("best.cid").as("cid"), col("best.d2").as("d2"))
 

@@ -443,6 +443,71 @@ object Graphs {
     * driver state. The per-order pair expansion is the degree_dist/
     * triangle one (bounded basket sizes; cap heavy containers
     * upstream). */
+  /** Rank unit for [[hits]]: 1.0 = 10⁶ micro-units. Smaller than the
+    * PageRank [[Scale]] deliberately: each HITS round multiplies a
+    * degree-bounded BIGINT sum (≤ deg_max · HitsScale) by HitsScale
+    * before the max-normalizing floor division, so the overflow bound
+    * is deg_max · HitsScale² < 2⁶³ → safe to deg_max ≈ 9·10⁶ (any
+    * realistic catalog hub); 10¹² scaling would cap deg_max at 9. */
+  val HitsScale = 1000000L
+
+  /** Fixed HITS mutual-reinforcement rounds ([[hits]]). */
+  val HitsRounds = 4
+
+  /** q_hits: Kleinberg's HITS (JACM 1999) over the DIRECTED
+    * supplier→part supply graph — hubs (suppliers whose catalog
+    * concentrates on well-sourced parts) and authorities (parts
+    * carried by the strong hubs), the mutual-reinforcement pair that
+    * PageRank's single walk can't express: q_pagerank ranks nodes by
+    * stationary visit mass, HITS separates "points at good things"
+    * from "is pointed at by good pointers" — the query/document split
+    * search and supplier-quality analytics both want. */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    hits(li.select(col("l_suppkey").as("src"),
+      col("l_partkey").as("dst")).distinct(), HitsRounds)
+  }
+
+  /** df form: (src, dst) directed edges; hubs are the src side,
+    * authorities the dst side.
+    *
+    * Integer discipline (the [[pageRank]] convention): scores live in
+    * [[HitsScale]] micro-units; each round is auth ← Σ_in hub then
+    * hub ← Σ_out auth, each followed by L∞ normalization
+    * `(s · Scale) div max(s)` — max-norm instead of the textbook L2
+    * because it needs no square root, keeps every step in exact
+    * BIGINT (bit-identical across engines/partitionings, so the
+    * DuckDB oracle replays the loop as chained CTEs), and preserves
+    * the score ORDER exactly (both norms are positive scalings; the
+    * L∞ fixed point is the same principal eigenvector direction).
+    *
+    * Shape at scale: per round two edge-keyed shuffles (join on
+    * src/dst) + two partial/final aggs + two 1-row max broadcasts —
+    * no windows, no driver state beyond the fixed round count;
+    * lineage cut per round (the dupComponents convention). */
+  def hits(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    val e = graft.Engine.cut(edgesIn)
+    def normalized(raw: DataFrame): DataFrame = {
+      // 1-row max, broadcast: (s·Scale) div max ≤ Scale, exact BIGINT
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      graft.Engine.cut(raw.crossJoin(broadcast(mx))
+        .select(col("node"), expr(s"(raw * ${HitsScale}L) div mx").as("s")))
+    }
+    var hub = graft.Engine.cut(
+      e.select(col("src").as("node")).distinct()
+        .withColumn("s", lit(HitsScale)))
+    var auth: DataFrame = hub.limit(0)
+    for (_ <- 1 to rounds) {
+      auth = normalized(e.join(hub, e("src") === hub("node"))
+        .groupBy(e("dst").as("node")).agg(sum("s").as("raw")))
+      hub = normalized(e.join(auth, e("dst") === auth("node"))
+        .groupBy(e("src").as("node")).agg(sum("s").as("raw")))
+    }
+    hub.select(lit("hub").as("kind"), col("node"), col("s").as("score"))
+      .unionAll(auth.select(lit("authority").as("kind"), col("node"),
+        col("s").as("score")))
+  }
+
   def labelProp(spark: SparkSession, dir: String): DataFrame = {
     val lp = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))

@@ -20,7 +20,7 @@ import graft.sources.Tables
   *    scanned once, partition-parallel; top-k per query is a window over
   *    k·P candidate rows, never a global sort of all scores. Norms are
   *    computed once per vector, not per (query, vector) pair.
-  *  - LSH: [[LshTables]] INDEPENDENT signed-hyperplane tables
+  *  - LSH: [[lshTables]] INDEPENDENT signed-hyperplane tables
   *    (OR-construction — the standard LSH amplification, Indyk-Motwani
   *    / Charikar), each `lshPlanes(n)` ≈ log₂(n/32) bits over its own
   *    slice of the seeded plane pool; a query probes, per table, its
@@ -230,40 +230,83 @@ object Similarity {
     * would shrink buckets; radius-2 probing would square the probe
     * count). Tables 0–3 read the identical seeded plane slices as
     * before (the pool extends; existing slices are unchanged). */
-  val LshTables = 6
-  /** Per-table bit budget (pool = LshTables · LshMaxBits planes). */
+  val LshTablesBase = 6
+  /** Table count past the [[LshBitsCap]] occupancy knee. Once bits are
+    * capped, per-table hit probability is FIXED (p^LshBitsCap), so the
+    * only recall lever left is the OR across tables: the sf1 run
+    * measured per-table hit ≈ 0.14 at 8 bits, so 6 tables → 0.60
+    * recall and 12 → ~0.84. Tables cost linearly (build rows, probe
+    * count) — the standard LSH scale spend. */
+  val LshTablesMax = 12
+  /** n-aware table count: [[LshTablesBase]] while log₂(n/TargetBucket)
+    * fits under [[LshBitsCap]] (bits still absorb growth), doubling to
+    * [[LshTablesMax]] past the 2^cap·TargetBucket ≈ 8k knee where bits
+    * freeze and recall must come from more tables. Gate scales
+    * (sf0.01/sf0.1) sit below the knee → 6 tables, unchanged results;
+    * the DuckDB oracle replays the same CASE. */
+  def lshTables(n: Long): Int =
+    if (n > (TargetBucket.toLong << LshBitsCap)) LshTablesMax else LshTablesBase
+  /** Per-table plane-pool stride (pool = LshTablesMax · LshMaxBits
+    * planes; table t's bit i reads plane t·LshMaxBits + i). Pool
+    * GEOMETRY only — the bits actually hashed are capped by
+    * [[LshBitsCap]] below. */
   val LshMaxBits = 12
+  /** Cap on bits actually hashed per table. The sf1 scale-proof run
+    * measured recall@10 collapsing 0.73 → 0.30 when log₂(n/32) pushed
+    * the code to 10 bits: per-table hit probability is p^bits, so
+    * every extra bit multiplies the miss rate — bits must NOT grow
+    * with n. Past 2^8·32 ≈ 8k vectors, occupancy (and thus candidate
+    * fraction) grows linearly instead; the scale counter is MORE
+    * TABLES (recall) + IVF-style partition pruning of the band index
+    * (cost), not more bits. sf0.01/sf0.1 compute 4/6 bits — below the
+    * cap — so gate-scale buckets and oracles are bit-identical. */
+  val LshBitsCap = 8
   /** Per-table target bucket occupancy. Coarser than the old
-    * single-table 16: with [[LshTables]] tables OR'd the candidate
+    * single-table 16: with [[lshTables]] tables OR'd the candidate
     * budget multiplies by ~L, so each table affords wider buckets —
     * and p^b per-table hit probability rises accordingly. */
   val TargetBucket = 32
 
   /** Hyperplane count PER TABLE ≈ log₂(n / TargetBucket): each plane
     * halves expected bucket occupancy, so this holds occupancy near
-    * [[TargetBucket]] vectors at any n (clamped to the per-table plane
-    * budget; past 2^12·32 ≈ 1.3e5 vectors per partition-of-interest,
-    * occupancy grows linearly — the standard LSH trade, countered by
-    * more tables, not more bits). */
+    * [[TargetBucket]] vectors up to the [[LshBitsCap]] clamp; past
+    * 2^8·32 ≈ 8k vectors occupancy grows linearly — the standard LSH
+    * trade, countered by more tables, not more bits (see the
+    * [[LshBitsCap]] scaladoc for the measured recall cliff). */
   def lshPlanes(n: Long): Int =
-    math.max(4, math.min(LshMaxBits,
+    math.max(4, math.min(LshBitsCap,
       math.ceil(math.log(math.max(1.0, n.toDouble / TargetBucket)) / math.log(2.0)).toInt))
 
   // Deterministic random hyperplanes (seed 7) in R^64 — a fixed pool of
-  // LshTables·LshMaxBits; table t's bit i reads plane t·LshMaxBits + i
+  // LshTablesMax·LshMaxBits; table t's bit i reads plane t·LshMaxBits + i
   // (disjoint slices → independent tables, since pool entries are iid).
+  // The pool covers LshTablesMax so growing the ACTIVE table count
+  // never re-draws planes: fills are sequential, so tables 0-5 read
+  // the identical slices at every n (gate-scale bit-parity).
   // private[graft]: the DuckDB oracle inlines these as exact
   // round-trip double literals.
   private[graft] val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
-    Array.fill(LshTables * LshMaxBits)(Array.fill(64)(rnd.nextGaussian()))
+    Array.fill(LshTablesMax * LshMaxBits)(Array.fill(64)(rnd.nextGaussian()))
   }
+
+  /** ONE compiled kernel for the whole signature array — see
+    * [[graft.functions.LshSignatures]] (bit-identical to the
+    * per-plane `bucketCol` composition, spec-asserted; constant
+    * bytecode at any table count, so 12 tables stay inside
+    * whole-stage codegen instead of tripping the 64 KB Janino limit
+    * that the unrolled `array(when(dot..))` form hits). */
+  private def signaturesCol(nTables: Int, nPlanes: Int): Column =
+    graft.functions.VectorExprs.lshSignatures(
+      col("e"), planes, 64, LshMaxBits, nTables, nPlanes)
 
   /** nPlanes-bit signed-hyperplane bucket id of table `t` over vector
     * column `e`: bit i = sign of ⟨plane_{t·LshMaxBits+i}, e⟩
     * (codegen'd dot kernel, same fold order as the oracle's
-    * list_reduce → identical buckets). */
-  private def bucketCol(t: Int, nPlanes: Int): Column =
+    * list_reduce → identical buckets). Retained as the DECLARATIVE
+    * reference form: the spec asserts [[signaturesCol]] reproduces it
+    * bit-for-bit. */
+  private[graft] def bucketCol(t: Int, nPlanes: Int): Column =
     (0 until nPlanes).map { i =>
       when(graft.functions.VectorExprs.dot(
         lit(planes(t * LshMaxBits + i)), col("e")) > 0,
@@ -365,16 +408,15 @@ object Similarity {
   private def ivfBodyQ(v: DataFrame, isQuery: Column, k: Int, probes: Int,
                        cents: Array[Array[Long]],
                        corpusFilter: Option[DataFrame] = None): DataFrame = {
-    val ds = distStructsQ(cents)
-    def withDists(df: DataFrame): DataFrame =
-      df.withColumn("ds", array_sort(array(ds: _*)))
-    val cv0 = withDists(v)
+    val cv0 = v
+      .withColumn("ds", graft.functions.VectorExprs.nearestLists(col("eq"), cents, 1))
       .withColumn("cid", col("ds")(0).getField("cid")).drop("ds", "eq")
     // filtered-ANN pre-filter: candidates semi-joined to the allowed id
     // set BEFORE scoring (queries stay unrestricted)
     val cv = corpusFilter.fold(cv0)(f => cv0.join(f, Seq("vec_id"), "left_semi"))
-    val q = withDists(v.where(isQuery))
-      .withColumn("probe", explode(expr(s"transform(slice(ds, 1, $probes), s -> s.cid)")))
+    val q = v.where(isQuery)
+      .withColumn("ds", graft.functions.VectorExprs.nearestLists(col("eq"), cents, probes))
+      .withColumn("probe", explode(expr("transform(ds, s -> s.cid)")))
       .drop("ds", "eq")
     val scored = broadcast(q).as("q").join(cv.as("c"),
         col("q.probe") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
@@ -456,7 +498,7 @@ object Similarity {
       val lists = ivfK(corpusSize(spark, dir))
       val cents = ivfCentsFixed(spark, dir, lists)
       val assigned = vecsQ(spark, dir)
-        .withColumn("best", array_min(array(distStructsQ(cents): _*)))
+        .withColumn("best", element_at(graft.functions.VectorExprs.nearestLists(col("eq"), cents, 1), 1))
         .withColumn("cid", col("best.cid")).drop("best", "eq")
       val root = new java.io.File(stableRoot(dir), "ivf_index")
       graft.sources.Sinks.writePartitioned(
@@ -484,13 +526,11 @@ object Similarity {
                           cents: Array[Array[Long]], k: Int,
                           nProbe: Int): DataFrame = {
     val probes = if (nProbe > 0) nProbe else ivfNProbe(cents.length)
-    val ds = distStructsQ(cents)
     // query batch: derives probe lists from the tiny centroid array —
     // the only corpus touch is the pushed-filter vec_id < 10 read
     val q = vecsQ(spark, dir).where(QueryVecs)
-      .withColumn("dsrt", array_sort(array(ds: _*)))
-      .withColumn("probe",
-        explode(expr(s"transform(slice(dsrt, 1, $probes), s -> s.cid)")))
+      .withColumn("dsrt", graft.functions.VectorExprs.nearestLists(col("eq"), cents, probes))
+      .withColumn("probe", explode(expr("transform(dsrt, s -> s.cid)")))
       .drop("dsrt", "eq")
     val probeCids = q.select(col("probe")).distinct().collect()
       .map(_.getInt(0).asInstanceOf[AnyRef])
@@ -593,7 +633,7 @@ object Similarity {
         else Clustering.fitFixed(v.select(col("vec_id"), col("eq").as("e")),
           Clustering.Iters, ivfK(n))
       def assigned(df: DataFrame): DataFrame = df
-        .withColumn("best", array_min(array(distStructsQ(cents): _*)))
+        .withColumn("best", element_at(graft.functions.VectorExprs.nearestLists(col("eq"), cents, 1), 1))
         .withColumn("cid", col("best.cid")).drop("best", "eq")
       val root = new java.io.File(stableRoot(dir), "ivf_index_inc")
       graft.sources.Sinks.writePartitioned(
@@ -615,21 +655,23 @@ object Similarity {
       graft.Engine.workDir("graft-ivf-"))
 
   /** North-star q_simsearch_lsh: approximate top-k via multi-table
-    * hyperplane LSH — [[LshTables]] independent tables (OR-construction)
+    * hyperplane LSH — [[lshTables]] independent tables (OR-construction)
     * each probed at its own bucket plus every single-bit flip.
     * Approximate vs brute force, but fully deterministic given the
     * seeded plane pool — oracle-replayed in DuckDB (inlined plane
     * literals); recall vs `bruteForceTopK` is property-tested and
     * recorded per bench round. */
-  def lshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    lshBody(vecs(spark, dir), QueryVecs,
-      lshPlanes(corpusSize(spark, dir)), k)
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val n = corpusSize(spark, dir)
+    lshBody(vecs(spark, dir), QueryVecs, lshPlanes(n), lshTables(n), k)
+  }
 
   /** df form: expects (vec_id, embedding); plane count derived from the
     * corpus count. */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
     val v = vecs(emb)
-    lshBody(v, isQuery, lshPlanes(v.count()), k)
+    val n = v.count()
+    lshBody(v, isQuery, lshPlanes(n), lshTables(n), k)
   }
 
   // ---- staged / appended LSH index (q_simsearch_lsh_indexed/_append):
@@ -657,48 +699,49 @@ object Similarity {
   val LshBucketGroups = 64
 
   private val lshIndexCache =
-    new scala.collection.concurrent.TrieMap[(String, String), (String, Int)]()
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Int, Int)]()
   private val lshAppendCache =
-    new scala.collection.concurrent.TrieMap[(String, String), (String, Int)]()
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Int, Int)]()
   def clearLshIndexCache(): Unit = lshIndexCache.clear()
   def clearLshAppendCache(): Unit = lshAppendCache.clear()
 
   /** The slim index rows: (vec_id, t, bucket, bgrp) via the SAME
     * codegen sign-bit expression the live search uses — one source, so
     * staged buckets cannot drift from live buckets. */
-  private def lshIndexRows(v: DataFrame, nPlanes: Int): DataFrame =
-    v.withColumn("buckets",
-        array((0 until LshTables).map(t => bucketCol(t, nPlanes)): _*))
+  private def lshIndexRows(v: DataFrame, nPlanes: Int,
+                           nTables: Int): DataFrame =
+    v.withColumn("buckets", signaturesCol(nTables, nPlanes))
       .select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bucket")))
       .withColumn("bgrp", pmod(col("bucket"), lit(LshBucketGroups)))
 
-  private[graft] def stagedLshIndex(spark: SparkSession, dir: String): (String, Int) =
+  private[graft] def stagedLshIndex(spark: SparkSession, dir: String): (String, Int, Int) =
     lshIndexCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
-      val np = lshPlanes(corpusSize(spark, dir))
+      val n = corpusSize(spark, dir)
+      val (np, nt) = (lshPlanes(n), lshTables(n))
       val root = new java.io.File(stableRoot(dir), "lsh_index")
       graft.sources.Sinks.writePartitioned(
-        lshIndexRows(vecs(spark, dir), np),
+        lshIndexRows(vecs(spark, dir), np, nt),
         root.getAbsolutePath, Seq("t", "bgrp"), Seq("vec_id"))
-      (root.getAbsolutePath, np)
+      (root.getAbsolutePath, np, nt)
     })
 
   /** Base staged once, the late decile's rows appended into the same
     * (t, bgrp) dirs. Plane count sizes from the FULL corpus count (the
     * ivfK convention) so base and delta hash under identical geometry. */
-  private[graft] def stagedAppendedLshIndex(spark: SparkSession, dir: String): (String, Int) =
+  private[graft] def stagedAppendedLshIndex(spark: SparkSession, dir: String): (String, Int, Int) =
     lshAppendCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
       val n = corpusSize(spark, dir)
       val cut = n - math.max(1L, n / 10)
-      val np = lshPlanes(n)
+      val (np, nt) = (lshPlanes(n), lshTables(n))
       val v = vecs(spark, dir)
       val root = new java.io.File(stableRoot(dir), "lsh_index_inc")
       graft.sources.Sinks.writePartitioned(
-        lshIndexRows(v.where(col("vec_id") < cut), np),
+        lshIndexRows(v.where(col("vec_id") < cut), np, nt),
         root.getAbsolutePath, Seq("t", "bgrp"), Seq("vec_id"))
-      lshIndexRows(v.where(col("vec_id") >= cut), np)
+      lshIndexRows(v.where(col("vec_id") >= cut), np, nt)
         .write.mode("append").partitionBy("t", "bgrp")
         .parquet(root.getAbsolutePath)
-      (root.getAbsolutePath, np)
+      (root.getAbsolutePath, np, nt)
     })
 
   /** North-star q_simsearch_lsh_indexed: the multi-table search served
@@ -706,22 +749,22 @@ object Similarity {
     * bit-for-bit (integer buckets round-trip parquet exactly; scoring
     * reads the same raw embeddings both ways). */
   def lshTopKIndexed(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val (path, np) = stagedLshIndex(spark, dir)
-    lshSearchIndex(spark, dir, path, np, k)
+    val (path, np, nt) = stagedLshIndex(spark, dir)
+    lshSearchIndex(spark, dir, path, np, nt, k)
   }
 
   /** North-star q_simsearch_lsh_append: served from the append-
     * maintained index; ≡ live search of the full corpus by
     * construction (data-independent planes — see the block comment). */
   def lshTopKAppended(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val (path, np) = stagedAppendedLshIndex(spark, dir)
-    lshSearchIndex(spark, dir, path, np, k)
+    val (path, np, nt) = stagedAppendedLshIndex(spark, dir)
+    lshSearchIndex(spark, dir, path, np, nt, k)
   }
 
   private def lshSearchIndex(spark: SparkSession, dir: String, path: String,
-                             np: Int, k: Int): DataFrame = {
+                             np: Int, nt: Int, k: Int): DataFrame = {
     val v = vecs(spark, dir)
-    val qp = lshQueryProbes(v, QueryVecs, np)
+    val qp = lshQueryProbes(v, QueryVecs, np, nt)
     // bounded probe ledger (≤ nQueries·L·(bits+1) int pairs) inlined as
     // static PartitionFilters — the stagedIvfIndex probed-cid pattern
     val pairs = qp.select(col("t"), col("probe")).distinct().collect()
@@ -760,15 +803,29 @@ object Similarity {
     * DuckDB oracle (8 subspaces × PqIters chains), so this also bounds
     * oracle size. */
   val PqIters = 4
-  /** ADC shortlist size before exact re-rank. 64·k: with 4-bit codes
+  /** ADC shortlist floor before exact re-rank. 64·k: with 4-bit codes
     * (PqK = 16) the ADC rank is coarse — a true neighbor routinely
     * sits at ADC rank 100+ — and the re-rank join is bounded by
     * nQueries·shortlist rows (tiny, broadcast), so a wide shortlist
     * buys recall (flat-PQ recall@10 measured 0.63 at 8·k → 0.94 at
     * 64·k, sf0.1) at near-zero cost: the expensive part, the ADC
-    * scan, is unchanged, and IVFPQ sits at its probe-fraction ceiling
-    * (= plain IVF's 0.88) either way. */
-  def pqShortlist(k: Int): Int = 64 * k
+    * scan, is unchanged. */
+  def pqShortlistFloor(k: Int): Int = 64 * k
+
+  /** Corpus-aware ADC shortlist width: max(64·k, n/8). ADC rank
+    * inversions grow ~linearly with the number of competitors, so a
+    * FIXED shortlist is a shrinking fraction of the corpus and flat-PQ
+    * recall decays with n — the sf1 scale-proof run measured 0.72 at
+    * 640/20000 = 3.2% vs 0.94 at 640/2000 = 32%. Holding the fraction
+    * at ≥ 1/8 pins recall; the re-rank join stays nQueries·(n/8) rows
+    * (broadcast-sized). This is flat PQ's honest role: it prunes
+    * MEMORY 32×, not candidate count — the candidate-count pruner at
+    * 100 TB is IVFPQ, whose shortlist is already bounded by the probed
+    * lists (~nProbe/K of the corpus) before this width applies.
+    * Gate-scale parity: n/8 < 640 for n ≤ 5120, so sf0.01/sf0.1
+    * results and oracles are unchanged. */
+  def pqShortlist(k: Int, n: Long): Int =
+    math.max(pqShortlistFloor(k), (n / 8L).toInt)
 
   private val pqCache =
     new scala.collection.concurrent.TrieMap[(String, String), Array[Array[Array[Long]]]]()
@@ -818,7 +875,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), pqLutCol(books, "eq").as("lut"))
     val scored = broadcast(q).join(enc, col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), pqAdcCol(books).as("pqd2"))
-    pqRerank(v, scored, k)
+    pqRerank(v, scored, k, corpusSize(spark, dir))
   }
 
   /** Codes column: nearest codeword per subspace over the micro-unit
@@ -853,13 +910,14 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Shortlist `pqShortlist(k)` rows per query by (pqd2, vec_id), then
-    * exact-cosine re-rank on the original doubles. */
-  private def pqRerank(v: DataFrame, scored: DataFrame, k: Int,
+  /** Shortlist `pqShortlist(k, n)` rows per query by (pqd2, vec_id),
+    * then exact-cosine re-rank on the original doubles. `n` is the
+    * corpus cardinality (drives the corpus-aware shortlist width). */
+  private def pqRerank(v: DataFrame, scored: DataFrame, k: Int, n: Long,
                        isQuery: Column = QueryVecs): DataFrame = {
     val wS = Window.partitionBy("qid").orderBy(asc("pqd2"), asc("vec_id"))
     val short = scored.withColumn("srn", row_number().over(wS))
-      .where(col("srn") <= pqShortlist(k))
+      .where(col("srn") <= pqShortlist(k, n))
       .select(col("qid"), col("vec_id").as("cand"))
     val qv = v.where(isQuery)
       .select(col("vec_id").as("qqid"), col("e"), col("nrm"))
@@ -910,7 +968,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), pqLutCol(books, "eq").as("lut"))
     val scored = broadcast(q).join(enc, col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), pqAdcCol(books).as("pqd2"))
-    pqRerank(v, scored, k)
+    pqRerank(v, scored, k, corpusSize(spark, dir))
   }
 
   // ---- IVF + residual PQ (q_simsearch_ivfpq) ----
@@ -945,7 +1003,7 @@ object Similarity {
     * `rq = eq − cent(cid)` to each vector of `v`. */
   private def residuals(v: DataFrame, cdf: DataFrame,
                         cents: Array[Array[Long]]): DataFrame =
-    v.withColumn("ds", array_sort(array(distStructsQ(cents): _*)))
+    v.withColumn("ds", graft.functions.VectorExprs.nearestLists(col("eq"), cents, 1))
       .withColumn("cid", col("ds")(0).getField("cid")).drop("ds")
       .join(broadcast(cdf), "cid")
       .withColumn("rq", expr("zip_with(eq, cent, (a, b) -> a - b)"))
@@ -979,8 +1037,8 @@ object Similarity {
       cents: Array[Array[Long]], books: Array[Array[Array[Long]]],
       probes: Int): DataFrame =
     v.where(QueryVecs)
-      .withColumn("ds", array_sort(array(distStructsQ(cents): _*)))
-      .withColumn("cid", explode(expr(s"transform(slice(ds, 1, $probes), s -> s.cid)")))
+      .withColumn("ds", graft.functions.VectorExprs.nearestLists(col("eq"), cents, probes))
+      .withColumn("cid", explode(expr("transform(ds, s -> s.cid)")))
       .drop("ds")
       .join(broadcast(cdf), "cid")
       .withColumn("rq", expr("zip_with(eq, cent, (a, b) -> a - b)"))
@@ -1047,7 +1105,7 @@ object Similarity {
     val scored = broadcast(q).join(enc,
         col("probe") === col("cid") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), pqAdcCol(books).as("pqd2"))
-    pqRerank(v, scored, k)
+    pqRerank(v, scored, k, corpusSize(spark, dir))
   }
 
   private val ivfpqAppendCache = new scala.collection.concurrent.TrieMap[
@@ -1132,7 +1190,7 @@ object Similarity {
     val scored = broadcast(q).join(enc,
         col("probe") === col("cid") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), pqAdcCol(books).as("pqd2"))
-    pqRerank(v, scored, k)
+    pqRerank(v, scored, k, corpusSize(spark, dir))
   }
 
   // ---- Scalar quantization (q_simsearch_sq): the third compression
@@ -1202,7 +1260,7 @@ object Similarity {
     * like [[stagedPqIndex]] (64 bytes/vector vs 256 fp32). */
   def sqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val (lo, w) = sqStats(spark, dir)
-    sqBody(vecsQ(spark, dir), QueryVecs, k, lo, w)
+    sqBody(vecsQ(spark, dir), QueryVecs, k, lo, w, corpusSize(spark, dir))
   }
 
   /** df form: expects (vec_id, embedding) with the harness's 64-dim
@@ -1211,11 +1269,11 @@ object Similarity {
   def sqTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
     val v = vecsQ(emb)
     val (lo, w) = sqFit(v)
-    sqBody(v, isQuery, k, lo, w)
+    sqBody(v, isQuery, k, lo, w, v.count())
   }
 
   private def sqBody(v: DataFrame, isQuery: Column, k: Int,
-                     lo: Array[Long], w: Array[Long]): DataFrame = {
+                     lo: Array[Long], w: Array[Long], n: Long): DataFrame = {
     val enc = v.select(col("vec_id"), sqCodesCol(lo, w).as("codes"))
       .withColumn("xhat", sqDecodeCol(lo, w)).drop("codes")
     val q = v.where(isQuery)
@@ -1223,7 +1281,7 @@ object Similarity {
     val scored = broadcast(q).join(enc, col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         graft.functions.VectorExprs.sqDistLong(col("qeq"), col("xhat")).as("pqd2"))
-    pqRerank(v, scored, k, isQuery)
+    pqRerank(v, scored, k, n, isQuery)
   }
 
   // ---- kNN join (q_knn_join / q_knn_join_blocked): every corpus
@@ -1323,13 +1381,13 @@ object Similarity {
     val lists = ivfK(corpusSize(spark, dir))
     val probes = if (nProbe > 0) nProbe else knnJoinProbes(lists)
     val v = vecsQ(spark, dir)
-    val ds = distStructsQ(ivfCentsFixed(spark, dir, lists))
-    def withDists(df: DataFrame): DataFrame =
-      df.withColumn("ds", array_sort(array(ds: _*)))
-    val cv = withDists(v)
+    val cents = ivfCentsFixed(spark, dir, lists)
+    val cv = v
+      .withColumn("ds", graft.functions.VectorExprs.nearestLists(col("eq"), cents, 1))
       .withColumn("cid", col("ds")(0).getField("cid")).drop("ds", "eq")
-    val qv = withDists(v)
-      .withColumn("probe", explode(expr(s"transform(slice(ds, 1, $probes), s -> s.cid)")))
+    val qv = v
+      .withColumn("ds", graft.functions.VectorExprs.nearestLists(col("eq"), cents, probes))
+      .withColumn("probe", explode(expr("transform(ds, s -> s.cid)")))
       .drop("ds", "eq")
     val scored = qv.as("q").join(cv.as("c").hint("shuffle_hash"),
         col("q.probe") === col("c.cid") && col("q.vec_id") =!= col("c.vec_id"))
@@ -1516,13 +1574,12 @@ object Similarity {
     *     pair list against the corpus scan), then the usual per-query
     *     top-k window over bounded candidate rows. */
   private def lshBody(vin: DataFrame, isQuery: Column, nPlanes: Int,
-                      k: Int): DataFrame = {
-    val v = vin.withColumn("buckets",
-      array((0 until LshTables).map(t => bucketCol(t, nPlanes)): _*))
+                      nTables: Int, k: Int): DataFrame = {
+    val v = vin.withColumn("buckets", signaturesCol(nTables, nPlanes))
     // slim (vec_id, t, bucket) corpus index — one row per (vector, table)
     val cb = v.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("t", "bucket")))
-    val qp = lshQueryProbes(vin, isQuery, nPlanes)
+    val qp = lshQueryProbes(vin, isQuery, nPlanes, nTables)
     val cand = broadcast(qp).as("q")
       .join(cb.as("c"),
         col("q.t") === col("c.t") && col("q.probe") === col("c.bucket") &&
@@ -1536,10 +1593,9 @@ object Similarity {
     * (the ONE bucketCol expression) plus every single-bit flip per
     * table — shared by the live and indexed search forms. */
   private def lshQueryProbes(v: DataFrame, isQuery: Column,
-                             nPlanes: Int): DataFrame =
+                             nPlanes: Int, nTables: Int): DataFrame =
     v.where(isQuery)
-      .withColumn("buckets",
-        array((0 until LshTables).map(t => bucketCol(t, nPlanes)): _*))
+      .withColumn("buckets", signaturesCol(nTables, nPlanes))
       .select(col("vec_id").as("qid"),
         posexplode(col("buckets")).as(Seq("t", "bucket")))
       .withColumn("probe", explode(expr(

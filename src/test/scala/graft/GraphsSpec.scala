@@ -177,6 +177,44 @@ class GraphsSpec extends SparkSuiteBase {
     assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("hits matches an exact integer reference; reinforcement ranks hubs by authority quality") {
+    import spark.implicits._
+    // hubs 1,2,3 → authorities 10,11,12: 10 is carried by all three
+    // hubs, 11 by two, 12 by one; hub 3 points ONLY at the strong
+    // authority 10, hub 1 spreads across all three
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (3L, 10L))
+    val got = Graphs.hits(edges.toDF("src", "dst"), Graphs.HitsRounds)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // driver-side reference: same integer max-norm loop, plain Scala
+    var hub = edges.map(_._1).distinct.map(_ -> Graphs.HitsScale).toMap
+    var auth = Map.empty[Long, Long]
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      m.map { case (k, v) => k -> v * Graphs.HitsScale / mx }
+    }
+    for (_ <- 1 to Graphs.HitsRounds) {
+      auth = norm(edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => hub(e._1)).sum })
+      hub = norm(edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => auth(e._2)).sum })
+    }
+    val want = hub.map { case (n, v) => ("hub", n) -> v } ++
+      auth.map { case (n, v) => ("authority", n) -> v }
+    assert(got === want)
+    // authority order follows hub support; the strongest scores sit at
+    // the max-norm ceiling exactly
+    assert(got(("authority", 10L)) === Graphs.HitsScale)
+    assert(got(("authority", 10L)) > got(("authority", 11L)))
+    assert(got(("authority", 11L)) > got(("authority", 12L)))
+    // mutual reinforcement: hub 1 (three authorities incl. weak ones)
+    // outranks hub 3 (only the strong one) — degree still dominates —
+    // but hub 2 (two strong) outranks hub 3 (one strong)
+    assert(got(("hub", 1L)) === Graphs.HitsScale)
+    assert(got(("hub", 2L)) > got(("hub", 3L)))
+  }
+
   test("pageRank on the fixture graph: total mass conserved within floor losses") {
     val rows = Graphs.pageRank(spark, sf).collect().map(_.getLong(1))
     val n = rows.length.toLong

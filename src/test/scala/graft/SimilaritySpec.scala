@@ -32,6 +32,58 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(ragged.isNullAt(0), "length mismatch must be NULL")
   }
 
+  test("LshSignatures kernel ≡ the declarative per-plane bucket composition, bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 200).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    val df = rows.toDF("vec_id", "e")
+    // the max geometry the corpus-size rules can ever ask for
+    val (nt, np) = (Similarity.LshTablesMax, Similarity.LshBitsCap)
+    val kernel = graft.functions.VectorExprs.lshSignatures(
+      col("e"), Similarity.planes, 64, Similarity.LshMaxBits, nt, np)
+    val declarative = array((0 until nt).map(t => Similarity.bucketCol(t, np)): _*)
+    val bad = df.select(col("vec_id"), kernel.as("k"), declarative.as("d"))
+      .where(not(col("k") <=> col("d"))).count()
+    assert(bad === 0, "compiled signatures must equal the per-plane when(dot) form")
+    // ragged vector → NULL, matching the VectorFold convention
+    val ragged = Seq((1L, Array(1.0, 2.0))).toDF("vec_id", "e")
+      .select(graft.functions.VectorExprs.lshSignatures(
+        col("e"), Similarity.planes, 64, Similarity.LshMaxBits, nt, np).as("k"))
+      .collect()(0)
+    assert(ragged.isNullAt(0), "wrong-dim vector must be NULL")
+  }
+
+  test("NearestLists kernel ≡ array_sort of the declarative (d2, cid) structs, ties to lower cid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    def vec(): Array[Long] = Array.fill(64)((rnd.nextGaussian() * 1e6).round)
+    // K = 141 — the sf1 geometry where the unrolled struct array
+    // overflowed codegen; centroid 7 duplicated as 100 to force d2
+    // ties (lower cid must win, as in struct lexicographic order)
+    val cents = Array.tabulate(141)(i => if (i == 100) null else vec())
+    cents(100) = cents(7).clone()
+    val rows = (1 to 300).map(i => (i.toLong, vec()))
+    val df = rows.toDF("vec_id", "eq")
+    val declarative = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.VectorExprs.sqDistLong(col("eq"), lit(c)).as("d2"),
+        lit(i).as("cid"))
+    }: _*))
+    for (probes <- Seq(1, 13, 141)) {
+      val bad = df.select(
+          graft.functions.VectorExprs.nearestLists(col("eq"), cents, probes).as("k"),
+          slice(declarative, 1, probes).as("d"))
+        .where(not(col("k") <=> col("d"))).count()
+      assert(bad === 0, s"kernel order must equal array_sort at nProbe=$probes")
+    }
+    // ragged vector → NULL
+    val ragged = Seq((1L, Array(1L, 2L))).toDF("vec_id", "eq")
+      .select(graft.functions.VectorExprs.nearestLists(col("eq"), cents, 5).as("k"))
+      .collect()(0)
+    assert(ragged.isNullAt(0), "wrong-dim vector must be NULL")
+  }
+
   test("brute-force top-k ranks by cosine with deterministic tie-break") {
     val rows = Similarity.bruteForceTopK(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
@@ -133,7 +185,7 @@ class SimilaritySpec extends SparkSuiteBase {
     val live = Similarity.lshTopK(spark, sf).collect().map(key).toSet
     assert(appended === live)
     // the delta really landed as extra files inside existing (t, bgrp) dirs
-    val (path, _) = Similarity.stagedAppendedLshIndex(spark, sf)
+    val (path, _, _) = Similarity.stagedAppendedLshIndex(spark, sf)
     val bgrpDirs = new java.io.File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("t="))
       .flatMap(_.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bgrp=")))
@@ -278,9 +330,13 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(Similarity.ivfK(100000000000L) === 4096)  // clamp ceiling
     assert(Similarity.lshPlanes(2048) === 6)         // ceil(log2(2048/32))
     assert(Similarity.lshPlanes(16) === 4)           // clamp floor
-    assert(Similarity.lshPlanes(1L << 40) === Similarity.LshMaxBits) // per-table clamp
+    assert(Similarity.lshPlanes(1L << 40) === Similarity.LshBitsCap) // bits-cap clamp (recall guard)
+    assert(Similarity.lshPlanes(20000) === Similarity.LshBitsCap)    // sf1-scale hits the cap, not 10 bits
     assert(Similarity.planes.length ===
-      Similarity.LshTables * Similarity.LshMaxBits)  // pool covers all tables
+      Similarity.LshTablesMax * Similarity.LshMaxBits) // pool covers the max table count
+    assert(Similarity.lshTables(2000) === Similarity.LshTablesBase)  // gate scales: 6 tables
+    assert(Similarity.lshTables(8192) === Similarity.LshTablesBase)  // knee is exclusive
+    assert(Similarity.lshTables(20000) === Similarity.LshTablesMax)  // past the bits knee: 12
     // probed corpus fraction stays ~constant as K grows
     for (k <- Seq(10, 100, 1000))
       assert(math.abs(Similarity.ivfNProbe(k).toDouble / k - 0.15) < 0.16)
