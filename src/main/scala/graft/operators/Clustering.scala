@@ -465,7 +465,7 @@ object Clustering {
     jlProject(Tables(spark, dir, "embeddings"), JlDims)
 
   /** df form: expects (vec_id: Long, embedding: Array[Float|Double]);
-    * `d` ≤ the seeded pool size (48). */
+    * `d` ≤ the seeded pool size (LshTablesMax · LshMaxBits = 144). */
   def jlProject(emb: DataFrame, d: Int): DataFrame = {
     require(d <= Similarity.planes.length, s"d=$d exceeds the plane pool")
     val ycols = (0 until d).map { j =>

@@ -639,9 +639,9 @@ object Similarity {
       graft.sources.Sinks.writePartitioned(
         assigned(v.where(col("vec_id") < cut)),
         root.getAbsolutePath, Seq("cid"), Seq("vec_id"))
-      assigned(v.where(col("vec_id") >= cut))
-        .write.mode("append").partitionBy("cid")
-        .parquet(root.getAbsolutePath)
+      graft.sources.Sinks.appendPartitioned(
+        assigned(v.where(col("vec_id") >= cut)),
+        root.getAbsolutePath, Seq("cid"), Seq("vec_id"))
       (root.getAbsolutePath, cents)
     })
 
@@ -738,9 +738,9 @@ object Similarity {
       graft.sources.Sinks.writePartitioned(
         lshIndexRows(v.where(col("vec_id") < cut), np, nt),
         root.getAbsolutePath, Seq("t", "bgrp"), Seq("vec_id"))
-      lshIndexRows(v.where(col("vec_id") >= cut), np, nt)
-        .write.mode("append").partitionBy("t", "bgrp")
-        .parquet(root.getAbsolutePath)
+      graft.sources.Sinks.appendPartitioned(
+        lshIndexRows(v.where(col("vec_id") >= cut), np, nt),
+        root.getAbsolutePath, Seq("t", "bgrp"), Seq("vec_id"))
       (root.getAbsolutePath, np, nt)
     })
 
@@ -1159,10 +1159,10 @@ object Similarity {
       graft.sources.Sinks.writePartitioned(
         fitEnc, root.getAbsolutePath, Seq("cid"), Seq("vec_id"))
       if (!refresh)
-        residuals(v.where(col("vec_id") >= cut), cdf, cents)
-          .select(col("vec_id"), col("cid"), pqCodesCol(books, "rq").as("codes"))
-          .write.mode("append").partitionBy("cid")
-          .parquet(root.getAbsolutePath)
+        graft.sources.Sinks.appendPartitioned(
+          residuals(v.where(col("vec_id") >= cut), cdf, cents)
+            .select(col("vec_id"), col("cid"), pqCodesCol(books, "rq").as("codes")),
+          root.getAbsolutePath, Seq("cid"), Seq("vec_id"))
       (root.getAbsolutePath, cents, books)
     })
 

@@ -981,8 +981,9 @@ object TextOps {
       graft.sources.Sinks.writePartitioned(
         winnowIndexRows(docs.where(col("doc_id") < cut)),
         root, Seq("fgrp"), Seq("fp", "doc_id"))
-      winnowIndexRows(docs.where(col("doc_id") >= cut))
-        .write.mode("append").partitionBy("fgrp").parquet(root)
+      graft.sources.Sinks.appendPartitioned(
+        winnowIndexRows(docs.where(col("doc_id") >= cut)),
+        root, Seq("fgrp"), Seq("fp", "doc_id"))
       spark.read.parquet(root).count()
     }
 
