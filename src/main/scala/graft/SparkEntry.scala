@@ -2023,16 +2023,24 @@ object SparkEntry {
       s"""WITH e AS (
          |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
          |  FROM events WHERE value IS NOT NULL
+         |), f AS (
+         |  SELECT cents, u.r AS r,
+         |    ${utf8BytesSql("CAST(event_id AS VARCHAR) || ':' || CAST(u.r AS VARCHAR)")} AS bs
+         |  FROM e, unnest(range(0, ${operators.Evaluation.BootR})) AS u(r)
+         |), h0 AS (
+         |  SELECT cents, r,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT), bs),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+         |  FROM f
+         |), h1 AS (
+         |  SELECT cents, r, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h0
+         |), h2 AS (
+         |  SELECT cents, r, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h1
          |), x AS (
          |  SELECT r, cents,
-         |    CAST(len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999], c -> c <=
-         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(1, 16),
-         |        i -> CAST(strpos('0123456789abcdef',
-         |               substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)),
-         |                      CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
-         |      (a, x) -> a * 16 + x) % 1000000)) AS BIGINT) AS m
-         |  FROM e, unnest(range(0, ${operators.Evaluation.BootR})) AS u(r)
+         |    CAST(len(list_filter([367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999],
+         |      c -> c <= xor(h >> 16, h) % 1000000)) AS BIGINT) AS m
+         |  FROM h2
          |), g AS (
          |  SELECT CAST(r AS BIGINT) AS resample,
          |         CAST(sum(m) AS BIGINT) AS n_eff,

@@ -235,12 +235,15 @@ object Evaluation {
     * Poisson(1) per resample — one streaming pass, map-side partials).
     *
     * Made DETERMINISTIC: the multiplicity draw is the engine's
-    * seedless md5 60-bit fold of (event_id, resample) reduced to a
-    * 6-digit draw, inverse-CDF'd through the pinned [[BootCum]]
-    * literals — a pure function of the row and resample index, so the
-    * DuckDB oracle replays all [[BootR]] resamples bit-for-bit
-    * (hash-exact replay of a randomized algorithm, the KMV
-    * discipline applied to resampling).
+    * FNV-1a + avalanche hash of "event_id:r" reduced to a 6-digit
+    * draw (the SAME seedless draw family as the split/sample/CMS/HLL
+    * operators — round 11 retired the md5 form: MessageDigest was
+    * ~10× the integer chain and the sole reason this query led the
+    * matrix), inverse-CDF'd through the pinned [[BootCum]] literals —
+    * a pure function of the row and resample index, so the DuckDB
+    * oracle replays all [[BootR]] resamples bit-for-bit (hash-exact
+    * replay of a randomized algorithm, the KMV discipline applied to
+    * resampling).
     *
     * Exactness: per resample, n_eff = Σm and sum_cents = Σ m·cents are
     * BIGINT; the reported mean is micro-cents by integer division.
@@ -254,26 +257,28 @@ object Evaluation {
   /** df form: expects (event_id: Long, value: Double); NULL values
     * carry no mass. */
   def bootstrapMeans(events: DataFrame): DataFrame = {
-    // The draw is hoisted into its OWN transform column so md5 runs once
-    // per (row, resample) — 32/row. Folding it inside the filter lambda
-    // would re-evaluate it per threshold (9× redundant interpreted md5
-    // per resample — the shape that made this a 76 s matrix row in r10).
-    val e = events.where(col("value").isNotNull)
+    // Explode to (row, resample) grain FIRST, so the draw and the
+    // multiplicity are plain codegen'd projections — no higher-order
+    // lambdas anywhere (r10's nested-HOF form re-evaluated the
+    // interpreted draw once per threshold, a 76 s matrix row). The
+    // explode feeds straight into the 32-key partial aggregate —
+    // nothing n·32-sized materializes.
+    val mCol = BootCum.map(c => when(lit(c) <= col("d"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    events.where(col("value").isNotNull)
       .select(col("event_id"),
         round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("draws", expr(
-        s"""transform(sequence(0, ${BootR - 1}), r ->
-           |  pmod(cast(conv(substring(md5(concat(cast(event_id as string),
-           |    ':', cast(r as string))), 1, 15), 16, 10) as bigint), 1000000))
-           |""".stripMargin))
-      .withColumn("ms", expr(
-        s"""transform(draws, d ->
-           |  size(filter(${BootCum.mkString("array(", "L, ", "L)")}, c -> c <= d)))
-           |""".stripMargin))
-    e.select(col("cents"), posexplode(col("ms")).as(Seq("r", "m")))
+      .select(col("event_id"), col("cents"),
+        explode(expr(s"sequence(0, ${BootR - 1})")).as("r"))
+      .withColumn("d", pmod(
+        graft.functions.Fnv32a.mix32(graft.functions.Fnv32a.fnv32a(
+          concat(col("event_id").cast("string"), lit(":"),
+            col("r").cast("string")))),
+        lit(1000000L)))
+      .withColumn("m", mCol)
       .groupBy(col("r").cast("long").as("resample"))
-      .agg(sum(col("m").cast("long")).as("n_eff"),
-        sum(col("m").cast("long") * col("cents")).as("sum_cents"))
+      .agg(sum(col("m")).as("n_eff"),
+        sum(col("m") * col("cents")).as("sum_cents"))
       .withColumn("mean_microcents",
         when(col("n_eff") === 0L, 0L)
           .otherwise(expr("(1000000 * sum_cents) div n_eff")))
