@@ -432,20 +432,26 @@ object TextOps {
     * partial/final aggregations; the min-count filter runs BEFORE the
     * unigram joins, collapsing the long tail (Zipf: most bigrams are
     * hapax) so the joins touch only the surviving head; the two joins
-    * key on the vocabulary (AQE broadcasts small ones). Two scalar
-    * counts (U, B) are driver-held like `tfidf`'s N. The bigram explode
-    * is the native Catalyst [[graft.functions.Bigrams]] Generator. */
+    * key on the vocabulary (AQE broadcasts small ones). The two scalar
+    * counts (U, B) are Σc over the checkpointed count tables — they
+    * ride the aggregations, so the corpus is tokenized twice, not four
+    * times (round 11; values identical). The bigram explode is the
+    * native Catalyst [[graft.functions.Bigrams]] Generator. */
   def collocations(spark: SparkSession, dir: String): DataFrame =
     collocations(Tables(spark, dir, "documents"), 5L)
 
   def collocations(docs: DataFrame, minCount: Long): DataFrame = {
     val uni = docs.select(explode(tokens(col("text"))).as("tok"))
       .where(length(col("tok")) > 0)
-    val uniCnt = uni.groupBy("tok").agg(count(lit(1)).as("c"))
+    // checkpoint the vocab-sized count tables ONCE: the scalar totals
+    // are Σc over them (identical values to counting the token
+    // streams), so the corpus is tokenized twice, not four times —
+    // the totals ride the aggregations instead of their own passes
+    val uniCnt = graft.Engine.cut(uni.groupBy("tok").agg(count(lit(1)).as("c")))
     val bi = docs.select(graft.functions.Bigrams.bigrams(col("text")).as("bigram"))
-    val biCnt = bi.groupBy("bigram").agg(count(lit(1)).as("c_xy"))
-    val totU = uni.count()
-    val totB = bi.count()
+    val biCnt = graft.Engine.cut(bi.groupBy("bigram").agg(count(lit(1)).as("c_xy")))
+    val totU = uniCnt.agg(sum("c")).head().getLong(0)
+    val totB = biCnt.agg(sum("c_xy")).head().getLong(0)
     biCnt
       .where(col("c_xy") >= minCount)
       // tokens are whitespace-split, so ' ' cannot occur inside one —
