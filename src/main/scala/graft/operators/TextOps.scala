@@ -1583,8 +1583,10 @@ object TextOps {
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .where(length(col("word")) > 0)
     val nDocs = docs.count()
-    val totTok = toks.count()
-    val dls = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // totTok = Σdl over the (per-doc, bounded) length table — rides the
+    // aggregation instead of its own tokenize pass (the q_pmi pattern)
+    val dls = graft.Engine.cut(toks.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+    val totTok = dls.agg(sum("dl")).head().getLong(0)
     val tf = toks.where(col("word").isin(t1, t2))
       .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("word")
