@@ -450,8 +450,9 @@ object TextOps {
     val uniCnt = graft.Engine.cut(uni.groupBy("tok").agg(count(lit(1)).as("c")))
     val bi = docs.select(graft.functions.Bigrams.bigrams(col("text")).as("bigram"))
     val biCnt = graft.Engine.cut(bi.groupBy("bigram").agg(count(lit(1)).as("c_xy")))
-    val totU = uniCnt.agg(sum("c")).head().getLong(0)
-    val totB = biCnt.agg(sum("c_xy")).head().getLong(0)
+    // coalesce: sum over an EMPTY count table is NULL where count() was 0
+    val totU = uniCnt.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    val totB = biCnt.agg(coalesce(sum("c_xy"), lit(0L))).head().getLong(0)
     biCnt
       .where(col("c_xy") >= minCount)
       // tokens are whitespace-split, so ' ' cannot occur inside one —
@@ -1586,7 +1587,7 @@ object TextOps {
     // totTok = Σdl over the (per-doc, bounded) length table — rides the
     // aggregation instead of its own tokenize pass (the q_pmi pattern)
     val dls = graft.Engine.cut(toks.groupBy("doc_id").agg(count(lit(1)).as("dl")))
-    val totTok = dls.agg(sum("dl")).head().getLong(0)
+    val totTok = dls.agg(coalesce(sum("dl"), lit(0L))).head().getLong(0)
     val tf = toks.where(col("word").isin(t1, t2))
       .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("word")
