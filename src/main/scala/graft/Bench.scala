@@ -49,9 +49,13 @@ object Bench {
     // on the same min-of-N basis as the headline — the sf1 scale-proof
     // run uses it to time the nominated family rows (q_ssjoin,
     // q_knn_join_blocked) without dragging the full matrix to sf1.
+    // Extras are reported under their own "extra" key and EXCLUDED from
+    // the headline total (ADVICE r11): the total stays comparable
+    // between runs with and without the env var.
     val extra = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
+    val headlinePicked = headline.filter(SparkEntry.queries.contains)
     val picked = (headline ++ extra).distinct.filter(SparkEntry.queries.contains)
 
     // Steady-state basis (VERDICT r3 #3/#4):
@@ -81,7 +85,6 @@ object Bench {
     def clearModelMemos(): Unit = {
       graft.operators.Clustering.clearFitCache()
       graft.operators.TextOps.clearMergeCache()
-      graft.operators.Dedup.clearComponentCache()
       graft.operators.Similarity.clearPqCache()
       graft.operators.Similarity.clearSqCache()
     }
@@ -89,6 +92,12 @@ object Bench {
       graft.operators.Similarity.clearIndexCache()
       graft.operators.Similarity.clearKnnCache()
       graft.operators.Dedup.clearBandIndexCache()
+      // the dup-component closure is an INDEX-class artifact as of r12:
+      // built once by the dedup_cc lifecycle split below, consumed warm
+      // by q_dedup_cc/stats/keep_best/split_leakage — so matrix reruns
+      // keep it (consumer rows bill serve cost, not a rebuild, and the
+      // r11 matrix-ordering memo artifact is gone)
+      graft.operators.Dedup.clearComponentCache()
       graft.operators.Incremental.clearAllStateCaches()
       graft.operators.TextOps.clearPostingsCache()
       graft.operators.TextOps.clearPostingsAppendCache()
@@ -358,6 +367,26 @@ object Bench {
         Seq.empty
       }
 
+    // Dup-component closure lifecycle (VERDICT r11 #4): build = the
+    // MinHash + LSH + exact-verify + CC propagation from a cold memo —
+    // billed once, like an ANN index build (dupComponents ends in an
+    // eager lineage cut, so the call IS the materialization); serve =
+    // the q_dedup_cc consumer row over the warm closure. The memo is
+    // left warm and matrix reruns no longer clear it (it moved to
+    // clearIndexMemos), so the four consumer rows (cc/stats/keep_best/
+    // split_leakage) bill serve cost regardless of matrix ordering —
+    // the r11 "keep_best rides its alphabetical predecessor" artifact.
+    val dedupCcLifecycle: Seq[(String, Double)] =
+      try {
+        val bCc = timedN(graft.operators.Dedup.clearComponentCache())(
+          graft.operators.Dedup.dupComponents(spark, sfDir))
+        val sCc = timedN(())(force(SparkEntry.queries("q_dedup_cc")(spark, sfDir)))
+        Seq("dedup_cc_build_sec" -> bCc, "dedup_cc_serve_sec" -> sCc)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] dedup-cc lifecycle split failed: ${e.getMessage}")
+        Seq.empty
+      }
+
     // Incremental-aggregate lifecycle split (the q_incr_agg analogue):
     // build = one-time base partial-agg state staging from a cold
     // cache; merge = the state∪delta re-aggregation over the warm
@@ -468,8 +497,10 @@ object Bench {
 
     def obj(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = obj(results)
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val (headRes, extraRes) =
+      results.partition { case (n, _) => headlinePicked.contains(n) }
+    val qs = obj(headRes)
+    val total = headRes.collect { case (_, v) if v >= 0 => v }.sum
     val mTotal = matrix.collect { case (_, v) if v >= 0 => v }.sum
     def arr(xs: List[String]) =
       xs.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -479,7 +510,7 @@ object Bench {
     // a tail capture of any length that includes the final line parses.
     // Both lines are also mirrored to bench_last.json in the CWD.
     val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"matrix_rerun_threshold_sec":$RerunThresholdSec,"matrix_rerun_n":$mReruns,"sf":"$sfDir"}"""
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","lifecycle_runs":$LifecycleRuns,"lifecycle_agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ pqIndexLifecycle ++ ivfpqModelLifecycle ++ ivfpqIndexLifecycle ++ ivfpqAppendLifecycle)},"lsh_lifecycle":${obj(lshLifecycle)},"winnow_lifecycle":${obj(winnowLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"extra":${obj(extraRes)},"failed":${arr(failed)},"degraded":${arr(degraded)},"n_queries":${results.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","lifecycle_runs":$LifecycleRuns,"lifecycle_agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ pqIndexLifecycle ++ ivfpqModelLifecycle ++ ivfpqIndexLifecycle ++ ivfpqAppendLifecycle)},"lsh_lifecycle":${obj(lshLifecycle)},"winnow_lifecycle":${obj(winnowLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle ++ dedupCcLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
       try { w.println(matrixLine); w.println(headlineLine) } finally w.close()

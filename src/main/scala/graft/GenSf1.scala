@@ -33,8 +33,11 @@ import org.apache.spark.sql.functions._
   * Big tables are repartitioned to [[OutFiles]] files so the sf1 layout
   * has real scan parallelism instead of 10×-bloated sf0.1 files.
   *
-  * Usage: `graft.GenSf1 [srcDir] [outDir] [copies]` — defaults
-  * `/root/testdata/sf0.1` → `testdata-sf1` × 10.
+  * Usage: `graft.GenSf1 [srcDir] [outDir] [copies] [tables]` — defaults
+  * `/root/testdata/sf0.1` → `testdata-sf1` × 10, all tables; `tables`
+  * is a comma list for partial corpora (e.g. `embeddings` alone for
+  * the sf10 ANN-serve datapoint — the other tables aren't needed and
+  * at 100× would be pure waste).
   */
 object GenSf1 {
 
@@ -45,11 +48,17 @@ object GenSf1 {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "testdata-sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    require(copies <= 128,
+      "copies > 128 would repeat (rotation, sign) embedding transforms — " +
+        "cross-replica duplicates, no longer '10x the same shape'")
     val spark = Engine.session()
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def wr(df: DataFrame, t: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      if (only.isEmpty || only(t))
+        df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     // replicate: one row per (source row, cp), cp in [0, copies)
     def rep(df: DataFrame): DataFrame =
@@ -78,16 +87,28 @@ object GenSf1 {
     wr(rep(rd("events")).select(off("event_id"), col("ts"), off("user_id"),
       col("event_type"), col("value"), col("props")), "events", OutFiles)
 
+    // replica tokenization mirrors the tokens() convention (split on any
+    // whitespace run, drop empties) so multi-space documents don't grow
+    // bare "_cp" tokens; replica cp>0 whitespace normalizes to single
+    // spaces (replica 0 is verbatim) — ADVICE r11.
     wr(rep(rd("documents"))
       .withColumn("text", when(col("cp") === 0L, col("text")).otherwise(
-        concat_ws(" ", expr("transform(split(text, ' '), w -> concat(w, '_', cp))"))))
+        concat_ws(" ", expr(
+          "transform(filter(split(text, '\\\\s+'), w -> w != ''), w -> concat(w, '_', cp))"))))
       .select(off("doc_id"), col("text"), col("lang"), col("source"),
         length(col("text")).cast("long").as("n_chars")),
       "documents", OutFiles)
 
+    // past cp 63 the 64 rotations recycle; negating the whole vector
+    // (also an isometry — intra-replica cosines unchanged) keeps
+    // cross-replica vectors distinct up to 128 copies (cosine −1, not
+    // the silent exact duplicate a repeated rotation alone would make)
     wr(rep(rd("embeddings"))
       .withColumn("embedding", expr(
-        "transform(sequence(0, 63), j -> element_at(embedding, cast(pmod(j + cp * 7, 64) + 1 as int)))"))
+        """transform(sequence(0, 63), j ->
+          |  CASE WHEN cp >= 64
+          |    THEN -element_at(embedding, cast(pmod(j + cp * 7, 64) + 1 as int))
+          |    ELSE element_at(embedding, cast(pmod(j + cp * 7, 64) + 1 as int)) END)""".stripMargin))
       .select(off("vec_id"), col("embedding"), col("label")),
       "embeddings", 8)
 

@@ -9,11 +9,78 @@ object Probe {
     val t00 = System.nanoTime()
     val spark = Engine.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     println(f"session: ${(System.nanoTime() - t00) / 1e9}%.1f s")
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      val df = SparkEntry.queries(s"q_$what")(spark, dir)
-      df.write.format("noop").mode("overwrite").save()
-      println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    def timed(label: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    what match {
+      case "lsh_lifecycle" =>
+        import graft.operators.Similarity
+        for (i <- 1 to 2) {
+          Similarity.clearLshIndexCache()
+          timed(s"lsh_index_build$i")(Similarity.stagedLshIndex(spark, dir))
+          Similarity.clearLshAppendCache()
+          timed(s"lsh_append_build$i")(Similarity.stagedAppendedLshIndex(spark, dir))
+        }
+      case "lsh_append_parts" =>
+        import graft.operators.Similarity
+        timed("parts")(Similarity.probeLshAppendParts(spark, dir, timed))
+      case m if m.startsWith("multi:") =>
+        // 3 runs per named query: run1 = cold (memo builds billed),
+        // min(run2, run3) = the warm/serve basis
+        for (name <- m.stripPrefix("multi:").split(",").map(_.trim)) {
+          for (i <- 1 to 3) {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(s"q_$name")(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          }
+        }
+      case "ann_serve" =>
+        // the sf10 serve-path datapoint (VERDICT r11 #7): stage each ANN
+        // index once (build timed but unbilled — the serve ratio is the
+        // claim), then time the search min-of-2 and measure recall@10
+        // vs the exact brute-force top-k
+        import graft.operators.Similarity
+        import scala.util.control.NonFatal
+        def topk(name: String): Map[Long, Set[Long]] =
+          SparkEntry.queries(name)(spark, dir).select("qid", "vec_id")
+            .collect().groupBy(_.getLong(0))
+            .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val tEx0 = System.nanoTime()
+        val exact = topk("q_simsearch")
+        println(f"exact_brute: ${(System.nanoTime() - tEx0) / 1e9}%.1f s")
+        def recall(ann: Map[Long, Set[Long]]): Double =
+          exact.map { case (q, ex) =>
+            ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+          }.sum / exact.size
+        for ((fam, build, q) <- Seq[(String, () => Any, String)](
+          ("ivf", () => Similarity.stagedIvfIndex(spark, dir), "q_simsearch_ivf_indexed"),
+          ("pq", () => Similarity.stagedPqIndex(spark, dir), "q_simsearch_pq_indexed"),
+          ("ivfpq", () => Similarity.stagedIvfpqIndex(spark, dir), "q_simsearch_ivfpq_indexed"),
+          ("lsh", () => Similarity.stagedLshIndex(spark, dir), "q_simsearch_lsh_indexed"))) {
+          try {
+            timed(s"${fam}_build")(build())
+            var best = Double.MaxValue
+            for (_ <- 1 to 2) {
+              val t0 = System.nanoTime()
+              SparkEntry.queries(q)(spark, dir)
+                .write.format("noop").mode("overwrite").save()
+              best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            }
+            println(f"${fam}_search: $best%.2f s")
+            println(f"${fam}_recall_at_10: ${recall(topk(q))}%.3f")
+          } catch { case NonFatal(e) =>
+            println(s"${fam}: FAILED ${e.getMessage}")
+          }
+        }
+      case _ =>
+        for (i <- 1 to 3) {
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(s"q_$what")(spark, dir)
+          df.write.format("noop").mode("overwrite").save()
+          println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
     }
     spark.stop()
   }

@@ -221,6 +221,7 @@ object SparkEntry {
     "q_quarantine"      -> ((s, d) => graft.sources.FileFormats.quarantine(s, d)),
     "q_partition_overwrite" -> ((s, d) => graft.sources.Sinks.partitionOverwriteRead(s, d)),
     "q_triangle"        -> ((s, d) => Graphs.triangles(s, d)),
+    "q_triangle_approx" -> ((s, d) => Graphs.trianglesApprox(s, d)),
     "q_pmi"             -> ((s, d) => TextOps.collocations(s, d)),
     "q_ngram_df"        -> ((s, d) => TextOps.ngramDocFreq(s, d)),
     "q_sample_weighted" -> ((s, d) => Pipeline.weightedSample(s, d)),
@@ -2510,6 +2511,38 @@ object SparkEntry {
         |SELECT w.n_nodes, (SELECT count(*) FROM e) AS n_edges, w.n_wedges,
         |       t.n_triangles, 3.0 * t.n_triangles / w.n_wedges AS clustering
         |FROM w, t""".stripMargin,
+    // DOULION replay: the FNV keep-coin is deterministic, so the oracle
+    // recomputes the SAME sampled edge set and counts its triangles
+    // exactly (id-ordered triple join — orientation-independent); the
+    // 1/p³ correction is an exact ×64 BIGINT multiply
+    "q_triangle_approx" ->
+      s"""WITH lp AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+         |), e AS MATERIALIZED (
+         |  SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+         |), h0 AS (
+         |  SELECT u, v,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+         |      ${utf8BytesSql("CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)")}),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+         |  FROM e
+         |), m1 AS (
+         |  SELECT u, v, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h0
+         |), m2 AS (
+         |  SELECT u, v, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM m1
+         |), k AS MATERIALIZED (
+         |  SELECT u, v FROM m2
+         |  WHERE xor(h >> 16, h) % ${operators.Graphs.TriangleKeepMod} = 0
+         |), t AS (
+         |  SELECT count(*) AS n
+         |  FROM k e1 JOIN k e2 ON e2.u = e1.v
+         |            JOIN k e3 ON e3.u = e1.u AND e3.v = e2.v
+         |)
+         |SELECT (SELECT count(*) FROM k) AS n_edges_sampled,
+         |       t.n AS n_triangles_sampled,
+         |       CAST(t.n * ${operators.Graphs.TriangleKeepMod.toLong * operators.Graphs.TriangleKeepMod * operators.Graphs.TriangleKeepMod} AS BIGINT) AS est_triangles
+         |FROM t""".stripMargin,
     "q_pmi" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts

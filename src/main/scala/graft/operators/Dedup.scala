@@ -208,8 +208,15 @@ object Dedup {
     *
     * NOT cached — see jaccardPairs: the cache's size stats break AQE's
     * broadcast planning and measure ~4× slower than recomputing. */
-  private[graft] def sigBands(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+  private[graft] def sigBands(docs: DataFrame): DataFrame =
+    sigBandsFromShingles(shingles(docs))
+
+  /** [[sigBands]] from an ALREADY-COMPUTED (doc_id, shingle) table —
+    * the online path (streamNearDup) pins one shingle pass per batch
+    * and feeds it to the verify, the persisted index append, AND this
+    * signature computation, instead of re-tokenizing the batch here. */
+  private[graft] def sigBandsFromShingles(sh0: DataFrame): DataFrame = {
+    val sh = sh0
       // shingle hash reduced mod P (so a·x+b stays in signed-64 range)
       .withColumn("sx", pmod(col("shingle"), lit(MinhashP)))
     val minCols = (0 until NumPerm).map(i =>

@@ -197,9 +197,29 @@ object Graphs {
     * v: Long) normalized to u < v, no self-loops. */
   def triangles(edgesIn: DataFrame): DataFrame = {
     val edges = graft.Engine.cut(edgesIn) // reused 4× below
-    val deg = edges.select(col("u").as("n"))
+    val deg = degreeTable(edges)
+    val tri = triangleCount(edges, deg)
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(edgeStats).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        (lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double"))
+          .as("clustering"))
+  }
+
+  /** (n, d) undirected degree table of a u<v edge list. */
+  private def degreeTable(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+
+  /** Degree-ordered exact triangle count (1-row `n_triangles`) — the
+    * O(m^1.5) wedge pipeline shared by [[triangles]] and
+    * [[trianglesApprox]]. `edges` must be lineage-cut (reused 3×). */
+  private def triangleCount(edges: DataFrame, deg: DataFrame): DataFrame = {
     // orient low-(d, id) → high-(d, id); u < v already, so ties go u→v
     val oriented = edges
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
@@ -224,20 +244,65 @@ object Graphs {
     // whole query, 7.6 s → 2.4 s with the hash build). The build side
     // is only the m-row oriented edge list, hash-partitioned, so the
     // per-task build table stays bounded at any scale.
-    val tri = wedges
+    wedges
       .join(oriented.select(col("x").as("y1"), col("y").as("y2"))
           .hint("shuffle_hash"),
         Seq("y1", "y2"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
-    val nodeStats = deg.agg(
-      count(lit(1)).as("n_nodes"),
-      sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
-    val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
-    nodeStats.crossJoin(edgeStats).crossJoin(tri)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
-        (lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double"))
-          .as("clustering"))
+  }
+
+  /** Edge-keep modulus for [[trianglesApprox]]: keep an edge iff
+    * fnv32a("u_v") ≡ 0 (mod 4) → p = 1/4, estimate = 64·sampled. A
+    * power-of-two reciprocal keeps the 1/p³ correction an exact BIGINT
+    * multiply (no float parity to manage), and p = 1/4 already cuts the
+    * wedge bound 8× ((m/4)^1.5 = m^1.5/8). */
+  val TriangleKeepMod = 4
+
+  /** q_triangle_approx: DOULION-style sampled triangle estimate
+    * (Tsourakakis, Kang, Miller & Faloutsos, KDD 2009) — sparsify the
+    * edge list by an independent per-edge coin at p, count triangles
+    * EXACTLY on the sample with the same degree-ordered wedge pipeline,
+    * scale by 1/p³ (a triangle survives iff all 3 edges do). This is
+    * the 100×-scale path q_triangle's exact O(m^1.5) can't walk: the
+    * sampled count costs (pm)^1.5 = p^1.5 · m^1.5, and the relative
+    * error √((1/p³−1)/T) VANISHES as the graph grows (T grows with m —
+    * measured 126k triangles already at sf0.001 → ~2% at p=1/4).
+    *
+    * The coin is DETERMINISTIC — FNV-1a("u_v") mod [[TriangleKeepMod]],
+    * the q_quantiles_sample discipline — so the estimate is a pure
+    * function of the edge list and the DuckDB oracle replays the exact
+    * sampled computation (hash-equal, not just spec-bounded); the ±ε
+    * accuracy claim vs the exact count is asserted by the spec. */
+  def trianglesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+      .transform(graft.Engine.cut(_))
+    val e = lp.select(col("ok"), col("p").as("u"))
+      .join(lp.select(col("ok"), col("p").as("v")), "ok")
+      .where(col("u") < col("v"))
+      .select("u", "v")
+      .distinct()
+    trianglesApprox(e, TriangleKeepMod)
+  }
+
+  /** df form: u<v deduplicated undirected edges; keepMod = 1/p.
+    * The coin is mix32(fnv32a("u_v")) mod keepMod — the avalanche is
+    * LOAD-BEARING: raw FNV-1a's low bits are near-linear in the input,
+    * and edges sharing an endpoint share most input bytes, so their
+    * raw coins CORRELATE and triangle survival is no longer p³
+    * (measured 2.9× over-count on the fixture without the mix). */
+  def trianglesApprox(edgesIn: DataFrame, keepMod: Int): DataFrame = {
+    val kept = graft.Engine.cut(edgesIn.where(
+      graft.functions.Fnv32a.mix32(graft.functions.Fnv32a.fnv32a(concat(
+        col("u").cast("string"), lit("_"), col("v").cast("string"))))
+        % keepMod === 0))
+    val tri = triangleCount(kept, degreeTable(kept))
+    val m = keepMod.toLong
+    kept.agg(count(lit(1)).as("n_edges_sampled")).crossJoin(tri)
+      .select(col("n_edges_sampled"),
+        col("n_triangles").as("n_triangles_sampled"),
+        (col("n_triangles") * lit(m * m * m)).as("est_triangles"))
   }
 
   /** q_bfs: multi-source breadth-first distances — the hop distance
@@ -523,7 +588,20 @@ object Graphs {
 
   /** df form: deduplicated undirected (u, v) edges, u < v, no
     * self-loops. Isolated nodes (absent from the edge list) are not
-    * emitted — community of a degree-0 node is itself, trivially. */
+    * emitted — community of a degree-0 node is itself, trivially.
+    *
+    * DELTA rounds (the [[ssspDistances]] frontier discipline): a node's
+    * round-r label is a pure function of its neighbors' round-(r−1)
+    * labels, so only nodes with at least one CHANGED neighbor can move
+    * — round r recomputes exactly the neighbor set of round (r−1)'s
+    * changed set and carries every other label forward unchanged.
+    * Bit-identical to the full synchronous recompute at every round
+    * (unchanged neighborhood ⇒ identical counts ⇒ identical min-struct
+    * argmax), so the round-by-round DuckDB oracle needs no change.
+    * Cost: the edge⋈labels join — the whole query, at scale — shrinks
+    * from |E| per round to the frontier's incident edges; on converging
+    * communities that is the difference between 4·|E| and ~|E| total
+    * (sync LPA converges most nodes in 1-2 rounds). */
   def labelProp(edgesIn: DataFrame, rounds: Int): DataFrame = {
     val und = graft.Engine.cut(edgesIn)
     val adj = graft.Engine.cut(und.select(col("u").as("src"), col("v").as("dst"))
@@ -531,15 +609,32 @@ object Graphs {
     var labels = graft.Engine.cut(
       adj.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")))
-    for (_ <- 1 to rounds) {
-      labels = adj.join(labels.withColumnRenamed("node", "src"), "src")
+    // round 0 initialized every label → every node is "changed"
+    var frontier = labels.select("node")
+    for (r <- 1 to rounds) {
+      // nodes whose neighborhood changed = neighbors of the frontier
+      // (round 1: everyone — skip the no-op semi filter)
+      val scope = if (r == 1) adj
+        else adj.join(
+          adj.join(frontier.withColumnRenamed("node", "src"),
+              Seq("src"), "left_semi")
+            .select("dst").distinct(), Seq("dst"), "left_semi")
+      val recomputed = scope
+        .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
         // argmax with (count desc, label asc) total order as ONE
         // min-struct partial/final aggregate — no per-node window
         .groupBy("node")
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
         .select(col("node"), col("m.l").as("lbl"))
-        .transform(graft.Engine.cut(_))
+      val changed = graft.Engine.cut(
+        recomputed.join(labels.withColumnRenamed("lbl", "old"), "node")
+          .where(col("lbl") =!= col("old"))
+          .select("node", "lbl"))
+      labels = graft.Engine.cut(
+        labels.join(changed.select("node"), Seq("node"), "left_anti")
+          .unionAll(changed))
+      frontier = changed.select("node")
     }
     labels
   }

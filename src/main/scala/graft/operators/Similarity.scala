@@ -691,12 +691,25 @@ object Similarity {
   // to live searches of the full corpus — by construction, not by a
   // frozen-fit convention.
 
-  /** Partition-key width for the staged layout: dirs are (t, bucket
-    * pmod 64) — bounds the directory count at L·64 regardless of the
-    * per-table bit budget (2^12 buckets would otherwise mean 16k tiny
-    * dirs) while probe pruning still skips ≥ (1 − probes/64) of
+  /** Partition-key width CEILING for the staged layout: dirs are
+    * (t, bucket pmod g) — bounds the directory count at L·64 regardless
+    * of the per-table bit budget (2^12 buckets would otherwise mean 16k
+    * tiny dirs) while probe pruning still skips ≥ (1 − probes/g) of
     * listings per table. */
-  val LshBucketGroups = 64
+  val LshBucketGroupsMax = 64
+
+  /** CORPUS-AWARE group count (VERDICT r11 #6): at n·L total index rows
+    * over L·g dirs, a too-fine grouping makes the artifact METADATA-
+    * bound — the sf1 run measured the delta append's 768 one-file dirs
+    * at 5.5 s of commit/listing against 0.5 s of compute. Target
+    * ≥ ~16k index rows (≈ 100 KB of 3-int parquet) per directory:
+    * g = clamp(n/16k, 8, 64). Pruning SHARPENS as the corpus grows
+    * (9 probes read 9/g of a table's rows) — exactly when it matters —
+    * and the metadata floor stays bounded when it doesn't. Layout-only:
+    * candidate selection still matches the exact `bucket`, so staged ≡
+    * live results at any g. */
+  def lshBucketGroups(n: Long): Int =
+    math.max(8, math.min(LshBucketGroupsMax, (n / 16384L).toInt))
 
   private val lshIndexCache =
     new scala.collection.concurrent.TrieMap[(String, String), (String, Int, Int)]()
@@ -709,10 +722,10 @@ object Similarity {
     * codegen sign-bit expression the live search uses — one source, so
     * staged buckets cannot drift from live buckets. */
   private def lshIndexRows(v: DataFrame, nPlanes: Int,
-                           nTables: Int): DataFrame =
+                           nTables: Int, groups: Int): DataFrame =
     v.withColumn("buckets", signaturesCol(nTables, nPlanes))
       .select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bucket")))
-      .withColumn("bgrp", pmod(col("bucket"), lit(LshBucketGroups)))
+      .withColumn("bgrp", pmod(col("bucket"), lit(groups)))
 
   private[graft] def stagedLshIndex(spark: SparkSession, dir: String): (String, Int, Int) =
     lshIndexCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
@@ -720,14 +733,20 @@ object Similarity {
       val (np, nt) = (lshPlanes(n), lshTables(n))
       val root = new java.io.File(stableRoot(dir), "lsh_index")
       graft.sources.Sinks.writePartitioned(
-        lshIndexRows(vecs(spark, dir), np, nt),
+        lshIndexRows(vecs(spark, dir), np, nt, lshBucketGroups(n)),
         root.getAbsolutePath, Seq("t", "bgrp"), Seq("vec_id"))
       (root.getAbsolutePath, np, nt)
     })
 
   /** Base staged once, the late decile's rows appended into the same
-    * (t, bgrp) dirs. Plane count sizes from the FULL corpus count (the
-    * ivfK convention) so base and delta hash under identical geometry. */
+    * (t, bgrp) dirs, then the touched dirs COMPACTED in one job
+    * (VERDICT r11 #6): each append lands one extra file per dir, so an
+    * append-maintained index accretes files linearly in appends — the
+    * post-append compact folds them back to ~one file per dir, keeping
+    * the serve path's listing cost flat no matter how many appends the
+    * artifact has absorbed. Plane count sizes from the FULL corpus
+    * count (the ivfK convention) so base and delta hash under
+    * identical geometry. */
   private[graft] def stagedAppendedLshIndex(spark: SparkSession, dir: String): (String, Int, Int) =
     lshAppendCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
       val n = corpusSize(spark, dir)
@@ -736,13 +755,41 @@ object Similarity {
       val v = vecs(spark, dir)
       val root = new java.io.File(stableRoot(dir), "lsh_index_inc")
       graft.sources.Sinks.writePartitioned(
-        lshIndexRows(v.where(col("vec_id") < cut), np, nt),
+        lshIndexRows(v.where(col("vec_id") < cut), np, nt, lshBucketGroups(n)),
         root.getAbsolutePath, Seq("t", "bgrp"), Seq("vec_id"))
       graft.sources.Sinks.appendPartitioned(
-        lshIndexRows(v.where(col("vec_id") >= cut), np, nt),
+        lshIndexRows(v.where(col("vec_id") >= cut), np, nt, lshBucketGroups(n)),
         root.getAbsolutePath, Seq("t", "bgrp"), Seq("vec_id"))
+      graft.sources.Sinks.compactPartitioned(spark, root.getAbsolutePath,
+        Seq("t", "bgrp"), Seq("vec_id"))
       (root.getAbsolutePath, np, nt)
     })
+
+  /** Scratch instrumentation for graft.Probe (not part of the driver
+    * contract): the stagedAppendedLshIndex steps, individually timed. */
+  private[graft] def probeLshAppendParts(spark: SparkSession, dir: String,
+      timed: String => (=> Any) => Unit): Unit = {
+    val n = corpusSize(spark, dir)
+    val cut = n - math.max(1L, n / 10)
+    val (np, nt) = (lshPlanes(n), lshTables(n))
+    val g = lshBucketGroups(n)
+    val v = vecs(spark, dir)
+    val root = new java.io.File(stableRoot(dir), "lsh_probe_inc")
+    timed("base_write")(graft.sources.Sinks.writePartitioned(
+      lshIndexRows(v.where(col("vec_id") < cut), np, nt, g),
+      root.getAbsolutePath, Seq("t", "bgrp"), Seq("vec_id")))
+    timed("delta_rows_count")(
+      lshIndexRows(v.where(col("vec_id") >= cut), np, nt, g).count())
+    timed("delta_append")(graft.sources.Sinks.appendPartitioned(
+      lshIndexRows(v.where(col("vec_id") >= cut), np, nt, g),
+      root.getAbsolutePath, Seq("t", "bgrp"), Seq("vec_id")))
+    timed("delta_append2")(graft.sources.Sinks.appendPartitioned(
+      lshIndexRows(v.where(col("vec_id") >= cut), np, nt, g),
+      root.getAbsolutePath, Seq("t", "bgrp"), Seq("vec_id")))
+    timed("compact")(graft.sources.Sinks.compactPartitioned(
+      spark, root.getAbsolutePath, Seq("t", "bgrp"), Seq("vec_id")))
+    graft.Fs.rmRf(root)
+  }
 
   /** North-star q_simsearch_lsh_indexed: the multi-table search served
     * from the persisted slim index — results ≡ live [[lshTopK]]
@@ -771,9 +818,10 @@ object Similarity {
       .map(r => (r.getInt(0), r.getInt(1)))
     // foldLeft(lit(false)), not reduce: an empty probe set (no query
     // vectors in the corpus) must degrade to an empty scan, not throw.
+    val groups = lshBucketGroups(corpusSize(spark, dir))
     val pfilter = pairs.groupBy(_._1).map { case (t, ps) =>
       col("t") === lit(t) && col("bgrp").isin(
-        ps.map(p => math.floorMod(p._2, LshBucketGroups).asInstanceOf[AnyRef])
+        ps.map(p => math.floorMod(p._2, groups).asInstanceOf[AnyRef])
           .distinct.toSeq: _*)
     }.foldLeft(lit(false))(_ || _)
     val corpus = spark.read.parquet(path).where(pfilter)
@@ -824,8 +872,8 @@ object Similarity {
     * lists (~nProbe/K of the corpus) before this width applies.
     * Gate-scale parity: n/8 < 640 for n ≤ 5120, so sf0.01/sf0.1
     * results and oracles are unchanged. */
-  def pqShortlist(k: Int, n: Long): Int =
-    math.max(pqShortlistFloor(k), (n / 8L).toInt)
+  def pqShortlist(k: Int, n: Long): Long =
+    math.max(pqShortlistFloor(k).toLong, n / 8L)
 
   private val pqCache =
     new scala.collection.concurrent.TrieMap[(String, String), Array[Array[Array[Long]]]]()

@@ -276,6 +276,34 @@ object Sinks {
     nFiles
   }
 
+  /** Partitioned sibling of [[compact]]: fold a partition-directory
+    * tree (e.g. the appended LSH index's (t,bgrp) dirs) back to ~one
+    * file per directory in ONE Spark job — a per-leaf-dir [[compact]]
+    * loop would pay a full job's scheduling floor per directory (768
+    * dirs = 768 jobs). The rewrite re-shuffles on the partition
+    * columns (each dir's rows land in exactly one task → one file),
+    * re-sorts within files so the row-group statistics survive, stages
+    * into a sibling directory and swaps via two renames — same crash
+    * contract as [[compact]]: data is always intact at `path` or
+    * `.compact-old`. At 100 TB: filter the read to the partitions
+    * touched since the last compaction and republish just those with
+    * [[overwritePartitionsDynamic]] instead of the whole-root swap. */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         partitionCols: Seq[String], sortCols: Seq[String],
+                         maxRecordsPerFile: Long = 1000000L): Unit = {
+    val base = path.stripSuffix("/")
+    val tmp = base + ".compact-tmp"
+    val trash = base + ".compact-old"
+    writePartitioned(spark.read.parquet(path), tmp,
+      partitionCols, sortCols, maxRecordsPerFile)
+    graft.Fs.rmRf(new java.io.File(trash)) // stale leftover from a crash
+    java.nio.file.Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(trash))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(path))
+    graft.Fs.rmRf(new java.io.File(trash))
+  }
+
   /** Dynamic partition overwrite: republish EXACTLY the partitions
     * present in `updates`, leaving every other partition's files
     * physically untouched (mode "static" would wipe the whole table

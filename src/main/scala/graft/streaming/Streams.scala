@@ -842,7 +842,12 @@ object Streams {
         nearDupBatch(spark, stateRoot, batch.toDF(), batchId)
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      // drop the accumulator with the stream: the state dirs are
+      // one-shot temps, and the entry pins checkpoint blocks otherwise
+      nearDupAcc.remove(stateRoot.getAbsolutePath)
+    }
     val res = batchParts(resDir)
     if (res.isEmpty)
       spark.createDataFrame(
@@ -867,6 +872,23 @@ object Streams {
       }.map(_.getAbsolutePath)
     else Array.empty
 
+  /** Per-stream accumulator over the APPEND-ONLY band/shingle index
+    * (VERDICT r11 #5): `upTo` = the index holds exactly batches
+    * < upTo, as lineage-cut frames whose blocks live in the session —
+    * so batch N probes batch N−1's accumulated blocks plus nothing,
+    * instead of re-listing and re-footer-reading every persisted
+    * batch-* directory per micro-batch (the 13-batch run paid that
+    * fixed cost 13 times). The parquet dirs REMAIN the durable truth:
+    * a replayed/out-of-order batch id misses the `upTo` check and
+    * falls back to the disk listing (strictly-below-batchId, the
+    * at-least-once contract), then repairs the accumulator. At 100 TB
+    * the same structure holds with the frames swapped for cached FILE
+    * LISTINGS (the data wouldn't fit block storage, but the metadata
+    * — the actual per-batch fixed cost at scale — still would). */
+  private case class NearDupAcc(upTo: Long, bands: DataFrame, shingles: DataFrame)
+  private val nearDupAcc =
+    new scala.collection.concurrent.TrieMap[String, NearDupAcc]()
+
   /** One micro-batch of the online near-dup filter, extracted so the
     * replay-idempotence contract is a TESTABLE pure function of
     * (pre-batchId state under `stateRoot`, `batch`): probe prior
@@ -883,23 +905,46 @@ object Streams {
     // pin it once instead of re-reading the feed file per consumer
     val b = b0.localCheckpoint()
     val nBatch = b.count()
-    val batchBands = Dedup.sigBands(b).localCheckpoint()
-    val batchSh = Dedup.shingles(b)
+    // ONE shingle pass per batch: checkpointed, then consumed by the
+    // signature computation, the verify (via allSh), the parquet
+    // append, and the accumulator
+    val batchSh = Dedup.shingles(b).localCheckpoint()
+    val batchBands = Dedup.sigBandsFromShingles(batchSh).localCheckpoint()
+    // the batch's OWN index dirs can be written concurrently with the
+    // probe/verify: every pre-batchId reader (the accumulator, and the
+    // strictly-below listing on the replay path) excludes batch-N dirs
+    // by construction, so the overlap is invisible to correctness
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bandsDst = new File(bandsDir, s"batch-$batchId").getAbsolutePath
+    val shDst = new File(shDir, s"batch-$batchId").getAbsolutePath
+    val idxWrites = Seq(
+      Future(batchBands.write.mode("overwrite").parquet(bandsDst)),
+      Future(batchSh.write.mode("overwrite").parquet(shDst)))
+    // prior index: the warm accumulator when it matches this batch id
+    // exactly; the persisted batch-* dirs otherwise (first batch of a
+    // restarted/replayed stream — disk is the truth, strictly below
+    // batchId per the replay contract documented on batchParts)
+    val key = stateRoot.getAbsolutePath
+    val prior: Option[(DataFrame, DataFrame)] =
+      nearDupAcc.get(key).filter(_.upTo == batchId) match {
+        case Some(acc) => Some((acc.bands, acc.shingles))
+        case None =>
+          val pb = batchParts(bandsDir, batchId)
+          val ps = batchParts(shDir, batchId)
+          if (pb.isEmpty) None
+          else Some((spark.read.parquet(pb: _*), spark.read.parquet(ps: _*)))
+      }
     // candidates: against the persisted index (cross) + within-batch
     // (self) — disjoint pair spaces, no dedupe needed
-    val priorBands = batchParts(bandsDir, batchId)
     val cands =
-      (if (priorBands.nonEmpty)
-         Dedup.crossCandidates(spark.read.parquet(priorBands: _*),
-           batchBands, nBatch * Dedup.Bands)
-       else spark.emptyDataset[(Long, Long)](
-         org.apache.spark.sql.Encoders.product[(Long, Long)])
-         .toDF("da", "db"))
+      prior.map { case (pBands, _) =>
+        Dedup.crossCandidates(pBands, batchBands, nBatch * Dedup.Bands)
+      }.getOrElse(spark.emptyDataset[(Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long)])
+        .toDF("da", "db"))
       .unionAll(Dedup.lshCandidates(batchBands))
-    val priorSh = batchParts(shDir, batchId)
-    val allSh =
-      if (priorSh.nonEmpty) spark.read.parquet(priorSh: _*).unionByName(batchSh)
-      else batchSh
+    val allSh = prior.map(_._2.unionByName(batchSh)).getOrElse(batchSh)
     val pairs = Dedup.verifyCandidatesIndexed(allSh, cands, 0.8,
       materializePruned = true)
     val dup = pairs.groupBy(col("db").as("doc_id"))
@@ -909,11 +954,11 @@ object Streams {
         col("dup_of").isNull.as("keep"))
       .write.mode("overwrite")
       .parquet(new File(resDir, s"batch-$batchId").getAbsolutePath)
-    // index growth AFTER the probe: batch-id-named overwrites
-    batchBands.write.mode("overwrite")
-      .parquet(new File(bandsDir, s"batch-$batchId").getAbsolutePath)
-    batchSh.write.mode("overwrite")
-      .parquet(new File(shDir, s"batch-$batchId").getAbsolutePath)
+    idxWrites.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    // accumulator = prior ∪ this batch, now valid for batch id + 1
+    val nb = prior.map(_._1.unionAll(batchBands)).getOrElse(batchBands)
+    val ns = prior.map(_._2.unionByName(batchSh)).getOrElse(batchSh)
+    nearDupAcc.put(key, NearDupAcc(batchId + 1, nb, ns))
   }
 
   /** q_stream_wordcount: each micro-batch folds its word partials into

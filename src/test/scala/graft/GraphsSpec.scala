@@ -149,6 +149,58 @@ class GraphsSpec extends SparkSuiteBase {
     assert(got === ref, "frontier BF must equal full ≤k-edge relaxation")
   }
 
+  test("trianglesApprox: keepMod=1 degenerates to the exact count; sampled subset plumbing") {
+    import spark.implicits._
+    // same K4 + pendant + disjoint edge fixture as the exact test
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (6L, 7L)).toDF("u", "v")
+    val all = Graphs.trianglesApprox(edges, 1).collect()(0)
+    assert(all.getAs[Long]("n_edges_sampled") === 8L)
+    assert(all.getAs[Long]("n_triangles_sampled") === 4L)
+    assert(all.getAs[Long]("est_triangles") === 4L, "p=1 → estimate ≡ exact")
+    // at the real keepMod the sample is a subset and the correction is ×mod³
+    val s = Graphs.trianglesApprox(edges, Graphs.TriangleKeepMod).collect()(0)
+    val m = Graphs.TriangleKeepMod.toLong
+    assert(s.getAs[Long]("n_edges_sampled") <= 8L)
+    assert(s.getAs[Long]("est_triangles") ===
+      s.getAs[Long]("n_triangles_sampled") * m * m * m)
+  }
+
+  test("trianglesApprox on the fixture: deterministic, within ±10% of the exact count") {
+    val exact = Graphs.triangles(spark, sf).collect()(0).getAs[Long]("n_triangles")
+    val r = Graphs.trianglesApprox(spark, sf).collect()(0)
+    val est = r.getAs[Long]("est_triangles")
+    // DOULION rel-σ ≈ √((mod³−1)/T) ≈ 2.2% at the fixture's 126k
+    // triangles — ±10% is > 4σ, deterministic so never flaky
+    assert(math.abs(est - exact).toDouble / exact <= 0.10,
+      s"estimate $est vs exact $exact")
+    val again = Graphs.trianglesApprox(spark, sf).collect()(0)
+    assert(again.getAs[Long]("est_triangles") === est, "FNV coin is deterministic")
+  }
+
+  test("labelProp delta rounds ≡ full synchronous recompute on a pseudo-random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val n = 40
+    val edges = (for {
+      u <- 1 until n; v <- (u + 1) to n if rnd.nextDouble() < 0.12
+    } yield (u.toLong, v.toLong)).toVector
+    // driver-side reference: FULL sync recompute every round, the
+    // pre-delta semantics the frontier form must reproduce bit-exactly
+    val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    var ref = nbrs.keys.map(k => k -> k).toMap
+    for (_ <- 1 to Graphs.LpaRounds) {
+      ref = nbrs.map { case (node, ns) =>
+        val counts = ns.groupBy(ref).map { case (l, xs) => l -> xs.size }
+        node -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = Graphs.labelProp(edges.toDF("u", "v"), Graphs.LpaRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref, "delta-LPA must equal full recompute at every round")
+  }
+
   test("labelProp: two cliques with a bridge keep separate communities") {
     import spark.implicits._
     // K4 {1,2,3,4} + K4 {5,6,7,8} + bridge 4-5: density must hold each

@@ -192,14 +192,18 @@ class SimilaritySpec extends SparkSuiteBase {
     val appended = Similarity.lshTopKAppended(spark, sf).collect().map(key).toSet
     val live = Similarity.lshTopK(spark, sf).collect().map(key).toSet
     assert(appended === live)
-    // the delta really landed as extra files inside existing (t, bgrp) dirs
+    // layout contract (r12): the append lands delta files inside the
+    // existing (t, bgrp) dirs and the post-append compact folds each
+    // dir back to ~one file — the serve path's listing cost must stay
+    // flat no matter how many appends the artifact absorbed
     val (path, _, _) = Similarity.stagedAppendedLshIndex(spark, sf)
     val bgrpDirs = new java.io.File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("t="))
       .flatMap(_.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bgrp=")))
     assert(bgrpDirs.nonEmpty)
-    val multiFile = bgrpDirs.count(_.listFiles().count(_.getName.endsWith(".parquet")) > 1)
-    assert(multiFile > 0, "no (t, bgrp) partition holds an appended file")
+    val maxFiles = bgrpDirs.map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFiles === 1,
+      s"post-append compact must leave one file per (t, bgrp) dir, saw $maxFiles")
   }
 
   test("MMR re-rank: top-1 anchored, selections from the shortlist, scores non-increasing, measurably diverser") {

@@ -88,6 +88,33 @@ class SourcesSinksSpec extends SparkSuiteBase {
     assert(spark.read.parquet(leaf).count() === before)
   }
 
+  test("compactPartitioned: appended partition tree folds to one file per dir, byte-faithful, layout intact") {
+    import graft.sources.Sinks
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val dir = tmp("graft_cpart")
+    // base + two appends: every lang dir accretes three files
+    Sinks.writePartitioned(docs, dir, Seq("lang"), Seq("doc_id"))
+    Sinks.appendPartitioned(docs.where(col("doc_id") % 2 === 0), dir, Seq("lang"), Seq("doc_id"))
+    Sinks.appendPartitioned(docs.where(col("doc_id") % 2 === 1), dir, Seq("lang"), Seq("doc_id"))
+    def langDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+    def fileCounts = langDirs.map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(fileCounts.max > 1, "appends must accrete files for the test to mean anything")
+    val before = spark.read.parquet(dir).groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("s"), sum("n_chars").as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    Sinks.compactPartitioned(spark, dir, Seq("lang"), Seq("doc_id"))
+    assert(fileCounts.max === 1, "compact must leave one file per partition dir")
+    val after = spark.read.parquet(dir).groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("s"), sum("n_chars").as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(after === before, "compaction must not change the data")
+    // no staging residue: the swap cleans its tmp/trash siblings
+    assert(!new java.io.File(dir + ".compact-tmp").exists())
+    assert(!new java.io.File(dir + ".compact-old").exists())
+  }
+
   test("q_dpp: fact scan carries a dynamicpruning PARTITION filter") {
     val df = graft.sources.Sinks.dppJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
