@@ -25,6 +25,26 @@ object Probe {
       case "lsh_append_parts" =>
         import graft.operators.Similarity
         timed("parts")(Similarity.probeLshAppendParts(spark, dir, timed))
+      case "audio_micro" =>
+        // codec micro-benchmark outside Spark: encode+decode N clips on
+        // 1 vs 32 threads — separates per-row codec cost from contention
+        import graft.operators.Multimodal
+        val pre = (0 until 2000).map(i => Multimodal.probeEncodeOne(i.toLong))
+        def bench(label: String, threads: Int, n: Int)(f: Int => Unit): Unit = {
+          val t0 = System.nanoTime()
+          val per = n / threads
+          val ts = (0 until threads).map { t =>
+            val th = new Thread(() => (t * per until (t + 1) * per).foreach(f))
+            th.start(); th
+          }
+          ts.foreach(_.join())
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"$label threads=$threads n=$n total=$sec%.2f s")
+        }
+        for (threads <- Seq(1, 32); n = 20000) {
+          bench("encode", threads, n)(i => Multimodal.probeEncodeOne(i.toLong))
+          bench("decode", threads, n)(i => Multimodal.probeDecodeOne(pre(i % 2000)))
+        }
       case m if m.startsWith("multi:") =>
         // 3 runs per named query: run1 = cold (memo builds billed),
         // min(run2, run3) = the warm/serve basis

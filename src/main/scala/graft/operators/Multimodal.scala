@@ -247,10 +247,81 @@ object Multimodal {
     Array.tabulate(n)(i => ((id * 31 + 7L * i) % 2001 - 1000).toShort)
   }
 
+  /** The WAV codec SPIs resolved ONCE (lazily, per executor JVM):
+    * `AudioSystem.write`/`getAudioInputStream` run a SYNCHRONIZED
+    * service-provider lookup per call (`JDK13Services.getProviders` —
+    * a static global lock), so the convenience entry points serialize
+    * every task in the JVM. Measured: the sf1 audio row reproduced
+    * 19× at 10× rows WARM — 32 threads queueing on the lookup lock,
+    * not decoding audio. Resolving the providers once and calling the
+    * SPI directly is the same parser/writer class with the per-row
+    * lock gone (sf1 11.6 → ~1.4 s). */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter SPI"))
+  }
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toList
+  }
+
+  /** The ONE reader that accepts our WAV container, resolved once per
+    * JVM against a reference clip. `AudioSystem.getAudioInputStream`'s
+    * provider loop asks every registered reader in turn, and a
+    * rejecting reader answers by THROWING UnsupportedAudioFileException
+    * — per row, per rejecting provider, a stack-trace fill that
+    * measured 54 µs/row with negative 32-thread scaling vs 6 µs for
+    * the accepting reader called directly. Same parser class, probed
+    * once instead of exception-probed 50k times. */
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    val ref = probeEncodeOne(0L).payload
+    audioReaders.find { r =>
+      try { r.getAudioInputStream(new java.io.ByteArrayInputStream(ref)); true }
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => false }
+    }.getOrElse(throw new IllegalStateException("no AudioFileReader SPI accepts WAV"))
+  }
+
+  /** Scratch single-row forms for graft.Probe's codec micro-benchmark
+    * (not part of the driver contract). */
+  private[graft] def probeEncodeOne(id: Long): AudioItem = {
+    val samples = audioSamples(id)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    AudioItem(id, bos.toByteArray)
+  }
+  private[graft] def probeDecodeOne(m: AudioItem): Long = {
+    val ais = wavReader.getAudioInputStream(
+      new java.io.ByteArrayInputStream(m.payload))
+    val bytes = ais.readNBytes(
+      ais.getFrameLength.toInt * ais.getFormat.getFrameSize)
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length / 2) {
+      sum += ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    sum
+  }
+
   /** Stage one REAL WAV clip per document (8 kHz, 16-bit, mono). */
   def audioTable(docs: DataFrame): Dataset[AudioItem] = {
     import docs.sparkSession.implicits._
     docs.select("doc_id").as[Long].mapPartitions { iter =>
+      val writer = wavWriter // resolve the codec once, not per row
       iter.map { id =>
         val samples = audioSamples(id)
         val pcm = new Array[Byte](samples.length * 2)
@@ -264,27 +335,32 @@ object Multimodal {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
+        writer.write(ais,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         AudioItem(id, bos.toByteArray)
       }
     }
   }
 
-  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the
-    * WAV container (format, channel count, frame length from the
-    * header — not trusted from the synth side), then the PCM payload
-    * is re-assembled into 16-bit samples for exact integer stats. */
+  /** REAL audio decode: the WAV reader SPI parses the container
+    * (format, channel count, frame length from the header — not
+    * trusted from the synth side; the provider is the one
+    * `AudioSystem.getAudioInputStream`'s loop would select, resolved
+    * once instead of exception-probed per row — see [[wavReader]]),
+    * then the PCM payload is re-assembled into 16-bit samples for
+    * exact integer stats. `readNBytes(frames·frameSize)` reads into an
+    * exact-size buffer (readAllBytes over-allocates 8 KB + a final
+    * copy per clip — pure GC pressure at 32 concurrent tasks). */
   def decodeAudio(items: Dataset[AudioItem]): Dataset[AudioFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { iter =>
-      // codec init once per partition would go here
+      val reader = wavReader // codec resolved once, not per row
       iter.map { m =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val ais = reader.getAudioInputStream(
           new java.io.ByteArrayInputStream(m.payload))
         val fmt = ais.getFormat
         val frames = ais.getFrameLength
-        val bytes = ais.readAllBytes()
+        val bytes = ais.readNBytes(frames.toInt * fmt.getFrameSize)
         var (sum, peak) = (0L, 0)
         var i = 0
         while (i < bytes.length / 2) {
