@@ -52,6 +52,7 @@ object SparkEntry {
     "q_window_running"  -> ((s, d) => Windows.runningTotal(s, d)),
     "q_text_stats"      -> ((s, d) => TextOps.textStats(s, d)),
     "q_lang_id"         -> ((s, d) => TextOps.langId(s, d)),
+    "q_lang_mix"        -> ((s, d) => TextOps.langMix(s, d)),
     "q_quality_score"   -> ((s, d) => TextOps.qualityScore(s, d)),
     "q_token_count"     -> ((s, d) => TextOps.tokenCounts(s, d)),
     "q_fingerprint"     -> ((s, d) => TextOps.fingerprint(s, d)),
@@ -222,6 +223,7 @@ object SparkEntry {
     "q_partition_overwrite" -> ((s, d) => graft.sources.Sinks.partitionOverwriteRead(s, d)),
     "q_triangle"        -> ((s, d) => Graphs.triangles(s, d)),
     "q_triangle_approx" -> ((s, d) => Graphs.trianglesApprox(s, d)),
+    "q_kcore"           -> ((s, d) => Graphs.kcore(s, d)),
     "q_pmi"             -> ((s, d) => TextOps.collocations(s, d)),
     "q_ngram_df"        -> ((s, d) => TextOps.ngramDocFreq(s, d)),
     "q_sample_weighted" -> ((s, d) => Pipeline.weightedSample(s, d)),
@@ -244,7 +246,8 @@ object SparkEntry {
     "q_nearest_centroid" -> ((s, d) => Clustering.nearestCentroid(s, d)),
     "q_gini"            -> ((s, d) => Relational.giniByGroup(s, d)),
     "q_chunk"           -> ((s, d) => Pipeline.chunk(s, d)),
-    "q_dedup_stats"     -> ((s, d) => Dedup.dedupStats(s, d))
+    "q_dedup_stats"     -> ((s, d) => Dedup.dedupStats(s, d)),
+    "q_dedup_cross"     -> ((s, d) => Dedup.dedupCross(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -585,6 +588,9 @@ object SparkEntry {
          |       WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
          |       ELSE 'und' END AS pred_lang
          |FROM s""".stripMargin,
+    // passage-grain language mixing: same profiles/argmax as q_lang_id
+    // at 10-token windows, dominant share as one exact integer division
+    "q_lang_mix" -> langMixOracle,
     "q_quality_score" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,
@@ -682,6 +688,17 @@ object SparkEntry {
          |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_ngram" -> jaccardOracle(0.5),
     "q_dedup_minhash" -> jaccardOracle(0.8),
+    // cross-source contamination matrix: the exhaustive-pairs CTEs
+    // joined to the (doc_id, source) projection — same probabilistic
+    // equivalence note as q_dedup_minhash
+    "q_dedup_cross" ->
+      s"""${jaccardPairsCtes(0.8)},
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT least(x.source, y.source) AS source_a,
+         |       greatest(x.source, y.source) AS source_b,
+         |       count(*) AS n_pairs
+         |FROM p JOIN s x ON p.da = x.doc_id JOIN s y ON p.db = y.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     // exact prefix-filtered set-similarity join: the oracle is the
     // BRUTE-FORCE inverted-index join with the integer acceptance
     // predicate — deliberately NOT a replay of the prefix filter, so a
@@ -1506,6 +1523,7 @@ object SparkEntry {
     // counts then the (count desc, label asc) argmax via row_number —
     // the same total order as the Spark min-struct
     "q_label_prop" -> labelPropOracle(operators.Graphs.LpaRounds),
+    "q_kcore" -> kcoreOracle(operators.Graphs.KcoreRounds),
     "q_hits" -> hitsOracle(operators.Graphs.HitsRounds),
     // market-basket pair mining: integer counts + micro-unit lift
     // (floor div) — every column exact, support filter mirrors
@@ -3237,6 +3255,40 @@ object SparkEntry {
       s"\nSELECT node, lbl FROM l$rounds"
   }
 
+  /** Oracle for q_kcore: `Graphs.kcore`'s peel rounds unrolled — per
+    * round a degree CTE gates survivors at the data-derived threshold
+    * k = (3·((2m) div n)) div 4 (all operands non-negative, so DuckDB
+    * `//` ≡ Spark integer division), then both edge endpoints are
+    * filtered; final degrees from the round-R edge set. */
+  private def kcoreOracle(rounds: Int): String = {
+    val head =
+      """WITH lp AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |), und AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+        |), e0 AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM und
+        |  UNION ALL SELECT v, u FROM und
+        |), kv AS MATERIALIZED (
+        |  SELECT (3 * ((2 * (SELECT count(*) FROM und))
+        |               // (SELECT count(DISTINCT src) FROM e0))) // 4 AS k
+        |)""".stripMargin
+    val its = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT src FROM (
+         |    SELECT src, count(*) AS d FROM e${i - 1} GROUP BY src), kv
+         |  WHERE d >= kv.k
+         |), e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.src
+         |  JOIN k$i b ON e.dst = b.src
+         |)""".stripMargin
+    }
+    head + ",\n" + its.mkString(",\n") +
+      s"\nSELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e$rounds GROUP BY src"
+  }
+
   /** Oracle for q_kmeans: `Clustering.fitFixed`'s micro-unit integer
     * Lloyd loop unrolled as chained CTEs (the q_pagerank pattern).
     * Bit parity holds with NO ordering contract: quantization is one
@@ -4551,11 +4603,61 @@ object SparkEntry {
        |    AS is_anomaly
        |FROM p""".stripMargin
 
-  private def jaccardOracle(tau: Double): String =
+  /** Oracle for q_lang_mix: `TextOps.langMix`'s passage split (10-token
+    * non-overlapping windows), the q_lang_id score CASE per passage
+    * (profiles generated from the SAME LangProfiles constant — no
+    * drift), then the (count desc, lang asc) argmax via row_number and
+    * one exact integer share division. */
+  private def langMixOracle: String = {
+    val p = graft.operators.TextOps.LangMixPassage
+    val profs = graft.operators.TextOps.LangProfiles
+    val scoreCols = profs.map { case (l, ws) =>
+      s"CAST(len(list_filter(ptoks, x -> x IN (${ws.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS s_$l"
+    }.mkString(",\n         ")
+    val langs = profs.map(_._1)
+    val caseArms = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN s_$l > 0 AND $geAll THEN '$l'"
+    }.mkString("\n       ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS toks
+       |  FROM documents
+       |), pp AS (
+       |  SELECT doc_id, toks[u.i * $p + 1 : u.i * $p + $p] AS ptoks
+       |  FROM t, unnest(range(0, (len(toks) - 1) // $p + 1)) AS u(i)
+       |  WHERE len(toks) >= 1
+       |), s AS (
+       |  SELECT doc_id,
+       |         $scoreCols
+       |  FROM pp
+       |), sc AS (
+       |  SELECT doc_id,
+       |    CASE $caseArms
+       |       ELSE 'und' END AS plang
+       |  FROM s
+       |), c AS (
+       |  SELECT doc_id, plang, count(*) AS c FROM sc GROUP BY 1, 2
+       |), g AS (
+       |  SELECT doc_id, plang, c,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, plang) AS rn,
+       |    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_passages,
+       |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_langs
+       |  FROM c
+       |)
+       |SELECT doc_id, n_passages, plang AS dom_lang,
+       |       CAST((1000000 * c) // n_passages AS BIGINT) AS dom_share_micro,
+       |       n_langs, n_langs > 1 AS mixed
+       |FROM g WHERE rn = 1""".stripMargin
+  }
+
+  /** WITH-body ending in `p` = the exhaustive J ≥ tau pairs (da, db,
+    * jac) — shared by the q_dedup_minhash oracle and the source-matrix
+    * composition of q_dedup_cross. */
+  private def jaccardPairsCtes(tau: Double): String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
        |  FROM documents
-       |), sh AS (
+       |), sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
        |  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
        |  WHERE len(ts) >= 3
@@ -4564,11 +4666,16 @@ object SparkEntry {
        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ic
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
-       |)
-       |SELECT * FROM (
-       |  SELECT da, db, CAST(ic AS DOUBLE) / (x.n + y.n - ic) AS jac
-       |  FROM iv JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
-       |) WHERE jac >= $tau""".stripMargin
+       |), p AS (
+       |  SELECT * FROM (
+       |    SELECT da, db, CAST(ic AS DOUBLE) / (x.n + y.n - ic) AS jac
+       |    FROM iv JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+       |  ) WHERE jac >= $tau
+       |)""".stripMargin
+
+  private def jaccardOracle(tau: Double): String =
+    s"""${jaccardPairsCtes(tau)}
+       |SELECT da, db, jac FROM p""".stripMargin
 
   /** Connected components of the exhaustive J ≥ 0.8 pair graph (min
     * reachable id per node, recursive transitive closure) — oracle for

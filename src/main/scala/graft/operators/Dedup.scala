@@ -889,6 +889,34 @@ object Dedup {
       .where(col("n_clusters") > 0L)
   }
 
+  /** q_dedup_cross: the SOURCE×SOURCE contamination matrix — verified
+    * near-dup pair counts per unordered source pair, the audit a
+    * multi-source corpus runs BEFORE mixing (Dolma/RedPajama-style
+    * recipes dedup per source then ask which source pairs overlap:
+    * heavy off-diagonal mass means one source mirrors another —
+    * double-counted content and, if one source feeds eval sets,
+    * train/test contamination; heavy diagonal means within-source
+    * boilerplate the per-source dedup should have caught). Composes
+    * the trusted MinHash-LSH verified pairs with a slim
+    * (doc_id, source) projection — two broadcast-sized joins after the
+    * pair mining; output grain ≤ |sources|², tiny at any corpus scale.
+    * Oracle equivalence probabilistic exactly as q_dedup_minhash
+    * (exhaustive-pairs CTE vs banding; miss prob ≤ 2e-9/pair). */
+  def dedupCross(spark: SparkSession, dir: String): DataFrame =
+    dedupCross(Tables(spark, dir, "documents"))
+
+  def dedupCross(docs: DataFrame): DataFrame = {
+    val pairs = minhashLsh(docs)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+      .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** q_dedup_keep_best: QUALITY-AWARE canonical selection — within each
     * dup cluster keep the highest-quality member (here: longest
     * `n_chars`, ties to the lower doc_id) instead of blindly keeping

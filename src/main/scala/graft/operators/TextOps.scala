@@ -105,8 +105,23 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les", "des", "un"),
     "es" -> Seq("el", "los", "las", "una", "es", "y"))
 
+  private def profileCountSqlOn(arr: String, words: Seq[String]): String =
+    s"size(filter($arr, x -> x IN (${words.map("'" + _ + "'").mkString(",")})))"
+
   private def profileCountSql(words: Seq[String]): String =
-    s"size(filter($TokensSql, x -> x IN (${words.map("'" + _ + "'").mkString(",")})))"
+    profileCountSqlOn(TokensSql, words)
+
+  /** The langId argmax over the s_<lang> score columns: highest score
+    * wins, ties to the earlier profile in [[LangProfiles]] order,
+    * 'und' when every score is zero — shared by the doc-grain
+    * [[langId]] and the passage-grain [[langMix]]. */
+  private def bestLangCol: Column = LangProfiles.map(_._1).foldRight(lit("und")) {
+    case (l, els) =>
+      val sl = col(s"s_$l")
+      val isMax = LangProfiles.map(_._1).filter(_ != l)
+        .map(o => sl >= col(s"s_$o")).reduce(_ && _)
+      when(sl > 0 && isMax, lit(l)).otherwise(els)
+  }
 
   /** North-star q_lang_id: stopword-profile language identification.
     * Scores each language by profile-stopword hits; argmax with a fixed
@@ -121,16 +136,55 @@ object TextOps {
     val scores = LangProfiles.map { case (l, ws) =>
       expr(profileCountSql(ws)).cast(LongType).as(s"s_$l")
     }
-    val best = LangProfiles.map(_._1).foldRight(lit("und")) {
-      case (l, els) =>
-        val sl = col(s"s_$l")
-        val isMax = LangProfiles.map(_._1).filter(_ != l)
-          .map(o => sl >= col(s"s_$o")).reduce(_ && _)
-        when(sl > 0 && isMax, lit(l)).otherwise(els)
-    }
     docs
       .select(col("doc_id") +: scores: _*)
-      .withColumn("pred_lang", best)
+      .withColumn("pred_lang", bestLangCol)
+  }
+
+  /** Passage width for [[langMix]] (the q_passage_dedup grain). */
+  val LangMixPassage = 10
+
+  /** q_lang_mix: CODE-SWITCHING / language-mixing audit — the langId
+    * heuristic run at PASSAGE grain (non-overlapping
+    * [[LangMixPassage]]-token windows), rolled up per document into the
+    * dominant passage language, its share, and a mixed flag. Doc-grain
+    * langId calls a half-English-half-German page "en" and moves on;
+    * monolingual-corpus curation needs to know the page is MIXED (the
+    * CCNet/OSCAR recipes filter or split exactly these). Zero-token
+    * docs have no passages and are not emitted (nothing to classify).
+    *
+    * Integer discipline: dom_share_micro = (10⁶·dominant-passage
+    * count) div n_passages — exact in both engines; the dominant pick
+    * is the (count desc, lang asc) min-struct argmax (the labelProp
+    * tie-break). Pure per-row explode + two keyed aggs — no windows,
+    * no state; passage grain is bounded by total token count. */
+  def langMix(spark: SparkSession, dir: String): DataFrame =
+    langMix(Tables(spark, dir, "documents"))
+
+  def langMix(docs: DataFrame): DataFrame = {
+    val p = LangMixPassage
+    val scores = LangProfiles.map { case (l, ws) =>
+      expr(profileCountSqlOn("ptoks", ws)).cast(LongType).as(s"s_$l")
+    }
+    val passages = docs
+      .withColumn("toks", expr(TokensSql))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(toks) - 1) div $p), i -> slice(toks, i * $p + 1, $p))"))
+        .as(Seq("widx", "ptoks")))
+    passages
+      .select(col("doc_id") +: scores: _*)
+      .withColumn("plang", bestLangCol)
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_passages"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("c")).as("nc"), col("plang").as("l"))).as("m"))
+      .select(col("doc_id"), col("n_passages"),
+        col("m.l").as("dom_lang"),
+        expr("(1000000 * (-m.nc)) div n_passages").as("dom_share_micro"),
+        col("n_langs"),
+        (col("n_langs") > 1L).as("mixed"))
   }
 
   /** North-star q_quality_score: per-document quality heuristics — token

@@ -103,6 +103,27 @@ class DedupSpec extends SparkSuiteBase {
     assert(single.toSeq === merged.toSeq)
   }
 
+  test("dedupCross: matrix mass equals the pair count; sources canonically ordered; crafted cross pair lands") {
+    import spark.implicits._
+    // two near-identical docs across sources A/B + an in-source C pair
+    // + a unique doc: matrix = {(A,B): 1, (C,C): 1}
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base, "srcA"), (2L, base + " tail", "srcB"),
+      (3L, "one two three four five six seven eight nine ten", "srcC"),
+      (4L, "one  two three four five six  seven eight nine ten", "srcC"),
+      (5L, "completely different words entirely unrelated content here now", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dedupCross(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("srcA", "srcB") -> 1L, ("srcC", "srcC") -> 1L), s"got $got")
+    // fixture accounting: total matrix mass = total verified pair count,
+    // and every row is canonically (source_a <= source_b)
+    val fx = Dedup.dedupCross(spark, sf).collect()
+    assert(fx.map(_.getLong(2)).sum === Dedup.minhashLsh(spark, sf).count())
+    assert(fx.forall(r => r.getString(0) <= r.getString(1)))
+  }
+
   test("dup components close the pair relation transitively") {
     import spark.implicits._
     // chain 1-2-3-4-5-6 (diameter 5 → needs multiple propagation

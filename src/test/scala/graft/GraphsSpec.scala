@@ -201,6 +201,41 @@ class GraphsSpec extends SparkSuiteBase {
     assert(got === ref, "delta-LPA must equal full recompute at every round")
   }
 
+  test("kcore: clique survives, chain and pendants peel away") {
+    import spark.implicits._
+    // K5 on {1..5} (every degree 4) + a chain 5-6-7-8 + pendant 1-9:
+    // at k=3 the chain/pendant peel in ≤3 rounds, the clique is the
+    // 3-core (clique degrees stay 4 after the hangers-on are gone)
+    val edges = (for { u <- 1 to 5; v <- (u + 1) to 5 } yield (u.toLong, v.toLong)) ++
+      Seq((5L, 6L), (6L, 7L), (7L, 8L), (1L, 9L))
+    val got = Graphs.kcore(edges.toDF("u", "v"), Graphs.KcoreRounds, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L), s"3-core must be the clique, got $got")
+    assert(got.values.toSet === Set(4L), "within-core degrees are the clique degrees")
+  }
+
+  test("kcore ≡ driver-side peel reference on a pseudo-random graph, incl. the derived threshold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val n = 40
+    val edges = (for {
+      u <- 1 until n; v <- (u + 1) to n if rnd.nextDouble() < 0.2
+    } yield (u.toLong, v.toLong)).toVector
+    val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (kk, es) => kk -> es.map(_._2).toSet }
+    // the catalog form's data-derived threshold, reproduced
+    val avg = 2L * edges.size / nbrs.size
+    val k = (3L * avg / 4L).toInt
+    var alive = nbrs.keySet
+    for (_ <- 1 to Graphs.KcoreRounds)
+      alive = alive.filter(x => nbrs(x).count(alive) >= k)
+    val ref = alive.map(x => x -> nbrs(x).count(alive).toLong).toMap
+    val got = Graphs.kcore(edges.toDF("u", "v"), Graphs.KcoreRounds, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref, s"k=$k")
+    assert(got.nonEmpty && got.size < nbrs.size, "peel must remove SOME nodes and keep some")
+  }
+
   test("labelProp: two cliques with a bridge keep separate communities") {
     import spark.implicits._
     // K4 {1,2,3,4} + K4 {5,6,7,8} + bridge 4-5: density must hold each

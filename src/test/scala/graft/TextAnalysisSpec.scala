@@ -98,6 +98,36 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(got(1L)._2 === 14L)
   }
 
+  test("langMix: mixed doc flagged with exact passage shares; monolingual stays clean; zero-token doc absent") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // doc 1: 10 en-profile tokens then 10 de-profile tokens → exactly
+    // 2 passages, one each → mixed, dominant by lang-asc tie = de, 50%
+    val en10 = "the a of and to is the a of and"
+    val de10 = "der die und das ist ein der die und das"
+    // doc 2: 15 en tokens → 2 passages (10 + 5), both en → not mixed
+    val en15 = "the a of and to is the a of and the a of and to"
+    val docs = Seq((1L, en10 + " " + de10), (2L, en15), (3L, "   "))
+      .toDF("doc_id", "text")
+    val got = TextOps.langMix(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(1L) === ((2L, "de", 500000L, 2L, true)),
+      s"mixed doc: ${got(1L)}")
+    assert(got(2L) === ((2L, "en", 1000000L, 1L, false)),
+      s"monolingual doc: ${got(2L)}")
+    assert(!got.contains(3L), "zero-token doc has no passages")
+    // fixture accounting: Σ passages = Σ ceil(n_tok/10) over non-empty docs
+    val fx = TextOps.langMix(spark, sf)
+    val nPass = fx.agg(org.apache.spark.sql.functions.sum("n_passages"))
+      .head().getLong(0)
+    val expected = graft.sources.Tables(spark, sf, "documents")
+      .selectExpr(s"size(${TextOps.TokensSql}) as n")
+      .where(col("n") >= 1)
+      .selectExpr("sum((n - 1) div 10 + 1)").head().getLong(0)
+    assert(nPass === expected, "passage accounting")
+  }
+
   test("redact masks every digit run and counts them") {
     val got = graft.operators.Scalars.redact(spark, sf).collect()
     assert(got.nonEmpty)
