@@ -1480,20 +1480,29 @@ object TextOps {
       r.getLong(0)
     }
 
-  /** Build-time overflow guard for [[bm25Rank]]'s integer ranking:
-    * the per-term numerator is ≤ S·(2N+1)·22·tf·T with tf ≤ dl
-    * row-wise, so maxdl bounds every tf the serve path can see. The
-    * guard itself evaluates in BigInt (it cannot wrap), and fails the
-    * ARTIFACT BUILD — never the serve path — because a wrapped BIGINT
-    * in Spark's non-ANSI arithmetic corrupts rankings silently while
-    * the DuckDB oracle promotes to HUGEINT and diverges. */
+  /** Build-time overflow guard for [[bm25Rank]]'s exact ranking: the
+    * per-term numerator is ≤ S·(2N+1)·22·tf·T with tf ≤ dl row-wise,
+    * so maxdl bounds every tf the serve path can see. The ranking
+    * evaluates in DECIMAL(38,0) (round 12 — the old BIGINT form capped
+    * the corpus at ~10⁷ tokens), so the guard is: numerator AND
+    * denominator < 10³⁸ (decimal-128 exactness), quotient < 2⁶³ (the
+    * BIGINT Spark's decimal `div` returns). The guard itself evaluates
+    * in BigInt (it cannot wrap) and fails the ARTIFACT BUILD — never
+    * the serve path — because an overflowed decimal in Spark's
+    * non-ANSI arithmetic nulls scores silently while the DuckDB oracle
+    * promotes to HUGEINT and diverges. */
   private def requireBm25Safe(nDocs: Long, totTok: Long, maxDl: Long): Unit = {
-    val bound = BigInt(Bm25Scale) * (2 * BigInt(nDocs) + 1) * 22 *
+    val d38 = BigInt(10).pow(38)
+    val num = BigInt(Bm25Scale) * (2 * BigInt(nDocs) + 1) * 22 *
       BigInt(maxDl) * BigInt(totTok)
-    require(bound < BigInt(Long.MaxValue),
-      s"bm25 integer ranking would overflow BIGINT (nDocs=$nDocs totTok=$totTok " +
-        s"maxdl=$maxDl -> numerator bound $bound >= 2^63): reduce Bm25Scale " +
-        "or switch the ranking division to double (exactness traded for range)")
+    val den = (2 * BigInt(nDocs) + 1) *
+      (BigInt(10) * totTok * maxDl + 3 * BigInt(totTok) + 9 * BigInt(maxDl) * nDocs)
+    // quotient ≤ num / (10·T·tf) = S·(2N+1)·22 / 10 (at df = 0, dl → 0)
+    val quot = BigInt(Bm25Scale) * (2 * BigInt(nDocs) + 1) * 22 / 10 + 1
+    require(num < d38 && den < d38 && quot < BigInt(Long.MaxValue),
+      s"bm25 exact ranking out of range (nDocs=$nDocs totTok=$totTok " +
+        s"maxdl=$maxDl -> numerator $num / denominator $den vs 10^38, " +
+        s"quotient bound $quot vs 2^63): reduce Bm25Scale")
   }
 
   /** BM25 k1 as the exact rational 6/5 (term-frequency saturation). */
@@ -1615,13 +1624,22 @@ object TextOps {
     }
 
   /** The BM25 ranking tail over (doc_id, tf, df, dl) rows — shared by
-    * the artifact-served form and the direct semantics reference. */
+    * the artifact-served form and the direct semantics reference.
+    * The term score evaluates in DECIMAL(38,0): the numerator
+    * S·(2N+1)·22·tf·T passes 2⁶³ at ~10⁷ corpus tokens (the sf10
+    * document corpus tripped the old BIGINT guard at 500k docs / 27M
+    * tokens), while decimal-128 carries it exactly to ~10³⁸ — enough
+    * for N ≈ 10¹², T ≈ 10¹⁵ (the 100 TB design point, bound ~2·10³⁶).
+    * Still EXACT integer arithmetic: scale-0 decimals, one integral
+    * division (Spark's decimal `div` returns the BIGINT quotient,
+    * which is what DuckDB's `//` produces from its HUGEINT promotion)
+    * — the oracle is unchanged and the ranking stays bit-replayable. */
   private def bm25Rank(rows: DataFrame, nDocs: Long, totTok: Long,
       k: Int): DataFrame =
     rows
-      .withColumn("s", // L-suffixed literals: INT·INT would overflow
-        expr(s"(${Bm25Scale}L * (2L * ${nDocs}L - 2L * df + 1L) * 22L * tf * ${totTok}L) div " +
-          s"((2L * df + 1L) * (10L * ${totTok}L * tf + 3L * ${totTok}L + 9L * dl * ${nDocs}L))"))
+      .withColumn("s",
+        expr(s"(CAST(${Bm25Scale} AS DECIMAL(38,0)) * (2L * ${nDocs}L - 2L * df + 1L) * 22L * tf * ${totTok}L) div " +
+          s"(CAST(2L * df + 1L AS DECIMAL(38,0)) * (CAST(10L AS DECIMAL(38,0)) * ${totTok}L * tf + 3L * ${totTok}L + 9L * dl * ${nDocs}L))"))
       .groupBy("doc_id")
       .agg(sum("s").as("score"), count(lit(1)).as("terms_hit"))
       .orderBy(col("score").desc, col("doc_id").asc)
