@@ -48,15 +48,23 @@ object GenSf1 {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "testdata-sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val KnownTables = Set("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "documents", "embeddings")
     val only: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    require(only.subsetOf(KnownTables),
+      s"unknown table(s) ${(only -- KnownTables).mkString(",")}; " +
+        s"known: ${KnownTables.toSeq.sorted.mkString(",")}")
     require(copies <= 128,
       "copies > 128 would repeat (rotation, sign) embedding transforms — " +
         "cross-replica duplicates, no longer '10x the same shape'")
     val spark = Engine.session()
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String, files: Int): Unit =
+    // df is BY-NAME: a partial corpus (`tables=embeddings` against a dir
+    // holding only embeddings.parquet) must not even rd() the excluded
+    // tables — the read would fail on paths the user explicitly excluded.
+    def wr(df: => DataFrame, t: String, files: Int): Unit =
       if (only.isEmpty || only(t))
         df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
 

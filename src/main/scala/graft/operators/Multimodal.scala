@@ -138,11 +138,7 @@ object Multimodal {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val r = pngReaderSpi.createReaderInstance()
-    try r.setInput(iis)
-    catch { case e: Exception =>
-      throw new IllegalStateException(s"undecodable image payload for doc $docId", e)
-    }
-    try r.read(0)
+    try { r.setInput(iis); r.read(0) }
     catch { case e: Exception =>
       throw new IllegalStateException(s"undecodable image payload for doc $docId", e)
     }

@@ -169,9 +169,9 @@ object TextOps {
     val passages = docs
       .withColumn("toks", expr(TokensSql))
       .where(size(col("toks")) >= 1)
-      .select(col("doc_id"), posexplode(expr(
+      .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, (size(toks) - 1) div $p), i -> slice(toks, i * $p + 1, $p))"))
-        .as(Seq("widx", "ptoks")))
+        .as("ptoks"))
     passages
       .select(col("doc_id") +: scores: _*)
       .withColumn("plang", bestLangCol)
@@ -1638,8 +1638,14 @@ object TextOps {
       k: Int): DataFrame =
     rows
       .withColumn("s",
-        expr(s"(CAST(${Bm25Scale} AS DECIMAL(38,0)) * (2L * ${nDocs}L - 2L * df + 1L) * 22L * tf * ${totTok}L) div " +
-          s"(CAST(2L * df + 1L AS DECIMAL(38,0)) * (CAST(10L AS DECIMAL(38,0)) * ${totTok}L * tf + 3L * ${totTok}L + 9L * dl * ${nDocs}L))"))
+        // Every multiplicative chain is anchored on a DECIMAL literal so
+        // no 64-bit SUBTERM can wrap inside the guard's envelope (e.g.
+        // 9·dl·N passes 2⁶³ long before den reaches 10³⁸): non-ANSI
+        // BIGINT wrap is silent, and promotion-after-wrap would corrupt
+        // the denominator only for long documents.
+        expr(s"(CAST(${Bm25Scale} AS DECIMAL(38,0)) * (CAST(2 AS DECIMAL(38,0)) * ${nDocs}L - CAST(2 AS DECIMAL(38,0)) * df + 1) * 22L * tf * ${totTok}L) div " +
+          s"((CAST(2 AS DECIMAL(38,0)) * df + 1) * (CAST(10 AS DECIMAL(38,0)) * ${totTok}L * tf + " +
+          s"CAST(3 AS DECIMAL(38,0)) * ${totTok}L + CAST(9 AS DECIMAL(38,0)) * dl * ${nDocs}L))"))
       .groupBy("doc_id")
       .agg(sum("s").as("score"), count(lit(1)).as("terms_hit"))
       .orderBy(col("score").desc, col("doc_id").asc)
