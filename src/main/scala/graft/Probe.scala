@@ -56,6 +56,22 @@ object Probe {
             println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.1f s")
           }
         }
+      case s if s.startsWith("stream_phases:") =>
+        // per-micro-batch progress JSON (batch duration + state-store
+        // metrics) for one streaming query — where does the time go?
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+            println(e.progress.json)
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        }
+        spark.streams.addListener(listener)
+        val qn = s.stripPrefix("stream_phases:")
+        timed(qn)(SparkEntry.queries(s"q_$qn")(spark, dir)
+          .write.format("noop").mode("overwrite").save())
       case "ann_serve" =>
         // the sf10 serve-path datapoint (VERDICT r11 #7): stage each ANN
         // index once (build timed but unbilled — the serve ratio is the

@@ -650,26 +650,42 @@ object Streams {
         case (acc, s) => s :: acc
       }.reverse
       sessions.put(merged.toArray)
-      // one timer per pending session's close time
+      // ONE timer per USER — armed at the earliest pending close. The
+      // original form registered one timer per pending SESSION, making
+      // the timer column family session-grain: at 100× events (~5M
+      // pending sessions over 150k users) each batch deleted and
+      // re-registered ~10M timers (~75M RocksDB ops, 85 s batches) and
+      // the sentinel flush expired 4.9M timers one handler call each.
+      // User-grain timers make that 150k. Which session's close the
+      // timer names is irrelevant: the expiry handler closes every
+      // session due by the WATERMARK and re-arms for the next close,
+      // so each close still lands in the same micro-batch as before
+      // (a session is due iff the earliest one is).
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      merged.foreach(s => getHandle.registerTimer(timerMsFor(s._2)))
+      if (merged.nonEmpty)
+        getHandle.registerTimer(merged.iterator.map(s => timerMsFor(s._2)).min)
       Iterator.empty
     }
     override def handleExpiredTimer(key: Long, tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
-      // the watermark has passed `expiry`: close EVERY session whose
-      // end + gap lies at/before it (which session's timer fired is
-      // irrelevant; a stale timer of a merged-away session no-ops).
-      // Post-emission merges are impossible by construction: a bridging
-      // event for an emitted session would have ts <= end + gap <
-      // watermark and is dropped as late before reaching the processor.
-      val expiry = info.getExpiryTimeInMs()
-      val (closed, open) = sessions.get().toSeq.partition(s => timerMsFor(s._2) <= expiry)
-      if (closed.isEmpty) Iterator.empty
-      else {
+      // the watermark advanced past the earliest pending close: close
+      // EVERY session whose end + gap lies at/before the watermark
+      // (not merely the fired expiry — later-closing sessions the same
+      // advance made due must not wait a batch), then re-arm for the
+      // earliest still-open close. Post-emission merges are impossible
+      // by construction: a bridging event for an emitted session would
+      // have ts <= end + gap < watermark and is dropped as late before
+      // reaching the processor.
+      val wm = math.max(tv.getCurrentWatermarkInMs(), info.getExpiryTimeInMs())
+      val (closed, open) = sessions.get().toSeq.partition(s => timerMsFor(s._2) <= wm)
+      if (closed.nonEmpty) {
         if (open.isEmpty) sessions.clear() else sessions.put(open.toArray)
-        closed.sortBy(_._1).iterator.map(s => (key, s._3))
       }
+      if (open.nonEmpty) {
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(open.iterator.map(s => timerMsFor(s._2)).min)
+      }
+      closed.sortBy(_._1).iterator.map(s => (key, s._3))
     }
   }
 
