@@ -801,15 +801,33 @@ object Streams {
   private def stagedDocFeed(spark: SparkSession, dir: String): File =
     docFeedCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "documents")), {
       val docs = Tables(spark, dir, "documents")
-      val n = docs.count()
       val chunks = NumChunks + 2
-      val per = math.max(1L, (n + chunks - 1) / chunks)
+      // Chunk boundaries are id QUANTILES, not count-derived id
+      // thresholds: a sparse/offset id space (e.g. the replicated
+      // sf10 fixtures, ids stamped cp·10⁸) leaves count-range chunks
+      // empty and SILENTLY DROPS every id past the last range — the
+      // sf10 probe's feed carried 5k of 500k docs. Approximate
+      // boundaries are fine: the streamed result only needs id-ordered
+      // arrival with full coverage (first-arrival-wins is invariant to
+      // where the chunk cuts fall), which open-ended first/last ranges
+      // guarantee for ANY id distribution.
+      val quantiles = docs.stat.approxQuantile("doc_id",
+        (1 until chunks).map(_.toDouble / chunks).toArray, 0.001)
+      // empty corpus → approxQuantile returns NO values: route everything
+      // (i.e. nothing) through chunk 0 so the feed still has its full
+      // mtime-ordered file sequence and the empty-schema contract holds
+      val bounds =
+        if (quantiles.length == chunks - 1) quantiles.map(_.toLong)
+        else Array.fill(chunks - 1)(Long.MaxValue)
       val root = Files.createTempDirectory("graft-docfeed-").toFile
       Runtime.getRuntime.addShutdownHook(new Thread(() => graft.Fs.rmRf(root)))
       val base = System.currentTimeMillis()
       (0 until chunks).foreach { i =>
-        writeFeedChunk(
-          docs.where(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per),
+        val aboveLo =
+          if (i == 0) lit(true) else col("doc_id") > lit(bounds(i - 1))
+        val atOrBelowHi =
+          if (i == chunks - 1) lit(true) else col("doc_id") <= lit(bounds(i))
+        writeFeedChunk(docs.where(aboveLo && atOrBelowHi),
           root, f"doc-$i%03d", base + i * 10000L)
       }
       root
