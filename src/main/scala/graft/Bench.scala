@@ -329,6 +329,28 @@ object Bench {
         Seq.empty
       }
 
+    // Staged/appended BQ signature index (round 12, its own try):
+    // build = the one-time corpus sign-bit pass + slim flat write
+    // (8·W bytes/vector); search = query signatures + Hamming scan of
+    // the artifact + exact re-rank (no corpus signature pass). The
+    // recall row guards the Hamming shortlist the same way the
+    // pq/sq/lsh rows guard theirs.
+    val bqLifecycle: Seq[(String, Double)] =
+      try {
+        val bIdx = timedN(graft.operators.Similarity.clearBqIndexCache())(
+          graft.operators.Similarity.stagedBqIndex(spark, sfDir))
+        val sIdx = timedN(())(force(SparkEntry.queries("q_simsearch_bq_indexed")(spark, sfDir)))
+        val bApp = timedN(graft.operators.Similarity.clearBqAppendCache())(
+          graft.operators.Similarity.stagedAppendedBqIndex(spark, sfDir))
+        val sApp = timedN(())(force(SparkEntry.queries("q_simsearch_bq_append")(spark, sfDir)))
+        Seq("bq_index_build_sec" -> bIdx, "bq_index_search_sec" -> sIdx,
+          "bq_append_build_sec" -> bApp, "bq_append_search_sec" -> sApp) ++
+          recall("q_simsearch_bq")
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] bq lifecycle failed: ${e.getMessage}")
+        Seq.empty
+      }
+
     // Staged/appended winnow substring index (round 10, its own try):
     // build = the one-time corpus fingerprint pass + partitioned
     // write; serve = the dup-pair query over the artifact (no corpus
@@ -516,7 +538,7 @@ object Bench {
     // a tail capture of any length that includes the final line parses.
     // Both lines are also mirrored to bench_last.json in the CWD.
     val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"matrix_rerun_threshold_sec":$RerunThresholdSec,"matrix_rerun_n":$mReruns,"sf":"$sfDir"}"""
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"extra":${obj(extraRes)},"extra_failed":${arr(extraFailed)},"extra_degraded":${arr(extraDegraded)},"failed":${arr(headFailed)},"degraded":${arr(headDegraded)},"n_queries":${headRes.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","lifecycle_runs":$LifecycleRuns,"lifecycle_agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ pqIndexLifecycle ++ ivfpqModelLifecycle ++ ivfpqIndexLifecycle ++ ivfpqAppendLifecycle)},"lsh_lifecycle":${obj(lshLifecycle)},"winnow_lifecycle":${obj(winnowLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle ++ dedupCcLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"extra":${obj(extraRes)},"extra_failed":${arr(extraFailed)},"extra_degraded":${arr(extraDegraded)},"failed":${arr(headFailed)},"degraded":${arr(headDegraded)},"n_queries":${headRes.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","lifecycle_runs":$LifecycleRuns,"lifecycle_agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ pqIndexLifecycle ++ ivfpqModelLifecycle ++ ivfpqIndexLifecycle ++ ivfpqAppendLifecycle)},"lsh_lifecycle":${obj(lshLifecycle)},"bq_lifecycle":${obj(bqLifecycle)},"winnow_lifecycle":${obj(winnowLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle ++ dedupCcLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
       try { w.println(matrixLine); w.println(headlineLine) } finally w.close()

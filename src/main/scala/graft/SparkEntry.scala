@@ -87,6 +87,9 @@ object SparkEntry {
     "q_simsearch_ivfpq_append" -> ((s, d) => Similarity.ivfpqTopKAppended(s, d)),
     "q_simsearch_pq_indexed" -> ((s, d) => Similarity.pqTopKIndexed(s, d)),
     "q_simsearch_sq"    -> ((s, d) => Similarity.sqTopK(s, d)),
+    "q_simsearch_bq"    -> ((s, d) => Similarity.bqTopK(s, d)),
+    "q_simsearch_bq_indexed" -> ((s, d) => Similarity.bqTopKIndexed(s, d)),
+    "q_simsearch_bq_append"  -> ((s, d) => Similarity.bqTopKAppended(s, d)),
     "q_knn_join"        -> ((s, d) => Similarity.knnJoin(s, d)),
     "q_knn_join_blocked" -> ((s, d) => Similarity.knnJoinBlocked(s, d)),
     "q_knn_graph"       -> ((s, d) => Similarity.knnGraph(s, d)),
@@ -158,6 +161,7 @@ object SparkEntry {
     "q_sample_hash"     -> ((s, d) => Pipeline.hashSample(s, d)),
     "q_mix_temperature" -> ((s, d) => Pipeline.mixTemperature(s, d)),
     "q_passage_dedup"   -> ((s, d) => Dedup.passageDedup(s, d)),
+    "q_boilerplate"     -> ((s, d) => Dedup.boilerplateStrip(s, d)),
     "q_sample_stratified" -> ((s, d) => Pipeline.stratifiedHashSample(s, d)),
     "q_pack_tokens"     -> ((s, d) => Pipeline.packTokens(s, d)),
     "q_sql_revenue"     -> ((s, d) => Relational.sqlRevenue(s, d)),
@@ -1225,6 +1229,37 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_passages,
          |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_passages
          |FROM f GROUP BY doc_id""".stripMargin,
+    // boilerplate REMOVAL (the corpus rewrite passage_dedup audits):
+    // passages in ≥ BoilerplateDf distinct docs stripped everywhere
+    // (first occurrence included — the C4 rule), text rebuilt from the
+    // kept passages in widx order plus the sub-window tail
+    "q_boilerplate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, CAST(w AS BIGINT) AS widx,
+         |         array_to_string(ts[w * 10 + 1 : w * 10 + 10], ' ') AS passage
+         |  FROM toks, unnest(range(0, len(ts) // 10)) AS u(w)
+         |  WHERE len(ts) >= 10
+         |), bp AS (
+         |  SELECT passage FROM p GROUP BY 1
+         |  HAVING count(DISTINCT doc_id) >= ${operators.Dedup.BoilerplateDf}
+         |), kept AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(passage, ' ' ORDER BY widx) AS body
+         |  FROM p WHERE passage NOT IN (SELECT passage FROM bp)
+         |  GROUP BY doc_id
+         |), base AS (
+         |  SELECT doc_id, CAST(len(ts) // 10 AS BIGINT) AS n_passages,
+         |         array_to_string(ts[(len(ts) // 10) * 10 + 1 : len(ts)], ' ') AS tail
+         |  FROM toks
+         |)
+         |SELECT b.doc_id,
+         |       trim(concat(COALESCE(k.body, ''), ' ', b.tail)) AS clean_text,
+         |       b.n_passages,
+         |       b.n_passages - COALESCE(k.n_kept, 0) AS n_stripped
+         |FROM base b LEFT JOIN kept k USING (doc_id)""".stripMargin,
     "q_sample_stratified" ->
       s"""WITH f AS (
          |  SELECT doc_id, lang, ${utf8BytesSql("CAST(doc_id AS VARCHAR)")} AS bs
@@ -1701,6 +1736,14 @@ object SparkEntry {
     // codes, integer decode, d2 shortlist, exact-cosine re-rank —
     // every division has non-negative operands (trunc ≡ floor)
     "q_simsearch_sq" -> sqOracle,
+    // BQ replayed exactly: sign-bit words rebuilt as sums of shifted
+    // literals, Hamming via xor+bit_count, shortlist, exact-cosine
+    // re-rank; ONE oracle for all three forms — the signature is a
+    // data-independent pure row function, so live, staged, and
+    // appended searches are bit-identical by construction
+    "q_simsearch_bq" -> bqOracle,
+    "q_simsearch_bq_indexed" -> bqOracle,
+    "q_simsearch_bq_append" -> bqOracle,
     // kNN self-join: every vector's top-5 — exact all-pairs window for
     // the exact form; the blocked form is the IVF oracle with the
     // whole corpus as the query set (same quantizer chain, k=5)
@@ -4720,6 +4763,57 @@ object SparkEntry {
        |  SELECT qid, vec_id FROM (
        |    SELECT qid, vec_id,
        |           row_number() OVER (PARTITION BY qid ORDER BY pqd2, vec_id) AS srn
+       |    FROM sc) WHERE srn <= $shortN
+       |), s2 AS (
+       |  SELECT sh.qid, sh.vec_id,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, len(qn.e) + 1), i -> qn.e[i] * cn.e[i])),
+       |      (acc, p) -> acc + p) / (qn.nrm * cn.nrm) AS sim
+       |  FROM sh JOIN n qn ON qn.vec_id = sh.qid
+       |  JOIN n cn ON cn.vec_id = sh.vec_id
+       |), r AS (
+       |  SELECT qid, vec_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+       |  FROM s2
+       |)
+       |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin
+  }
+
+  /** Oracle for the q_simsearch_bq family (`Similarity.bqTopK` /
+    * `bqTopKIndexed` / `bqTopKAppended` — ONE oracle, the three forms
+    * are bit-identical by construction): sign-bit signatures packed
+    * into 32-bit BIGINT words (bit i of word w set iff dim 32w+i+1 is
+    * > 0 — a comparison, exact on floats in both engines), Hamming
+    * distance as xor + bit_count summed over words, the corpus-aware
+    * shortlist by (hd, vec_id), exact-cosine re-rank — the sqOracle
+    * tail. Every step is integer or a float comparison; the whole
+    * search replays. */
+  private def bqOracle: String = {
+    val shortN = s"GREATEST(${operators.Similarity.pqShortlistFloor(10)}, (SELECT COUNT(*) FROM embeddings) // 8)"
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, e,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+       |         (a, p) -> a + p)) AS nrm
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |        FROM embeddings)
+       |), x AS (
+       |  SELECT vec_id, CAST(u.i AS INT) AS dim, e[u.i] AS xi
+       |  FROM n, unnest(range(1, len(e) + 1)) AS u(i)
+       |), sig AS MATERIALIZED (
+       |  SELECT vec_id, (dim - 1) // 32 AS w,
+       |         CAST(sum(CASE WHEN xi > 0 THEN (CAST(1 AS BIGINT) << ((dim - 1) % 32))
+       |                       ELSE 0 END) AS BIGINT) AS bits
+       |  FROM x GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT q.vec_id AS qid, c.vec_id,
+       |         CAST(sum(bit_count(xor(q.bits, c.bits))) AS BIGINT) AS hd
+       |  FROM sig q JOIN sig c ON q.w = c.w AND q.vec_id < 10
+       |       AND q.vec_id != c.vec_id
+       |  GROUP BY 1, 2
+       |), sh AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY hd, vec_id) AS srn
        |    FROM sc) WHERE srn <= $shortN
        |), s2 AS (
        |  SELECT sh.qid, sh.vec_id,

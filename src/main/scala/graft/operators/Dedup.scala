@@ -992,6 +992,71 @@ object Dedup {
           col("f.widx") === col("widx"), 1L).otherwise(0L)).as("kept_passages"))
   }
 
+  /** Minimum DISTINCT-document frequency for a passage to count as
+    * boilerplate: ≥ 3 documents is the published C4 shape (its
+    * three-sentence-span rule) and the df distribution is scale-stable
+    * on the fixtures (strip set 9/7/45 passages at sf0.001/0.01/0.1 —
+    * nonzero and small at every scale; at web scale the rule is
+    * applied per shard with the same absolute threshold). */
+  val BoilerplateDf = 3L
+
+  /** q_boilerplate: boilerplate REMOVAL — the corpus-rewrite step
+    * [[passageDedup]] only audits. A passage (the same non-overlapping
+    * `win`-token unit) occurring in ≥ [[BoilerplateDf]] DISTINCT
+    * documents is boilerplate — navigation, license blurbs, cookie
+    * banners — and is stripped from EVERY document including its first
+    * occurrence (the C4/CCNet rule; passage dedup keeps first
+    * occurrences, boilerplate removal keeps none). Emitted per doc:
+    * the rebuilt token text (kept passages in order + the sub-window
+    * tail, whitespace-normalized by the tokens() convention), passage
+    * count, and stripped count — the cleaned corpus a curation
+    * pipeline feeds downstream.
+    *
+    * Scale shape: passages shuffle as md5 digests; the boilerplate set
+    * is df-thresholded and TINY relative to the corpus (high-df mass
+    * concentrates on few distinct passages — Zipf), so the strip is a
+    * broadcast anti-join; the text rebuild is a per-doc sort over that
+    * doc's own kept passages (bounded by doc length), never a corpus
+    * window. */
+  def boilerplateStrip(spark: SparkSession, dir: String, win: Int = 10): DataFrame =
+    boilerplateStrip(Tables(spark, dir, "documents"), win)
+
+  /** df form: expects (doc_id: Long, text: String). */
+  def boilerplateStrip(docs: DataFrame, win: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val t = docs.select(col("doc_id"),
+      expr(graft.operators.TextOps.TokensSql).as("ts"))
+    val p = t
+      .select(col("doc_id"), posexplode(
+        expr(s"CASE WHEN size(ts) >= $win THEN" +
+          s" transform(sequence(0, cast(size(ts) / $win as int) - 1)," +
+          s" w -> concat_ws(' ', slice(ts, w * $win + 1, $win)))" +
+          s" ELSE cast(array() as array<string>) END"))
+        .as(Seq("widx", "passage")))
+      .select(col("doc_id"), col("widx").cast(LongType).as("widx"),
+        col("passage"), md5(col("passage")).as("ph"))
+    val bp = p.groupBy("ph")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= BoilerplateDf)
+      .select("ph")
+    val kept = p.join(broadcast(bp), Seq("ph"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(widx, passage)))," +
+            " s -> s.passage)"), " ").as("body"))
+    t.select(col("doc_id"),
+        expr(s"cast(size(ts) div $win as bigint)").as("n_passages"),
+        expr(s"concat_ws(' ', slice(ts, (size(ts) div $win) * $win + 1," +
+          s" size(ts) - (size(ts) div $win) * $win))").as("tail"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        trim(concat_ws(" ", coalesce(col("body"), lit("")), col("tail")))
+          .as("clean_text"),
+        col("n_passages"),
+        (col("n_passages") - coalesce(col("n_kept"), lit(0L))).as("n_stripped"))
+  }
+
   /** Materialized transitive near-dedup of a corpus: drop every
     * non-canonical member of every near-dup component (MinHash-LSH
     * pairs closed by `dupComponents`), keep everything else untouched.

@@ -1332,6 +1332,134 @@ object Similarity {
     pqRerank(v, scored, k, n, isQuery)
   }
 
+  // ---- Binary quantization (q_simsearch_bq): the far end of the ANN
+  // compression curve — ONE BIT per dimension (64-dim fp32 → 8 bytes
+  // of signature, 32× below the raw floats; the first-stage filter of
+  // modern vector stores: 100 TB of fp32 embeddings become ~3 TB of
+  // sign bits that fit in cluster RAM and scan at memory bandwidth).
+  // bit_d = [x_d > 0] — a sign TEST, no float arithmetic, and NO
+  // corpus statistics (unlike SQ's min/max or PQ's codebooks), so like
+  // the LSH hyperplanes the code is data-independent: appended index
+  // rows ≡ one-shot rows bit-for-bit, no frozen-model caveat. Hamming
+  // distance between signatures approximates angular distance (BQ IS
+  // 1-bit-per-plane LSH with the coordinate axes as the planes — but
+  // scanned, not bucketed, so recall has no bucketing cliff); the
+  // corpus-aware [[pqShortlist]] + exact-cosine re-rank turns the
+  // coarse rank into recall, the PQ/SQ discipline. The scan kernel is
+  // XOR + POPCNT per word — codegen'd builtins in Spark, replayable in
+  // DuckDB, so the whole search oracle-replays exactly.
+
+  /** Signature words: 32 bits per BIGINT word (not 64 — the packed
+    * word stays far below 2⁶³ so the ORACLE can build the identical
+    * word from a plain sum of shifted literals; XOR/POPCNT don't care
+    * how many of a word's bits are in use). */
+  private[graft] val BqWords: Int = (Dims + 31) / 32
+
+  /** Word `w` of the sign signature: OR of 1<<i over the positive
+    * dims of the word's 32-dim slice (ties-to-zero: x = 0 → bit 0 —
+    * exact in both engines, it is a comparison, not arithmetic). */
+  private def bqWordCol(w: Int): Column =
+    expr(s"aggregate(transform(slice(e, ${w * 32 + 1}, 32), " +
+      s"(x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)")
+
+  /** (vec_id, s0..s{W−1}) signature rows over a [[vecs]] frame — the
+    * ONE signature definition shared by the live, staged, and appended
+    * forms (they cannot drift). */
+  private[graft] def bqSigRows(v: DataFrame): DataFrame =
+    v.select(col("vec_id") +:
+      (0 until BqWords).map(w => bqWordCol(w).as(s"s$w")): _*)
+
+  /** q_simsearch_bq: live BQ search — one signature pass over the
+    * corpus, Hamming scan (XOR + POPCNT per word, flat columns so the
+    * whole scan codegens), corpus-aware shortlist by (hamming,
+    * vec_id), exact-cosine re-rank (shared [[pqRerank]]). */
+  def bqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val v = vecs(spark, dir)
+    bqBody(v, bqSigRows(v), QueryVecs, k, corpusSize(spark, dir))
+  }
+
+  /** df form: expects (vec_id, embedding). */
+  def bqTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val v = vecs(emb)
+    bqBody(v, bqSigRows(v), isQuery, k, v.count())
+  }
+
+  private def bqBody(v: DataFrame, sigs: DataFrame, isQuery: Column,
+                     k: Int, n: Long): DataFrame = {
+    val q = v.where(isQuery).select(col("vec_id"))
+      .join(sigs, "vec_id")
+      .select(col("vec_id").as("qid") +:
+        (0 until BqWords).map(w => col(s"s$w").as(s"q$w")): _*)
+    val hamming = (0 until BqWords)
+      .map(w => bit_count(col(s"q$w").bitwiseXOR(col(s"s$w"))).cast(LongType))
+      .reduce(_ + _)
+    val scored = broadcast(q).join(sigs, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), hamming.as("pqd2"))
+    pqRerank(v, scored, k, n, isQuery)
+  }
+
+  private val bqIndexCache =
+    new scala.collection.concurrent.TrieMap[(String, String), String]()
+  private val bqAppendCache =
+    new scala.collection.concurrent.TrieMap[(String, String), String]()
+  def clearBqIndexCache(): Unit = bqIndexCache.clear()
+  def clearBqAppendCache(): Unit = bqAppendCache.clear()
+
+  /** Staged BQ index: the corpus signatures persisted ONCE as the flat
+    * (vec_id, s0..s{W−1}) table. A search computes signatures for the
+    * QUERY batch only and Hamming-scans the slim artifact — the scan
+    * IS the design: sign bits are small enough to scan whole at memory
+    * bandwidth, so BQ needs no partition geometry at all (no lists, no
+    * buckets, no recall knee — the simplest maintenance story in the
+    * family). Sorted by vec_id for id-ranged maintenance reads. */
+  private[graft] def stagedBqIndex(spark: SparkSession, dir: String): String =
+    bqIndexCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
+      val root = new java.io.File(stableRoot(dir), "bq_index")
+      bqSigRows(vecs(spark, dir))
+        .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(root.getAbsolutePath)
+      root.getAbsolutePath
+    })
+
+  /** Append-maintained BQ index: base staged over the early ids, the
+    * late decile's signatures appended as one delta file, the flat dir
+    * compacted in one job (the [[stagedAppendedLshIndex]] layout
+    * contract). Sign bits are data-independent ⇒ delta rows ≡ one-shot
+    * rows ⇒ appended searches ≡ live full-corpus searches bit-for-bit
+    * — the LSH argument, without even a plane pool. */
+  private[graft] def stagedAppendedBqIndex(spark: SparkSession, dir: String): String =
+    bqAppendCache.getOrElseUpdate((dir, graft.Fs.tableFingerprint(dir, "embeddings")), {
+      val n = corpusSize(spark, dir)
+      val cut = n - math.max(1L, n / 10)
+      val v = vecs(spark, dir)
+      val root = new java.io.File(stableRoot(dir), "bq_index_inc")
+      graft.Fs.rmRf(root)
+      bqSigRows(v.where(col("vec_id") < cut))
+        .repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(root.getAbsolutePath)
+      bqSigRows(v.where(col("vec_id") >= cut))
+        .coalesce(1).sortWithinPartitions("vec_id")
+        .write.mode("append").parquet(root.getAbsolutePath)
+      graft.sources.Sinks.compact(spark, root.getAbsolutePath)
+      root.getAbsolutePath
+    })
+
+  /** q_simsearch_bq_indexed: served from the persisted signature table
+    * — ≡ live [[bqTopK]] bit-for-bit (integer words round-trip parquet
+    * exactly; the re-rank reads the same raw embeddings both ways). */
+  def bqTopKIndexed(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bqSearchIndex(spark, dir, stagedBqIndex(spark, dir), k)
+
+  /** q_simsearch_bq_append: served from the append-maintained table;
+    * ≡ live search of the full corpus by construction. */
+  def bqTopKAppended(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    bqSearchIndex(spark, dir, stagedAppendedBqIndex(spark, dir), k)
+
+  private def bqSearchIndex(spark: SparkSession, dir: String,
+                            path: String, k: Int): DataFrame =
+    bqBody(vecs(spark, dir), spark.read.parquet(path), QueryVecs, k,
+      corpusSize(spark, dir))
+
   // ---- kNN join (q_knn_join / q_knn_join_blocked): every corpus
   // vector ↔ its k nearest neighbors, not just a small query batch.
   // The all-pairs retrieval primitive behind dedup-by-retrieval,

@@ -678,4 +678,27 @@ class DedupSpec extends SparkSuiteBase {
     assert(got(3L) === ((1L, 0L)), "doc 3's only passage is doc 1's")
     assert(!got.contains(4L), "sub-window docs have no full passage")
   }
+
+  test("boilerplateStrip: df≥3 passages stripped EVERYWHERE (first occurrence too); df=2 kept; tail survives") {
+    import spark.implicits._
+    val bp = (1 to 10).map(i => s"bp$i").mkString(" ")    // in 3 docs → boilerplate
+    val dup = (11 to 20).map(i => s"dp$i").mkString(" ")  // in 2 docs → kept
+    val uniq = (21 to 30).map(i => s"uq$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$bp $uniq tail1 tail2",   // first occurrence of bp is stripped too
+      2L -> s"$dup $bp",
+      3L -> s"$bp $dup",
+      4L -> "Short  DOC").toDF("doc_id", "text")
+    val got = Dedup.boilerplateStrip(docs, 10).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((s"$uniq tail1 tail2", 2L, 1L)),
+      "bp stripped from its FIRST occurrence; unique passage + tail kept")
+    assert(got(2L) === ((dup, 2L, 1L)))
+    assert(got(3L) === ((dup, 2L, 1L)), "df=2 passage kept in both docs")
+    assert(got(4L) === (("short doc", 0L, 0L)),
+      "sub-window doc passes through as its normalized token stream")
+    // accounting: stripped mass = every occurrence of the df≥3 passage
+    assert(got.values.map(_._3).sum === 3L)
+  }
 }

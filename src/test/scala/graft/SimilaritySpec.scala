@@ -407,6 +407,70 @@ class SimilaritySpec extends SparkSuiteBase {
       "SQ path must be deterministic")
   }
 
+  test("BQ word packing: sign bits land in the exact 32-bit words") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // dims 1, 3, 33 positive (1-based) → word 0 bits {0, 2}, word 1 bit {0};
+    // zeros and negatives contribute nothing (ties-to-zero)
+    val e = Array.fill(64)(-1.0)
+    e(0) = 0.5; e(2) = 1e-300; e(32) = 2.0; e(10) = 0.0
+    val sig = Similarity.bqSigRows(
+        Seq((1L, e)).toDF("vec_id", "embedding")
+          .withColumn("e", col("embedding")))
+      .collect()(0)
+    assert(sig.getLong(1) === ((1L << 0) | (1L << 2)))
+    assert(sig.getLong(2) === (1L << 0))
+  }
+
+  test("BQ top-k: Hamming shortlist + exact re-rank, decent recall vs brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // seeded corpus LARGE enough that the shortlist (max(640, n/8)) is
+    // a strict subset of the corpus — the Hamming rank is actually load-
+    // bearing, not an everything-passes degenerate
+    val rnd = new scala.util.Random(31)
+    val emb = (0L until 2000L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val isQ = col("vec_id") < 10
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = sets(Similarity.bruteForceTopK(emb, isQ, 10))
+    val bq = sets(Similarity.bqTopK(emb, isQ, 10))
+    val recall = exact.map { case (q, ex) =>
+      bq.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    assert(recall >= 0.7, s"BQ recall@10 = $recall")
+    // determinism: a second run returns the identical row set
+    assert(sets(Similarity.bqTopK(emb, isQ, 10)) === bq)
+  }
+
+  test("indexed BQ ≡ live BQ bit-for-bit; scan reads the slim signature table") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))
+    val live = Similarity.bqTopK(spark, sf).collect().map(key).toSet
+    val idx = Similarity.bqTopKIndexed(spark, sf)
+    assert(idx.collect().map(key).toSet === live)
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("bq_index"), s"expected the staged signature scan in:\n$plan")
+  }
+
+  test("appended BQ ≡ live BQ of the FULL corpus — sign bits are data-independent") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))
+    val appended = Similarity.bqTopKAppended(spark, sf).collect().map(key).toSet
+    val live = Similarity.bqTopK(spark, sf).collect().map(key).toSet
+    assert(appended === live)
+    // layout contract: the post-append compact folds base + delta back
+    // to ~one file — serve listing cost flat over any number of appends
+    val path = Similarity.stagedAppendedBqIndex(spark, sf)
+    val files = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files === 1, s"post-append compact must leave one file, saw $files")
+  }
+
   test("IVFPQ top-k: residual codes inside probed lists, decent recall") {
     val brute = Similarity.bruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
