@@ -45,6 +45,36 @@ object Probe {
           bench("encode", threads, n)(i => Multimodal.probeEncodeOne(i.toLong))
           bench("decode", threads, n)(i => Multimodal.probeDecodeOne(pre(i % 2000)))
         }
+      case "rw_parts" =>
+        // randomWalk phase split: edge build+cut vs the step joins
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val li = graft.sources.Tables(spark, dir, "lineitem")
+        val fwd = li.select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        val edgesIn = fwd.unionAll(fwd.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct()
+        timed("edge_distinct_count")(println(s"edges: ${edgesIn.count()}"))
+        val w0 = Window.partitionBy("src").orderBy("dst")
+        var e: org.apache.spark.sql.DataFrame = null
+        timed("rank_window_cut") {
+          e = graft.Engine.cut(edgesIn
+            .withColumn("rnk", row_number().over(w0).cast("long") - 1L)
+            .withColumn("d", count(lit(1)).over(Window.partitionBy("src"))))
+        }
+        var w = e.select(col("src")).distinct()
+          .select(col("src").as("start"), col("src").as("node"))
+        timed("frontier_count")(println(s"nodes: ${w.count()}"))
+        for (k <- 1 to 4) {
+          val coin = graft.functions.Fnv32a.mix32(graft.functions.Fnv32a.fnv32a(
+            concat(col("w.start").cast("string"), lit(s"_${k - 1}_"),
+              col("w.node").cast("string"))))
+          val nw = w.as("w")
+            .join(e.as("e"), col("w.node") === col("e.src") &&
+              col("e.rnk") === coin % col("e.d"))
+            .select(col("w.start").as("start"), col("e.dst").as("node"))
+          timed(s"step$k") { w = graft.Engine.cut(nw) }
+        }
       case m if m.startsWith("multi:") =>
         // 3 runs per named query: run1 = cold (memo builds billed),
         // min(run2, run3) = the warm/serve basis

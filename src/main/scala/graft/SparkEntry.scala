@@ -227,6 +227,7 @@ object SparkEntry {
     "q_partition_overwrite" -> ((s, d) => graft.sources.Sinks.partitionOverwriteRead(s, d)),
     "q_triangle"        -> ((s, d) => Graphs.triangles(s, d)),
     "q_triangle_approx" -> ((s, d) => Graphs.trianglesApprox(s, d)),
+    "q_random_walk"     -> ((s, d) => Graphs.randomWalk(s, d)),
     "q_kcore"           -> ((s, d) => Graphs.kcore(s, d)),
     "q_pmi"             -> ((s, d) => TextOps.collocations(s, d)),
     "q_ngram_df"        -> ((s, d) => TextOps.ngramDocFreq(s, d)),
@@ -2604,6 +2605,50 @@ object SparkEntry {
          |       t.n AS n_triangles_sampled,
          |       CAST(t.n * ${operators.Graphs.TriangleKeepMod.toLong * operators.Graphs.TriangleKeepMod * operators.Graphs.TriangleKeepMod} AS BIGINT) AS est_triangles
          |FROM t""".stripMargin,
+    // deterministic random walks replayed step by step: the ranked
+    // adjacency (row_number per src), then per step the SAME
+    // fnv32a + double-round mix32 coin mod degree picking the ranked
+    // neighbor — a hash-exact replay of a randomized-walk algorithm,
+    // chained CTEs like the unrolled pagerank/kcore rounds
+    "q_random_walk" -> {
+      val stepCtes = (1 to operators.Graphs.RwSteps).map { k =>
+        s"""h${k}0 AS (
+           |  SELECT start, node,
+           |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+           |      ${utf8BytesSql(s"CAST(start AS VARCHAR) || '_${k - 1}_' || CAST(node AS VARCHAR)")}),
+           |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+           |  FROM w${k - 1}
+           |), h${k}1 AS (
+           |  SELECT start, node, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h${k}0
+           |), h${k}2 AS (
+           |  SELECT start, node, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h${k}1
+           |), w$k AS (
+           |  SELECT q.start, e.dst AS node
+           |  FROM h${k}2 q
+           |  JOIN dg ON dg.src = q.node
+           |  JOIN e ON e.src = q.node AND e.rnk = xor(q.h >> 16, q.h) % dg.d
+           |)""".stripMargin
+      }.mkString(", ")
+      val unions = (0 to operators.Graphs.RwSteps).map(k =>
+        s"SELECT start, CAST($k AS BIGINT) AS step, node FROM w$k")
+        .mkString("\n|UNION ALL\n|")
+      s"""WITH lp AS MATERIALIZED (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem
+         |), e0 AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM lp UNION ALL SELECT dst AS src, src AS dst FROM lp)
+         |), e AS MATERIALIZED (
+         |  SELECT src, dst,
+         |         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) - 1 AS rnk
+         |  FROM e0
+         |), dg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src
+         |), w0 AS (
+         |  SELECT src AS start, src AS node FROM dg
+         |), $stepCtes
+         |$unions""".stripMargin
+    },
     "q_pmi" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts

@@ -305,6 +305,76 @@ object Graphs {
         (col("n_triangles") * lit(m * m * m)).as("est_triangles"))
   }
 
+  /** Steps per walk in the catalog random-walk query: short fixed-
+    * length walks are the DeepWalk/node2vec working regime (windowed
+    * skip-gram context ≈ 2–5 hops), and a fixed L bounds the plan the
+    * way the pageRank/LPA round counts do. */
+  val RwSteps = 4
+
+  /** q_random_walk: DETERMINISTIC uniform random walks over the
+    * part↔supplier co-purchase graph — the corpus-of-walks stage of
+    * DeepWalk (Perozzi-Al-Rfou-Skiena, KDD 2014) / node2vec at p=q=1:
+    * one walk of [[RwSteps]] steps from EVERY node, each step moving
+    * to a uniformly-chosen neighbor. The "random" choice is the
+    * seeded-hash discipline of q_shuffle/q_triangle_approx: at step k
+    * the walk started at s standing on node u picks the neighbor with
+    * rank mix32(fnv32a("s_k_u")) mod deg(u) in u's dst-ordered
+    * adjacency — the avalanche again load-bearing (raw FNV low bits
+    * correlate across the shared "s_" prefix), and the whole
+    * trajectory replays in any engine (the DuckDB oracle chains the
+    * per-step CTEs). Emitted: (start, step, node), step 0..L — the
+    * sentence corpus a skip-gram embedder consumes.
+    *
+    * Shape at scale: the ranked adjacency is built once (row_number
+    * per src — per-key sort bounded by max degree); each step is ONE
+    * equi-join of the walk frontier (n rows, constant across steps)
+    * against it, keyed on (node, rank) — no fan-out, no corpus
+    * windows, L fixed; 100× nodes = 100× rows per join, linear. */
+  def randomWalk(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val fwd = li.select((col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    randomWalk(fwd.unionAll(fwd.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct(), RwSteps)
+  }
+
+  /** df form: expects (src, dst) directed edges with every node having
+    * out-degree ≥ 1 (the bipartite both-directions construction
+    * guarantees it; a sink would strand its walks). */
+  def randomWalk(edgesIn: DataFrame, steps: Int): DataFrame = {
+    // the CSR move: one row per NODE with its dst-sorted neighbor
+    // ARRAY, built in one shuffle — a step then joins the constant-
+    // size frontier against the NODE-grain table (|V| rows, runtime-
+    // broadcastable) and indexes the array, instead of re-scanning the
+    // |E|-grain edge table per hop (measured 2–5 s/step at 1.2M edges;
+    // the array form is ~0.1 s). Per-node arrays are bounded by max
+    // degree — fine for catalog/co-purchase graphs; a web-scale hub
+    // graph would range-partition the hot lists back to edge grain.
+    val adj = graft.Engine.cut(edgesIn.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("ns")))
+    // trajectory accumulates as an ARRAY column — one LINEAR join
+    // chain (no per-step lineage cut, no union of re-derived
+    // prefixes), exploded once at the end
+    var w = adj.select(col("src").as("start"), col("src").as("node"),
+      array(col("src")).as("path"))
+    for (k <- 1 to steps) {
+      val coin = graft.functions.Fnv32a.mix32(graft.functions.Fnv32a.fnv32a(
+        concat(col("w.start").cast("string"), lit(s"_${k - 1}_"),
+          col("w.node").cast("string"))))
+      // aliased sides: the frontier's columns came out of adj last
+      // step, so an unaliased re-join is a self-join Spark rightly
+      // refuses to disambiguate
+      val next = element_at(col("a.ns"),
+        ((coin % size(col("a.ns"))) + 1).cast("int"))
+      w = w.as("w")
+        .join(adj.as("a"), col("w.node") === col("a.src"))
+        .select(col("w.start").as("start"), next.as("node"),
+          concat(col("w.path"), array(next)).as("path"))
+    }
+    w.select(col("start"), posexplode(col("path")).as(Seq("step", "node")))
+      .select(col("start"), col("step").cast("long").as("step"), col("node"))
+  }
+
   /** q_bfs: multi-source breadth-first distances — the hop distance
     * from a trusted SEED SET to every reachable node, the classic
     * "distance to seeds" labeling (TrustRank's seed propagation,

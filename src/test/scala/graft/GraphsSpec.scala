@@ -302,6 +302,62 @@ class GraphsSpec extends SparkSuiteBase {
     assert(got(("hub", 2L)) > got(("hub", 3L)))
   }
 
+  test("randomWalk ≡ a driver-side reference walk on a crafted graph; every hop is a real edge") {
+    import spark.implicits._
+    // triangle 1-2-3 plus a pendant 4—1: mixed degrees (deg(1)=3)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graphs.randomWalk(edges, 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // driver-side replay with the same scalar fnv/mix chain
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).distinct.sorted }
+    def coin(s: Long, k: Int, u: Long): Long =
+      graft.functions.Fnv32a.mix32(graft.functions.Fnv32a.hash(
+        s"${s}_${k}_$u".getBytes("UTF-8")))
+    for (s <- adj.keys) {
+      var cur = s
+      assert(got((s, 0L)) === s)
+      for (k <- 0 until 4) {
+        val ns = adj(cur)
+        cur = ns((coin(s, k, cur) % ns.size).toInt)
+        assert(got((s, (k + 1).toLong)) === cur,
+          s"walk from $s diverges at step ${k + 1}")
+      }
+    }
+    // exactly one row per (start, step): 4 starts × 5 steps
+    assert(got.size === 20)
+    // coverage sanity: the walks are not all stuck on one node
+    assert(got.collect { case ((_, st), n) if st > 0 => n }.toSet.size > 1)
+  }
+
+  test("randomWalk on the fixture: one walk per node, every step a valid traversal, deterministic") {
+    val out = Graphs.randomWalk(spark, sf)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val starts = rows.filter(_._2 == 0L)
+    assert(starts.forall(r => r._1 == r._3), "step 0 is the start node")
+    val perStep = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perStep.values.toSet.size === 1, s"ragged steps: $perStep")
+    assert(perStep.keySet === (0L to Graphs.RwSteps.toLong).toSet)
+    // every consecutive (node -> node) hop exists in the edge list
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+    val es = li.select((org.apache.spark.sql.functions.col("l_partkey") * 2).as("s"),
+        (org.apache.spark.sql.functions.col("l_suppkey") * 2 + 1).as("d"))
+      .collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val byWalk = rows.groupBy(_._1).values
+    byWalk.foreach { steps =>
+      steps.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(es.contains((a._3, b._3)),
+          s"hop ${a._3}→${b._3} is not an edge")
+        case _ =>
+      }
+    }
+    val again = Graphs.randomWalk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.sameElements(again.sorted))
+  }
+
   test("pageRank on the fixture graph: total mass conserved within floor losses") {
     val rows = Graphs.pageRank(spark, sf).collect().map(_.getLong(1))
     val n = rows.length.toLong
