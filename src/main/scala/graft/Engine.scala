@@ -99,6 +99,15 @@ object Engine {
       // events.parquet stores ts as TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as epoch-nanos long, converted in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate (collect_list & friends) falls back to the
+      // SORT-based path after only 128 distinct keys per partition by
+      // default — the node2vec adjacency build (200k keys of ~120-long
+      // arrays) measured 19 s in that fallback vs ~4 s hashed. 128k
+      // keys bounds the hash map by the partition's OUTPUT size (the
+      // buffers ARE the result arrays), which every aggregate here
+      // keeps ≤ a few hundred MB; a genuinely larger-than-memory
+      // aggregation still falls back, just later.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       // reliable checkpoints (Engine.cut knob): delete a round's rdd-*
       // files once its RDD is GC'd — without this every iteration of a
       // checkpointed loop leaves a full copy in the durable store

@@ -75,6 +75,27 @@ object Probe {
             .select(col("w.start").as("start"), col("e.dst").as("node"))
           timed(s"step$k") { w = graft.Engine.cut(nw) }
         }
+      case "n2v_parts" =>
+        // node2vec phase split: projection-edge build vs adjacency vs steps
+        import org.apache.spark.sql.functions._
+        val lp = graft.sources.Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val und = lp.select(col("ok"), col("p").as("u"))
+          .join(lp.select(col("ok"), col("p").as("v")), "ok")
+          .where(col("u") < col("v")).select("u", "v").distinct()
+        val edges = und.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+        timed("edges_count")(println(s"edges: ${edges.count()}"))
+        var adj: org.apache.spark.sql.DataFrame = null
+        timed("adjacency_cut") {
+          adj = graft.Engine.cut(edges.groupBy("src")
+            .agg(sort_array(collect_list(col("dst"))).as("ns")))
+        }
+        timed("adj_stats")(println(adj.select(
+          count(lit(1)), avg(size(col("ns"))), max(size(col("ns")))).collect().mkString))
+        timed("full_walk")(graft.operators.Graphs.node2vec(spark, dir)
+          .write.format("noop").mode("overwrite").save())
       case m if m.startsWith("multi:") =>
         // 3 runs per named query: run1 = cold (memo builds billed),
         // min(run2, run3) = the warm/serve basis

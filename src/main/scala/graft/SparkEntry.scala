@@ -228,6 +228,7 @@ object SparkEntry {
     "q_triangle"        -> ((s, d) => Graphs.triangles(s, d)),
     "q_triangle_approx" -> ((s, d) => Graphs.trianglesApprox(s, d)),
     "q_random_walk"     -> ((s, d) => Graphs.randomWalk(s, d)),
+    "q_node2vec"        -> ((s, d) => Graphs.node2vec(s, d)),
     "q_kcore"           -> ((s, d) => Graphs.kcore(s, d)),
     "q_pmi"             -> ((s, d) => TextOps.collocations(s, d)),
     "q_ngram_df"        -> ((s, d) => TextOps.ngramDocFreq(s, d)),
@@ -2647,6 +2648,90 @@ object SparkEntry {
          |), w0 AS (
          |  SELECT src AS start, src AS node FROM dg
          |), $stepCtes
+         |$unions""".stripMargin
+    },
+    // biased second-order walks replayed: step 1 is the uniform ranked
+    // pick; steps 2+ weight each neighbor (Back/In/Out integers) and
+    // pick the first dst-ordered neighbor whose window cumsum exceeds
+    // coin mod total — the Spark fold and the SQL window agree exactly
+    "q_node2vec" -> {
+      def mixChain(k: Int, cols: String, input: String, from: String): String =
+        s"""h${k}0 AS (
+           |  SELECT $cols,
+           |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+           |      ${utf8BytesSql(input)}),
+           |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+           |  FROM $from
+           |), h${k}1 AS (
+           |  SELECT $cols, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h${k}0
+           |), h${k}2 AS (
+           |  SELECT $cols, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h${k}1
+           |)""".stripMargin
+      val step1 =
+        s"""${mixChain(1, "start, node",
+             "CAST(start AS VARCHAR) || '_0_' || CAST(node AS VARCHAR)", "w0")}, w1 AS (
+           |  SELECT q.start, q.node AS prev, e.dst AS node
+           |  FROM h12 q
+           |  JOIN dg ON dg.src = q.node
+           |  JOIN e ON e.src = q.node AND e.rnk = xor(q.h >> 16, q.h) % dg.d
+           |)""".stripMargin
+      val later = (2 to operators.Graphs.RwSteps).map { k =>
+        s"""${mixChain(k, "start, prev, node",
+             s"CAST(start AS VARCHAR) || '_${k - 1}_' || CAST(prev AS VARCHAR) || '_' || CAST(node AS VARCHAR)",
+             s"w${k - 1}")}, nbr$k AS (
+           |  SELECT q.start, q.prev, q.node, e.dst, xor(q.h >> 16, q.h) AS hh,
+           |    CASE WHEN e.dst = q.prev THEN 0
+           |         WHEN pe.src IS NOT NULL THEN 1 ELSE 2 END AS grp,
+           |    CASE WHEN e.dst = q.prev THEN ${operators.Graphs.N2vBack}
+           |         WHEN pe.src IS NOT NULL THEN ${operators.Graphs.N2vIn}
+           |         ELSE ${operators.Graphs.N2vOut} END AS wt
+           |  FROM h${k}2 q
+           |  JOIN e0 e ON e.src = q.node
+           |  LEFT JOIN e0 pe ON pe.src = q.prev AND pe.dst = e.dst
+           |), cum$k AS (
+           |  SELECT start, prev, node, dst, hh, grp,
+           |    sum(wt) OVER (PARTITION BY start ORDER BY grp, dst) AS cum,
+           |    sum(wt) OVER (PARTITION BY start) AS total
+           |  FROM nbr$k
+           |), w$k AS (
+           |  SELECT start, prev2 AS prev, node FROM (
+           |    SELECT start, node AS prev2, dst AS node,
+           |           row_number() OVER (PARTITION BY start ORDER BY grp, dst) AS rn
+           |    FROM cum$k WHERE cum > hh % total) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(", ")
+      val unions = (s"SELECT start, CAST(0 AS BIGINT) AS step, start AS node FROM w0" +:
+        (1 to operators.Graphs.RwSteps).map(k =>
+          s"SELECT start, CAST($k AS BIGINT) AS step, node FROM w$k"))
+        .mkString("\n|UNION ALL\n|")
+      s"""WITH lp AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+         |), und AS MATERIALIZED (
+         |  SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+         |), e0 AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM und
+         |  UNION ALL SELECT v AS src, u AS dst FROM und
+         |), e AS MATERIALIZED (
+         |  SELECT src, dst,
+         |         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) - 1 AS rnk
+         |  FROM e0
+         |), dg AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY src
+         |), s0 AS (
+         |  SELECT src,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+         |      ${utf8BytesSql("'n2v_' || CAST(src AS VARCHAR)")}),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+         |  FROM dg
+         |), s1 AS (
+         |  SELECT src, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM s0
+         |), s2 AS (
+         |  SELECT src, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM s1
+         |), w0 AS (
+         |  SELECT src AS start, src AS node FROM s2
+         |  WHERE xor(h >> 16, h) % ${operators.Graphs.N2vShards} = 0
+         |), $step1, $later
          |$unions""".stripMargin
     },
     "q_pmi" ->

@@ -375,6 +375,126 @@ object Graphs {
       .select(col("start"), col("step").cast("long").as("step"), col("node"))
   }
 
+  /** node2vec second-order weights (×2-scaled integers so the ratios
+    * 1 : 2 : 4 encode return p = 2, in-out q = 1/2 exactly): revisiting
+    * the previous node is discouraged (Back), staying in the previous
+    * node's neighborhood is neutral (In), and stepping OUTWARD is
+    * favored (Out) — the DFS-flavored exploration regime Grover &
+    * Leskovec showed captures structural roles. Integers keep the
+    * weighted pick exact in any engine. */
+  val N2vBack = 1L
+  val N2vIn = 2L
+  val N2vOut = 4L
+
+  /** q_node2vec: BIASED second-order random walks (Grover-Leskovec,
+    * KDD 2016) — the DeepWalk successor whose step distribution
+    * depends on the PREVIOUS node: a neighbor x of the current node u
+    * weighs [[N2vBack]] if x = prev, [[N2vIn]] if x neighbors prev,
+    * [[N2vOut]] otherwise; the walk picks the first dst-ordered
+    * neighbor whose cumulative weight exceeds
+    * mix32(fnv32a("s_k_prev_u")) mod Σweights. Step 1 (no prev) is the
+    * uniform [[randomWalk]] rule. Same (start, step, node) trajectory
+    * output, [[RwSteps]] steps from every node — hash-exact, so the
+    * DuckDB oracle replays the biased walk with a window cumsum.
+    *
+    * The graph is the PART-PART co-purchase projection (q_triangle /
+    * q_label_prop's graph), NOT pageRank's part↔supplier bipartite
+    * one: on a bipartite graph ns(cur) ∩ ns(prev) is empty by
+    * construction — the In group would be structurally dead and the
+    * "2nd-order" bias would degenerate to Back-vs-Out. The projection
+    * has real triangles, so all three groups carry weight.
+    *
+    * Shape at scale: two node-grain joins per step (cur and prev
+    * adjacency arrays) + O(deg) native array ops per row — the
+    * weighted pick never explodes to edge grain; L fixed. */
+  def node2vec(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+      .transform(graft.Engine.cut(_))
+    val und = lp.select(col("ok"), col("p").as("u"))
+      .join(lp.select(col("ok"), col("p").as("v")), "ok")
+      .where(col("u") < col("v"))
+      .select("u", "v")
+      .distinct()
+    node2vec(und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst"))), RwSteps)
+  }
+
+  /** df form: expects DISTINCT directed (src, dst) edges, no sinks
+    * (the [[randomWalk]] contract). */
+  /** Start-node shard modulus: one q_node2vec run generates the walks
+    * of ONE deterministic hash-shard of the node set (mix32-coin mod
+    * [[N2vShards]] = 0), the way production walk corpora are built —
+    * r walks per node per epoch, sharded across workers/epochs; each
+    * shard is an independent job billing |V|/shards · L second-order
+    * steps. The shard coin is salted ("n2v_") so it is independent of
+    * every other sampling coin in the catalog. */
+  val N2vShards = 4
+
+  def node2vec(edgesIn: DataFrame, steps: Int): DataFrame = {
+    val adj = graft.Engine.cut(edgesIn.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("ns")))
+    // step 1: uniform, no prev — and NO join: the frontier IS the
+    // (sharded) adjacency table, its own ns in hand. Each later step
+    // makes ONE adjacency join (for the freshly-picked node): the
+    // previous node's neighbor list — the pns the In test needs — is
+    // exactly the ns we already held when we picked, so it is CARRIED,
+    // not re-joined (halves the per-step shuffle of fat array
+    // payloads).
+    val c1 = graft.functions.Fnv32a.mix32(graft.functions.Fnv32a.fnv32a(
+      concat(col("src").cast("string"), lit("_0_"),
+        col("src").cast("string"))))
+    val n1 = element_at(col("ns"), ((c1 % size(col("ns"))) + 1).cast("int"))
+    val shardCoin = graft.functions.Fnv32a.mix32(graft.functions.Fnv32a.fnv32a(
+      concat(lit("n2v_"), col("src").cast("string"))))
+    var w = adj.where(shardCoin % N2vShards === 0)
+      .select(col("src").as("start"), col("src").as("prev"),
+        n1.as("node"), col("ns").as("pns"),
+        concat(array(col("src")), array(n1)).as("path"))
+    for (k <- 2 to steps) {
+      val coin = graft.functions.Fnv32a.mix32(graft.functions.Fnv32a.fnv32a(
+        concat(col("w.start").cast("string"), lit(s"_${k - 1}_"),
+          col("w.prev").cast("string"), lit("_"),
+          col("w.node").cast("string"))))
+      // CLOSED-FORM group-major pick — neighbors ordered (Back = prev,
+      // then In = ns ∩ pns dst-ascending, then Out dst-ascending),
+      // each group a constant weight, so the weighted choice is two
+      // integer divisions into the group lists instead of a
+      // per-neighbor cumulative fold (the fold was an INTERPRETED
+      // lambda doing an O(deg) membership scan per neighbor — O(deg²)
+      // per hop, 377 s at sf0.01; the native array_intersect/except
+      // path is linear in degree). prev ∈ ns always (the graph
+      // carries both edge directions), so the Back group is never a
+      // phantom option.
+      val nxt = expr(
+        s"""CASE WHEN r < $N2vBack THEN prev
+           |     WHEN r < $N2vBack + $N2vIn * nin
+           |       THEN element_at(ins, CAST((r - $N2vBack) div $N2vIn AS INT) + 1)
+           |     ELSE element_at(array_except(array_except(ns, ins), array(prev)),
+           |       CAST((r - $N2vBack - $N2vIn * nin) div $N2vOut AS INT) + 1)
+           |END""".stripMargin)
+      w = w.as("w")
+        // shuffle_hash, not sort-merge: both sides carry ~KB array
+        // payloads (ns / pns) and SMJ would SORT them on every step —
+        // the hash build touches the arrays only to store them
+        .join(adj.as("a").hint("shuffle_hash"), col("w.node") === col("a.src"))
+        .select(col("w.start").as("start"), col("w.node").as("cur"),
+          col("w.prev").as("prev"), col("a.ns").as("ns"),
+          expr("array_intersect(a.ns, pns)").as("ins"),
+          col("w.path").as("path"), coin.as("h"))
+        .withColumn("nin", size(col("ins")).cast("long"))
+        .withColumn("r", col("h") % (lit(N2vBack) + lit(N2vIn) * col("nin") +
+          lit(N2vOut) * (size(col("ns")).cast("long") - 1L - col("nin"))))
+        .withColumn("nxt", nxt)
+        .select(col("start"), col("cur").as("prev"), col("nxt").as("node"),
+          col("ns").as("pns"),
+          concat(col("path"), array(col("nxt"))).as("path"))
+    }
+    w.select(col("start"), posexplode(col("path")).as(Seq("step", "node")))
+      .select(col("start"), col("step").cast("long").as("step"), col("node"))
+  }
+
   /** q_bfs: multi-source breadth-first distances — the hop distance
     * from a trusted SEED SET to every reachable node, the classic
     * "distance to seeds" labeling (TrustRank's seed propagation,

@@ -358,6 +358,88 @@ class GraphsSpec extends SparkSuiteBase {
     assert(rows.sorted.sameElements(again.sorted))
   }
 
+  test("node2vec ≡ a driver-side reference of the group-major biased walk; In branch provably live") {
+    import spark.implicits._
+    // two triangles sharing node 1, plus a pendant: real common
+    // neighbors, so all three weight groups are exercised
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (1L, 5L), (4L, 5L), (3L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graphs.node2vec(edges, 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).distinct.sorted }
+    def mix(s: String): Long =
+      graft.functions.Fnv32a.mix32(graft.functions.Fnv32a.hash(s.getBytes("UTF-8")))
+    val shardStarts = adj.keys.filter(n =>
+      mix(s"n2v_$n") % Graphs.N2vShards == 0).toSeq.sorted
+    assert(shardStarts.nonEmpty, "crafted ids must put ≥1 node in shard 0")
+    assert(got.keys.map(_._1).toSet === shardStarts.toSet,
+      "walks exist exactly for the shard's start nodes")
+    var inPicks = 0
+    for (s <- shardStarts) {
+      assert(got((s, 0L)) === s)
+      var prev = s
+      var cur = adj(s)((mix(s"${s}_0_$s") % adj(s).size).toInt)
+      assert(got((s, 1L)) === cur, s"uniform first step diverges for $s")
+      for (k <- 1 until 4) {
+        val ns = adj(cur)
+        val ins = ns.filter(x => adj(prev).contains(x)) // sorted, prev ∉ (no self-loops)
+        val outs = ns.filterNot(x => ins.contains(x) || x == prev)
+        val total = Graphs.N2vBack + Graphs.N2vIn * ins.size + Graphs.N2vOut * outs.size
+        val r = mix(s"${s}_${k}_${prev}_$cur") % total
+        val nxt =
+          if (r < Graphs.N2vBack) prev
+          else if (r < Graphs.N2vBack + Graphs.N2vIn * ins.size) {
+            inPicks += 1
+            ins(((r - Graphs.N2vBack) / Graphs.N2vIn).toInt)
+          } else
+            outs(((r - Graphs.N2vBack - Graphs.N2vIn * ins.size) / Graphs.N2vOut).toInt)
+        assert(got((s, (k + 1).toLong)) === nxt,
+          s"walk from $s diverges at step ${k + 1}")
+        prev = cur; cur = nxt
+      }
+    }
+    // determinism
+    val again = Graphs.node2vec(edges, 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(again === got)
+  }
+
+  test("node2vec on the fixture: valid second-order traversals and a LIVE In group (not the bipartite degeneracy)") {
+    import org.apache.spark.sql.functions.col
+    val rows = Graphs.node2vec(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // driver-side graph (the sf0.001 projection is small): every hop an edge
+    val lp = graft.sources.Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = lp.groupBy(_._1).values
+    val es = byOrder.flatMap { g =>
+      val ps = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val adj = es.groupBy(_._1).map { case (s, e) => s -> e.map(_._2).toSeq.sorted }
+    val byWalk = rows.groupBy(_._1).values
+    var inPicks = 0
+    byWalk.foreach { steps =>
+      val path = steps.sortBy(_._2).map(_._3).toSeq
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(es.contains((a, b)), s"hop $a→$b not an edge")
+        case _ =>
+      }
+      // count In-group picks: step k ≥ 2 landing on a COMMON neighbor
+      // of prev and cur that is not a return
+      path.sliding(3).foreach {
+        case Seq(p0, p1, p2) if p2 != p0 =>
+          if (adj(p0).contains(p2)) inPicks += 1
+        case _ =>
+      }
+    }
+    assert(inPicks > 0,
+      "the In group never fired — the graph choice has degenerated (bipartite?)")
+  }
+
   test("pageRank on the fixture graph: total mass conserved within floor losses") {
     val rows = Graphs.pageRank(spark, sf).collect().map(_.getLong(1))
     val n = rows.length.toLong
