@@ -228,6 +228,7 @@ object SparkEntry {
     "q_triangle"        -> ((s, d) => Graphs.triangles(s, d)),
     "q_triangle_approx" -> ((s, d) => Graphs.trianglesApprox(s, d)),
     "q_random_walk"     -> ((s, d) => Graphs.randomWalk(s, d)),
+    "q_walk_pairs"      -> ((s, d) => Graphs.walkPairs(s, d)),
     "q_node2vec"        -> ((s, d) => Graphs.node2vec(s, d)),
     "q_kcore"           -> ((s, d) => Graphs.kcore(s, d)),
     "q_pmi"             -> ((s, d) => TextOps.collocations(s, d)),
@@ -2611,45 +2612,21 @@ object SparkEntry {
     // fnv32a + double-round mix32 coin mod degree picking the ranked
     // neighbor — a hash-exact replay of a randomized-walk algorithm,
     // chained CTEs like the unrolled pagerank/kcore rounds
-    "q_random_walk" -> {
-      val stepCtes = (1 to operators.Graphs.RwSteps).map { k =>
-        s"""h${k}0 AS (
-           |  SELECT start, node,
-           |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
-           |      ${utf8BytesSql(s"CAST(start AS VARCHAR) || '_${k - 1}_' || CAST(node AS VARCHAR)")}),
-           |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
-           |  FROM w${k - 1}
-           |), h${k}1 AS (
-           |  SELECT start, node, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h${k}0
-           |), h${k}2 AS (
-           |  SELECT start, node, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h${k}1
-           |), w$k AS (
-           |  SELECT q.start, e.dst AS node
-           |  FROM h${k}2 q
-           |  JOIN dg ON dg.src = q.node
-           |  JOIN e ON e.src = q.node AND e.rnk = xor(q.h >> 16, q.h) % dg.d
-           |)""".stripMargin
-      }.mkString(", ")
-      val unions = (0 to operators.Graphs.RwSteps).map(k =>
-        s"SELECT start, CAST($k AS BIGINT) AS step, node FROM w$k")
-        .mkString("\n|UNION ALL\n|")
-      s"""WITH lp AS MATERIALIZED (
-         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-         |  FROM lineitem
-         |), e0 AS (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM lp UNION ALL SELECT dst AS src, src AS dst FROM lp)
-         |), e AS MATERIALIZED (
-         |  SELECT src, dst,
-         |         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) - 1 AS rnk
-         |  FROM e0
-         |), dg AS MATERIALIZED (
-         |  SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src
-         |), w0 AS (
-         |  SELECT src AS start, src AS node FROM dg
-         |), $stepCtes
-         |$unions""".stripMargin
-    },
+    "q_random_walk" -> s"WITH $rwOracleCtes\n$rwOracleUnions",
+    // skip-gram co-occurrence counts over the SAME replayed walks —
+    // the walk CTE chain is shared verbatim with q_random_walk, then
+    // a banded self-join + count
+    "q_walk_pairs" ->
+      s"""WITH $rwOracleCtes, walks AS (
+         |$rwOracleUnions
+         |)
+         |SELECT a.node AS center, b.node AS context,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM walks a JOIN walks b
+         |  ON a.start = b.start
+         | AND abs(a.step - b.step) <= ${operators.Graphs.WalkWindow}
+         | AND a.step != b.step
+         |GROUP BY 1, 2""".stripMargin,
     // biased second-order walks replayed: step 1 is the uniform ranked
     // pick; steps 2+ weight each neighbor (Back/In/Out integers) and
     // pick the first dst-ordered neighbor whose window cumsum exceeds
@@ -4959,6 +4936,50 @@ object SparkEntry {
        |)
        |SELECT qid, vec_id, sim, rn FROM r WHERE rn <= 10""".stripMargin
   }
+
+  /** The q_random_walk replay CTE chain (ranked adjacency + per-step
+    * fnv/mix coin + rank join), shared verbatim by the q_walk_pairs
+    * oracle so the two can never replay different walks. */
+  private def rwOracleCtes: String = {
+    val stepCtes = (1 to operators.Graphs.RwSteps).map { k =>
+      s"""h${k}0 AS (
+         |  SELECT start, node,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+         |      ${utf8BytesSql(s"CAST(start AS VARCHAR) || '_${k - 1}_' || CAST(node AS VARCHAR)")}),
+         |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS h
+         |  FROM w${k - 1}
+         |), h${k}1 AS (
+         |  SELECT start, node, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h${k}0
+         |), h${k}2 AS (
+         |  SELECT start, node, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h${k}1
+         |), w$k AS (
+         |  SELECT q.start, e.dst AS node
+         |  FROM h${k}2 q
+         |  JOIN dg ON dg.src = q.node
+         |  JOIN e ON e.src = q.node AND e.rnk = xor(q.h >> 16, q.h) % dg.d
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""lp AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem
+       |), e0 AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM lp UNION ALL SELECT dst AS src, src AS dst FROM lp)
+       |), e AS MATERIALIZED (
+       |  SELECT src, dst,
+       |         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) - 1 AS rnk
+       |  FROM e0
+       |), dg AS MATERIALIZED (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src
+       |), w0 AS (
+       |  SELECT src AS start, src AS node FROM dg
+       |), $stepCtes""".stripMargin
+  }
+
+  private def rwOracleUnions: String =
+    (0 to operators.Graphs.RwSteps).map(k =>
+      s"SELECT start, CAST($k AS BIGINT) AS step, node FROM w$k")
+      .mkString("\nUNION ALL\n")
 
   /** The shared CC-closure CTE chain (exhaustive J ≥ 0.8 pair graph →
     * recursive reachability) — the body of [[ccOracle]], also composed

@@ -375,6 +375,37 @@ object Graphs {
       .select(col("start"), col("step").cast("long").as("step"), col("node"))
   }
 
+  /** Skip-gram context radius over the walk corpus: ±2 steps is the
+    * classic DeepWalk/word2vec working window at these walk lengths. */
+  val WalkWindow = 2
+
+  /** q_walk_pairs: the (center, context) co-occurrence counts a
+    * skip-gram-with-negative-sampling embedder actually trains on —
+    * the step after [[randomWalk]] in the DeepWalk pipeline: every
+    * ordered pair of nodes within [[WalkWindow]] steps of each other
+    * on the same walk, aggregated to counts (the co-occurrence matrix
+    * whose implicit factorization IS the embedding — Levy & Goldberg,
+    * NeurIPS 2014).
+    *
+    * Shape at scale: a self-equi-join keyed on the walk id with a
+    * ±window band predicate — each walk contributes ≤ L·2w pairs, so
+    * the join output is linear in walks; the count aggregate is
+    * partial/final. */
+  def walkPairs(spark: SparkSession, dir: String): DataFrame =
+    walkPairs(randomWalk(spark, dir), WalkWindow)
+
+  /** df form: expects (start, step, node) trajectories. */
+  def walkPairs(walks: DataFrame, window: Int): DataFrame = {
+    val w = graft.Engine.cut(walks)
+    w.as("a").join(w.as("b"),
+        col("a.start") === col("b.start") &&
+          abs(col("a.step") - col("b.step")) <= window &&
+          col("a.step") =!= col("b.step"))
+      .select(col("a.node").as("center"), col("b.node").as("context"))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** node2vec second-order weights (×2-scaled integers so the ratios
     * 1 : 2 : 4 encode return p = 2, in-out q = 1/2 exactly): revisiting
     * the previous node is discouraged (Back), staying in the previous

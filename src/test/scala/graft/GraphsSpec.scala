@@ -358,6 +358,26 @@ class GraphsSpec extends SparkSuiteBase {
     assert(rows.sorted.sameElements(again.sorted))
   }
 
+  test("walkPairs: exact skip-gram pairs on crafted trajectories; fixture mass = 14 per walk") {
+    import spark.implicits._
+    // one hand-written trajectory: 10,20,30,40,50 (steps 0..4)
+    val walks = (0 to 4).map(i => (1L, i.toLong, (i + 1) * 10L))
+      .toDF("start", "step", "node")
+    val got = Graphs.walkPairs(walks, 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // center 30 (step 2) sees 10,20,40,50; center 10 sees 20,30 only
+    assert(got.keySet.count(_._1 == 30L) === 4)
+    assert(got.keySet.filter(_._1 == 10L).map(_._2) === Set(20L, 30L))
+    assert(got.values.forall(_ == 1L))
+    assert(got.size === 14, "a 5-node walk at window 2 yields 14 ordered pairs")
+    // fixture accounting: every full-length walk contributes exactly 14
+    val rw = Graphs.randomWalk(spark, sf)
+    val nWalks = rw.where(org.apache.spark.sql.functions.col("step") === 0).count()
+    val total = Graphs.walkPairs(rw, 2)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).collect()(0).getLong(0)
+    assert(total === 14L * nWalks)
+  }
+
   test("node2vec ≡ a driver-side reference of the group-major biased walk; In branch provably live") {
     import spark.implicits._
     // two triangles sharing node 1, plus a pendant: real common
