@@ -200,6 +200,7 @@ object SparkEntry {
     "q_outliers"        -> ((s, d) => Relational.outliers(s, d)),
     "q_mad"             -> ((s, d) => Relational.madOutliers(s, d)),
     "q_group_quantiles" -> ((s, d) => Relational.groupQuantiles(s, d)),
+    "q_winsorize"       -> ((s, d) => Relational.winsorize(s, d)),
     "q_pagerank"        -> ((s, d) => Graphs.pageRank(s, d)),
     "q_bfs"             -> ((s, d) => Graphs.bfsDistances(s, d)),
     "q_sssp"            -> ((s, d) => Graphs.ssspDistances(s, d)),
@@ -1602,6 +1603,28 @@ object SparkEntry {
         |       max(CASE WHEN rk = CAST(ceil(50 * n / 100.0) AS BIGINT) THEN x END) AS p50,
         |       max(CASE WHEN rk = CAST(ceil(75 * n / 100.0) AS BIGINT) THEN x END) AS p75
         |FROM rk GROUP BY grp""".stripMargin,
+    // winsorization: the SAME rank quantile discipline at P5/P95, then
+    // a clip join back onto the rows — fences replay verbatim
+    "q_winsorize" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS grp, o_orderkey AS id,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders
+        |), rk AS (
+        |  SELECT grp, x,
+        |         row_number() OVER (PARTITION BY grp ORDER BY x, id) AS rk,
+        |         count(*) OVER (PARTITION BY grp) AS n
+        |  FROM r
+        |), f AS (
+        |  SELECT grp,
+        |         max(CASE WHEN rk = CAST(ceil(5 * n / 100.0) AS BIGINT) THEN x END) AS p5,
+        |         max(CASE WHEN rk = CAST(ceil(95 * n / 100.0) AS BIGINT) THEN x END) AS p95
+        |  FROM rk GROUP BY grp
+        |)
+        |SELECT r.id, r.grp, r.x,
+        |       least(greatest(r.x, f.p5), f.p95) AS x_wins,
+        |       (r.x < f.p5 OR r.x > f.p95) AS clipped
+        |FROM r JOIN f USING (grp)""".stripMargin,
     // robust outliers: exact lower medians (rank (n+1) div 2), integer
     // cents throughout — the oracle's windows mirror the two-pass ranks
     "q_mad" ->

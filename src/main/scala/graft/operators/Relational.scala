@@ -571,6 +571,40 @@ object Relational {
         variableColumnName = "measure",
         valueColumnName = "val")
 
+  /** q_winsorize: per-group outlier CLIPPING at the exact rank P5/P95
+    * — the winsorization step of feature cleaning (clip, don't drop:
+    * q_outliers/q_mad DETECT tail rows, this REWRITES them to the
+    * fence so downstream statistics keep the row count). Quantiles are
+    * the [[groupQuantiles]] rank discipline exactly (value at rank
+    * ⌈p·n/100⌉ of the (x, id) total order — integer cents, engine-
+    * exact), so the fences replay in DuckDB verbatim. Emitted per row:
+    * original, clipped value, and the clipped flag (the audit a
+    * curation run keeps).
+    *
+    * Shape at scale: the fences are ≤ |groups| rows (the sliced
+    * two-pass ranks never funnel a group into one task — see
+    * [[groupedRanks]]); the clip itself is a broadcast join of the
+    * fence table back onto the scan. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorize(Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("grp"), col("o_orderkey").as("id"),
+        round(col("o_totalprice") * 100).cast("long").as("x")), 64)
+
+  /** df form: expects (grp: String, id: Long unique, x: Long). */
+  def winsorize(rows: DataFrame, slices: Int): DataFrame = {
+    val ranked = groupedRanks(rows, slices)
+    val nDf = ranked.groupBy("grp").agg(count(lit(1)).as("n"))
+    def at(p: Int) =
+      max(when(col("rk") === expr(s"cast(ceil($p * n / 100.0) as bigint)"),
+        col("x"))).as(s"p$p")
+    val fences = ranked.join(broadcast(nDf), "grp")
+      .groupBy("grp").agg(at(5), at(95))
+    rows.join(broadcast(fences), "grp")
+      .select(col("id"), col("grp"), col("x"),
+        least(greatest(col("x"), col("p5")), col("p95")).as("x_wins"),
+        (col("x") < col("p5") || col("x") > col("p95")).as("clipped"))
+  }
+
   /** q_kanon: k-anonymity suppression — each customer's quasi-identifier
     * pair (market segment, nation) is published only when at least `k`
     * customers share it; rarer combinations are suppressed to '*' so no

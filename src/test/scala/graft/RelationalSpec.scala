@@ -435,6 +435,34 @@ class RelationalSpec extends SparkSuiteBase {
     }
   }
 
+  test("winsorize equals a plain-Scala reference; rows conserved, tails clipped to the fences") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 400).map(i =>
+      (s"g${rnd.nextInt(3)}", i.toLong, rnd.nextInt(10000).toLong))
+    val got = Relational.winsorize(rows.toDF("grp", "id", "x"), 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.size === rows.size, "winsorization must conserve every row")
+    val fences = rows.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.map(r => (r._3, r._2)).sorted.map(_._1)
+      val n = sorted.length
+      def at(p: Int) = sorted(math.ceil(p * n / 100.0).toInt - 1)
+      g -> ((at(5), at(95)))
+    }
+    rows.foreach { case (g, id, x) =>
+      val (p5, p95) = fences(g)
+      val want = math.min(math.max(x, p5), p95)
+      assert(got(id) === ((g, x, want, x < p5 || x > p95)), s"row $id")
+    }
+    // the clip actually fires on both tails of a 10k-wide uniform draw
+    assert(got.values.exists { case (_, x, w, c) => c && w > x })
+    assert(got.values.exists { case (_, x, w, c) => c && w < x })
+    // clipped mass is ~10% (both 5% tails), never more than a quarter
+    val frac = got.values.count(_._4).toDouble / got.size
+    assert(frac > 0.02 && frac < 0.25, s"clipped fraction $frac")
+  }
+
   test("madOutliers equals a plain-Scala reference on seeded random frames") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
