@@ -101,6 +101,11 @@ object Bench {
       graft.operators.Incremental.clearAllStateCaches()
       graft.operators.TextOps.clearPostingsCache()
       graft.operators.TextOps.clearPostingsAppendCache()
+      // the staged co-purchase graph (round 13) is index-class: built
+      // once by the graph_lifecycle split, served warm by the ~14
+      // graph consumer rows in the matrix
+      graft.operators.GraphIndex.clearGraphCache()
+      graft.operators.TextOps.clearDocCharLenCache()
     }
 
     val Runs = 2
@@ -363,8 +368,15 @@ object Bench {
         val bApp = timedN(graft.operators.TextOps.clearWinnowAppendCache())(
           graft.operators.TextOps.stagedAppendedWinnowIndex(spark, sfDir))
         val sApp = timedN(())(force(SparkEntry.queries("q_winnow_dups_append")(spark, sfDir)))
+        // stats-grain serve (VERDICT r12 #4): per-doc coverage from the
+        // warm artifact + the doc-length sidecar — the ≤~10 s answer to
+        // "how duplicated is each doc" beside the pair-mass-bound serve
+        val bLen = timedN(graft.operators.TextOps.clearDocCharLenCache())(
+          graft.operators.TextOps.stagedDocCharLens(spark, sfDir))
+        val sStats = timedN(())(force(SparkEntry.queries("q_winnow_stats_indexed")(spark, sfDir)))
         Seq("winnow_index_build_sec" -> bIdx, "winnow_index_search_sec" -> sIdx,
-          "winnow_append_build_sec" -> bApp, "winnow_append_search_sec" -> sApp)
+          "winnow_append_build_sec" -> bApp, "winnow_append_search_sec" -> sApp,
+          "doclen_build_sec" -> bLen, "winnow_stats_serve_sec" -> sStats)
       } catch { case NonFatal(e) =>
         System.err.println(s"[bench] winnow lifecycle failed: ${e.getMessage}")
         Seq.empty
@@ -448,6 +460,31 @@ object Bench {
         System.err.println(s"[bench] postings lifecycle split failed: ${e.getMessage}")
         Seq.empty
       })
+
+    // Staged co-purchase graph lifecycle (VERDICT r12 #1): build = ONE
+    // lineitem pass fanned into edge lists + CSR adjacency + the walk
+    // corpus + stats, from a cold memo — the once-per-corpus-version
+    // ingest job; serves = representative consumers over the warm
+    // artifact (walk_pairs was the measured re-derivation victim at
+    // 4.6× per decade; kcore/label_prop also report their REALIZED
+    // early-exit round counts, VERDICT r12 #5).
+    val graphLifecycle: Seq[(String, Double)] =
+      try {
+        val bG = timedN(graft.operators.GraphIndex.clearGraphCache())(
+          graft.operators.GraphIndex.stagedGraph(spark, sfDir))
+        val sWp = timedN(())(force(SparkEntry.queries("q_walk_pairs")(spark, sfDir)))
+        val sKc = timedN(())(force(SparkEntry.queries("q_kcore")(spark, sfDir)))
+        val sLp = timedN(())(force(SparkEntry.queries("q_label_prop")(spark, sfDir)))
+        Seq("graph_build_sec" -> bG,
+          "walk_pairs_serve_sec" -> sWp,
+          "kcore_serve_sec" -> sKc,
+          "label_prop_serve_sec" -> sLp,
+          "kcore_rounds_realized" -> graft.operators.Graphs.lastKcoreRounds.toDouble,
+          "lpa_rounds_realized" -> graft.operators.Graphs.lastLpaRounds.toDouble)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] graph lifecycle failed: ${e.getMessage}")
+        Seq.empty
+      }
 
     // kNN-join quality guard (the q_knn_join_blocked analogue of the
     // ANN recall rows): corpus-wide recall of the IVF-blocked join vs
@@ -538,7 +575,7 @@ object Bench {
     // a tail capture of any length that includes the final line parses.
     // Both lines are also mirrored to bench_last.json in the CWD.
     val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"matrix_rerun_threshold_sec":$RerunThresholdSec,"matrix_rerun_n":$mReruns,"sf":"$sfDir"}"""
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"extra":${obj(extraRes)},"extra_failed":${arr(extraFailed)},"extra_degraded":${arr(extraDegraded)},"failed":${arr(headFailed)},"degraded":${arr(headDegraded)},"n_queries":${headRes.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","lifecycle_runs":$LifecycleRuns,"lifecycle_agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ pqIndexLifecycle ++ ivfpqModelLifecycle ++ ivfpqIndexLifecycle ++ ivfpqAppendLifecycle)},"lsh_lifecycle":${obj(lshLifecycle)},"bq_lifecycle":${obj(bqLifecycle)},"winnow_lifecycle":${obj(winnowLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle ++ dedupCcLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"extra":${obj(extraRes)},"extra_failed":${arr(extraFailed)},"extra_degraded":${arr(extraDegraded)},"failed":${arr(headFailed)},"degraded":${arr(headDegraded)},"n_queries":${headRes.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","lifecycle_runs":$LifecycleRuns,"lifecycle_agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ pqIndexLifecycle ++ ivfpqModelLifecycle ++ ivfpqIndexLifecycle ++ ivfpqAppendLifecycle)},"lsh_lifecycle":${obj(lshLifecycle)},"bq_lifecycle":${obj(bqLifecycle)},"winnow_lifecycle":${obj(winnowLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle ++ dedupCcLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"graph_lifecycle":${obj(graphLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
       try { w.println(matrixLine); w.println(headlineLine) } finally w.close()

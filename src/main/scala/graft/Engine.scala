@@ -102,11 +102,24 @@ object Engine {
       // ObjectHashAggregate (collect_list & friends) falls back to the
       // SORT-based path after only 128 distinct keys per partition by
       // default — the node2vec adjacency build (200k keys of ~120-long
-      // arrays) measured 19 s in that fallback vs ~4 s hashed. 128k
-      // keys bounds the hash map by the partition's OUTPUT size (the
-      // buffers ARE the result arrays), which every aggregate here
-      // keeps ≤ a few hundred MB; a genuinely larger-than-memory
-      // aggregation still falls back, just later.
+      // arrays) measured 19 s in that fallback vs ~4 s hashed.
+      //
+      // Heap-sizing guard for the session-wide raise (ADVICE r12 — the
+      // threshold counts KEYS, not bytes, so the raise is only safe if
+      // per-key buffers are bounded): every object-hash aggregate in
+      // this catalog has OUTPUT-BOUNDED buffers — adjacency arrays
+      // (≤ max degree longs), per-doc token/span/passage lists
+      // (≤ doc length), capped postings (TopKByScore) — so a
+      // partition's hash map is bounded by that partition's RESULT
+      // size: ≤ (rows/partitions) · avg row ≈ hundreds of MB here vs
+      // ~4 GiB heap per local[32] task slot (and executors on a real
+      // cluster size the same way: output must fit to be written at
+      // all). An aggregate whose keys exceed 128k/partition STILL
+      // falls back to the spilling sort path, so unbounded-cardinality
+      // inputs degrade, never OOM. New operators with per-key buffers
+      // NOT bounded by their emitted output (e.g. collect_list folded
+      // to a scalar) must not rely on this raise — use a bounded
+      // partial aggregator (TopKByScore) instead.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       // reliable checkpoints (Engine.cut knob): delete a round's rdd-*
       // files once its RDD is GC'd — without this every iteration of a

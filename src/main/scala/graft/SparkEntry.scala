@@ -62,6 +62,7 @@ object SparkEntry {
     "q_winnow_dups_append"  -> ((s, d) => TextOps.winnowDupsAppended(s, d)),
     "q_winnow_spans"    -> ((s, d) => TextOps.winnowSpans(s, d)),
     "q_winnow_stats"    -> ((s, d) => TextOps.winnowStats(s, d)),
+    "q_winnow_stats_indexed" -> ((s, d) => TextOps.winnowStatsIndexed(s, d)),
     "q_winnow_cut"      -> ((s, d) => TextOps.winnowCut(s, d)),
     "q_dedup_exact"     -> ((s, d) => Dedup.exactGroups(s, d)),
     "q_dedup_ngram"     -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -672,20 +673,13 @@ object SparkEntry {
     "q_winnow_spans" -> winnowSpansOracle,
     // per-doc duplication coverage: the spans oracle aggregated, left
     // joined onto codepoint lengths; one double division, same order
-    "q_winnow_stats" ->
-      s"""WITH spans AS (
-         |${winnowSpansOracle.linesIterator.map("  " + _).mkString("\n")}
-         |), agg AS (
-         |  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_chars
-         |  FROM spans GROUP BY doc_id
-         |)
-         |SELECT d.doc_id, CAST(length(lower(d.text)) AS BIGINT) AS n,
-         |       COALESCE(a.dup_chars, 0) AS dup_chars,
-         |       CASE WHEN length(lower(d.text)) > 0
-         |            THEN CAST(COALESCE(a.dup_chars, 0) AS DOUBLE)
-         |                 / CAST(length(lower(d.text)) AS BIGINT)
-         |            ELSE 0.0 END AS dup_frac
-         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+    "q_winnow_stats" -> winnowStatsOracle,
+    // stats-grain staged serve (VERDICT r12 #4): ≡ live bit-for-bit —
+    // integer fp/pos and the gram string round-trip parquet exactly,
+    // the doc-length sidecar is a pure projection, and the double
+    // division has the same operand order — so the live oracle replay
+    // is shared verbatim
+    "q_winnow_stats_indexed" -> winnowStatsOracle,
     // keep-first-occurrence substring surgery: non-keeper duplicated
     // positions → islands → spans excised, segments reassembled with
     // string_agg ORDER BY (the Spark side folds the same sorted spans)
@@ -4089,6 +4083,26 @@ object SparkEntry {
   /** Oracle for q_winnow_spans (`TextOps.winnowSpans`) — also embedded
     * as a subquery by the q_winnow_stats oracle (oracleSql is a def:
     * entries must not call back into the map during construction). */
+  /** Oracle for q_winnow_stats (and its staged serve
+    * q_winnow_stats_indexed — identical by parquet round-trip): the
+    * spans oracle aggregated per doc, left joined onto codepoint
+    * lengths; one double division, same operand order as the Spark
+    * side. */
+  private def winnowStatsOracle: String =
+    s"""WITH spans AS (
+       |${winnowSpansOracle.linesIterator.map("  " + _).mkString("\n")}
+       |), agg AS (
+       |  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_chars
+       |  FROM spans GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(length(lower(d.text)) AS BIGINT) AS n,
+       |       COALESCE(a.dup_chars, 0) AS dup_chars,
+       |       CASE WHEN length(lower(d.text)) > 0
+       |            THEN CAST(COALESCE(a.dup_chars, 0) AS DOUBLE)
+       |                 / CAST(length(lower(d.text)) AS BIGINT)
+       |            ELSE 0.0 END AS dup_frac
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+
   private def winnowSpansOracle: String = {
       val k = functions.WinnowFp.K
       s"""$winnowSelCte, f AS (

@@ -85,6 +85,27 @@ object Dedup {
         .as("shingle"))
       .distinct()
 
+  /** [[shingles]] at DOC grain: (doc_id, sharr) with sharr the doc's
+    * distinct shingle set as an array — same per-doc sets as the
+    * exploded form (array_distinct ≡ the row distinct keyed by doc_id;
+    * shingle order is irrelevant to every consumer: min-hash
+    * signatures are order-free, and the exploded view re-derives from
+    * the same array). One tokenization pass feeds BOTH the signature
+    * kernel ([[sigBandsFromArrays]], which wants the array) and the
+    * verify/index paths (which explode it) — the online per-batch
+    * shape of [[graft.streaming.Streams]]' near-dup. Per-doc array
+    * size is bounded by doc length (the shingle set of one document),
+    * the usual doc-grain bound. */
+  private[graft] def shingleArrays(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ts", expr(TextOps.TokensSql))
+      .where(size(col("ts")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(1, size(ts) - 2),
+          |  i -> xxhash64(concat(element_at(ts, i), ' ', element_at(ts, i + 1),
+          |                       ' ', element_at(ts, i + 2)))))""".stripMargin)
+        .as("sharr"))
+
   /** Shared exact-Jaccard scoring: given the (doc_id, shingle) index and
     * candidate intersection counts keyed (da, db, inter), attach set
     * sizes and keep pairs with J ≥ tau. */
@@ -209,12 +230,32 @@ object Dedup {
     * NOT cached — see jaccardPairs: the cache's size stats break AQE's
     * broadcast planning and measure ~4× slower than recomputing. */
   private[graft] def sigBands(docs: DataFrame): DataFrame =
-    sigBandsFromShingles(shingles(docs))
+    sigBandsFromArrays(shingleArrays(docs))
 
-  /** [[sigBands]] from an ALREADY-COMPUTED (doc_id, shingle) table —
-    * the online path (streamNearDup) pins one shingle pass per batch
-    * and feeds it to the verify, the persisted index append, AND this
-    * signature computation, instead of re-tokenizing the batch here. */
+  /** [[sigBands]] from a (doc_id, sharr) shingle-ARRAY table — the
+    * compiled kernel path (round 13): ONE
+    * [[graft.functions.MinHashBandHashes]] expression computes all 128
+    * mins + 32 band murmurs per doc in a generated loop, replacing the
+    * 128-column min() aggregate + banding projection. Values are
+    * bit-identical (same long arithmetic, same murmur3 fold — pinned
+    * by spec against [[sigBandsFromShingles]]); the win is PLAN size:
+    * the signature stage is one expression instead of ~160, which is
+    * the per-micro-batch Catalyst replanning cost q_stream_neardup
+    * pays 13 times per run (VERDICT r12 #3), and no wide aggregation
+    * buffer ships through the shuffle at all (the doc grain already
+    * holds the whole set). */
+  private[graft] def sigBandsFromArrays(arr: DataFrame): DataFrame =
+    arr.select(col("doc_id"),
+        posexplode(graft.functions.MinHashBandHashes.of(
+          col("sharr"), permA, permB, MinhashP, NumPerm / Bands)))
+      .toDF("doc_id", "band", "bh")
+
+  /** REFERENCE form of the signature+banding math over exploded
+    * (doc_id, shingle) rows — 128 codegen'd min() aggregates + murmur3
+    * band columns. Kept as the independently-derived twin that pins
+    * [[sigBandsFromArrays]]' kernel bit-for-bit in the spec (two
+    * implementations of the published MinHash construction agreeing
+    * beats one implementation trusted twice). */
   private[graft] def sigBandsFromShingles(sh0: DataFrame): DataFrame = {
     val sh = sh0
       // shingle hash reduced mod P (so a·x+b stays in signed-64 range)
@@ -295,6 +336,39 @@ object Dedup {
     * keeps every candidate's shingle set complete, so sizes,
     * intersections, and the output are identical to `verifyCandidates`
     * over the same documents. */
+  /** Exact-Jaccard verification of candidate pairs against a DOC-GRAIN
+    * shingle-ARRAY table (round 13, the online path's verify): the
+    * candidate pair set is broadcast against TWO map-side scans of the
+    * array table (da side, then db side), and the intersection is one
+    * codegen'd `array_intersect` per pair — no shingle-row shuffle, no
+    * per-pair count aggregate, no separate size lookups, so the whole
+    * verify + downstream result join executes as ONE job (the
+    * per-micro-batch job COUNT was q_stream_neardup's measured floor,
+    * VERDICT r12 #3). Bit parity with [[verifyCandidatesIndexed]]:
+    * per-doc arrays are distinct sets, so |array_intersect| equals the
+    * exploded intersection count, sizes equal the group counts, and
+    * the double division has identical long operands.
+    *
+    * The broadcast side is the CANDIDATE PAIR set (+ the da-side
+    * arrays on the second join) — bounded by the per-batch band
+    * collisions (the [[crossCandidates]] gate), the same contract as
+    * the band-table broadcast; an unbounded-candidate caller should
+    * use the exploded-row verify instead. */
+  private[graft] def verifyCandidatesArrays(arr: DataFrame, cands: DataFrame,
+                                            tau: Double): DataFrame = {
+    val withA = arr.join(broadcast(cands), col("doc_id") === col("da"))
+      .select(col("da"), col("db"), col("sharr").as("sa"))
+    arr.join(broadcast(withA), col("doc_id") === col("db"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa"), col("sharr"))).cast("long").as("inter"),
+        size(col("sa")).cast("long").as("na"),
+        size(col("sharr")).cast("long").as("nb"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= tau)
+      .select(col("da"), col("db"), col("jac"))
+  }
+
   private[graft] def verifyCandidatesIndexed(sh: DataFrame, cands: DataFrame,
                                       tau: Double,
                                       materializePruned: Boolean = false): DataFrame = {
@@ -1039,7 +1113,11 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") >= BoilerplateDf)
       .select("ph")
-    val kept = p.join(broadcast(bp), Seq("ph"), "left_anti")
+    // no explicit broadcast hint (ADVICE r12): the df≥3 set is tiny on
+    // Zipf-shaped corpora, but that is data-dependent — a template-heavy
+    // corpus could blow a forced broadcast. AQE sees the aggregated
+    // side's real runtime size and broadcasts exactly when it fits.
+    val kept = p.join(bp, Seq("ph"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(expr(

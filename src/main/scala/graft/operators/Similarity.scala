@@ -1375,19 +1375,24 @@ object Similarity {
     * vec_id), exact-cosine re-rank (shared [[pqRerank]]). */
   def bqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val v = vecs(spark, dir)
-    bqBody(v, bqSigRows(v), QueryVecs, k, corpusSize(spark, dir))
+    bqBody(v, bqSigRows(v), bqSigRows(v.where(QueryVecs)), k,
+      corpusSize(spark, dir), QueryVecs)
   }
 
   /** df form: expects (vec_id, embedding). */
   def bqTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
     val v = vecs(emb)
-    bqBody(v, bqSigRows(v), isQuery, k, v.count())
+    bqBody(v, bqSigRows(v), bqSigRows(v.where(isQuery)), k, v.count(), isQuery)
   }
 
-  private def bqBody(v: DataFrame, sigs: DataFrame, isQuery: Column,
-                     k: Int, n: Long): DataFrame = {
-    val q = v.where(isQuery).select(col("vec_id"))
-      .join(sigs, "vec_id")
+  /** Search core. `qSigs` is the QUERY batch's signature rows,
+    * computed query-side from the raw vectors ([[bqSigRows]] — a pure
+    * per-row function, so it costs one pass over the tiny batch and
+    * never requires the queries to be present in `sigs`); `sigs` is
+    * the corpus signature table (live pass or persisted artifact). */
+  private def bqBody(v: DataFrame, sigs: DataFrame, qSigs: DataFrame,
+                     k: Int, n: Long, isQuery: Column): DataFrame = {
+    val q = qSigs
       .select(col("vec_id").as("qid") +:
         (0 until BqWords).map(w => col(s"s$w").as(s"q$w")): _*)
     val hamming = (0 until BqWords)
@@ -1455,10 +1460,16 @@ object Similarity {
   def bqTopKAppended(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     bqSearchIndex(spark, dir, stagedAppendedBqIndex(spark, dir), k)
 
+  /** Staged-artifact search: query signatures are computed from the
+    * raw query vectors (ADVICE r12 — the artifact need not contain the
+    * query batch; a novel query vector searches correctly), the corpus
+    * side reads the persisted signature table. */
   private def bqSearchIndex(spark: SparkSession, dir: String,
-                            path: String, k: Int): DataFrame =
-    bqBody(vecs(spark, dir), spark.read.parquet(path), QueryVecs, k,
-      corpusSize(spark, dir))
+                            path: String, k: Int): DataFrame = {
+    val v = vecs(spark, dir)
+    bqBody(v, spark.read.parquet(path), bqSigRows(v.where(QueryVecs)), k,
+      corpusSize(spark, dir), QueryVecs)
+  }
 
   // ---- kNN join (q_knn_join / q_knn_join_blocked): every corpus
   // vector ↔ its k nearest neighbors, not just a small query batch.

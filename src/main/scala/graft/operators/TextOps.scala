@@ -1063,6 +1063,53 @@ object TextOps {
     winnowDupsBody(spark.read.parquet(root))
   }
 
+  private val docCharLenCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, Unit)]()
+  def clearDocCharLenCache(): Unit = docCharLenCache.clear()
+
+  /** Per-doc codepoint lengths (doc_id, n) staged once beside the
+    * winnow artifact — the only piece of [[winnowStats]] the selection
+    * table can't answer (zero-selection docs must still report n with
+    * dup_chars = 0). Tiny (two longs per doc) and corpus-versioned
+    * like every other staged artifact. (Distinct from the BM25
+    * [[stagedDocLens]] sidecar, whose dl is a TOKEN total.) */
+  private[graft] def stagedDocCharLens(spark: SparkSession, dir: String): String = {
+    val (root, _) = Staging.stage(docCharLenCache, dir, "documents", "graft-doccharlen-") { root =>
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          length(lower(col("text"))).cast(LongType).as("n"))
+        .write.mode("overwrite").parquet(s"$root/doclen")
+    }
+    s"$root/doclen"
+  }
+
+  /** q_winnow_stats_indexed (VERDICT r12 #4): the stats-grain serve —
+    * per-doc duplication coverage aggregated DIRECTLY from the staged
+    * selection artifact, never materializing cross-doc pairs. This is
+    * the common "how duplicated is each document" question answered at
+    * the cost the question deserves: the pair-grain serve
+    * ([[winnowDupsIndexed]]) is linear in the dup-PAIR mass (inherent
+    * when the consumer wants pairs — 96.9 s at sf10), while this serve
+    * is linear in the SELECTION mass (shared-key df filter → per-doc
+    * islands merge → one aggregate), plus a read of the staged
+    * doc-length sidecar. Result ≡ live [[winnowStats]] bit-for-bit
+    * (integer fp/pos and the gram string round-trip parquet exactly;
+    * the double division has the same operand order), so the live
+    * oracle is shared verbatim. */
+  def winnowStatsIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val (root, _) = stagedWinnowIndex(spark, dir)
+    val spans = winnowSpansSel(
+        spark.read.parquet(root).select("doc_id", "pos", "fp", "gram"))
+      .groupBy("doc_id").agg(sum("span_len").as("dup_chars"))
+    spark.read.parquet(stagedDocCharLens(spark, dir))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        when(col("n") > 0,
+          coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   /** q_winnow_spans: maximal DUPLICATED-TEXT REGIONS per document —
     * the actionable output of substring dedup (Lee et al. 2022 cut
     * exactly these spans from the training set). A position is
@@ -1082,9 +1129,14 @@ object TextOps {
   def winnowSpans(spark: SparkSession, dir: String): DataFrame =
     winnowSpans(Tables(spark, dir, "documents"))
 
-  def winnowSpans(docs: DataFrame): DataFrame = {
+  def winnowSpans(docs: DataFrame): DataFrame =
+    winnowSpansSel(winnowDecoded(docs))
+
+  /** The spans tail over an ALREADY-DECODED (doc_id, pos, fp, gram)
+    * selection table — shared by the live form and the staged-artifact
+    * serve ([[winnowStatsIndexed]]), so the two cannot drift. */
+  private def winnowSpansSel(f: DataFrame): DataFrame = {
     val k = graft.functions.WinnowFp.K
-    val f = winnowDecoded(docs)
     val sharedKeys = f.select(col("doc_id"), col("fp"), col("gram")).distinct()
       .groupBy("fp", "gram").count()
       .where(col("count") >= 2 && col("count") <= WinnowMaxDf)

@@ -244,7 +244,17 @@ object Sinks {
     * count. Stages into a sibling directory then swaps — never holds
     * the data in memory and never reads a directory it is overwriting.
     * At 100 TB this runs per-partition-directory, bounded by the
-    * partitions touched since the last compaction. */
+    * partitions touched since the last compaction.
+    *
+    * Parallelism floor (VERDICT r12 #6): the output never folds below
+    * min(input data files, default parallelism) files — a small
+    * artifact compacted to ONE file serves every downstream scan as
+    * ONE task (q_simsearch_bq_append measured 3.6× at sf1 exactly
+    * because the whole sf1 signature table collapsed into a single
+    * ~5 MB scan task). Small-file OVERHEAD is already bounded by the
+    * input count (compaction only merges), so the floor costs nothing:
+    * file count only ever shrinks toward the size target, stopping at
+    * whatever still keeps every core busy. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     // leaf directories only: compacting a partitioned ROOT would read
@@ -258,7 +268,13 @@ object Sinks {
         s"directories (${partDirs.take(3).map(_.getName).mkString(", ")}…) — " +
         "compact each partition directory instead")
     val totalBytes = walkBytes(new java.io.File(path))
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val inFiles = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val floor = math.min(math.max(1, inFiles),
+      spark.sparkContext.defaultParallelism)
+    val nFiles = math.max(floor,
+      math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val base = path.stripSuffix("/")
     val tmp = base + ".compact-tmp"
     val trash = base + ".compact-old"

@@ -837,7 +837,8 @@ object Streams {
     * arriving crawl — each micro-batch of documents is checked against
     * everything seen so far (and against itself) with the SAME
     * MinHash-band machinery the batch dedup family trusts, then its
-    * band rows and shingle rows are appended to the persisted index so
+    * band rows and doc-grain shingle arrays are appended to the
+    * persisted index so
     * the next batch probes an index that includes this one. Per doc:
     * `dup_of` = the smallest earlier-arriving doc whose verified
     * Jaccard ≥ 0.8, NULL (keep) if none — "first arrival wins", the
@@ -851,15 +852,20 @@ object Streams {
     * the whole corpus — the DuckDB oracle is the exhaustive-pairs CTE
     * with a left join, no stream replay needed.
     *
-    * Scale shape per batch: |batch| shingling + signatures; the index
-    * probe is [[graft.operators.Dedup.crossCandidates]] (batch side
-    * broadcast under the size gate, index streamed map-side, never
-    * shuffled); verification is candidate-doc-bound against the
-    * PERSISTED shingle index ([[graft.operators.Dedup
-    * .verifyCandidatesIndexed]] — no corpus re-shingle, the VERDICT r7
-    * fix applied online); state writes are batch-id-named overwrites
-    * (at-least-once redelivery repairs by idempotence, the
-    * q_stream_upsert convention). */
+    * Scale shape per batch: |batch| shingling + ONE compiled-kernel
+    * signature expression ([[graft.operators.Dedup.sigBandsFromArrays]]
+    * — no 128-column aggregate replanned per micro-batch, VERDICT r12
+    * #3); the index probe is
+    * [[graft.operators.Dedup.crossCandidates]] (batch side broadcast
+    * under the size gate, index streamed map-side, never shuffled);
+    * verification is candidate-pair-broadcast against the persisted
+    * DOC-GRAIN shingle-array index ([[graft.operators.Dedup
+    * .verifyCandidatesArrays]] — exact Jaccard via one codegen'd
+    * array_intersect per pair, no shingle-row shuffle, no corpus
+    * re-shingle; the verify + result join run as ONE job, attacking
+    * the measured per-batch job-count floor); state writes are
+    * batch-id-named overwrites (at-least-once redelivery repairs by
+    * idempotence, the q_stream_upsert convention). */
   def streamNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
     val feed = stagedDocFeed(spark, dir)
@@ -937,13 +943,30 @@ object Streams {
     val resDir = new File(stateRoot, "res")
     // the batch feeds signatures, shingles, and the result join —
     // pin it once instead of re-reading the feed file per consumer
+    val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+    var t0 = System.nanoTime()
+    def tr(label: String): Unit = if (trace) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[neardup-trace] batch=$batchId $label ${(t1 - t0) / 1e9}%.2f s")
+      t0 = t1
+    }
     val b = b0.localCheckpoint()
     val nBatch = b.count()
-    // ONE shingle pass per batch: checkpointed, then consumed by the
-    // signature computation, the verify (via allSh), the parquet
-    // append, and the accumulator
-    val batchSh = Dedup.shingles(b).localCheckpoint()
-    val batchBands = Dedup.sigBandsFromShingles(batchSh).localCheckpoint()
+    tr("pin+count")
+    // ONE shingle pass per batch, pinned at DOC grain (round 13): the
+    // array form feeds the compiled signature kernel directly (one
+    // MinHashBandHashes expression — no 128-column aggregate to replan
+    // per micro-batch, VERDICT r12 #3) and explodes once for the
+    // verify (via allSh), the parquet append, and the accumulator
+    // shingle state lives at DOC grain end-to-end (round 13): the
+    // array form feeds the compiled signature kernel (ONE
+    // MinHashBandHashes expression — no 128-column aggregate to replan
+    // per micro-batch), the persisted index (arrays are the index
+    // format — smaller rows, same information), and the
+    // array_intersect verify; nothing ever explodes to shingle rows
+    val batchArr = Dedup.shingleArrays(b).localCheckpoint()
+    val batchBands = Dedup.sigBandsFromArrays(batchArr).localCheckpoint()
+    tr("shingle+sig")
     // the batch's OWN index dirs can be written concurrently with the
     // probe/verify: every pre-batchId reader (the accumulator, and the
     // strictly-below listing on the replay path) excludes batch-N dirs
@@ -954,7 +977,7 @@ object Streams {
     val shDst = new File(shDir, s"batch-$batchId").getAbsolutePath
     val idxWrites = Seq(
       Future(batchBands.write.mode("overwrite").parquet(bandsDst)),
-      Future(batchSh.write.mode("overwrite").parquet(shDst)))
+      Future(batchArr.write.mode("overwrite").parquet(shDst)))
     // prior index: the warm accumulator when it matches this batch id
     // exactly; the persisted batch-* dirs otherwise (first batch of a
     // restarted/replayed stream — disk is the truth, strictly below
@@ -978,9 +1001,8 @@ object Streams {
         org.apache.spark.sql.Encoders.product[(Long, Long)])
         .toDF("da", "db"))
       .unionAll(Dedup.lshCandidates(batchBands))
-    val allSh = prior.map(_._2.unionByName(batchSh)).getOrElse(batchSh)
-    val pairs = Dedup.verifyCandidatesIndexed(allSh, cands, 0.8,
-      materializePruned = true)
+    val allArr = prior.map(_._2.unionByName(batchArr)).getOrElse(batchArr)
+    val pairs = Dedup.verifyCandidatesArrays(allArr, cands, 0.8)
     val dup = pairs.groupBy(col("db").as("doc_id"))
       .agg(min(col("da")).as("dup_of"))
     b.select(col("doc_id")).join(dup, Seq("doc_id"), "left")
@@ -988,10 +1010,13 @@ object Streams {
         col("dup_of").isNull.as("keep"))
       .write.mode("overwrite")
       .parquet(new File(resDir, s"batch-$batchId").getAbsolutePath)
+    tr("verify+result")
     idxWrites.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    tr("idx-writes-join")
     // accumulator = prior ∪ this batch, now valid for batch id + 1
+    // (shingle state accumulates at DOC grain — array frames)
     val nb = prior.map(_._1.unionAll(batchBands)).getOrElse(batchBands)
-    val ns = prior.map(_._2.unionByName(batchSh)).getOrElse(batchSh)
+    val ns = prior.map(_._2.unionByName(batchArr)).getOrElse(batchArr)
     nearDupAcc.put(key, NearDupAcc(batchId + 1, nb, ns))
   }
 

@@ -16,6 +16,19 @@ class DedupSpec extends SparkSuiteBase {
     assert(Dedup.dedupExact(d1).count() === d1.count())
   }
 
+  test("compiled MinHashBandHashes kernel ≡ the 128-min-aggregate reference, bit-for-bit (sf0.001)") {
+    // two independently-derived implementations of the same published
+    // construction (per-perm min of (a·x+b) mod P, murmur3 band fold)
+    // must agree on every (doc, band, hash) row of the fixture corpus
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val kernel = rows(Dedup.sigBandsFromArrays(Dedup.shingleArrays(docs)))
+    val reference = rows(Dedup.sigBandsFromShingles(Dedup.shingles(docs)))
+    assert(kernel === reference)
+    assert(kernel.nonEmpty)
+  }
+
   test("MinHash-LSH pairs equal exhaustive Jaccard pairs at 0.8 (sf0.001)") {
     val lsh = Dedup.minhashLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

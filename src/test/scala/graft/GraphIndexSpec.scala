@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The staged co-purchase graph artifact (round 13): every table the
+  * catalog graph queries serve must be bit-identical to the inline
+  * lineitem derivation it replaced — longs and long arrays round-trip
+  * parquet exactly, so staged ≡ live is an identity, pinned here
+  * against fresh inline derivations (not against the staged tables
+  * themselves). */
+class GraphIndexSpec extends SparkSuiteBase {
+  import graft.operators.{GraphIndex, Graphs}
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private def li = graft.sources.Tables(spark, sf, "lineitem")
+
+  test("artifact layout: all staged graph tables exist under one root") {
+    val root = GraphIndex.stagedGraph(spark, sf)
+    for (t <- Seq("op", "proj", "stats", "projadj", "bip", "bipw", "sp", "walks"))
+      assert(new java.io.File(root, t).isDirectory, s"missing staged table $t")
+  }
+
+  test("staged bip/proj/sp edge sets ≡ inline lineitem derivations") {
+    val fwd = li.select((col("l_partkey") * 2).cast("long").as("src"),
+      (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+    val bipInline = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    assert(rows(GraphIndex.bip(spark, sf)) === rows(bipInline))
+
+    val lp = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val projInline = lp.select(col("ok"), col("p").as("u"))
+      .join(lp.select(col("ok"), col("p").as("v")), "ok")
+      .where(col("u") < col("v")).select("u", "v").distinct()
+    assert(rows(GraphIndex.proj(spark, sf)) === rows(projInline))
+
+    val spInline = li.select(col("l_suppkey").as("src"),
+      col("l_partkey").as("dst")).distinct()
+    assert(rows(GraphIndex.supPart(spark, sf)) === rows(spInline))
+  }
+
+  test("staged stats match inline counts; kcore serves the same k") {
+    val (n, m) = GraphIndex.projStats(spark, sf)
+    val proj = GraphIndex.proj(spark, sf)
+    assert(m === proj.count())
+    assert(n === proj.select(col("u").as("x"))
+      .unionAll(proj.select(col("v").as("x"))).distinct().count())
+  }
+
+  test("staged walk corpus ≡ randomWalk df-form over inline edges") {
+    val fwd = li.select((col("l_partkey") * 2).cast("long").as("src"),
+      (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+    val bipInline = fwd.unionAll(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val inline = Graphs.randomWalk(bipInline, Graphs.RwSteps)
+    assert(rows(GraphIndex.walks(spark, sf)) === rows(inline))
+  }
+
+  test("catalog kcore/labelProp over the artifact ≡ df forms over inline edges") {
+    val lp = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val projInline = lp.select(col("ok"), col("p").as("u"))
+      .join(lp.select(col("ok"), col("p").as("v")), "ok")
+      .where(col("u") < col("v")).select("u", "v").distinct()
+    val m = projInline.count()
+    val n = projInline.select(col("u").as("x"))
+      .unionAll(projInline.select(col("v").as("x"))).distinct().count()
+    val k = (3L * (2L * m / n) / 4L).toInt
+    assert(rows(Graphs.kcore(spark, sf)) ===
+      rows(Graphs.kcore(projInline, Graphs.KcoreRounds, k)))
+    assert(rows(Graphs.labelProp(spark, sf)) ===
+      rows(Graphs.labelProp(projInline, Graphs.LpaRounds)))
+    // early-exit telemetry was populated by the runs above
+    assert(Graphs.lastKcoreRounds >= 0 && Graphs.lastKcoreRounds <= Graphs.KcoreRounds)
+    assert(Graphs.lastLpaRounds >= 0 && Graphs.lastLpaRounds <= Graphs.LpaRounds)
+  }
+}

@@ -463,12 +463,17 @@ class SimilaritySpec extends SparkSuiteBase {
     val appended = Similarity.bqTopKAppended(spark, sf).collect().map(key).toSet
     val live = Similarity.bqTopK(spark, sf).collect().map(key).toSet
     assert(appended === live)
-    // layout contract: the post-append compact folds base + delta back
-    // to ~one file — serve listing cost flat over any number of appends
+    // layout contract (VERDICT r12 #6): the post-append compact folds
+    // base + delta down toward the size target BUT never below
+    // min(input files, default parallelism) — serve listing cost flat
+    // over any number of appends without collapsing scan parallelism
+    // to one task (the sf1 3.6× layout artifact)
     val path = Similarity.stagedAppendedBqIndex(spark, sf)
     val files = new java.io.File(path).listFiles()
       .count(_.getName.endsWith(".parquet"))
-    assert(files === 1, s"post-append compact must leave one file, saw $files")
+    val cores = spark.sparkContext.defaultParallelism
+    assert(files >= 1 && files <= cores,
+      s"post-append compact must leave [1, $cores] files, saw $files")
   }
 
   test("IVFPQ top-k: residual codes inside probed lists, decent recall") {
