@@ -90,6 +90,26 @@ object Engine {
       case None => ds.localCheckpoint()
     }
 
+  /** Free the block-store copy behind a DEAD [[cut]] frame. Iterative
+    * operators REPLACE a frame every round; without this, each round's
+    * localCheckpoint blocks stay pinned until session end, and on a
+    * 100× corpus the dead rounds accumulate into heap pressure and
+    * GC/eviction stalls (the r13 sf10 k-core probe measured exactly
+    * that; the r12 matrix "GC stall context artifacts" were the same
+    * mechanism). Call ONLY on frames no later computation can touch —
+    * cut() is eager, so once the successor frame is materialized the
+    * predecessor's blocks are unreachable by construction; freeing a
+    * frame that something still references would fail that job with a
+    * missing-checkpoint-block error (loud, never wrong results).
+    * No-op for reliable checkpoints (GC-cleaned via
+    * `cleanCheckpoints`, see [[cut]]) and for non-LogicalRDD plans. */
+  def free(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    ds.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

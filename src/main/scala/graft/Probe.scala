@@ -123,6 +123,68 @@ object Probe {
         val qn = s.stripPrefix("stream_phases:")
         timed(qn)(SparkEntry.queries(s"q_$qn")(spark, dir)
           .write.format("noop").mode("overwrite").save())
+      case "graph_build_parts" =>
+        // phase split of GraphIndex.stagedGraph — where does the sf1
+        // build time go?
+        import org.apache.spark.sql.functions._
+        val root = java.nio.file.Files.createTempDirectory("graft-gbp-").toString
+        val li = graft.sources.Tables(spark, dir, "lineitem")
+        var op: org.apache.spark.sql.DataFrame = null
+        timed("op") {
+          op = graft.Engine.cut(
+            li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+              .distinct())
+          op.write.mode("overwrite").parquet(s"$root/op")
+        }
+        var proj: org.apache.spark.sql.DataFrame = null
+        timed("proj") {
+          proj = graft.Engine.cut(
+            op.select(col("ok"), col("p").as("u"))
+              .join(op.select(col("ok"), col("p").as("v")), "ok")
+              .where(col("u") < col("v")).select("u", "v").distinct())
+          proj.write.mode("overwrite").parquet(s"$root/proj")
+        }
+        timed("stats") {
+          val m = proj.count()
+          val n = proj.select(col("u").as("x"))
+            .unionAll(proj.select(col("v").as("x"))).distinct().count()
+          println(s"  n=$n m=$m")
+        }
+        timed("projadj") {
+          proj.select(col("u").as("src"), col("v").as("dst"))
+            .unionAll(proj.select(col("v").as("src"), col("u").as("dst")))
+            .groupBy("src")
+            .agg(sort_array(collect_list(col("dst"))).as("ns"))
+            .write.mode("overwrite").parquet(s"$root/projadj")
+        }
+        var bip: org.apache.spark.sql.DataFrame = null
+        timed("bip") {
+          val fwd = li.select((col("l_partkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          bip = graft.Engine.cut(
+            fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+              .distinct())
+          bip.write.mode("overwrite").parquet(s"$root/bip")
+        }
+        timed("bipw") {
+          val fww = li.groupBy(
+              (col("l_partkey") * 2).cast("long").as("src"),
+              (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+            .agg(min(col("l_quantity").cast("long")).as("w"))
+          fww.unionAll(
+              fww.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+            .write.mode("overwrite").parquet(s"$root/bipw")
+        }
+        timed("sp") {
+          li.select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+            .distinct().write.mode("overwrite").parquet(s"$root/sp")
+        }
+        timed("walks") {
+          graft.operators.Graphs.randomWalk(bip, graft.operators.Graphs.RwSteps)
+            .write.mode("overwrite").parquet(s"$root/walks")
+        }
+        println(s"root: $root")
+
       case "graph_band" =>
         // the iterative-graph scale decade (VERDICT r12 #2): one cold
         // graph-artifact build (timed), then min-of-2 serves of every

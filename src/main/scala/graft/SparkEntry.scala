@@ -54,6 +54,8 @@ object SparkEntry {
     "q_lang_id"         -> ((s, d) => TextOps.langId(s, d)),
     "q_lang_mix"        -> ((s, d) => TextOps.langMix(s, d)),
     "q_quality_score"   -> ((s, d) => TextOps.qualityScore(s, d)),
+    "q_quality_gopher"  -> ((s, d) => TextOps.qualityGopher(s, d)),
+    "q_c4_clean"        -> ((s, d) => TextOps.c4Clean(s, d)),
     "q_token_count"     -> ((s, d) => TextOps.tokenCounts(s, d)),
     "q_fingerprint"     -> ((s, d) => TextOps.fingerprint(s, d)),
     "q_winnow"          -> ((s, d) => TextOps.winnow(s, d)),
@@ -626,6 +628,82 @@ object SparkEntry {
          |SELECT doc_id, n_tok, avg_tok_len, stop_ratio, alpha_ratio,
          |       least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
          |         + stop_ratio * 0.3 + alpha_ratio * 0.4 AS score
+         |FROM r""".stripMargin,
+    // Gopher document-level rules: every counter integer, every ratio
+    // ONE double division with matched operand order, flags compare
+    // the identical doubles — bit-exact across engines
+    "q_quality_gopher" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS toks,
+         |         string_split(text, chr(10)) AS lines
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+         |      (a, x) -> a + x) AS sum_len,
+         |    CAST(length(text) - length(replace(text, '#', ''))
+         |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter(lines, x -> regexp_matches(x, '^[-*] '))) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.$$'))) AS BIGINT) AS n_ell_end,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |      w -> list_contains(toks, w))) AS BIGINT) AS stop_hits
+         |  FROM t
+         |), r AS (
+         |  SELECT doc_id, n_words,
+         |    CASE WHEN n_words <= 0 THEN 0.0 ELSE CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
+         |    CASE WHEN n_words <= 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE) / n_words END AS symbol_ratio,
+         |    CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
+         |    CAST(n_ell_end AS DOUBLE) / n_lines AS ellipsis_frac,
+         |    CASE WHEN n_words <= 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_words END AS alpha_frac,
+         |    stop_hits
+         |  FROM s
+         |)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+         |       ellipsis_frac, alpha_frac, stop_hits,
+         |  n_words >= 50 AND n_words <= 100000 AS g_words,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS g_mean_len,
+         |  symbol_ratio <= 0.1 AS g_symbol,
+         |  bullet_frac <= 0.9 AS g_bullets,
+         |  ellipsis_frac <= 0.3 AS g_ellipsis,
+         |  alpha_frac >= 0.8 AS g_alpha,
+         |  stop_hits >= 2 AS g_stops,
+         |  (n_words >= 50 AND n_words <= 100000)
+         |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+         |    AND stop_hits >= 2 AS keep
+         |FROM r""".stripMargin,
+    // C4 line-level cleaning: the same keep-lambda replayed over DuckDB
+    // lists; drop-reason precedence is the same CASE chain
+    "q_c4_clean" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents
+         |), s AS (
+         |  SELECT doc_id, text, lines,
+         |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$$')
+         |      AND len(list_filter(string_split_regex(x, '[ \\t]+'), w -> w != '')) >= 5
+         |      AND NOT regexp_matches(lower(x), 'javascript')) AS kept
+         |  FROM t
+         |), r AS (
+         |  SELECT doc_id,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(kept) AS BIGINT) AS n_kept,
+         |    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+         |         WHEN contains(text, '{') THEN 'brace'
+         |         WHEN len(kept) < 3 THEN 'too_few_lines'
+         |         ELSE 'none' END AS drop_reason,
+         |    kept
+         |  FROM s
+         |)
+         |SELECT doc_id, n_lines, n_kept, drop_reason,
+         |  drop_reason != 'none' AS dropped,
+         |  CASE WHEN drop_reason != 'none' THEN ''
+         |       ELSE array_to_string(kept, chr(10)) END AS clean_text
          |FROM r""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,

@@ -108,6 +108,12 @@ object GraphIndex {
           .distinct())
       bip.write.mode("overwrite").parquet(s"$root/bip")
 
+      // degree-folded bipartite edges (src, dst, d) — pageRank/PPR's
+      // loop-invariant degree join staged out of every serve (r13:
+      // the per-run rebuild was one full |E| shuffle + join)
+      bip.join(bip.groupBy("src").agg(count(lit(1)).as("d")), "src")
+        .write.mode("overwrite").parquet(s"$root/bipd")
+
       // weighted bipartite (min quantity per pair), both directions
       val fww = li.groupBy(
           (col("l_partkey") * 2).cast("long").as("src"),
@@ -148,6 +154,11 @@ object GraphIndex {
 
   private[graft] def bip(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${stagedGraph(spark, dir)}/bip")
+
+  /** Degree-folded bipartite edges (src, dst, d) — identical rows to
+    * `bip ⋈ out-degree(bip)`. */
+  private[graft] def bipDegreed(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${stagedGraph(spark, dir)}/bipd")
 
   private[graft] def bipWeighted(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${stagedGraph(spark, dir)}/bipw")

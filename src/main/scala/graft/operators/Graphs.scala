@@ -46,7 +46,7 @@ object Graphs {
     * from the staged graph artifact ([[GraphIndex.bip]] — identical
     * rows to the inline derivation, build billed once per corpus). */
   def pageRank(spark: SparkSession, dir: String): DataFrame =
-    pageRank(GraphIndex.bip(spark, dir), 5)
+    pageRankEd(GraphIndex.bipDegreed(spark, dir), 5)
 
   /** df form: expects (src: Long, dst: Long) edges; every node must
     * have at least one out-edge (add reverse edges or self-loops
@@ -54,18 +54,43 @@ object Graphs {
     * silently leak rank mass). */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val e = graft.Engine.cut(edges)
-    val deg = graft.Engine.cut(e.groupBy("src").agg(count(lit(1)).as("d")))
-    var ranks = deg.select(col("src").as("node"), lit(Scale).as("r"))
+    pageRankEd(e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src"), iters)
+  }
+
+  /** Iteration core over DEGREE-FOLDED edges (src, dst, d) — the
+    * out-degree join is loop-invariant, so the catalog form serves it
+    * from the staged artifact ([[GraphIndex.bipDegreed]]) and only
+    * this core runs per query. Edges are pre-partitioned by the
+    * per-iteration join key once, so each round joins the |E|-grain
+    * side with no exchange and no re-derivation (the r13 sf1 probe
+    * measured the old per-round deg join flipping from broadcast to a
+    * full edge-table SMJ past the 10 MB threshold — a 15x/decade
+    * ratio on a linear algorithm). */
+  private def pageRankEd(edIn: DataFrame, iters: Int): DataFrame = {
+    val ed = graft.Engine.cut(edIn.repartition(col("src")))
+    var ranks = graft.Engine.cut(
+      ed.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(Scale).as("r")))
     for (_ <- 1 to iters) {
-      ranks = e.join(deg, "src")
-        .join(ranks, col("src") === col("node"))
+      // ranks is node-grain (|V| rows, the small side): hash-build it
+      // instead of sorting 2|E| rows per round; both sides arrive
+      // partitioned on the key (ed staged above; ranks out of the
+      // previous round's groupBy), so the join plans exchange-free
+      val prev = ranks
+      ranks = ed.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy("dst")
         .agg(sum("c").as("s"))
         .select(col("dst").as("node"),
           (lit(Scale * 15L / 100L) + expr("(85 * s) div 100")).as("r"))
         .transform(graft.Engine.cut(_))
+      graft.Engine.free(prev)
     }
+    // the returned frame is itself a cut — the staged edge copy is dead
+    // (without this, consecutive graph serves each pin an |E|-grain
+    // block copy until a GC happens to run the context cleaner; the
+    // r13 sf10 band OOM'd on exactly that accumulation)
+    graft.Engine.free(ed)
     ranks
   }
 
@@ -87,12 +112,11 @@ object Graphs {
     * fixed across rounds. Seeds: the min-nation suppliers (the bfs
     * convention). */
   def personalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = GraphIndex.bip(spark, dir)
     val sup = Tables(spark, dir, "supplier")
     val minNation = sup.agg(min(col("s_nationkey")).as("mn"))
     val seeds = sup.join(broadcast(minNation), col("s_nationkey") === col("mn"))
       .select((col("s_suppkey") * 2 + 1).cast("long").as("node")).distinct()
-    personalizedPageRank(edges, seeds, 5)
+    pprEd(GraphIndex.bipDegreed(spark, dir), seeds, 5)
   }
 
   /** df form: (src, dst) edges (every node needs an out-edge — the
@@ -100,31 +124,49 @@ object Graphs {
   def personalizedPageRank(edges: DataFrame, seedsIn: DataFrame,
       iters: Int): DataFrame = {
     val e = graft.Engine.cut(edges)
-    val deg = graft.Engine.cut(e.groupBy("src").agg(count(lit(1)).as("d")))
-    val nodes = deg.select(col("src").as("node"))
+    pprEd(e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src"),
+      seedsIn, iters)
+  }
+
+  /** Iteration core over degree-folded (src, dst, d) edges — the
+    * [[pageRankEd]] discipline with the personalized teleport. */
+  private def pprEd(edIn: DataFrame, seedsIn: DataFrame,
+      iters: Int): DataFrame = {
+    val ed = graft.Engine.cut(edIn.repartition(col("src")))
+    val nodes = graft.Engine.cut(
+      ed.select(col("src").as("node")).distinct().repartition(col("node")))
+    // seeds = one nation's suppliers: dimension-bounded (|supplier| /
+    // |nation|), broadcast-safe at any corpus scale
     val seeds = graft.Engine.cut(
       seedsIn.select(col("node")).distinct().withColumn("tp", lit(Scale * 15L / 100L)))
     // start: all teleport mass on the seeds (the personalized prior)
-    var ranks = nodes.join(seeds, Seq("node"), "left")
+    var ranks = nodes.join(broadcast(seeds), Seq("node"), "left")
       .select(col("node"),
         coalesce(expr("tp * 100 div 15"), lit(0L)).as("r"))
       .transform(graft.Engine.cut(_))
     for (_ <- 1 to iters) {
-      val mass = e.join(deg, "src")
-        .join(ranks, col("src") === col("node"))
+      val mass = ed.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum("c").as("s"))
       // left joins from the FULL node set: zero-in-mass nodes keep a
-      // row (their rank is teleport-only — 0 for non-seeds)
+      // row (their rank is teleport-only — 0 for non-seeds); nodes
+      // and mass are both node-partitioned, so the outer join is
+      // exchange-free with mass as the hash-build side
+      val prev = ranks
       ranks = nodes
-        .join(mass, Seq("node"), "left")
-        .join(seeds, Seq("node"), "left")
+        .join(mass.hint("shuffle_hash"), Seq("node"), "left")
+        .join(broadcast(seeds), Seq("node"), "left")
         .select(col("node"),
           (coalesce(col("tp"), lit(0L)) +
             expr("(85 * coalesce(s, 0)) div 100")).as("r"))
         .transform(graft.Engine.cut(_))
+      graft.Engine.free(prev)
     }
+    // ranks is a cut: the staged loop-invariant frames are dead
+    graft.Engine.free(ed)
+    graft.Engine.free(nodes)
+    graft.Engine.free(seeds)
     ranks
   }
 
@@ -522,6 +564,7 @@ object Graphs {
     var visited = graft.Engine.cut(
       seedsIn.select(col("node")).distinct().withColumn("dist", lit(0L)))
     var frontier = visited.select("node")
+    var prevFresh: DataFrame = null
     for (hop <- 1 to maxHops) {
       // frontier-sized join; distinct BEFORE the anti-join so the
       // visited probe sees each candidate once, not once per in-edge
@@ -530,9 +573,16 @@ object Graphs {
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(hop.toLong))
         .transform(graft.Engine.cut(_)) // reused twice: union + next frontier
+      val prevVisited = visited
       visited = graft.Engine.cut(visited.unionAll(fresh))
+      graft.Engine.free(prevVisited) // superseded by the new union frame
+      if (prevFresh != null) graft.Engine.free(prevFresh)
+      prevFresh = fresh
       frontier = fresh.select("node")
     }
+    // visited is a cut: the staged edge copy and last frontier are dead
+    graft.Engine.free(e)
+    if (prevFresh != null) graft.Engine.free(prevFresh)
     visited
   }
 
@@ -639,6 +689,7 @@ object Graphs {
     var dist = graft.Engine.cut(
       seedsIn.select(col("node")).distinct().withColumn("d", lit(0L)))
     var frontier = dist
+    var prevImproved: DataFrame = null
     for (_ <- 1 to rounds) {
       val relax = e.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("d") + col("w")).as("nd"))
@@ -648,11 +699,18 @@ object Graphs {
         .where(col("old").isNull || col("nd") < col("old"))
         .select(col("node"), col("nd").as("d"))
         .transform(graft.Engine.cut(_)) // reused: dist merge + next frontier
+      val prevDist = dist
       dist = graft.Engine.cut(
         dist.join(improved.select("node"), Seq("node"), "left_anti")
           .unionAll(improved))
+      graft.Engine.free(prevDist) // superseded (round 1: the seed frame)
+      if (prevImproved != null) graft.Engine.free(prevImproved)
+      prevImproved = improved
       frontier = improved
     }
+    // dist is a cut: the staged edge copy and last frontier are dead
+    graft.Engine.free(e)
+    if (prevImproved != null) graft.Engine.free(prevImproved)
     dist
   }
 
@@ -735,12 +793,18 @@ object Graphs {
       e.select(col("src").as("node")).distinct()
         .withColumn("s", lit(HitsScale)))
     var auth: DataFrame = hub.limit(0)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
+      val prevAuth = auth
       auth = normalized(e.join(hub, e("src") === hub("node"))
         .groupBy(e("dst").as("node")).agg(sum("s").as("raw")))
+      if (r > 1) graft.Engine.free(prevAuth) // round 1's is a limit(0) view
+      val prevHub = hub
       hub = normalized(e.join(auth, e("dst") === auth("node"))
         .groupBy(e("src").as("node")).agg(sum("s").as("raw")))
+      graft.Engine.free(prevHub)
     }
+    // the result depends only on the final (cut) hub/auth frames
+    graft.Engine.free(e)
     hub.select(lit("hub").as("kind"), col("node"), col("s").as("score"))
       .unionAll(auth.select(lit("authority").as("kind"), col("node"),
         col("s").as("score")))
@@ -769,6 +833,7 @@ object Graphs {
     val und = graft.Engine.cut(edgesIn)
     val adj = graft.Engine.cut(und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst"))))
+    graft.Engine.free(und) // only adj is consumed from here on
     var labels = graft.Engine.cut(
       adj.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")))
@@ -776,6 +841,11 @@ object Graphs {
     var frontier = labels.select("node")
     var realized = 0
     var converged = false
+    // dead-frame bookkeeping (see Engine.free): the superseded labels
+    // frame dies as soon as its successor is cut; a changed frame is
+    // still referenced as NEXT round's frontier, so it dies one round
+    // later
+    var prevChanged: DataFrame = null
     for (r <- 1 to rounds if !converged) {
       // nodes whose neighborhood changed = neighbors of the frontier
       // (round 1: everyone — skip the no-op semi filter)
@@ -801,16 +871,23 @@ object Graphs {
       // labels, so breaking here returns exactly the fixed-round
       // result the DuckDB oracle replays. `changed` was just cut, so
       // the count is a cheap scan, paid only until convergence.
-      if (changed.isEmpty) converged = true
+      if (changed.isEmpty) { converged = true; graft.Engine.free(changed) }
       else {
         realized = r
+        val prevLabels = labels
         labels = graft.Engine.cut(
           labels.join(changed.select("node"), Seq("node"), "left_anti")
             .unionAll(changed))
+        graft.Engine.free(prevLabels)
+        if (prevChanged != null) graft.Engine.free(prevChanged)
+        prevChanged = changed
         frontier = changed.select("node")
       }
     }
     lastLpaRounds = realized
+    // labels is a cut: adjacency and the last changed frame are dead
+    graft.Engine.free(adj)
+    if (prevChanged != null) graft.Engine.free(prevChanged)
     labels
   }
 
@@ -861,6 +938,7 @@ object Graphs {
     var adj = graft.Engine.cut(
       und.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(und.select(col("v").as("src"), col("u").as("dst"))))
+    graft.Engine.free(und) // only adj is consumed from here on
     var realized = 0
     var converged = false
     for (r <- 1 to rounds if !converged) {
@@ -879,13 +957,27 @@ object Graphs {
       else {
         realized = r
         // drop every edge touching a peeled node (both endpoint filters)
+        val prev = adj
         adj = graft.Engine.cut(
           adj.join(keep, Seq("src"), "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi"))
+        // the superseded round's |E|-grain blocks are dead now that the
+        // new frame is materialized — free them (r13: at sf10 the
+        // accumulated rounds were the k-core slowdown, not the peels)
+        graft.Engine.free(prev)
       }
+      graft.Engine.free(deg)
+      graft.Engine.free(keep)
     }
     lastKcoreRounds = realized
-    adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // materialize the (small, node-grain) core result so the final
+    // survivor edge frame can be freed NOW rather than when a GC
+    // happens to run the context cleaner (|E|-grain blocks pinned
+    // across subsequent queries were the r13 sf10 band's OOM)
+    val out = graft.Engine.cut(
+      adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    graft.Engine.free(adj)
+    out
   }
 
   /** Peel rounds actually EXECUTED by the last [[kcore]] call on this

@@ -219,6 +219,118 @@ object TextOps {
           + col("stop_ratio") * 0.3 + col("alpha_ratio") * 0.4)
   }
 
+  /** Gopher rule-2 stopword set (Rae et al. 2021 §A1.1): a document
+    * must contain at least [[GopherMinStopHits]] of these. */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopHits = 2L
+
+  /** North-star q_quality_gopher: the Gopher/MassiveText RULE-BASED
+    * quality filter (Rae et al. 2021 §A1.1 — the document-level recipe
+    * RefinedWeb/Dolma inherit), beside q_quality_score's composite and
+    * q_repetition's repetition signals: per document the six rules as
+    * exact signals, a boolean per rule, and the conjunctive keep
+    * verdict — emitted per-rule (not just the verdict) because a
+    * curation run tunes thresholds by inspecting which rule fires.
+    *  - word count in [50, 100 000]        (g_words)
+    *  - mean word length in [3, 10]        (g_mean_len)
+    *  - symbol-to-word ratio ('#' + '...') ≤ 0.1 (g_symbol)
+    *  - ≤ 90 % of lines start with a bullet ("- " / "* "; the ASCII
+    *    subset of the paper's bullet glyphs)  (g_bullets)
+    *  - ≤ 30 % of lines end with an ellipsis ("...") (g_ellipsis)
+    *  - ≥ 80 % of words contain ≥ 1 alphabetic char (g_alpha)
+    *  - ≥ 2 distinct members of [[GopherStops]] present (g_stops)
+    * All counters are integers; each ratio is ONE double division with
+    * operand order mirrored by the oracle (bit-identical); zero-word
+    * docs take explicit 0.0 ratios (the qualityScore guard — they fail
+    * g_words anyway). Per-row codegen expressions only — at 100 TB
+    * this is a mapper with no shuffle at all. */
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame =
+    qualityGopher(Tables(spark, dir, "documents"))
+
+  def qualityGopher(docs: DataFrame): DataFrame = {
+    val stopArr = GopherStops.map("'" + _ + "'").mkString(",")
+    val sig = docs
+      .withColumn("toks", expr(TokensSql))
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("n_words", size(col("toks")).cast(LongType))
+      .withColumn("n_lines", size(col("lines")).cast(LongType))
+      .withColumn("sum_len",
+        expr("aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x))"))
+      .withColumn("n_sym",
+        (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))
+          + regexp_count(col("text"), lit("\\.\\.\\."))).cast(LongType))
+      .withColumn("n_bullet",
+        expr("size(filter(lines, x -> x rlike '^[-*] '))").cast(LongType))
+      .withColumn("n_ell_end",
+        expr("size(filter(lines, x -> x rlike '\\\\.\\\\.\\\\.$'))").cast(LongType))
+      .withColumn("n_alpha",
+        expr("size(filter(toks, x -> x rlike '[a-z]'))").cast(LongType))
+      .withColumn("stop_hits",
+        expr(s"size(filter(array($stopArr), w -> array_contains(toks, w)))")
+          .cast(LongType))
+    sig.select(
+        col("doc_id"), col("n_words"),
+        when(col("n_words") <= 0L, lit(0.0))
+          .otherwise(col("sum_len").cast("double") / col("n_words")).as("mean_word_len"),
+        when(col("n_words") <= 0L, lit(0.0))
+          .otherwise(col("n_sym").cast("double") / col("n_words")).as("symbol_ratio"),
+        (col("n_bullet").cast("double") / col("n_lines")).as("bullet_frac"),
+        (col("n_ell_end").cast("double") / col("n_lines")).as("ellipsis_frac"),
+        when(col("n_words") <= 0L, lit(0.0))
+          .otherwise(col("n_alpha").cast("double") / col("n_words")).as("alpha_frac"),
+        col("stop_hits"))
+      .withColumn("g_words", col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("g_mean_len", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("g_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("g_bullets", col("bullet_frac") <= 0.9)
+      .withColumn("g_ellipsis", col("ellipsis_frac") <= 0.3)
+      .withColumn("g_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("g_stops", col("stop_hits") >= GopherMinStopHits)
+      .withColumn("keep",
+        col("g_words") && col("g_mean_len") && col("g_symbol") &&
+          col("g_bullets") && col("g_ellipsis") && col("g_alpha") && col("g_stops"))
+  }
+
+  /** North-star q_c4_clean: the C4 LINE-LEVEL cleaning pass (Raffel et
+    * al. 2020 §2.2 — the other canonical web-curation recipe, line
+    * grain where [[qualityGopher]] is document grain): a line is KEPT
+    * iff it ends in terminal punctuation (. ! ? ") and has ≥ 5
+    * whitespace words and does not contain "javascript"
+    * (case-insensitive); the PAGE is dropped outright if it contains
+    * "lorem ipsum" or a curly brace, or keeps < 3 lines. Emits per doc
+    * the line accounting, the drop verdict with its reason precedence
+    * (lorem > brace > too_few_lines > none), and the cleaned text
+    * (kept lines re-joined with \n — the dataset REWRITE, like
+    * q_boilerplate/q_winnow_cut). Pure per-row array/string
+    * expressions — a shuffle-free mapper at any corpus scale; the
+    * oracle replays the same lambdas over DuckDB lists. */
+  def c4Clean(spark: SparkSession, dir: String): DataFrame =
+    c4Clean(Tables(spark, dir, "documents"))
+
+  def c4Clean(docs: DataFrame): DataFrame = {
+    val keepLine =
+      """x -> x rlike '[.!?"]$'
+        |  AND size(filter(split(x, '[ \\t]+'), w -> w != '')) >= 5
+        |  AND NOT lower(x) rlike 'javascript'""".stripMargin.replace("\n", " ")
+    docs
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("kept", expr(s"filter(lines, $keepLine)"))
+      .withColumn("n_lines", size(col("lines")).cast(LongType))
+      .withColumn("n_kept", size(col("kept")).cast(LongType))
+      .withColumn("has_lorem", lower(col("text")).contains("lorem ipsum"))
+      .withColumn("has_brace", col("text").contains("{"))
+      .withColumn("drop_reason",
+        when(col("has_lorem"), lit("lorem_ipsum"))
+          .when(col("has_brace"), lit("brace"))
+          .when(col("n_kept") < 3L, lit("too_few_lines"))
+          .otherwise(lit("none")))
+      .select(
+        col("doc_id"), col("n_lines"), col("n_kept"), col("drop_reason"),
+        (col("drop_reason") =!= "none").as("dropped"),
+        when(col("drop_reason") =!= "none", lit(""))
+          .otherwise(array_join(col("kept"), "\n")).as("clean_text"))
+  }
+
   /** BPE-ish pre-tokenization pattern: letter runs | digit runs | a single
     * non-alphanumeric non-space symbol (explicit classes for RE2 parity). */
   val WordpiecePat = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]"

@@ -473,4 +473,29 @@ class GraphsSpec extends SparkSuiteBase {
     val again = Graphs.pageRank(spark, sf).collect().map(_.getLong(1))
     assert(rows.sorted.sameElements(again.sorted))
   }
+
+  test("iterative loops free superseded cut frames (bounded block-store growth)") {
+    // r13: at 100x data the DEAD rounds' localCheckpoint blocks were
+    // the k-core slowdown (54 GiB resident, GC thrash) — Engine.free
+    // drops each superseded frame once its successor is materialized.
+    // Guard the discipline: an iteration leaves O(live frames) persistent
+    // RDDs behind, not O(rounds x frames).
+    import spark.implicits._
+    val edges = (for (i <- 0L until 200L; j <- 1L to 6L) yield (i, (i + j) % 200L))
+      .toDF("src", "dst")
+    val und = edges.where($"src" < $"dst").toDF("u", "v")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pr = Graphs.pageRank(edges, 5).collect()
+    val kc = Graphs.kcore(und, 4, 2).collect()
+    val lp = Graphs.labelProp(und, 4).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(pr.nonEmpty && kc.nonEmpty && lp.nonEmpty)
+    // 13 rounds of loops ran; without free() each leaves 1-3 frames.
+    // Live survivors: the final frame + loop-invariant ed/adj per call.
+    assert(after - before <= 9,
+      s"persistent RDDs grew $before -> $after; dead iteration frames are leaking")
+    // freed frames must not poison the RESULTS of reuse: rerun is identical
+    assert(Graphs.pageRank(edges, 5).collect().map(_.getLong(1)).sorted
+      .sameElements(pr.map(_.getLong(1)).sorted))
+  }
 }

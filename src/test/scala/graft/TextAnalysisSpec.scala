@@ -580,4 +580,64 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(!plan.contains("collect_list"),
       s"unbounded list agg must not appear:\n$plan")
   }
+
+  test("qualityGopher: each rule fires on its crafted violator, clean doc keeps") {
+    val goodText = (("the quick brown fox jumps over the lazy dog and then " +
+      "runs back to the old barn where it sleeps with care ") * 3).trim // 66 words, all alpha
+    val d = docs(
+      1L -> goodText,                                   // passes all 7 rules
+      2L -> "too short to pass the word count rule",    // 8 words < 50
+      3L -> (goodText + " " + Seq.fill(60)("## ##").mkString(" ")), // symbol-heavy
+      4L -> (Seq.fill(30)("- bullet line\n").mkString + goodText),  // >90% bullet lines? 30 of 31 lines
+      5L -> (goodText + " " + (1 to 60).map(_ => "42").mkString(" "))) // digit words: alpha frac low
+    val got = TextOps.qualityGopher(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, c: String) = got(id).getBoolean(got(id).fieldIndex(c))
+    assert(flag(1L, "keep"), "clean 66-word doc must pass every rule")
+    assert(!flag(2L, "g_words") && !flag(2L, "keep"))
+    assert(!flag(3L, "g_symbol") && !flag(3L, "keep"))
+    assert(!flag(4L, "g_bullets") && !flag(4L, "keep"))
+    assert(!flag(5L, "g_alpha") && !flag(5L, "keep"))
+    // signals are exact integers/divisions: doc 2 has 8 words
+    assert(got(2L).getLong(got(2L).fieldIndex("n_words")) === 8L)
+    // bullet fraction of doc 4: 30 bullet lines of 31 total
+    assert(got(4L).getDouble(got(4L).fieldIndex("bullet_frac")) === 30.0 / 31.0)
+  }
+
+  test("qualityGopher: zero-token and ellipsis-line edge cases") {
+    val d = docs(
+      1L -> "   ",                                   // whitespace-only
+      2L -> "one...\ntwo...\nthree...\nfour here")   // 3 of 4 lines end ...
+    val got = TextOps.qualityGopher(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val z = got(1L)
+    assert(z.getLong(z.fieldIndex("n_words")) === 0L)
+    assert(z.getDouble(z.fieldIndex("mean_word_len")) === 0.0)
+    assert(z.getDouble(z.fieldIndex("alpha_frac")) === 0.0)
+    assert(!z.getBoolean(z.fieldIndex("keep")))
+    val e = got(2L)
+    assert(e.getDouble(e.fieldIndex("ellipsis_frac")) === 0.75)
+    assert(!e.getBoolean(e.fieldIndex("g_ellipsis")))
+  }
+
+  test("c4Clean: line keep rules, drop-reason precedence, rewrite content") {
+    val goodLine = "Here is a sentence with plenty of words in it."
+    val d = docs(
+      // 3 good lines + 2 bad (short / no terminal punct): kept, cleaned
+      1L -> s"$goodLine\nshort one.\n$goodLine\nno terminal punct here at all\n$goodLine",
+      // javascript line is cut even with punctuation; < 3 kept → dropped
+      2L -> s"$goodLine\nPlease enable Javascript to view this page today.\n$goodLine",
+      // lorem beats brace beats too_few_lines in reason precedence
+      3L -> s"Lorem Ipsum dolor { $goodLine",
+      4L -> s"some curly {brace} content\n$goodLine\n$goodLine\n$goodLine")
+    val got = TextOps.c4Clean(d).collect().map(r => r.getLong(0) -> r).toMap
+    def s(id: Long, c: String) = got(id).getString(got(id).fieldIndex(c))
+    def b(id: Long, c: String) = got(id).getBoolean(got(id).fieldIndex(c))
+    def l(id: Long, c: String) = got(id).getLong(got(id).fieldIndex(c))
+    assert(!b(1L, "dropped") && l(1L, "n_kept") === 3L && l(1L, "n_lines") === 5L)
+    assert(s(1L, "clean_text") === Seq(goodLine, goodLine, goodLine).mkString("\n"))
+    assert(b(2L, "dropped") && s(2L, "drop_reason") === "too_few_lines")
+    assert(s(3L, "drop_reason") === "lorem_ipsum") // lorem wins over brace
+    assert(s(4L, "drop_reason") === "brace" && s(4L, "clean_text") === "")
+  }
 }
