@@ -831,8 +831,12 @@ object Graphs {
     * (sync LPA converges most nodes in 1-2 rounds). */
   def labelProp(edgesIn: DataFrame, rounds: Int): DataFrame = {
     val und = graft.Engine.cut(edgesIn)
+    // src-partitioned for the same reason as kcore's adj: V-grain
+    // frames (labels, frontiers) are hash-BUILD sides against it —
+    // never sort-merge, which would sort the |E|-grain side per round
     val adj = graft.Engine.cut(und.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(und.select(col("v").as("src"), col("u").as("dst"))))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src")))
     graft.Engine.free(und) // only adj is consumed from here on
     var labels = graft.Engine.cut(
       adj.select(col("src").as("node")).distinct()
@@ -851,11 +855,14 @@ object Graphs {
       // (round 1: everyone — skip the no-op semi filter)
       val scope = if (r == 1) adj
         else adj.join(
-          adj.join(frontier.withColumnRenamed("node", "src"),
+          adj.join(frontier.withColumnRenamed("node", "src")
+                .hint("shuffle_hash"),
               Seq("src"), "left_semi")
-            .select("dst").distinct(), Seq("dst"), "left_semi")
+            .select("dst").distinct().hint("shuffle_hash"),
+          Seq("dst"), "left_semi")
       val recomputed = scope
-        .join(labels.withColumnRenamed("node", "src"), "src")
+        .join(labels.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          "src")
         .groupBy(col("dst").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
         // argmax with (count desc, label asc) total order as ONE
         // min-struct partial/final aggregate — no per-node window
@@ -935,9 +942,15 @@ object Graphs {
     * subgraph. */
   def kcore(edgesIn: DataFrame, rounds: Int, k: Int): DataFrame = {
     val und = graft.Engine.cut(edgesIn)
+    // pre-partitioned by src: the per-round degree agg and the src-side
+    // semi then run exchange-free (the r13 sf10 confirm measured the
+    // alternative — once `keep` outgrows the broadcast threshold the
+    // semis flip to sort-merge and SORT the |E|-grain frame twice per
+    // round: 35x/decade on a shrinking-linear algorithm)
     var adj = graft.Engine.cut(
       und.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(und.select(col("v").as("src"), col("u").as("dst"))))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("src")))
     graft.Engine.free(und) // only adj is consumed from here on
     var realized = 0
     var converged = false
@@ -956,11 +969,17 @@ object Graphs {
       if (deg.where(col("d") < k).isEmpty) converged = true
       else {
         realized = r
-        // drop every edge touching a peeled node (both endpoint filters)
+        // drop every edge touching a peeled node (both endpoint
+        // filters). dst first, then src: the round ENDS partitioned
+        // by src, feeding the next degree agg and src-semi without an
+        // exchange; keep is the V-grain hash-BUILD side (never sort
+        // the edge frame — a hash exchange of the shrinking survivor
+        // set is the round's only data movement)
         val prev = adj
         adj = graft.Engine.cut(
-          adj.join(keep, Seq("src"), "left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi"))
+          adj.join(keep.withColumnRenamed("src", "dst").hint("shuffle_hash"),
+              Seq("dst"), "left_semi")
+            .join(keep.hint("shuffle_hash"), Seq("src"), "left_semi"))
         // the superseded round's |E|-grain blocks are dead now that the
         // new frame is materialized — free them (r13: at sf10 the
         // accumulated rounds were the k-core slowdown, not the peels)
