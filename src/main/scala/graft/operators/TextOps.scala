@@ -262,7 +262,10 @@ object TextOps {
       .withColumn("n_bullet",
         expr("size(filter(lines, x -> x rlike '^[-*] '))").cast(LongType))
       .withColumn("n_ell_end",
-        expr("size(filter(lines, x -> x rlike '\\\\.\\\\.\\\\.$'))").cast(LongType))
+        // \z, not $: Java regex '$' also matches before a trailing \r
+        // (CRLF docs split on \n) while the oracle's RE2 '$' is
+        // end-of-string only — \z means end-of-string in BOTH engines
+        expr("size(filter(lines, x -> x rlike '\\\\.\\\\.\\\\.\\\\z'))").cast(LongType))
       .withColumn("n_alpha",
         expr("size(filter(toks, x -> x rlike '[a-z]'))").cast(LongType))
       .withColumn("stop_hits",
@@ -308,8 +311,8 @@ object TextOps {
     c4Clean(Tables(spark, dir, "documents"))
 
   def c4Clean(docs: DataFrame): DataFrame = {
-    val keepLine =
-      """x -> x rlike '[.!?"]$'
+    val keepLine = // \z not $: see qualityGopher's n_ell_end note
+      """x -> x rlike '[.!?"]\\z'
         |  AND size(filter(split(x, '[ \\t]+'), w -> w != '')) >= 5
         |  AND NOT lower(x) rlike 'javascript'""".stripMargin.replace("\n", " ")
     docs

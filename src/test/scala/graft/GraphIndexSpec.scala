@@ -42,6 +42,40 @@ class GraphIndexSpec extends SparkSuiteBase {
     assert(rows(GraphIndex.supPart(spark, sf)) === rows(spInline))
   }
 
+  test("bucketed bipd/proja ≡ their inline derivations (row identity)") {
+    val bip = GraphIndex.bip(spark, sf)
+    val bipdInline = bip.join(
+      bip.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      .select("src", "dst", "d")
+    assert(rows(GraphIndex.bipDegreed(spark, sf).select("src", "dst", "d"))
+      === rows(bipdInline))
+    val proj = GraphIndex.proj(spark, sf)
+    val projaInline = proj.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(proj.select(col("v").as("src"), col("u").as("dst")))
+    assert(rows(GraphIndex.projEdges(spark, sf)) === rows(projaInline))
+  }
+
+  test("bucketed artifact: round-1 join and degree agg plan exchange-free on the edge side") {
+    // the pageRank round-1 shape: bucketed |E| scan ⋈ V-grain ranks
+    // derived from the same scan — NO Exchange anywhere (VERDICT r13
+    // #1: the per-serve |E| repartition is gone; the layout is paid
+    // once at artifact build)
+    val ed = GraphIndex.bipDegreed(spark, sf)
+    val ranks = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1L).as("r"))
+    val join = ed.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+    val jPlan = join.queryExecution.executedPlan.toString
+    assert(!jPlan.contains("Exchange"),
+      s"bucketed round-1 join still exchanges:\n$jPlan")
+    // the kcore/degreeDist round-1 shape: per-src degree agg on the
+    // bucketed adjacency — partial+final with no exchange between
+    val deg = GraphIndex.projEdges(spark, sf)
+      .groupBy("src").agg(count(lit(1)).as("d"))
+    val dPlan = deg.queryExecution.executedPlan.toString
+    assert(!dPlan.contains("Exchange"),
+      s"bucketed degree agg still exchanges:\n$dPlan")
+  }
+
   test("staged stats match inline counts; kcore serves the same k") {
     val (n, m) = GraphIndex.projStats(spark, sf)
     val proj = GraphIndex.proj(spark, sf)

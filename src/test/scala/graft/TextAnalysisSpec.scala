@@ -640,4 +640,26 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(s(3L, "drop_reason") === "lorem_ipsum") // lorem wins over brace
     assert(s(4L, "drop_reason") === "brace" && s(4L, "clean_text") === "")
   }
+
+  test("CRLF documents: \\z line anchors are end-of-string in both engines (ADVICE r13)") {
+    // a CRLF doc split on \n leaves a trailing \r on every line: Java
+    // regex '$' would still match before it while the oracle's RE2 '$'
+    // would not — the operators anchor with \z, so a \r-terminated
+    // line is NOT ellipsis-ending / terminal-punctuated in EITHER
+    // engine. Pinned on the Spark side here (DuckDB replays \z too).
+    val goodLine = "Here is a sentence with plenty of words in it."
+    val crlf = docs(
+      1L -> s"one...\r\ntwo...\r\nthree here\r\nfour here",
+      2L -> s"$goodLine\r\n$goodLine\r\n$goodLine\r\n$goodLine")
+    val g = TextOps.qualityGopher(crlf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // lines 1-2 end "...\r" — with '$' they would count as ellipsis ends
+    assert(g(1L).getDouble(g(1L).fieldIndex("ellipsis_frac")) === 0.0)
+    val c = TextOps.c4Clean(crlf).collect().map(r => r.getLong(0) -> r).toMap
+    // the first three lines end ".\r" — terminal punct not at
+    // end-of-string, so only the final (\r-less) line is kept and the
+    // page drops ('$' would have kept all four and the page)
+    assert(c(2L).getLong(c(2L).fieldIndex("n_kept")) === 1L)
+    assert(c(2L).getString(c(2L).fieldIndex("drop_reason")) === "too_few_lines")
+  }
 }
