@@ -16,6 +16,9 @@ object PlanAudit {
       "q_stream_linreg", "q_stream_anomaly",
       // the HCC component loop runs driver rounds at build time
       "q_dbscan",
+      // the stitched curation chain runs its dedup component loop (and
+      // frees its staged frames) at build time — no single static plan
+      "q_pipeline_web",
       // driver-collect at build time (per-language ledger / quantizer fit)
       "q_mix_temperature", "q_kmeans", "q_simsearch_ivf", "q_pagerank",
       "q_dedup_semantic", "q_knn_join_blocked",

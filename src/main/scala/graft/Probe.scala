@@ -185,19 +185,24 @@ object Probe {
         }
         println(s"root: $root")
 
-      case "graph_band" =>
+      case b if b == "graph_band" || b.startsWith("graph_band:") =>
         // the iterative-graph scale decade (VERDICT r12 #2): one cold
         // graph-artifact build (timed), then min-of-2 serves of every
         // iterative/graph consumer — run against sf0.1 / sf1 / sf10
         // dirs to get per-decade ratios with the confirm-run (min-of-2)
-        // policy built in
+        // policy built in. Optional ":q_a,q_b" suffix: serve only the
+        // named consumers (targeted re-measures of a layout change).
         import scala.util.control.NonFatal
-        graft.operators.GraphIndex.clearGraphCache()
-        timed("graph_build")(graft.operators.GraphIndex.stagedGraph(spark, dir))
-        for (name <- Seq("q_pagerank", "q_ppr", "q_bfs", "q_sssp", "q_hits",
+        val all = Seq("q_pagerank", "q_ppr", "q_bfs", "q_sssp", "q_hits",
           "q_kcore", "q_label_prop", "q_triangle", "q_triangle_approx",
           "q_degree_dist", "q_random_walk", "q_walk_pairs", "q_node2vec",
-          "q_basket_pairs")) {
+          "q_basket_pairs")
+        val picked = if (b.contains(':'))
+          b.dropWhile(_ != ':').drop(1).split(",").map(_.trim).toSeq
+        else all
+        graft.operators.GraphIndex.clearGraphCache()
+        timed("graph_build")(graft.operators.GraphIndex.stagedGraph(spark, dir))
+        for (name <- picked) {
           try {
             var best = Double.MaxValue
             for (_ <- 1 to 2) {
@@ -216,6 +221,39 @@ object Probe {
           } catch { case NonFatal(e) =>
             println(s"$name: FAILED ${e.getMessage}")
           }
+        }
+
+      case "kcore_int" =>
+        // VERDICT r13 #3: is the kcore/labelProp 1.5x-over-linear sf10
+        // residue working-set spill (constant factor) or plan shape?
+        // Controlled experiment: the SAME df-form peel over the SAME
+        // projection edges, long node ids (baseline) vs int node ids
+        // (halves shuffle key+payload bytes). If the ratio moves, the
+        // diagnosis (spill, not shape) is proven and int encoding is
+        // free speed at the 2M-node grain.
+        import org.apache.spark.sql.functions._
+        val lp = graft.sources.Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+          .distinct()
+        val undL = graft.Engine.cut(lp.select(col("ok"), col("p").as("u"))
+          .join(lp.select(col("ok"), col("p").as("v")), "ok")
+          .where(col("u") < col("v")).select("u", "v").distinct())
+        val m = undL.count()
+        val n = undL.select(col("u").as("x"))
+          .unionAll(undL.select(col("v").as("x"))).distinct().count()
+        val k = (3L * (2L * m / n) / 4L).toInt
+        println(s"edges: $m nodes: $n k: $k")
+        val undI = graft.Engine.cut(
+          undL.select(col("u").cast("int").as("u"), col("v").cast("int").as("v")))
+        for ((tag, und) <- Seq(("long", undL), ("int", undI))) {
+          var best = Double.MaxValue
+          for (_ <- 1 to 2) {
+            val t0 = System.nanoTime()
+            graft.operators.Graphs.kcore(und, graft.operators.Graphs.KcoreRounds, k)
+              .write.format("noop").mode("overwrite").save()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          println(f"kcore_$tag: $best%.1f s (rounds ${graft.operators.Graphs.lastKcoreRounds})")
         }
 
       case "ann_serve" =>

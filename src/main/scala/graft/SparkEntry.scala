@@ -155,6 +155,7 @@ object SparkEntry {
     "q_stream_dedup"    -> ((s, d) => graft.streaming.Streams.dedup(s, d)),
     "q_stream_join"     -> ((s, d) => graft.streaming.Streams.streamJoin(s, d)),
     "q_pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
+    "q_pipeline_web"    -> ((s, d) => Pipeline.curateWeb(s, d)),
     "q_skew_agg"        -> ((s, d) => Skew.skewedAgg(s, d)),
     "q_skew_join"       -> ((s, d) => Skew.skewedJoin(s, d)),
     "q_partition_prune" -> ((s, d) => graft.sources.Sinks.partitionPruned(s, d)),
@@ -631,38 +632,10 @@ object SparkEntry {
          |FROM r""".stripMargin,
     // Gopher document-level rules: every counter integer, every ratio
     // ONE double division with matched operand order, flags compare
-    // the identical doubles — bit-exact across engines
+    // the identical doubles — bit-exact across engines. The signal CTE
+    // chain is shared with q_pipeline_web (gopherCtes — no drift).
     "q_quality_gopher" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, text,
-         |         list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS toks,
-         |         string_split(text, chr(10)) AS lines
-         |  FROM documents
-         |), s AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_words,
-         |    CAST(len(lines) AS BIGINT) AS n_lines,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |        list_transform(toks, x -> CAST(length(x) AS BIGINT))),
-         |      (a, x) -> a + x) AS sum_len,
-         |    CAST(length(text) - length(replace(text, '#', ''))
-         |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
-         |    CAST(len(list_filter(lines, x -> regexp_matches(x, '^[-*] '))) AS BIGINT) AS n_bullet,
-         |    CAST(len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.$$'))) AS BIGINT) AS n_ell_end,
-         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
-         |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-         |      w -> list_contains(toks, w))) AS BIGINT) AS stop_hits
-         |  FROM t
-         |), r AS (
-         |  SELECT doc_id, n_words,
-         |    CASE WHEN n_words <= 0 THEN 0.0 ELSE CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
-         |    CASE WHEN n_words <= 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE) / n_words END AS symbol_ratio,
-         |    CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
-         |    CAST(n_ell_end AS DOUBLE) / n_lines AS ellipsis_frac,
-         |    CASE WHEN n_words <= 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_words END AS alpha_frac,
-         |    stop_hits
-         |  FROM s
-         |)
+      s"""WITH ${gopherCtes("", "documents")}
          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
          |       ellipsis_frac, alpha_frac, stop_hits,
          |  n_words >= 50 AND n_words <= 100000 AS g_words,
@@ -671,40 +644,22 @@ object SparkEntry {
          |  bullet_frac <= 0.9 AS g_bullets,
          |  ellipsis_frac <= 0.3 AS g_ellipsis,
          |  alpha_frac >= 0.8 AS g_alpha,
-         |  stop_hits >= 2 AS g_stops,
-         |  (n_words >= 50 AND n_words <= 100000)
-         |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-         |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
-         |    AND stop_hits >= 2 AS keep
+         |  stop_hits >= $GopherMinStops AS g_stops,
+         |  $GopherKeepSql AS keep
          |FROM r""".stripMargin,
     // C4 line-level cleaning: the same keep-lambda replayed over DuckDB
-    // lists; drop-reason precedence is the same CASE chain
+    // lists; drop-reason precedence is the same CASE chain. The CTE
+    // chain is shared with q_pipeline_web (c4Ctes — no drift).
     "q_c4_clean" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents
-         |), s AS (
-         |  SELECT doc_id, text, lines,
-         |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$$')
-         |      AND len(list_filter(string_split_regex(x, '[ \\t]+'), w -> w != '')) >= 5
-         |      AND NOT regexp_matches(lower(x), 'javascript')) AS kept
-         |  FROM t
-         |), r AS (
-         |  SELECT doc_id,
-         |    CAST(len(lines) AS BIGINT) AS n_lines,
-         |    CAST(len(kept) AS BIGINT) AS n_kept,
-         |    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
-         |         WHEN contains(text, '{') THEN 'brace'
-         |         WHEN len(kept) < 3 THEN 'too_few_lines'
-         |         ELSE 'none' END AS drop_reason,
-         |    kept
-         |  FROM s
-         |)
+      s"""WITH ${c4Ctes("", "documents")}
          |SELECT doc_id, n_lines, n_kept, drop_reason,
          |  drop_reason != 'none' AS dropped,
          |  CASE WHEN drop_reason != 'none' THEN ''
          |       ELSE array_to_string(kept, chr(10)) END AS clean_text
          |FROM r""".stripMargin,
+    // the stitched canonical curation chain: per-stage CTEs are the
+    // SAME builders / SQL text the individual stage oracles replay
+    "q_pipeline_web" -> webOracle,
     "q_token_count" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS BIGINT) AS ws_tokens,
@@ -3118,6 +3073,172 @@ object SparkEntry {
   /** DuckDB whitespace-run class (single-backslash: DuckDB string
     * literals do not unescape). */
   private val Ws = "[ \\t\\n\\r\\f\\x0B]+"
+
+  /** Gopher stopword list / threshold interpolated from the SAME
+    * constants the Spark operator reads (the LangProfiles/$Ws "no
+    * drift" convention — ADVICE r13). */
+  private def GopherStopsSql: String =
+    graft.operators.TextOps.GopherStops.map("'" + _ + "'").mkString(",")
+  private def GopherMinStops: Long = graft.operators.TextOps.GopherMinStopHits
+
+  /** Gopher signal CTE chain over `src` (doc_id, text): emits `${p}t`,
+    * `${p}s`, `${p}r` — `${p}r` carries (doc_id, n_words,
+    * mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac,
+    * alpha_frac, stop_hits). ONE definition serves q_quality_gopher
+    * (src = documents) and q_pipeline_web (src = the C4-cleaned CTE):
+    * the stitched pipeline replays byte-identical rule SQL. */
+  private def gopherCtes(p: String, src: String): String =
+    s"""${p}t AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS toks,
+       |         string_split(text, chr(10)) AS lines
+       |  FROM $src
+       |), ${p}s AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+       |      (a, x) -> a + x) AS sum_len,
+       |    CAST(length(text) - length(replace(text, '#', ''))
+       |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+       |    CAST(len(list_filter(lines, x -> regexp_matches(x, '^[-*] '))) AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.\\z'))) AS BIGINT) AS n_ell_end,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter([$GopherStopsSql],
+       |      w -> list_contains(toks, w))) AS BIGINT) AS stop_hits
+       |  FROM ${p}t
+       |), ${p}r AS (
+       |  SELECT doc_id, n_words,
+       |    CASE WHEN n_words <= 0 THEN 0.0 ELSE CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
+       |    CASE WHEN n_words <= 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE) / n_words END AS symbol_ratio,
+       |    CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
+       |    CAST(n_ell_end AS DOUBLE) / n_lines AS ellipsis_frac,
+       |    CASE WHEN n_words <= 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_words END AS alpha_frac,
+       |    stop_hits
+       |  FROM ${p}s
+       |)""".stripMargin
+
+  /** The Gopher conjunctive keep, over a `${p}r` row. */
+  private def GopherKeepSql: String =
+    s"""(n_words >= 50 AND n_words <= 100000)
+       |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+       |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+       |    AND stop_hits >= $GopherMinStops""".stripMargin
+
+  /** C4 line-clean CTE chain over `src` (doc_id, text): emits `${p}t`,
+    * `${p}s`, `${p}r` — `${p}r` carries (doc_id, n_lines, n_kept,
+    * drop_reason, kept). Shared by q_c4_clean and q_pipeline_web. */
+  private def c4Ctes(p: String, src: String): String =
+    s"""${p}t AS (
+       |  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM $src
+       |), ${p}s AS (
+       |  SELECT doc_id, text, lines,
+       |    list_filter(lines, x -> regexp_matches(x, '[.!?"]\\z')
+       |      AND len(list_filter(string_split_regex(x, '[ \\t]+'), w -> w != '')) >= 5
+       |      AND NOT regexp_matches(lower(x), 'javascript')) AS kept
+       |  FROM ${p}t
+       |), ${p}r AS (
+       |  SELECT doc_id,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(kept) AS BIGINT) AS n_kept,
+       |    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+       |         WHEN contains(text, '{') THEN 'brace'
+       |         WHEN len(kept) < 3 THEN 'too_few_lines'
+       |         ELSE 'none' END AS drop_reason,
+       |    kept
+       |  FROM ${p}s
+       |)""".stripMargin
+
+  /** q_pipeline_web oracle: the canonical chain C4 → Gopher → exact-
+    * Jaccard near-dup components (the q_pipeline_curate equivalence:
+    * banded MinHash + exact verify ≡ exhaustive J ≥ 0.8 pairs whp) →
+    * shingle decontamination (q_decontaminate's SQL over the canonical
+    * survivors) → per-language ledger. Stage CTEs are the builders the
+    * individual oracles use — byte-identical rule SQL, zero drift. */
+  private def webOracle: String = {
+    val mod = graft.operators.Pipeline.WebBenchMod
+    s"""WITH RECURSIVE ${c4Ctes("c4", "documents")},
+       |cleaned AS (
+       |  SELECT doc_id, array_to_string(kept, chr(10)) AS text
+       |  FROM c4r WHERE drop_reason = 'none'
+       |), ${gopherCtes("g", "cleaned")},
+       |gflag AS (
+       |  SELECT doc_id, $GopherKeepSql AS keep FROM gr
+       |), surv AS (
+       |  SELECT cleaned.doc_id, cleaned.text FROM cleaned
+       |  JOIN gflag USING (doc_id) WHERE gflag.keep
+       |), toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+       |  FROM surv
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       |  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+       |  WHERE len(ts) >= 3
+       |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |iv AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ic
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |), prs AS (
+       |  SELECT da, db
+       |  FROM iv JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+       |  WHERE CAST(ic AS DOUBLE) / (x.n + y.n - ic) >= 0.8
+       |), edges AS (
+       |  SELECT da AS u, db AS v FROM prs UNION ALL SELECT db, da FROM prs
+       |), reach AS (
+       |  SELECT DISTINCT u AS node, u AS r FROM edges
+       |  UNION
+       |  SELECT e.u AS node, t.r FROM edges e JOIN reach t ON e.v = t.node
+       |), dups AS (
+       |  SELECT node AS doc_id FROM reach GROUP BY node HAVING min(r) != node
+       |), canon AS (
+       |  SELECT surv.doc_id, surv.text FROM surv
+       |  LEFT JOIN dups ON surv.doc_id = dups.doc_id
+       |  WHERE dups.doc_id IS NULL
+       |), dtoks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '$Ws'),
+       |                             x -> x != '') AS ts
+       |  FROM canon
+       |), dsh AS (
+       |  SELECT DISTINCT doc_id, list_aggregate(ts[i:i+3], 'string_agg', ' ') AS s
+       |  FROM dtoks, unnest(range(1, len(ts) - 2)) AS u(i)
+       |  WHERE len(ts) >= 4
+       |), bench AS (SELECT DISTINCT s FROM dsh WHERE doc_id % $mod = 0),
+       |cont AS (
+       |  SELECT DISTINCT dsh.doc_id FROM dsh JOIN bench USING (s)
+       |  WHERE dsh.doc_id % $mod != 0
+       |), wp AS (
+       |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]')) AS BIGINT) AS wp_tokens
+       |  FROM canon
+       |), states AS (
+       |  SELECT d.lang,
+       |    CASE WHEN c4r.drop_reason != 'none' THEN 'c4_dropped'
+       |         WHEN NOT gflag.keep THEN 'gopher_dropped'
+       |         WHEN dups.doc_id IS NOT NULL THEN 'dup'
+       |         WHEN d.doc_id % $mod = 0 THEN 'bench'
+       |         WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+       |         ELSE 'kept' END AS state,
+       |    wp.wp_tokens
+       |  FROM documents d
+       |  JOIN c4r ON d.doc_id = c4r.doc_id
+       |  LEFT JOIN gflag ON d.doc_id = gflag.doc_id
+       |  LEFT JOIN dups ON d.doc_id = dups.doc_id
+       |  LEFT JOIN cont ON d.doc_id = cont.doc_id
+       |  LEFT JOIN wp ON d.doc_id = wp.doc_id
+       |)
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN state = 'c4_dropped' THEN 1 ELSE 0 END) AS BIGINT) AS n_c4_dropped,
+       |  CAST(sum(CASE WHEN state = 'gopher_dropped' THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_dropped,
+       |  CAST(sum(CASE WHEN state = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN state = 'bench' THEN 1 ELSE 0 END) AS BIGINT) AS n_bench,
+       |  CAST(sum(CASE WHEN state = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  CAST(sum(CASE WHEN state = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN state = 'kept' THEN wp_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM states GROUP BY lang""".stripMargin
+  }
 
   /** Flagship word-count oracle, shared by q_wordcount and
     * q_incr_wordcount (integer counts are associative, so the

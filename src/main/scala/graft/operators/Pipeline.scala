@@ -502,7 +502,16 @@ object Pipeline {
 
   /** df form: expects (doc_id: Long, text: String, lang: String);
     * returns the CLEAN training docs (benchmark docs excluded). */
-  def decontaminate(documents: DataFrame, benchMod: Int, n: Int): DataFrame = {
+  def decontaminate(documents: DataFrame, benchMod: Int, n: Int): DataFrame =
+    documents.where(col("doc_id") % benchMod =!= 0L)
+      .join(contaminatedIds(documents, benchMod, n), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang")
+
+  /** Training docs sharing an n-token shingle with any benchmark doc
+    * (doc_id % benchMod == 0) — the contamination candidate set shared
+    * by [[decontaminate]] and [[curateWeb]]. Input: (doc_id, text). */
+  private def contaminatedIds(documents: DataFrame, benchMod: Int,
+      n: Int): DataFrame = {
     val sh = documents
       .withColumn("ts", expr(TextOps.TokensSql))
       .where(size(col("ts")) >= n)
@@ -511,12 +520,9 @@ object Pipeline {
            |  i -> array_join(slice(ts, i, $n), ' '))""".stripMargin)).as("s"))
       .distinct()
     val benchShingles = sh.where(col("doc_id") % benchMod === 0L).select("s").distinct()
-    val contaminated = sh.where(col("doc_id") % benchMod =!= 0L)
+    sh.where(col("doc_id") % benchMod =!= 0L)
       .join(broadcast(benchShingles), "s")
       .select("doc_id").distinct()
-    documents.where(col("doc_id") % benchMod =!= 0L)
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .select("doc_id", "lang")
   }
 
   /** q_pipeline_curate: per-language curation ledger. The catalog form
@@ -560,5 +566,106 @@ object Pipeline {
         sum(when(col("state") === "lowq", 1L).otherwise(0L)).as("n_lowq"),
         sum(when(col("state") === "kept", col("wp_tokens")).otherwise(0L))
           .as("kept_tokens"))
+  }
+
+  /** Benchmark split modulus of the [[curateWeb]] decontamination stage
+    * (the q_decontaminate convention: doc_id % mod == 0 plays the held-
+    * out benchmark suite). */
+  val WebBenchMod = 97
+
+  /** Contamination shingle width of [[curateWeb]] (q_decontaminate's). */
+  val WebShingleN = 4
+
+  /** q_pipeline_web: the CANONICAL public web-curation chain stitched
+    * end-to-end from this catalog's individually-oracle-checked stages,
+    * in the published recipe order (C4 — Raffel et al. 2020 §2.2; then
+    * Gopher — Rae et al. 2021 §A1.1; then near-dup removal; then
+    * benchmark decontamination; then the per-language token ledger
+    * every training mix is planned from):
+    *
+    *   documents → C4 line clean (dropped pages exit; survivors
+    *   continue as their REWRITTEN clean_text) → Gopher document rules
+    *   over the cleaned text → MinHash-LSH near-dup components, keep
+    *   the min id of each component (the q_pipeline_curate transitive
+    *   argument) → decontaminate the canonical survivors (benchmark =
+    *   doc_id % [[WebBenchMod]] == 0 among them; shared
+    *   [[WebShingleN]]-shingle ⇒ contaminated) → ledger.
+    *
+    * Every doc lands in EXACTLY one state by stage precedence
+    * (c4_dropped > gopher_dropped > dup > bench > contaminated > kept),
+    * so the per-language counts partition n_docs — the conservation
+    * identity a 100 TB curation run audits first. All counts and the
+    * kept-token mass are exact BIGINTs; the DuckDB oracle chains the
+    * SAME per-stage SQL the individual oracles use (shared CTE
+    * builders in SparkEntry — no drift) and hash-matches end-to-end.
+    *
+    * Scale shape: three document scans (C4+base, Gopher over cleaned,
+    * shingling), the banded LSH join, and doc_id-keyed ledger joins —
+    * every stage is the respective operator's documented 100 TB shape;
+    * nothing new is materialized beyond the cleaned survivor frame
+    * (lineage-cut, consumed by three stages). */
+  def curateWeb(spark: SparkSession, dir: String): DataFrame =
+    curateWeb(Tables(spark, dir, "documents"))
+
+  /** df form: expects (doc_id: Long, text: String, lang: String). */
+  def curateWeb(documents: DataFrame): DataFrame = {
+    // stage 1: C4 line-level clean — page drops exit here; survivors
+    // are REWRITTEN to their kept lines
+    val base = graft.Engine.cut(
+      documents.select("doc_id", "lang")
+        .join(TextOps.c4Clean(documents)
+          .select(col("doc_id"), col("dropped"), col("clean_text")), "doc_id"))
+    val cleaned = base.where(!col("dropped"))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    // stage 2: Gopher document rules over the CLEANED text (rule flags
+    // recomputed on what later stages actually consume — filtering on
+    // pre-clean signals would keep boilerplate whose clean_text is hollow)
+    val gKeep = TextOps.qualityGopher(cleaned).select(col("doc_id"), col("keep"))
+    val survivors = graft.Engine.cut(
+      cleaned.join(gKeep.where(col("keep")).select("doc_id"), "doc_id"))
+    // stage 3: near-dup components over the survivors' cleaned text;
+    // transitive keep-min-id (pairwise keep-the-lower under-dedups
+    // chains — the q_pipeline_curate argument)
+    val dupIds = graft.Engine.cut(
+      Dedup.dupComponents(Dedup.minhashLsh(survivors))
+        .where(col("doc_id") =!= col("comp"))
+        .select("doc_id"))
+    val canon = graft.Engine.cut(
+      survivors.join(dupIds, Seq("doc_id"), "left_anti"))
+    // stage 4: decontamination among the canonical survivors
+    val contaminated = contaminatedIds(canon, WebBenchMod, WebShingleN)
+    // stage 5: per-language ledger over ALL input docs, one state each
+    val toks = TextOps.tokenCounts(canon).select("doc_id", "wp_tokens")
+    val states = base
+      .join(gKeep, Seq("doc_id"), "left")
+      .join(dupIds.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("is_cont", lit(1L)), Seq("doc_id"), "left")
+      .join(toks, Seq("doc_id"), "left")
+      .withColumn("state",
+        when(col("dropped"), lit("c4_dropped"))
+          .when(!col("keep"), lit("gopher_dropped"))
+          .when(col("is_dup") === 1L, lit("dup"))
+          .when(col("doc_id") % WebBenchMod === 0L, lit("bench"))
+          .when(col("is_cont") === 1L, lit("contaminated"))
+          .otherwise(lit("kept")))
+    val ledger = graft.Engine.cut(states.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("state") === "c4_dropped", 1L).otherwise(0L)).as("n_c4_dropped"),
+        sum(when(col("state") === "gopher_dropped", 1L).otherwise(0L)).as("n_gopher_dropped"),
+        sum(when(col("state") === "dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("state") === "bench", 1L).otherwise(0L)).as("n_bench"),
+        sum(when(col("state") === "contaminated", 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("state") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("state") === "kept", col("wp_tokens")).otherwise(0L))
+          .as("kept_tokens")))
+    // the ledger (|langs| rows) is materialized — the doc-grain staged
+    // frames are dead; free them NOW (the r13 dead-frame discipline:
+    // repeated serves must not accumulate text-sized block copies)
+    graft.Engine.free(canon)
+    graft.Engine.free(dupIds)
+    graft.Engine.free(survivors)
+    graft.Engine.free(base)
+    ledger
   }
 }

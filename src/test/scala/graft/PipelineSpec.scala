@@ -32,6 +32,59 @@ class PipelineSpec extends SparkSuiteBase {
     assert(got.size === 5, "null-lang docs must not be dropped")
   }
 
+  test("curateWeb: every state fires on its crafted doc; counts partition the corpus") {
+    import spark.implicits._
+    // 24 words/line, terminal '.', ≥2 Gopher stopwords, all-alpha —
+    // passes C4 line keep and every Gopher rule when repeated 3×
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "runs back to the old barn where it sleeps with great care today."
+    val digits = "42 73 19 84 65 91 27 53 38 76 12 94 81 47 29 63 55 17 88 31 70 44 26 99." // C4-kept, Gopher alpha/stops fail
+    val shared = "every benchmark suite holds the same twenty shared " +
+      "words that have to flag the training overlap with care here now."
+    val fUniq = "winter harbors keep the oldest boats and their long " +
+      "patient crews that have sailed with every tide for years on end."
+    val gUniq = "summer meadows grow the tallest grass and the loudest " +
+      "crickets that have sung with every dusk for seasons beyond count."
+    val d = Seq(
+      (1L, Seq(good, good, good).mkString("\n"), "en"),   // kept (canonical of {1,4,5})
+      (2L, s"curly {brace} content\n$good\n$good\n$good", "en"), // c4_dropped
+      (3L, Seq(digits, digits, digits).mkString("\n"), "en"),    // gopher_dropped
+      (4L, Seq(good, good, good).mkString("\n"), "en"),   // dup of 1
+      (5L, Seq(good, good, good).mkString("\n"), "de"),   // dup of 1
+      (6L, Seq(shared, gUniq, gUniq).mkString("\n"), "de"), // contaminated (shares shingles with 97)
+      (97L, Seq(shared, fUniq, fUniq).mkString("\n"), "en")) // bench (97 % 97 == 0)
+      .toDF("doc_id", "text", "lang")
+    val got = Pipeline.curateWeb(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def n(lang: String, c: String): Long = got(lang).getLong(got(lang).fieldIndex(c))
+    assert(n("en", "n_docs") === 5L && n("de", "n_docs") === 2L)
+    assert(n("en", "n_c4_dropped") === 1L)     // doc 2
+    assert(n("en", "n_gopher_dropped") === 1L) // doc 3
+    assert(n("en", "n_dup") === 1L && n("de", "n_dup") === 1L) // docs 4, 5
+    assert(n("en", "n_bench") === 1L)          // doc 97
+    assert(n("de", "n_contaminated") === 1L)   // doc 6
+    assert(n("en", "n_kept") === 1L && n("de", "n_kept") === 0L) // doc 1
+    assert(n("en", "kept_tokens") > 0L && n("de", "kept_tokens") === 0L)
+    // conservation: states partition every language's corpus
+    for (lang <- Seq("en", "de"))
+      assert(n(lang, "n_docs") === n(lang, "n_c4_dropped") + n(lang, "n_gopher_dropped") +
+        n(lang, "n_dup") + n(lang, "n_bench") + n(lang, "n_contaminated") + n(lang, "n_kept"))
+  }
+
+  test("curateWeb on the fixture: per-language counts partition n_docs") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val rows = Pipeline.curateWeb(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getLong(r.fieldIndex("n_docs"))).sum
+    assert(total === docs.count())
+    rows.foreach { r =>
+      def g(c: String) = r.getLong(r.fieldIndex(c))
+      assert(g("n_docs") === g("n_c4_dropped") + g("n_gopher_dropped") +
+        g("n_dup") + g("n_bench") + g("n_contaminated") + g("n_kept"),
+        s"states must partition lang ${r.getString(0)}")
+    }
+  }
+
   test("splitTag partitions the corpus exactly like trainValSplit") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val (train, va) = Pipeline.trainValSplit(docs)
