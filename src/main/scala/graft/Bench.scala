@@ -475,10 +475,16 @@ object Bench {
         val sWp = timedN(())(force(SparkEntry.queries("q_walk_pairs")(spark, sfDir)))
         val sKc = timedN(())(force(SparkEntry.queries("q_kcore")(spark, sfDir)))
         val sLp = timedN(())(force(SparkEntry.queries("q_label_prop")(spark, sfDir)))
+        // the round-14 bucketed-serve beneficiaries: per-round telemetry
+        // of the exchange-free iteration cores over the warm artifact
+        val sPr = timedN(())(force(SparkEntry.queries("q_pagerank")(spark, sfDir)))
+        val sPpr = timedN(())(force(SparkEntry.queries("q_ppr")(spark, sfDir)))
         Seq("graph_build_sec" -> bG,
           "walk_pairs_serve_sec" -> sWp,
           "kcore_serve_sec" -> sKc,
           "label_prop_serve_sec" -> sLp,
+          "pagerank_serve_sec" -> sPr,
+          "ppr_serve_sec" -> sPpr,
           "kcore_rounds_realized" -> graft.operators.Graphs.lastKcoreRounds.toDouble,
           "lpa_rounds_realized" -> graft.operators.Graphs.lastLpaRounds.toDouble)
       } catch { case NonFatal(e) =>

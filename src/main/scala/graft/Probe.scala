@@ -243,8 +243,18 @@ object Probe {
           .unionAll(undL.select(col("v").as("x"))).distinct().count()
         val k = (3L * (2L * m / n) / 4L).toInt
         println(s"edges: $m nodes: $n k: $k")
+        // the sf10 replica ids are cp·10⁸ + orig (GenSf1.KeyOff) and
+        // overflow INT; dictionary-encode them densely the way a
+        // production int-encoding pass would: (replica, orig) →
+        // replica·(maxOrig+1) + orig. Verify the assumed orig bound
+        // before trusting the bijection.
+        val maxOrig = undL.select(greatest(max(col("u") % 100000000L),
+          max(col("v") % 100000000L))).head().getLong(0)
+        require(maxOrig < 100000L, s"orig key bound broken: $maxOrig")
+        def enc(name: String) = expr(
+          s"CAST(($name div 100000000) * ${maxOrig + 1} + $name % 100000000 AS INT)")
         val undI = graft.Engine.cut(
-          undL.select(col("u").cast("int").as("u"), col("v").cast("int").as("v")))
+          undL.select(enc("u").as("u"), enc("v").as("v")))
         for ((tag, und) <- Seq(("long", undL), ("int", undI))) {
           var best = Double.MaxValue
           for (_ <- 1 to 2) {

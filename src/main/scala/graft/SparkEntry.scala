@@ -175,6 +175,7 @@ object SparkEntry {
     "q_source_csv"      -> ((s, d) => graft.sources.FileFormats.csvGroupSum(s, d)),
     "q_source_json"     -> ((s, d) => graft.sources.FileFormats.jsonGroupSum(s, d)),
     "q_repetition"      -> ((s, d) => TextOps.repetition(s, d)),
+    "q_repetition_gopher" -> ((s, d) => TextOps.repetitionGopher(s, d)),
     "q_tfidf"           -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "q_decontaminate"   -> ((s, d) => Pipeline.decontaminate(s, d)),
     "q_cdc_compact"     -> ((s, d) => Relational.cdcCompact(s, d)),
@@ -660,6 +661,10 @@ object SparkEntry {
     // the stitched canonical curation chain: per-stage CTEs are the
     // SAME builders / SQL text the individual stage oracles replay
     "q_pipeline_web" -> webOracle,
+    // Gopher repetition rules: integer unit/gram counts, each fraction
+    // ONE operand-order-matched double division; thresholds
+    // interpolated from the operator's constants
+    "q_repetition_gopher" -> repetitionGopherOracle,
     "q_token_count" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '')) AS BIGINT) AS ws_tokens,
@@ -3150,6 +3155,106 @@ object SparkEntry {
        |    kept
        |  FROM ${p}s
        |)""".stripMargin
+
+  /** q_repetition_gopher oracle: the 13 Gopher repetition signals
+    * replayed grain-for-grain — line/paragraph duplicate counts over
+    * trimmed-non-empty splits, word n-gram top/duplicate char masses
+    * for n = 2..10 (one UNION ALL arm per n, the q_decontaminate
+    * slice idiom), every ratio the same single CAST(x AS DOUBLE)/y
+    * division and every threshold interpolated from the TextOps
+    * constants. */
+  private def repetitionGopherOracle: String = {
+    import graft.operators.TextOps._
+    val gramArms = (GopherTopGramFrac ++ GopherDupGramFrac).map(_._1).map(n =>
+      s"""  SELECT doc_id, $n AS n,
+         |         list_aggregate(ts[i:i+${n - 1}], 'string_agg', ' ') AS g
+         |  FROM t, unnest(range(1, len(ts) - ${n - 2})) AS u(i)
+         |  WHERE len(ts) >= $n""".stripMargin).mkString("\n  UNION ALL\n")
+    val gwCols = (GopherTopGramFrac.map { case (n, _) =>
+        s"max(CASE WHEN n = $n THEN top_mass END) AS top${n}_mass" } ++
+      GopherDupGramFrac.map { case (n, _) =>
+        s"max(CASE WHEN n = $n THEN dup_mass END) AS dup${n}_mass" })
+      .mkString(",\n  ")
+    val fracCols = (GopherTopGramFrac.map { case (n, _) =>
+        s"CASE WHEN COALESCE(m, 0) <= 0 THEN 0.0 ELSE CAST(COALESCE(top${n}_mass, 0) AS DOUBLE) / m END AS top${n}_char_frac" } ++
+      GopherDupGramFrac.map { case (n, _) =>
+        s"CASE WHEN COALESCE(m, 0) <= 0 THEN 0.0 ELSE CAST(COALESCE(dup${n}_mass, 0) AS DOUBLE) / m END AS dup${n}_char_frac" })
+      .mkString(",\n  ")
+    val keep = (Seq(
+        s"dup_line_frac <= $GopherDupLineFrac",
+        s"dup_line_char_frac <= $GopherDupLineCharFrac",
+        s"dup_para_frac <= $GopherDupParaFrac",
+        s"dup_para_char_frac <= $GopherDupParaCharFrac") ++
+      GopherTopGramFrac.map { case (n, t) => s"top${n}_char_frac <= $t" } ++
+      GopherDupGramFrac.map { case (n, t) => s"dup${n}_char_frac <= $t" })
+      .mkString(" AND ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split_regex(lower(text), '$Ws'), x -> x != '') AS ts
+       |  FROM documents
+       |), lcnt AS (
+       |  SELECT doc_id, u, count(*) AS c
+       |  FROM (SELECT doc_id, x AS u
+       |        FROM t, unnest(list_filter(string_split(text, chr(10)),
+       |                                   x -> trim(x) != '')) AS un(x))
+       |  GROUP BY doc_id, u
+       |), lstat AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS l_n,
+       |         CAST(count(*) AS BIGINT) AS l_nd,
+       |         CAST(sum(length(u) * c) AS BIGINT) AS l_mass,
+       |         CAST(sum(length(u) * (c - 1)) AS BIGINT) AS l_dup
+       |  FROM lcnt GROUP BY doc_id
+       |), pcnt AS (
+       |  SELECT doc_id, u, count(*) AS c
+       |  FROM (SELECT doc_id, x AS u
+       |        FROM t, unnest(list_filter(string_split_regex(text, '\\n\\n+'),
+       |                                   x -> trim(x) != '')) AS un(x))
+       |  GROUP BY doc_id, u
+       |), pstat AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS p_n,
+       |         CAST(count(*) AS BIGINT) AS p_nd,
+       |         CAST(sum(length(u) * c) AS BIGINT) AS p_mass,
+       |         CAST(sum(length(u) * (c - 1)) AS BIGINT) AS p_dup
+       |  FROM pcnt GROUP BY doc_id
+       |), grams AS (
+       |$gramArms
+       |), gcnt AS (
+       |  SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g
+       |), gs AS (
+       |  SELECT doc_id, n,
+       |         CAST(max(c * (length(g) - (n - 1))) AS BIGINT) AS top_mass,
+       |         CAST(sum(CASE WHEN c >= 2 THEN c * (length(g) - (n - 1))
+       |                       ELSE 0 END) AS BIGINT) AS dup_mass
+       |  FROM gcnt GROUP BY doc_id, n
+       |), gw AS (
+       |  SELECT doc_id,
+       |  $gwCols
+       |  FROM gs GROUP BY doc_id
+       |), mass AS (
+       |  SELECT doc_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(ts, x -> CAST(length(x) AS BIGINT))),
+       |           (a, x) -> a + x) AS m
+       |  FROM t
+       |), sig AS (
+       |  SELECT d.doc_id,
+       |  CASE WHEN COALESCE(l_n, 0) <= 0 THEN 0.0
+       |       ELSE CAST(COALESCE(l_n, 0) - COALESCE(l_nd, 0) AS DOUBLE) / l_n END AS dup_line_frac,
+       |  CASE WHEN COALESCE(l_mass, 0) <= 0 THEN 0.0
+       |       ELSE CAST(COALESCE(l_dup, 0) AS DOUBLE) / l_mass END AS dup_line_char_frac,
+       |  CASE WHEN COALESCE(p_n, 0) <= 0 THEN 0.0
+       |       ELSE CAST(COALESCE(p_n, 0) - COALESCE(p_nd, 0) AS DOUBLE) / p_n END AS dup_para_frac,
+       |  CASE WHEN COALESCE(p_mass, 0) <= 0 THEN 0.0
+       |       ELSE CAST(COALESCE(p_dup, 0) AS DOUBLE) / p_mass END AS dup_para_char_frac,
+       |  $fracCols
+       |  FROM documents d
+       |  LEFT JOIN lstat ON d.doc_id = lstat.doc_id
+       |  LEFT JOIN pstat ON d.doc_id = pstat.doc_id
+       |  LEFT JOIN gw ON d.doc_id = gw.doc_id
+       |  LEFT JOIN mass ON d.doc_id = mass.doc_id
+       |)
+       |SELECT *, $keep AS keep FROM sig""".stripMargin
+  }
 
   /** q_pipeline_web oracle: the canonical chain C4 → Gopher → exact-
     * Jaccard near-dup components (the q_pipeline_curate equivalence:

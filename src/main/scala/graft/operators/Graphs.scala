@@ -46,6 +46,12 @@ object Graphs {
     * from the staged graph artifact ([[GraphIndex.bip]] — identical
     * rows to the inline derivation, build billed once per corpus). */
   def pageRank(spark: SparkSession, dir: String): DataFrame =
+    // the bucketed scan is served RAW, not persist()ed — measured and
+    // rejected at sf10 (BASELINE round-14): an InMemoryRelation does
+    // preserve the bucketed partitioning, but the deserialized |E|
+    // cache competes with execution memory at the 110M-row grain
+    // (pagerank 19.0 → 32.7 s persisted) while the per-round re-scan
+    // is a column-pruned page-cache read
     pageRankEd(GraphIndex.bipDegreed(spark, dir), 5)
 
   /** df form: expects (src: Long, dst: Long) edges; every node must
@@ -126,6 +132,7 @@ object Graphs {
     val minNation = sup.agg(min(col("s_nationkey")).as("mn"))
     val seeds = sup.join(broadcast(minNation), col("s_nationkey") === col("mn"))
       .select((col("s_suppkey") * 2 + 1).cast("long").as("node")).distinct()
+    // raw bucketed serve — the pageRank persist-rejection note
     pprEd(GraphIndex.bipDegreed(spark, dir), seeds, 5)
   }
 
@@ -832,7 +839,12 @@ object Graphs {
   def labelProp(spark: SparkSession, dir: String): DataFrame =
     // the staged both-direction adjacency arrives bucketed by src —
     // round 1's scope/label joins and the degree-grain aggregates plan
-    // with no |E| exchange (VERDICT r13 #1)
+    // with no |E| exchange (VERDICT r13 #1). Raw scan even though LPA
+    // references adj ~2x per round: the persist() A/B lost BADLY at
+    // the 100x grain (sf10 155.7 → 262.7 s persisted — cache pressure
+    // evicts the working set the rounds need; the re-scan is a
+    // page-cache columnar read) and the scales where persist wins are
+    // the scales where the whole serve is seconds anyway
     labelPropAdj(GraphIndex.projEdges(spark, dir), LpaRounds)
 
   /** df form: deduplicated undirected (u, v) edges, u < v, no
@@ -970,7 +982,8 @@ object Graphs {
     val avg = 2L * m / n
     // the staged both-direction adjacency arrives bucketed by src —
     // round 1's degree agg and semi-joins plan with no |E| exchange
-    // (VERDICT r13 #1)
+    // (VERDICT r13 #1); raw scan, not persist()ed (the pageRank
+    // persist-rejection note: sf10 kcore 209.6 → 291.3 s persisted)
     kcoreAdj(GraphIndex.projEdges(spark, dir), KcoreRounds,
       (3L * avg / 4L).toInt)
   }

@@ -294,6 +294,136 @@ object TextOps {
           col("g_bullets") && col("g_ellipsis") && col("g_alpha") && col("g_stops"))
   }
 
+  /** Gopher REPETITION thresholds (Rae et al. 2021 §A1.1, Table A1 —
+    * published constants, cited not copied): a document is removed
+    * when any fraction exceeds its bound. Shared verbatim with the
+    * DuckDB oracle (interpolated — the no-drift convention). */
+  val GopherDupLineFrac = 0.30
+  val GopherDupParaFrac = 0.30
+  val GopherDupLineCharFrac = 0.20
+  val GopherDupParaCharFrac = 0.20
+  val GopherTopGramFrac: Seq[(Int, Double)] =
+    Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val GopherDupGramFrac: Seq[(Int, Double)] =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** q_repetition_gopher: the REPETITION half of the Gopher recipe
+    * ([[qualityGopher]] is the document-rule half; q_repetition is the
+    * token-grain profile) — per document the 13 published repetition
+    * signals and the conjunctive keep verdict:
+    *  - duplicate line / paragraph fraction ≤ 0.30 each
+    *    (frac = (count − distinct) / count — occurrences beyond the
+    *    first are the duplicates);
+    *  - duplicate line / paragraph CHARACTER fraction ≤ 0.20 each
+    *    (char mass of occurrences beyond the first / total char mass);
+    *  - top {2,3,4}-gram character fraction ≤ {0.20, 0.18, 0.16}
+    *    (most frequent word n-gram's count·chars over the doc's
+    *    word-char mass);
+    *  - duplicate {5..10}-gram character fraction ≤ {0.15 … 0.10}
+    *    (count·chars summed over n-grams occurring ≥ 2×, over the
+    *    word-char mass — overlapping occurrences each count, so the
+    *    ratio can exceed 1 on degenerate docs; the threshold compare
+    *    is unaffected and the oracle replays the same formula).
+    * Lines are '\n' splits, paragraphs '\n\n+' splits, both trimmed-
+    * non-empty; grams are space-joins of [[TokensSql]] tokens with
+    * chars(g) = length(g) − (n−1). Zero-denominator docs take explicit
+    * 0.0 (the qualityGopher guard). All counters integer, each ratio
+    * ONE double division operand-order-mirrored by the oracle.
+    *
+    * Shape at scale: wordcount-shaped — ONE explode to (doc, n, gram)
+    * grain (Σ_{n=2..10} ≈ 9 rows per token) and one to line/paragraph
+    * grain, each a two-level partial/final aggregate keyed far wider
+    * than executor count; the per-doc rollup joins are doc-grain. No
+    * windows, no driver state — the published pipelines compute these
+    * per-doc in RAM, this form is the same arithmetic as keyed
+    * aggregation, which is what survives docs larger than memory and
+    * 100 TB corpora. */
+  def repetitionGopher(spark: SparkSession, dir: String): DataFrame =
+    repetitionGopher(Tables(spark, dir, "documents"))
+
+  def repetitionGopher(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      expr(TokensSql).as("ts"),
+      expr("filter(split(text, '\\n'), x -> trim(x) != '')").as("lns"),
+      expr("filter(split(text, '\\n\\n+'), x -> trim(x) != '')").as("prs"))
+
+    // duplicate-line/paragraph stats: (doc, unit) counts → per-doc
+    // totals; mass in CHARACTERS of the unit string
+    def unitStats(c: String, p: String): DataFrame = base
+      .select(col("doc_id"), explode(col(c)).as("u"))
+      .groupBy("doc_id", "u").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as(s"${p}_n"),
+        count(lit(1)).as(s"${p}_nd"),
+        sum(length(col("u")) * col("c")).as(s"${p}_mass"),
+        sum(length(col("u")) * (col("c") - 1L)).as(s"${p}_dup"))
+    val lineStats = unitStats("lns", "l")
+    val paraStats = unitStats("prs", "p")
+
+    // one exploded (doc, n, gram) pass for all n in 2..10; chars(g)
+    // excludes the n-1 joining spaces
+    val gramArr = (GopherTopGramFrac ++ GopherDupGramFrac).map(_._1).map(n =>
+      s"""IF(size(ts) >= $n,
+         |  transform(sequence(1, size(ts) - ${n - 1}),
+         |    i -> named_struct('n', $n, 'g', array_join(slice(ts, i, $n), ' '))),
+         |  transform(slice(ts, 1, 0), x -> named_struct('n', $n, 'g', '')))"""
+        .stripMargin).mkString("concat(", ", ", ")")
+    val gramStats = base
+      .select(col("doc_id"), explode(expr(gramArr)).as("s"))
+      .select(col("doc_id"), col("s.n").as("n"), col("s.g").as("g"))
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      .withColumn("chars", (length(col("g")) - (col("n") - 1)).cast("long"))
+      .groupBy("doc_id", "n").agg(
+        max(col("c") * col("chars")).as("top_mass"),
+        sum(when(col("c") >= 2L, col("c") * col("chars")).otherwise(0L)).as("dup_mass"))
+      .groupBy("doc_id").agg(
+        max(when(col("n") === GopherTopGramFrac.head._1, col("top_mass")))
+          .as(s"top${GopherTopGramFrac.head._1}_mass"),
+        (GopherTopGramFrac.tail.map { case (n, _) =>
+          max(when(col("n") === n, col("top_mass"))).as(s"top${n}_mass") } ++
+         GopherDupGramFrac.map { case (n, _) =>
+          max(when(col("n") === n, col("dup_mass"))).as(s"dup${n}_mass") }): _*)
+
+    val mass = base.select(col("doc_id"),
+      expr("aggregate(ts, cast(0 as bigint), (a, x) -> a + length(x))").as("m"))
+
+    def frac(num: Column, den: Column): Column =
+      when(den <= 0L, lit(0.0)).otherwise(num.cast("double") / den)
+
+    val joined = docs.select("doc_id")
+      .join(lineStats, Seq("doc_id"), "left")
+      .join(paraStats, Seq("doc_id"), "left")
+      .join(gramStats, Seq("doc_id"), "left")
+      .join(mass, Seq("doc_id"), "left")
+    val sig = joined.select(
+      (Seq(
+        col("doc_id"),
+        frac(coalesce(col("l_n"), lit(0L)) - coalesce(col("l_nd"), lit(0L)),
+          coalesce(col("l_n"), lit(0L))).as("dup_line_frac"),
+        frac(coalesce(col("l_dup"), lit(0L)), coalesce(col("l_mass"), lit(0L)))
+          .as("dup_line_char_frac"),
+        frac(coalesce(col("p_n"), lit(0L)) - coalesce(col("p_nd"), lit(0L)),
+          coalesce(col("p_n"), lit(0L))).as("dup_para_frac"),
+        frac(coalesce(col("p_dup"), lit(0L)), coalesce(col("p_mass"), lit(0L)))
+          .as("dup_para_char_frac")) ++
+       GopherTopGramFrac.map { case (n, _) =>
+         frac(coalesce(col(s"top${n}_mass"), lit(0L)), coalesce(col("m"), lit(0L)))
+           .as(s"top${n}_char_frac") } ++
+       GopherDupGramFrac.map { case (n, _) =>
+         frac(coalesce(col(s"dup${n}_mass"), lit(0L)), coalesce(col("m"), lit(0L)))
+           .as(s"dup${n}_char_frac") }): _*)
+    sig.withColumn("keep",
+      col("dup_line_frac") <= GopherDupLineFrac &&
+        col("dup_line_char_frac") <= GopherDupLineCharFrac &&
+        col("dup_para_frac") <= GopherDupParaFrac &&
+        col("dup_para_char_frac") <= GopherDupParaCharFrac &&
+        GopherTopGramFrac.map { case (n, t) => col(s"top${n}_char_frac") <= t }
+          .reduce(_ && _) &&
+        GopherDupGramFrac.map { case (n, t) => col(s"dup${n}_char_frac") <= t }
+          .reduce(_ && _))
+  }
+
   /** North-star q_c4_clean: the C4 LINE-LEVEL cleaning pass (Raffel et
     * al. 2020 §2.2 — the other canonical web-curation recipe, line
     * grain where [[qualityGopher]] is document grain): a line is KEPT

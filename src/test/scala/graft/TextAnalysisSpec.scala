@@ -641,6 +641,40 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(s(4L, "drop_reason") === "brace" && s(4L, "clean_text") === "")
   }
 
+  test("repetitionGopher: each repetition class fires on its crafted violator") {
+    // 60 distinct 3-char tokens over 3 distinct lines: every unit and
+    // every n-gram is a singleton, and no singleton gram carries > a
+    // few % of the 180-char word mass (short docs legitimately trip
+    // the top-gram rules — the published thresholds assume the ≥50-word
+    // Gopher doc-rule population)
+    val cleanText = (1 to 60).map(i => f"w$i%02d")
+      .grouped(20).map(_.mkString(" ")).mkString("\n")
+    val d = docs(
+      1L -> cleanText,
+      // 4 copies of one line + 1 unique: dup_line_frac = 3/5
+      2L -> "same line here\nsame line here\nsame line here\nsame line here\nunique tail",
+      // one dominating repeated 2-gram: top-gram char mass ≈ whole doc
+      3L -> Seq.fill(10)("ab cd").mkString(" "),
+      // a 5-token phrase occurring twice across distinct filler
+      4L -> "one two three four five gap1 gap2 gap3 one two three four five")
+    val got = TextOps.repetitionGopher(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) = got(id).getDouble(got(id).fieldIndex(c))
+    def keep(id: Long) = got(id).getBoolean(got(id).fieldIndex("keep"))
+    assert(keep(1L), "distinct-unit doc must keep")
+    assert(f(1L, "dup_line_frac") === 0.0 && f(1L, "dup5_char_frac") === 0.0)
+    // every 2-gram is a singleton: top mass = one gram's 6 word chars
+    assert(f(1L, "top2_char_frac") === 6.0 / 180.0)
+    assert(f(2L, "dup_line_frac") === 3.0 / 5.0 && !keep(2L))
+    // line char mass: 4 copies x 14 chars + 11 = 67; dups beyond first = 42
+    assert(f(2L, "dup_line_char_frac") === 42.0 / 67.0)
+    assert(f(3L, "top2_char_frac") > 0.2 && !keep(3L))
+    // "one two three four five" = 19 word chars, occurs 2x; M = 19+12+19
+    assert(f(4L, "dup5_char_frac") === (2.0 * 19.0) / 50.0 && !keep(4L))
+    // the 5-gram repeat does NOT fire the line/paragraph rules
+    assert(f(4L, "dup_line_frac") === 0.0 && f(4L, "dup_para_frac") === 0.0)
+  }
+
   test("CRLF documents: \\z line anchors are end-of-string in both engines (ADVICE r13)") {
     // a CRLF doc split on \n leaves a trailing \r on every line: Java
     // regex '$' would still match before it while the oracle's RE2 '$'
