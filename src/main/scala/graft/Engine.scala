@@ -119,17 +119,29 @@ object Engine {
     * returns immediately; if a future execution path ever materializes
     * without firing the listener, the bounded wait returns None and the
     * caller falls back to its explicit probe job instead of hanging.
-    * None also for a NULL metric value (e.g. min over zero rows). */
+    * None also for a NULL metric value (e.g. min over zero rows).
+    *
+    * The wait is SHORT (the fallback probe it guards costs well under a
+    * second — a 60 s wait per round would stall a 20-round serve ~20
+    * minutes, worse than the per-round probe it replaced), and a first
+    * miss latches `delivered = false` so every later round skips
+    * straight to the fallback with only a token re-check wait. */
   def observedLong(obs: org.apache.spark.sql.Observation, key: String,
-      timeoutMs: Long = 60000L): Option[Long] = {
+      timeoutMs: Long = 2000L): Option[Long] = {
     @volatile var r: Option[Map[String, Any]] = None
     val t = new Thread(() => r = scala.util.Try(obs.get).toOption)
     t.setDaemon(true)
     t.start()
-    t.join(timeoutMs)
+    t.join(if (observeDelivered) timeoutMs else 100L)
+    if (r.isEmpty) observeDelivered = false
     r.flatMap(_.get(key)).flatMap(Option(_))
       .map(_.asInstanceOf[Number].longValue)
   }
+
+  /** Latched false after the first [[observedLong]] miss on this JVM —
+    * if one materialization path failed to deliver observe metrics,
+    * later rounds should not each re-pay the full wait. */
+  @volatile private var observeDelivered = true
 
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cpus)

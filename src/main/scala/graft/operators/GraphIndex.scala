@@ -179,12 +179,22 @@ object GraphIndex {
   /** Write an |E|-grain frame as a bucketed+sorted-by-src external
     * table under the artifact root. The aligned repartition (same
     * Murmur3 key mapping as the bucket spec) yields exactly ONE file
-    * per bucket — the q_join_bucketed discipline (Joins.scala). */
-  private def bucketWrite(df: DataFrame, root: String, sub: String): Unit =
+    * per bucket — the q_join_bucketed discipline (Joins.scala). The
+    * bucket count is recorded in a sidecar next to the data: the
+    * layout is a physical property of the FILES, and a later session
+    * re-declaring it must prove it matches (see [[bucketedTable]]). */
+  private def bucketWrite(df: DataFrame, root: String, sub: String): Unit = {
     df.repartition(GraphBuckets, col("src"))
       .write.bucketBy(GraphBuckets, "src").sortBy("src")
       .option("path", s"$root/$sub")
       .mode("overwrite").saveAsTable(tableName(root, sub))
+    // underscore prefix: invisible to Spark's file index, so the scan
+    // never reads it as data (on an object store this would be the
+    // same one-line PUT via the Hadoop FS API)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/$sub/_graft_buckets"),
+      GraphBuckets.toString)
+  }
 
   private def tableName(root: String, sub: String): String =
     s"graft_graph_${sub}_" + Integer.toHexString(root.hashCode)
@@ -193,11 +203,26 @@ object GraphIndex {
     * build (the root is JVM-memoized, the catalog is per-session)
     * re-declares the bucket layout over the existing files: bucket ids
     * are encoded in the file names, so CREATE TABLE … CLUSTERED BY at
-    * the same location reconstitutes HashPartitioning(src, buckets). */
+    * the same location reconstitutes HashPartitioning(src, buckets).
+    *
+    * Spark TRUSTS the declared spec — declaring N buckets over files
+    * written with M would silently return wrong rows from the
+    * "exchange-free" joins/aggregates. The sidecar [[bucketWrite]]
+    * recorded is therefore REQUIRED to match [[GraphBuckets]] before
+    * the CREATE TABLE is issued: a persisted artifact root outliving a
+    * bucket-count retune fails loudly here instead (rebuild the
+    * artifact, or serve with the artifact's own count). */
   private def bucketedTable(spark: SparkSession, root: String, sub: String,
       schema: String): DataFrame = {
     val name = tableName(root, sub)
     if (!spark.catalog.tableExists(name)) {
+      val sidecar = java.nio.file.Paths.get(s"$root/$sub/_graft_buckets")
+      val written = scala.util.Try(
+        java.nio.file.Files.readString(sidecar).trim.toInt).toOption
+      require(written.contains(GraphBuckets),
+        s"bucketed artifact $root/$sub was written with " +
+          s"${written.getOrElse("unknown")} buckets but GraphBuckets is " +
+          s"$GraphBuckets — rebuild the artifact before serving")
       spark.sql(s"CREATE TABLE $name ($schema) USING parquet " +
         s"CLUSTERED BY (src) SORTED BY (src) INTO $GraphBuckets BUCKETS " +
         s"LOCATION '$root/$sub'")

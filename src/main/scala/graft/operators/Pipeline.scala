@@ -619,8 +619,11 @@ object Pipeline {
       .select(col("doc_id"), col("clean_text").as("text"))
     // stage 2: Gopher document rules over the CLEANED text (rule flags
     // recomputed on what later stages actually consume — filtering on
-    // pre-clean signals would keep boilerplate whose clean_text is hollow)
-    val gKeep = TextOps.qualityGopher(cleaned).select(col("doc_id"), col("keep"))
+    // pre-clean signals would keep boilerplate whose clean_text is hollow).
+    // cut: two consumers (survivors filter + states ledger) — without it
+    // the expensive regex/token scan runs twice per serve
+    val gKeep = graft.Engine.cut(
+      TextOps.qualityGopher(cleaned).select(col("doc_id"), col("keep")))
     val survivors = graft.Engine.cut(
       cleaned.join(gKeep.where(col("keep")).select("doc_id"), "doc_id"))
     // stage 3: near-dup components over the survivors' cleaned text;
@@ -665,6 +668,7 @@ object Pipeline {
     graft.Engine.free(canon)
     graft.Engine.free(dupIds)
     graft.Engine.free(survivors)
+    graft.Engine.free(gKeep)
     graft.Engine.free(base)
     ledger
   }
