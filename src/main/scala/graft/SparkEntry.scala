@@ -3220,12 +3220,19 @@ object SparkEntry {
        |$gramArms
        |), gcnt AS (
        |  SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g
-       |), gs AS (
+       |), gs0 AS (
+       |  -- most-frequent-gram argmax, ties to the longer gram: the same
+       |  -- lexicographic (count, chars) struct max the engine computes
        |  SELECT doc_id, n,
-       |         CAST(max(c * (length(g) - (n - 1))) AS BIGINT) AS top_mass,
+       |         max(struct_pack(c := c, l := length(g) - (n - 1))) AS top_s,
        |         CAST(sum(CASE WHEN c >= 2 THEN c * (length(g) - (n - 1))
        |                       ELSE 0 END) AS BIGINT) AS dup_mass
        |  FROM gcnt GROUP BY doc_id, n
+       |), gs AS (
+       |  SELECT doc_id, n,
+       |         CAST(struct_extract(top_s, 'c') * struct_extract(top_s, 'l') AS BIGINT) AS top_mass,
+       |         dup_mass
+       |  FROM gs0
        |), gw AS (
        |  SELECT doc_id,
        |  $gwCols

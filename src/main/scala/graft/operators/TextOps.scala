@@ -317,8 +317,12 @@ object TextOps {
     *  - duplicate line / paragraph CHARACTER fraction ≤ 0.20 each
     *    (char mass of occurrences beyond the first / total char mass);
     *  - top {2,3,4}-gram character fraction ≤ {0.20, 0.18, 0.16}
-    *    (most frequent word n-gram's count·chars over the doc's
-    *    word-char mass);
+    *    (the MOST FREQUENT word n-gram's count·chars over the doc's
+    *    word-char mass — argmax by occurrence count, ties broken
+    *    toward the longer gram; both engines replay the same
+    *    lexicographic (count, chars) struct max, and on an exact
+    *    count-and-chars tie the masses coincide, so the signal is
+    *    deterministic);
     *  - duplicate {5..10}-gram character fraction ≤ {0.15 … 0.10}
     *    (count·chars summed over n-grams occurring ≥ 2×, over the
     *    word-char mass — overlapping occurrences each count, so the
@@ -330,72 +334,121 @@ object TextOps {
     * 0.0 (the qualityGopher guard). All counters integer, each ratio
     * ONE double division operand-order-mirrored by the oracle.
     *
-    * Shape at scale: wordcount-shaped — ONE explode to (doc, n, gram)
-    * grain (Σ_{n=2..10} ≈ 9 rows per token) and one to line/paragraph
-    * grain, each a two-level partial/final aggregate keyed far wider
-    * than executor count; the per-doc rollup joins are doc-grain. No
-    * windows, no driver state — the published pipelines compute these
-    * per-doc in RAM, this form is the same arithmetic as keyed
-    * aggregation, which is what survives docs larger than memory and
-    * 100 TB corpora. */
+    * Shape at scale: a shuffle-free MAPPER — one corpus scan, one
+    * compiled per-document kernel call
+    * ([[graft.functions.GopherRepetitionStats]]) computing every mass
+    * exactly (dictionary-encoded token windows, no hashing), then the
+    * per-row ratio/threshold projection. This is the published
+    * recipe's own shape (the signals are per-doc-in-RAM computations,
+    * the same per-row token-array assumption [[qualityGopher]]'s
+    * aggregate lambdas already make), and it deleted the engine's most
+    * expensive text row: the r14 keyed form exploded ~9 gram rows per
+    * token and shuffled them (7.6 s at sf0.1 vs ~1 s for the kernel).
+    * [[repetitionGopherKeyed]] keeps the exploded
+    * (doc, kind, n, unit) partial/final aggregation — spec-asserted
+    * equal — as the fallback for adversarial corpora whose SINGLE
+    * documents outgrow executor memory. */
   def repetitionGopher(spark: SparkSession, dir: String): DataFrame =
     repetitionGopher(Tables(spark, dir, "documents"))
 
-  def repetitionGopher(docs: DataFrame): DataFrame = {
-    val base = docs.select(
+  def repetitionGopher(docs: DataFrame): DataFrame =
+    repetitionFracs(docs.select(
       col("doc_id"),
-      expr(TokensSql).as("ts"),
-      expr("filter(split(text, '\\n'), x -> trim(x) != '')").as("lns"),
-      expr("filter(split(text, '\\n\\n+'), x -> trim(x) != '')").as("prs"))
+      graft.functions.GopherRepetitionStats.of(
+        expr(TokensSql),
+        expr("filter(split(text, '\\n'), x -> trim(x) != '')"),
+        expr("filter(split(text, '\\n\\n+'), x -> trim(x) != '')"),
+        GopherTopGramFrac.map(_._1), GopherDupGramFrac.map(_._1)).as("r"))
+      .select(col("doc_id"), col("r.*")))
 
-    // duplicate-line/paragraph stats: (doc, unit) counts → per-doc
-    // totals; mass in CHARACTERS of the unit string
-    def unitStats(c: String, p: String): DataFrame = base
-      .select(col("doc_id"), explode(col(c)).as("u"))
-      .groupBy("doc_id", "u").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        sum("c").as(s"${p}_n"),
-        count(lit(1)).as(s"${p}_nd"),
-        sum(length(col("u")) * col("c")).as(s"${p}_mass"),
-        sum(length(col("u")) * (col("c") - 1L)).as(s"${p}_dup"))
-    val lineStats = unitStats("lns", "l")
-    val paraStats = unitStats("prs", "p")
+  /** Keyed-aggregation baseline of [[repetitionGopher]]: ONE explode
+    * to (doc, kind, n, unit) grain — trimmed lines (k=0), trimmed
+    * paragraphs (k=1), word n-grams n = 1..10 (k=2; the n=1 arm
+    * doubles as the word-char mass, Σ count·chars of unigrams ≡
+    * Σ length(token)) — two-level partial/final aggregates keyed far
+    * wider than executor count, then one doc-grain conditional
+    * rollup. Same signals bit-for-bit (spec-asserted); this form
+    * survives single documents larger than executor memory, at ~9
+    * shuffled gram rows per token. */
+  private[graft] def repetitionGopherKeyed(docs: DataFrame): DataFrame = {
+    // every repetition unit from one tokenized row: k=0 lines, k=1
+    // paragraphs, k=2 n-grams (n=1 carries the word mass); chars(g)
+    // excludes the n-1 joining spaces for grams, is the raw unit
+    // length for lines/paragraphs
+    val gramArms = (1 +: (GopherTopGramFrac ++ GopherDupGramFrac).map(_._1))
+      .map {
+        case 1 => "transform(ts, x -> named_struct('k', 2, 'n', 1, 'g', x))"
+        case n =>
+          s"""IF(size(ts) >= $n,
+             |  transform(sequence(1, size(ts) - ${n - 1}),
+             |    i -> named_struct('k', 2, 'n', $n, 'g', array_join(slice(ts, i, $n), ' '))),
+             |  transform(slice(ts, 1, 0), x -> named_struct('k', 2, 'n', $n, 'g', '')))"""
+            .stripMargin
+      }
+    val unitArr = (Seq(
+      "transform(lns, x -> named_struct('k', 0, 'n', 0, 'g', x))",
+      "transform(prs, x -> named_struct('k', 1, 'n', 0, 'g', x))") ++ gramArms)
+      .mkString("concat(", ", ", ")")
+    val units = docs.select(
+        col("doc_id"),
+        expr(TokensSql).as("ts"),
+        expr("filter(split(text, '\\n'), x -> trim(x) != '')").as("lns"),
+        expr("filter(split(text, '\\n\\n+'), x -> trim(x) != '')").as("prs"))
+      .select(col("doc_id"), explode(expr(unitArr)).as("s"))
+      .select(col("doc_id"), col("s.k").as("k"), col("s.n").as("n"),
+        col("s.g").as("g"))
 
-    // one exploded (doc, n, gram) pass for all n in 2..10; chars(g)
-    // excludes the n-1 joining spaces
-    val gramArr = (GopherTopGramFrac ++ GopherDupGramFrac).map(_._1).map(n =>
-      s"""IF(size(ts) >= $n,
-         |  transform(sequence(1, size(ts) - ${n - 1}),
-         |    i -> named_struct('n', $n, 'g', array_join(slice(ts, i, $n), ' '))),
-         |  transform(slice(ts, 1, 0), x -> named_struct('n', $n, 'g', '')))"""
-        .stripMargin).mkString("concat(", ", ", ")")
-    val gramStats = base
-      .select(col("doc_id"), explode(expr(gramArr)).as("s"))
-      .select(col("doc_id"), col("s.n").as("n"), col("s.g").as("g"))
-      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
-      .withColumn("chars", (length(col("g")) - (col("n") - 1)).cast("long"))
-      .groupBy("doc_id", "n").agg(
-        max(col("c") * col("chars")).as("top_mass"),
-        sum(when(col("c") >= 2L, col("c") * col("chars")).otherwise(0L)).as("dup_mass"))
-      .groupBy("doc_id").agg(
-        max(when(col("n") === GopherTopGramFrac.head._1, col("top_mass")))
-          .as(s"top${GopherTopGramFrac.head._1}_mass"),
-        (GopherTopGramFrac.tail.map { case (n, _) =>
-          max(when(col("n") === n, col("top_mass"))).as(s"top${n}_mass") } ++
-         GopherDupGramFrac.map { case (n, _) =>
-          max(when(col("n") === n, col("dup_mass"))).as(s"dup${n}_mass") }): _*)
+    // (doc, kind, n, unit) counts → per-(doc, kind, n) stats: unit and
+    // distinct-unit totals, occurrence char mass, beyond-first char
+    // mass, the (count, chars) argmax, and the ≥2-occurrence mass
+    val perKn = units
+      .groupBy("doc_id", "k", "n", "g").agg(count(lit(1)).as("c"))
+      .withColumn("chars",
+        (length(col("g")) - when(col("k") === 2, col("n") - 1).otherwise(0))
+          .cast(LongType))
+      .groupBy("doc_id", "k", "n").agg(
+        sum("c").as("nu"),
+        count(lit(1)).as("nd"),
+        sum(col("chars") * col("c")).as("occ_mass"),
+        sum(col("chars") * (col("c") - 1L)).as("rep_mass"),
+        max(struct(col("c"), col("chars"))).as("top_s"),
+        sum(when(col("c") >= 2L, col("c") * col("chars")).otherwise(0L))
+          .as("dup_mass"))
+      .withColumn("top_mass", col("top_s.c") * col("top_s.chars"))
 
-    val mass = base.select(col("doc_id"),
-      expr("aggregate(ts, cast(0 as bigint), (a, x) -> a + length(x))").as("m"))
+    // doc-grain conditional rollup: ≤ 13 (k, n) rows per doc fold into
+    // one wide row — each signal reads exactly one of them
+    def pick(kk: Int, nn: Int, v: Column, nm: String): Column =
+      max(when(col("k") === kk && col("n") === nn, v)).as(nm)
+    val roll = perKn.groupBy("doc_id").agg(
+      pick(0, 0, col("nu"), "l_n"),
+      (Seq(
+        pick(0, 0, col("nd"), "l_nd"),
+        pick(0, 0, col("occ_mass"), "l_mass"),
+        pick(0, 0, col("rep_mass"), "l_dup"),
+        pick(1, 0, col("nu"), "p_n"),
+        pick(1, 0, col("nd"), "p_nd"),
+        pick(1, 0, col("occ_mass"), "p_mass"),
+        pick(1, 0, col("rep_mass"), "p_dup"),
+        pick(2, 1, col("occ_mass"), "m")) ++
+       GopherTopGramFrac.map { case (n, _) =>
+         pick(2, n, col("top_mass"), s"top${n}_mass") } ++
+       GopherDupGramFrac.map { case (n, _) =>
+         pick(2, n, col("dup_mass"), s"dup${n}_mass") }): _*)
 
+    repetitionFracs(docs.select("doc_id").join(roll, Seq("doc_id"), "left"))
+  }
+
+  /** Shared ratio/threshold tail of [[repetitionGopher]] and
+    * [[repetitionGopherKeyed]]: input is doc_id + the 19 integer
+    * masses (possibly null from the keyed form's left join — the
+    * kernel emits explicit zeros); each fraction is ONE
+    * operand-order-pinned double division with the zero-denominator
+    * guard, then the conjunctive keep. */
+  private def repetitionFracs(joined: DataFrame): DataFrame = {
     def frac(num: Column, den: Column): Column =
       when(den <= 0L, lit(0.0)).otherwise(num.cast("double") / den)
 
-    val joined = docs.select("doc_id")
-      .join(lineStats, Seq("doc_id"), "left")
-      .join(paraStats, Seq("doc_id"), "left")
-      .join(gramStats, Seq("doc_id"), "left")
-      .join(mass, Seq("doc_id"), "left")
     val sig = joined.select(
       (Seq(
         col("doc_id"),

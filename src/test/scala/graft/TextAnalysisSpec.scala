@@ -656,7 +656,11 @@ class TextAnalysisSpec extends SparkSuiteBase {
       // one dominating repeated 2-gram: top-gram char mass ≈ whole doc
       3L -> Seq.fill(10)("ab cd").mkString(" "),
       // a 5-token phrase occurring twice across distinct filler
-      4L -> "one two three four five gap1 gap2 gap3 one two three four five")
+      4L -> "one two three four five gap1 gap2 gap3 one two three four five",
+      // most-frequent 2-gram ("aa bb" x3, 4 chars) is NOT the
+      // count*chars maximizer ("ccccc ddddd" x2, 10 chars): the
+      // published rule takes the argmax-by-count gram's mass
+      5L -> "aa bb aa bb aa bb ccccc ddddd ccccc ddddd")
     val got = TextOps.repetitionGopher(d).collect()
       .map(r => r.getLong(0) -> r).toMap
     def f(id: Long, c: String) = got(id).getDouble(got(id).fieldIndex(c))
@@ -673,6 +677,23 @@ class TextAnalysisSpec extends SparkSuiteBase {
     assert(f(4L, "dup5_char_frac") === (2.0 * 19.0) / 50.0 && !keep(4L))
     // the 5-gram repeat does NOT fire the line/paragraph rules
     assert(f(4L, "dup_line_frac") === 0.0 && f(4L, "dup_para_frac") === 0.0)
+    // argmax-by-count (ADVICE r14): "aa bb" (c=3, 4 chars → mass 12)
+    // wins over "ccccc ddddd" (c=2, 10 chars → mass 20); word mass 32
+    assert(f(5L, "top2_char_frac") === 12.0 / 32.0)
+  }
+
+  test("repetitionGopher: compiled kernel ≡ keyed-aggregation baseline (crafted + fixture)") {
+    val crafted = docs(
+      1L -> "same line here\nsame line here\nsame line here\nunique tail",
+      2L -> "aa bb aa bb aa bb ccccc ddddd ccccc ddddd",
+      3L -> "one two three four five gap1 gap2 gap3 one two three four five",
+      4L -> "   ",
+      5L -> "para one text\n\npara one text\n\npara two text")
+    for (d <- Seq(crafted, graft.sources.Tables(spark, sf, "documents"))) {
+      val kernel = TextOps.repetitionGopher(d).orderBy("doc_id").collect()
+      val keyed = TextOps.repetitionGopherKeyed(d).orderBy("doc_id").collect()
+      assert(kernel.toSeq === keyed.toSeq)
+    }
   }
 
   test("CRLF documents: \\z line anchors are end-of-string in both engines (ADVICE r13)") {
