@@ -636,7 +636,7 @@ object SparkEntry {
     // the identical doubles — bit-exact across engines. The signal CTE
     // chain is shared with q_pipeline_web (gopherCtes — no drift).
     "q_quality_gopher" ->
-      s"""WITH ${gopherCtes("", "documents")}
+      s"""WITH $webDocsCte, ${gopherCtes("", "webdocs")}
          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
          |       ellipsis_frac, alpha_frac, stop_hits,
          |  n_words >= 50 AND n_words <= 100000 AS g_words,
@@ -652,7 +652,7 @@ object SparkEntry {
     // lists; drop-reason precedence is the same CASE chain. The CTE
     // chain is shared with q_pipeline_web (c4Ctes — no drift).
     "q_c4_clean" ->
-      s"""WITH ${c4Ctes("", "documents")}
+      s"""WITH $webDocsCte, ${c4Ctes("", "webdocs")}
          |SELECT doc_id, n_lines, n_kept, drop_reason,
          |  drop_reason != 'none' AS dropped,
          |  CASE WHEN drop_reason != 'none' THEN ''
@@ -3086,6 +3086,26 @@ object SparkEntry {
     graft.operators.TextOps.GopherStops.map("'" + _ + "'").mkString(",")
   private def GopherMinStops: Long = graft.operators.TextOps.GopherMinStopHits
 
+  /** The enriched curation corpus as a CTE: driver fixture ∪ the
+    * web-shaped slice, the SAME rows the Spark side unions in
+    * (`sources/WebCorpus.scala` — ONE Scala generator feeds both
+    * engines, so the corpus cannot drift; the slice is INPUT, like the
+    * shared parquet, not re-implemented computation). Lines are joined
+    * with chr(10) so the literal survives JSON/SQL transport. */
+  private def webDocsCte: String = {
+    val vals = graft.sources.WebCorpus.sliceRows.map {
+      case (id, text, lang, src, nc) =>
+        val lit = text.split("\n").map("'" + _ + "'").mkString(" || chr(10) || ")
+        s"($id, $lit, '$lang', '$src', $nc)"
+    }.mkString(",\n    ")
+    s"""webdocs AS (
+       |  SELECT doc_id, text, lang, source, n_chars FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    $vals) AS w(doc_id, text, lang, source, n_chars)
+       |)""".stripMargin
+  }
+
   /** Gopher signal CTE chain over `src` (doc_id, text): emits `${p}t`,
     * `${p}s`, `${p}r` — `${p}r` carries (doc_id, n_words,
     * mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac,
@@ -3271,7 +3291,7 @@ object SparkEntry {
     * individual oracles use — byte-identical rule SQL, zero drift. */
   private def webOracle: String = {
     val mod = graft.operators.Pipeline.WebBenchMod
-    s"""WITH RECURSIVE ${c4Ctes("c4", "documents")},
+    s"""WITH RECURSIVE $webDocsCte, ${c4Ctes("c4", "webdocs")},
        |cleaned AS (
        |  SELECT doc_id, array_to_string(kept, chr(10)) AS text
        |  FROM c4r WHERE drop_reason = 'none'
@@ -3333,7 +3353,7 @@ object SparkEntry {
        |         WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
        |         ELSE 'kept' END AS state,
        |    wp.wp_tokens
-       |  FROM documents d
+       |  FROM webdocs d
        |  JOIN c4r ON d.doc_id = c4r.doc_id
        |  LEFT JOIN gflag ON d.doc_id = gflag.doc_id
        |  LEFT JOIN dups ON d.doc_id = dups.doc_id

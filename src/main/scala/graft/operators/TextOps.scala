@@ -245,7 +245,10 @@ object TextOps {
     * g_words anyway). Per-row codegen expressions only — at 100 TB
     * this is a mapper with no shuffle at all. */
   def qualityGopher(spark: SparkSession, dir: String): DataFrame =
-    qualityGopher(Tables(spark, dir, "documents"))
+    // enriched corpus (fixture ∪ web slice): the rules get a population
+    // where every verdict fires — the raw fixture is all-fail word salad
+    qualityGopher(graft.sources.WebCorpus.enriched(
+      Tables(spark, dir, "documents")))
 
   def qualityGopher(docs: DataFrame): DataFrame = {
     val stopArr = GopherStops.map("'" + _ + "'").mkString(",")
@@ -491,7 +494,10 @@ object TextOps {
     * expressions — a shuffle-free mapper at any corpus scale; the
     * oracle replays the same lambdas over DuckDB lists. */
   def c4Clean(spark: SparkSession, dir: String): DataFrame =
-    c4Clean(Tables(spark, dir, "documents"))
+    // enriched corpus (fixture ∪ web slice): pages that SURVIVE the
+    // line clean exist — the raw fixture drops 100% as too_few_lines
+    c4Clean(graft.sources.WebCorpus.enriched(
+      Tables(spark, dir, "documents")))
 
   def c4Clean(docs: DataFrame): DataFrame = {
     val keepLine = // \z not $: see qualityGopher's n_ell_end note

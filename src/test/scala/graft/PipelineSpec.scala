@@ -71,18 +71,28 @@ class PipelineSpec extends SparkSuiteBase {
         n(lang, "n_dup") + n(lang, "n_bench") + n(lang, "n_contaminated") + n(lang, "n_kept"))
   }
 
-  test("curateWeb on the fixture: per-language counts partition n_docs") {
+  test("curateWeb on the enriched fixture: states partition n_docs and EVERY state fires") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val rows = Pipeline.curateWeb(spark, sf).collect()
     assert(rows.nonEmpty)
     val total = rows.map(r => r.getLong(r.fieldIndex("n_docs"))).sum
-    assert(total === docs.count())
+    assert(total === docs.count() + graft.sources.WebCorpus.SliceN)
     rows.foreach { r =>
       def g(c: String) = r.getLong(r.fieldIndex(c))
       assert(g("n_docs") === g("n_c4_dropped") + g("n_gopher_dropped") +
         g("n_dup") + g("n_bench") + g("n_contaminated") + g("n_kept"),
         s"states must partition lang ${r.getString(0)}")
     }
+    // VERDICT r14 #1 done-bar: the web slice makes every ledger state
+    // non-zero on the REAL oracle-gated corpus (no empty stage frames)
+    def tot(c: String) = rows.map(r => r.getLong(r.fieldIndex(c))).sum
+    assert(tot("n_c4_dropped") > 0L, "fixture word salad still drops")
+    assert(tot("n_gopher_dropped") === 6L, "slice docs 4-9")
+    assert(tot("n_dup") === 1L, "slice doc 3 (identical pair)")
+    assert(tot("n_bench") === 1L, "slice doc 0 (id % 97 == 0)")
+    assert(tot("n_contaminated") === 1L, "slice doc 1 (copied line)")
+    assert(tot("n_kept") === 31L, "slice docs 2, 10-39")
+    assert(tot("kept_tokens") > 0L)
   }
 
   test("splitTag partitions the corpus exactly like trainValSplit") {
