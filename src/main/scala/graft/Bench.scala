@@ -401,6 +401,24 @@ object Bench {
         Seq.empty
       }
 
+    // Web-curation chain lifecycle split (round 15, the
+    // q_pipeline_web_append analogue of the dedup split above): build =
+    // one-time base stage-flag + band/shingle/pair/contamination-index
+    // staging from a cold cache; inc = the weekly-increment path over
+    // the warm artifacts (|delta| text work + index probes + id-grain
+    // ledger algebra).
+    val webLifecycle: Seq[(String, Double)] =
+      try {
+        val bWeb = timedN(graft.operators.Pipeline.clearWebStateCache())(
+          graft.operators.Pipeline.stagedWebState(spark, sfDir))
+        val sWeb = timedN(())(
+          force(SparkEntry.queries("q_pipeline_web_append")(spark, sfDir)))
+        Seq("web_append_build_sec" -> bWeb, "web_append_inc_sec" -> sWeb)
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] web-append lifecycle split failed: ${e.getMessage}")
+        Seq.empty
+      }
+
     // Dup-component closure lifecycle (VERDICT r11 #4): build = the
     // MinHash + LSH + exact-verify + CC propagation from a cold memo —
     // billed once, like an ANN index build (dupComponents ends in an
@@ -581,7 +599,7 @@ object Bench {
     // a tail capture of any length that includes the final line parses.
     // Both lines are also mirrored to bench_last.json in the CWD.
     val matrixLine = s"""{"metric":"matrix","scope":"matrix","matrix":${obj(matrix)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"matrix_runs_per_query":1,"matrix_rerun_threshold_sec":$RerunThresholdSec,"matrix_rerun_n":$mReruns,"sf":"$sfDir"}"""
-    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"extra":${obj(extraRes)},"extra_failed":${arr(extraFailed)},"extra_degraded":${arr(extraDegraded)},"failed":${arr(headFailed)},"degraded":${arr(headDegraded)},"n_queries":${headRes.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","lifecycle_runs":$LifecycleRuns,"lifecycle_agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ pqIndexLifecycle ++ ivfpqModelLifecycle ++ ivfpqIndexLifecycle ++ ivfpqAppendLifecycle)},"lsh_lifecycle":${obj(lshLifecycle)},"bq_lifecycle":${obj(bqLifecycle)},"winnow_lifecycle":${obj(winnowLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle ++ dedupCcLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"graph_lifecycle":${obj(graphLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
+    val headlineLine = s"""{"metric":"total","value":$total,"unit":"sec","scope":"headline","queries":$qs,"extra":${obj(extraRes)},"extra_failed":${arr(extraFailed)},"extra_degraded":${arr(extraDegraded)},"failed":${arr(headFailed)},"degraded":${arr(headDegraded)},"n_queries":${headRes.count(_._2 >= 0)},"runs_per_query":$Runs,"warmup_per_query":1,"memo_cleared_between_runs":true,"agg":"min","lifecycle_runs":$LifecycleRuns,"lifecycle_agg":"min","ivf_lifecycle":${obj(ivfLifecycle)},"pq_lifecycle":${obj(pqLifecycle ++ pqIndexLifecycle ++ ivfpqModelLifecycle ++ ivfpqIndexLifecycle ++ ivfpqAppendLifecycle)},"lsh_lifecycle":${obj(lshLifecycle)},"bq_lifecycle":${obj(bqLifecycle)},"winnow_lifecycle":${obj(winnowLifecycle)},"dedup_lifecycle":${obj(dedupLifecycle ++ dedupCcLifecycle)},"web_lifecycle":${obj(webLifecycle)},"incr_lifecycle":${obj(incrLifecycle ++ idxLifecycle)},"graph_lifecycle":${obj(graphLifecycle)},"knn_recall":${obj(knnRecall)},"matrix_total":$mTotal,"matrix_failed":${arr(mFailed)},"matrix_n":${matrix.count(_._2 >= 0)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_last.json", "UTF-8")
       try { w.println(matrixLine); w.println(headlineLine) } finally w.close()

@@ -156,6 +156,7 @@ object SparkEntry {
     "q_stream_join"     -> ((s, d) => graft.streaming.Streams.streamJoin(s, d)),
     "q_pipeline_curate" -> ((s, d) => Pipeline.curate(s, d)),
     "q_pipeline_web"    -> ((s, d) => Pipeline.curateWeb(s, d)),
+    "q_pipeline_web_append" -> ((s, d) => Pipeline.curateWebAppend(s, d)),
     "q_skew_agg"        -> ((s, d) => Skew.skewedAgg(s, d)),
     "q_skew_join"       -> ((s, d) => Skew.skewedJoin(s, d)),
     "q_partition_prune" -> ((s, d) => graft.sources.Sinks.partitionPruned(s, d)),
@@ -661,6 +662,12 @@ object SparkEntry {
     // the stitched canonical curation chain: per-stage CTEs are the
     // SAME builders / SQL text the individual stage oracles replay
     "q_pipeline_web" -> webOracle,
+    // the increment-maintained chain carries the ONE-SHOT oracle
+    // verbatim (the q_dedup_append convention): per-doc stage flags are
+    // pure functions of the doc, the band/candidate union equals the
+    // one-shot candidate set, and the ledger algebra is recomputed over
+    // the merged states — so append-then-curate ≡ curate(base ∪ delta)
+    "q_pipeline_web_append" -> webOracle,
     // Gopher repetition rules: integer unit/gram counts, each fraction
     // ONE operand-order-matched double division; thresholds
     // interpolated from the operator's constants

@@ -511,14 +511,25 @@ object Pipeline {
     * (doc_id % benchMod == 0) — the contamination candidate set shared
     * by [[decontaminate]] and [[curateWeb]]. Input: (doc_id, text). */
   private def contaminatedIds(documents: DataFrame, benchMod: Int,
-      n: Int): DataFrame = {
-    val sh = documents
+      n: Int): DataFrame =
+    contaminatedFromShingles(contamShingles(documents, n), benchMod)
+
+  /** Distinct n-token string shingles (doc_id, s) — the decontamination
+    * index grain, shared by the inline chain and the staged append
+    * artifact so the two paths cannot drift. */
+  private[graft] def contamShingles(documents: DataFrame, n: Int): DataFrame =
+    documents
       .withColumn("ts", expr(TextOps.TokensSql))
       .where(size(col("ts")) >= n)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(ts) - ${n - 1}),
            |  i -> array_join(slice(ts, i, $n), ' '))""".stripMargin)).as("s"))
       .distinct()
+
+  /** Contaminated ids from an ALREADY-BUILT shingle table (the
+    * [[contamShingles]] grain): docs sharing a shingle with any
+    * benchmark doc (doc_id % benchMod == 0), benchmark docs excluded. */
+  private def contaminatedFromShingles(sh: DataFrame, benchMod: Int): DataFrame = {
     val benchShingles = sh.where(col("doc_id") % benchMod === 0L).select("s").distinct()
     sh.where(col("doc_id") % benchMod =!= 0L)
       .join(broadcast(benchShingles), "s")
@@ -675,6 +686,179 @@ object Pipeline {
     graft.Engine.free(survivors)
     graft.Engine.free(gKeep)
     graft.Engine.free(base)
+    ledger
+  }
+
+  // ---- q_pipeline_web_append: the WEEKLY-INCREMENT mode of the
+  // canonical chain (VERDICT r14 #5). A continuous-crawl corpus never
+  // re-curates 100 TB because one week of pages arrived; it pays TEXT
+  // work only for the increment and id/index-grain algebra for the
+  // rest:
+  //  - staged once per corpus version (stagedWebState): the base
+  //    docs' doc-grain stage flags (c4 dropped / gopher keep /
+  //    wp_tokens — text-free), the base survivors' band index, 3-token
+  //    shingle index, verified pair list (the dedupAppend artifacts),
+  //    and their 4-token decontamination shingles;
+  //  - per increment: C4 + Gopher over |delta| docs only; delta
+  //    signatures probed AGAINST the persisted band index (batch side
+  //    broadcast — one map-side index scan, no index shuffle; the
+  //    crossCandidates gate) plus the batch-local LSH; exact-verify
+  //    candidate-bound via the persisted shingle index; components
+  //    over base pairs ∪ new pairs (dup-graph grain).
+  // The ledger is then recomputed as pure ID-GRAIN set algebra over
+  // persisted + delta flags — it must be, for exactness: an increment
+  // can change BASE docs' states (a delta page bridging two base
+  // components demotes a previously-kept base doc to dup; a new canon
+  // bench page can contaminate old canon docs), so per-language counts
+  // cannot be patched additively. Output ≡ the one-shot chain on
+  // base ∪ delta (spec-asserted; the oracle is webOracle verbatim —
+  // the q_dedup_append convention).
+
+  private val webStateCache =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, (Long, Long))]()
+
+  def clearWebStateCache(): Unit = webStateCache.clear()
+
+  /** The increment predicate: the latest crawl = the last
+    * [[graft.sources.WebCorpus.DeltaSliceStart]]-onward web pages plus
+    * the last ~10% of fixture docs (a real increment mixes good pages
+    * and salad). */
+  private def deltaPred(fixtureCut: Long): org.apache.spark.sql.Column = {
+    val so = graft.sources.WebCorpus.SliceOff
+    (col("doc_id") >= so + graft.sources.WebCorpus.DeltaSliceStart) ||
+      (col("doc_id") < so && col("doc_id") >= fixtureCut)
+  }
+
+  /** Build (or reuse) the staged base web-curation state; returns
+    * (root, fixtureCut, deltaDocs). */
+  private[graft] def stagedWebState(spark: SparkSession,
+      dir: String): (String, Long, Long) = {
+    val (root, (fixtureCut, deltaDocs)) =
+      Staging.stage(webStateCache, dir, "documents", "graft-webstate-") { root =>
+        val corpus = graft.sources.WebCorpus.enriched(
+          Tables(spark, dir, "documents"))
+        val nFix = corpus
+          .where(col("doc_id") < graft.sources.WebCorpus.SliceOff).count()
+        val fixCut = nFix - math.max(1L, nFix / 10L)
+        val base = corpus.where(!deltaPred(fixCut))
+        val nDelta = corpus.where(deltaPred(fixCut)).count()
+
+        // stage flags over the base text, computed ONCE and persisted
+        // text-free (the doc-grain state the ledger algebra replays)
+        val bClean = graft.Engine.cut(
+          TextOps.c4Clean(base).select("doc_id", "dropped", "clean_text"))
+        val cleaned = graft.Engine.cut(bClean.where(!col("dropped"))
+          .select(col("doc_id"), col("clean_text").as("text")))
+        val gK = graft.Engine.cut(
+          TextOps.qualityGopher(cleaned).select(col("doc_id"), col("keep")))
+        val surv = graft.Engine.cut(
+          cleaned.join(gK.where(col("keep")).select("doc_id"), "doc_id"))
+        base.select("doc_id", "lang")
+          .join(bClean.select("doc_id", "dropped"), "doc_id")
+          .join(gK, Seq("doc_id"), "left")
+          .join(TextOps.tokenCounts(surv).select("doc_id", "wp_tokens"),
+            Seq("doc_id"), "left")
+          .write.mode("overwrite").parquet(s"$root/state")
+
+        // the dedupAppend artifacts over the base SURVIVORS (the
+        // population the chain's near-dup stage actually sees), plus
+        // the 4-shingle decontamination index; range layout on doc_id
+        // for tight min/max pruning of candidate slices
+        Dedup.sigBands(surv).write.mode("overwrite").parquet(s"$root/bands")
+        Dedup.shingles(surv).repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(s"$root/sh3")
+        Dedup.minhashLsh(surv).write.mode("overwrite").parquet(s"$root/pairs")
+        contamShingles(surv, WebShingleN).repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(s"$root/sh4")
+        graft.Engine.free(surv)
+        graft.Engine.free(gK)
+        graft.Engine.free(cleaned)
+        graft.Engine.free(bClean)
+        (fixCut, nDelta)
+      }
+    (root, fixtureCut, deltaDocs)
+  }
+
+  /** q_pipeline_web_append: the increment-maintained canonical chain
+    * (see block comment above). Ledger ≡ [[curateWeb]] on base ∪ delta
+    * bit-for-bit. */
+  def curateWebAppend(spark: SparkSession, dir: String): DataFrame = {
+    val (root, fixtureCut, deltaDocs) = stagedWebState(spark, dir)
+    val corpus = graft.sources.WebCorpus.enriched(
+      Tables(spark, dir, "documents"))
+    val delta = corpus.where(deltaPred(fixtureCut))
+
+    // |delta|-billed text work: C4 + Gopher over the increment only
+    val dClean = graft.Engine.cut(
+      TextOps.c4Clean(delta).select("doc_id", "dropped", "clean_text"))
+    val dCleaned = dClean.where(!col("dropped"))
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val dG = graft.Engine.cut(
+      TextOps.qualityGopher(dCleaned).select(col("doc_id"), col("keep")))
+    val dSurv = graft.Engine.cut(
+      dCleaned.join(dG.where(col("keep")).select("doc_id"), "doc_id"))
+
+    // near-dup: delta bands probe the persisted index (map-side) +
+    // batch-local LSH; exact verify candidate-bound via the persisted
+    // shingle index ∪ the delta's fresh shingles
+    val dBands = Dedup.sigBands(dSurv)
+    val cands = Dedup.crossCandidates(spark.read.parquet(s"$root/bands"),
+        dBands, deltaDocs * Dedup.Bands)
+      .unionAll(Dedup.lshCandidates(dBands)) // disjoint pair spaces
+    val newPairs = Dedup.verifyCandidatesIndexed(
+      spark.read.parquet(s"$root/sh3").unionByName(Dedup.shingles(dSurv)),
+      cands, 0.8, materializePruned = true)
+    val comps = Dedup.dupComponents(
+      spark.read.parquet(s"$root/pairs").unionAll(newPairs))
+    val dupIds = graft.Engine.cut(
+      comps.where(col("doc_id") =!= col("comp")).select("doc_id"))
+
+    // id-grain ledger algebra over persisted base flags ∪ delta flags
+    val dState = delta.select("doc_id", "lang")
+      .join(dClean.select("doc_id", "dropped"), "doc_id")
+      .join(dG, Seq("doc_id"), "left")
+      .join(TextOps.tokenCounts(dSurv).select("doc_id", "wp_tokens"),
+        Seq("doc_id"), "left")
+    val allState = spark.read.parquet(s"$root/state").unionByName(dState)
+
+    val survIds = allState.where(!col("dropped") && col("keep")).select("doc_id")
+    val canonIds = survIds.join(dupIds, Seq("doc_id"), "left_anti")
+    // decontamination over the CURRENT canon set: persisted base
+    // 4-shingles ∪ delta 4-shingles, canon-filtered — base docs are
+    // re-probed against the updated benchmark shingle set without any
+    // base text re-scan
+    val sh4 = spark.read.parquet(s"$root/sh4")
+      .unionByName(contamShingles(dSurv, WebShingleN))
+    val contaminated = contaminatedFromShingles(
+      sh4.join(canonIds, Seq("doc_id"), "left_semi"), WebBenchMod)
+
+    val states = allState
+      .join(dupIds.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("is_cont", lit(1L)), Seq("doc_id"), "left")
+      .withColumn("state",
+        when(col("dropped"), lit("c4_dropped"))
+          .when(!col("keep"), lit("gopher_dropped"))
+          .when(col("is_dup") === 1L, lit("dup"))
+          .when(col("doc_id") % WebBenchMod === 0L, lit("bench"))
+          .when(col("is_cont") === 1L, lit("contaminated"))
+          .otherwise(lit("kept")))
+    val ledger = graft.Engine.cut(states.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("state") === "c4_dropped", 1L).otherwise(0L)).as("n_c4_dropped"),
+        sum(when(col("state") === "gopher_dropped", 1L).otherwise(0L)).as("n_gopher_dropped"),
+        sum(when(col("state") === "dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("state") === "bench", 1L).otherwise(0L)).as("n_bench"),
+        sum(when(col("state") === "contaminated", 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("state") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("state") === "kept", col("wp_tokens")).otherwise(0L))
+          .as("kept_tokens")))
+    graft.Engine.free(dupIds)
+    graft.Engine.free(dSurv)
+    graft.Engine.free(dG)
+    graft.Engine.free(dClean)
     ledger
   }
 }

@@ -17,8 +17,15 @@ import org.apache.spark.sql.DataFrame
   *   - docs 2, 3: byte-identical pages → doc 3 `dup` (keep-min-id);
   *   - docs 4–9: 3 lines = 45 words < 50 → pass C4, fail the Gopher
   *     word-count rule → `gopher_dropped`;
-  *   - docs 0–3, 10–39: 8 lines × 15 words, every Gopher rule green
-  *     → `kept` (doc 0 `bench`, doc 1 `contaminated`, doc 3 `dup`);
+  *   - docs ≥ [[DeltaSliceStart]] are the "latest crawl" half that
+  *     q_pipeline_web_append treats as the increment, and repeat the
+  *     same structure ACROSS the base/delta boundary: doc 31 is
+  *     byte-identical to base docs 2/3 (`dup` found by probing the
+  *     persisted band index), doc 33 copies doc 0's line
+  *     (`contaminated` against the persisted benchmark shingles),
+  *     doc 35 is 3 lines (`gopher_dropped` in the increment);
+  *   - the remaining 8-line × 15-word pages pass every Gopher rule
+  *     → `kept`;
   *   - every original fixture doc → `c4_dropped` (unchanged behavior).
   *
   * Anti-collision construction: every line interleaves per-(doc, line)
@@ -61,6 +68,10 @@ object WebCorpus {
   private def body(i: Int, nLines: Int): String =
     (0 until nLines).map(line(i, _)).mkString("\n")
 
+  /** First slice index of the "latest crawl" increment — the delta
+    * side of q_pipeline_web_append's base/batch split. */
+  val DeltaSliceStart = 30
+
   private def textOf(i: Int): String = i match {
     // contaminated: doc 0's first line + 7 own lines
     case 1 => (line(0, 0) +: (1 until 8).map(line(1, _))).mkString("\n")
@@ -68,6 +79,12 @@ object WebCorpus {
     case 3 => body(2, 8)
     // gopher_dropped: 3 clean lines = 45 words < 50
     case k if k >= 4 && k <= 9 => body(k, 3)
+    // cross-increment structure (all ≥ DeltaSliceStart): a dup of the
+    // BASE pair, a page contaminated by the BASE bench page, and an
+    // in-increment Gopher violator
+    case 31 => body(2, 8)
+    case 33 => (line(0, 0) +: (1 until 8).map(line(33, _))).mkString("\n")
+    case 35 => body(35, 3)
     case k => body(k, 8)
   }
 

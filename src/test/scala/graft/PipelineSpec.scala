@@ -87,12 +87,26 @@ class PipelineSpec extends SparkSuiteBase {
     // non-zero on the REAL oracle-gated corpus (no empty stage frames)
     def tot(c: String) = rows.map(r => r.getLong(r.fieldIndex(c))).sum
     assert(tot("n_c4_dropped") > 0L, "fixture word salad still drops")
-    assert(tot("n_gopher_dropped") === 6L, "slice docs 4-9")
-    assert(tot("n_dup") === 1L, "slice doc 3 (identical pair)")
+    assert(tot("n_gopher_dropped") === 7L, "slice docs 4-9, 35")
+    assert(tot("n_dup") === 2L, "slice docs 3, 31 (identical to doc 2)")
     assert(tot("n_bench") === 1L, "slice doc 0 (id % 97 == 0)")
-    assert(tot("n_contaminated") === 1L, "slice doc 1 (copied line)")
-    assert(tot("n_kept") === 31L, "slice docs 2, 10-39")
+    assert(tot("n_contaminated") === 2L, "slice docs 1, 33 (copied line)")
+    assert(tot("n_kept") === 28L, "slice docs 2, 10-39 minus 31/33/35")
     assert(tot("kept_tokens") > 0L)
+  }
+
+  test("curateWebAppend ≡ one-shot curateWeb on the enriched fixture (staged index path)") {
+    graft.operators.Pipeline.clearWebStateCache()
+    val inc = Pipeline.curateWebAppend(spark, sf).orderBy("lang").collect()
+    val one = Pipeline.curateWeb(spark, sf).orderBy("lang").collect()
+    assert(inc.toSeq === one.toSeq,
+      "append-maintained ledger must equal the one-shot chain on base ∪ delta")
+    // the cross-increment states really crossed the boundary: doc 31
+    // (delta) dups base docs 2/3, doc 33 (delta) is contaminated by
+    // base bench doc 0 — visible as both counts exceeding the
+    // base-only structure
+    def tot(c: String) = inc.map(r => r.getLong(r.fieldIndex(c))).sum
+    assert(tot("n_dup") === 2L && tot("n_contaminated") === 2L)
   }
 
   test("splitTag partitions the corpus exactly like trainValSplit") {
