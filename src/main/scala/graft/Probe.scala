@@ -266,6 +266,109 @@ object Probe {
           println(f"kcore_$tag: $best%.1f s (rounds ${graft.operators.Graphs.lastKcoreRounds})")
         }
 
+      case "graph_enc" =>
+        // VERDICT r14 #3: END-TO-END in-serve dictionary encode A/B for
+        // the two ~15x/decade iterative serves. The r13 kcore_int probe
+        // proved 31% on the peel CORE via a structural (replica-aware)
+        // encode; BASELINE's reason for not adopting it in the serve —
+        // "the V-grain encode/decode joins eat the win" — was an
+        // argument, not a number. This measures the number: arm A = the
+        // catalog serve as-is off the warm bucketed artifact; arm B =
+        // the SAME round core (kcoreAdj/labelPropAdj) over an adjacency
+        // dictionary-encoded IN the serve (no corpus assumptions: a
+        // range-partitioned per-partition row_number dict — globally
+        // MONOTONE, so LPA's (count desc, label asc) argmax is
+        // preserved through encode/decode — broadcast to both endpoint
+        // joins, one |E| re-key shuffle, V-grain decode join at the
+        // end). min-of-2 both arms; result checksums printed so the
+        // arms' semantic equality is part of the probe output.
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val (nN, mM) = graft.operators.GraphIndex.projStats(spark, dir)
+        val kk = (3L * (2L * mM / nN) / 4L).toInt
+        require(nN < Int.MaxValue, s"node count $nN overflows the int dict")
+        println(s"n=$nN m=$mM k=$kk")
+        graft.operators.GraphIndex.clearGraphCache()
+        timed("graph_build")(graft.operators.GraphIndex.stagedGraph(spark, dir))
+        def forceSum(df: DataFrame, a: String, b: String): String =
+          df.agg(count(lit(1)), sum(col(a)), sum(col(b))).head().toString
+        def minOf2(label: String)(f: => String): Unit = {
+          var best = Double.MaxValue
+          var chk = ""
+          for (_ <- 1 to 2) {
+            val t0 = System.nanoTime()
+            chk = f
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          println(f"$label: $best%.1f s  checksum=$chk")
+        }
+        // the dict is a pure function of the staged node set; build it
+        // fresh inside every timed arm-B run (it IS the in-serve cost
+        // being measured)
+        def dict(): DataFrame = {
+          val parts = graft.operators.GraphIndex.projEdges(spark, dir)
+            .select(col("src")).distinct()
+            .repartitionByRange(32, col("src"))
+            .select(col("src"), spark_partition_id().as("pid"))
+          val local = graft.Engine.cut(parts.withColumn("rn",
+            row_number().over(Window.partitionBy("pid").orderBy("src"))
+              .cast("long") - 1L))
+          // exclusive prefix offsets over the 32 range buckets: the only
+          // driver state is one row per partition
+          val cnts = local.groupBy("pid").agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+          var acc = 0L
+          val off = cnts.map { case (p, c) => val o = acc; acc += c; p -> o }.toMap
+          val d = graft.Engine.cut(local.select(col("src"),
+            (col("rn") + element_at(typedLit(off), col("pid")))
+              .cast("int").as("nid")))
+          graft.Engine.free(local)
+          d
+        }
+        def encodedAdj(d: DataFrame): DataFrame = {
+          val adj = graft.operators.GraphIndex.projEdges(spark, dir)
+          val a = graft.Engine.cut(
+            adj.join(broadcast(d), "src")
+              .select(col("nid").as("s"), col("dst"))
+              .join(broadcast(d.withColumnRenamed("src", "dst")
+                .withColumnRenamed("nid", "nidd")), "dst")
+              .select(col("s").as("src"), col("nidd").as("dst"))
+              .repartition(col("src")))
+          a
+        }
+        minOf2("kcore_long") {
+          forceSum(SparkEntry.queries("q_kcore")(spark, dir), "node", "deg")
+        }
+        minOf2("kcore_enc") {
+          val d = dict()
+          val core = graft.operators.Graphs.kcoreAdj(
+            encodedAdj(d), graft.operators.Graphs.KcoreRounds, kk)
+          val out = core.join(
+            broadcast(d.select(col("nid").as("node"), col("src").as("orig"))),
+            "node").select(col("orig").as("node"), col("deg"))
+          val chk = forceSum(out, "node", "deg")
+          graft.Engine.free(d)
+          chk
+        }
+        minOf2("label_prop_long") {
+          forceSum(SparkEntry.queries("q_label_prop")(spark, dir), "node", "lbl")
+        }
+        minOf2("label_prop_enc") {
+          val d = dict()
+          val lab = graft.operators.Graphs.labelPropAdj(
+            encodedAdj(d), graft.operators.Graphs.LpaRounds)
+          val out = lab
+            .join(broadcast(d.select(col("nid").as("node"), col("src").as("n0"))),
+              "node")
+            .join(broadcast(d.select(col("nid").as("lbl"), col("src").as("l0"))),
+              "lbl")
+            .select(col("n0").as("node"), col("l0").as("lbl"))
+          val chk = forceSum(out, "node", "lbl")
+          graft.Engine.free(d)
+          chk
+        }
+
       case "ann_serve" =>
         // the sf10 serve-path datapoint (VERDICT r11 #7): stage each ANN
         // index once (build timed but unbilled — the serve ratio is the
