@@ -369,6 +369,48 @@ object Probe {
           chk
         }
 
+      case "web_append_parts" =>
+        // phase split of curateWebAppend: where does the inc row go?
+        import org.apache.spark.sql.functions._
+        import graft.operators.{Dedup, Pipeline, TextOps}
+        def force(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        graft.operators.Pipeline.clearWebStateCache()
+        timed("staged_build")(Pipeline.stagedWebState(spark, dir))
+        for (i <- 1 to 2) {
+          val (root, fixtureCut, deltaDocs) = Pipeline.stagedWebState(spark, dir)
+          val so = graft.sources.WebCorpus.SliceOff
+          val dp = (col("doc_id") >= so + graft.sources.WebCorpus.DeltaSliceStart) ||
+            (col("doc_id") < so && col("doc_id") >= fixtureCut)
+          val corpus = graft.sources.WebCorpus.enriched(
+            graft.sources.Tables(spark, dir, "documents"))
+          val delta = corpus.where(dp)
+          var dClean: org.apache.spark.sql.DataFrame = null
+          timed(s"r$i dClean"){ dClean = graft.Engine.cut(
+            TextOps.c4Clean(delta).select("doc_id", "dropped", "clean_text")) }
+          val dCleaned = dClean.where(!col("dropped"))
+            .select(col("doc_id"), col("clean_text").as("text"))
+          var dG: org.apache.spark.sql.DataFrame = null
+          timed(s"r$i dG"){ dG = graft.Engine.cut(
+            TextOps.qualityGopher(dCleaned).select(col("doc_id"), col("keep"))) }
+          var dSurv: org.apache.spark.sql.DataFrame = null
+          timed(s"r$i dSurv"){ dSurv = graft.Engine.cut(
+            dCleaned.join(dG.where(col("keep")).select("doc_id"), "doc_id")) }
+          val dBands = Dedup.sigBands(dSurv)
+          val cands = Dedup.crossCandidates(spark.read.parquet(s"$root/bands"),
+              dBands, deltaDocs * Dedup.Bands)
+            .unionAll(Dedup.lshCandidates(dBands))
+          timed(s"r$i cands")(force(cands))
+          val newPairs = Dedup.verifyCandidatesIndexed(
+            spark.read.parquet(s"$root/sh3").unionByName(Dedup.shingles(dSurv)),
+            cands, 0.8, materializePruned = true)
+          timed(s"r$i newPairs")(force(newPairs))
+          var comps: org.apache.spark.sql.DataFrame = null
+          timed(s"r$i comps"){ comps = Dedup.dupComponents(
+            spark.read.parquet(s"$root/pairs").unionAll(newPairs)) }
+          timed(s"r$i full_query")(force(
+            SparkEntry.queries("q_pipeline_web_append")(spark, dir)))
+        }
       case "ann_serve" =>
         // the sf10 serve-path datapoint (VERDICT r11 #7): stage each ANN
         // index once (build timed but unbilled — the serve ratio is the

@@ -1220,8 +1220,18 @@ object Dedup {
     ssjoin(Tables(spark, dir, "documents"))
 
   def ssjoin(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
-    ssjoinVerify(sh, ssjoinCandidates(sh))
+    // the shingle table has FIVE consumers downstream (dfreq, the
+    // prefix join, the pruned semi, and the two intersection sides) —
+    // without the cut the tokenize+explode+distinct derivation re-ran
+    // per consumer wherever consumers materialize in separate jobs
+    // (same-window min-of-3 A/B at sf0.1: 4.2 → 3.4 s). Each cut frame
+    // is freed as soon as its last consumer is materialized (the
+    // dupComponents dead-frame discipline).
+    val sh = graft.Engine.cut(shingles(docs))
+    val cands = graft.Engine.cut(ssjoinCandidates(sh))
+    val out = ssjoinVerify(sh, cands)
+    graft.Engine.free(sh) // dead: verify materialized its pruned slice
+    out
   }
 
   /** Lossless candidate pairs from the rarest-first prefix index:
@@ -1242,6 +1252,10 @@ object Dedup {
       // (non-negative operands, so div ≡ floor in both engines)
       .where(col("rn") <= col("n") - expr("(4 * n + 4) div 5") + 1)
       .select(col("doc_id"), col("shingle"), col("n"))
+      .transform(graft.Engine.cut(_)) // self-joined below: one window
+                                      // pass, not two (caller cuts the
+                                      // pair result, so this frame dies
+                                      // with the candidate materialization)
     prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -1259,7 +1273,11 @@ object Dedup {
   private def ssjoinVerify(sh: DataFrame, cands: DataFrame): DataFrame = {
     val candIds = cands.select(col("da").as("doc_id"))
       .unionAll(cands.select(col("db").as("doc_id"))).distinct()
-    val pruned = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    // three consumers (sizes + both intersection sides): materialize
+    // the candidate-bound slice once instead of re-probing `sh` per
+    // consumer
+    val pruned = graft.Engine.cut(
+      sh.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(pruned.select(col("doc_id").as("da"), col("shingle")), "da")
