@@ -527,8 +527,14 @@ object Clustering {
 
   private def dbscanBody(v: DataFrame, eps: Double = DbscanEps,
                          minPts: Int = DbscanMinPts): DataFrame = {
-    val pairs = Dedup.embedNearDupGrid(v, blocks = 8, tau = eps)
-      .select("va", "vb")
+    // the ε-edge list is the expensive stage (grid join over the
+    // embeddings) and has THREE consumer subtrees that materialize in
+    // separate jobs (the CC loop's first round, the degree/border
+    // aggregates, the core semi-joins) — cut it so the grid join runs
+    // once per serve, not once per consumer job
+    val pairs = graft.Engine.cut(
+      Dedup.embedNearDupGrid(v, blocks = 8, tau = eps)
+        .select("va", "vb"))
     val edges = pairs.unionAll(
       pairs.select(col("vb").as("va"), col("va").as("vb")))
     // |N_ε(p)| = undirected neighbors + the point itself

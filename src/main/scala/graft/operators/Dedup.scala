@@ -748,14 +748,21 @@ object Dedup {
       val obs = org.apache.spark.sql.Observation()
       // L(L(v)) shortcut rows: v adopts its label's label. comp values
       // are always node ids present in `labels` (see invariant above),
-      // so the self-join hits every row.
-      val hop = labels.as("a")
-        .join(labels.select(col("node").as("ln"), col("comp").as("lc")),
-          col("a.comp") === col("ln"))
-        .select(col("a.node").as("u"), col("lc").as("comp"), lit(0L).as("own"))
-      val next = edges.join(labels, col("v") === col("node"))
-        .select(col("u"), col("comp"), lit(0L).as("own"))
-        .unionAll(hop)
+      // so the self-join hits every row. Round 1 skips it: labels are
+      // still the identity (comp = node), so the hop join would emit
+      // exactly the self rows the third union leg already carries —
+      // one join job saved per CC call (r15; result unchanged by the
+      // identity argument).
+      val hopLegs =
+        if (it == 0) Nil
+        else Seq(labels.as("a")
+          .join(labels.select(col("node").as("ln"), col("comp").as("lc")),
+            col("a.comp") === col("ln"))
+          .select(col("a.node").as("u"), col("lc").as("comp"),
+            lit(0L).as("own")))
+      val next = (edges.join(labels, col("v") === col("node"))
+        .select(col("u"), col("comp"), lit(0L).as("own")) +:
+        hopLegs).reduce(_.unionAll(_))
         .unionAll(labels.select(col("node").as("u"), col("comp"),
           lit(1L).as("own")))
         .groupBy(col("u").as("n2"))
@@ -852,11 +859,25 @@ object Dedup {
       // class); counted once here, carried in the staging metadata
       val baseRows = base.count()
       val root = graft.Engine.workDir("graft-bandidx-").getAbsolutePath
-      sigBands(base).write.mode("overwrite").parquet(s"$root/bands")
-      shingles(base).repartitionByRange(col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").parquet(s"$root/shingles")
-      minhashLsh(base).write.mode("overwrite").parquet(s"$root/pairs")
+      // three independent artifact writes — overlap them (guide §2.6)
+      // so each job's task tail back-fills the others' idle cores
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(Seq(
+          Future {
+            sigBands(base).write.mode("overwrite").parquet(s"$root/bands")
+          },
+          Future {
+            shingles(base).repartitionByRange(col("doc_id"))
+              .sortWithinPartitions("doc_id")
+              .write.mode("overwrite").parquet(s"$root/shingles")
+          },
+          Future {
+            minhashLsh(base).write.mode("overwrite").parquet(s"$root/pairs")
+          })), Duration.Inf)
+      }
       (root, cut, n - baseRows)
     })
 

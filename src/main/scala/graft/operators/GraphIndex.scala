@@ -112,66 +112,99 @@ object GraphIndex {
           .distinct())
       proj.write.mode("overwrite").parquet(s"$root/proj")
 
-      // both-direction edge-grain adjacency, bucketed by src: the
-      // kcore/labelProp round-1 frame and degreeDist's input, served
-      // with no exchange
-      bucketWrite(
-        proj.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(proj.select(col("v").as("src"), col("u").as("dst"))),
-        root, "proja")
+      // The remaining tables have no mutual dependencies once proj and
+      // bip are materialized (both lineage-cut above/below). Submit
+      // their write jobs from a small thread pool so the tail tasks of
+      // one job back-fill cores the next job's scan would leave idle
+      // (guide §2.6 overlap-independent-jobs; the build used to run
+      // ~9 write jobs strictly sequentially — same-window min-of-2 A/B
+      // at sf0.1: 9.0 → ~6 s). Job order inside each thunk preserves
+      // every data dependency: proja/stats/projadj read only proj;
+      // bipd/walks read only bip; bipw/sp read only the lineitem scan.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val projJobs = Seq(
+        Future {
+          // both-direction edge-grain adjacency, bucketed by src: the
+          // kcore/labelProp round-1 frame and degreeDist's input,
+          // served with no exchange
+          bucketWrite(
+            proj.select(col("u").as("src"), col("v").as("dst"))
+              .unionAll(proj.select(col("v").as("src"), col("u").as("dst"))),
+            root, "proja")
+        },
+        Future {
+          // 1-row projection stats (kcore's k = f(avg degree) inputs)
+          val m = proj.count()
+          val n = proj.select(col("u").as("x"))
+            .unionAll(proj.select(col("v").as("x")))
+            .distinct().count()
+          spark.range(1)
+            .select(lit(n).as("n"), lit(m).as("m"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
+        },
+        Future {
+          // CSR adjacency of the projection (node2vec's join side):
+          // both directions, dst-sorted neighbor arrays. BUCKETED by
+          // src (r15): every node2vec step hash-joins this table on
+          // src with the ~KB array payloads in tow — served bucketed,
+          // the build side of all [[Graphs.RwSteps]]−1 step joins
+          // plans exchange-free (the proja/bipd argument applied to
+          // the walk family; the per-step exchange used to re-shuffle
+          // the full |V| array table every hop)
+          bucketWrite(
+            proj.select(col("u").as("src"), col("v").as("dst"))
+              .unionAll(proj.select(col("v").as("src"), col("u").as("dst")))
+              .groupBy("src")
+              .agg(sort_array(collect_list(col("dst"))).as("ns")),
+            root, "projadj")
+        },
+        Future {
+          // weighted bipartite (min quantity per pair), both directions
+          val fww = li.groupBy(
+              (col("l_partkey") * 2).cast("long").as("src"),
+              (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+            .agg(min(col("l_quantity").cast("long")).as("w"))
+          fww.unionAll(
+              fww.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+            .write.mode("overwrite").parquet(s"$root/bipw")
+        },
+        Future {
+          // supplier→part directed distinct (hits' bipartition)
+          li.select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+            .distinct()
+            .write.mode("overwrite").parquet(s"$root/sp")
+        })
 
-      // 1-row projection stats (kcore's k = f(avg degree) inputs)
-      val m = proj.count()
-      val n = proj.select(col("u").as("x"))
-        .unionAll(proj.select(col("v").as("x")))
-        .distinct().count()
-      spark.range(1)
-        .select(lit(n).as("n"), lit(m).as("m"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
-
-      // CSR adjacency of the projection (node2vec's join side): both
-      // directions, dst-sorted neighbor arrays
-      proj.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(proj.select(col("v").as("src"), col("u").as("dst")))
-        .groupBy("src")
-        .agg(sort_array(collect_list(col("dst"))).as("ns"))
-        .write.mode("overwrite").parquet(s"$root/projadj")
-
-      // part↔supplier bipartite graph, both directions, distinct
+      // part↔supplier bipartite graph, both directions, distinct —
+      // built on THIS thread (two dependents below), overlapping the
+      // five independent jobs above
       val fwd = li.select((col("l_partkey") * 2).cast("long").as("src"),
         (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
       val bip = graft.Engine.cut(
         fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
           .distinct())
-      bip.write.mode("overwrite").parquet(s"$root/bip")
-
-      // degree-folded bipartite edges (src, dst, d) — pageRank/PPR's
-      // loop-invariant degree join staged out of every serve (r13:
-      // the per-run rebuild was one full |E| shuffle + join), bucketed
-      // by src so the serves also skip the per-query |E| re-staging
-      bucketWrite(
-        bip.join(bip.groupBy("src").agg(count(lit(1)).as("d")), "src"),
-        root, "bipd")
-
-      // weighted bipartite (min quantity per pair), both directions
-      val fww = li.groupBy(
-          (col("l_partkey") * 2).cast("long").as("src"),
-          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-        .agg(min(col("l_quantity").cast("long")).as("w"))
-      fww.unionAll(
-          fww.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-        .write.mode("overwrite").parquet(s"$root/bipw")
-
-      // supplier→part directed distinct (hits' hub/authority bipartition)
-      li.select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
-        .distinct()
-        .write.mode("overwrite").parquet(s"$root/sp")
-
-      // the uniform random-walk trajectory corpus over the bipartite
-      // graph — deterministic (FNV coins over sorted adjacency), so
-      // the staged corpus equals what any consumer would recompute
-      Graphs.randomWalk(bip, Graphs.RwSteps)
-        .write.mode("overwrite").parquet(s"$root/walks")
+      val bipJobs = Seq(
+        Future { bip.write.mode("overwrite").parquet(s"$root/bip") },
+        Future {
+          // degree-folded bipartite edges (src, dst, d) — pageRank/PPR's
+          // loop-invariant degree join staged out of every serve (r13:
+          // the per-run rebuild was one full |E| shuffle + join),
+          // bucketed by src so serves skip the per-query |E| re-staging
+          bucketWrite(
+            bip.join(bip.groupBy("src").agg(count(lit(1)).as("d")), "src"),
+            root, "bipd")
+        },
+        Future {
+          // the uniform random-walk trajectory corpus over the
+          // bipartite graph — deterministic (FNV coins over sorted
+          // adjacency), so the staged corpus equals what any consumer
+          // would recompute
+          Graphs.randomWalk(bip, Graphs.RwSteps)
+            .write.mode("overwrite").parquet(s"$root/walks")
+        })
+      Await.result(Future.sequence(projJobs ++ bipJobs), Duration.Inf)
     }
     root
   }
@@ -242,8 +275,12 @@ object GraphIndex {
     (r.getAs[Long]("n"), r.getAs[Long]("m"))
   }
 
+  /** CSR adjacency of `proj` — served as a bucketed-by-src scan
+    * (HashPartitioning(src, [[GraphBuckets]]): the node2vec step joins
+    * build against it exchange-free). */
   private[graft] def projAdj(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${stagedGraph(spark, dir)}/projadj")
+    bucketedTable(spark, stagedGraph(spark, dir), "projadj",
+      "src BIGINT, ns ARRAY<BIGINT>")
 
   /** Both-direction edge-grain adjacency of `proj` — identical rows to
     * `(u,v) ∪ (v,u)`, served as a bucketed-by-src scan

@@ -753,25 +753,44 @@ object Pipeline {
           TextOps.qualityGopher(cleaned).select(col("doc_id"), col("keep")))
         val surv = graft.Engine.cut(
           cleaned.join(gK.where(col("keep")).select("doc_id"), "doc_id"))
-        base.select("doc_id", "lang")
-          .join(bClean.select("doc_id", "dropped"), "doc_id")
-          .join(gK, Seq("doc_id"), "left")
-          .join(TextOps.tokenCounts(surv).select("doc_id", "wp_tokens"),
-            Seq("doc_id"), "left")
-          .write.mode("overwrite").parquet(s"$root/state")
-
-        // the dedupAppend artifacts over the base SURVIVORS (the
-        // population the chain's near-dup stage actually sees), plus
-        // the 4-shingle decontamination index; range layout on doc_id
-        // for tight min/max pruning of candidate slices
-        Dedup.sigBands(surv).write.mode("overwrite").parquet(s"$root/bands")
-        Dedup.shingles(surv).repartitionByRange(col("doc_id"))
-          .sortWithinPartitions("doc_id")
-          .write.mode("overwrite").parquet(s"$root/sh3")
-        Dedup.minhashLsh(surv).write.mode("overwrite").parquet(s"$root/pairs")
-        contamShingles(surv, WebShingleN).repartitionByRange(col("doc_id"))
-          .sortWithinPartitions("doc_id")
-          .write.mode("overwrite").parquet(s"$root/sh4")
+        // the five artifact writes below are mutually independent once
+        // bClean/gK/surv are materialized (all three are lineage-cut
+        // above) — submit them from a thread pool so one job's task
+        // tail back-fills cores the next job would leave idle (guide
+        // §2.6 overlap-independent-jobs; they used to run strictly
+        // sequentially)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(Seq(
+          Future {
+            base.select("doc_id", "lang")
+              .join(bClean.select("doc_id", "dropped"), "doc_id")
+              .join(gK, Seq("doc_id"), "left")
+              .join(TextOps.tokenCounts(surv).select("doc_id", "wp_tokens"),
+                Seq("doc_id"), "left")
+              .write.mode("overwrite").parquet(s"$root/state")
+          },
+          // the dedupAppend artifacts over the base SURVIVORS (the
+          // population the chain's near-dup stage actually sees), plus
+          // the 4-shingle decontamination index; range layout on doc_id
+          // for tight min/max pruning of candidate slices
+          Future {
+            Dedup.sigBands(surv).write.mode("overwrite").parquet(s"$root/bands")
+          },
+          Future {
+            Dedup.shingles(surv).repartitionByRange(col("doc_id"))
+              .sortWithinPartitions("doc_id")
+              .write.mode("overwrite").parquet(s"$root/sh3")
+          },
+          Future {
+            Dedup.minhashLsh(surv).write.mode("overwrite").parquet(s"$root/pairs")
+          },
+          Future {
+            contamShingles(surv, WebShingleN).repartitionByRange(col("doc_id"))
+              .sortWithinPartitions("doc_id")
+              .write.mode("overwrite").parquet(s"$root/sh4")
+          })), Duration.Inf)
         graft.Engine.free(surv)
         graft.Engine.free(gK)
         graft.Engine.free(cleaned)

@@ -267,17 +267,90 @@ object Relational {
       .select(col("o_orderpriority"), col("F").as("n_f"),
         col("O").as("n_o"), col("P").as("n_p"))
 
-  /** q_quantiles: exact interpolated percentiles per group. At 100 TB
-    * the scale path is `percentile_approx` (KLL/GK-style sketch, one
-    * pass, bounded memory — spec-bounded against this exact form);
-    * exact `percentile` is kept for the oracle gate. */
+  /** q_quantiles: exact interpolated percentiles per group, computed
+    * by RANK (r15) instead of the builtin `percentile` aggregate. The
+    * builtin is a TypedImperativeAggregate whose partial buffers
+    * collect EVERY group value into an in-memory map shipped through
+    * the exchange — per-group state linear in group size, exactly the
+    * unbounded-buffer shape the rest of this engine avoids (at 100 TB
+    * a single returnflag group's buffer is the corpus). The rank form
+    * is the `groupedRanks` discipline: global value slices, exclusive
+    * offsets via a distributed running-sum window, local windows per
+    * (grp, slice) — shuffles carry (grp, id, x) triples only and no
+    * group ever funnels into one task. The interpolation replays the
+    * builtin's own formula on the two bracketing order statistics
+    * (pos = p·(n−1); (higher−pos)·v_lo + (pos−lower)·v_hi — the
+    * two-sided weighting Spark's Percentile.getPercentile uses), and
+    * the published result is round(…, 4), so the replay is
+    * hash-identical to the builtin (spec-asserted on seeded random
+    * frames + the fixture). Same-window A/B at sf0.1: 2.6 → ~1.2 s,
+    * plan ObjectHashAggregate(full-value buffers) → two windowed rank
+    * passes + plain HashAggregates. `percentile_approx`
+    * (q_quantiles_approx) remains the bounded-sketch one-pass path. */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
-        count(lit(1)).as("cnt"))
+    quantilesByRank(
+      Tables(spark, dir, "lineitem").select(
+        col("l_returnflag").as("grp"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("id"),
+        col("l_extendedprice").as("x")),
+      Seq(0.5 -> "p50", 0.95 -> "p95"), 64)
+      .withColumnRenamed("grp", "l_returnflag")
+
+  /** Exact interpolated per-group percentiles by rank: (grp, id
+    * unique, x: Double non-null) → (grp, <names…>, cnt), each
+    * percentile = round(builtin-equivalent interpolation, 4). */
+  private[graft] def quantilesByRank(rows: DataFrame,
+      ps: Seq[(Double, String)], slices: Int): DataFrame = {
+    val ranked = groupedRanksDouble(rows, slices)
+    // group sizes from the RAW rows (not from `ranked` — that would
+    // re-run the whole windowed rank pipeline just to count)
+    val nDf = rows.groupBy("grp").agg(count(lit(1)).as("n"))
+    val j = ranked.join(broadcast(nDf), "grp")
+    // bracketing order statistics per percentile: 0-based pos =
+    // p·(n−1); keep the rows at ranks floor(pos)+1 and ceil(pos)+1
+    val aggs = ps.flatMap { case (p, name) =>
+      val pos = lit(p) * (col("n") - 1L).cast("double")
+      Seq(
+        max(when(col("rk") === floor(pos).cast("long") + 1L, col("x")))
+          .as(s"lo_$name"),
+        max(when(col("rk") === ceil(pos).cast("long") + 1L, col("x")))
+          .as(s"hi_$name"))
+    } :+ max(col("n")).as("cnt")
+    val picked = j.groupBy("grp").agg(aggs.head, aggs.tail: _*)
+    val outCols = col("grp") +: ps.map { case (p, name) =>
+      val pos = lit(p) * (col("cnt") - 1L).cast("double")
+      val lower = floor(pos)
+      val higher = ceil(pos)
+      round(when(lower === higher, col(s"lo_$name"))
+        .otherwise((higher - pos) * col(s"lo_$name") +
+          (pos - lower) * col(s"hi_$name")), 4).as(name)
+    } :+ col("cnt")
+    picked.select(outCols: _*)
+  }
+
+  /** [[groupedRanks]] for DOUBLE-valued x (same two-pass range-sliced
+    * shape; value slices derived from the double min/max). */
+  private[graft] def groupedRanksDouble(rows: DataFrame,
+      slices: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mm = rows.agg(min("x"), max("x")).head()
+    if (mm.isNullAt(0))
+      return rows.withColumn("rk", lit(0L)).where(lit(false))
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val span = math.max(java.lang.Double.MIN_NORMAL, (hi - lo) / slices)
+    // x = hi lands in slice `slices` — one extra (tiny) slice, harmless
+    val sliced = rows.withColumn("slc",
+      floor((col("x") - lit(lo)) / lit(span)).cast("long"))
+    val wOff = Window.partitionBy("grp").orderBy("slc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = sliced.groupBy("grp", "slc").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+      .drop("c")
+    val w = Window.partitionBy("grp", "slc").orderBy(col("x"), col("id"))
+    sliced.join(offDf, Seq("grp", "slc"))
+      .withColumn("rk", row_number().over(w).cast("long") + col("off"))
+      .drop("slc", "off")
+  }
 
   /** B13b q_quantiles_approx: the 100 TB quantile path — t-digest-style
     * `percentile_approx` (bounded sketch state, partial/final mergeable)
@@ -446,27 +519,47 @@ object Relational {
       "o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
       "o_totalprice" -> true, "o_orderpriority" -> false))
 
-  /** df form: `cols` = (column name, isNumeric). */
+  /** df form: `cols` = (column name, isNumeric).
+    *
+    * The counts/countDistinct/numeric-min-max aggregate and the STRING
+    * min/max aggregate are computed in two jobs on purpose (r15):
+    * min/max over StringType is not a mutable fixed-width buffer, so
+    * ONE combined aggregate forces the whole multi-countDistinct
+    * Expand (cols+1 rows per input row) down the SortAggregate path —
+    * a full sort of the expanded corpus. With the string legs split
+    * out, the expanded aggregate is a plain HashAggregate and the
+    * string pass is a tiny no-Expand partial/final agg; the two 1-row
+    * results cross-join back. Same rows/values bit-for-bit (same
+    * aggregate semantics, projection-only reshuffle). Same-window A/B
+    * at sf0.1: 2.4 → ~1.1 s, plan SortAggregate×3+Expand →
+    * HashAggregate+Expand ∥ SortAggregate(no Expand). */
   def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame = {
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, num) =>
+    val hashAggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, num) =>
       Seq(
         count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        (if (num) min(col(c)).cast("double") else lit(null).cast("double"))
-          .as(s"mn_num_$c"),
-        (if (num) max(col(c)).cast("double") else lit(null).cast("double"))
-          .as(s"mx_num_$c"),
-        (if (num) lit(null).cast("string") else min(col(c)).cast("string"))
-          .as(s"mn_str_$c"),
-        (if (num) lit(null).cast("string") else max(col(c)).cast("string"))
-          .as(s"mx_str_$c"))
+        countDistinct(col(c)).as(s"nd_$c")) ++
+        (if (num) Seq(
+          min(col(c)).cast("double").as(s"mn_num_$c"),
+          max(col(c)).cast("double").as(s"mx_num_$c"))
+         else Nil)
     }
-    val stackArgs = cols.map { case (c, _) =>
-      s"'$c', n_rows, n_rows - nn_$c, nd_$c, mn_num_$c, mx_num_$c, mn_str_$c, mx_str_$c"
+    val strAggs = cols.filter(!_._2).map(_._1).flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"mn_str_$c"),
+        max(col(c)).cast("string").as(s"mx_str_$c"))
+    }
+    val base = df.agg(hashAggs.head, hashAggs.tail: _*)
+    val merged =
+      if (strAggs.isEmpty) base
+      else base.crossJoin(broadcast(df.agg(strAggs.head, strAggs.tail: _*)))
+    val stackArgs = cols.map { case (c, num) =>
+      val mnN = if (num) s"mn_num_$c" else "CAST(NULL AS DOUBLE)"
+      val mxN = if (num) s"mx_num_$c" else "CAST(NULL AS DOUBLE)"
+      val mnS = if (num) "CAST(NULL AS STRING)" else s"mn_str_$c"
+      val mxS = if (num) "CAST(NULL AS STRING)" else s"mx_str_$c"
+      s"'$c', n_rows, n_rows - nn_$c, nd_$c, $mnN, $mxN, $mnS, $mxS"
     }.mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)")
+    merged.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+      "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)")
   }
 
   /** q_stats_moments: grouped two-variable moment statistics — mean,

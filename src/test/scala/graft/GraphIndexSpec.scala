@@ -76,6 +76,26 @@ class GraphIndexSpec extends SparkSuiteBase {
       s"bucketed degree agg still exchanges:\n$dPlan")
   }
 
+  test("bucketed projadj ≡ inline CSR rows; step join plans exchange-free on the adj side") {
+    val proj = GraphIndex.proj(spark, sf)
+    val inline = proj.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(proj.select(col("v").as("src"), col("u").as("dst")))
+      .groupBy("src").agg(sort_array(collect_list(col("dst"))).as("ns"))
+    assert(rows(GraphIndex.projAdj(spark, sf)
+        .select(col("src"), col("ns").cast("string")))
+      === rows(inline.select(col("src"), col("ns").cast("string"))))
+    // the node2vec step shape: bucketed CSR scan ⋈ V-grain frontier
+    // derived from the same scan — no Exchange anywhere (the array
+    // payloads never re-shuffle per hop)
+    val adj = GraphIndex.projAdj(spark, sf)
+    val frontier = adj.select(col("src").as("node")).distinct()
+    val join = adj.as("a").hint("shuffle_hash")
+      .join(frontier, col("a.src") === col("node"))
+    val plan = join.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed projadj step join still exchanges:\n$plan")
+  }
+
   test("staged stats match inline counts; kcore serves the same k") {
     val (n, m) = GraphIndex.projStats(spark, sf)
     val proj = GraphIndex.proj(spark, sf)

@@ -32,10 +32,22 @@ class RelationalSpec extends SparkSuiteBase {
     assert((s.getString(6), s.getString(7)) === (("a", "b")))
   }
 
-  test("profile runs as ONE scan of the input") {
+  test("profile: ≤2 scans, and the heavy Expand pass hash-aggregates") {
+    // r15: the string min/max legs are split into their own (second,
+    // column-pruned) scan so the multi-countDistinct Expand pass keeps
+    // a mutable fixed-width buffer and plans as HashAggregate — one
+    // combined aggregate forced the whole (cols+1)× expanded input
+    // through SortAggregate, a full sort of 6× the corpus vs one extra
+    // 2-column scan
     val plan = Relational.profile(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.sliding("orders.parquet".length).count(_ == "orders.parquet") <= 1,
-      s"profile should scan the table once:\n$plan")
+    assert(plan.sliding("orders.parquet".length).count(_ == "orders.parquet") <= 2,
+      s"profile should scan the table at most twice:\n$plan")
+    val expandIdx = plan.indexOf("Expand")
+    assert(expandIdx >= 0, s"expected the countDistinct Expand:\n$plan")
+    assert(!plan.contains("SortAggregate") ||
+        plan.indexOf("SortAggregate") > expandIdx,
+      s"the Expand pass must hash-aggregate (SortAggregate only allowed " +
+        s"on the tiny string pass below it):\n$plan")
   }
 
   test("moment stats match Spark's built-in corr/var_pop/covar_pop") {
@@ -207,6 +219,46 @@ class RelationalSpec extends SparkSuiteBase {
       assert(math.abs(p95 - e95) / e95 < 0.05, s"$k p95 $p95 vs $e95")
       val rate = n.toDouble / groupN(k)
       assert(rate > 0.05 && rate < 0.15, s"$k sample rate $rate")
+    }
+  }
+
+  test("rank-based quantiles replay the builtin percentile bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // fixture parity: the catalog query vs the builtin on the same input
+    val got = Relational.quantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val want = graft.sources.Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got === want)
+    // seeded random frames: odd/even group sizes, duplicate values,
+    // exact-index and interpolated positions all get exercised
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 300 + trial).map { i =>
+        (s"g${rnd.nextInt(3)}", i.toLong,
+          math.round(rnd.nextDouble() * 1000) / 10.0) // one-decimal dupes
+      }
+      val df = rows.toDF("grp", "id", "x")
+      val gotR = Relational.quantilesByRank(df,
+        Seq(0.5 -> "p50", 0.95 -> "p95"), 8).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .toMap
+      val wantR = df.groupBy("grp")
+        .agg(round(expr("percentile(x, 0.5)"), 4).as("p50"),
+          round(expr("percentile(x, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .toMap
+      assert(gotR === wantR, s"trial $trial")
     }
   }
 
