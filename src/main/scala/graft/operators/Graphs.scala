@@ -809,27 +809,49 @@ object Graphs {
     * lineage cut per round (the dupComponents convention). */
   def hits(edgesIn: DataFrame, rounds: Int): DataFrame = {
     val e = graft.Engine.cut(edgesIn)
-    def normalized(raw: DataFrame): DataFrame = {
-      // 1-row max, broadcast: (s·Scale) div max ≤ Scale, exact BIGINT
-      val mx = raw.agg(max(col("raw")).as("mx"))
-      graft.Engine.cut(raw.crossJoin(broadcast(mx))
-        .select(col("node"), expr(s"(raw * ${HitsScale}L) div mx").as("s")))
+    // 1-row max for the L∞ normalization: ride it on the SAME job that
+    // materializes the raw sums (observe sidecar, the kcore/LPA
+    // convergence-probe discipline) — the r15 baseline evaluated each
+    // half-round's edge join + aggregate TWICE (once for the broadcast
+    // max subquery, once for the normalized cut), doubling every
+    // round's |E|-grain work. The observed max becomes a literal in the
+    // normalization projection — same exact BIGINT division, and
+    // (s·Scale) div max ≤ Scale as before. Fallback probe over the cut
+    // frame if the metric is ever lost (bounded: one 1-row agg).
+    def normalized(raw: DataFrame): (DataFrame, DataFrame) = {
+      val obs = org.apache.spark.sql.Observation()
+      val r = graft.Engine.cut(raw.observe(obs, max(col("raw")).as("mx")))
+      val mx = graft.Engine.observedLong(obs, "mx").getOrElse {
+        // empty/degenerate frame: max is NULL — the projection below
+        // emits no rows anyway, any non-zero literal is equivalent
+        val row = r.agg(max(col("raw"))).head()
+        if (row.isNullAt(0)) 1L else row.getLong(0)
+      }
+      (r.select(col("node"), expr(s"(raw * ${HitsScale}L) div ${mx}L").as("s")),
+        r)
     }
     var hub = graft.Engine.cut(
       e.select(col("src").as("node")).distinct()
         .withColumn("s", lit(HitsScale)))
     var auth: DataFrame = hub.limit(0)
+    // the normalized frames are lazy projections over their cut raw
+    // frames — dead-frame bookkeeping tracks the CUTS (Engine.free is a
+    // no-op on a Project), plus the round-0 hub cut
+    var hubCut: DataFrame = hub
+    var authCut: DataFrame = null
     for (r <- 1 to rounds) {
-      val prevAuth = auth
-      auth = normalized(e.join(hub, e("src") === hub("node"))
+      val prevAuthCut = authCut
+      val (a, ac) = normalized(e.join(hub, e("src") === hub("node"))
         .groupBy(e("dst").as("node")).agg(sum("s").as("raw")))
-      if (r > 1) graft.Engine.free(prevAuth) // round 1's is a limit(0) view
-      val prevHub = hub
-      hub = normalized(e.join(auth, e("dst") === auth("node"))
+      auth = a; authCut = ac
+      if (prevAuthCut != null) graft.Engine.free(prevAuthCut)
+      val prevHubCut = hubCut
+      val (h, hc) = normalized(e.join(auth, e("dst") === auth("node"))
         .groupBy(e("src").as("node")).agg(sum("s").as("raw")))
-      graft.Engine.free(prevHub)
+      hub = h; hubCut = hc
+      graft.Engine.free(prevHubCut)
     }
-    // the result depends only on the final (cut) hub/auth frames
+    // the result depends only on the final cut raw frames
     graft.Engine.free(e)
     hub.select(lit("hub").as("kind"), col("node"), col("s").as("score"))
       .unionAll(auth.select(lit("authority").as("kind"), col("node"),
