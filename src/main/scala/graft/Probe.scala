@@ -369,6 +369,109 @@ object Probe {
           chk
         }
 
+      case "r16_enc" =>
+        // VERDICT r15 #3: INGEST-TIME dictionary encode A/B. graph_enc
+        // measured the IN-SERVE encode and rejected it (the per-serve
+        // dict build + |E| re-key ate the win at sf10); this probe
+        // moves the encode OUTSIDE the timed region — the dict and the
+        // int-keyed adjacency are built once, like artifact tables —
+        // and times only the serves: arm A = catalog kcore/label_prop
+        // off the warm long-keyed bucketed artifact, arm B = the SAME
+        // round cores over the pre-encoded int adjacency + the V-grain
+        // decode join the real serve would pay. The encode build is
+        // timed separately (the graph_build delta adopting it costs).
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val (nN, mM) = graft.operators.GraphIndex.projStats(spark, dir)
+        val kk = (3L * (2L * mM / nN) / 4L).toInt
+        require(nN < Int.MaxValue, s"node count $nN overflows the int dict")
+        println(s"n=$nN m=$mM k=$kk")
+        graft.operators.GraphIndex.clearGraphCache()
+        timed("graph_build")(graft.operators.GraphIndex.stagedGraph(spark, dir))
+        def forceSum(df: DataFrame, a: String, b: String): String =
+          df.agg(count(lit(1)), sum(col(a)), sum(col(b))).head().toString
+        def minOf2(label: String)(f: => String): Unit = {
+          var best = Double.MaxValue
+          var chk = ""
+          for (_ <- 1 to 2) {
+            val t0 = System.nanoTime()
+            chk = f
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          println(f"$label: $best%.1f s  checksum=$chk")
+        }
+        // ingest-time side: order-preserving dense int dict + int-keyed
+        // both-direction adjacency, src-partitioned like the bucketed
+        // artifact — built ONCE, outside every timed arm
+        var dict: DataFrame = null
+        var encAdj: DataFrame = null
+        timed("enc_build") {
+          val parts = graft.operators.GraphIndex.projEdges(spark, dir)
+            .select(col("src")).distinct()
+            .repartitionByRange(32, col("src"))
+            .select(col("src"), spark_partition_id().as("pid"))
+          val local = graft.Engine.cut(parts.withColumn("rn",
+            row_number().over(Window.partitionBy("pid").orderBy("src"))
+              .cast("long") - 1L))
+          val cnts = local.groupBy("pid").agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+          var acc = 0L
+          val off = cnts.map { case (p, c) => val o = acc; acc += c; p -> o }.toMap
+          dict = graft.Engine.cut(local.select(col("src"),
+            (col("rn") + element_at(typedLit(off), col("pid")))
+              .cast("int").as("nid")))
+          graft.Engine.free(local)
+          val adj = graft.operators.GraphIndex.projEdges(spark, dir)
+          encAdj = graft.Engine.cut(
+            adj.join(broadcast(dict), "src")
+              .select(col("nid").as("s"), col("dst"))
+              .join(broadcast(dict.withColumnRenamed("src", "dst")
+                .withColumnRenamed("nid", "nidd")), "dst")
+              .select(col("s").as("src"), col("nidd").as("dst"))
+              .repartition(col("src")))
+        }
+        minOf2("kcore_long") {
+          forceSum(SparkEntry.queries("q_kcore")(spark, dir), "node", "deg")
+        }
+        minOf2("kcore_enc") {
+          // .select wrapper: the cores Engine.free their input frame
+          // (a no-op on the real bucketed scans); keep the shared cut
+          // alive across runs by handing them a Project over it
+          val core = graft.operators.Graphs.kcoreAdj(
+            encAdj.select(col("src"), col("dst")),
+            graft.operators.Graphs.KcoreRounds, kk)
+          val out = core.join(
+            dict.select(col("nid").as("node"), col("src").as("orig")),
+            "node").select(col("orig").as("node"), col("deg"))
+          forceSum(out, "node", "deg")
+        }
+        minOf2("label_prop_long") {
+          forceSum(SparkEntry.queries("q_label_prop")(spark, dir), "node", "lbl")
+        }
+        minOf2("label_prop_enc") {
+          val lab = graft.operators.Graphs.labelPropAdj(
+            encAdj.select(col("src"), col("dst")),
+            graft.operators.Graphs.LpaRounds)
+          val out = lab
+            .join(dict.select(col("nid").as("node"), col("src").as("n0")),
+              "node")
+            .join(dict.select(col("nid").as("lbl"), col("src").as("l0")),
+              "lbl")
+            .select(col("n0").as("node"), col("l0").as("lbl"))
+          forceSum(out, "node", "lbl")
+        }
+        minOf2("degree_dist_long") {
+          forceSum(SparkEntry.queries("q_degree_dist")(spark, dir),
+            "degree", "n_nodes")
+        }
+        minOf2("degree_dist_enc") {
+          forceSum(encAdj
+            .groupBy(col("src").as("n")).agg(count(lit(1)).as("degree"))
+            .groupBy("degree").agg(count(lit(1)).as("n_nodes")),
+            "degree", "n_nodes")
+        }
+
       case "r15_ab" =>
         // one-window A/B driver for the r15 optimization set: staged
         // builds (min-of-2, per-build cache clears) + the touched

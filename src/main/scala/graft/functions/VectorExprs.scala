@@ -356,6 +356,79 @@ case class NearestLists(child: Expression, centsFlat: Array[Long],
     copy(child = c)
 }
 
+/** All PQ subspace codes of one micro-unit vector in ONE compiled
+  * pass — the encode kernel of the PQ/IVFPQ family (guide: eliminate
+  * per-row expression-tree interpretation in the hot path). The
+  * declarative form it replaces materializes, per row, M ·
+  * K `struct(sqdist(slice(e, …), lit(codeword)), code)` expressions
+  * plus M `array_min`s — at M = 8, K = 16 that is 128 struct
+  * allocations and 128 array slices per vector just to pick 8 argmins.
+  * Here the whole M·K·D loop runs as compiled Scala behind one eval
+  * call (the [[NearestLists]] CodegenFallback rationale: the
+  * surrounding projection stays in whole-stage codegen, one boxed call
+  * per row is noise against the K·D multiply loop).
+  *
+  * Parity contract (the DuckDB oracles replay the encode): distances
+  * are the exact BIGINT Σ(aᵢ−bᵢ)² of [[SqDistI64]] and ties go to the
+  * LOWER code — exactly `array_min`'s lexicographic (d2, code) struct
+  * order (the strict `<` keeps the first/lowest code on equal d2).
+  * `booksFlat` is the (possibly ragged — tiny corpora fit fewer than K
+  * codewords) codebook family flattened codeword-major; `ks(s)` is
+  * subspace s's codeword count. NULL child → NULL; length ≠
+  * subspaces·dims → NULL (the VectorFold ragged convention). */
+case class PqEncodeCodes(child: Expression, booksFlat: Array[Long],
+    dims: Int, subspaces: Int, ks: Array[Int])
+    extends UnaryExpression with CodegenFallback {
+  require(ks.length == subspaces && ks.forall(_ >= 1),
+    s"need >= 1 codeword in each of $subspaces subspaces")
+
+  override def prettyName: String = "pq_encode_codes"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<bigint> argument, got $t")
+    }
+
+  /** Codeword offset of each subspace within [[booksFlat]]. */
+  private val offs = ks.scanLeft(0)(_ + _)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    if (e.numElements() != dims * subspaces) null
+    else {
+      val out = new Array[Int](subspaces)
+      var s = 0
+      while (s < subspaces) {
+        var bestD = Long.MaxValue
+        var bestC = 0
+        var c = 0
+        while (c < ks(s)) {
+          val base = (offs(s) + c) * dims
+          var d2 = 0L
+          var j = 0
+          while (j < dims) {
+            val d = e.getLong(s * dims + j) - booksFlat(base + j)
+            d2 += d * d
+            j += 1
+          }
+          if (d2 < bestD) { bestD = d2; bestC = c }
+          c += 1
+        }
+        out(s) = bestC
+        s += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeCodes =
+    copy(child = c)
+}
+
 object VectorExprs {
   /** Column form: dot product. */
   def dot(a: Column, b: Column): Column =
@@ -380,4 +453,11 @@ object VectorExprs {
   def nearestLists(e: Column, cents: Array[Array[Long]], nProbe: Int): Column =
     ColumnShim.column(NearestLists(ColumnShim.expression(e),
       cents.flatten, cents.head.length, cents.length, nProbe))
+
+  /** Column form: all PQ subspace codes in one compiled pass.
+    * `books` is the [subspace][code][dim] codebook family. */
+  def pqEncodeCodes(e: Column, books: Array[Array[Array[Long]]]): Column =
+    ColumnShim.column(PqEncodeCodes(ColumnShim.expression(e),
+      books.flatten.flatten, books.head.head.length, books.length,
+      books.map(_.length)))
 }

@@ -860,23 +860,24 @@ object Dedup {
       val baseRows = base.count()
       val root = graft.Engine.workDir("graft-bandidx-").getAbsolutePath
       // three independent artifact writes — overlap them (guide §2.6)
-      // so each job's task tail back-fills the others' idle cores
+      // so each job's task tail back-fills the others' idle cores;
+      // dedicated drained pool per [[Staging.JobPool]]
       locally {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        Await.result(Future.sequence(Seq(
-          Future {
+        val pool = new Staging.JobPool(3)
+        try {
+          pool.submit {
             sigBands(base).write.mode("overwrite").parquet(s"$root/bands")
-          },
-          Future {
+          }
+          pool.submit {
             shingles(base).repartitionByRange(col("doc_id"))
               .sortWithinPartitions("doc_id")
               .write.mode("overwrite").parquet(s"$root/shingles")
-          },
-          Future {
+          }
+          pool.submit {
             minhashLsh(base).write.mode("overwrite").parquet(s"$root/pairs")
-          })), Duration.Inf)
+          }
+          pool.await()
+        } finally pool.drainQuiet()
       }
       (root, cut, n - baseRows)
     })
@@ -1249,9 +1250,15 @@ object Dedup {
     // is freed as soon as its last consumer is materialized (the
     // dupComponents dead-frame discipline).
     val sh = graft.Engine.cut(shingles(docs))
-    val cands = graft.Engine.cut(ssjoinCandidates(sh))
+    val (pairs, prefix) = ssjoinCandidates(sh)
+    val cands = graft.Engine.cut(pairs)
+    graft.Engine.free(prefix) // dead: the pair cut materialized it away
     val out = ssjoinVerify(sh, cands)
     graft.Engine.free(sh) // dead: verify materialized its pruned slice
+    // `cands` and verify's candidate-bound `pruned` slice stay alive by
+    // necessity: the returned (lazy) plan reads both when the caller
+    // materializes it. Both are candidate-volume-bound, not corpus-
+    // bound, and die with the session like any serve-output lineage.
     out
   }
 
@@ -1261,7 +1268,7 @@ object Dedup {
     * (doc_id) computes rank and set size together; the df lookup is
     * the (shingle → df) join that IS the algorithm's "sort by global
     * token frequency" step. */
-  private[graft] def ssjoinCandidates(sh: DataFrame): DataFrame = {
+  private[graft] def ssjoinCandidates(sh: DataFrame): (DataFrame, DataFrame) = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
@@ -1274,16 +1281,18 @@ object Dedup {
       .where(col("rn") <= col("n") - expr("(4 * n + 4) div 5") + 1)
       .select(col("doc_id"), col("shingle"), col("n"))
       .transform(graft.Engine.cut(_)) // self-joined below: one window
-                                      // pass, not two (caller cuts the
-                                      // pair result, so this frame dies
-                                      // with the candidate materialization)
-    prefix.as("a").join(prefix.as("b"),
+                                      // pass, not two. Returned as the
+                                      // second element so the caller can
+                                      // Engine.free it once the pair
+                                      // result is cut-materialized.
+    val pairs = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
           lit(5L) * least(col("a.n"), col("b.n")) >=
             lit(4L) * greatest(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+    (pairs, prefix)
   }
 
   /** Exact integer verification: candidate-doc-pruned shingle index →

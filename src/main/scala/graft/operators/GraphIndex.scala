@@ -114,18 +114,18 @@ object GraphIndex {
 
       // The remaining tables have no mutual dependencies once proj and
       // bip are materialized (both lineage-cut above/below). Submit
-      // their write jobs from a small thread pool so the tail tasks of
+      // their write jobs from a dedicated pool so the tail tasks of
       // one job back-fill cores the next job's scan would leave idle
       // (guide §2.6 overlap-independent-jobs; the build used to run
       // ~9 write jobs strictly sequentially — same-window min-of-2 A/B
-      // at sf0.1: 9.0 → ~6 s). Job order inside each thunk preserves
-      // every data dependency: proja/stats/projadj read only proj;
-      // bipd/walks read only bip; bipw/sp read only the lineitem scan.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val projJobs = Seq(
-        Future {
+      // at sf0.1: 9.0 → ~6 s). Job order preserves every data
+      // dependency: proja/stats/projadj read only proj; bipd/walks
+      // read only bip; bipw/sp read only the lineitem scan. Failure
+      // semantics live in [[Staging.JobPool]]: siblings are drained
+      // before the first failure propagates, the pool always dies.
+      val pool = new Staging.JobPool(8)
+      try {
+        pool.submit {
           // both-direction edge-grain adjacency, bucketed by src: the
           // kcore/labelProp round-1 frame and degreeDist's input,
           // served with no exchange
@@ -133,8 +133,8 @@ object GraphIndex {
             proj.select(col("u").as("src"), col("v").as("dst"))
               .unionAll(proj.select(col("v").as("src"), col("u").as("dst"))),
             root, "proja")
-        },
-        Future {
+        }
+        pool.submit {
           // 1-row projection stats (kcore's k = f(avg degree) inputs)
           val m = proj.count()
           val n = proj.select(col("u").as("x"))
@@ -143,8 +143,8 @@ object GraphIndex {
           spark.range(1)
             .select(lit(n).as("n"), lit(m).as("m"))
             .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
-        },
-        Future {
+        }
+        pool.submit {
           // CSR adjacency of the projection (node2vec's join side):
           // both directions, dst-sorted neighbor arrays. BUCKETED by
           // src (r15): every node2vec step hash-joins this table on
@@ -159,8 +159,8 @@ object GraphIndex {
               .groupBy("src")
               .agg(sort_array(collect_list(col("dst"))).as("ns")),
             root, "projadj")
-        },
-        Future {
+        }
+        pool.submit {
           // weighted bipartite (min quantity per pair), both directions
           val fww = li.groupBy(
               (col("l_partkey") * 2).cast("long").as("src"),
@@ -169,25 +169,24 @@ object GraphIndex {
           fww.unionAll(
               fww.select(col("dst").as("src"), col("src").as("dst"), col("w")))
             .write.mode("overwrite").parquet(s"$root/bipw")
-        },
-        Future {
+        }
+        pool.submit {
           // supplier→part directed distinct (hits' bipartition)
           li.select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
             .distinct()
             .write.mode("overwrite").parquet(s"$root/sp")
-        })
+        }
 
-      // part↔supplier bipartite graph, both directions, distinct —
-      // built on THIS thread (two dependents below), overlapping the
-      // five independent jobs above
-      val fwd = li.select((col("l_partkey") * 2).cast("long").as("src"),
-        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-      val bip = graft.Engine.cut(
-        fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct())
-      val bipJobs = Seq(
-        Future { bip.write.mode("overwrite").parquet(s"$root/bip") },
-        Future {
+        // part↔supplier bipartite graph, both directions, distinct —
+        // built on THIS thread (two dependents below), overlapping the
+        // five independent jobs above
+        val fwd = li.select((col("l_partkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        val bip = graft.Engine.cut(
+          fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+            .distinct())
+        pool.submit { bip.write.mode("overwrite").parquet(s"$root/bip") }
+        pool.submit {
           // degree-folded bipartite edges (src, dst, d) — pageRank/PPR's
           // loop-invariant degree join staged out of every serve (r13:
           // the per-run rebuild was one full |E| shuffle + join),
@@ -195,16 +194,17 @@ object GraphIndex {
           bucketWrite(
             bip.join(bip.groupBy("src").agg(count(lit(1)).as("d")), "src"),
             root, "bipd")
-        },
-        Future {
+        }
+        pool.submit {
           // the uniform random-walk trajectory corpus over the
           // bipartite graph — deterministic (FNV coins over sorted
           // adjacency), so the staged corpus equals what any consumer
           // would recompute
           Graphs.randomWalk(bip, Graphs.RwSteps)
             .write.mode("overwrite").parquet(s"$root/walks")
-        })
-      Await.result(Future.sequence(projJobs ++ bipJobs), Duration.Inf)
+        }
+        pool.await()
+      } finally pool.drainQuiet()
     }
     root
   }

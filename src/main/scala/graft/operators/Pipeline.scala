@@ -755,42 +755,43 @@ object Pipeline {
           cleaned.join(gK.where(col("keep")).select("doc_id"), "doc_id"))
         // the five artifact writes below are mutually independent once
         // bClean/gK/surv are materialized (all three are lineage-cut
-        // above) — submit them from a thread pool so one job's task
-        // tail back-fills cores the next job would leave idle (guide
-        // §2.6 overlap-independent-jobs; they used to run strictly
+        // above) — submit them from a dedicated drained pool
+        // ([[Staging.JobPool]]) so one job's task tail back-fills
+        // cores the next job would leave idle (guide §2.6
+        // overlap-independent-jobs; they used to run strictly
         // sequentially)
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        Await.result(Future.sequence(Seq(
-          Future {
+        val pool = new Staging.JobPool(5)
+        try {
+          pool.submit {
             base.select("doc_id", "lang")
               .join(bClean.select("doc_id", "dropped"), "doc_id")
               .join(gK, Seq("doc_id"), "left")
               .join(TextOps.tokenCounts(surv).select("doc_id", "wp_tokens"),
                 Seq("doc_id"), "left")
               .write.mode("overwrite").parquet(s"$root/state")
-          },
+          }
           // the dedupAppend artifacts over the base SURVIVORS (the
           // population the chain's near-dup stage actually sees), plus
           // the 4-shingle decontamination index; range layout on doc_id
           // for tight min/max pruning of candidate slices
-          Future {
+          pool.submit {
             Dedup.sigBands(surv).write.mode("overwrite").parquet(s"$root/bands")
-          },
-          Future {
+          }
+          pool.submit {
             Dedup.shingles(surv).repartitionByRange(col("doc_id"))
               .sortWithinPartitions("doc_id")
               .write.mode("overwrite").parquet(s"$root/sh3")
-          },
-          Future {
+          }
+          pool.submit {
             Dedup.minhashLsh(surv).write.mode("overwrite").parquet(s"$root/pairs")
-          },
-          Future {
+          }
+          pool.submit {
             contamShingles(surv, WebShingleN).repartitionByRange(col("doc_id"))
               .sortWithinPartitions("doc_id")
               .write.mode("overwrite").parquet(s"$root/sh4")
-          })), Duration.Inf)
+          }
+          pool.await()
+        } finally pool.drainQuiet()
         graft.Engine.free(surv)
         graft.Engine.free(gK)
         graft.Engine.free(cleaned)

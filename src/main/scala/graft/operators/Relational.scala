@@ -328,28 +328,94 @@ object Relational {
     picked.select(outCols: _*)
   }
 
-  /** [[groupedRanks]] for DOUBLE-valued x (same two-pass range-sliced
-    * shape; value slices derived from the double min/max). */
+  /** [[groupedRanks]] for DOUBLE-valued x — same skew-hardened
+    * quantile-sliced shape (see [[skewSliced]]). */
   private[graft] def groupedRanksDouble(rows: DataFrame,
-      slices: Int): DataFrame = {
+      slices: Int): DataFrame = rankSliced(rows, slices)
+
+  /** Skew-hardened slice keys for the grouped-rank machinery (r16;
+    * VERDICT r15 #7 / ADVICE r15). The previous slicing cut the VALUE
+    * RANGE linearly, so a value distribution concentrated inside one
+    * span — or a single heavily-duplicated value, the hi == lo
+    * degenerate included — collapsed into ONE window task: exactly the
+    * unbounded per-group funnel this design exists to avoid (§2.5).
+    * Now:
+    *  - slice boundaries are DATA QUANTILES (`approx_percentile` at
+    *    i/slices — a bounded-sketch single pass, replacing the old
+    *    min/max probe job), so each open interval between boundaries
+    *    carries ~1/slices of the mass no matter how the values bunch;
+    *  - every boundary VALUE gets its own slice (slc = 2·|{b < x}| +
+    *    [x ∈ B] keeps slice ids monotone in x with ties co-located);
+    *  - a boundary value holding ≥ 2 boundary slots (≳ 2/slices of the
+    *    mass — "heavy": duplicates that quantile boundaries can never
+    *    split) is SUB-SPLIT by id quantiles into ~multiplicity+1
+    *    buckets. Within such a slice x is constant, so the (x, id)
+    *    order restricted to it is the id order and id-range buckets
+    *    stay contiguous — rank additivity is preserved exactly.
+    * Slice assignment is boundary-membership counting (≤ 2·slices
+    * codegen'd comparisons per row); driver state is the boundary row
+    * plus ≤ slices/2 heavy-value rows — bounded, like the globalRowIds
+    * ledger. Ranks are IDENTICAL for any boundary placement (offsets +
+    * local ranks are order-exact whatever the split), so callers'
+    * oracle hashes cannot move. Returns None on empty input. */
+  private[graft] def skewSliced(rows: DataFrame, slices: Int): Option[DataFrame] = {
+    require(slices >= 2, s"need >= 2 slices, got $slices")
+    val fracs = (1 until slices).map(i => i.toDouble / slices)
+    val bRow = rows.agg(expr(
+      s"approx_percentile(x, array(${fracs.mkString(", ")}), 1000)").as("bs"))
+      .head()
+    if (bRow.isNullAt(0)) return None
+    val raw: Seq[Any] = bRow.getSeq[Any](0)
+    val distinctB = raw.distinct // quantiles arrive sorted
+    val mult = raw.groupBy(identity).view.mapValues(_.size).toMap
+    val heavies = distinctB.filter(v => mult(v) >= 2)
+    val idBounds: Map[Any, Seq[Long]] =
+      if (heavies.isEmpty) Map.empty
+      else {
+        val tmax = heavies.map(mult).max
+        val sf = (1 to tmax).map(i => i.toDouble / (tmax + 1))
+        rows.where(col("x").isin(heavies: _*))
+          .groupBy("x")
+          .agg(expr(
+            s"approx_percentile(id, array(${sf.mkString(", ")}), 1000)").as("ib"))
+          .collect().map(r => r.get(0) -> r.getSeq[Long](1)).toMap
+      }
+    val lt = distinctB.map(b => when(col("x") > lit(b), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val isB = distinctB.map(b => when(col("x") === lit(b), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sub = heavies.foldLeft(lit(0L)) { (acc, v) =>
+      idBounds.getOrElse(v, Nil) match {
+        case Nil => acc
+        case bs => when(col("x") === lit(v),
+          bs.map(b => when(col("id") > lit(b), 1L).otherwise(0L))
+            .reduce(_ + _)).otherwise(acc)
+      }
+    }
+    Some(rows.withColumn("slc", lt * lit(2L) + isB).withColumn("sub", sub))
+  }
+
+  /** Shared rank assembly over [[skewSliced]] keys: exclusive prefix
+    * offsets via a distributed running-sum window over the (grp, slc,
+    * sub) count table (≤ ~2·slices + heavy sub-buckets rows per grp
+    * partition), local (x, id) windows per (grp, slc, sub). */
+  private def rankSliced(rows: DataFrame, slices: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val mm = rows.agg(min("x"), max("x")).head()
-    if (mm.isNullAt(0))
-      return rows.withColumn("rk", lit(0L)).where(lit(false))
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-    val span = math.max(java.lang.Double.MIN_NORMAL, (hi - lo) / slices)
-    // x = hi lands in slice `slices` — one extra (tiny) slice, harmless
-    val sliced = rows.withColumn("slc",
-      floor((col("x") - lit(lo)) / lit(span)).cast("long"))
-    val wOff = Window.partitionBy("grp").orderBy("slc")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offDf = sliced.groupBy("grp", "slc").agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
-      .drop("c")
-    val w = Window.partitionBy("grp", "slc").orderBy(col("x"), col("id"))
-    sliced.join(offDf, Seq("grp", "slc"))
-      .withColumn("rk", row_number().over(w).cast("long") + col("off"))
-      .drop("slc", "off")
+    skewSliced(rows, slices) match {
+      case None => rows.withColumn("rk", lit(0L)).where(lit(false))
+      case Some(sliced) =>
+        val wOff = Window.partitionBy("grp").orderBy("slc", "sub")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offDf = sliced.groupBy("grp", "slc", "sub")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+          .drop("c")
+        val w = Window.partitionBy("grp", "slc", "sub")
+          .orderBy(col("x"), col("id"))
+        sliced.join(offDf, Seq("grp", "slc", "sub"))
+          .withColumn("rk", row_number().over(w).cast("long") + col("off"))
+          .drop("slc", "sub", "off")
+    }
   }
 
   /** B13b q_quantiles_approx: the 100 TB quantile path — t-digest-style
@@ -970,31 +1036,17 @@ object Relational {
     * dominant group never funnels into one task; 10⁶+ groups never
     * funnel through a driver collect. Expects (grp: String, id: Long
     * unique, x: Long); empty in → empty out, schema intact. */
-  private[graft] def groupedRanks(rows: DataFrame, slices: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val mm = rows.agg(min("x"), max("x")).head()
-    if (mm.isNullAt(0))
-      return rows.withColumn("rk", lit(0L)).where(lit(false))
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val span = math.max(1L, (hi - lo) / slices + 1)
-    val sliced = rows.withColumn("slc", expr(s"(x - ${lo}L) div ${span}L"))
+  private[graft] def groupedRanks(rows: DataFrame, slices: Int): DataFrame =
     // exclusive prefix offsets computed DISTRIBUTIVELY: a running sum
-    // over the (grp, slc) count table, partitioned by grp (≤ `slices`
+    // over the (grp, slc, sub) count table, partitioned by grp (a few
     // rows per partition — tiny windows spread across all groups). No
     // driver round-trip, so 10⁶+ distinct groups never funnel through
     // a collect. The offsets join is left to AQE: it broadcasts when
     // the table is small and shuffle-joins at high group cardinality,
     // where a forced broadcast of groups×slices rows would not fit.
-    val wOff = Window.partitionBy("grp").orderBy("slc")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offDf = sliced.groupBy("grp", "slc").agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
-      .drop("c")
-    val w = Window.partitionBy("grp", "slc").orderBy(col("x"), col("id"))
-    sliced.join(offDf, Seq("grp", "slc"))
-      .withColumn("rk", row_number().over(w).cast("long") + col("off"))
-      .drop("slc", "off")
-  }
+    // Slice keys are the skew-hardened quantile boundaries of
+    // [[skewSliced]] (r16) — heavy duplicate values sub-split by id.
+    rankSliced(rows, slices)
 
   /** df form: expects (grp: String, id: Long unique, x: Long ≥ 0). */
   def giniByGroup(rows: DataFrame, slices: Int): DataFrame =

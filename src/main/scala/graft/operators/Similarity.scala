@@ -927,8 +927,19 @@ object Similarity {
   }
 
   /** Codes column: nearest codeword per subspace over the micro-unit
-    * source column, ties to the lower code. */
-  private def pqCodesCol(books: Array[Array[Array[Long]]], src: String): Column =
+    * source column, ties to the lower code — ONE compiled M·K·D pass
+    * ([[graft.functions.PqEncodeCodes]]; r16). Bit-identical to
+    * [[pqCodesColDeclarative]] (spec-asserted), which it replaced: the
+    * declarative form materialized 128 slice+struct expressions per
+    * row and dominated every live encode-per-serve PQ/IVFPQ row. */
+  private[graft] def pqCodesCol(books: Array[Array[Array[Long]]], src: String): Column =
+    graft.functions.VectorExprs.pqEncodeCodes(col(src), books)
+
+  /** The pre-r16 declarative encode — kept ONLY as the parity oracle
+    * for the kernel spec (PqEncodeSpec asserts bit-equality on the
+    * fixture and seeded random vectors, including d2 ties). */
+  private[graft] def pqCodesColDeclarative(books: Array[Array[Array[Long]]],
+      src: String): Column =
     array((0 until PqM).map { s =>
       val ds = books(s).zipWithIndex.map { case (c, i) =>
         struct(graft.functions.VectorExprs.sqDistLong(

@@ -461,6 +461,45 @@ class RelationalSpec extends SparkSuiteBase {
     } finally joined.unpersist()
   }
 
+  test("skew-hardened slices: 99%-duplicate value splits into >1 window key; ranks exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 99% of every group's mass is ONE value — the degenerate the old
+    // linear value-range slicing collapsed into a single window task
+    // (ADVICE r15: hi==lo / heavy duplication). The heavy value must
+    // sub-split by id; ranks must still equal the plain window rank.
+    val n = 10000L
+    val df = spark.range(n).select(
+      concat(lit("g"), pmod(col("id"), lit(2L))).as("grp"),
+      col("id"),
+      when(pmod(col("id"), lit(100L)) === 0L,
+        pmod(hash(col("id")), lit(50L)).cast("long") + 100L)
+        .otherwise(lit(7L)).as("x"))
+    val sliced = graft.operators.Relational.skewSliced(df, 16).get
+    val heavyKeys = sliced.where(col("x") === 7L)
+      .select("slc", "sub").distinct().count()
+    assert(heavyKeys > 1,
+      s"heavy duplicate value must sub-split across window keys, got $heavyKeys")
+    val ranked = graft.operators.Relational.groupedRanks(df, 16)
+    val w = Window.partitionBy("grp").orderBy("x", "id")
+    val want = df.withColumn("rk_ref", row_number().over(w).cast("long"))
+    val joined = ranked.join(want, Seq("grp", "id", "x")).cache()
+    try {
+      assert(joined.count() === n)
+      assert(joined.where(col("rk") =!= col("rk_ref")).count() === 0L)
+    } finally joined.unpersist()
+    // the all-constant frame (hi == lo) — every row is the heavy value
+    val const = spark.range(1000L).select(lit("g").as("grp"), col("id"),
+      lit(5L).as("x"))
+    val cs = graft.operators.Relational.skewSliced(const, 16).get
+    assert(cs.select("slc", "sub").distinct().count() > 1,
+      "constant column must still split by id")
+    val cr = graft.operators.Relational.groupedRanks(const, 16)
+      .select(col("id"), col("rk")).collect()
+    cr.foreach(r => assert(r.getLong(1) === r.getLong(0) + 1L))
+  }
+
   test("gini plans no single-partition sort of the data") {
     val plan = Relational.giniByGroup(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"), s"plan:\n$plan")
