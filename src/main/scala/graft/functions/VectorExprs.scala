@@ -429,6 +429,86 @@ case class PqEncodeCodes(child: Expression, booksFlat: Array[Long],
     copy(child = c)
 }
 
+/** Quantile-boundary slice key for the grouped-rank machinery:
+  * slc = 2·|{b ∈ bounds : b < x}| + [x ∈ bounds] over a SORTED
+  * DISTINCT boundary array — one binary search per row. The
+  * declarative form (a when-chain of 2·|bounds| comparisons) overflows
+  * Janino's 64 KB method limit near 64 boundaries and drops the whole
+  * projection to interpreted mode (the LshSignatures lesson — measured
+  * 4-10× on the rank consumers). Supports BIGINT and DOUBLE x via the
+  * matching boundary array (exactness: no cross-type casts). */
+case class QuantileSliceKey(child: Expression, boundsL: Array[Long],
+    boundsD: Array[Double]) extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "quantile_slice_key"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType if boundsL != null => TypeCheckResult.TypeCheckSuccess
+      case DoubleType if boundsD != null => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: no boundary array for input type $t")
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val i = child.dataType match {
+      case LongType => java.util.Arrays.binarySearch(boundsL, a.asInstanceOf[Long])
+      case _ => java.util.Arrays.binarySearch(boundsD, a.asInstanceOf[Double])
+    }
+    if (i >= 0) 2L * i + 1L else 2L * (-(i + 1))
+  }
+
+  override protected def withNewChildInternal(c: Expression): QuantileSliceKey =
+    copy(child = c)
+}
+
+/** Heavy-duplicate sub-key: when x equals one of the (sorted, distinct)
+  * `heavies`, the count of that value's id-boundaries below `id` (its
+  * id-range bucket); 0 otherwise. One binary search on x + one on id.
+  * `idBoundsFlat`/`offs` hold each heavy's sorted id boundaries
+  * back-to-back (offs(h) .. offs(h+1)). Same Janino rationale as
+  * [[QuantileSliceKey]]. */
+case class HeavySubKey(left: Expression, right: Expression,
+    heaviesL: Array[Long], heaviesD: Array[Double],
+    idBoundsFlat: Array[Long], offs: Array[Int])
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "heavy_sub_key"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) if heaviesL != null =>
+        TypeCheckResult.TypeCheckSuccess
+      case (DoubleType, LongType) if heaviesD != null =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: unsupported input types ($l, $r)")
+    }
+
+  override protected def nullSafeEval(x: Any, id: Any): Any = {
+    val h = left.dataType match {
+      case LongType => java.util.Arrays.binarySearch(heaviesL, x.asInstanceOf[Long])
+      case _ => java.util.Arrays.binarySearch(heaviesD, x.asInstanceOf[Double])
+    }
+    if (h < 0) 0L
+    else {
+      val lo = offs(h)
+      val hi = offs(h + 1)
+      val i = java.util.Arrays.binarySearch(idBoundsFlat, lo, hi,
+        id.asInstanceOf[Long])
+      // bucket = #bounds < id; ties (id == bound) go to the LOWER
+      // bucket so every bound splits deterministically
+      val below = if (i >= 0) i - lo else -(i + 1) - lo
+      below.toLong
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): HeavySubKey = copy(left = l, right = r)
+}
+
 object VectorExprs {
   /** Column form: dot product. */
   def dot(a: Column, b: Column): Column =
@@ -460,4 +540,24 @@ object VectorExprs {
     ColumnShim.column(PqEncodeCodes(ColumnShim.expression(e),
       books.flatten.flatten, books.head.head.length, books.length,
       books.map(_.length)))
+
+  /** Column form: quantile-boundary slice key (BIGINT x). */
+  def sliceKeyLong(x: Column, bounds: Array[Long]): Column =
+    ColumnShim.column(QuantileSliceKey(ColumnShim.expression(x), bounds, null))
+
+  /** Column form: quantile-boundary slice key (DOUBLE x). */
+  def sliceKeyDouble(x: Column, bounds: Array[Double]): Column =
+    ColumnShim.column(QuantileSliceKey(ColumnShim.expression(x), null, bounds))
+
+  /** Column form: heavy-duplicate id sub-key (BIGINT x). */
+  def heavySubLong(x: Column, id: Column, heavies: Array[Long],
+      idBoundsFlat: Array[Long], offs: Array[Int]): Column =
+    ColumnShim.column(HeavySubKey(ColumnShim.expression(x),
+      ColumnShim.expression(id), heavies, null, idBoundsFlat, offs))
+
+  /** Column form: heavy-duplicate id sub-key (DOUBLE x). */
+  def heavySubDouble(x: Column, id: Column, heavies: Array[Double],
+      idBoundsFlat: Array[Long], offs: Array[Int]): Column =
+    ColumnShim.column(HeavySubKey(ColumnShim.expression(x),
+      ColumnShim.expression(id), null, heavies, idBoundsFlat, offs))
 }

@@ -858,7 +858,7 @@ object Graphs {
         col("s").as("score")))
   }
 
-  def labelProp(spark: SparkSession, dir: String): DataFrame =
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
     // the staged both-direction adjacency arrives bucketed by src —
     // round 1's scope/label joins and the degree-grain aggregates plan
     // with no |E| exchange (VERDICT r13 #1). Raw scan even though LPA
@@ -866,8 +866,21 @@ object Graphs {
     // the 100x grain (sf10 155.7 → 262.7 s persisted — cache pressure
     // evicts the working set the rounds need; the re-scan is a
     // page-cache columnar read) and the scales where persist wins are
-    // the scales where the whole serve is seconds anyway
-    labelPropAdj(GraphIndex.projEdges(spark, dir), LpaRounds)
+    // the scales where the whole serve is seconds anyway.
+    // r16: the artifact is CODE-keyed (GraphIndex dict — ingest-time
+    // encode, VERDICT r15 #3): every per-round shuffle/aggregate runs
+    // on narrow dense codes; the argmax winner is unchanged because
+    // codes are order-preserving in the node id. Two V-grain decode
+    // joins at output restore original ids (sf10 same-window A/B in
+    // OPTIMIZATION_r16.md).
+    val lab = labelPropAdj(GraphIndex.projEdges(spark, dir), LpaRounds)
+    val d = GraphIndex.dict(spark, dir)
+    lab.join(d.select(col("code").as("nc"), col("id").as("norig")),
+        col("node") === col("nc"))
+      .join(d.select(col("code").as("lc"), col("id").as("lorig")),
+        col("lbl") === col("lc"))
+      .select(col("norig").as("node"), col("lorig").as("lbl"))
+  }
 
   /** df form: deduplicated undirected (u, v) edges, u < v, no
     * self-loops. Isolated nodes (absent from the edge list) are not
@@ -1006,9 +1019,18 @@ object Graphs {
     // the staged both-direction adjacency arrives bucketed by src —
     // round 1's degree agg and semi-joins plan with no |E| exchange
     // (VERDICT r13 #1); raw scan, not persist()ed (the pageRank
-    // persist-rejection note: sf10 kcore 209.6 → 291.3 s persisted)
-    kcoreAdj(GraphIndex.projEdges(spark, dir), KcoreRounds,
+    // persist-rejection note: sf10 kcore 209.6 → 291.3 s persisted).
+    // r16: the artifact is CODE-keyed (GraphIndex dict — ingest-time
+    // encode, VERDICT r15 #3): every peel round shuffles narrow dense
+    // codes instead of long original ids (the r13 kcore_int −31%
+    // key-width effect, now billed at ingest); peeling is order-free,
+    // so only the V-grain decode join at output restores ids.
+    val core = kcoreAdj(GraphIndex.projEdges(spark, dir), KcoreRounds,
       (3L * avg / 4L).toInt)
+    val d = GraphIndex.dict(spark, dir)
+    core.join(d.select(col("code").as("nc"), col("id").as("norig")),
+        col("node") === col("nc"))
+      .select(col("norig").as("node"), col("deg"))
   }
 
   /** df form: deduplicated undirected (u, v) edges, u < v, no

@@ -334,41 +334,58 @@ object Relational {
       slices: Int): DataFrame = rankSliced(rows, slices)
 
   /** Skew-hardened slice keys for the grouped-rank machinery (r16;
-    * VERDICT r15 #7 / ADVICE r15). The previous slicing cut the VALUE
-    * RANGE linearly, so a value distribution concentrated inside one
-    * span — or a single heavily-duplicated value, the hi == lo
-    * degenerate included — collapsed into ONE window task: exactly the
-    * unbounded per-group funnel this design exists to avoid (§2.5).
-    * Now:
-    *  - slice boundaries are DATA QUANTILES (`approx_percentile` at
-    *    i/slices — a bounded-sketch single pass, replacing the old
-    *    min/max probe job), so each open interval between boundaries
-    *    carries ~1/slices of the mass no matter how the values bunch;
-    *  - every boundary VALUE gets its own slice (slc = 2·|{b < x}| +
-    *    [x ∈ B] keeps slice ids monotone in x with ties co-located);
-    *  - a boundary value holding ≥ 2 boundary slots (≳ 2/slices of the
-    *    mass — "heavy": duplicates that quantile boundaries can never
-    *    split) is SUB-SPLIT by id quantiles into ~multiplicity+1
-    *    buckets. Within such a slice x is constant, so the (x, id)
-    *    order restricted to it is the id order and id-range buckets
-    *    stay contiguous — rank additivity is preserved exactly.
-    * Slice assignment is boundary-membership counting (≤ 2·slices
-    * codegen'd comparisons per row); driver state is the boundary row
-    * plus ≤ slices/2 heavy-value rows — bounded, like the globalRowIds
-    * ledger. Ranks are IDENTICAL for any boundary placement (offsets +
-    * local ranks are order-exact whatever the split), so callers'
-    * oracle hashes cannot move. Returns None on empty input. */
+    * VERDICT r15 #7 / ADVICE r15). The r15 slicing cut the VALUE RANGE
+    * linearly, so a heavily-duplicated value — the hi == lo degenerate
+    * included — collapsed into ONE window task: exactly the unbounded
+    * per-group funnel this design exists to avoid (§2.5). The linear
+    * spans STAY (the no-skew path is plan-identical to r15 and costs
+    * one arithmetic op per row); what r16 adds is HEAVY-VALUE
+    * protection: a sampled quantile sketch riding the same probe
+    * aggregate detects values owning ≳ 2/slices of the mass, each such
+    * value gets its own window key (hg) and is sub-split by id ranges
+    * (sub) — within a pure-tie block the (x, id) order IS the id
+    * order, so id-range buckets stay contiguous and rank additivity is
+    * exact. Driver state: the probe row + ≤ 16 heavy rows (the
+    * globalRowIds ledger discipline). Ranks are IDENTICAL whatever the
+    * split, so callers' oracle hashes cannot move. Returns None on
+    * empty input. */
+  /** Inputs below this row count keep a single window task per group —
+    * slicing overhead (boundary probe, 3-key offsets join) buys nothing
+    * at a size one task sorts instantly. */
+  private val MinSliceRows = 5000L
+
   private[graft] def skewSliced(rows: DataFrame, slices: Int): Option[DataFrame] = {
     require(slices >= 2, s"need >= 2 slices, got $slices")
     val fracs = (1 until slices).map(i => i.toDouble / slices)
-    val bRow = rows.agg(expr(
-      s"approx_percentile(x, array(${fracs.mkString(", ")}), 1000)").as("bs"))
-      .head()
+    val isDouble = rows.schema("x").dataType ==
+      org.apache.spark.sql.types.DoubleType
+    // ONE probe job (replaces r15's min/max head 1-for-1): exact
+    // min/max + row count for the linear spans, plus an approx-quantile
+    // sketch over a DETERMINISTIC 2% hash-sample (xxhash64(id) — the
+    // guide's derive-synthetic-keys-deterministically rule) used ONLY
+    // to DETECT heavy duplicate values. Boundaries steer nothing else,
+    // so the sketch can be coarse and sampled.
+    val bRow = rows.agg(min("x").as("lo"), max("x").as("hi"),
+      count(lit(1)).as("n"),
+      expr("approx_percentile(if(pmod(xxhash64(id), 50) = 0, x, null), " +
+        s"array(${fracs.mkString(", ")}), 200)").as("bs")).head()
     if (bRow.isNullAt(0)) return None
-    val raw: Seq[Any] = bRow.getSeq[Any](0)
-    val distinctB = raw.distinct // quantiles arrive sorted
+    val n = bRow.getLong(2)
+    // below MinSliceRows a single window task per group is trivially
+    // fine — skip slicing entirely (and tiny samples are noise anyway)
+    val raw: Seq[Any] =
+      if (n < MinSliceRows || bRow.isNullAt(3)) Nil else bRow.getSeq[Any](3)
+    // heavy duplicate values: a value holding >= 2 of the sampled
+    // sketch slots owns >= ~2/slices of the mass — the one shape the
+    // value-range slices can NEVER split (ADVICE r15: hi == lo and
+    // 99%-duplicate columns collapsed into one window task). Cap at the
+    // 16 heaviest: protection targets the dominant values, and the
+    // per-row key work stays a couple of binary searches.
     val mult = raw.groupBy(identity).view.mapValues(_.size).toMap
-    val heavies = distinctB.filter(v => mult(v) >= 2)
+    val heavies = raw.distinct.filter(v => mult(v) >= 2)
+      .sortBy(v => -mult(v)).take(16)
+      .sortBy(v => if (isDouble) v.asInstanceOf[Double]
+        else v.asInstanceOf[Long].toDouble)
     val idBounds: Map[Any, Seq[Long]] =
       if (heavies.isEmpty) Map.empty
       else {
@@ -377,22 +394,52 @@ object Relational {
         rows.where(col("x").isin(heavies: _*))
           .groupBy("x")
           .agg(expr(
-            s"approx_percentile(id, array(${sf.mkString(", ")}), 1000)").as("ib"))
-          .collect().map(r => r.get(0) -> r.getSeq[Long](1)).toMap
+            s"approx_percentile(id, array(${sf.mkString(", ")}), 200)").as("ib"))
+          // distinct per heavy: binary search needs duplicate-free
+          // sorted bounds (duplicates only merge adjacent buckets)
+          .collect().map(r => r.get(0) -> r.getSeq[Long](1).distinct).toMap
       }
-    val lt = distinctB.map(b => when(col("x") > lit(b), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val isB = distinctB.map(b => when(col("x") === lit(b), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val sub = heavies.foldLeft(lit(0L)) { (acc, v) =>
-      idBounds.getOrElse(v, Nil) match {
-        case Nil => acc
-        case bs => when(col("x") === lit(v),
-          bs.map(b => when(col("id") > lit(b), 1L).otherwise(0L))
-            .reduce(_ + _)).otherwise(acc)
+    // slc: r15's exact linear value-range slice (cheap codegen'd
+    // arithmetic — the common no-skew path is byte-identical to the
+    // pre-r16 plan). hg/sub: COMPILED binary searches over the heavy
+    // set ([[graft.functions.QuantileSliceKey]]/[[HeavySubKey]] — a
+    // when-chain form overflowed Janino's 64 KB method limit and
+    // dropped the projection to interpreted mode, measured 4-10x).
+    // Ordering stays exact: within a linear slice, hg = 2*|{h < x}| +
+    // [x in H] is monotone in x, and sub > 0 only where x equals one
+    // heavy value (pure-tie block, so id-range buckets are contiguous
+    // under the (x, id) order).
+    val slc =
+      if (n < MinSliceRows) lit(0L)
+      else if (isDouble) {
+        val (lo, hi) = (bRow.getDouble(0), bRow.getDouble(1))
+        val span = math.max(java.lang.Double.MIN_NORMAL, (hi - lo) / slices)
+        floor((col("x") - lit(lo)) / lit(span)).cast("long")
+      } else {
+        val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+        val span = math.max(1L, (hi - lo) / slices + 1)
+        expr(s"(x - ${lo}L) div ${span}L")
       }
-    }
-    Some(rows.withColumn("slc", lt * lit(2L) + isB).withColumn("sub", sub))
+    val (hg, sub) =
+      if (heavies.isEmpty) (lit(0L), lit(0L))
+      else {
+        val flat = heavies.map(v => idBounds.getOrElse(v, Nil))
+        val offs = flat.map(_.length).scanLeft(0)(_ + _).toArray
+        val bounds = flat.flatten.toArray
+        if (isDouble) {
+          val hs = heavies.map(_.asInstanceOf[Double]).toArray
+          (graft.functions.VectorExprs.sliceKeyDouble(col("x"), hs),
+            graft.functions.VectorExprs.heavySubDouble(col("x"), col("id"),
+              hs, bounds, offs))
+        } else {
+          val hs = heavies.map(_.asInstanceOf[Long]).toArray
+          (graft.functions.VectorExprs.sliceKeyLong(col("x"), hs),
+            graft.functions.VectorExprs.heavySubLong(col("x"), col("id"),
+              hs, bounds, offs))
+        }
+      }
+    Some(rows.withColumn("slc", slc).withColumn("hg", hg)
+      .withColumn("sub", sub))
   }
 
   /** Shared rank assembly over [[skewSliced]] keys: exclusive prefix
@@ -404,17 +451,17 @@ object Relational {
     skewSliced(rows, slices) match {
       case None => rows.withColumn("rk", lit(0L)).where(lit(false))
       case Some(sliced) =>
-        val wOff = Window.partitionBy("grp").orderBy("slc", "sub")
+        val wOff = Window.partitionBy("grp").orderBy("slc", "hg", "sub")
           .rowsBetween(Window.unboundedPreceding, -1)
-        val offDf = sliced.groupBy("grp", "slc", "sub")
+        val offDf = sliced.groupBy("grp", "slc", "hg", "sub")
           .agg(count(lit(1)).as("c"))
           .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
           .drop("c")
-        val w = Window.partitionBy("grp", "slc", "sub")
+        val w = Window.partitionBy("grp", "slc", "hg", "sub")
           .orderBy(col("x"), col("id"))
-        sliced.join(offDf, Seq("grp", "slc", "sub"))
+        sliced.join(offDf, Seq("grp", "slc", "hg", "sub"))
           .withColumn("rk", row_number().over(w).cast("long") + col("off"))
-          .drop("slc", "sub", "off")
+          .drop("slc", "hg", "sub", "off")
     }
   }
 

@@ -52,7 +52,25 @@ class GraphIndexSpec extends SparkSuiteBase {
     val proj = GraphIndex.proj(spark, sf)
     val projaInline = proj.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(proj.select(col("v").as("src"), col("u").as("dst")))
-    assert(rows(GraphIndex.projEdges(spark, sf)) === rows(projaInline))
+    // proja is CODE-keyed (r16 ingest-time dict encode): decoded
+    // through the dict it must be row-identical to the inline
+    // derivation on original ids
+    val d = GraphIndex.dict(spark, sf)
+    val decoded = GraphIndex.projEdges(spark, sf)
+      .join(d.select(col("code").as("src"), col("id").as("s0")), "src")
+      .join(d.select(col("code").as("dst"), col("id").as("d0")), "dst")
+      .select(col("s0").as("src"), col("d0").as("dst"))
+    assert(rows(decoded) === rows(projaInline))
+    // the dict is an order-preserving dense bijection over proj's
+    // node set: codes are 0..n-1 and code order == id order (what
+    // keeps labelProp's argmax identical through encode/decode)
+    val dRows = d.orderBy("code").collect()
+      .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].longValue))
+    val nodesInline = proj.select(col("u").as("x"))
+      .unionAll(proj.select(col("v").as("x"))).distinct()
+      .orderBy("x").collect().map(_.getLong(0))
+    assert(dRows.map(_._2).toSeq === (0L until nodesInline.length).toSeq)
+    assert(dRows.map(_._1).toSeq === nodesInline.toSeq)
   }
 
   test("bucketed artifact: round-1 join and degree agg plan exchange-free on the edge side") {

@@ -478,7 +478,7 @@ class RelationalSpec extends SparkSuiteBase {
         .otherwise(lit(7L)).as("x"))
     val sliced = graft.operators.Relational.skewSliced(df, 16).get
     val heavyKeys = sliced.where(col("x") === 7L)
-      .select("slc", "sub").distinct().count()
+      .select("slc", "hg", "sub").distinct().count()
     assert(heavyKeys > 1,
       s"heavy duplicate value must sub-split across window keys, got $heavyKeys")
     val ranked = graft.operators.Relational.groupedRanks(df, 16)
@@ -490,10 +490,11 @@ class RelationalSpec extends SparkSuiteBase {
       assert(joined.where(col("rk") =!= col("rk_ref")).count() === 0L)
     } finally joined.unpersist()
     // the all-constant frame (hi == lo) — every row is the heavy value
-    val const = spark.range(1000L).select(lit("g").as("grp"), col("id"),
+    // (above MinSliceRows so the sliced path engages)
+    val const = spark.range(10000L).select(lit("g").as("grp"), col("id"),
       lit(5L).as("x"))
     val cs = graft.operators.Relational.skewSliced(const, 16).get
-    assert(cs.select("slc", "sub").distinct().count() > 1,
+    assert(cs.select("slc", "hg", "sub").distinct().count() > 1,
       "constant column must still split by id")
     val cr = graft.operators.Relational.groupedRanks(const, 16)
       .select(col("id"), col("rk")).collect()
